@@ -1,0 +1,22 @@
+"""Expression kernel: pure Column -> Column helpers.
+
+Each function encodes one reference semantic exactly (cites are to
+/root/reference/sql/ETL_GlobalWeather_DB.sql as ETL:n). Keeping them as
+Column expressions (never UDFs) keeps the whole pipeline inside
+whole-stage codegen.
+"""
+
+from globalweather_etl_spark.functions.dates import (
+    date_parts,
+    dayofweek_iso,
+    weekiso,
+)
+from globalweather_etl_spark.functions.weather import precip_type, weather_band
+
+__all__ = [
+    "date_parts",
+    "dayofweek_iso",
+    "weekiso",
+    "precip_type",
+    "weather_band",
+]

@@ -1,0 +1,77 @@
+"""Dense surrogate-key assignment (reference: ROW_NUMBER() OVER (ORDER BY
+POSTAL_CODE, CITY_NAME, COUNTRY), ETL:38-39).
+
+Two strategies producing IDENTICAL output:
+
+- ``row_number``: reference-faithful single window. An unpartitioned
+  window forces every row through one task — fine for dimension-sized
+  inputs (<= a few million rows), a deliberate non-starter at 100 TB.
+
+- ``distributed``: exact, scale-safe two-pass. Range-partition by the
+  order columns (global order across partitions), rank *within* each
+  partition, then add per-partition prefix-sum offsets. Only the
+  per-partition row counts (one long per partition) ever reach the
+  driver. Same trick Spark itself uses for zipWithIndex, expressed with
+  DataFrame ops so codegen still applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def surrogate_key(
+    df: DataFrame,
+    order_cols: list[str],
+    key_col: str = "surrogate_key",
+    strategy: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 1-based BIGINT key ordered by ``order_cols``.
+
+    The ordering must be total (e.g. over distinct tuples) for the output
+    to be deterministic — true for the reference's use (distinct
+    POSTAL_CODE, CITY_NAME, COUNTRY tuples).
+    """
+    if strategy == "row_number":
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(key_col, F.row_number().over(w).cast("long"))
+    if strategy == "distributed":
+        return _surrogate_key_distributed(df, order_cols, key_col, num_partitions)
+    raise ValueError(f"unknown surrogate_key strategy: {strategy!r}")
+
+
+def _surrogate_key_distributed(
+    df: DataFrame,
+    order_cols: list[str],
+    key_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    sess = df.sparkSession
+    n = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Partition-local rank: the window partitions by __pid, so no single
+    # task ever sees more than one range-partition of rows.
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    local = ranged.withColumn("__local_rn", F.row_number().over(w).cast("long"))
+    # Pass 1 result: per-partition counts -> prefix-sum offsets. This is
+    # the only driver-side data: one (pid, count) pair per partition.
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_df = sess.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid INT, __offset LONG"
+    )
+    return (
+        local.join(F.broadcast(offset_df), "__pid")
+        .withColumn(key_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

@@ -1,0 +1,14 @@
+from globalweather_etl_spark.sources.registry import Catalog, load_table
+from globalweather_etl_spark.sources.constant import constant_rows
+from globalweather_etl_spark.sources.weather_from_events import (
+    AS_OF_DATE,
+    weather_staging_from_events,
+)
+
+__all__ = [
+    "Catalog",
+    "load_table",
+    "constant_rows",
+    "AS_OF_DATE",
+    "weather_staging_from_events",
+]

@@ -1,0 +1,77 @@
+"""Source connectors.
+
+The reference's "source connector" is a cross-database scan of a
+Snowflake Marketplace share (ETL:17-19: SELECT * FROM
+WEATHER_SOURCE_LLC_FROSTBYTE.ONPOINT_ID.FORECAST_DAY). Our equivalent is
+a parquet landing zone: a directory of one parquet dataset per table.
+Catalyst's DataSource V2 parquet reader gives vectorized scans,
+predicate pushdown, column pruning, and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# The landing zone stores timestamps as parquet TIMESTAMP(NANOS), which
+# Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read them
+# as raw nanos longs (legacy conf) and convert to microsecond timestamps
+# with exact integer division (`div`, not `/` — a nanos epoch ~1.7e18
+# doesn't fit double's 53-bit mantissa). Truncation to micros matches
+# what DuckDB does with the same files, so oracles agree.
+NANO_TS_COLS: dict[str, list[str]] = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one landing-zone table. Aside from the nanos-timestamp repair
+    above, no schema munging — pushdown/pruning reach the scan untouched."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in NANO_TS_COLS.get(name, []):
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+class Catalog:
+    """Thin named-DataFrame registry standing in for the reference's
+    three-schema warehouse (STAGING / DIMENSIONAL / NORMALIZED, ETL:2-14).
+
+    Tables are registered as temp views too, so the same objects are
+    reachable from both the DataFrame API and spark.sql().
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name.replace(".", "__"))
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)

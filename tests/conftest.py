@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import SparkSession
+
+from globalweather_etl_spark.schemas import STG_FORECAST_DAY
+from globalweather_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = get_spark(
+        app_name="globalweather-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+    )
+    yield s
+
+
+def _row(
+    date: str,
+    postal: str,
+    city: str | None = "Metropolis",
+    country: str | None = "US",
+    temp: float | None = 60.0,
+    precip: float | None = 0.0,
+    snow: float | None = 0.0,
+):
+    d = dt.date.fromisoformat(date)
+    return (
+        d,
+        d.timetuple().tm_yday,
+        postal,
+        city,
+        country,
+        temp,
+        None if temp is None else temp - 5.0,
+        None if temp is None else temp + 5.0,
+        55.0,
+        1013.0,
+        8.0,
+        40.0,
+        precip,
+        snow,
+        30.0,
+        5.0,
+    )
+
+
+@pytest.fixture(scope="session")
+def weather_fixture(spark):
+    """Hand-built staging covering every FIXTURES.md §A edge case:
+    band boundaries (incl. the 50.5 / 70.2 CASE gaps), snow-beats-rain
+    branch order, NULL precip, LAG first row, ROWS-frame date gap, and a
+    fan-out postal code (one postal, two cities)."""
+    rows = []
+    # 1. band boundary temps on one location, consecutive days
+    boundary_temps = [31.9, 32.0, 50.0, 50.5, 51.0, 70.0, 70.2, 71.0, 85.0, 86.0]
+    for i, t in enumerate(boundary_temps):
+        rows.append(_row(f"2024-01-{i + 1:02d}", "10001", "Bandville", "US", temp=t))
+    # 2. precipitation classes
+    rows.append(_row("2024-01-01", "20002", "Rainy", "US", precip=1.5, snow=0.0))
+    rows.append(_row("2024-01-02", "20002", "Rainy", "US", precip=1.5, snow=2.0))
+    rows.append(_row("2024-01-03", "20002", "Rainy", "US", precip=0.0, snow=0.0))
+    rows.append(_row("2024-01-04", "20002", "Rainy", "US", precip=None, snow=None))
+    rows.append(_row("2024-01-05", "20002", "Rainy", "US", precip=0.4, snow=0.0))
+    # 3+4. date-gap series (days 1-5 then 8-12) for ROWS-frame + LAG
+    for day in [1, 2, 3, 4, 5, 8, 9, 10, 11, 12]:
+        rows.append(
+            _row(
+                f"2024-01-{day:02d}",
+                "30003",
+                "Gapville",
+                "US",
+                temp=40.0 + day,
+                precip=1.0,
+            )
+        )
+    # 5. fan-out: one postal code, two (city, country) pairs
+    rows.append(_row("2024-01-01", "40004", "TwinA", "US", temp=55.0, precip=2.0))
+    rows.append(_row("2024-01-01", "40004", "TwinB", "CA", temp=55.0, precip=2.0))
+    rows.append(_row("2024-01-02", "40004", "TwinA", "US", temp=60.0, precip=0.0))
+    rows.append(_row("2024-01-02", "40004", "TwinB", "CA", temp=60.0, precip=0.0))
+    # 7. >=16 distinct cities so LIMIT 15 truncates, tie at rank 15/16
+    for i in range(16):
+        rows.append(
+            _row(
+                "2024-01-01",
+                f"5{i:04d}",
+                f"City{i:02d}",
+                "US",
+                temp=70.0 + i if i < 14 else 90.0,  # City14/City15 tie at 90.0
+            )
+        )
+    return spark.createDataFrame(rows, STG_FORECAST_DAY)
+
+
+AS_OF = dt.date(2024, 2, 1)

@@ -1,0 +1,94 @@
+"""Unit tests for the expression kernel — every reference semantic quirk."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.functions import (
+    dayofweek_iso,
+    precip_type,
+    weather_band,
+    weekiso,
+)
+
+
+def _classify_temps(spark, temps):
+    df = spark.createDataFrame([(t,) for t in temps], "t double")
+    return [
+        r["band"]
+        for r in df.select(weather_band(F.col("t")).alias("band"))
+        .orderBy("t")
+        .collect()
+    ]
+
+
+def test_weather_band_boundaries(spark):
+    temps = [-40.0, 31.9, 32.0, 50.0, 51.0, 70.0, 71.0, 85.0, 86.0, 120.0]
+    assert _classify_temps(spark, temps) == [
+        "Freezing",
+        "Freezing",
+        "Cold",
+        "Cold",
+        "Mild",
+        "Mild",
+        "Warm",
+        "Warm",
+        "Hot",
+        "Hot",
+    ]
+
+
+def test_weather_band_gap_quirk(spark):
+    """ETL:57-63 gap: 50<t<51 and 70<t<71 match no branch -> 'Hot'.
+    The quirk is live (FLOAT temps); must NOT be 'fixed'."""
+    assert _classify_temps(spark, [50.5, 70.2]) == ["Hot", "Hot"]
+
+
+def test_weather_band_null_is_hot(spark):
+    """NULL temp: every comparison is NULL -> falls to ELSE 'Hot'."""
+    df = spark.createDataFrame([(None,)], "t double")
+    assert df.select(weather_band(F.col("t")).alias("b")).collect()[0]["b"] == "Hot"
+
+
+def test_precip_type_branch_order(spark):
+    cases = [
+        (2.0, 1.0, "Snow"),  # snow wins over rain (ETL:70 first)
+        (0.0, 1.0, "Rain"),
+        (0.0, 0.0, "None"),
+        (None, None, "None"),  # NULL comparisons are not-true -> ELSE
+        (None, 0.5, "Rain"),
+    ]
+    df = spark.createDataFrame(
+        [(s, p) for s, p, _ in cases], "snow double, precip double"
+    )
+    got = [
+        r["pt"]
+        for r in df.select(
+            precip_type(F.col("snow"), F.col("precip")).alias("pt")
+        ).collect()
+    ]
+    assert got == [c[2] for c in cases]
+
+
+def test_dayofweek_iso(spark):
+    # 2024-01-01 is a Monday -> ISO 1; 2024-01-07 is a Sunday -> ISO 7
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1),), (dt.date(2024, 1, 7),), (dt.date(2024, 1, 6),)],
+        "d date",
+    )
+    got = [
+        r["iso"] for r in df.select(dayofweek_iso(F.col("d")).alias("iso")).collect()
+    ]
+    assert got == [1, 7, 6]
+
+
+def test_weekiso(spark):
+    # ISO-8601: 2021-01-01 (Friday) belongs to week 53 of 2020;
+    # 2024-01-01 (Monday) is week 1.
+    df = spark.createDataFrame(
+        [(dt.date(2021, 1, 1),), (dt.date(2024, 1, 1),)], "d date"
+    )
+    got = [r["w"] for r in df.select(weekiso(F.col("d")).alias("w")).collect()]
+    assert got == [53, 1]

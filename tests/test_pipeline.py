@@ -1,0 +1,157 @@
+"""End-to-end pipeline tests on the hand-built weather fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.plans import (
+    build_warehouse,
+    q2,
+    q5,
+)
+
+AS_OF = dt.date(2024, 2, 1)
+
+
+@pytest.fixture(scope="module")
+def wh(spark, weather_fixture):
+    return build_warehouse(spark, weather_fixture, AS_OF)
+
+
+def test_dim_date_parts(wh):
+    row = (
+        wh.dim_date.filter(F.col("DATE_KEY") == dt.date(2024, 1, 1))
+        .collect()[0]
+        .asDict()
+    )
+    assert row == {
+        "DATE_KEY": dt.date(2024, 1, 1),
+        "FULL_DATE": dt.date(2024, 1, 1),
+        "YEAR": 2024,
+        "MONTH": 1,
+        "DAY": 1,
+        "DAY_OF_WEEK": 1,  # Monday, ISO
+        "WEEK_OF_YEAR": 1,
+        "DAY_OF_YEAR": 1,
+    }
+
+
+def test_dim_location_surrogate_keys_dense_and_ordered(wh):
+    rows = wh.dim_location.orderBy("LOCATION_KEY").collect()
+    keys = [r["LOCATION_KEY"] for r in rows]
+    assert keys == list(range(1, len(rows) + 1))
+    tuples = [(r["POSTAL_CODE"], r["CITY_NAME"], r["COUNTRY"]) for r in rows]
+    assert tuples == sorted(tuples)
+    # SCD-1 bookkeeping columns (ETL:43-45)
+    assert all(r["VALID_FROM"] == AS_OF for r in rows)
+    assert all(r["VALID_TO"] is None for r in rows)
+    assert all(r["IS_CURRENT"] is True for r in rows)
+
+
+def test_dim_location_fanout_grain(wh):
+    """Postal 40004 has two (city, country) pairs -> two dim rows."""
+    assert wh.dim_location.filter(F.col("POSTAL_CODE") == "40004").count() == 2
+
+
+def test_dim_weather_band_members(wh):
+    bands = {r["WEATHER_BAND"] for r in wh.dim_weather_band.collect()}
+    assert bands == {"Freezing", "Cold", "Mild", "Warm", "Hot"}
+
+
+def test_dim_precipitation_type_members(wh):
+    types = {r["PRECIPITATION_TYPE"] for r in wh.dim_precipitation_type.collect()}
+    assert types == {"Snow", "Rain", "None"}
+
+
+def test_dim_source_single_row(wh):
+    rows = wh.dim_source.collect()
+    assert len(rows) == 1
+    assert rows[0].asDict() == {
+        "SOURCE_KEY": 1,
+        "PROVIDER": "Weather Source LLC",
+        "DATASET_NAME": "Frostbyte",
+        "INGEST_METHOD": "Snowflake Marketplace",
+    }
+
+
+def test_fact_fanout_doubles_rows(wh, weather_fixture):
+    """J2 joins on POSTAL_CODE alone (ETL:116-118); postal 40004's 2
+    staging rows/day each match 2 dim rows -> 4 fact rows/day."""
+    n_staging = weather_fixture.filter(F.col("POSTAL_CODE") == "40004").count()
+    n_fact = (
+        wh.fact.join(
+            wh.dim_location.filter(F.col("POSTAL_CODE") == "40004"),
+            "LOCATION_KEY",
+        ).count()
+    )
+    assert n_staging == 4 and n_fact == 8
+
+
+def test_fact_lag_first_row_null(wh):
+    """TEMP_DAY_DELTA is NULL on each location's first date (LAG)."""
+    loc = (
+        wh.dim_location.filter(
+            (F.col("POSTAL_CODE") == "30003") & (F.col("CITY_NAME") == "Gapville")
+        ).collect()[0]["LOCATION_KEY"]
+    )
+    rows = (
+        wh.fact.filter(F.col("LOCATION_KEY") == loc)
+        .orderBy("DATE_KEY")
+        .collect()
+    )
+    assert rows[0]["TEMP_DAY_DELTA"] is None
+    # consecutive days: temp = 40 + day -> delta 1.0
+    assert rows[1]["TEMP_DAY_DELTA"] == 1.0
+    # the gap (jan 5 -> jan 8): LAG skips to previous OBSERVATION, delta 3.0
+    assert rows[5]["DATE_KEY"] == dt.date(2024, 1, 8)
+    assert rows[5]["TEMP_DAY_DELTA"] == 3.0
+
+
+def test_fact_7row_sum_is_rows_not_range(wh):
+    """Gapville has precip=1.0 on 10 observed days with a 2-day calendar
+    gap; a ROWS frame sums the last 7 OBSERVATIONS regardless of gap."""
+    loc = (
+        wh.dim_location.filter(F.col("POSTAL_CODE") == "30003").collect()[0][
+            "LOCATION_KEY"
+        ]
+    )
+    rows = (
+        wh.fact.filter(F.col("LOCATION_KEY") == loc)
+        .orderBy("DATE_KEY")
+        .collect()
+    )
+    sums = [r["PRECIPITATION_7D_SUM"] for r in rows]
+    # running count capped at 7 observations x 1.0 each
+    assert sums == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0, 7.0]
+
+
+def test_validate(wh):
+    result = wh.validate()
+    assert result["null_fk_count"] == 0
+    assert result["min_temp_f"] == 31.9
+    assert result["max_temp_f"] == 90.0
+
+
+def test_q2_top15_truncates(wh):
+    out = q2(wh.fact, wh.dim_location).collect()
+    assert len(out) == 15
+
+
+def test_q5_null_precip_in_denominator_only(wh):
+    """2024-01-04: Rainy's precip is NULL -> excluded from numerator,
+    included in denominator."""
+    rows = {r["DATE_KEY"]: r["PCT_LOCATIONS_WITH_RAIN"] for r in q5(wh.fact).collect()}
+    # Jan 4: locations = Bandville(0.0 precip), Rainy(NULL), Gapville(1.0)
+    # -> 1 rainy of 3 rows
+    assert abs(rows[dt.date(2024, 1, 4)] - (1 * 100.0 / 3)) < 1e-9
+
+
+def test_q5_fanout_can_exceed_intuition(wh):
+    """Jan 1 includes the fan-out postal (4 fact rows from 2 staging
+    rows, all precip=2.0) — replicating the reference's >100%-capable
+    semantics (img/Dashboard.png shows the same artifact)."""
+    rows = {r["DATE_KEY"]: r["PCT_LOCATIONS_WITH_RAIN"] for r in q5(wh.fact).collect()}
+    assert rows[dt.date(2024, 1, 1)] > 0
