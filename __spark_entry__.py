@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query (full weather-warehouse fact build) on sf0.001.
+queries()     -> one callable per implemented operator from SURVEY.md §2
+                 plus the north-star extensions (dedup/similarity/text).
+oracle_sql()  -> matching DuckDB SQL per query (omitted only for the
+                 hash-seeded ops with no cross-engine twin: minhash/simhash/
+                 LSH — the driver records rows-only checks for those).
 """
 
 from __future__ import annotations
@@ -13,26 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from globalweather_etl_spark.oracles import all_oracles
+from globalweather_etl_spark.queries import QUERIES, q_pipeline_fact
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full ELT rebuild (staging -> 5 dims -> 5-way star
+    join fact with both window metrics) on /root/testdata/sf0.001."""
+    return q_pipeline_fact(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

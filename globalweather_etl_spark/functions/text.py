@@ -1,0 +1,122 @@
+"""Text-analysis expression kernel (north-star extension surface).
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs.
+Each has an exact ANSI-SQL mirror for the DuckDB oracle (see
+globalweather_etl_spark/oracles.py); regex patterns are restricted to
+syntax with identical semantics in Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+# Explicit punctuation class — identical in Java regex and RE2 (avoid
+# POSIX classes whose membership differs between engines).
+_PUNCT = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(text, _WS)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish counting belongs to a tokenizer
+    service; whitespace is the scale-safe default)."""
+    return F.size(tokens(text)).cast("int")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("int")
+
+
+def punct_count(text: Column) -> Column:
+    """Punctuation characters, counted by deletion (length delta) so the
+    same regex works in any engine."""
+    return (F.length(text) - F.length(F.regexp_replace(text, _PUNCT, ""))).cast("int")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean token length: non-whitespace chars / token count."""
+    non_ws = F.length(F.regexp_replace(text, _WS, ""))
+    return non_ws.cast("double") / token_count(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document quality heuristic in [0, 1]:
+    penalizes very short docs, punctuation soup, and extreme word
+    lengths. A linear blend of bounded ratios — each component is a
+    cheap codegen expression, so this runs in the scan stage."""
+    n_tok = token_count(text).cast("double")
+    len_component = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(
+        char_count(text).cast("double"), F.lit(1.0)
+    )
+    punct_component = F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))
+    wl = avg_word_len(text)
+    wl_component = F.when((wl >= 3.0) & (wl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * punct_component
+        + F.lit(0.3) * wl_component
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dedup fingerprint: md5 over the UTF-8 bytes of the
+    whitespace-normalized, lowercased text."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, _WS, " ")))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+# Stopword membership tables for the n-gram-free language-ID heuristic.
+# Tiny, deterministic, broadcast as literals into the plan.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "sie"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "por", "una", "con"],
+}
+
+
+def stopword_score(text: Column, lang: str) -> Column:
+    """Stopword hit count for one language over the lowercased token
+    array (duplicates count — frequency matters)."""
+    wordset = F.array(*[F.lit(w) for w in _LANG_STOPWORDS[lang]])
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t))).cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: stopword hit counts per language, highest
+    wins with a fixed priority order (en > de > fr > es) on ties; 'und'
+    when nothing matches. A deterministic first-match CASE chain — all
+    built-in array functions, no UDF, no shuffle, and mirrorable in
+    ANSI SQL for the oracle."""
+    en = stopword_score(text, "en")
+    de = stopword_score(text, "de")
+    fr = stopword_score(text, "fr")
+    es = stopword_score(text, "es")
+    return (
+        F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de > 0) & (de >= fr) & (de >= es), F.lit("de"))
+        .when((fr > 0) & (fr >= es), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Word-level n-gram shingles -> array<string>; the unit for
+    MinHash / Jaccard near-dedup. Sliding window via sequence+transform
+    (pure codegen, no explode until the caller chooses to)."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    # Guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-array branch.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,329 @@
+"""DuckDB oracle SQL for every oracle-checkable query in queries.py.
+
+Each string is the ANSI-SQL equivalent of the Spark DataFrame query with
+the same name, runnable by DuckDB over the driver's parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Snowflake-isms from the reference are rewritten per
+FIXTURES.md: COUNT_IF(c) -> COUNT(*) FILTER (WHERE c); DAYOFWEEKISO ->
+isodow; WEEKISO -> week; CURRENT_DATE() -> frozen literal.
+
+Cross-engine determinism rules used throughout (mirrored on the Spark
+side in queries.py / plans/):
+- SUM/AVG over doubles go through CAST(... AS DECIMAL) so accumulation
+  order can't change the result; final values cast back to DOUBLE.
+- Window orderings always total (explicit tiebreak columns).
+- Surrogate keys cast to BIGINT, date parts to INTEGER, counts are
+  BIGINT naturally.
+"""
+
+from __future__ import annotations
+
+from globalweather_etl_spark.sources.weather_from_events import WEATHER_STAGING_SQL
+
+# ---------------------------------------------------------------- weather ELT
+
+_BAND_CASE = """CASE
+    WHEN {q}AVG_TEMPERATURE_AIR_2M_F < 32 THEN 'Freezing'
+    WHEN {q}AVG_TEMPERATURE_AIR_2M_F BETWEEN 32 AND 50 THEN 'Cold'
+    WHEN {q}AVG_TEMPERATURE_AIR_2M_F BETWEEN 51 AND 70 THEN 'Mild'
+    WHEN {q}AVG_TEMPERATURE_AIR_2M_F BETWEEN 71 AND 85 THEN 'Warm'
+    ELSE 'Hot' END"""
+
+_PTYPE_CASE = """CASE
+    WHEN {q}TOT_SNOWFALL_IN > 0 THEN 'Snow'
+    WHEN {q}TOT_PRECIPITATION_IN > 0 THEN 'Rain'
+    ELSE 'None' END"""
+
+_DATE_PARTS = """
+    CAST(year({d}) AS INTEGER)    AS YEAR,
+    CAST(month({d}) AS INTEGER)   AS MONTH,
+    CAST(day({d}) AS INTEGER)     AS DAY,
+    CAST(isodow({d}) AS INTEGER)  AS DAY_OF_WEEK,
+    CAST(week({d}) AS INTEGER)    AS WEEK_OF_YEAR"""
+
+# The full warehouse as a WITH-prologue (ETL:17-136 in CTE form).
+WEATHER_PROLOGUE = f"""
+WITH staging AS ({WEATHER_STAGING_SQL}),
+dim_date AS (
+  SELECT DISTINCT
+    DATE_VALID_STD AS DATE_KEY,
+    DATE_VALID_STD AS FULL_DATE,{_DATE_PARTS.format(d="DATE_VALID_STD")},
+    DOY_STD AS DAY_OF_YEAR
+  FROM staging
+),
+dim_location AS (
+  SELECT
+    CAST(row_number() OVER (ORDER BY POSTAL_CODE, CITY_NAME, COUNTRY) AS BIGINT)
+      AS LOCATION_KEY,
+    POSTAL_CODE, CITY_NAME, COUNTRY,
+    DATE '2024-02-01'  AS VALID_FROM,
+    CAST(NULL AS DATE) AS VALID_TO,
+    TRUE               AS IS_CURRENT
+  FROM (SELECT DISTINCT POSTAL_CODE, CITY_NAME, COUNTRY FROM staging)
+),
+dim_weather_band AS (
+  SELECT DISTINCT {_BAND_CASE.format(q="")} AS WEATHER_BAND FROM staging
+),
+dim_precipitation_type AS (
+  SELECT DISTINCT {_PTYPE_CASE.format(q="")} AS PRECIPITATION_TYPE FROM staging
+),
+dim_source AS (
+  SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER,
+         'Frostbyte' AS DATASET_NAME, 'Snowflake Marketplace' AS INGEST_METHOD
+),
+fact AS (
+  SELECT
+    d.DATE_KEY, l.LOCATION_KEY, wb.WEATHER_BAND, pt.PRECIPITATION_TYPE,
+    s.SOURCE_KEY,
+    f.AVG_TEMPERATURE_AIR_2M_F AS AVG_TEMP_F,
+    f.TOT_PRECIPITATION_IN     AS PRECIPITATION_IN,
+    f.TOT_SNOWFALL_IN          AS SNOWFALL_IN,
+    f.AVG_TEMPERATURE_AIR_2M_F
+      - lag(f.AVG_TEMPERATURE_AIR_2M_F)
+        OVER (PARTITION BY l.LOCATION_KEY ORDER BY d.DATE_KEY)
+      AS TEMP_DAY_DELTA,
+    round(CAST(sum(CAST(f.TOT_PRECIPITATION_IN AS DECIMAL(25,10)))
+        OVER (PARTITION BY l.LOCATION_KEY ORDER BY d.DATE_KEY
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+      AS PRECIPITATION_7D_SUM
+  FROM staging f
+  JOIN dim_date d ON f.DATE_VALID_STD = d.DATE_KEY
+  JOIN dim_location l ON f.POSTAL_CODE = l.POSTAL_CODE AND l.IS_CURRENT = TRUE
+  JOIN dim_weather_band wb ON wb.WEATHER_BAND = {_BAND_CASE.format(q="f.")}
+  JOIN dim_precipitation_type pt
+    ON pt.PRECIPITATION_TYPE = {_PTYPE_CASE.format(q="f.")}
+  JOIN dim_source s ON s.SOURCE_KEY = 1
+)
+"""
+
+# Exact average: order-independent decimal sum, then double division.
+def _davg_sql(col: str) -> str:
+    return (
+        f"round(CAST(sum(CAST({col} AS DECIMAL(25,12))) AS DOUBLE)"
+        f" / count({col}), 6)"
+    )
+
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "pipeline_dim_date": WEATHER_PROLOGUE + "SELECT * FROM dim_date",
+    "pipeline_dim_location": WEATHER_PROLOGUE + "SELECT * FROM dim_location",
+    "pipeline_dim_weather_band": WEATHER_PROLOGUE + "SELECT * FROM dim_weather_band",
+    "pipeline_dim_precipitation_type": WEATHER_PROLOGUE
+    + "SELECT * FROM dim_precipitation_type",
+    "pipeline_dim_source": "SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER, "
+    "'Frostbyte' AS DATASET_NAME, 'Snowflake Marketplace' AS INGEST_METHOD",
+    "pipeline_fact": WEATHER_PROLOGUE + "SELECT * FROM fact",
+    "pipeline_validate_null_fk": WEATHER_PROLOGUE
+    + "SELECT count(*) AS NULL_FK_COUNT FROM fact "
+    "WHERE LOCATION_KEY IS NULL OR DATE_KEY IS NULL",
+    "pipeline_validate_temp_range": WEATHER_PROLOGUE
+    + "SELECT min(AVG_TEMP_F) AS MIN_TEMP_F, max(AVG_TEMP_F) AS MAX_TEMP_F FROM fact",
+    "pipeline_normalized_location": WEATHER_PROLOGUE
+    + "SELECT DISTINCT POSTAL_CODE, CITY_NAME, COUNTRY FROM staging",
+    "pipeline_normalized_date": WEATHER_PROLOGUE
+    + f"""SELECT DISTINCT
+    DATE_VALID_STD,{_DATE_PARTS.format(d="DATE_VALID_STD")},
+    DOY_STD AS DAY_OF_YEAR
+  FROM staging""",
+    "pipeline_normalized_weather_day": WEATHER_PROLOGUE
+    + """SELECT DATE_VALID_STD, POSTAL_CODE, AVG_TEMPERATURE_AIR_2M_F,
+    MIN_TEMPERATURE_AIR_2M_F, MAX_TEMPERATURE_AIR_2M_F,
+    AVG_HUMIDITY_RELATIVE_2M_PCT, AVG_PRESSURE_2M_MB, AVG_WIND_SPEED_10M_MPH,
+    AVG_CLOUD_COVER_TOT_PCT, TOT_PRECIPITATION_IN, TOT_SNOWFALL_IN,
+    PROBABILITY_OF_PRECIPITATION_PCT, PROBABILITY_OF_SNOW_PCT FROM staging""",
+    "dashboard_q1": WEATHER_PROLOGUE
+    + f"""SELECT d.FULL_DATE, {_davg_sql("f.AVG_TEMP_F")} AS AVG_TEMP_F
+  FROM fact f JOIN dim_date d ON f.DATE_KEY = d.DATE_KEY
+  GROUP BY d.FULL_DATE ORDER BY d.FULL_DATE""",
+    "dashboard_q2": WEATHER_PROLOGUE
+    + f"""SELECT l.CITY_NAME, {_davg_sql("f.AVG_TEMP_F")} AS AVG_TEMP_F
+  FROM fact f JOIN dim_location l ON f.LOCATION_KEY = l.LOCATION_KEY
+  GROUP BY l.CITY_NAME ORDER BY AVG_TEMP_F DESC LIMIT 15""",
+    "dashboard_q3": WEATHER_PROLOGUE
+    + f"""SELECT PRECIPITATION_TYPE, {_davg_sql("AVG_TEMP_F")} AS AVG_TEMP_F
+  FROM fact GROUP BY PRECIPITATION_TYPE ORDER BY AVG_TEMP_F DESC""",
+    "dashboard_q4": WEATHER_PROLOGUE
+    + """SELECT WEATHER_BAND, count(*) AS DAYS_COUNT
+  FROM fact GROUP BY WEATHER_BAND ORDER BY DAYS_COUNT DESC""",
+    "dashboard_q5": WEATHER_PROLOGUE
+    + """SELECT DATE_KEY,
+    count(*) FILTER (WHERE PRECIPITATION_IN > 0) * 100.0 / count(*)
+      AS PCT_LOCATIONS_WITH_RAIN
+  FROM fact GROUP BY DATE_KEY ORDER BY DATE_KEY""",
+}
+
+# ------------------------------------------------------------ TPC-H operators
+
+_PRICE_BAND_CASE = """CASE
+    WHEN p_retailprice < 920 THEN 'Budget'
+    WHEN p_retailprice BETWEEN 920 AND 950 THEN 'Standard'
+    WHEN p_retailprice BETWEEN 951 AND 980 THEN 'Premium'
+    ELSE 'Luxury' END"""
+
+TPCH_ORACLES: dict[str, str] = {
+    "tpch_star_join_revenue": """
+SELECT r.r_name AS region, n.n_name AS nation,
+  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,10)))
+       AS DOUBLE), 4) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name""",
+    "tpch_price_band_distinct": f"""
+SELECT DISTINCT {_PRICE_BAND_CASE} AS PRICE_BAND FROM part""",
+    "tpch_price_band_counts": f"""
+SELECT {_PRICE_BAND_CASE} AS PRICE_BAND, count(*) AS N_PARTS
+FROM part GROUP BY 1 ORDER BY N_PARTS DESC""",
+    "tpch_topk_customers": f"""
+SELECT c.c_name, {_davg_sql("o.o_totalprice")} AS AVG_ORDER_VALUE
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name ORDER BY AVG_ORDER_VALUE DESC LIMIT 15""",
+    "tpch_order_date_parts": f"""
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS ORDER_DATE,
+  {_DATE_PARTS.format(d="CAST(o_orderdate AS DATE)")},
+  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS DAY_OF_YEAR
+FROM orders""",
+    "tpch_events_lag_delta": """
+SELECT event_id, user_id, ts, value,
+  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS VALUE_DELTA
+FROM events""",
+    "tpch_events_rolling_sum": """
+SELECT event_id, user_id, ts, value,
+  round(CAST(sum(CAST(value AS DECIMAL(25,10)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+    AS VALUE_7ROW_SUM
+FROM events""",
+    "tpch_surrogate_key": """
+SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
+    AS SEGMENT_KEY,
+  c_mktsegment, c_nationkey
+FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
+    "tpch_countif_ratio": """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_totalprice > 250000) * 100.0 / count(*)
+    AS PCT_HIGH_VALUE
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_global_validation": """
+SELECT count(*) AS N_ROWS,
+  min(l_quantity) AS MIN_QTY, max(l_quantity) AS MAX_QTY,
+  min(l_extendedprice) AS MIN_PRICE, max(l_extendedprice) AS MAX_PRICE
+FROM lineitem""",
+    "tpch_constant_join": """
+SELECT s.PROVIDER, count(*) AS N_ORDERS
+FROM orders o
+CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s
+GROUP BY s.PROVIDER""",
+}
+
+# --------------------------------------------- dedup / text / similarity
+
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = "regexp_split_to_array(text, '\\s+')"
+
+
+def _shingles_sql(n: int) -> str:
+    """Distinct word n-gram shingles per doc, mirroring
+    functions.text.word_shingles + array_distinct."""
+    return f"""
+SELECT doc_id, unnest(list_distinct(
+  CASE WHEN len(toks) >= {n}
+       THEN [array_to_string(toks[i:i+{n - 1}], ' ')
+             FOR i IN range(1, len(toks) - {n} + 2)]
+       ELSE [] END)) AS shingle
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)"""
+
+
+def _lang_score_sql(lang_words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"t -> t IN ({quoted}))) AS INTEGER)"
+    )
+
+
+def _build_lang_id_sql() -> str:
+    from globalweather_etl_spark.functions.text import _LANG_STOPWORDS
+
+    s = {lang: _lang_score_sql(ws) for lang, ws in _LANG_STOPWORDS.items()}
+    return f"""CASE
+    WHEN {s["en"]} > 0 AND {s["en"]} >= {s["de"]} AND {s["en"]} >= {s["fr"]}
+         AND {s["en"]} >= {s["es"]} THEN 'en'
+    WHEN {s["de"]} > 0 AND {s["de"]} >= {s["fr"]} AND {s["de"]} >= {s["es"]}
+         THEN 'de'
+    WHEN {s["fr"]} > 0 AND {s["fr"]} >= {s["es"]} THEN 'fr'
+    WHEN {s["es"]} > 0 THEN 'es'
+    ELSE 'und' END"""
+
+
+EXT_ORACLES: dict[str, str] = {
+    "docs_exact_dedup_keepers": f"""
+SELECT md5({_NORM_TEXT}) AS fingerprint, min(doc_id) AS keep_id,
+  count(*) AS dup_count
+FROM documents GROUP BY 1""",
+    "docs_exact_dedup_removed": f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5({_NORM_TEXT}))""",
+    "docs_token_stats": f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_measured,
+  CAST(length(text) - length(regexp_replace(text,
+    '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS INTEGER) AS n_punct,
+  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+    / CAST(len({_TOKS}) AS DOUBLE) AS avg_word_len
+FROM documents""",
+    "docs_lang_stats": """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang""",
+    "docs_lang_id": f"""
+SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
+FROM documents""",
+    "docs_ngram_jaccard": f"""
+WITH sh AS ({_shingles_sql(3)}),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) >= 0.5""",
+    "emb_cosine_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      AS cos_sim
+  FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    "emb_range_search": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    >= 0.4""",
+}
+
+
+def all_oracles() -> dict[str, str]:
+    return {**PIPELINE_ORACLES, **TPCH_ORACLES, **EXT_ORACLES}

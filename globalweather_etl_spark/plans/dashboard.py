@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.functions.aggregates import exact_avg
+
 
 def q1(fact: DataFrame, dim_date: DataFrame) -> DataFrame:
     """Average forecast temperature over time (DASH:1-9):
@@ -19,7 +21,7 @@ def q1(fact: DataFrame, dim_date: DataFrame) -> DataFrame:
     return (
         f.join(d, F.col("fct.DATE_KEY") == F.col("dd.DATE_KEY"), "inner")
         .groupBy(F.col("dd.FULL_DATE").alias("FULL_DATE"))
-        .agg(F.avg(F.col("fct.AVG_TEMP_F")).alias("AVG_TEMP_F"))
+        .agg(exact_avg(F.col("fct.AVG_TEMP_F")).alias("AVG_TEMP_F"))
         .orderBy("FULL_DATE")
     )
 
@@ -33,7 +35,7 @@ def q2(fact: DataFrame, dim_location: DataFrame) -> DataFrame:
     return (
         f.join(loc, F.col("fct.LOCATION_KEY") == F.col("dl.LOCATION_KEY"), "inner")
         .groupBy(F.col("dl.CITY_NAME").alias("CITY_NAME"))
-        .agg(F.avg(F.col("fct.AVG_TEMP_F")).alias("AVG_TEMP_F"))
+        .agg(exact_avg(F.col("fct.AVG_TEMP_F")).alias("AVG_TEMP_F"))
         .orderBy(F.desc("AVG_TEMP_F"))
         .limit(15)
     )
@@ -43,7 +45,7 @@ def q3(fact: DataFrame) -> DataFrame:
     """Average temperature by precipitation type (DASH:22-28)."""
     return (
         fact.groupBy("PRECIPITATION_TYPE")
-        .agg(F.avg("AVG_TEMP_F").alias("AVG_TEMP_F"))
+        .agg(exact_avg(F.col("AVG_TEMP_F")).alias("AVG_TEMP_F"))
         .orderBy(F.desc("AVG_TEMP_F"))
     )
 

@@ -189,9 +189,16 @@ def build_fact_weather_day(
             F.col("f.AVG_TEMPERATURE_AIR_2M_F")
             - F.lag(F.col("f.AVG_TEMPERATURE_AIR_2M_F")).over(w)
         ).alias("TEMP_DAY_DELTA"),
-        F.sum(F.col("f.TOT_PRECIPITATION_IN"))
-        .over(w.rowsBetween(-6, 0))
-        .alias("PRECIPITATION_7D_SUM"),
+        # Exact decimal accumulation: windowed float sums are evaluation-
+        # order-dependent (Spark's sliding buffer vs e.g. segment trees);
+        # summing as decimal is order-independent and deterministic at any
+        # scale, then cast back to the reference's double.
+        F.round(
+            F.sum(F.col("f.TOT_PRECIPITATION_IN").cast("decimal(25,10)"))
+            .over(w.rowsBetween(-6, 0))
+            .cast("double"),
+            9,
+        ).alias("PRECIPITATION_7D_SUM"),
     )
 
 

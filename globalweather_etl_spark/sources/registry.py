@@ -48,7 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLS.get(name, []):
-        if c in df.columns:
+        # Physical type varies per dataset (NANOS -> read as long under
+        # the legacy conf; MICROS -> read as timestamp already), so only
+        # repair columns that actually arrived as longs.
+        if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -95,8 +95,8 @@ SELECT
     'City_' || CAST(user_id % 11 AS VARCHAR)                AS CITY_NAME,
     'C' || CAST(user_id % 5 AS VARCHAR)                     AS COUNTRY,
     (value - floor(value / 120.0) * 120.0) - 10.0           AS AVG_TEMPERATURE_AIR_2M_F,
-    (value - floor(value / 120.0) * 120.0) - 15.0           AS MIN_TEMPERATURE_AIR_2M_F,
-    (value - floor(value / 120.0) * 120.0) - 5.0            AS MAX_TEMPERATURE_AIR_2M_F,
+    ((value - floor(value / 120.0) * 120.0) - 10.0) - 5.0   AS MIN_TEMPERATURE_AIR_2M_F,
+    ((value - floor(value / 120.0) * 120.0) - 10.0) + 5.0   AS MAX_TEMPERATURE_AIR_2M_F,
     value - floor(value / 100.0) * 100.0                    AS AVG_HUMIDITY_RELATIVE_2M_PCT,
     950.0 + value / 10.0                                    AS AVG_PRESSURE_2M_MB,
     value / 20.0                                            AS AVG_WIND_SPEED_10M_MPH,
