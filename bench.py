@@ -1,0 +1,99 @@
+"""Benchmark: full ELT rebuild + dashboard queries + extension operators
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Shape mirrors the reference's operating mode (ETL:17-136 materializes
+tables, Dashboard.sql reads them): the pipeline step includes the
+DATE_KEY-partitioned parquet write of the fact; dashboards then read the
+materialized star.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from globalweather_etl_spark.session import get_spark
+    from globalweather_etl_spark.plans import dashboard as dash
+    from globalweather_etl_spark.plans import pipeline as pl
+    from globalweather_etl_spark.queries import QUERIES
+    from globalweather_etl_spark.sources import (
+        AS_OF_DATE,
+        load_table,
+        weather_staging_from_events,
+    )
+
+    spark = get_spark(
+        app_name="globalweather-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    base = tempfile.mkdtemp(prefix="gw_bench_")
+    try:
+        # Full ELT rebuild, materialized (CTAS semantics)
+        staging = weather_staging_from_events(load_table(spark, sf_dir, "events"))
+        wh = pl.build_warehouse(spark, staging, AS_OF_DATE)
+        mat = timed("pipeline_rebuild", lambda: pl.materialize(wh, base))
+        timed("validate", lambda: mat.validate())
+        # Dashboards over the materialized star
+        timed("dashboard_q1", lambda: dash.q1(mat.fact, mat.dim_date).collect())
+        timed("dashboard_q2", lambda: dash.q2(mat.fact, mat.dim_location).collect())
+        timed("dashboard_q3", lambda: dash.q3(mat.fact).collect())
+        timed("dashboard_q4", lambda: dash.q4(mat.fact).collect())
+        timed("dashboard_q5", lambda: dash.q5(mat.fact).collect())
+        # Heavy operator benchmarks straight from the registry
+        for name in (
+            "tpch_star_join_revenue",
+            "tpch_events_rolling_sum",
+            "tpch_surrogate_key",
+            "docs_exact_dedup_keepers",
+            "docs_ngram_jaccard",
+            "docs_minhash_lsh",
+            "docs_simhash",
+            "emb_cosine_topk",
+            "emb_lsh_topk",
+        ):
+            timed(name, lambda n=name: QUERIES[n](spark, sf_dir).collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "elt_rebuild_plus_dashboards_plus_extensions_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
