@@ -43,6 +43,11 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Untimed warmup: force JVM/codegen/parquet-reader init so cold-start
+    # cost isn't attributed to the first measured query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "events").limit(1).collect()
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from globalweather_etl_spark.functions.text import fingerprint_md5, word_shingles
+from globalweather_etl_spark.operators.partitioning import spread_for_compute
 
 # Large prime < 2^31 for MinHash universal hashing; coefficients are
 # fixed (seeded) so signatures are reproducible across runs.
@@ -81,25 +82,47 @@ def ngram_jaccard_pairs(
     then join per-doc shingle counts. Cost is sum over shingles of
     (docs-per-shingle choose 2) — bounded in real corpora; a hot-shingle
     cap (drop shingles appearing in > X% of docs) is the standard
-    mitigation at 100 TB and composes here as one extra filter."""
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
-            "shingle"
-        ),
-    )
+    mitigation at 100 TB and composes here as one extra filter.
+
+    Shingles are xxhash64-coded before the join: shuffle and join keys
+    are 8-byte longs, not multi-word strings (64-bit collisions are
+    negligible at any realistic corpus size)."""
+    shingled = _hashed_shingles(df, id_col, text_col, n)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = _intersections(shingled)
+    return _jaccard_join_sizes(inter, sizes).filter(F.col("jaccard") >= threshold)
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Inverted-index rows (doc, sh): one row per distinct word n-gram
+    per doc, shingle coded as an xxhash64 long."""
+    df = spread_for_compute(df)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.array_distinct(word_shingles(F.col(text_col), n)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
+    )
+
+
+def _intersections(shingled: DataFrame) -> DataFrame:
+    """|A∩B| per doc pair sharing >=1 shingle, each pair emitted once."""
     a = shingled.alias("a")
     b = shingled.alias("b")
-    inter = (
+    return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _jaccard_join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -115,7 +138,6 @@ def ngram_jaccard_pairs(
                 ).cast("double")
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -123,20 +145,29 @@ def _minhash_signature(shingles, num_hashes: int):
     """MinHash signature as array<long>: h_i(x) = (a_i*x + b_i) mod P over
     xxhash64 shingle ids, min-reduced per hash function. Coefficients
     derive from the hash index (fixed seed), so the signature is a pure
-    expression — computed in the scan stage, no shuffle."""
-    sigs = []
-    for i in range(num_hashes):
-        a = 2 * i + 1  # odd multipliers
-        b = 7919 * (i + 1)
-        h = F.transform(
-            shingles,
-            lambda s: (
-                (F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)) * F.lit(a) + F.lit(b))
-                % F.lit(_MH_PRIME)
+    expression — computed in the scan stage, no shuffle.
+
+    Single left-fold over the shingle array with an array<long>
+    accumulator (one element per hash function): O(S·H) work in ONE pass
+    and a constant-size expression tree, instead of H separate
+    array_min(transform(...)) passes whose codegen grows (and compiles)
+    linearly with H. Empty shingle sets yield the P sentinel per slot."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                # a_i = 2i+1 (odd), b_i = 7919(i+1) — same family as before
+                lambda i: (h * (F.lit(2) * i + F.lit(1)) + F.lit(7919) * (i + F.lit(1)))
+                % F.lit(_MH_PRIME),
             ),
-        )
-        sigs.append(F.array_min(h))
-    return F.array(*sigs)
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -162,6 +193,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    df = spread_for_compute(df)
     shingles = F.array_distinct(word_shingles(F.col(text_col), n))
     signed = df.select(
         F.col(id_col).alias("doc"),
@@ -197,36 +229,101 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return candidates.join(
-        exact,
-        ["doc_a", "doc_b"],
-        "inner",
+    # Verify CANDIDATES ONLY (not a full all-pairs exact Jaccard): join
+    # each candidate pair back to its two shingle sets and count the
+    # intersection. Work scales with |candidates| x shingles-per-doc —
+    # the whole point of LSH at 100 TB.
+    shingled = _hashed_shingles(df, id_col, text_col, n)
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        candidates.join(
+            shingled.alias("sa"), F.col("doc_a") == F.col("sa.doc")
+        )
+        .join(
+            shingled.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return _jaccard_join_sizes(inter, sizes).filter(F.col("jaccard") >= threshold)
+
+
+# Two's-complement bit masks 2^0..2^63 (bit 63 is the sign bit, hence
+# the negative literal — same long value shiftleft(1L, 63) produces).
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
 def simhash64(text, n: int = 3):
     """64-bit SimHash of word n-gram shingles: per-bit majority vote of
     shingle hashes, folded into one BIGINT with bitwise expressions —
-    entirely in the scan stage."""
+    entirely in the scan stage.
+
+    One left-fold with an array<int>[64] vote accumulator (zip_with
+    against a 64-mask literal array), then one fold ORing winning masks.
+    A single O(64·S) pass with a small fixed expression tree — the naive
+    form (64 independent aggregate() expressions) re-walks the shingle
+    array 64 times and its codegen compiles ~64× slower."""
     shingles = F.array_distinct(word_shingles(text, n))
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    bits = []
-    for bit in range(64):
-        # shiftleft instead of a python literal: 1 << 63 overflows the
-        # signed long literal range.
-        mask = F.shiftleft(F.lit(1).cast("long"), bit)
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh) SimHash fingerprints via explode + hash-aggregate.
+
+    Same bits as simhash64(), but the majority vote runs as 64
+    conditional SUM columns in a codegen'd hash aggregate (partial
+    map-side combine, one shuffled row of 64 ints per doc) instead of a
+    per-row higher-order fold — HOFs are interpreted, so at corpus scale
+    the aggregate form is the fast path. explode_outer keeps
+    empty-shingle docs (< n tokens): their single NULL hash votes -1 on
+    every bit, yielding fingerprint 0, identical to the expression form."""
+    df = spread_for_compute(df)
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.transform(
+                F.array_distinct(word_shingles(F.col(text_col), n)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i, m in enumerate(_BIT_MASKS)
+    ]
+    sh = F.lit(0).cast("long")
+    for i, m in enumerate(_BIT_MASKS):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        bits.append(F.when(votes > 0, mask).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return hashed.groupBy("doc").agg(*votes).select("doc", sh.alias("sh"))
 
 
 def simhash_pairs(
@@ -244,9 +341,7 @@ def simhash_pairs(
     exactly on >=1 band, so candidates come from equi-joins on
     (band_idx, band_value) — never all-pairs. Verification computes the
     true hamming distance via bit_count(xor)."""
-    signed = df.select(
-        F.col(id_col).alias("doc"), simhash64(F.col(text_col), n).alias("sh")
-    )
+    signed = simhash_fingerprints(df, id_col, text_col, n)
     width = 64 // num_bands
     mask = (1 << width) - 1
     banded = signed.select(

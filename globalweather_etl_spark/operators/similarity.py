@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.operators.partitioning import spread_for_compute
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -54,6 +56,7 @@ def cosine_topk(
     a window partitioned BY QUERY — parallelism = #queries, each
     partition holds only candidate scores, and ties break on candidate
     id for determinism."""
+    embeddings = spread_for_compute(embeddings)
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
@@ -79,32 +82,45 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane i is
-    derived from xxhash64(i, j) mapped to [-1, 1). No RNG state, no
-    driver-side arrays — reproducible across runs and engines."""
-    return F.array(
-        *[
-            (
-                F.pmod(F.xxhash64(F.lit(plane_idx), F.lit(j)), F.lit(2000001))
-                / F.lit(1000000.0)
-                - F.lit(1.0)
-            )
-            for j in range(dim)
-        ]
-    )
-
-
 def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
     """Random-hyperplane signature: bit i = sign(vec . plane_i), folded
-    into a BIGINT bucket key."""
-    sig = F.lit(0).cast("long")
-    for i in range(num_planes):
-        bit = F.when(dot(vec, _hyperplane(dim, i)) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(bit)
-    return sig
+    into a BIGINT bucket key.
+
+    Hyperplane component j of plane i derives from xxhash64(i, j) mapped
+    to [-1, 1) — deterministic, no RNG state, no driver-side arrays.
+    Plane indices come from sequence() and components from a nested
+    transform, so the expression tree is constant-size in (dim,
+    num_planes) instead of materializing dim literals per plane — the
+    naive unrolled form took seconds just to codegen."""
+    plane_idx = F.sequence(F.lit(0), F.lit(num_planes - 1))
+    comp_idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dots = F.transform(
+        plane_idx,
+        lambda i: F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    comp_idx,
+                    lambda j: F.pmod(F.xxhash64(i, j), F.lit(2000001))
+                    / F.lit(1000000.0)
+                    - F.lit(1.0),
+                ),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(num_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            masks,
+            lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
 
 
 def lsh_cosine_topk(
@@ -121,6 +137,7 @@ def lsh_cosine_topk(
     shuffle keys are bucket ids (2^num_planes of them), candidates are
     ~1/2^num_planes of the table per query. Recall tunes with
     num_planes (fewer planes = bigger buckets = higher recall)."""
+    embeddings = spread_for_compute(embeddings)
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"),
         _as_double(F.col(vec_col)).alias("cvec"),

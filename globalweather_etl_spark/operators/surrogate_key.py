@@ -57,21 +57,31 @@ def _surrogate_key_distributed(
     # task ever sees more than one range-partition of rows.
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     local = ranged.withColumn("__local_rn", F.row_number().over(w).cast("long"))
-    # Pass 1 result: per-partition counts -> prefix-sum offsets. This is
-    # the only driver-side data: one (pid, count) pair per partition.
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_df = sess.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid INT, __offset LONG"
+    # Offsets = exclusive prefix sum of per-partition counts, computed
+    # IN-PLAN (no driver collect): the count aggregate has one row per
+    # partition, so the unpartitioned running-sum window touches only
+    # #partitions rows in a single trivial task. Both branches read the
+    # same range-shuffle exchange (Spark's ReuseExchange), so the input
+    # is ranged once, not twice — and nothing scales with row count on
+    # the driver.
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("__cnt")
     )
     return (
-        local.join(F.broadcast(offset_df), "__pid")
+        local.join(F.broadcast(offsets), "__pid")
         .withColumn(key_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -263,6 +264,7 @@ def validate_temp_range(fact: DataFrame) -> DataFrame:
 class WeatherWarehouse:
     """All layers of one pipeline run, as (lazy) DataFrames."""
 
+    as_of_date: dt.date
     staging: DataFrame
     dim_date: DataFrame
     dim_location: DataFrame
@@ -311,6 +313,7 @@ def build_warehouse(
         dim_source,
     )
     return WeatherWarehouse(
+        as_of_date=as_of_date,
         staging=staging,
         dim_date=dim_date,
         dim_location=dim_location,
@@ -329,7 +332,14 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
     ETL:17 etc.): overwrite-write each layer to parquet and re-read, so
     each table is a pipeline breaker exactly like the reference's
     intermediate tables. The fact is partitioned by DATE_KEY so date
-    filters in dashboards prune partitions at 100 TB."""
+    filters in dashboards prune partitions at 100 TB.
+
+    Staging is written FIRST and every downstream layer is rebuilt over
+    the materialized staging table — exactly the reference's statement
+    sequence, where each CTAS reads the previously created table. (The
+    naive alternative — writing each original lazy plan — re-derives
+    staging from the raw source once per layer: 10 redundant source
+    scans per rebuild.)"""
     spark = wh.staging.sparkSession
 
     def _write(df: DataFrame, name: str, partition_by: list[str] | None = None):
@@ -341,36 +351,49 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
         return spark.read.parquet(path)
 
     staging = _write(wh.staging, "stg_forecast_day")
-    dim_date = _write(wh.dim_date, "dim_date")
-    dim_location = _write(wh.dim_location, "dim_location")
-    dim_weather_band = _write(wh.dim_weather_band, "dim_weather_band")
-    dim_precipitation_type = _write(
-        wh.dim_precipitation_type, "dim_precipitation_type"
-    )
-    dim_source = _write(wh.dim_source, "dim_source")
+    rebuilt = build_warehouse(spark, staging, wh.as_of_date)
+    # The 5 dims and 3 normalized tables are mutually independent CTAS
+    # statements over materialized staging — submit their write jobs
+    # concurrently (Spark's scheduler interleaves them; on a cluster
+    # each is a short independent job, serializing them just stacks
+    # driver round-trips).
+    layer_specs = [
+        ("dim_date", rebuilt.dim_date),
+        ("dim_location", rebuilt.dim_location),
+        ("dim_weather_band", rebuilt.dim_weather_band),
+        ("dim_precipitation_type", rebuilt.dim_precipitation_type),
+        ("dim_source", rebuilt.dim_source),
+        ("normalized_location", rebuilt.normalized_location),
+        ("normalized_date", rebuilt.normalized_date),
+        ("normalized_weather_day", rebuilt.normalized_weather_day),
+    ]
+    with ThreadPoolExecutor(max_workers=len(layer_specs)) as pool:
+        futures = {
+            name: pool.submit(_write, df, name) for name, df in layer_specs
+        }
+        written = {name: fut.result() for name, fut in futures.items()}
     fact = _write(
         build_fact_weather_day(
             staging,
-            dim_date,
-            dim_location,
-            dim_weather_band,
-            dim_precipitation_type,
-            dim_source,
+            written["dim_date"],
+            written["dim_location"],
+            written["dim_weather_band"],
+            written["dim_precipitation_type"],
+            written["dim_source"],
         ),
         "fact_weather_day",
         partition_by=["DATE_KEY"],
     )
     return WeatherWarehouse(
+        as_of_date=wh.as_of_date,
         staging=staging,
-        dim_date=dim_date,
-        dim_location=dim_location,
-        dim_weather_band=dim_weather_band,
-        dim_precipitation_type=dim_precipitation_type,
-        dim_source=dim_source,
+        dim_date=written["dim_date"],
+        dim_location=written["dim_location"],
+        dim_weather_band=written["dim_weather_band"],
+        dim_precipitation_type=written["dim_precipitation_type"],
+        dim_source=written["dim_source"],
         fact=fact,
-        normalized_location=_write(wh.normalized_location, "normalized_location"),
-        normalized_date=_write(wh.normalized_date, "normalized_date"),
-        normalized_weather_day=_write(
-            wh.normalized_weather_day, "normalized_weather_day"
-        ),
+        normalized_location=written["normalized_location"],
+        normalized_date=written["normalized_date"],
+        normalized_weather_day=written["normalized_weather_day"],
     )
