@@ -220,6 +220,57 @@ CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s
 GROUP BY s.PROVIDER""",
 }
 
+# ------------------------------------- event-time windows (streaming kin)
+
+_EXACT_VALUE_SUM = (
+    "round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 9)"
+)
+
+WINDOW_ORACLES: dict[str, str] = {
+    # Spark's window(ts, '1 day') aligns to the 1970 epoch in the UTC
+    # session timezone; epoch_us floor-division reproduces it exactly.
+    "events_tumbling_daily": f"""
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+    AS window_start,
+  event_type, count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value
+FROM events GROUP BY 1, 2""",
+    # duration/slide = 2 -> each event belongs to exactly the 2
+    # slide-aligned windows covering its timestamp.
+    "events_sliding_day_12h": f"""
+WITH based AS (
+  SELECT event_type, value, ts,
+    make_timestamp((epoch_us(ts) // 43200000000) * 43200000000) AS b
+  FROM events),
+expanded AS (
+  SELECT unnest([b, b - INTERVAL 12 HOUR]) AS window_start, event_type, value, ts
+  FROM based)
+SELECT window_start, event_type, count(*) AS n_events,
+  {_EXACT_VALUE_SUM} AS total_value
+FROM expanded
+WHERE ts >= window_start AND ts < window_start + INTERVAL 24 HOUR
+GROUP BY 1, 2""",
+    # Gaps-and-islands rewrite of session_window(ts, '30 minutes'):
+    # a new session starts when the gap from the previous event exceeds
+    # the gap duration (Spark merges when next.start <= prev.end);
+    # end = last event + gap.
+    "events_session_30m": f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value
+FROM sessions GROUP BY user_id, session_id""",
+}
+
 # --------------------------------------------- dedup / text / similarity
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -326,4 +377,9 @@ WHERE list_dot_product(a.v, b.v)
 
 
 def all_oracles() -> dict[str, str]:
-    return {**PIPELINE_ORACLES, **TPCH_ORACLES, **EXT_ORACLES}
+    return {
+        **PIPELINE_ORACLES,
+        **TPCH_ORACLES,
+        **WINDOW_ORACLES,
+        **EXT_ORACLES,
+    }

@@ -45,6 +45,11 @@ from globalweather_etl_spark.sources import (
     load_table,
     weather_staging_from_events,
 )
+from globalweather_etl_spark.streaming.windows import (
+    session_stats,
+    sliding_stats,
+    tumbling_stats,
+)
 
 
 def _warehouse(spark: SparkSession, sf_dir: str) -> pl.WeatherWarehouse:
@@ -280,6 +285,23 @@ def q_tpch_constant_join(spark, sf_dir):
     )
 
 
+# -------------------------------------- event-time windows (streaming kin)
+# Same builders serve readStream inputs (globalweather_etl_spark.streaming);
+# run here in batch so the window SEMANTICS are DuckDB-oracle-checkable,
+# while tests/test_streaming.py separately proves batch==stream parity.
+
+def q_events_tumbling_daily(spark, sf_dir):
+    return tumbling_stats(load_table(spark, sf_dir, "events"), "1 day")
+
+
+def q_events_sliding_day_12h(spark, sf_dir):
+    return sliding_stats(load_table(spark, sf_dir, "events"), "1 day", "12 hours")
+
+
+def q_events_session_30m(spark, sf_dir):
+    return session_stats(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
 # ------------------------------------------- dedup / text / similarity
 
 def q_docs_exact_dedup_keepers(spark, sf_dir):
@@ -407,6 +429,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_countif_ratio": q_tpch_countif_ratio,
     "tpch_global_validation": q_tpch_global_validation,
     "tpch_constant_join": q_tpch_constant_join,
+    "events_tumbling_daily": q_events_tumbling_daily,
+    "events_sliding_day_12h": q_events_sliding_day_12h,
+    "events_session_30m": q_events_session_30m,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,
     "docs_token_stats": q_docs_token_stats,

@@ -1,0 +1,42 @@
+"""Structured Streaming surface (north-star extension — the reference
+is purely batch, SURVEY.md §2.8).
+
+Design: every aggregation builder in windows.py is written against the
+unified DataFrame API, so the SAME function body serves batch DataFrames
+(oracle-checkable against DuckDB) and streaming DataFrames (wired to
+readStream sources with watermarks). Streaming-only machinery — sources,
+watermarking, stateful processing, sinks — lives in sources.py /
+stateful.py / jobs.py.
+"""
+
+from globalweather_etl_spark.streaming.jobs import (
+    drain_to_memory,
+    run_daily_event_metrics,
+)
+from globalweather_etl_spark.streaming.sources import (
+    EVENTS_SCHEMA,
+    events_stream_from_dir,
+)
+from globalweather_etl_spark.streaming.stateful import (
+    running_user_totals,
+    streaming_dedup,
+)
+from globalweather_etl_spark.streaming.windows import (
+    session_stats,
+    sliding_stats,
+    tumbling_stats,
+    with_watermark,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "drain_to_memory",
+    "events_stream_from_dir",
+    "run_daily_event_metrics",
+    "running_user_totals",
+    "streaming_dedup",
+    "session_stats",
+    "sliding_stats",
+    "tumbling_stats",
+    "with_watermark",
+]

@@ -1,0 +1,63 @@
+"""End-to-end streaming jobs: source -> windowed metrics -> sink.
+
+The streaming counterpart of the batch ELT's materialize(): instead of
+full-rebuild CTAS, results append incrementally to partitioned parquet
+with exactly-once file-sink semantics (checkpointed offsets + manifest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from globalweather_etl_spark.streaming.sources import events_stream_from_dir
+from globalweather_etl_spark.streaming.windows import (
+    tumbling_stats,
+    with_watermark,
+)
+
+
+def run_daily_event_metrics(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    watermark_delay: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain daily per-type event counts/sums.
+
+    Append mode + watermark: a (day, type) row is written exactly once,
+    when the watermark passes the end of its day — late events within
+    the delay still count, later ones are dropped (the documented
+    trade-off; widen the delay to trade latency for completeness).
+    available_now=True drains whatever is in the landing dir and stops —
+    the batch-like backfill mode; False runs forever.
+    """
+    events = events_stream_from_dir(spark, landing_dir)
+    daily = tumbling_stats(with_watermark(events, "ts", watermark_delay), "1 day")
+    writer = (
+        daily.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "daily_event_metrics"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints/daily"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """Run a streaming aggregation to completion into an in-memory table
+    (test/debug sink): availableNow processes everything currently in the
+    source, then the query stops. Read results from spark.table(name)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )

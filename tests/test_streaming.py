@@ -1,0 +1,136 @@
+"""Structured Streaming parity tests: every streaming result is compared
+against the identical batch computation on the same data — the unified
+API means the logical plan is shared, so this checks the incremental
+execution path (state, triggers, sinks), not a reimplementation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.sources import load_table
+from globalweather_etl_spark.streaming import (
+    drain_to_memory,
+    events_stream_from_dir,
+    run_daily_event_metrics,
+    running_user_totals,
+    session_stats,
+    sliding_stats,
+    streaming_dedup,
+    tumbling_stats,
+    with_watermark,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """Re-land the events table as a 4-file parquet directory (micro-ts)
+    — the streaming file source needs a directory, and multiple files
+    let maxFilesPerTrigger force multi-batch incremental runs."""
+    path = str(tmp_path_factory.mktemp("landing") / "events")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, landing):
+    return spark.read.parquet(landing)
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    q = drain_to_memory(stream_df, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, landing, batch_events):
+    stream = events_stream_from_dir(spark, landing)
+    got = _drain(spark, tumbling_stats(stream, "1 day"), "t_tumble")
+    want = tumbling_stats(batch_events, "1 day")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_stream_equals_batch(spark, landing, batch_events):
+    stream = events_stream_from_dir(spark, landing)
+    got = _drain(spark, sliding_stats(stream, "1 day", "12 hours"), "t_slide")
+    want = sliding_stats(batch_events, "1 day", "12 hours")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_session_stream_equals_batch(spark, landing, batch_events):
+    stream = with_watermark(events_stream_from_dir(spark, landing), "ts", "1 hour")
+    got = _drain(spark, session_stats(stream, "30 minutes"), "t_session")
+    want = session_stats(batch_events, "30 minutes")
+    assert _rows(got, "user_id", "session_start") == _rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_append_mode_emits_closed_windows_only(spark, landing, batch_events, tmp_path):
+    """Append + watermark: exactly the windows whose end precedes the
+    final watermark are written; nothing is duplicated or invented."""
+    q = run_daily_event_metrics(
+        spark, landing, str(tmp_path), watermark_delay="1 hour"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "daily_event_metrics"))
+    want = tumbling_stats(batch_events, "1 day")
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - __import__("datetime").timedelta(hours=1)
+    closed = want.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 DAY") <= F.lit(watermark)
+    )
+    assert _rows(got, "window_start", "event_type") == _rows(
+        closed, "window_start", "event_type"
+    )
+
+
+def test_running_totals_accumulate_across_batches(spark, landing, batch_events):
+    """maxFilesPerTrigger=1 forces 4 micro-batches; the state must carry
+    totals across them. Update-mode memory sink keeps every emission —
+    the LAST row per user must equal the batch aggregate."""
+    stream = events_stream_from_dir(spark, landing, max_files_per_trigger=1)
+    q = drain_to_memory(running_user_totals(stream), "t_totals", output_mode="update")
+    q.awaitTermination(120)
+    emitted = spark.table("t_totals")
+    # update-mode memory sink appends per batch in order; the final
+    # emission per user is the max n_events row.
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got_rows = {r["user_id"]: r for r in final.collect()}
+    for w in want.collect():
+        g = got_rows[w["user_id"]]
+        assert g["n_events"] == w["n_events"]
+        assert g["total_value"] == pytest.approx(w["total_value"], rel=1e-9)
+
+
+def test_streaming_dedup_drops_replayed_files(spark, batch_events, tmp_path):
+    """Land the same events twice (a replayed upstream); exact streaming
+    dedup must restore the original cardinality."""
+    dup_dir = str(tmp_path / "dup_landing")
+    batch_events.repartition(2).write.parquet(dup_dir)
+    batch_events.repartition(3).write.mode("append").parquet(dup_dir)
+    stream = events_stream_from_dir(spark, dup_dir)
+    got = _drain(
+        spark,
+        streaming_dedup(stream, ["event_id"]).groupBy().count(),
+        "t_dedup",
+        mode="complete",
+    )
+    assert got.collect()[0]["count"] == batch_events.count()
