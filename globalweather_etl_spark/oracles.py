@@ -271,6 +271,27 @@ SELECT user_id, min(ts) AS session_start,
 FROM sessions GROUP BY user_id, session_id""",
 }
 
+# ------------------------------------------------- multimodal columns
+
+def _media_oracles() -> dict[str, str]:
+    from globalweather_etl_spark.multimodal.synthesize import MEDIA_SQL
+
+    prologue = f"WITH media AS ({MEDIA_SQL})\n"
+    return {
+        "media_metadata_stats": prologue
+        + """SELECT kind, count(*) AS n_media,
+  sum(octet_length(payload)) AS total_bytes,
+  sum(width) AS sum_width, sum(n_frames) AS sum_frames
+FROM media GROUP BY kind""",
+        # DuckDB has no md5(BLOB); md5 of the source VARCHAR hashes the
+        # same UTF-8 bytes the payload was encoded from.
+        "media_payload_digest": prologue
+        + """SELECT m.media_id, m.kind, md5(d.text) AS digest,
+  octet_length(m.payload) AS n_bytes
+FROM media m JOIN documents d ON m.media_id = d.doc_id""",
+    }
+
+
 # --------------------------------------------- dedup / text / similarity
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -381,5 +402,6 @@ def all_oracles() -> dict[str, str]:
         **PIPELINE_ORACLES,
         **TPCH_ORACLES,
         **WINDOW_ORACLES,
+        **_media_oracles(),
         **EXT_ORACLES,
     }

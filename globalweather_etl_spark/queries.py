@@ -24,6 +24,12 @@ from globalweather_etl_spark.functions.text import (
     punct_count,
     token_count,
 )
+from globalweather_etl_spark.multimodal import (
+    byte_histogram,
+    decode_image,
+    media_from_documents,
+    payload_digest,
+)
 from globalweather_etl_spark.operators.dedup import (
     exact_dedup_keepers,
     exact_dedup_removed,
@@ -401,6 +407,40 @@ def q_emb_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, k=5, dim=64, num_planes=8)
 
 
+# --------------------------------------------------- multimodal columns
+
+def _media(spark, sf_dir):
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_metadata_stats(spark, sf_dir):
+    """Metadata-only scan: answers about the corpus without reading
+    payload bytes (column pruning keeps the binary column untouched)."""
+    m = _media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.sum(F.col("metadata.width")).alias("sum_width"),
+        F.sum(F.col("metadata.n_frames")).alias("sum_frames"),
+    )
+
+
+def q_media_payload_digest(spark, sf_dir):
+    return payload_digest(_media(spark, sf_dir))
+
+
+def q_media_byte_histogram(spark, sf_dir):
+    """Rows-only: Arrow-batched mapInPandas feature extraction (no SQL
+    twin for per-byte histograms; unit-tested against plain Python)."""
+    return byte_histogram(_media(spark, sf_dir), bins=16)
+
+
+def q_media_decode_image(spark, sf_dir):
+    """Rows-only: the (stubbed) decode path — schema/batch plumbing is
+    real, codec is the deterministic fake (no PIL in container)."""
+    return decode_image(_media(spark, sf_dir), fake=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_dim_date": q_pipeline_dim_date,
     "pipeline_dim_location": q_pipeline_dim_location,
@@ -440,6 +480,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_minhash_lsh": q_docs_minhash_lsh,
     "docs_simhash": q_docs_simhash,
+    "media_metadata_stats": q_media_metadata_stats,
+    "media_payload_digest": q_media_payload_digest,
+    "media_byte_histogram": q_media_byte_histogram,
+    "media_decode_image": q_media_decode_image,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_range_search": q_emb_range_search,
     "emb_lsh_topk": q_emb_lsh_topk,
