@@ -64,6 +64,26 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Mersenne prime 2^31-1: acc*31 + codepoint stays < 2^36, so 64-bit
+# integer math never overflows in Spark or DuckDB and results match.
+_RABIN_PRIME = 2147483647
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Rabin-style rolling polynomial fingerprint of the normalized
+    text: fold acc = (acc*31 + codepoint) mod 2^31-1 over characters.
+    One interpreted pass per row (no UDF, no shuffle); the DuckDB oracle
+    is the same fold via list_reduce, so cross-engine results are
+    bit-identical."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, _WS, " ")))
+    chars = F.filter(F.split(normalized, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(_RABIN_PRIME),
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Exact-dedup fingerprint: md5 over the UTF-8 bytes of the
     whitespace-normalized, lowercased text."""

@@ -357,6 +357,32 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "docs_lang_id": f"""
 SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
 FROM documents""",
+    "docs_quality_score": f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text,
+      '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws
+  FROM documents)
+SELECT doc_id, round(
+    0.4 * least(n_tok / 50.0, 1.0)
+  + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 4.0, 1.0))
+  + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
+                THEN 1.0 ELSE 0.5 END), 9) AS quality
+FROM m""",
+    "docs_rolling_fingerprint": """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(
+          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+          c -> c != ''),
+        c -> CAST(unicode(c) AS BIGINT))),
+    (acc, code) -> (acc * 31 + code) % 2147483647) AS fingerprint
+FROM documents""",
     "docs_ngram_jaccard": f"""
 WITH sh AS ({_shingles_sql(3)}),
 sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),

@@ -22,6 +22,8 @@ from globalweather_etl_spark.functions.text import (
     fingerprint_md5,
     lang_id,
     punct_count,
+    quality_score,
+    rolling_fingerprint,
     token_count,
 )
 from globalweather_etl_spark.multimodal import (
@@ -353,6 +355,21 @@ def q_docs_lang_id(spark, sf_dir):
     )
 
 
+def q_docs_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+    )
+
+
+def q_docs_rolling_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
 def q_docs_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
@@ -477,6 +494,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,
     "docs_lang_stats": q_docs_lang_stats,
     "docs_lang_id": q_docs_lang_id,
+    "docs_quality_score": q_docs_quality_score,
+    "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_minhash_lsh": q_docs_minhash_lsh,
     "docs_simhash": q_docs_simhash,
