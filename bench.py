@@ -43,10 +43,14 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # Untimed warmup: force JVM/codegen/parquet-reader init so cold-start
-    # cost isn't attributed to the first measured query.
+    # Untimed warmup: force JVM/codegen/parquet-reader init and pre-spawn
+    # the Python (Pandas-UDF) worker pool so one-time infra cost isn't
+    # attributed to the first measured query of each kind.
     spark.range(1000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "events").limit(1).collect()
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
 
@@ -74,12 +78,16 @@ def main() -> None:
             "tpch_star_join_revenue",
             "tpch_events_rolling_sum",
             "tpch_surrogate_key",
+            "events_tumbling_daily",
+            "events_session_30m",
             "docs_exact_dedup_keepers",
             "docs_ngram_jaccard",
             "docs_minhash_lsh",
             "docs_simhash",
+            "docs_quality_score",
             "emb_cosine_topk",
             "emb_lsh_topk",
+            "media_byte_histogram",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, sf_dir).collect())
     finally:
