@@ -337,6 +337,10 @@ EXT_ORACLES: dict[str, str] = {
 SELECT md5({_NORM_TEXT}) AS fingerprint, min(doc_id) AS keep_id,
   count(*) AS dup_count
 FROM documents GROUP BY 1""",
+    "docs_exact_dedup": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5({_NORM_TEXT}))""",
     "docs_exact_dedup_removed": f"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (

@@ -33,6 +33,7 @@ from globalweather_etl_spark.multimodal import (
     payload_digest,
 )
 from globalweather_etl_spark.operators.dedup import (
+    exact_dedup,
     exact_dedup_keepers,
     exact_dedup_removed,
     minhash_lsh_pairs,
@@ -317,6 +318,12 @@ def q_docs_exact_dedup_keepers(spark, sf_dir):
     return exact_dedup_keepers(docs, "doc_id", "text")
 
 
+def q_docs_exact_dedup(spark, sf_dir):
+    """The deduplicated corpus itself — LEFT SEMI join against keepers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
 def q_docs_exact_dedup_removed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_removed(docs, "doc_id", "text").select("doc_id")
@@ -490,6 +497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_day_12h": q_events_sliding_day_12h,
     "events_session_30m": q_events_session_30m,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
+    "docs_exact_dedup": q_docs_exact_dedup,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,
     "docs_token_stats": q_docs_token_stats,
     "docs_lang_stats": q_docs_lang_stats,
