@@ -83,16 +83,29 @@ def cosine_topk(
 
 
 def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec . plane_i), folded
-    into a BIGINT bucket key.
+    """Random-hyperplane signature (single table): see
+    lsh_signature_multi."""
+    return lsh_signature_multi(vec, F.lit(0), dim, num_planes)
 
-    Hyperplane component j of plane i derives from xxhash64(i, j) mapped
-    to [-1, 1) — deterministic, no RNG state, no driver-side arrays.
-    Plane indices come from sequence() and components from a nested
-    transform, so the expression tree is constant-size in (dim,
-    num_planes) instead of materializing dim literals per plane — the
-    naive unrolled form took seconds just to codegen."""
-    plane_idx = F.sequence(F.lit(0), F.lit(num_planes - 1))
+
+def lsh_signature_multi(
+    vec: Column, table: Column, dim: int, num_planes: int = 16
+) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec . plane_i), folded
+    into a BIGINT bucket key; `table` offsets the plane family so each
+    hash table draws independent hyperplanes.
+
+    Hyperplane component j of plane i derives from
+    xxhash64(table*num_planes + i, j) mapped to [-1, 1) — deterministic,
+    no RNG state, no driver-side arrays. Plane indices come from
+    sequence() and components from a nested transform, so the expression
+    tree is constant-size in (dim, num_planes) instead of materializing
+    dim literals per plane — the naive unrolled form took seconds just
+    to codegen."""
+    plane_idx = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda i: table * F.lit(num_planes) + i,
+    )
     comp_idx = F.sequence(F.lit(0), F.lit(dim - 1))
     dots = F.transform(
         plane_idx,
@@ -123,37 +136,172 @@ def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
     )
 
 
-def lsh_cosine_topk(
+def _normalize(vec: Column) -> Column:
+    n = l2_norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
+def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    dim: int = 64,
-    num_planes: int = 8,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH
-    bucket. At 100 TB the bucket join replaces the full scoring pass —
-    shuffle keys are bucket ids (2^num_planes of them), candidates are
-    ~1/2^num_planes of the table per query. Recall tunes with
-    num_planes (fewer planes = bigger buckets = higher recall)."""
-    embeddings = spread_for_compute(embeddings)
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("bucket", lsh_signature(F.col("cvec"), dim, num_planes))
+    """IVF (inverted-file) approximate top-k: partition vectors into
+    n_lists Voronoi cells around centroids; each query scores only the
+    cells of its n_probe nearest centroids — the coarse-quantizer ANN
+    family (FAISS IVF-Flat), here as pure DataFrame ops.
+
+    Centroids: the n_lists vectors with smallest xxhash64(id) — a
+    deterministic uniform sample (no RNG state, reproducible).
+    refine_iters > 0 runs Lloyd iterations fully distributed: explode
+    assigned vectors to (list, pos, component), average per (list, pos),
+    rebuild centroid arrays — an iterative algorithm expressed in
+    DataFrame ops, no driver-side math.
+
+    Scale shape: assignment is one broadcast-score + argmax aggregation
+    per vector (map-side heavy, one shuffle on id); the probe join
+    shuffles on list_id (n_lists spread); per-query work drops by
+    ~n_probe/n_lists versus brute force. Recall tunes with n_probe.
+    """
+    cand = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
     qry = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("bucket", lsh_signature(F.col("qvec"), dim, num_planes))
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    centroids = (
+        cand.orderBy(F.xxhash64("cand_id"))
+        .limit(n_lists)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("cand_id"))
+            .cast("int")
+            .alias("list_id"),
+            _normalize(F.col("cvec")).alias("centroid"),
+        )
+    )
+
+    def _assign(vectors: DataFrame, vid: str, vcol: str) -> DataFrame:
+        """(id, vec) -> (id, vec, list_id of nearest centroid)."""
+        scored = vectors.crossJoin(F.broadcast(centroids)).select(
+            vid,
+            vcol,
+            "list_id",
+            dot(F.col(vcol), F.col("centroid")).alias("score"),
+        )
+        return (
+            scored.groupBy(vid)
+            .agg(
+                F.max_by("list_id", F.struct("score", "list_id")).alias("list_id"),
+                F.first(vcol).alias(vcol),
+            )
+        )
+
+    for _ in range(refine_iters):
+        assigned = _assign(cand, "cand_id", "cvec")
+        # Lloyd step: component-wise mean per list, arrays rebuilt by
+        # position — groupBy (list, pos) keeps every stage distributed.
+        comps = assigned.select(
+            "list_id", F.posexplode("cvec").alias("pos", "x")
+        )
+        centroids = (
+            comps.groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s["x"],
+                ).alias("centroid")
+            )
+            .select("list_id", _normalize(F.col("centroid")).alias("centroid"))
+        )
+
+    assigned = _assign(cand, "cand_id", "cvec")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("list_id")
+    )
+    probes = (
+        qry.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "list_id",
+            dot(F.col("qvec"), F.col("centroid")).alias("score"),
+        )
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe)
+        .drop("__r", "score")
+    )
     scored = (
-        cand.join(F.broadcast(qry), "bucket")
+        assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
             cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    with the query in AT LEAST ONE of num_tables independent hash
+    tables (multi-probe-free amplification: P(candidate) =
+    1-(1-p^planes)^tables). At 100 TB the bucket joins replace the full
+    scoring pass — shuffle keys are (table, bucket) ids, candidates are
+    ~num_tables/2^num_planes of the table per query. Recall rises with
+    num_tables and falls with num_planes; cost moves oppositely."""
+    embeddings = spread_for_compute(embeddings)
+    tables = F.explode(
+        F.array(*[F.lit(t) for t in range(num_tables)])
+    ).alias("table")
+
+    def _bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
+        ).select("*", tables)
+        # Per-table planes: offset the plane index so each table draws
+        # an independent hyperplane family from the same hash stream.
+        return base.withColumn(
+            "bucket",
+            lsh_signature_multi(F.col(out_vec), F.col("table"), dim, num_planes),
+        )
+
+    cand = _bucketed(embeddings, "cand_id", "cvec")
+    qry = _bucketed(queries, "query_id", "qvec")
+    scored = (
+        cand.join(F.broadcast(qry), ["table", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+        # a pair matching in several tables appears several times with
+        # the same score — dedup by key, scores are identical
+        .groupBy("query_id", "cand_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (

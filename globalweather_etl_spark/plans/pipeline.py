@@ -327,6 +327,31 @@ def build_warehouse(
     )
 
 
+def register_warehouse(wh: WeatherWarehouse) -> list[str]:
+    """Expose every layer to spark.sql() under the reference's
+    three-schema naming (STAGING/DIMENSIONAL/NORMALIZED, ETL:2-14),
+    dots flattened to __ for temp-view legality. Returns the view names.
+
+    This is the S1 'namespace' surface: after registration the dashboard
+    SQL can run verbatim-ish against DIMENSIONAL__FACT_WEATHER_DAY etc.
+    """
+    views = {
+        "STAGING__STG_FORECAST_DAY": wh.staging,
+        "DIMENSIONAL__DIM_DATE": wh.dim_date,
+        "DIMENSIONAL__DIM_LOCATION": wh.dim_location,
+        "DIMENSIONAL__DIM_WEATHER_BAND": wh.dim_weather_band,
+        "DIMENSIONAL__DIM_PRECIPITATION_TYPE": wh.dim_precipitation_type,
+        "DIMENSIONAL__DIM_SOURCE": wh.dim_source,
+        "DIMENSIONAL__FACT_WEATHER_DAY": wh.fact,
+        "NORMALIZED__LOCATION": wh.normalized_location,
+        "NORMALIZED__DATE": wh.normalized_date,
+        "NORMALIZED__WEATHER_DAY": wh.normalized_weather_day,
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)
+
+
 def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
     """Full-rebuild CTAS semantics (CREATE OR REPLACE TABLE ... AS,
     ETL:17 etc.): overwrite-write each layer to parquet and re-read, so

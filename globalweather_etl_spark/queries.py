@@ -44,6 +44,7 @@ from globalweather_etl_spark.operators.similarity import (
     _as_double,
     cosine,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
@@ -424,6 +425,16 @@ def q_emb_range_search(spark, sf_dir):
     )
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """Rows-only: IVF coarse-quantizer ANN with one distributed Lloyd
+    refinement (recall vs brute force asserted in test_similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, refine_iters=1
+    )
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """Rows-only check: LSH-bucketed ANN (deterministic hyperplanes)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -514,4 +525,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_range_search": q_emb_range_search,
     "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
 }
