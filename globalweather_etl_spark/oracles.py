@@ -249,6 +249,20 @@ SELECT window_start, event_type, count(*) AS n_events,
 FROM expanded
 WHERE ts >= window_start AND ts < window_start + INTERVAL 24 HOUR
 GROUP BY 1, 2""",
+    "events_daily_band_counts": """
+WITH t AS (
+  SELECT ts,
+    (value - floor(value / 120.0) * 120.0) - 10.0 AS temp
+  FROM events)
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+    AS window_start,
+  CASE WHEN temp < 32 THEN 'Freezing'
+       WHEN temp BETWEEN 32 AND 50 THEN 'Cold'
+       WHEN temp BETWEEN 51 AND 70 THEN 'Mild'
+       WHEN temp BETWEEN 71 AND 85 THEN 'Warm'
+       ELSE 'Hot' END AS weather_band,
+  count(*) AS n_forecasts
+FROM t GROUP BY 1, 2""",
     # Gaps-and-islands rewrite of session_window(ts, '30 minutes'):
     # a new session starts when the gap from the previous event exceeds
     # the gap duration (Spark merges when next.start <= prev.end);

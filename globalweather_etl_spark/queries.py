@@ -312,6 +312,14 @@ def q_events_session_30m(spark, sf_dir):
     return session_stats(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
+def q_events_daily_band_counts(spark, sf_dir):
+    """The streaming dashboard job's exact body, run in batch for the
+    oracle (stream==batch parity is tested in test_streaming.py)."""
+    from globalweather_etl_spark.streaming import daily_weather_band_counts
+
+    return daily_weather_band_counts(load_table(spark, sf_dir, "events"))
+
+
 # ------------------------------------------- dedup / text / similarity
 
 def q_docs_exact_dedup_keepers(spark, sf_dir):
@@ -507,6 +515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_daily": q_events_tumbling_daily,
     "events_sliding_day_12h": q_events_sliding_day_12h,
     "events_session_30m": q_events_session_30m,
+    "events_daily_band_counts": q_events_daily_band_counts,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,

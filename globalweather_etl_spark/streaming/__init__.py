@@ -10,6 +10,7 @@ stateful.py / jobs.py.
 """
 
 from globalweather_etl_spark.streaming.jobs import (
+    daily_weather_band_counts,
     drain_to_memory,
     run_daily_event_metrics,
 )
@@ -30,6 +31,7 @@ from globalweather_etl_spark.streaming.windows import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "daily_weather_band_counts",
     "drain_to_memory",
     "events_stream_from_dir",
     "run_daily_event_metrics",

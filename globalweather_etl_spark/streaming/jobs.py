@@ -12,6 +12,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.functions import weather_band
 from globalweather_etl_spark.streaming.sources import events_stream_from_dir
 from globalweather_etl_spark.streaming.windows import (
     tumbling_stats,
@@ -46,6 +49,33 @@ def run_daily_event_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def daily_weather_band_counts(events: DataFrame) -> DataFrame:
+    """Streaming variant of the reference's weather-band dashboard
+    (Dashboard.sql:31-36): derive the temperature from each event with
+    the SAME scalar kernel the batch ELT uses (value mod 120 - 10, the
+    staging derivation of sources/weather_from_events.py), classify with
+    the reference-exact weather_band CASE, and count per (day, band).
+
+    Works on batch AND streaming inputs — the scalar kernel is stateless,
+    so unlike the full staging derivation (whose first-row-per-day pick
+    needs a row_number window, not available in streaming) this is the
+    incremental-friendly projection of the same semantics."""
+    v = F.col("value")
+    temp = (v - F.floor(v / F.lit(120.0)) * F.lit(120.0)) - F.lit(10.0)
+    classified = events.select(
+        F.col("ts"), weather_band(temp).alias("weather_band")
+    )
+    return (
+        classified.groupBy(F.window("ts", "1 day"), "weather_band")
+        .agg(F.count(F.lit(1)).alias("n_forecasts"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "weather_band",
+            "n_forecasts",
+        )
+    )
 
 
 def drain_to_memory(

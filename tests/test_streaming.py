@@ -120,6 +120,20 @@ def test_running_totals_accumulate_across_batches(spark, landing, batch_events):
         assert g["total_value"] == pytest.approx(w["total_value"], rel=1e-9)
 
 
+def test_weather_band_counts_stream_equals_batch(spark, landing, batch_events):
+    """The reference's weather-band dashboard shape, incrementally: the
+    same kernel + window body must produce identical counts from the
+    stream as from the batch table."""
+    from globalweather_etl_spark.streaming import daily_weather_band_counts
+
+    stream = events_stream_from_dir(spark, landing)
+    got = _drain(spark, daily_weather_band_counts(stream), "t_bands")
+    want = daily_weather_band_counts(batch_events)
+    assert _rows(got, "window_start", "weather_band") == _rows(
+        want, "window_start", "weather_band"
+    )
+
+
 def test_streaming_dedup_drops_replayed_files(spark, batch_events, tmp_path):
     """Land the same events twice (a replayed upstream); exact streaming
     dedup must restore the original cardinality."""
