@@ -87,6 +87,7 @@ def main() -> None:
             "docs_quality_score",
             "emb_cosine_topk",
             "emb_lsh_topk",
+            "emb_ivf_topk",
             "media_byte_histogram",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, sf_dir).collect())

@@ -1,3 +1,45 @@
+from globalweather_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keepers,
+    exact_dedup_removed,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    dot,
+    ivf_cosine_topk,
+    l2_norm,
+    lsh_cosine_topk,
+    lsh_signature,
+    lsh_signature_multi,
+)
+from globalweather_etl_spark.operators.skew import salted_join
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
-__all__ = ["surrogate_key"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "dot",
+    "exact_dedup",
+    "exact_dedup_keepers",
+    "exact_dedup_removed",
+    "ivf_cosine_topk",
+    "l2_norm",
+    "lsh_cosine_topk",
+    "lsh_signature",
+    "lsh_signature_multi",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "salted_join",
+    "simhash64",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "spread_for_compute",
+    "surrogate_key",
+]

@@ -1,0 +1,71 @@
+"""Dedup operator edge cases: empty/short docs, exact duplicates,
+disjoint docs — the boundary behavior the corpus-scale runs never hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keepers,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  Quick Brown   Fox jumps over the lazy dog"),  # ws/case dup
+        (4, "completely different content with no overlap at all here"),
+        (5, "the quick brown fox jumps over the sleepy dog"),  # near-dup of 1
+        (6, "xy"),  # < n tokens -> zero shingles
+        (7, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect())
+    # 1,2,3 collapse to keeper 1; everything else unique
+    assert kept == [1, 4, 5, 6, 7]
+    keepers = exact_dedup_keepers(docs, "doc_id", "text")
+    dup = {r["keep_id"]: r["dup_count"] for r in keepers.collect()}
+    assert dup[1] == 3
+
+
+def test_ngram_jaccard_exact_dups_score_one(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near-dup shares most shingles but not all
+    assert 0.0 < pairs[(1, 5)] < 1.0
+    # disjoint/short/empty docs never pair
+    assert all(4 not in p and 6 not in p and 7 not in p for p in pairs)
+
+
+def test_minhash_finds_exact_dup_pair(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # identical signatures always collide
+
+
+def test_simhash_empty_and_short_docs_fingerprint_zero(docs):
+    fps = {r["doc"]: r["sh"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[6] == 0 and fps[7] == 0
+    assert fps[1] == fps[2] != 0
+
+
+def test_exact_dedup_preserves_all_columns(docs):
+    out = exact_dedup(docs.withColumn("extra", F.lit("x")), "doc_id", "text")
+    assert set(out.columns) == {"doc_id", "text", "extra"}
