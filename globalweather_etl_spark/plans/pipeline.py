@@ -27,7 +27,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.functions import (
@@ -275,19 +275,30 @@ class WeatherWarehouse:
     normalized_location: DataFrame
     normalized_date: DataFrame
     normalized_weather_day: DataFrame
+    # Metrics observed during the fact write (materialize() only):
+    # validation with ZERO extra fact scans. None for lazy warehouses.
+    observed_validation: dict | None = None
 
     def validate(self) -> dict:
         """Run both reference validation queries; raise if the NULL-FK
-        invariant is violated (ETL:177-187)."""
-        null_fk = validate_null_fk(self.fact).collect()[0]["NULL_FK_COUNT"]
-        rng = validate_temp_range(self.fact).collect()[0]
-        if null_fk != 0:
-            raise AssertionError(f"fact has {null_fk} rows with NULL FKs")
-        return {
-            "null_fk_count": null_fk,
-            "min_temp_f": rng["MIN_TEMP_F"],
-            "max_temp_f": rng["MAX_TEMP_F"],
-        }
+        invariant is violated (ETL:177-187). After materialize() the
+        metrics were already observed during the fact write (free at any
+        scale); lazy warehouses fall back to aggregate queries."""
+        if self.observed_validation is not None:
+            result = self.observed_validation
+        else:
+            null_fk = validate_null_fk(self.fact).collect()[0]["NULL_FK_COUNT"]
+            rng = validate_temp_range(self.fact).collect()[0]
+            result = {
+                "null_fk_count": null_fk,
+                "min_temp_f": rng["MIN_TEMP_F"],
+                "max_temp_f": rng["MAX_TEMP_F"],
+            }
+        if result["null_fk_count"] != 0:
+            raise AssertionError(
+                f"fact has {result['null_fk_count']} rows with NULL FKs"
+            )
+        return result
 
 
 def build_warehouse(
@@ -397,18 +408,27 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
             name: pool.submit(_write, df, name) for name, df in layer_specs
         }
         written = {name: fut.result() for name, fut in futures.items()}
-    fact = _write(
-        build_fact_weather_day(
-            staging,
-            written["dim_date"],
-            written["dim_location"],
-            written["dim_weather_band"],
-            written["dim_precipitation_type"],
-            written["dim_source"],
-        ),
-        "fact_weather_day",
-        partition_by=["DATE_KEY"],
+    # Validation metrics ride along with the fact write (Observation
+    # API): both reference validation queries (ETL:177-187) are computed
+    # by the write job itself — no post-hoc fact scans at any scale.
+    obs = Observation("fact_validation")
+    fact_df = build_fact_weather_day(
+        staging,
+        written["dim_date"],
+        written["dim_location"],
+        written["dim_weather_band"],
+        written["dim_precipitation_type"],
+        written["dim_source"],
+    ).observe(
+        obs,
+        F.count_if(
+            F.col("LOCATION_KEY").isNull() | F.col("DATE_KEY").isNull()
+        ).alias("null_fk_count"),
+        F.min("AVG_TEMP_F").alias("min_temp_f"),
+        F.max("AVG_TEMP_F").alias("max_temp_f"),
     )
+    fact = _write(fact_df, "fact_weather_day", partition_by=["DATE_KEY"])
+    observed = dict(obs.get)
     return WeatherWarehouse(
         as_of_date=wh.as_of_date,
         staging=staging,
@@ -421,4 +441,5 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
         normalized_location=written["normalized_location"],
         normalized_date=written["normalized_date"],
         normalized_weather_day=written["normalized_weather_day"],
+        observed_validation=observed,
     )
