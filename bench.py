@@ -79,6 +79,7 @@ def main() -> None:
             "tpch_events_rolling_sum",
             "tpch_surrogate_key",
             "events_tumbling_daily",
+            "events_sliding_day_12h",
             "events_session_30m",
             "docs_exact_dedup_keepers",
             "docs_ngram_jaccard",

@@ -9,6 +9,14 @@ Four families, in increasing fuzziness:
   simhash        64-bit SimHash fingerprints + hamming-ball candidate
                  pairing via band rotation
 
+Algorithm lineage (public literature): MinHash resemblance — Broder,
+"On the resemblance and containment of documents" (SEQUENCES 1997);
+banded LSH S-curve — Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch.3; SimHash — Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002) and Manku et al., "Detecting
+near-duplicates for web crawling" (WWW 2007) for the hamming pigeonhole
+trick.
+
 Scale design notes (100 TB):
 - Never all-pairs: every near-dup path first builds candidate pairs by
   joining on a bucket key (shingle, LSH band hash, simhash band), then

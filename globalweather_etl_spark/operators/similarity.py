@@ -1,9 +1,13 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
   cosine_topk      exact brute force — the baseline and the oracle target
-  lsh_cosine_topk  random-hyperplane LSH bucketing — the 100 TB path:
-                   probe only candidates sharing a signature bucket
+  lsh_cosine_topk  random-hyperplane LSH bucketing (Charikar, STOC 2002;
+                   multi-table amplification per Gionis/Indyk/Motwani,
+                   VLDB 1999) — probe only candidates sharing a bucket
+  ivf_cosine_topk  inverted-file coarse quantizer (the FAISS IVF-Flat
+                   family; Sivic & Zisserman, ICCV 2003; Jégou et al.,
+                   TPAMI 2011) — probe the n_probe nearest Voronoi cells
 
 Everything is built-in higher-order functions (zip_with/aggregate) over
 double-cast arrays — JVM-side, no UDF, so the dot products run inside

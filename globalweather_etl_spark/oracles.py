@@ -375,6 +375,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "docs_lang_id": f"""
 SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
 FROM documents""",
+    "docs_stopword_scores": None,  # filled in below (needs _LANG_STOPWORDS)
     "docs_quality_score": f"""
 WITH m AS (
   SELECT doc_id,
@@ -439,6 +440,18 @@ WHERE list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
     >= 0.4""",
 }
+
+
+def _stopword_scores_sql() -> str:
+    from globalweather_etl_spark.functions.text import _LANG_STOPWORDS
+
+    cols = ",\n  ".join(
+        f"{_lang_score_sql(ws)} AS sw_{lang}" for lang, ws in _LANG_STOPWORDS.items()
+    )
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+EXT_ORACLES["docs_stopword_scores"] = _stopword_scores_sql()
 
 
 def all_oracles() -> dict[str, str]:

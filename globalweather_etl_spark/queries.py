@@ -371,6 +371,21 @@ def q_docs_lang_id(spark, sf_dir):
     )
 
 
+def q_docs_stopword_scores(spark, sf_dir):
+    """Per-language stopword hit counts — the raw signal behind lang_id."""
+    from globalweather_etl_spark.functions.text import stopword_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        stopword_score(t, "en").alias("sw_en"),
+        stopword_score(t, "de").alias("sw_de"),
+        stopword_score(t, "fr").alias("sw_fr"),
+        stopword_score(t, "es").alias("sw_es"),
+    )
+
+
 def q_docs_quality_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -522,6 +537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,
     "docs_lang_stats": q_docs_lang_stats,
     "docs_lang_id": q_docs_lang_id,
+    "docs_stopword_scores": q_docs_stopword_scores,
     "docs_quality_score": q_docs_quality_score,
     "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
