@@ -1,0 +1,23 @@
+"""The CLI must run the whole pipeline and report consistent results."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_cli_json_mode(spark, tmp_path, capsys):
+    from globalweather_etl_spark.__main__ import main
+
+    rc = main(
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "wh"),
+            "--master", "local[8]",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["validation"]["null_fk_count"] == 0
+    assert len(out["dashboards"]["q4_forecasts_per_band"]) == 5
+    assert len(out["dashboards"]["q2_top15_cities"]) <= 15
