@@ -338,6 +338,51 @@ def build_warehouse(
     )
 
 
+def materialize_fact_incremental(
+    wh: WeatherWarehouse,
+    base_path: str,
+    dates: list[dt.date],
+    lookback_days: int = 14,
+) -> DataFrame:
+    """Rebuild ONLY the given DATE_KEY partitions of an existing
+    materialized fact — the 100 TB alternative to the reference's
+    full-rebuild CTAS when a day of source data is restated.
+
+    The window metrics look backwards (LAG + trailing 7-ROW sum), so
+    the staging scan covers [min(dates) - lookback_days, max(dates)]
+    (predicate pushed to the source), the star join + windows run over
+    that range, and only the target dates' rows are written. The ROWS
+    frame counts observations, not days — widen lookback_days if a
+    location can have >?lookback gaps between observations.
+
+    Uses dynamic partition overwrite: the write replaces exactly the
+    partitions present in the incoming DataFrame and leaves every other
+    date untouched.
+    """
+    spark = wh.staging.sparkSession
+    path = os.path.join(base_path, "fact_weather_day")
+    lo = min(dates) - dt.timedelta(days=lookback_days)
+    hi = max(dates)
+    context = wh.staging.filter(
+        F.col("DATE_VALID_STD").between(F.lit(lo), F.lit(hi))
+    )
+    delta = build_fact_weather_day(
+        context,
+        wh.dim_date,
+        wh.dim_location,
+        wh.dim_weather_band,
+        wh.dim_precipitation_type,
+        wh.dim_source,
+    ).filter(F.col("DATE_KEY").isin([F.lit(d) for d in dates]))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta.write.mode("overwrite").partitionBy("DATE_KEY").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path)
+
+
 def register_warehouse(wh: WeatherWarehouse) -> list[str]:
     """Expose every layer to spark.sql() under the reference's
     three-schema naming (STAGING/DIMENSIONAL/NORMALIZED, ETL:2-14),
