@@ -128,6 +128,32 @@ def test_fact_7row_sum_is_rows_not_range(wh):
     assert sums == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0, 7.0, 7.0]
 
 
+def test_fact_identical_without_broadcast_hints(spark, weather_fixture, wh):
+    """broadcast_dims=False (the dims-outgrew-broadcast configuration)
+    must produce the identical fact via shuffle joins."""
+    from globalweather_etl_spark.plans.pipeline import (
+        build_dim_date,
+        build_dim_location,
+        build_dim_precipitation_type,
+        build_dim_source,
+        build_dim_weather_band,
+        build_fact_weather_day,
+    )
+
+    fact2 = build_fact_weather_day(
+        weather_fixture,
+        build_dim_date(weather_fixture),
+        build_dim_location(weather_fixture, AS_OF),
+        build_dim_weather_band(weather_fixture),
+        build_dim_precipitation_type(weather_fixture),
+        build_dim_source(spark),
+        broadcast_dims=False,
+    )
+    a = sorted((tuple(r) for r in wh.fact.collect()), key=repr)
+    b = sorted((tuple(r) for r in fact2.collect()), key=repr)
+    assert a == b
+
+
 def test_validate(wh):
     result = wh.validate()
     assert result["null_fk_count"] == 0
