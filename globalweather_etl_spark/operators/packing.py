@@ -1,0 +1,77 @@
+"""Token-budget document packing (LLM training prep).
+
+Group documents into bins of ~budget tokens so each training sequence
+is filled: deterministic ordering, exclusive running token total,
+bin = total div budget. A document straddling a boundary overflows its
+bin by less than one document — the standard streaming approximation of
+bin packing (exact first-fit is inherently sequential; this form is a
+distributed prefix sum and scales to any corpus).
+
+The prefix sum uses the same two-pass shape as the distributed
+surrogate key (operators/surrogate_key.py): range-partition by the
+total order, partition-local running sums, per-partition token totals
+prefix-summed in-plan (a window over #partitions rows) — no
+single-partition window, no driver data. The result is a pure function
+of (keys, seed-order, budget): identical on any cluster and mirrored
+exactly by a plain windowed cumsum in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_by_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    order_key: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign (bin_id, bin_offset) to every document.
+
+    order_key defaults to md5(id) — a deterministic shuffle so bins mix
+    content. bin_offset is the document's starting token position within
+    its bin's running total (diagnostics / sequence layout).
+    """
+    sess = df.sparkSession
+    n = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    okey = order_key if order_key is not None else F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col), tokens_col.cast("long").alias("n_tokens"), okey.alias("__ok")
+    )
+    ranged = base.repartitionByRange(n, F.col("__ok"), F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy("__ok", id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_prior = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__ptot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__ptot").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("__ptot")
+    )
+    prior = (local_prior + F.col("__offset")).cast("long")
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(prior / F.lit(budget)).cast("long").alias("bin_id"),
+            (prior % F.lit(budget)).alias("bin_offset"),
+        )
+    )

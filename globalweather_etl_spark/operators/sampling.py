@@ -1,0 +1,70 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must
+land in the same split on every run, on any cluster, regardless of
+partitioning — so no rand()/sample() (both seed per-partition). The
+selector here is a pure function of the row's key: the first 4 hex
+chars of md5(key || seed), compared lexicographically against hex
+thresholds. md5 hex strings are identical in every engine, making the
+operators DuckDB-oracle-checkable, and the selectivity resolution is
+1/65536 per threshold step.
+
+All operators are single filters/projections on the scan — no shuffle,
+pushdown-friendly, trivially parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**4  # 4 hex chars
+
+
+def _hex_bucket(key: Column, seed: int) -> Column:
+    """First 4 hex chars of md5(key || ':' || seed) — a uniform draw
+    from 65536 lexicographically ordered buckets."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 4
+    )
+
+
+def _threshold(fraction: float) -> str:
+    return format(min(_SPACE, max(0, round(fraction * _SPACE))), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash: stable across runs,
+    partitionings, and engines."""
+    return df.filter(_hex_bucket(key, seed) < F.lit(_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame, key: Column, weights: dict[str, float], seed: int = 0
+) -> DataFrame:
+    """Append a `split` column assigning each row to one named split
+    with the given weights (e.g. {"train": .8, "val": .1, "test": .1}).
+    Splits are disjoint, exhaustive, and a row's split never changes
+    when other rows come or go."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = _hex_bucket(key, seed)
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        acc += w
+        cond = bucket < F.lit(_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn("split", expr)
+
+
+def shuffle_deterministic(df: DataFrame, key: Column, seed: int = 0) -> DataFrame:
+    """Global deterministic shuffle (training order randomization):
+    sort by a hash of the key. One range-partition exchange; the order
+    is a pure function of (keys, seed)."""
+    return df.orderBy(F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))))

@@ -375,6 +375,36 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "docs_lang_id": f"""
 SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
 FROM documents""",
+    # Hash-based sampling/splits: md5 hex prefixes compare identically
+    # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
+    # (0.25->'4000', 0.8->'cccd', 0.9->'e666').
+    "docs_deterministic_sample": """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) < '4000'""",
+    "docs_hash_split": """
+SELECT doc_id,
+  CASE WHEN b < 'cccd' THEN 'train'
+       WHEN b < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
+      FROM documents)""",
+    # The oracle's plain windowed cumsum equals the engine's two-pass
+    # distributed prefix sum over the same total order.
+    "docs_pack_by_budget": f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY ok, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t)
+SELECT doc_id, n_tokens,
+  CAST(prior // 2048 AS BIGINT) AS bin_id,
+  prior % 2048 AS bin_offset
+FROM c""",
     "docs_stopword_scores": None,  # filled in below (needs _LANG_STOPWORDS)
     "docs_quality_score": f"""
 WITH m AS (

@@ -47,6 +47,11 @@ from globalweather_etl_spark.operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from globalweather_etl_spark.operators.packing import pack_by_budget
+from globalweather_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 from globalweather_etl_spark.plans import dashboard as dash
 from globalweather_etl_spark.plans import pipeline as pl
@@ -465,6 +470,27 @@ def q_emb_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, k=5, dim=64, num_planes=8)
 
 
+# ------------------------------------------- sampling / splits / packing
+
+def q_docs_deterministic_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, F.col("doc_id"), 0.25, seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+def q_docs_hash_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select("doc_id", "split")
+
+
+def q_docs_pack_by_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget=2048)
+
+
 # --------------------------------------------------- multimodal columns
 
 def _media(spark, sf_dir):
@@ -537,6 +563,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,
     "docs_lang_stats": q_docs_lang_stats,
     "docs_lang_id": q_docs_lang_id,
+    "docs_deterministic_sample": q_docs_deterministic_sample,
+    "docs_hash_split": q_docs_hash_split,
+    "docs_pack_by_budget": q_docs_pack_by_budget,
     "docs_stopword_scores": q_docs_stopword_scores,
     "docs_quality_score": q_docs_quality_score,
     "docs_rolling_fingerprint": q_docs_rolling_fingerprint,

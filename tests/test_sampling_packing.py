@@ -1,0 +1,94 @@
+"""Sampling/split/packing contracts: reproducibility under
+repartitioning, split exhaustiveness, bin-fill quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.functions.text import token_count
+from globalweather_etl_spark.operators.packing import pack_by_budget
+from globalweather_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    shuffle_deterministic,
+)
+from globalweather_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_sample_stable_under_repartition(docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, F.col("doc_id"), 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            docs.repartition(7), F.col("doc_id"), 0.3
+        ).collect()
+    }
+    assert a == b
+    assert 0.2 < len(a) / docs.count() < 0.4
+
+
+def test_sample_monotone_in_fraction(docs):
+    small = {r["doc_id"] for r in deterministic_sample(docs, F.col("doc_id"), 0.1).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, F.col("doc_id"), 0.5).collect()}
+    assert small <= big  # growing the fraction only ADDS rows
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    out = hash_split(docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(
+        (r["split"], r["count"]) for r in out.groupBy("split").count().collect()
+    )
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    again = hash_split(
+        docs.repartition(5), F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_pack_bins_fill_to_budget(docs):
+    budget = 2048
+    packed = pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    rows = sorted((r["bin_id"], r["tok"]) for r in bins.collect())
+    # every bin except the last holds >= budget - max_doc and < budget + max_doc
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    for bin_id, tok in rows[:-1]:
+        assert budget - max_doc <= tok < budget + max_doc
+    # assignment covers every doc exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_pack_stable_under_partitioning(docs):
+    budget = 1024
+    a = pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget,
+                       num_partitions=3)
+    b = pack_by_budget(docs.repartition(9), "doc_id", token_count(F.col("text")),
+                       budget, num_partitions=11)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+
+
+def test_shuffle_deterministic_is_stable_permutation(docs):
+    a = [r["doc_id"] for r in shuffle_deterministic(docs, F.col("doc_id")).collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs.repartition(4), F.col("doc_id")).collect()
+    ]
+    assert a == b
+    assert sorted(a) != a  # actually permuted
+    assert len(a) == docs.count()
