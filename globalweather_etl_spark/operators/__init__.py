@@ -8,7 +8,14 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    shuffle_deterministic,
+)
+from globalweather_etl_spark.operators.scd import apply_scd2
 from globalweather_etl_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -23,7 +30,12 @@ from globalweather_etl_spark.operators.skew import salted_join
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
+    "apply_scd2",
     "cosine",
+    "deterministic_sample",
+    "hash_split",
+    "pack_by_budget",
+    "shuffle_deterministic",
     "cosine_topk",
     "dot",
     "exact_dedup",

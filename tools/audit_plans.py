@@ -38,6 +38,13 @@ AUDITS = {
     "tpch_events_rolling_sum": ["Window"],
     "docs_minhash_lsh": ["HashAggregate"],
     "emb_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastExchange"],
+    # distributed prefix sum: range exchange + pid-partitioned window,
+    # never an unpartitioned Window over the data
+    "docs_pack_by_budget": ["rangepartitioning", "__pid"],
+    # expression filter can't reach the parquet reader (md5 of a column
+    # is computed, not a pushable predicate) — assert it at least stays
+    # inside codegen
+    "docs_deterministic_sample": [r"codegen id"],
 }
 
 
