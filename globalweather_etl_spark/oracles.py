@@ -297,6 +297,16 @@ def _media_oracles() -> dict[str, str]:
   sum(octet_length(payload)) AS total_bytes,
   sum(width) AS sum_width, sum(n_frames) AS sum_frames
 FROM media GROUP BY kind""",
+        # The synthesized corpus is pure ASCII, so payload bytes ==
+        # codepoints and the Pandas-UDF byte histogram has an exact SQL
+        # twin (verified: zero docs match [^\x00-\x7f]).
+        "media_byte_histogram": """
+SELECT doc_id AS media_id,
+  [len(list_filter(codes, x -> x // 16 = b)) FOR b IN range(0, 16)]
+    AS histogram
+FROM (SELECT doc_id,
+        [unicode(c) FOR c IN string_split(text, '') IF c != ''] AS codes
+      FROM documents)""",
         # DuckDB has no md5(BLOB); md5 of the source VARCHAR hashes the
         # same UTF-8 bytes the payload was encoded from.
         "media_payload_digest": prologue

@@ -514,8 +514,8 @@ def q_media_payload_digest(spark, sf_dir):
 
 
 def q_media_byte_histogram(spark, sf_dir):
-    """Rows-only: Arrow-batched mapInPandas feature extraction (no SQL
-    twin for per-byte histograms; unit-tested against plain Python)."""
+    """Arrow-batched mapInPandas feature extraction; oracle-checkable
+    because the synthesized corpus is ASCII (bytes == codepoints)."""
     return byte_histogram(_media(spark, sf_dir), bins=16)
 
 
