@@ -8,6 +8,7 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
 from globalweather_etl_spark.operators.sampling import (
@@ -31,6 +32,7 @@ from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
     "apply_scd2",
+    "asof_join",
     "cosine",
     "deterministic_sample",
     "hash_split",

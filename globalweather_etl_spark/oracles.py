@@ -249,6 +249,14 @@ SELECT window_start, event_type, count(*) AS n_events,
 FROM expanded
 WHERE ts >= window_start AND ts < window_start + INTERVAL 24 HOUR
 GROUP BY 1, 2""",
+    # DuckDB's native ASOF LEFT JOIN is the oracle for the union+
+    # carry-forward implementation (inclusive backward match).
+    "events_asof_last_signup": """
+SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, value AS signup_value
+                FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.signup_ts""",
     "events_daily_band_counts": """
 WITH t AS (
   SELECT ts,

@@ -47,6 +47,7 @@ from globalweather_etl_spark.operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.sampling import (
     deterministic_sample,
@@ -317,6 +318,24 @@ def q_events_session_30m(spark, sf_dir):
     return session_stats(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
+def q_events_asof_last_signup(spark, sf_dir):
+    """As-of join: each click event annotated with the user's most
+    recent signup event at or before it (NULL when none precedes)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    return asof_join(
+        clicks, signups, ["user_id"], "ts", "signup_ts",
+        ["signup_ts", "signup_value"],
+    )
+
+
 def q_events_daily_band_counts(spark, sf_dir):
     """The streaming dashboard job's exact body, run in batch for the
     oracle (stream==batch parity is tested in test_streaming.py)."""
@@ -557,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_day_12h": q_events_sliding_day_12h,
     "events_session_30m": q_events_session_30m,
     "events_daily_band_counts": q_events_daily_band_counts,
+    "events_asof_last_signup": q_events_asof_last_signup,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,
