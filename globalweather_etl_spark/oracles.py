@@ -257,6 +257,19 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, value AS signup_value
                 FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts""",
+    # generate_series grid + native ASOF JOIN mirrors the
+    # sequence+explode + carry-forward-window composition.
+    "events_resample_hourly": """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds),
+obs AS (SELECT user_id, ts, value FROM events)
+SELECT g.user_id, g.grid_ts, o.ts, o.value
+FROM grid g
+ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.ts""",
     "events_daily_band_counts": """
 WITH t AS (
   SELECT ts,

@@ -49,6 +49,7 @@ from globalweather_etl_spark.operators.similarity import (
 )
 from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.packing import pack_by_budget
+from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -336,6 +337,17 @@ def q_events_asof_last_signup(spark, sf_dir):
     )
 
 
+def q_events_resample_hourly(spark, sf_dir):
+    """Hourly forward-filled grid per user (sequence+explode grid
+    composed with the as-of join — no custom code, one shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    return resample_last(
+        events.select("user_id", "ts", "value"),
+        by=["user_id"], ts_col="ts", value_cols=["ts", "value"],
+        interval="1 hour",
+    )
+
+
 def q_events_daily_band_counts(spark, sf_dir):
     """The streaming dashboard job's exact body, run in batch for the
     oracle (stream==batch parity is tested in test_streaming.py)."""
@@ -577,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_30m": q_events_session_30m,
     "events_daily_band_counts": q_events_daily_band_counts,
     "events_asof_last_signup": q_events_asof_last_signup,
+    "events_resample_hourly": q_events_resample_hourly,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,

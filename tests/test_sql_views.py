@@ -46,6 +46,24 @@ def test_sql_dashboard_matches_dataframe_dashboard(spark, wh):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_dashboard_scan_prunes_columns(spark, wh, tmp_path_factory):
+    """Dashboard Q1 touches only AVG_TEMP_F (+ the DATE_KEY partition
+    column) — the materialized fact scan's ReadSchema must not include
+    the other measures."""
+    base = str(tmp_path_factory.mktemp("wh_prune"))
+    mat = materialize(wh, base)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q1(mat.fact, mat.dim_date).explain("formatted")
+    plan = buf.getvalue()
+    fact_scan = next(
+        seg for seg in plan.split("\n\n") if "fact_weather_day" in seg
+    )
+    assert "AVG_TEMP_F" in fact_scan
+    for untouched in ("PRECIPITATION_IN", "SNOWFALL_IN", "WEATHER_BAND"):
+        assert untouched not in fact_scan, fact_scan
+
+
 def test_materialized_fact_prunes_date_partitions(spark, wh, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("wh"))
     mat = materialize(wh, base)
