@@ -11,6 +11,7 @@ from globalweather_etl_spark.operators.dedup import (
 from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -37,6 +38,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "pack_by_budget",
+    "resample_last",
     "shuffle_deterministic",
     "cosine_topk",
     "dot",

@@ -422,6 +422,24 @@ def q_docs_stopword_scores(spark, sf_dir):
     )
 
 
+def q_docs_approx_stats(spark, sf_dir):
+    """Rows-only: sketch aggregates (HyperLogLog++ distinct count,
+    quantile sketch) — the O(1)-memory corpus statistics a 100 TB
+    pipeline runs instead of exact distinct/percentile. Error bounds
+    versus exact values are asserted in test_sampling_packing.py;
+    sketches have no cross-engine twin (DuckDB's HLL differs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.approx_count_distinct(fingerprint_md5(F.col("text"))).alias(
+            "approx_distinct_docs"
+        ),
+        F.percentile_approx("n_chars", [0.1, 0.5, 0.9], 10000).alias(
+            "chars_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_docs_quality_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -601,6 +619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_by_budget": q_docs_pack_by_budget,
     "docs_stopword_scores": q_docs_stopword_scores,
     "docs_quality_score": q_docs_quality_score,
+    "docs_approx_stats": q_docs_approx_stats,
     "docs_rolling_fingerprint": q_docs_rolling_fingerprint,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_minhash_lsh": q_docs_minhash_lsh,

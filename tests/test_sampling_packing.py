@@ -83,6 +83,19 @@ def test_pack_stable_under_partitioning(docs):
     assert ra == rb
 
 
+def test_approx_stats_within_error_bounds(spark, docs):
+    from globalweather_etl_spark.queries import q_docs_approx_stats
+
+    row = q_docs_approx_stats(spark, SF_DIR).collect()[0]
+    exact_distinct = docs.select("text").distinct().count()
+    # HLL++ default rsd = 5%
+    assert abs(row["approx_distinct_docs"] - exact_distinct) <= 0.1 * exact_distinct
+    q10, q50, q90 = row["chars_quantiles"]
+    assert q10 <= q50 <= q90
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert lo <= q10 and q90 <= hi
+
+
 def test_shuffle_deterministic_is_stable_permutation(docs):
     a = [r["doc_id"] for r in shuffle_deterministic(docs, F.col("doc_id")).collect()]
     b = [
