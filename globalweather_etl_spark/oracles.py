@@ -198,11 +198,28 @@ SELECT event_id, user_id, ts, value,
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
     AS VALUE_7ROW_SUM
 FROM events""",
+    "tpch_events_window_suite": """
+SELECT event_id, user_id, ts, value,
+  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS NEXT_VALUE,
+  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
+    AS VALUE_RANK,
+  round(CAST(sum(CAST(value AS DECIMAL(25,10)))
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      AS DOUBLE), 9) AS VALUE_1H_SUM
+FROM events""",
     "tpch_surrogate_key": """
 SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
     AS SEGMENT_KEY,
   c_mktsegment, c_nationkey
 FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
+    "tpch_outer_join_coverage": """
+SELECT count(*) FILTER (WHERE o.o_orderkey IS NULL)
+    AS customers_without_orders,
+  count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphan_orders,
+  count(*) AS n_rows
+FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""",
     "tpch_countif_ratio": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_totalprice > 250000) * 100.0 / count(*)

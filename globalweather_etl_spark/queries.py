@@ -249,6 +249,35 @@ def q_tpch_events_rolling_sum(spark, sf_dir):
     )
 
 
+def q_tpch_events_window_suite(spark, sf_dir):
+    """Window-function coverage beyond the reference's three shapes:
+    LEAD, RANK, and a time-based RANGE frame (trailing 1 hour by event
+    time — observations-independent, unlike the 7-ROW frame). The RANGE
+    frame orders by unix microseconds so Spark's numeric rangeBetween
+    and the oracle's numeric RANGE bound are identical."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    w_hour = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lead("value").over(w_seq).alias("NEXT_VALUE"),
+        F.rank().over(w_rank).cast("long").alias("VALUE_RANK"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,10)")).over(w_hour).cast("double"),
+            9,
+        ).alias("VALUE_1H_SUM"),
+    )
+
+
 def q_tpch_surrogate_key(spark, sf_dir):
     """W1 analogue via the SCALABLE two-pass strategy — proves the
     distributed surrogate key is bit-identical to ROW_NUMBER."""
@@ -261,6 +290,21 @@ def q_tpch_surrogate_key(spark, sf_dir):
         strategy="distributed",
         num_partitions=8,
     ).select("SEGMENT_KEY", "c_mktsegment", "c_nationkey")
+
+
+def q_tpch_outer_join_coverage(spark, sf_dir):
+    """Full-outer join (beyond the reference's inner-only surface):
+    customers without orders vs. orphan orders, in one pass."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "full_outer"
+    )
+    return j.agg(
+        F.count_if(F.col("o_orderkey").isNull()).alias("customers_without_orders"),
+        F.count_if(F.col("c_custkey").isNull()).alias("orphan_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
 
 
 def q_tpch_countif_ratio(spark, sf_dir):
@@ -598,7 +642,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_order_date_parts": q_tpch_order_date_parts,
     "tpch_events_lag_delta": q_tpch_events_lag_delta,
     "tpch_events_rolling_sum": q_tpch_events_rolling_sum,
+    "tpch_events_window_suite": q_tpch_events_window_suite,
     "tpch_surrogate_key": q_tpch_surrogate_key,
+    "tpch_outer_join_coverage": q_tpch_outer_join_coverage,
     "tpch_countif_ratio": q_tpch_countif_ratio,
     "tpch_global_validation": q_tpch_global_validation,
     "tpch_constant_join": q_tpch_constant_join,
