@@ -214,6 +214,19 @@ SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
     AS SEGMENT_KEY,
   c_mktsegment, c_nationkey
 FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
+    "tpch_rollup_counts": """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    "tpch_distinct_agg": """
+SELECT o_orderpriority,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "tpch_outer_join_coverage": """
 SELECT count(*) FILTER (WHERE o.o_orderkey IS NULL)
     AS customers_without_orders,

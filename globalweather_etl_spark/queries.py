@@ -292,6 +292,35 @@ def q_tpch_surrogate_key(spark, sf_dir):
     ).select("SEGMENT_KEY", "c_mktsegment", "c_nationkey")
 
 
+def q_tpch_rollup_counts(spark, sf_dir):
+    """ROLLUP (hierarchical grouping sets): order counts by
+    (priority, orderstatus), per-priority subtotals, and a grand total
+    in one pass — Spark expands grouping sets map-side into a single
+    aggregation, no N-pass union."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_tpch_distinct_agg(spark, sf_dir):
+    """Distinct aggregates: suppliers and parts per order priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_tpch_outer_join_coverage(spark, sf_dir):
     """Full-outer join (beyond the reference's inner-only surface):
     customers without orders vs. orphan orders, in one pass."""
@@ -644,6 +673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_events_rolling_sum": q_tpch_events_rolling_sum,
     "tpch_events_window_suite": q_tpch_events_window_suite,
     "tpch_surrogate_key": q_tpch_surrogate_key,
+    "tpch_rollup_counts": q_tpch_rollup_counts,
+    "tpch_distinct_agg": q_tpch_distinct_agg,
     "tpch_outer_join_coverage": q_tpch_outer_join_coverage,
     "tpch_countif_ratio": q_tpch_countif_ratio,
     "tpch_global_validation": q_tpch_global_validation,
