@@ -12,6 +12,7 @@ stateful.py / jobs.py.
 from globalweather_etl_spark.streaming.jobs import (
     daily_weather_band_counts,
     drain_to_memory,
+    enriched_country_counts,
     run_daily_event_metrics,
 )
 from globalweather_etl_spark.streaming.sources import (
@@ -33,6 +34,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "daily_weather_band_counts",
     "drain_to_memory",
+    "enriched_country_counts",
     "events_stream_from_dir",
     "run_daily_event_metrics",
     "running_user_totals",

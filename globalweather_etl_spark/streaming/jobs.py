@@ -78,6 +78,24 @@ def daily_weather_band_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_country_counts(
+    events: DataFrame, user_dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich each event with its user's country
+    from a static dimension (broadcast per micro-batch; the static side
+    may be updated between batches and is re-read lazily), then count
+    per (day, country). The streaming analogue of the reference's
+    fact-to-DIM_LOCATION join."""
+    joined = events.join(F.broadcast(user_dim), "user_id", "left")
+    return (
+        joined.groupBy(F.window("ts", "1 day"), "country")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "country", "n_events"
+        )
+    )
+
+
 def drain_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

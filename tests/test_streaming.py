@@ -134,6 +134,31 @@ def test_weather_band_counts_stream_equals_batch(spark, landing, batch_events):
     )
 
 
+def test_stream_static_join_equals_batch(spark, landing, batch_events):
+    """Stream-static enrichment join: identical counts from the stream
+    and the batch table against the same static dimension."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.streaming import enriched_country_counts
+
+    user_dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("C"), (F.col("user_id") % 5).cast("string")).alias(
+                "country"
+            ),
+        )
+    )
+    stream = events_stream_from_dir(spark, landing)
+    got = _drain(spark, enriched_country_counts(stream, user_dim), "t_country")
+    want = enriched_country_counts(batch_events, user_dim)
+    assert _rows(got, "window_start", "country") == _rows(
+        want, "window_start", "country"
+    )
+
+
 def test_streaming_dedup_drops_replayed_files(spark, batch_events, tmp_path):
     """Land the same events twice (a replayed upstream); exact streaming
     dedup must restore the original cardinality."""
