@@ -214,6 +214,19 @@ SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
     AS SEGMENT_KEY,
   c_mktsegment, c_nationkey
 FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
+    "tpch_set_ops": """
+SELECT count(*) AS n_customers FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "tpch_pivot_status": """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "tpch_rollup_counts": """
 SELECT o_orderpriority, o_orderstatus,
   CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,

@@ -292,6 +292,37 @@ def q_tpch_surrogate_key(spark, sf_dir):
     ).select("SEGMENT_KEY", "c_mktsegment", "c_nationkey")
 
 
+def q_tpch_set_ops(spark, sf_dir):
+    """Set operators (INTERSECT / EXCEPT semantics): customers holding
+    both an urgent and a low-priority order, minus any with an 'F'
+    status order — one count at the end keeps the oracle tiny."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = urgent.intersect(low).exceptAll(failed.distinct())
+    return both.agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_tpch_pivot_status(spark, sf_dir):
+    """PIVOT: order counts by priority x status as columns. Spark plans
+    a single aggregation with conditional counts — mirrored in the
+    oracle by FILTER aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_tpch_rollup_counts(spark, sf_dir):
     """ROLLUP (hierarchical grouping sets): order counts by
     (priority, orderstatus), per-priority subtotals, and a grand total
@@ -673,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_events_rolling_sum": q_tpch_events_rolling_sum,
     "tpch_events_window_suite": q_tpch_events_window_suite,
     "tpch_surrogate_key": q_tpch_surrogate_key,
+    "tpch_set_ops": q_tpch_set_ops,
+    "tpch_pivot_status": q_tpch_pivot_status,
     "tpch_rollup_counts": q_tpch_rollup_counts,
     "tpch_distinct_agg": q_tpch_distinct_agg,
     "tpch_outer_join_coverage": q_tpch_outer_join_coverage,
