@@ -300,6 +300,13 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, value AS signup_value
                 FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts""",
+    "events_interval_join": """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+  s.event_id AS signup_id, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id
+ AND s.ts <= c.ts AND s.ts >= c.ts - INTERVAL 1 HOUR""",
     # generate_series grid + native ASOF JOIN mirrors the
     # sequence+explode + carry-forward-window composition.
     "events_resample_hourly": """

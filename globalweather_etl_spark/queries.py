@@ -452,6 +452,20 @@ def q_events_resample_hourly(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Interval (range) join: clicks paired with same-user signups in
+    the trailing hour — the batch form of the watermark-bounded
+    stream-stream join (parity in test_streaming.py)."""
+    from globalweather_etl_spark.streaming import clicks_with_recent_signup
+
+    events = load_table(spark, sf_dir, "events")
+    return clicks_with_recent_signup(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "signup"),
+        within="1 hour",
+    )
+
+
 def q_events_daily_band_counts(spark, sf_dir):
     """The streaming dashboard job's exact body, run in batch for the
     oracle (stream==batch parity is tested in test_streaming.py)."""
@@ -718,6 +732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_band_counts": q_events_daily_band_counts,
     "events_asof_last_signup": q_events_asof_last_signup,
     "events_resample_hourly": q_events_resample_hourly,
+    "events_interval_join": q_events_interval_join,
     "docs_exact_dedup_keepers": q_docs_exact_dedup_keepers,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_exact_dedup_removed": q_docs_exact_dedup_removed,

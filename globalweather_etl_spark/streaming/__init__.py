@@ -10,6 +10,7 @@ stateful.py / jobs.py.
 """
 
 from globalweather_etl_spark.streaming.jobs import (
+    clicks_with_recent_signup,
     daily_weather_band_counts,
     drain_to_memory,
     enriched_country_counts,
@@ -32,6 +33,7 @@ from globalweather_etl_spark.streaming.windows import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "clicks_with_recent_signup",
     "daily_weather_band_counts",
     "drain_to_memory",
     "enriched_country_counts",

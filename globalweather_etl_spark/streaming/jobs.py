@@ -96,6 +96,33 @@ def enriched_country_counts(
     )
 
 
+def clicks_with_recent_signup(
+    clicks: DataFrame, signups: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with every signup
+    of the same user in the preceding `within` window.
+
+    On streaming inputs both sides carry watermarks (set them upstream
+    with with_watermark) and the time-bound condition lets Spark evict
+    join state once s.ts falls behind click-watermark - within — the
+    canonical bounded-state stream-stream join. The same expression is
+    a plain interval join on batch inputs (parity-tested)."""
+    c = clicks.alias("c")
+    s = signups.alias("s")
+    cond = (
+        (F.col("c.user_id") == F.col("s.user_id"))
+        & (F.col("s.ts") <= F.col("c.ts"))
+        & (F.col("s.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(s, cond, "inner").select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("s.ts").alias("signup_ts"),
+    )
+
+
 def drain_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -159,6 +159,41 @@ def test_stream_static_join_equals_batch(spark, landing, batch_events):
     )
 
 
+def test_stream_stream_interval_join_equals_batch(spark, landing, batch_events):
+    """Stream-stream interval join with watermarks on both sides must
+    reproduce the batch interval join (append mode: interval-join
+    output needs no aggregation finalization, every matched pair emits
+    exactly once)."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.streaming import clicks_with_recent_signup
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "signup"),
+        )
+
+    s_clicks, s_signups = split(events_stream_from_dir(spark, landing))
+    got_q = drain_to_memory(
+        clicks_with_recent_signup(
+            with_watermark(s_clicks, "ts", "1 hour"),
+            with_watermark(s_signups, "ts", "2 hours"),
+            within="1 hour",
+        ),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    got_q.awaitTermination(120)
+    got = spark.table("t_ssjoin")
+    b_clicks, b_signups = split(batch_events)
+    want = clicks_with_recent_signup(b_clicks, b_signups, within="1 hour")
+    assert _rows(got, "click_id", "signup_id") == _rows(
+        want, "click_id", "signup_id"
+    )
+    assert got.count() > 0
+
+
 def test_streaming_dedup_drops_replayed_files(spark, batch_events, tmp_path):
     """Land the same events twice (a replayed upstream); exact streaming
     dedup must restore the original cardinality."""
