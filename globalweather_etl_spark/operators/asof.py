@@ -33,19 +33,28 @@ def asof_join(
     merged timeline once.
     """
     lcols = left.columns
+    # The matched right row travels as ONE struct (non-null whenever a
+    # right row exists, even if its members are NULL), so the
+    # carry-forward can never tear values from different right rows —
+    # per-column last(ignorenulls) would skip a NULL member and splice
+    # in an older row's value.
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
     l_tagged = left.select(
         *lcols,
         F.col(left_on).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        null_struct.alias("__v"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in by else F.col(c) for c in lcols],
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = Window.partitionBy(*by).orderBy("__t", "__side").rowsBetween(
@@ -54,9 +63,9 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last("__v", ignorenulls=True).over(w).alias("__m"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col(f"__m.{c}").alias(c) for c in value_cols])
+    )

@@ -101,10 +101,15 @@ def ngram_jaccard_pairs(
     return _jaccard_join_sizes(inter, sizes).filter(F.col("jaccard") >= threshold)
 
 
-def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = True
+) -> DataFrame:
     """Inverted-index rows (doc, sh): one row per distinct word n-gram
-    per doc, shingle coded as an xxhash64 long."""
-    df = spread_for_compute(df)
+    per doc, shingle coded as an xxhash64 long. spread=False skips the
+    partition check when the caller already spread the input (the check
+    itself costs a driver-side plan analysis)."""
+    if spread:
+        df = spread_for_compute(df)
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -203,10 +208,15 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
     shingles = F.array_distinct(word_shingles(F.col(text_col), n))
+    # Docs with zero shingles (< n tokens) are excluded from pairing:
+    # they would all share the sentinel signature, match on every band,
+    # and emit a quadratic clique of contentless "near-dups" through one
+    # hot bucket.
     signed = df.select(
         F.col(id_col).alias("doc"),
         _minhash_signature(shingles, num_hashes).alias("sig"),
-    )
+        F.size(shingles).alias("__ns"),
+    ).filter(F.col("__ns") > 0).drop("__ns")
     banded = signed.select(
         "doc",
         F.explode(
@@ -241,7 +251,7 @@ def minhash_lsh_pairs(
     # each candidate pair back to its two shingle sets and count the
     # intersection. Work scales with |candidates| x shingles-per-doc —
     # the whole point of LSH at 100 TB.
-    shingled = _hashed_shingles(df, id_col, text_col, n)
+    shingled = _hashed_shingles(df, id_col, text_col, n, spread=False)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         candidates.join(
@@ -299,7 +309,8 @@ def simhash64(text, n: int = 3):
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(doc, sh) SimHash fingerprints via explode + hash-aggregate.
+    """(doc, sh, n_shingles) SimHash fingerprints via explode +
+    hash-aggregate.
 
     Same bits as simhash64(), but the majority vote runs as 64
     conditional SUM columns in a codegen'd hash aggregate (partial
@@ -331,7 +342,11 @@ def simhash_fingerprints(
                 F.lit(0).cast("long")
             )
         )
-    return hashed.groupBy("doc").agg(*votes).select("doc", sh.alias("sh"))
+    return (
+        hashed.groupBy("doc")
+        .agg(*votes, F.count("h").alias("n_shingles"))
+        .select("doc", sh.alias("sh"), "n_shingles")
+    )
 
 
 def simhash_pairs(
@@ -345,11 +360,23 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Pigeonhole bucketing: split the 64-bit fingerprint into num_bands
-    16-bit bands; any pair within hamming distance < num_bands agrees
-    exactly on >=1 band, so candidates come from equi-joins on
-    (band_idx, band_value) — never all-pairs. Verification computes the
-    true hamming distance via bit_count(xor)."""
-    signed = simhash_fingerprints(df, id_col, text_col, n)
+    bands; any pair within hamming distance < num_bands agrees exactly
+    on >=1 band, so candidates come from equi-joins on (band_idx,
+    band_value) — never all-pairs. Verification computes the true
+    hamming distance via bit_count(xor).
+
+    Docs with zero shingles (< n tokens) are excluded — they would all
+    share fingerprint 0 and pair quadratically at hamming 0 despite
+    having no comparable content."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < num_bands: a pair at "
+            f"distance {max_hamming} can differ in every one of "
+            f"{num_bands} bands and would be silently missed"
+        )
+    signed = simhash_fingerprints(df, id_col, text_col, n).filter(
+        F.col("n_shingles") > 0
+    ).drop("n_shingles")
     width = 64 // num_bands
     mask = (1 << width) - 1
     banded = signed.select(

@@ -30,7 +30,12 @@ def _hex_bucket(key: Column, seed: int) -> Column:
 
 
 def _threshold(fraction: float) -> str:
-    return format(min(_SPACE, max(0, round(fraction * _SPACE))), "04x")
+    """Hex threshold for `bucket < threshold`. A full fraction maps to
+    'g' — lexicographically above every 4-hex-char bucket — because the
+    naive '10000' (5 chars) would sort BELOW '2xxx'..'fxxx' and keep
+    only ~6% of rows."""
+    v = min(_SPACE, max(0, round(fraction * _SPACE)))
+    return "g" if v >= _SPACE else format(v, "04x")
 
 
 def deterministic_sample(
@@ -65,6 +70,10 @@ def hash_split(
 
 def shuffle_deterministic(df: DataFrame, key: Column, seed: int = 0) -> DataFrame:
     """Global deterministic shuffle (training order randomization):
-    sort by a hash of the key. One range-partition exchange; the order
-    is a pure function of (keys, seed)."""
-    return df.orderBy(F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))))
+    sort by a hash of the key with the key itself as tiebreak. One
+    range-partition exchange; the order is a pure function of (keys,
+    seed) provided `key` is unique per row (rows sharing a key value
+    have no defined relative order)."""
+    return df.orderBy(
+        F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))), key
+    )

@@ -45,8 +45,12 @@ def apply_scd2(
     Surrogate keys are intentionally NOT assigned here — feed the output
     through operators.surrogate_key if the target schema needs one.
     """
-    history = dim.filter(~F.col("IS_CURRENT"))
-    current = dim.filter(F.col("IS_CURRENT"))
+    # NULL IS_CURRENT is treated as history: the two filters below must
+    # partition the dimension (a naive `filter(~c)` / `filter(c)` pair
+    # silently drops NULL rows).
+    is_current = F.coalesce(F.col("IS_CURRENT"), F.lit(False))
+    history = dim.filter(~is_current)
+    current = dim.filter(is_current)
 
     snap = snapshot.select(*natural_key, *compare_cols).withColumn(
         "__in_snap", F.lit(True)
@@ -55,16 +59,17 @@ def apply_scd2(
         *natural_key,
         *[F.col(c).alias(f"__cur_{c}") for c in compare_cols],
         "VALID_FROM",
-    )
-    # full-outer on the natural key: membership markers distinguish
-    # current-only (key retired), snapshot-only (new key), and matched
-    # rows; eqNullSafe comparison is never NULL, so the change predicate
-    # is total.
+    ).withColumn("__in_cur", F.lit(True))
+    # full-outer on the natural key: explicit membership markers
+    # distinguish current-only (key retired), snapshot-only (new key),
+    # and matched rows — markers, not column nullness, so NULLs in the
+    # data can't misclassify; eqNullSafe makes the change predicate
+    # total.
     joined = cur_cmp.join(snap, natural_key, "full_outer")
     same = F.lit(True)
     for c in compare_cols:
         same = same & (F.col(c).eqNullSafe(F.col(f"__cur_{c}")))
-    in_cur = F.col("VALID_FROM").isNotNull()
+    in_cur = F.coalesce(F.col("__in_cur"), F.lit(False))
     in_snap = F.coalesce(F.col("__in_snap"), F.lit(False))
 
     unchanged = (

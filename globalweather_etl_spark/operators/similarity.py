@@ -86,6 +86,15 @@ def cosine_topk(
     )
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Cheap eager guard: one limit(1) probe of the vector length."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != dim:
+        raise ValueError(
+            f"dim={dim} but '{vec_col}' vectors have length {row[0]['d']}"
+        )
+
+
 def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
     """Random-hyperplane signature (single table): see
     lsh_signature_multi."""
@@ -275,7 +284,13 @@ def lsh_cosine_topk(
     1-(1-p^planes)^tables). At 100 TB the bucket joins replace the full
     scoring pass — shuffle keys are (table, bucket) ids, candidates are
     ~num_tables/2^num_planes of the table per query. Recall rises with
-    num_tables and falls with num_planes; cost moves oppositely."""
+    num_tables and falls with num_planes; cost moves oppositely.
+
+    `dim` must equal the actual vector length: a mismatch would NULL the
+    plane dots (zip_with pads with NULL) and silently collapse every
+    vector into one bucket — i.e. num_tables full cross joins. Checked
+    eagerly against one sampled row."""
+    _check_dim(embeddings, vec_col, dim)
     embeddings = spread_for_compute(embeddings)
     tables = F.explode(
         F.array(*[F.lit(t) for t in range(num_tables)])

@@ -54,3 +54,19 @@ def test_latest_preceding_wins(joined):
 def test_keys_are_isolated(joined):
     assert joined[5]["v"] == 999.0
     assert len(joined) == 5  # every left row exactly once
+
+
+def test_null_value_in_matched_row_is_not_torn(spark):
+    """The matched right row travels as a unit: a NULL value in the
+    latest preceding row must surface as NULL, never spliced with an
+    older row's value (regression: per-column carry-forward)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(13))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(10), 5.0), ("u", _ts(12), None)],
+        "k string, rt timestamp, v double",
+    )
+    row = asof_join(left, right, ["k"], "t", "rt", ["rt", "v"]).collect()[0]
+    assert row["rt"] == _ts(12)
+    assert row["v"] is None

@@ -60,6 +60,27 @@ def test_minhash_finds_exact_dup_pair(docs):
     assert (1, 2) in pairs  # identical signatures always collide
 
 
+def test_short_docs_never_pair_in_simhash_or_minhash(docs):
+    """Docs with zero shingles (ids 6, 7) must not appear in near-dup
+    pairs — they'd otherwise all collide on sentinel fingerprints."""
+    from globalweather_etl_spark.operators.dedup import simhash_pairs
+
+    sim = simhash_pairs(docs, "doc_id", "text", n=3, max_hamming=3).collect()
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=0.5, verify=False,
+    ).collect()
+    for r in list(sim) + list(mh):
+        assert r["doc_a"] not in (6, 7) and r["doc_b"] not in (6, 7)
+
+
+def test_simhash_pigeonhole_guard(docs):
+    from globalweather_etl_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, num_bands=4)
+
+
 def test_simhash_empty_and_short_docs_fingerprint_zero(docs):
     fps = {r["doc"]: r["sh"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
     assert fps[6] == 0 and fps[7] == 0

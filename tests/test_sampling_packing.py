@@ -41,6 +41,25 @@ def test_sample_monotone_in_fraction(docs):
     assert small <= big  # growing the fraction only ADDS rows
 
 
+def test_sample_full_fraction_keeps_everything(docs):
+    """fraction=1.0 must keep 100% of rows (regression: the threshold
+    used to overflow to 5 hex chars and keep ~6%)."""
+    assert deterministic_sample(docs, F.col("doc_id"), 1.0).count() == docs.count()
+
+
+def test_hash_split_with_zero_weight_tail(docs):
+    """Cumulative weight hitting 1.0 before the last split must not
+    leak rows into a zero-weight split."""
+    out = hash_split(
+        docs, F.col("doc_id"), {"train": 0.9, "val": 0.1, "test": 0.0}
+    )
+    counts = dict(
+        (r["split"], r["count"]) for r in out.groupBy("split").count().collect()
+    )
+    assert counts.get("test", 0) == 0
+    assert counts["train"] + counts.get("val", 0) == docs.count()
+
+
 def test_hash_split_disjoint_exhaustive_stable(docs):
     out = hash_split(docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
     counts = dict(

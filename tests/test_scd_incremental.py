@@ -76,6 +76,25 @@ def test_apply_scd2_classifies_all_cases(spark, dim):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_apply_scd2_preserves_null_is_current_rows(spark, dim):
+    """NULL IS_CURRENT rows are history, not silently dropped."""
+    with_null = dim.union(
+        spark.createDataFrame(
+            [("P9", "CityX", "US", dt.date(2022, 1, 1), dt.date(2023, 1, 1), None)],
+            dim.schema,
+        )
+    )
+    snapshot = dim.filter("IS_CURRENT").select(
+        "POSTAL_CODE", "CITY_NAME", "COUNTRY"
+    )
+    out = apply_scd2(
+        with_null, snapshot, ["POSTAL_CODE"], ["CITY_NAME", "COUNTRY"], as_of=D1
+    )
+    assert out.count() == with_null.count()
+    kept = out.filter("POSTAL_CODE = 'P9'").collect()
+    assert len(kept) == 1 and kept[0]["IS_CURRENT"] is not True
+
+
 def test_apply_scd2_idempotent_on_same_snapshot(spark, dim):
     snapshot = dim.filter("IS_CURRENT").select(
         "POSTAL_CODE", "CITY_NAME", "COUNTRY"
