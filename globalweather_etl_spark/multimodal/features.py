@@ -49,8 +49,8 @@ def byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
     the canonical 'cheap content feature' for corrupt-file detection
     and near-dup triage of binaries. NumPy bincount per row inside
     Arrow batches."""
-    if 256 % bins:
-        raise ValueError("bins must divide 256")
+    if bins <= 0 or 256 % bins:
+        raise ValueError("bins must be a positive divisor of 256")
     shift = (256 // bins).bit_length() - 1
 
     def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,7 +85,9 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
             for mid, payload, n_frames in zip(
                 pdf["media_id"], pdf["payload"], pdf["n_frames"]
             ):
-                if payload is None or not n_frames:
+                # NULL n_frames arrives as NaN (truthy!) after the
+                # Arrow->pandas conversion of a nullable int column.
+                if payload is None or pd.isna(n_frames) or not n_frames:
                     continue
                 size = max(1, len(payload) // int(n_frames))
                 for fi in range(0, int(n_frames), every_k):
@@ -108,20 +110,19 @@ def decode_image(media: DataFrame, fake: bool | None = None) -> DataFrame:
     """Decode image payloads to (height, width, channels, mean_intensity).
 
     With a real codec (PIL) this would Image.open each payload inside
-    the Arrow batches. This container has no PIL, so fake=True (the
-    default when PIL is absent) substitutes a deterministic decode:
-    dimensions from metadata, intensity = byte mean — same schema, same
-    batch shape, same partitioning. fake=False without PIL raises
-    NotImplementedError (clearly-marked stub)."""
+    the Arrow batches. The real path is an unimplemented stub (this
+    container ships no codec to implement or test it against); fake=True
+    — the default — substitutes a deterministic decode: dimensions from
+    metadata, intensity = byte mean — same schema, same batch shape,
+    same partitioning."""
     if fake is None:
         fake = not _HAS_PIL
-    if not fake and not _HAS_PIL:
+    if not fake:
         raise NotImplementedError(
-            "real image decode requires PIL, which is not installed; "
-            "use fake=True for the deterministic stand-in"
+            "real image decode is a stub (no codec in this container); "
+            "implement with PIL inside _decode below, or use fake=True "
+            "for the deterministic stand-in"
         )
-    if not fake:  # pragma: no cover - no PIL in this container
-        raise NotImplementedError("real PIL decode path not implemented yet")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -278,6 +278,9 @@ class WeatherWarehouse:
     # Metrics observed during the fact write (materialize() only):
     # validation with ZERO extra fact scans. None for lazy warehouses.
     observed_validation: dict | None = None
+    # Surrogate-key strategy the warehouse was built with; materialize()
+    # threads it through its rebuild.
+    key_strategy: str = "row_number"
 
     def validate(self) -> dict:
         """Run both reference validation queries; raise if the NULL-FK
@@ -335,6 +338,7 @@ def build_warehouse(
         normalized_location=build_normalized_location(staging),
         normalized_date=build_normalized_date(staging),
         normalized_weather_day=build_normalized_weather_day(staging),
+        key_strategy=key_strategy,
     )
 
 
@@ -344,25 +348,37 @@ def materialize_fact_incremental(
     dates: list[dt.date],
     lookback_days: int = 14,
 ) -> DataFrame:
-    """Rebuild ONLY the given DATE_KEY partitions of an existing
+    """Rebuild the given DATE_KEY partitions of an existing
     materialized fact — the 100 TB alternative to the reference's
-    full-rebuild CTAS when a day of source data is restated.
+    full-rebuild CTAS when days of source data are restated.
 
-    The window metrics look backwards (LAG + trailing 7-ROW sum), so
-    the staging scan covers [min(dates) - lookback_days, max(dates)]
-    (predicate pushed to the source), the star join + windows run over
-    that range, and only the target dates' rows are written. The ROWS
-    frame counts observations, not days — widen lookback_days if a
-    location can have >?lookback gaps between observations.
+    Window correctness in both directions:
+    - the metrics look BACKWARD (LAG + trailing 7-ROW sum), so the
+      staging scan covers [min(dates) - lookback_days, max(dates) +
+      lookback_days] (predicate pushed to the source);
+    - restated rows also change the windows of FOLLOWING dates, so the
+      write set extends to max(dates) + lookback_days as well —
+      unaffected trailing partitions rewrite to identical bytes
+      (idempotent), affected ones get consistent metrics.
+    The ROWS frame counts observations, not days — widen lookback_days
+    if a location can have gaps deeper than the lookback.
 
-    Uses dynamic partition overwrite: the write replaces exactly the
-    partitions present in the incoming DataFrame and leaves every other
-    date untouched.
+    A requested date whose restated data has ZERO rows is cleared by
+    deleting its partition directory first (dynamic partition overwrite
+    only replaces partitions present in the incoming data, so a
+    retraction would otherwise silently linger).
+
+    Contract: the warehouse's dimensions must be the ones the existing
+    fact was built with (pass the MATERIALIZED warehouse). Restating
+    rows that introduce brand-new locations or dates requires a dim
+    refresh first — with frozen dims such rows fail the inner star join
+    and drop; with lazily re-derived dims the ROW_NUMBER surrogate keys
+    of untouched partitions would silently shift.
     """
     spark = wh.staging.sparkSession
     path = os.path.join(base_path, "fact_weather_day")
-    lo = min(dates) - dt.timedelta(days=lookback_days)
-    hi = max(dates)
+    span = dt.timedelta(days=lookback_days)
+    lo, hi = min(dates) - span, max(dates) + span
     context = wh.staging.filter(
         F.col("DATE_VALID_STD").between(F.lit(lo), F.lit(hi))
     )
@@ -373,7 +389,13 @@ def materialize_fact_incremental(
         wh.dim_weather_band,
         wh.dim_precipitation_type,
         wh.dim_source,
-    ).filter(F.col("DATE_KEY").isin([F.lit(d) for d in dates]))
+    ).filter(F.col("DATE_KEY").between(F.lit(min(dates)), F.lit(hi)))
+    import shutil
+
+    for d in dates:
+        part_dir = os.path.join(path, f"DATE_KEY={d.isoformat()}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -432,7 +454,9 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
         return spark.read.parquet(path)
 
     staging = _write(wh.staging, "stg_forecast_day")
-    rebuilt = build_warehouse(spark, staging, wh.as_of_date)
+    rebuilt = build_warehouse(
+        spark, staging, wh.as_of_date, key_strategy=wh.key_strategy
+    )
     # The 5 dims and 3 normalized tables are mutually independent CTAS
     # statements over materialized staging — submit their write jobs
     # concurrently (Spark's scheduler interleaves them; on a cluster
@@ -487,4 +511,5 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
         normalized_date=written["normalized_date"],
         normalized_weather_day=written["normalized_weather_day"],
         observed_validation=observed,
+        key_strategy=wh.key_strategy,
     )

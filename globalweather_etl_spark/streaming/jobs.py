@@ -15,6 +15,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.functions import weather_band
+from globalweather_etl_spark.sources.weather_from_events import _fmod
 from globalweather_etl_spark.streaming.sources import events_stream_from_dir
 from globalweather_etl_spark.streaming.windows import (
     tumbling_stats,
@@ -62,8 +63,10 @@ def daily_weather_band_counts(events: DataFrame) -> DataFrame:
     so unlike the full staging derivation (whose first-row-per-day pick
     needs a row_number window, not available in streaming) this is the
     incremental-friendly projection of the same semantics."""
-    v = F.col("value")
-    temp = (v - F.floor(v / F.lit(120.0)) * F.lit(120.0)) - F.lit(10.0)
+    # Literally the staging derivation's kernel — importing it (rather
+    # than re-typing the formula) keeps stream and batch provably in
+    # sync if the derivation ever changes.
+    temp = _fmod(F.col("value"), 120.0) - F.lit(10.0)
     classified = events.select(
         F.col("ts"), weather_band(temp).alias("weather_band")
     )

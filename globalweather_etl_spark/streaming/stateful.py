@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
-_TOTALS_STATE_SCHEMA = "n long, total double"
+_TOTALS_STATE_SCHEMA = "n long, n_vals long, total double"
 
 
 def _totals_fn(
@@ -24,13 +24,22 @@ def _totals_fn(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    (n, total) = state.get if state.exists else (0, 0.0)
+    (n, n_vals, total) = state.get if state.exists else (0, 0, 0.0)
     for pdf in batches:
         n += int(len(pdf))
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        n_vals += int(pdf["value"].count())  # non-null only
+        total += float(pdf["value"].sum())  # skipna, 0.0 if all null
+    state.update((n, n_vals, total))
+    # SQL sum semantics: NULL (not 0.0) when no non-null value was ever
+    # seen — matches the batch groupBy().agg(sum) parity target.
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_events": pd.array([n], dtype="Int64"),
+            "total_value": pd.array(
+                [total if n_vals else None], dtype="Float64"
+            ),
+        }
     )
 
 

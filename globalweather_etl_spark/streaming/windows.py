@@ -37,20 +37,10 @@ def tumbling_stats(
 ) -> DataFrame:
     """Per-(window, key) count + exact value sum over non-overlapping
     event-time windows. Streaming: one state row per open window per
-    key; watermark closes windows for append sinks."""
-    return (
-        events.groupBy(F.window(ts_col, duration), key_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _exact_sum("value").alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col(key_col),
-            "n_events",
-            "total_value",
-        )
-    )
+    key; watermark closes windows for append sinks.
+
+    Exactly sliding_stats with slide == duration."""
+    return sliding_stats(events, duration, duration, ts_col, key_col)
 
 
 def sliding_stats(
