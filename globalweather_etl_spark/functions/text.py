@@ -18,14 +18,21 @@ _PUNCT = r"[.,!?;:'\"()\[\]{}-]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization -> array<string>."""
-    return F.split(text, _WS)
+    """Whitespace tokenization -> array<string>. Input is trimmed
+    first: split() keeps the empty token a leading separator produces
+    (' hi there' -> ['', 'hi', 'there']), which would inflate counts
+    and inject empty shingles for padded text."""
+    return F.split(F.trim(text), _WS)
 
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish counting belongs to a tokenizer
-    service; whitespace is the scale-safe default)."""
-    return F.size(tokens(text)).cast("int")
+    service; whitespace is the scale-safe default). NULL text counts
+    NULL — guarded explicitly because size(NULL) is -1 under Spark's
+    legacy conf, while SQL engines return NULL."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(tokens(text)).cast("int")
+    )
 
 
 def char_count(text: Column) -> Column:

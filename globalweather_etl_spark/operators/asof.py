@@ -27,6 +27,9 @@ def asof_join(
     """left columns + value_cols from the as-of matched right row
     (NULL where no right row precedes). Ties (right_time == left_time)
     match — the right row sorts before the left row at equal times.
+    Among right rows sharing (key, time), the greatest value-struct wins
+    (deterministic); oracles on engines with unspecified ASOF tie-picks
+    should pre-deduplicate their right side to mirror this.
 
     Both inputs shuffle once on `by`; the window is partitioned by `by`
     and ordered by (time, side marker), so each task streams its keys'
@@ -57,7 +60,11 @@ def asof_join(
         F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = Window.partitionBy(*by).orderBy("__t", "__side").rowsBetween(
+    # __v as the final sort key makes the order total even when the
+    # right side has duplicate timestamps per key: the greatest value
+    # struct wins deterministically (left rows all carry NULL __v and
+    # need no tiebreak — each is its own output row).
+    w = Window.partitionBy(*by).orderBy("__t", "__side", "__v").rowsBetween(
         Window.unboundedPreceding, 0
     )
     carried = unioned.select(

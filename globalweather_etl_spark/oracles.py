@@ -18,7 +18,10 @@ side in queries.py / plans/):
 
 from __future__ import annotations
 
-from globalweather_etl_spark.sources.weather_from_events import WEATHER_STAGING_SQL
+from globalweather_etl_spark.sources.weather_from_events import (
+    AS_OF_DATE,
+    WEATHER_STAGING_SQL,
+)
 
 # ---------------------------------------------------------------- weather ELT
 
@@ -56,7 +59,7 @@ dim_location AS (
     CAST(row_number() OVER (ORDER BY POSTAL_CODE, CITY_NAME, COUNTRY) AS BIGINT)
       AS LOCATION_KEY,
     POSTAL_CODE, CITY_NAME, COUNTRY,
-    DATE '2024-02-01'  AS VALID_FROM,
+    DATE '{AS_OF_DATE.isoformat()}' AS VALID_FROM,
     CAST(NULL AS DATE) AS VALID_TO,
     TRUE               AS IS_CURRENT
   FROM (SELECT DISTINCT POSTAL_CODE, CITY_NAME, COUNTRY FROM staging)
@@ -180,7 +183,7 @@ FROM part GROUP BY 1 ORDER BY N_PARTS DESC""",
     "tpch_topk_customers": f"""
 SELECT c.c_name, {_davg_sql("o.o_totalprice")} AS AVG_ORDER_VALUE
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_name ORDER BY AVG_ORDER_VALUE DESC LIMIT 15""",
+GROUP BY c.c_name ORDER BY AVG_ORDER_VALUE DESC, c.c_name LIMIT 15""",
     "tpch_order_date_parts": f"""
 SELECT DISTINCT CAST(o_orderdate AS DATE) AS ORDER_DATE,
   {_DATE_PARTS.format(d="CAST(o_orderdate AS DATE)")},
@@ -294,11 +297,15 @@ WHERE ts >= window_start AND ts < window_start + INTERVAL 24 HOUR
 GROUP BY 1, 2""",
     # DuckDB's native ASOF LEFT JOIN is the oracle for the union+
     # carry-forward implementation (inclusive backward match).
+    # Right side pre-deduplicated per (user, ts) to max(value): DuckDB's
+    # ASOF tie-pick is unspecified, the operator deterministically keeps
+    # the greatest value-struct.
     "events_asof_last_signup": """
 SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, value AS signup_value
-                FROM events WHERE event_type = 'signup') r
+ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts) r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts""",
     "events_interval_join": """
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
@@ -316,7 +323,8 @@ WITH bounds AS (
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
   FROM bounds),
-obs AS (SELECT user_id, ts, value FROM events)
+obs AS (SELECT user_id, ts, max(value) AS value FROM events
+        GROUP BY user_id, ts)
 SELECT g.user_id, g.grid_ts, o.ts, o.value
 FROM grid g
 ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.ts""",
@@ -340,14 +348,14 @@ FROM t GROUP BY 1, 2""",
     # end = last event + gap.
     "events_session_30m": f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged)
 SELECT user_id, min(ts) AS session_start,
@@ -390,7 +398,9 @@ FROM media m JOIN documents d ON m.media_id = d.doc_id""",
 # --------------------------------------------- dedup / text / similarity
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKS = "regexp_split_to_array(text, '\\s+')"
+# Mirrors functions.text.tokens(): trim first (split keeps the empty
+# token a leading separator would produce).
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
 def _shingles_sql(n: int) -> str:
@@ -408,7 +418,7 @@ FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)"""
 def _lang_score_sql(lang_words: list[str]) -> str:
     quoted = ", ".join(f"'{w}'" for w in lang_words)
     return (
-        "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
         f"t -> t IN ({quoted}))) AS INTEGER)"
     )
 
@@ -484,7 +494,7 @@ c AS (
   FROM t)
 SELECT doc_id, n_tokens,
   CAST(prior // 2048 AS BIGINT) AS bin_id,
-  prior % 2048 AS bin_offset
+  CAST(prior % 2048 AS BIGINT) AS bin_offset
 FROM c""",
     "docs_stopword_scores": None,  # filled in below (needs _LANG_STOPWORDS)
     "docs_quality_score": f"""

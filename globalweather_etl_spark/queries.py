@@ -200,7 +200,7 @@ def q_tpch_topk_customers(spark, sf_dir):
         orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .groupBy("c_name")
         .agg(exact_avg(F.col("o_totalprice")).alias("AVG_ORDER_VALUE"))
-        .orderBy(F.desc("AVG_ORDER_VALUE"))
+        .orderBy(F.desc("AVG_ORDER_VALUE"), F.asc("c_name"))
         .limit(15)
     )
 
@@ -300,7 +300,7 @@ def q_tpch_set_ops(spark, sf_dir):
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    both = urgent.intersect(low).exceptAll(failed.distinct())
+    both = urgent.intersect(low).subtract(failed)
     return both.agg(F.count(F.lit(1)).alias("n_customers"))
 
 
