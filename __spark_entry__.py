@@ -3,9 +3,15 @@
 entry(spark)  -> flagship query (full weather-warehouse fact build) on sf0.001.
 queries()     -> one callable per implemented operator from SURVEY.md §2
                  plus the north-star extensions (dedup/similarity/text).
-oracle_sql()  -> matching DuckDB SQL per query (omitted only for the
-                 hash-seeded ops with no cross-engine twin: minhash/simhash/
-                 LSH — the driver records rows-only checks for those).
+oracle_sql()  -> matching DuckDB SQL per query. Omitted (rows-only
+                 check) only where no cross-engine twin exists:
+                 hash-seeded near-dup/ANN ops (docs_minhash_lsh,
+                 docs_simhash, emb_lsh_topk, emb_ivf_topk), sketch
+                 aggregates (docs_approx_stats — engines use different
+                 sketches), and the stubbed codec path
+                 (media_decode_image). Each is covered by unit tests
+                 (recall floors / error bounds / reference
+                 computations) instead.
 """
 
 from __future__ import annotations

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -115,7 +116,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "sf": (
+                    re.search(r"sf([0-9.]+)/?$", sf_dir).group(1)
+                    if re.search(r"sf([0-9.]+)/?$", sf_dir)
+                    else os.path.basename(sf_dir.rstrip("/"))
+                ),
             }
         )
     )

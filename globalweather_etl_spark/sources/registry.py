@@ -44,8 +44,17 @@ NANO_TS_COLS: dict[str, list[str]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one landing-zone table. Aside from the nanos-timestamp repair
-    above, no schema munging — pushdown/pruning reach the scan untouched."""
+    above, no schema munging — pushdown/pruning reach the scan untouched.
+
+    Session confs set here stay set: scans are lazy, so restoring the
+    conf after this call would undo it before the read executes. The
+    nanos conf makes other TIMESTAMP(NANOS) parquet in the session read
+    as longs instead of erroring — acceptable for the landing-zone
+    session; documented so it isn't a surprise. The UTC session timezone
+    pins date/window semantics to the oracle's (timezone-free) math even
+    when the caller built the session without get_spark()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLS.get(name, []):
         # Physical type varies per dataset (NANOS -> read as long under

@@ -59,9 +59,17 @@ def weather_staging_from_events(events: DataFrame) -> DataFrame:
     return first.select(
         F.col("ts").cast("date").alias("DATE_VALID_STD"),
         F.dayofyear(F.col("ts").cast("date")).cast("int").alias("DOY_STD"),
-        F.concat(F.lit("P"), F.lpad(postal_num.cast("string"), 6, "0")).alias(
-            "POSTAL_CODE"
-        ),
+        # lpad TRUNCATES strings longer than the pad width (identically
+        # in DuckDB, so it would pass the oracle while colliding
+        # distinct users onto one postal code at >=7-digit user_ids);
+        # pad short ids, pass long ids through.
+        F.concat(
+            F.lit("P"),
+            F.when(
+                F.length(postal_num.cast("string")) < 6,
+                F.lpad(postal_num.cast("string"), 6, "0"),
+            ).otherwise(postal_num.cast("string")),
+        ).alias("POSTAL_CODE"),
         F.concat(F.lit("City_"), (postal_num % 11).cast("string")).alias("CITY_NAME"),
         F.concat(F.lit("C"), (postal_num % 5).cast("string")).alias("COUNTRY"),
         temp.alias("AVG_TEMPERATURE_AIR_2M_F"),
@@ -91,7 +99,9 @@ WEATHER_STAGING_SQL = """
 SELECT
     CAST(ts AS DATE)                                        AS DATE_VALID_STD,
     CAST(dayofyear(CAST(ts AS DATE)) AS INTEGER)            AS DOY_STD,
-    'P' || lpad(CAST(user_id AS VARCHAR), 6, '0')           AS POSTAL_CODE,
+    'P' || CASE WHEN length(CAST(user_id AS VARCHAR)) < 6
+                THEN lpad(CAST(user_id AS VARCHAR), 6, '0')
+                ELSE CAST(user_id AS VARCHAR) END           AS POSTAL_CODE,
     'City_' || CAST(user_id % 11 AS VARCHAR)                AS CITY_NAME,
     'C' || CAST(user_id % 5 AS VARCHAR)                     AS COUNTRY,
     (value - floor(value / 120.0) * 120.0) - 10.0           AS AVG_TEMPERATURE_AIR_2M_F,

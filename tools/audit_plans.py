@@ -49,8 +49,9 @@ AUDITS = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(AUDITS)
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(AUDITS)
     spark = get_spark(
         master="local[8]",
         shuffle_partitions=8,

@@ -5,7 +5,16 @@ values. Usage: python tools/check_correctness.py [sf_dir] [name ...]"""
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time
+
+# Pin the PROCESS timezone before any session exists: PySpark collect()
+# renders TimestampType via host-local time, DuckDB returns naive UTC
+# wall times — on a non-UTC host every timestamp column would
+# spuriously mismatch.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, ".")
 
@@ -51,6 +60,10 @@ def main():
         )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
         if only and name not in only:
