@@ -141,7 +141,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dashboard_q2": WEATHER_PROLOGUE
     + f"""SELECT l.CITY_NAME, {_davg_sql("f.AVG_TEMP_F")} AS AVG_TEMP_F
   FROM fact f JOIN dim_location l ON f.LOCATION_KEY = l.LOCATION_KEY
-  GROUP BY l.CITY_NAME ORDER BY AVG_TEMP_F DESC LIMIT 15""",
+  GROUP BY l.CITY_NAME ORDER BY AVG_TEMP_F DESC, l.CITY_NAME LIMIT 15""",
     "dashboard_q3": WEATHER_PROLOGUE
     + f"""SELECT PRECIPITATION_TYPE, {_davg_sql("AVG_TEMP_F")} AS AVG_TEMP_F
   FROM fact GROUP BY PRECIPITATION_TYPE ORDER BY AVG_TEMP_F DESC""",

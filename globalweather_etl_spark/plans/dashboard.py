@@ -36,7 +36,11 @@ def q2(fact: DataFrame, dim_location: DataFrame) -> DataFrame:
         f.join(loc, F.col("fct.LOCATION_KEY") == F.col("dl.LOCATION_KEY"), "inner")
         .groupBy(F.col("dl.CITY_NAME").alias("CITY_NAME"))
         .agg(exact_avg(F.col("fct.AVG_TEMP_F")).alias("AVG_TEMP_F"))
-        .orderBy(F.desc("AVG_TEMP_F"))
+        # CITY_NAME tiebreak: the reference (DASH:19-20) orders by the
+        # average alone, leaving rank-15 ties engine-chosen; a
+        # deterministic tiebreak keeps results reproducible and
+        # oracle-comparable without changing any untied result.
+        .orderBy(F.desc("AVG_TEMP_F"), F.asc("CITY_NAME"))
         .limit(15)
     )
 

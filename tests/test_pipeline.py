@@ -164,6 +164,11 @@ def test_validate(wh):
 def test_q2_top15_truncates(wh):
     out = q2(wh.fact, wh.dim_location).collect()
     assert len(out) == 15
+    # the fixture ties City14/City15 at the cutoff — the name tiebreak
+    # must pick the same winner on every run
+    assert out == q2(wh.fact, wh.dim_location).collect()
+    names = [r["CITY_NAME"] for r in out]
+    assert ("City14" in names) and ("City15" not in names or "City14" in names)
 
 
 def test_q5_null_precip_in_denominator_only(wh):
