@@ -28,6 +28,7 @@ def salted_join(
     on: str,
     salt: int = 8,
     how: str = "inner",
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Equi-join probe⋈build on `on` with an S-way salted key.
 
@@ -50,4 +51,6 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     joined = probe_salted.join(build_salted, [on, _SALT], how)
-    return joined.drop(_SALT)
+    # keep_salt exposes the actual bucket assignment (diagnostics /
+    # tests asserting the spread property on the operator itself).
+    return joined if keep_salt else joined.drop(_SALT)

@@ -8,9 +8,6 @@ from pyspark.sql import SparkSession
 from globalweather_etl_spark.schemas import STG_FORECAST_DAY
 from globalweather_etl_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
-
-
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
     s = get_spark(
@@ -85,18 +82,20 @@ def weather_fixture(spark):
     rows.append(_row("2024-01-01", "40004", "TwinB", "CA", temp=55.0, precip=2.0))
     rows.append(_row("2024-01-02", "40004", "TwinA", "US", temp=60.0, precip=0.0))
     rows.append(_row("2024-01-02", "40004", "TwinB", "CA", temp=60.0, precip=0.0))
-    # 7. >=16 distinct cities so LIMIT 15 truncates, tie at rank 15/16
+    # 7. >=16 distinct cities so LIMIT 15 truncates, with the tie AT the
+    # rank-15/16 cutoff: City13..City00 span 83..70, City14/City15 tie
+    # just below at 69.5 — exactly one of them fits in the top 15, so a
+    # deterministic tiebreak is observable. One city stays Hot (90.0)
+    # to keep the fixture's band/max-temp coverage.
     for i in range(16):
+        if i == 13:
+            temp = 90.0
+        elif i < 14:
+            temp = 70.0 + i
+        else:
+            temp = 69.5  # City14/City15 tie at the LIMIT-15 boundary
         rows.append(
-            _row(
-                "2024-01-01",
-                f"5{i:04d}",
-                f"City{i:02d}",
-                "US",
-                temp=70.0 + i if i < 14 else 90.0,  # City14/City15 tie at 90.0
-            )
+            _row("2024-01-01", f"5{i:04d}", f"City{i:02d}", "US", temp=temp)
         )
     return spark.createDataFrame(rows, STG_FORECAST_DAY)
 
-
-AS_OF = dt.date(2024, 2, 1)

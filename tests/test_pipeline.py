@@ -164,11 +164,11 @@ def test_validate(wh):
 def test_q2_top15_truncates(wh):
     out = q2(wh.fact, wh.dim_location).collect()
     assert len(out) == 15
-    # the fixture ties City14/City15 at the cutoff — the name tiebreak
-    # must pick the same winner on every run
-    assert out == q2(wh.fact, wh.dim_location).collect()
+    # City14/City15 tie exactly at the rank-15/16 boundary: the
+    # CITY_NAME tiebreak must admit City14 and exclude City15.
     names = [r["CITY_NAME"] for r in out]
-    assert ("City14" in names) and ("City15" not in names or "City14" in names)
+    assert "City14" in names
+    assert "City15" not in names
 
 
 def test_q5_null_precip_in_denominator_only(wh):
@@ -183,6 +183,9 @@ def test_q5_null_precip_in_denominator_only(wh):
 def test_q5_fanout_can_exceed_intuition(wh):
     """Jan 1 includes the fan-out postal (4 fact rows from 2 staging
     rows, all precip=2.0) — replicating the reference's >100%-capable
-    semantics (img/Dashboard.png shows the same artifact)."""
+    semantics (img/Dashboard.png shows the same artifact). The exact
+    value pins the fan-out: 6 rainy fact rows (Rainy, Gapville, 4 from
+    the doubled 40004 postal) over 23 fact rows; without fan-out it
+    would be 4/21."""
     rows = {r["DATE_KEY"]: r["PCT_LOCATIONS_WITH_RAIN"] for r in q5(wh.fact).collect()}
-    assert rows[dt.date(2024, 1, 1)] > 0
+    assert abs(rows[dt.date(2024, 1, 1)] - 6 * 100.0 / 23) < 1e-9

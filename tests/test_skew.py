@@ -29,20 +29,18 @@ def test_salted_join_matches_plain_join(spark):
 
 def test_salt_spreads_hot_key(spark):
     """A single hot key must occupy every salt bucket, i.e. the skewed
-    work is divisible across `salt` tasks."""
+    work is divisible across `salt` tasks — asserted on the operator's
+    OWN bucket assignment (keep_salt), not a test-side recomputation."""
     hot = spark.range(10_000).select(
         F.lit(1).alias("k"), F.col("id").alias("payload")
     )
     dim = spark.range(1).select(F.lit(1).alias("k"), F.lit("x").alias("attr"))
-    out = salted_join(hot, dim, "k", salt=8)
+    out = salted_join(hot, dim, "k", salt=8, keep_salt=True)
     assert out.count() == 10_000
-    n_buckets = (
-        hot.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(8)).cast("int"),
-        )
-        .select("__salt")
-        .distinct()
-        .count()
-    )
-    assert n_buckets == 8
+    per_bucket = {
+        r["__salt"]: r["count"]
+        for r in out.groupBy("__salt").count().collect()
+    }
+    assert len(per_bucket) == 8  # every bucket used
+    # and the spread is roughly uniform (no bucket hoards the hot key)
+    assert max(per_bucket.values()) < 10_000 * 0.5

@@ -5,6 +5,8 @@ execution path (state, triggers, sinks), not a reimplementation."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -86,7 +88,7 @@ def test_append_mode_emits_closed_windows_only(spark, landing, batch_events, tmp
     got = spark.read.parquet(str(tmp_path / "daily_event_metrics"))
     want = tumbling_stats(batch_events, "1 day")
     max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
-    watermark = max_ts - __import__("datetime").timedelta(hours=1)
+    watermark = max_ts - dt.timedelta(hours=1)
     closed = want.filter(
         F.col("window_start") + F.expr("INTERVAL 1 DAY") <= F.lit(watermark)
     )
@@ -137,8 +139,6 @@ def test_weather_band_counts_stream_equals_batch(spark, landing, batch_events):
 def test_stream_static_join_equals_batch(spark, landing, batch_events):
     """Stream-static enrichment join: identical counts from the stream
     and the batch table against the same static dimension."""
-    from pyspark.sql import functions as F
-
     from globalweather_etl_spark.streaming import enriched_country_counts
 
     user_dim = (
@@ -164,8 +164,6 @@ def test_stream_stream_interval_join_equals_batch(spark, landing, batch_events):
     reproduce the batch interval join (append mode: interval-join
     output needs no aggregation finalization, every matched pair emits
     exactly once)."""
-    from pyspark.sql import functions as F
-
     from globalweather_etl_spark.streaming import clicks_with_recent_signup
 
     def split(df):
