@@ -175,6 +175,27 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
 JOIN region r   ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name""",
+    "tpch_q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE), 4)
+    AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE), 4)
+    AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)))
+    AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+    AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,12))) AS DOUBLE)
+    / count(l_quantity), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,12))) AS DOUBLE)
+    / count(l_extendedprice), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(25,12))) AS DOUBLE)
+    / count(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
     "tpch_price_band_distinct": f"""
 SELECT DISTINCT {_PRICE_BAND_CASE} AS PRICE_BAND FROM part""",
     "tpch_price_band_counts": f"""

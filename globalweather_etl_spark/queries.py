@@ -179,6 +179,33 @@ def q_tpch_star_join_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical multi-aggregate scan — date filter
+    pushed to the parquet reader, 8 aggregates in one two-phase hash
+    aggregation over a tiny group space. Decimal accumulation keeps
+    sums/averages bit-identical to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    dsum = lambda c: F.round(  # noqa: E731 - local aggregation shorthand
+        F.sum(c.cast("decimal(25,10)")).cast("double"), 4
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_tpch_price_band_distinct(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     return part.select(price_band(F.col("p_retailprice")).alias("PRICE_BAND")).distinct()
@@ -710,6 +737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_q4": q_dashboard_q4,
     "dashboard_q5": q_dashboard_q5,
     "tpch_star_join_revenue": q_tpch_star_join_revenue,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_price_band_distinct": q_tpch_price_band_distinct,
     "tpch_price_band_counts": q_tpch_price_band_counts,
     "tpch_topk_customers": q_tpch_topk_customers,
