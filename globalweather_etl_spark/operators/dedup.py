@@ -28,7 +28,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from globalweather_etl_spark.functions.text import fingerprint_md5, word_shingles
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
@@ -75,12 +75,32 @@ def exact_dedup_removed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_anti")
 
 
+def _md5_long(col) -> Column:
+    """First 60 bits of md5 as a positive BIGINT — an engine-portable
+    hash: DuckDB mirrors it exactly as
+    CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hash(s, hash_fn: str) -> Column:
+    """Shingle string -> 8-byte join key. "xxhash64" is the fast
+    JVM-native default; "md5" is the engine-portable variant (same
+    value computable in DuckDB), enabling cross-engine oracles for the
+    hash-seeded near-dup operators."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s)
+    if hash_fn == "md5":
+        return _md5_long(s)
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >=1
     shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
@@ -88,26 +108,39 @@ def ngram_jaccard_pairs(
     Inverted-index pattern: explode distinct (id, shingle), self-join on
     shingle (ids ordered to emit each pair once), count intersections,
     then join per-doc shingle counts. Cost is sum over shingles of
-    (docs-per-shingle choose 2) — bounded in real corpora; a hot-shingle
-    cap (drop shingles appearing in > X% of docs) is the standard
-    mitigation at 100 TB and composes here as one extra filter.
+    (docs-per-shingle choose 2) — one stop-phrase shingle shared by k
+    docs costs k² candidate pairs, which at 100 TB is a catastrophic
+    shuffle. ``max_doc_freq`` is the standard mitigation: shingles whose
+    document frequency exceeds the cap are dropped BEFORE the self-join
+    (similarity is then defined over the capped shingle space — sizes
+    and intersections both exclude hot shingles, so the measure stays
+    self-consistent). Output is identical to the uncapped form whenever
+    no shingle's document frequency exceeds the cap (tested).
 
     Shingles are xxhash64-coded before the join: shuffle and join keys
     are 8-byte longs, not multi-word strings (64-bit collisions are
     negligible at any realistic corpus size)."""
     shingled = _hashed_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        shingled = _cap_hot_shingles(shingled, max_doc_freq)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = _intersections(shingled)
     return _jaccard_join_sizes(inter, sizes).filter(F.col("jaccard") >= threshold)
 
 
 def _hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    spread: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Inverted-index rows (doc, sh): one row per distinct word n-gram
-    per doc, shingle coded as an xxhash64 long. spread=False skips the
-    partition check when the caller already spread the input (the check
-    itself costs a driver-side plan analysis)."""
+    per doc, shingle coded as an 8-byte long (see _shingle_hash).
+    spread=False skips the partition check when the caller already
+    spread the input (the check itself costs a driver-side plan
+    analysis)."""
     if spread:
         df = spread_for_compute(df)
     return df.select(
@@ -115,10 +148,28 @@ def _hashed_shingles(
         F.explode(
             F.transform(
                 F.array_distinct(word_shingles(F.col(text_col), n)),
-                lambda s: F.xxhash64(s),
+                lambda s: _shingle_hash(s, hash_fn),
             )
         ).alias("sh"),
     )
+
+
+def _cap_hot_shingles(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    Rows in ``shingled`` are distinct per (doc, sh), so a plain count
+    per sh IS the document frequency. The hot set is tiny by
+    construction (a cap is chosen so that only stop-phrases exceed it),
+    so it broadcasts and the filter is a broadcast ANTI join — no extra
+    shuffle of the index beyond the doc-freq aggregation, which shuffles
+    on the same key (sh) the candidate self-join uses."""
+    hot = (
+        shingled.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("sh")
+    )
+    return shingled.join(F.broadcast(hot), "sh", "left_anti")
 
 
 def _intersections(shingled: DataFrame) -> DataFrame:
@@ -154,21 +205,25 @@ def _jaccard_join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_signature(shingles, num_hashes: int):
-    """MinHash signature as array<long>: h_i(x) = (a_i*x + b_i) mod P over
-    xxhash64 shingle ids, min-reduced per hash function. Coefficients
-    derive from the hash index (fixed seed), so the signature is a pure
-    expression — computed in the scan stage, no shuffle.
+def _minhash_signature(hashes, num_hashes: int):
+    """MinHash signature as array<long> over an array of 8-byte shingle
+    hashes: h_i(x) = (a_i*x + b_i) mod P, min-reduced per hash function.
+    Coefficients derive from the hash index (fixed seed), so the
+    signature is a pure expression — computed in the scan stage when the
+    hash array is, no shuffle. The affine family uses only positive
+    operands after the initial pmod, so `%` here computes the same
+    values in Spark and DuckDB (the md5 hash mode exploits this for a
+    cross-engine oracle).
 
-    Single left-fold over the shingle array with an array<long>
-    accumulator (one element per hash function): O(S·H) work in ONE pass
-    and a constant-size expression tree, instead of H separate
+    Single left-fold over the hash array with an array<long> accumulator
+    (one element per hash function): O(S·H) work in ONE pass and a
+    constant-size expression tree, instead of H separate
     array_min(transform(...)) passes whose codegen grows (and compiles)
     linearly with H. Empty shingle sets yield the P sentinel per slot."""
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes)
     return F.aggregate(
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))),
+        F.transform(hashes, lambda h: F.pmod(h, F.lit(_MH_PRIME))),
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -192,6 +247,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify: bool = True,
+    hash_fn: str = "xxhash64",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs.
 
@@ -202,21 +259,64 @@ def minhash_lsh_pairs(
     is on band hashes: high cardinality, well spread).
 
     verify=True re-checks candidates with exact shingle Jaccard, making
-    the output precision-exact (LSH only affects recall)."""
+    the output precision-exact (LSH only affects recall).
+
+    hash_fn="md5" swaps xxhash64 for the md5-prefix hash everywhere
+    (shingle ids AND band keys), making the whole operator — signatures,
+    bucketing, verification — exactly mirrorable in DuckDB SQL, i.e. a
+    real cross-engine oracle instead of a rows-only check. xxhash64
+    stays the default for raw scan-stage speed.
+
+    max_doc_freq caps hot shingles (see ngram_jaccard_pairs): shingles
+    above the cap are dropped before signatures AND verification, so
+    stop-phrases can neither glue unrelated docs into shared buckets nor
+    blow up the verify join. Capping requires the global doc-frequency,
+    so the capped path builds the inverted index first and regroups
+    per-doc hash arrays (one extra shuffle on doc) — the uncapped path
+    keeps the pure scan-stage signature."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
-    shingles = F.array_distinct(word_shingles(F.col(text_col), n))
     # Docs with zero shingles (< n tokens) are excluded from pairing:
     # they would all share the sentinel signature, match on every band,
     # and emit a quadratic clique of contentless "near-dups" through one
     # hot bucket.
-    signed = df.select(
-        F.col(id_col).alias("doc"),
-        _minhash_signature(shingles, num_hashes).alias("sig"),
-        F.size(shingles).alias("__ns"),
-    ).filter(F.col("__ns") > 0).drop("__ns")
+    shingled = _hashed_shingles(
+        df, id_col, text_col, n, spread=False, hash_fn=hash_fn
+    )
+    if max_doc_freq is not None:
+        shingled = _cap_hot_shingles(shingled, max_doc_freq)
+        signed = (
+            shingled.groupBy("doc")
+            .agg(F.collect_list("sh").alias("__hs"))
+            .select(
+                "doc", _minhash_signature(F.col("__hs"), num_hashes).alias("sig")
+            )
+        )
+    else:
+        shingles = F.array_distinct(word_shingles(F.col(text_col), n))
+        hashes = F.transform(shingles, lambda s: _shingle_hash(s, hash_fn))
+        signed = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                _minhash_signature(hashes, num_hashes).alias("sig"),
+                F.size(shingles).alias("__ns"),
+            )
+            .filter(F.col("__ns") > 0)
+            .drop("__ns")
+        )
+
+    def _band_hash(sl):
+        """Band slice -> 8-byte bucket key. md5 mode hashes the
+        comma-joined decimal rendering (string_agg-mirrorable in SQL);
+        xxhash64 hashes the slice array natively."""
+        if hash_fn == "md5":
+            return _md5_long(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl)
+
     banded = signed.select(
         "doc",
         F.explode(
@@ -224,7 +324,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
+                        _band_hash(
                             F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
                         ).alias("bhash"),
                     )
@@ -250,8 +350,8 @@ def minhash_lsh_pairs(
     # Verify CANDIDATES ONLY (not a full all-pairs exact Jaccard): join
     # each candidate pair back to its two shingle sets and count the
     # intersection. Work scales with |candidates| x shingles-per-doc —
-    # the whole point of LSH at 100 TB.
-    shingled = _hashed_shingles(df, id_col, text_col, n, spread=False)
+    # the whole point of LSH at 100 TB. `shingled` is the capped index
+    # when a cap is set, so verification is consistent with bucketing.
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         candidates.join(

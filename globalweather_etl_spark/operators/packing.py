@@ -54,11 +54,15 @@ def pack_by_budget(
         .agg(F.sum("n_tokens").alias("__ptot"))
         .withColumn(
             "__offset",
+            # Deliberately single-partition over #partitions rows (see
+            # surrogate_key.py): partitionBy(lit(0)) keeps the plan
+            # identical but suppresses the WindowExec warning so that
+            # warning stays a genuine-regression signal.
             F.coalesce(
                 F.sum("__ptot").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("long"),

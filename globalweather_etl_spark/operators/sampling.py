@@ -38,12 +38,19 @@ def _threshold(fraction: float) -> str:
     return "g" if v >= _SPACE else format(v, "04x")
 
 
+def sample_flag(key: Column, fraction: float, seed: int = 0) -> Column:
+    """The membership predicate behind deterministic_sample, as a
+    reusable boolean Column (e.g. to carry a sampled flag instead of
+    filtering)."""
+    return _hex_bucket(key, seed) < F.lit(_threshold(fraction))
+
+
 def deterministic_sample(
     df: DataFrame, key: Column, fraction: float, seed: int = 0
 ) -> DataFrame:
     """Keep ~fraction of rows, chosen by key hash: stable across runs,
     partitionings, and engines."""
-    return df.filter(_hex_bucket(key, seed) < F.lit(_threshold(fraction)))
+    return df.filter(sample_flag(key, fraction, seed))
 
 
 def hash_split(

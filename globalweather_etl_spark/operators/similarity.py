@@ -191,8 +191,11 @@ def ivf_cosine_topk(
         cand.orderBy(F.xxhash64("cand_id"))
         .limit(n_lists)
         .select(
+            # Deliberately single-partition: numbering n_lists (<=
+            # dozens) sampled centroids. partitionBy(lit(0)) keeps the
+            # identical plan without the WindowExec warning.
             F.row_number()
-            .over(Window.orderBy("cand_id"))
+            .over(Window.partitionBy(F.lit(0)).orderBy("cand_id"))
             .cast("int")
             .alias("list_id"),
             _normalize(F.col("cvec")).alias("centroid"),
@@ -265,6 +268,65 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_range_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed similarity RANGE search: every pair (a, b), a < b, with
+    cosine(a, b) >= threshold — the scale path for the all-pairs theta
+    self-join (q_emb_range_search keeps the brute form as the exact
+    oracle baseline).
+
+    Candidate generation is a SELF-join on (table, bucket): only pairs
+    sharing a random-hyperplane bucket in >=1 of num_tables independent
+    tables are ever scored, so the shuffle keys are high-cardinality
+    bucket ids and the quadratic all-pairs stage disappears. Each
+    candidate is then verified with the exact cosine — precision is
+    exact; recall is 1-(1-p^planes)^tables with p = 1 - angle/pi, rising
+    with num_tables and with the threshold (near-dup pairs land in the
+    same bucket with high probability).
+
+    A pair colliding in several tables is scored once per collision and
+    deduped by first() — duplicate scores are identical, and aggregating
+    an 8-byte double shuffles less than carrying the vectors through a
+    pair-keyed groupBy."""
+    _check_dim(embeddings, vec_col, dim)
+    e = spread_for_compute(embeddings)
+    tables = F.explode(
+        F.array(*[F.lit(t) for t in range(num_tables)])
+    ).alias("table")
+    base = e.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("*", tables)
+    bucketed = base.withColumn(
+        "bucket",
+        lsh_signature_multi(F.col("v"), F.col("table"), dim, num_planes),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

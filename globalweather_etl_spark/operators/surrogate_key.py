@@ -33,9 +33,14 @@ def surrogate_key(
     The ordering must be total (e.g. over distinct tuples) for the output
     to be deterministic — true for the reference's use (distinct
     POSTAL_CODE, CITY_NAME, COUNTRY tuples).
+
+    NULL ordering is pinned to NULLS LAST in both strategies: Spark's
+    default ASC is NULLS FIRST, but the reference engine (Snowflake) and
+    the DuckDB oracle both default to NULLS LAST — without the pin, a
+    NULL in any order column would silently shift every assigned key.
     """
     if strategy == "row_number":
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        w = Window.orderBy(*[F.asc_nulls_last(c) for c in order_cols])
         return df.withColumn(key_col, F.row_number().over(w).cast("long"))
     if strategy == "distributed":
         return _surrogate_key_distributed(df, order_cols, key_col, num_partitions)
@@ -50,20 +55,25 @@ def _surrogate_key_distributed(
 ) -> DataFrame:
     sess = df.sparkSession
     n = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = df.repartitionByRange(
+        n, *[F.asc_nulls_last(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
     # Partition-local rank: the window partitions by __pid, so no single
     # task ever sees more than one range-partition of rows.
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("__pid").orderBy(
+        *[F.asc_nulls_last(c) for c in order_cols]
+    )
     local = ranged.withColumn("__local_rn", F.row_number().over(w).cast("long"))
     # Offsets = exclusive prefix sum of per-partition counts, computed
     # IN-PLAN (no driver collect): the count aggregate has one row per
-    # partition, so the unpartitioned running-sum window touches only
-    # #partitions rows in a single trivial task. Both branches read the
-    # same range-shuffle exchange (Spark's ReuseExchange), so the input
-    # is ranged once, not twice — and nothing scales with row count on
-    # the driver.
+    # partition, so the running-sum window touches only #partitions rows
+    # in a single trivial task. The constant partitionBy(lit(0)) keeps
+    # the single-partition plan (that's the point: #partitions rows in
+    # one task) while marking it DELIBERATE — so Spark's "No Partition
+    # Defined" WindowExec warning stays reserved for genuine regressions.
+    # Both branches read the same range-shuffle exchange (Spark's
+    # ReuseExchange), so the input is ranged once, not twice — and
+    # nothing scales with row count on the driver.
     offsets = (
         ranged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -71,9 +81,9 @@ def _surrogate_key_distributed(
             "__offset",
             F.coalesce(
                 F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("long"),

@@ -557,6 +557,47 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) >= 0.5""",
+    # Full MinHash+LSH mirror (hash_fn="md5" on the Spark side): shingle
+    # ids and band keys are 60-bit md5 prefixes, the affine family
+    # (h*(2i+1) + 7919(i+1)) mod P uses only positive operands, and band
+    # keys hash the comma-joined decimal signature slice — every stage
+    # computes bit-identical values in both engines. n=3, num_hashes=32,
+    # bands=8 (4 rows/band), threshold=0.5, matching q_docs_minhash_lsh.
+    "docs_minhash_lsh": f"""
+WITH sh AS ({_shingles_sql(3)}),
+h AS (SELECT doc_id,
+        CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+          AS h
+      FROM sh),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, i, min((h * (2*i+1) + 7919 * (i+1)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) hi
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST('0x' || substring(
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 15)
+      AS BIGINT) AS bhash
+  FROM sig GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+  >= 0.5""",
     "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

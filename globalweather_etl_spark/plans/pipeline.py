@@ -58,15 +58,19 @@ def build_dim_date(staging: DataFrame) -> DataFrame:
 def build_dim_location(
     staging: DataFrame,
     as_of_date: dt.date,
-    key_strategy: str = "row_number",
+    key_strategy: str = "distributed",
 ) -> DataFrame:
     """DIM_LOCATION — distinct (POSTAL_CODE, CITY_NAME, COUNTRY) tuples,
     ROW_NUMBER surrogate key, SCD-1 bookkeeping columns (ETL:36-52).
 
     CURRENT_DATE() (ETL:43) is parameterized as ``as_of_date`` for
-    determinism. key_strategy="distributed" swaps the single-partition
-    ROW_NUMBER for the exact two-pass variant (operators/surrogate_key.py)
-    when location cardinality outgrows one task.
+    determinism. The default key_strategy is the exact two-pass
+    distributed variant (operators/surrogate_key.py) — bit-identical to
+    the reference's single-window ROW_NUMBER (proven by the
+    tpch_surrogate_key oracle and test_pipeline strategy-equality tests)
+    but with no single-partition bottleneck at scale, and no spurious
+    WindowExec single-partition warnings drowning out real ones.
+    key_strategy="row_number" keeps the reference-literal form.
     """
     distinct_locs = staging.select("POSTAL_CODE", "CITY_NAME", "COUNTRY").distinct()
     keyed = surrogate_key(
@@ -280,7 +284,7 @@ class WeatherWarehouse:
     observed_validation: dict | None = None
     # Surrogate-key strategy the warehouse was built with; materialize()
     # threads it through its rebuild.
-    key_strategy: str = "row_number"
+    key_strategy: str = "distributed"
 
     def validate(self) -> dict:
         """Run both reference validation queries; raise if the NULL-FK
@@ -308,7 +312,7 @@ def build_warehouse(
     spark: SparkSession,
     staging: DataFrame,
     as_of_date: dt.date,
-    key_strategy: str = "row_number",
+    key_strategy: str = "distributed",
 ) -> WeatherWarehouse:
     """Assemble every layer (lazy). Statement order of ETL:17-175 becomes
     this explicit DAG; materialization is the caller's choice
@@ -390,12 +394,19 @@ def materialize_fact_incremental(
         wh.dim_precipitation_type,
         wh.dim_source,
     ).filter(F.col("DATE_KEY").between(F.lit(min(dates)), F.lit(hi)))
-    import shutil
-
+    # Retract through the Hadoop FileSystem API, not os/shutil: base_path
+    # may be any scheme (hdfs://, s3a://, file:/) — a local-only isdir
+    # check would silently skip the delete on object stores and leave the
+    # stale partition alive under dynamic overwrite.
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
     for d in dates:
-        part_dir = os.path.join(path, f"DATE_KEY={d.isoformat()}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"DATE_KEY={d.isoformat()}")
+        )
+        fs = hpath.getFileSystem(hadoop_conf)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

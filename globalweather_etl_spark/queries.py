@@ -46,6 +46,7 @@ from globalweather_etl_spark.operators.similarity import (
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    lsh_range_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.packing import pack_by_budget
@@ -606,12 +607,16 @@ def q_docs_ngram_jaccard(spark, sf_dir):
 
 
 def q_docs_minhash_lsh(spark, sf_dir):
-    """Rows-only check (xxhash64 has no DuckDB twin); precision is exact
-    because candidates are verified with true Jaccard — recall is the
-    LSH S-curve."""
+    """Full cross-engine-checkable MinHash+LSH: hash_fn="md5" derives
+    shingle ids AND band keys from md5 prefixes, which DuckDB computes
+    bit-identically — so signatures, banding, candidate pairs, and the
+    exact-Jaccard verification all hash-match the oracle (previously a
+    rows-only check). Precision is exact because candidates are verified
+    with true Jaccard — recall is the LSH S-curve."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        hash_fn="md5",
     )
 
 
@@ -627,10 +632,19 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def q_emb_lsh_range_search(spark, sf_dir):
+    """Rows-only: LSH-bucketed range search — the at-scale path for
+    q_emb_range_search (whose brute all-pairs form stays as the exact
+    oracle baseline). Precision exact via verification; recall floors
+    are pinned in test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4, num_tables=6)
+
+
 def q_emb_range_search(spark, sf_dir):
-    """Similarity range 'join': all pairs with cosine >= 0.4 — candidate
-    generation is the brute-force pass here; the LSH variant
-    (q_emb_lsh_topk) is the at-scale path."""
+    """Similarity range 'join': all pairs with cosine >= 0.4 — this
+    brute-force form is the exact oracle baseline; the LSH-bucketed
+    variant (q_emb_lsh_range_search) is the at-scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     a = e.alias("a")
@@ -783,6 +797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_image": q_media_decode_image,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_range_search": q_emb_range_search,
+    "emb_lsh_range_search": q_emb_lsh_range_search,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
 }

@@ -31,6 +31,10 @@ def get_spark(
         builder = builder.master(master)
     conf = {
         "spark.sql.session.timeZone": "UTC",
+        # The landing zone stores TIMESTAMP(NANOS) parquet, which the
+        # reader otherwise rejects; set here (session construction) so
+        # load_table normally doesn't have to mutate a live session.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -46,15 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one landing-zone table. Aside from the nanos-timestamp repair
     above, no schema munging — pushdown/pruning reach the scan untouched.
 
-    Session confs set here stay set: scans are lazy, so restoring the
-    conf after this call would undo it before the read executes. The
-    nanos conf makes other TIMESTAMP(NANOS) parquet in the session read
-    as longs instead of erroring — acceptable for the landing-zone
-    session; documented so it isn't a surprise. The UTC session timezone
-    pins date/window semantics to the oracle's (timezone-free) math even
-    when the caller built the session without get_spark()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Session confs: get_spark() already sets both required confs at
+    session construction, so this function normally mutates nothing.
+    For FOREIGN sessions (the grading driver builds its own) the confs
+    are set here as a fallback — and must STAY set, because scans are
+    lazy: restoring the conf after this call would undo it before the
+    read executes. (An assert-instead-of-set alternative was rejected:
+    it would break the driver contract, which calls queries() with a
+    session we don't construct.) Consequences on a foreign session: other
+    TIMESTAMP(NANOS) parquet reads arrive as longs instead of erroring,
+    and a caller-chosen timezone is overridden with the UTC the oracle
+    semantics are defined in."""
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLS.get(name, []):
         # Physical type varies per dataset (NANOS -> read as long under

@@ -90,3 +90,92 @@ def test_simhash_empty_and_short_docs_fingerprint_zero(docs):
 def test_exact_dedup_preserves_all_columns(docs):
     out = exact_dedup(docs.withColumn("extra", F.lit("x")), "doc_id", "text")
     assert set(out.columns) == {"doc_id", "text", "extra"}
+
+
+@pytest.fixture(scope="module")
+def stop_shingle_docs(spark):
+    """Every doc ends with the same stop-phrase 'terms of service apply'
+    (a planted hot shingle chain); only 1/2 and 3/4 share real content."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon terms of service apply"),
+        (2, "alpha beta gamma delta zeta terms of service apply"),
+        (3, "one two three four five six terms of service apply"),
+        (4, "one two three four five seven terms of service apply"),
+        (5, "red orange yellow green blue terms of service apply"),
+        (6, "north south east west center terms of service apply"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_cap_identical_below_cap(docs):
+    """With a cap no shingle exceeds, output is identical to uncapped."""
+    base = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=1000
+        ).collect()
+    )
+    assert base == capped
+
+
+def test_hot_shingle_cap_bounds_candidates(stop_shingle_docs):
+    """A planted stop-shingle in every doc pairs all (6 choose 2)=15 docs
+    uncapped; the cap drops the hot shingles so only genuinely similar
+    pairs remain — bounded candidate count, not quadratic."""
+    uncapped = ngram_jaccard_pairs(
+        stop_shingle_docs, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    assert len(uncapped) == 15  # every pair glued by the stop-phrase
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            stop_shingle_docs, "doc_id", "text", n=3, threshold=0.0,
+            max_doc_freq=2,
+        ).collect()
+    }
+    assert set(capped) == {(1, 2), (3, 4)}
+    # similarity is over the capped shingle space: 1/2 share 3 of their
+    # remaining shingles-with-df<=2
+    assert all(0.0 < j <= 1.0 for j in capped.values())
+
+
+def test_minhash_cap_excludes_stop_shingles(stop_shingle_docs):
+    """Capped MinHash: stop-shingle-only docs (5, 6) drop out of every
+    band bucket; real near-dups (1/2, 3/4) still pair."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            stop_shingle_docs, "doc_id", "text", n=3, num_hashes=32,
+            bands=16, threshold=0.0, max_doc_freq=2,
+        ).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all(5 not in p and 6 not in p for p in pairs)
+
+
+def test_minhash_md5_mode_matches_xxhash_on_verified_pairs(docs):
+    """hash_fn only changes candidate RECALL (different signatures);
+    verified jaccard values for pairs found by both must be identical,
+    and the guaranteed identical pair (1,2) appears in both."""
+    xx = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    md = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.5, hash_fn="md5",
+        ).collect()
+    }
+    assert (1, 2) in xx and (1, 2) in md
+    for pair in set(xx) & set(md):
+        assert xx[pair] == md[pair]

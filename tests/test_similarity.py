@@ -8,9 +8,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.similarity import (
+    _as_double,
+    cosine,
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    lsh_range_pairs,
 )
 from globalweather_etl_spark.sources import load_table
 
@@ -73,3 +76,47 @@ def test_ivf_partial_probe_recall_reasonable(emb, queries, exact):
 def test_lsh_recall_floor(emb, queries, exact):
     rows = lsh_cosine_topk(emb, queries, k=5, dim=64, num_planes=4).collect()
     assert _recall(rows, exact) >= 0.3
+
+
+@pytest.fixture(scope="module")
+def brute_range_pairs(emb):
+    """Exact cosine >= 0.4 pairs — the oracle baseline for range search."""
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    rows = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    )
+    return {(r["id_a"], r["id_b"]): r["cos_sim"] for r in rows}
+
+
+def test_lsh_range_pairs_precision_exact(emb, brute_range_pairs):
+    """Every emitted pair must be a true >= threshold pair with the
+    exact cosine value (verification makes precision 1.0)."""
+    rows = lsh_range_pairs(
+        emb, threshold=0.4, dim=64, num_planes=4, num_tables=6
+    ).collect()
+    for r in rows:
+        key = (r["id_a"], r["id_b"])
+        assert key in brute_range_pairs
+        assert r["cos_sim"] == brute_range_pairs[key]
+
+
+def test_lsh_range_pairs_recall_floor(emb, brute_range_pairs):
+    rows = lsh_range_pairs(
+        emb, threshold=0.4, dim=64, num_planes=4, num_tables=6
+    ).collect()
+    recall = len(rows) / max(1, len(brute_range_pairs))
+    assert recall >= 0.5, f"recall {recall} over {len(brute_range_pairs)} pairs"
+
+
+def test_lsh_range_pairs_deterministic(emb):
+    a = lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4).collect()
+    b = lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -26,8 +26,13 @@ from globalweather_etl_spark.sources.registry import TESTDATA_TABLES
 
 
 def normalize(rows, columns):
-    """Sort columns by name, then rows; stringify for comparison."""
-    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    """Sort columns by name, then rows; stringify for comparison.
+
+    The sort key is lowercased to match the case-insensitive column-name
+    equality check below: a case-sensitive sort could order the same
+    columns differently between engines that report identifier case
+    differently, misaligning values."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i].lower())
     out = []
     for row in rows:
         vals = []
