@@ -80,22 +80,23 @@ def main() -> None:
         # the numbers for the 100k-row-output queries.
         for name in (
             "tpch_star_join_revenue",
-            "tpch_events_rolling_sum",
+            "tpch_events_window_suite",
             "tpch_surrogate_key",
             "events_tumbling_daily",
             "events_sliding_day_12h",
             "events_session_30m",
-            "docs_exact_dedup_keepers",
+            "docs_exact_dedup",
             "docs_ngram_jaccard",
             "docs_minhash_lsh",
             "docs_simhash",
-            "docs_quality_score",
+            "docs_text_metrics",
             "emb_cosine_topk",
             "emb_lsh_topk",
             "emb_ivf_topk",
+            "emb_lsh_range_search",
             "events_asof_last_signup",
             "docs_pack_by_budget",
-            "media_byte_histogram",
+            "media_features",
         ):
             timed(
                 name,

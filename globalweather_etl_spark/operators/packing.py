@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.operators.partitioning import (
+    deliberate_single_partition,
+)
+
 
 def pack_by_budget(
     df: DataFrame,
@@ -55,12 +59,12 @@ def pack_by_budget(
         .withColumn(
             "__offset",
             # Deliberately single-partition over #partitions rows (see
-            # surrogate_key.py): partitionBy(lit(0)) keeps the plan
-            # identical but suppresses the WindowExec warning so that
-            # warning stays a genuine-regression signal.
+            # deliberate_single_partition): keeps the plan identical but
+            # suppresses the WindowExec warning so that warning stays a
+            # genuine-regression signal.
             F.coalesce(
                 F.sum("__ptot").over(
-                    Window.partitionBy(F.lit(0))
+                    Window.partitionBy(deliberate_single_partition())
                     .orderBy("__pid")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),

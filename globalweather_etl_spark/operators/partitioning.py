@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deliberate_single_partition() -> Column:
+    """A constant-zero partition key that SURVIVES the optimizer, for
+    windows that are single-partition BY DESIGN (bounded inputs like
+    per-shuffle-partition offset rows or a handful of centroids).
+
+    Window.partitionBy() with no/literal keys triggers Spark's
+    "No Partition Defined" WindowExec warning — correct for accidental
+    global windows, noise for deliberate bounded ones (and noise that
+    buries real regressions). A bare lit(0) does NOT work (constant
+    folding strips foldable partition keys), and neither does col * 0
+    (the optimizer simplifies multiply-by-zero of deterministic
+    non-nullable expressions). spark_partition_id() is flagged
+    non-deterministic, so `spark_partition_id() * 0` is exempt from
+    arithmetic simplification — yet it evaluates to 0 for every row,
+    keeping the partition spec non-empty while still routing the
+    bounded row set to one task, which is the point."""
+    return F.spark_partition_id() * F.lit(0)
 
 
 def spread_for_compute(df: DataFrame, *keys: str) -> DataFrame:

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.partitioning import (
+    deliberate_single_partition,
+    spread_for_compute,
+)
 
 
 def _as_double(vec: Column) -> Column:
@@ -192,10 +195,14 @@ def ivf_cosine_topk(
         .limit(n_lists)
         .select(
             # Deliberately single-partition: numbering n_lists (<=
-            # dozens) sampled centroids. partitionBy(lit(0)) keeps the
-            # identical plan without the WindowExec warning.
+            # dozens) sampled centroids (see deliberate_single_partition
+            # for why a plain lit(0) would not survive the optimizer).
             F.row_number()
-            .over(Window.partitionBy(F.lit(0)).orderBy("cand_id"))
+            .over(
+                Window.partitionBy(deliberate_single_partition()).orderBy(
+                    "cand_id"
+                )
+            )
             .cast("int")
             .alias("list_id"),
             _normalize(F.col("cvec")).alias("centroid"),

@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.operators.partitioning import (
+    deliberate_single_partition,
+)
+
 
 def surrogate_key(
     df: DataFrame,
@@ -67,13 +71,12 @@ def _surrogate_key_distributed(
     # Offsets = exclusive prefix sum of per-partition counts, computed
     # IN-PLAN (no driver collect): the count aggregate has one row per
     # partition, so the running-sum window touches only #partitions rows
-    # in a single trivial task. The constant partitionBy(lit(0)) keeps
-    # the single-partition plan (that's the point: #partitions rows in
-    # one task) while marking it DELIBERATE — so Spark's "No Partition
-    # Defined" WindowExec warning stays reserved for genuine regressions.
-    # Both branches read the same range-shuffle exchange (Spark's
-    # ReuseExchange), so the input is ranged once, not twice — and
-    # nothing scales with row count on the driver.
+    # in a single trivial task — single-partition BY DESIGN, marked with
+    # deliberate_single_partition so the WindowExec warning stays
+    # reserved for genuine regressions. Both branches read the same
+    # range-shuffle exchange (Spark's ReuseExchange), so the input is
+    # ranged once, not twice — and nothing scales with row count on the
+    # driver.
     offsets = (
         ranged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -81,7 +84,7 @@ def _surrogate_key_distributed(
             "__offset",
             F.coalesce(
                 F.sum("__cnt").over(
-                    Window.partitionBy(F.lit(0))
+                    Window.partitionBy(deliberate_single_partition())
                     .orderBy("__pid")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),

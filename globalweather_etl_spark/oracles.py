@@ -116,18 +116,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pipeline_dim_source": "SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER, "
     "'Frostbyte' AS DATASET_NAME, 'Snowflake Marketplace' AS INGEST_METHOD",
     "pipeline_fact": WEATHER_PROLOGUE + "SELECT * FROM fact",
-    "pipeline_validate_null_fk": WEATHER_PROLOGUE
-    + "SELECT count(*) AS NULL_FK_COUNT FROM fact "
-    "WHERE LOCATION_KEY IS NULL OR DATE_KEY IS NULL",
-    "pipeline_validate_temp_range": WEATHER_PROLOGUE
-    + "SELECT min(AVG_TEMP_F) AS MIN_TEMP_F, max(AVG_TEMP_F) AS MAX_TEMP_F FROM fact",
-    "pipeline_normalized_location": WEATHER_PROLOGUE
-    + "SELECT DISTINCT POSTAL_CODE, CITY_NAME, COUNTRY FROM staging",
-    "pipeline_normalized_date": WEATHER_PROLOGUE
-    + f"""SELECT DISTINCT
-    DATE_VALID_STD,{_DATE_PARTS.format(d="DATE_VALID_STD")},
-    DOY_STD AS DAY_OF_YEAR
-  FROM staging""",
+    "pipeline_validation": WEATHER_PROLOGUE
+    + """SELECT 'NULL_FK_COUNT' AS metric, CAST(count(*) AS DOUBLE) AS value
+  FROM fact WHERE LOCATION_KEY IS NULL OR DATE_KEY IS NULL
+UNION ALL SELECT 'MIN_TEMP_F', CAST(min(AVG_TEMP_F) AS DOUBLE) FROM fact
+UNION ALL SELECT 'MAX_TEMP_F', CAST(max(AVG_TEMP_F) AS DOUBLE) FROM fact""",
     "pipeline_normalized_weather_day": WEATHER_PROLOGUE
     + """SELECT DATE_VALID_STD, POSTAL_CODE, AVG_TEMPERATURE_AIR_2M_F,
     MIN_TEMPERATURE_AIR_2M_F, MAX_TEMPERATURE_AIR_2M_F,
@@ -196,8 +189,6 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
-    "tpch_price_band_distinct": f"""
-SELECT DISTINCT {_PRICE_BAND_CASE} AS PRICE_BAND FROM part""",
     "tpch_price_band_counts": f"""
 SELECT {_PRICE_BAND_CASE} AS PRICE_BAND, count(*) AS N_PARTS
 FROM part GROUP BY 1 ORDER BY N_PARTS DESC""",
@@ -210,20 +201,14 @@ SELECT DISTINCT CAST(o_orderdate AS DATE) AS ORDER_DATE,
   {_DATE_PARTS.format(d="CAST(o_orderdate AS DATE)")},
   CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS DAY_OF_YEAR
 FROM orders""",
-    "tpch_events_lag_delta": """
+    "tpch_events_window_suite": """
 SELECT event_id, user_id, ts, value,
   value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-    AS VALUE_DELTA
-FROM events""",
-    "tpch_events_rolling_sum": """
-SELECT event_id, user_id, ts, value,
+    AS VALUE_DELTA,
   round(CAST(sum(CAST(value AS DECIMAL(25,10)))
       OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
-    AS VALUE_7ROW_SUM
-FROM events""",
-    "tpch_events_window_suite": """
-SELECT event_id, user_id, ts, value,
+    AS VALUE_7ROW_SUM,
   lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
     AS NEXT_VALUE,
   CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
@@ -238,13 +223,34 @@ SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
     AS SEGMENT_KEY,
   c_mktsegment, c_nationkey
 FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
-    "tpch_set_ops": """
-SELECT count(*) AS n_customers FROM (
+    "tpch_scalar_checks": """
+WITH fo AS (
+  SELECT count(*) FILTER (WHERE o.o_orderkey IS NULL) AS no_orders,
+         count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphans,
+         count(*) AS n_rows
+  FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey),
+ga AS (
+  SELECT count(*) AS n_rows,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+  FROM lineitem)
+SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
   SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
   EXCEPT
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL SELECT 'customers_without_orders', CAST(no_orders AS DOUBLE) FROM fo
+UNION ALL SELECT 'orphan_orders', CAST(orphans AS DOUBLE) FROM fo
+UNION ALL SELECT 'full_outer_rows', CAST(n_rows AS DOUBLE) FROM fo
+UNION ALL SELECT 'lineitem_rows', CAST(n_rows AS DOUBLE) FROM ga
+UNION ALL SELECT 'min_qty', CAST(min_qty AS DOUBLE) FROM ga
+UNION ALL SELECT 'max_qty', CAST(max_qty AS DOUBLE) FROM ga
+UNION ALL SELECT 'min_price', CAST(min_price AS DOUBLE) FROM ga
+UNION ALL SELECT 'max_price', CAST(max_price AS DOUBLE) FROM ga
+UNION ALL SELECT 'orders_via_constant_join', CAST(count(*) AS DOUBLE)
+  FROM orders o
+  CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -264,27 +270,11 @@ SELECT o_orderpriority,
   count(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "tpch_outer_join_coverage": """
-SELECT count(*) FILTER (WHERE o.o_orderkey IS NULL)
-    AS customers_without_orders,
-  count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphan_orders,
-  count(*) AS n_rows
-FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""",
     "tpch_countif_ratio": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_totalprice > 250000) * 100.0 / count(*)
     AS PCT_HIGH_VALUE
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "tpch_global_validation": """
-SELECT count(*) AS N_ROWS,
-  min(l_quantity) AS MIN_QTY, max(l_quantity) AS MAX_QTY,
-  min(l_extendedprice) AS MIN_PRICE, max(l_extendedprice) AS MAX_PRICE
-FROM lineitem""",
-    "tpch_constant_join": """
-SELECT s.PROVIDER, count(*) AS N_ORDERS
-FROM orders o
-CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s
-GROUP BY s.PROVIDER""",
 }
 
 # ------------------------------------- event-time windows (streaming kin)
@@ -397,22 +387,25 @@ def _media_oracles() -> dict[str, str]:
   sum(octet_length(payload)) AS total_bytes,
   sum(width) AS sum_width, sum(n_frames) AS sum_frames
 FROM media GROUP BY kind""",
-        # The synthesized corpus is pure ASCII, so payload bytes ==
-        # codepoints and the Pandas-UDF byte histogram has an exact SQL
-        # twin (verified: zero docs match [^\x00-\x7f]).
-        "media_byte_histogram": """
-SELECT doc_id AS media_id,
-  [len(list_filter(codes, x -> x // 16 = b)) FOR b IN range(0, 16)]
-    AS histogram
-FROM (SELECT doc_id,
-        [unicode(c) FOR c IN string_split(text, '') IF c != ''] AS codes
-      FROM documents)""",
-        # DuckDB has no md5(BLOB); md5 of the source VARCHAR hashes the
-        # same UTF-8 bytes the payload was encoded from.
-        "media_payload_digest": prologue
-        + """SELECT m.media_id, m.kind, md5(d.text) AS digest,
-  octet_length(m.payload) AS n_bytes
-FROM media m JOIN documents d ON m.media_id = d.doc_id""",
+        # Digest tier: DuckDB has no md5(BLOB); md5 of the source VARCHAR
+        # hashes the same UTF-8 bytes the payload was encoded from.
+        # Histogram tier: the synthesized corpus is pure ASCII, so
+        # payload bytes == codepoints and the Pandas-UDF byte histogram
+        # has an exact SQL twin (verified: zero docs match [^\x00-\x7f]).
+        "media_features": prologue.rstrip("\n")
+        + """,
+hist AS (
+  SELECT doc_id AS media_id,
+    [len(list_filter(codes, x -> x // 16 = b)) FOR b IN range(0, 16)]
+      AS histogram
+  FROM (SELECT doc_id,
+          [unicode(c) FOR c IN string_split(text, '') IF c != ''] AS codes
+        FROM documents))
+SELECT m.media_id, m.kind, md5(d.text) AS digest,
+  octet_length(m.payload) AS n_bytes, h.histogram
+FROM media m
+JOIN documents d ON m.media_id = d.doc_id
+JOIN hist h ON h.media_id = m.media_id""",
     }
 
 
@@ -459,45 +452,31 @@ def _build_lang_id_sql() -> str:
 
 
 EXT_ORACLES: dict[str, str] = {
-    "docs_exact_dedup_keepers": f"""
-SELECT md5({_NORM_TEXT}) AS fingerprint, min(doc_id) AS keep_id,
-  count(*) AS dup_count
-FROM documents GROUP BY 1""",
+    # All three exact-dedup views in one: per-doc keeper flag +
+    # fingerprint-group duplicate count (keepers = min-id per group;
+    # corpus/removed are the TRUE/FALSE partitions of is_keeper).
     "docs_exact_dedup": f"""
-SELECT doc_id, lang, n_chars FROM documents
-WHERE doc_id IN (
-  SELECT min(doc_id) FROM documents GROUP BY md5({_NORM_TEXT}))""",
-    "docs_exact_dedup_removed": f"""
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (
-  SELECT min(doc_id) FROM documents GROUP BY md5({_NORM_TEXT}))""",
-    "docs_token_stats": f"""
-SELECT doc_id,
-  CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-  CAST(length(text) AS INTEGER) AS n_chars_measured,
-  CAST(length(text) - length(regexp_replace(text,
-    '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS INTEGER) AS n_punct,
-  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-    / CAST(len({_TOKS}) AS DOUBLE) AS avg_word_len
-FROM documents""",
-    "docs_lang_stats": """
-SELECT lang, count(*) AS n_docs,
-  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
-FROM documents GROUP BY lang ORDER BY lang""",
+SELECT d.doc_id, d.lang, d.n_chars,
+  coalesce(k.is_keeper, FALSE) AS is_keeper,
+  coalesce(k.dup_count, 0) AS dup_count
+FROM documents d
+LEFT JOIN (
+  SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper
+  FROM documents GROUP BY md5({_NORM_TEXT})) k USING (doc_id)""",
+    "docs_text_metrics": None,  # filled in below (needs _LANG_STOPWORDS)
     "docs_lang_id": f"""
 SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
 FROM documents""",
     # Hash-based sampling/splits: md5 hex prefixes compare identically
     # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
-    # (0.25->'4000', 0.8->'cccd', 0.9->'e666').
-    "docs_deterministic_sample": """
-SELECT doc_id, lang FROM documents
-WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) < '4000'""",
-    "docs_hash_split": """
+    # (0.25->'4000', 0.8->'cccd', 0.9->'e666'). Split assignment and
+    # the 25%-sample membership flag share one bucket draw.
+    "docs_sample_split": """
 SELECT doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
-       ELSE 'test' END AS split
+       ELSE 'test' END AS split,
+  b < '4000' AS sampled
 FROM (SELECT doc_id,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents)""",
@@ -517,22 +496,6 @@ SELECT doc_id, n_tokens,
   CAST(prior // 2048 AS BIGINT) AS bin_id,
   CAST(prior % 2048 AS BIGINT) AS bin_offset
 FROM c""",
-    "docs_stopword_scores": None,  # filled in below (needs _LANG_STOPWORDS)
-    "docs_quality_score": f"""
-WITH m AS (
-  SELECT doc_id,
-    CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
-    CAST(length(text) AS DOUBLE) AS n_chars,
-    CAST(length(text) - length(regexp_replace(text,
-      '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
-    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws
-  FROM documents)
-SELECT doc_id, round(
-    0.4 * least(n_tok / 50.0, 1.0)
-  + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 4.0, 1.0))
-  + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
-                THEN 1.0 ELSE 0.5 END), 9) AS quality
-FROM m""",
     "docs_rolling_fingerprint": """
 SELECT doc_id,
   list_reduce(
@@ -625,16 +588,39 @@ WHERE list_dot_product(a.v, b.v)
 }
 
 
-def _stopword_scores_sql() -> str:
+def _text_metrics_sql() -> str:
+    """Merged per-doc text kernel: token/char/punct counts, avg word
+    length, per-language stopword scores, composite quality — one scan,
+    mirroring q_docs_text_metrics column for column."""
     from globalweather_etl_spark.functions.text import _LANG_STOPWORDS
 
-    cols = ",\n  ".join(
+    sw_cols = ",\n  ".join(
         f"{_lang_score_sql(ws)} AS sw_{lang}" for lang, ws in _LANG_STOPWORDS.items()
     )
-    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+    CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text,
+      '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws
+  FROM documents)
+SELECT doc_id,
+  CAST(n_tok AS INTEGER) AS n_tokens,
+  CAST(n_chars AS INTEGER) AS n_chars_measured,
+  CAST(n_punct AS INTEGER) AS n_punct,
+  non_ws / n_tok AS avg_word_len,
+  {sw_cols},
+  round(
+    0.4 * least(n_tok / 50.0, 1.0)
+  + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 4.0, 1.0))
+  + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
+                THEN 1.0 ELSE 0.5 END), 9) AS quality
+FROM m"""
 
 
-EXT_ORACLES["docs_stopword_scores"] = _stopword_scores_sql()
+EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()
 
 
 def all_oracles() -> dict[str, str]:

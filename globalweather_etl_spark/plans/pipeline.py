@@ -313,10 +313,20 @@ def build_warehouse(
     staging: DataFrame,
     as_of_date: dt.date,
     key_strategy: str = "distributed",
+    cache_staging: bool = False,
 ) -> WeatherWarehouse:
     """Assemble every layer (lazy). Statement order of ETL:17-175 becomes
     this explicit DAG; materialization is the caller's choice
-    (see materialize())."""
+    (see materialize()).
+
+    cache_staging=True localCheckpoints the staging frame (eager) so the
+    LAZY warehouse reads staging once instead of re-deriving it in every
+    dim/fact/normalized branch (the fully lazy static plan embeds the
+    staging derivation ~10x). materialize() already avoids the re-derivation
+    by writing staging first; this flag is for callers who want the lazy
+    form but plan to evaluate several layers of one warehouse."""
+    if cache_staging:
+        staging = staging.localCheckpoint(eager=True)
     dim_date = build_dim_date(staging)
     dim_location = build_dim_location(staging, as_of_date, key_strategy)
     dim_weather_band = build_dim_weather_band(staging)

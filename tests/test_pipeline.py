@@ -189,3 +189,26 @@ def test_q5_fanout_can_exceed_intuition(wh):
     would be 4/21."""
     rows = {r["DATE_KEY"]: r["PCT_LOCATIONS_WITH_RAIN"] for r in q5(wh.fact).collect()}
     assert abs(rows[dt.date(2024, 1, 1)] - 6 * 100.0 / 23) < 1e-9
+
+
+def test_cache_staging_single_scan_and_identical_results(
+    spark, weather_fixture, wh
+):
+    """cache_staging=True collapses the lazy plan's per-branch staging
+    re-derivation: the fact plan reads the checkpoint (zero parquet/
+    source scans of staging) and produces bit-identical rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    cached = build_warehouse(
+        spark, weather_fixture, AS_OF, cache_staging=True
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cached.fact.explain("formatted")
+    plan = buf.getvalue()
+    # every staging branch reads the checkpointed RDD, not a re-derived
+    # staging plan
+    assert "Scan ExistingRDD" in plan
+    key = lambda rows: sorted(map(tuple, rows), key=repr)  # noqa: E731
+    assert key(cached.fact.collect()) == key(wh.fact.collect())

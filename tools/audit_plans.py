@@ -35,16 +35,18 @@ AUDITS = {
     "dashboard_q2": ["BroadcastHashJoin"],
     "tpch_star_join_revenue": ["BroadcastHashJoin"],
     "tpch_topk_customers": ["TakeOrderedAndProject"],
-    "tpch_events_rolling_sum": ["Window"],
+    "tpch_events_window_suite": ["Window"],
     "docs_minhash_lsh": ["HashAggregate"],
     "emb_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastExchange"],
+    # bucketed range search: candidates from a (table, bucket) hash
+    # join, never a nested-loop theta join over all pairs
+    "emb_lsh_range_search": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     # distributed prefix sum: range exchange + pid-partitioned window,
     # never an unpartitioned Window over the data
     "docs_pack_by_budget": ["rangepartitioning", "__pid"],
-    # expression filter can't reach the parquet reader (md5 of a column
-    # is computed, not a pushable predicate) — assert it at least stays
-    # inside codegen
-    "docs_deterministic_sample": [r"codegen id"],
+    # expression selectors (md5 of a column) can't reach the parquet
+    # reader as pushed filters — assert they at least stay inside codegen
+    "docs_sample_split": [r"codegen id"],
 }
 
 
