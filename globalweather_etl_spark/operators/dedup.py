@@ -205,36 +205,41 @@ def _jaccard_join_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_signature(hashes, num_hashes: int):
-    """MinHash signature as array<long> over an array of 8-byte shingle
-    hashes: h_i(x) = (a_i*x + b_i) mod P, min-reduced per hash function.
-    Coefficients derive from the hash index (fixed seed), so the
-    signature is a pure expression — computed in the scan stage when the
-    hash array is, no shuffle. The affine family uses only positive
-    operands after the initial pmod, so `%` here computes the same
-    values in Spark and DuckDB (the md5 hash mode exploits this for a
-    cross-engine oracle).
+def _minhash_signed(shingled: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, n_shingles, sig) from the hashed inverted index: MinHash
+    h_i(x) = (a_i*x + b_i) mod P, min-reduced per hash function, plus
+    the per-doc shingle count — ONE codegen'd hash aggregate.
 
-    Single left-fold over the hash array with an array<long> accumulator
-    (one element per hash function): O(S·H) work in ONE pass and a
-    constant-size expression tree, instead of H separate
-    array_min(transform(...)) passes whose codegen grows (and compiles)
-    linearly with H. Empty shingle sets yield the P sentinel per slot."""
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes)
-    return F.aggregate(
-        F.transform(hashes, lambda h: F.pmod(h, F.lit(_MH_PRIME))),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                idx,
-                # a_i = 2i+1 (odd), b_i = 7919(i+1) — same family as before
-                lambda i: (h * (F.lit(2) * i + F.lit(1)) + F.lit(7919) * (i + F.lit(1)))
-                % F.lit(_MH_PRIME),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
+    The affine family (a_i = 2i+1 odd, b_i = 7919(i+1)) is applied to
+    pmod(sh, P), so every operand is non-negative and `%` computes the
+    same values in Spark and DuckDB — the md5 hash mode exploits this
+    for a cross-engine oracle.
+
+    Why an aggregate and not a per-row array fold: Spark's higher-order
+    functions (aggregate/zip_with/transform) are interpreted, not
+    codegen'd — profiled 3.5x slower than this hash aggregate at equal
+    output (tools/profile_bench.py). The aggregate shuffles one
+    32-long row per doc after map-side partial mins, so the exchange is
+    doc-count-sized regardless of corpus size — the right trade at
+    100 TB, where CPU in the scan stage dominates. Docs with zero
+    shingles (< n tokens) have no index rows and drop out naturally —
+    they would otherwise share the sentinel signature and pair
+    quadratically through one hot bucket."""
+    h = F.pmod(F.col("sh"), F.lit(_MH_PRIME))
+    mins = [
+        F.min((h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(_MH_PRIME)).alias(
+            f"__m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return (
+        shingled.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), *mins)
+        .select(
+            "doc",
+            "n_shingles",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -270,42 +275,20 @@ def minhash_lsh_pairs(
     max_doc_freq caps hot shingles (see ngram_jaccard_pairs): shingles
     above the cap are dropped before signatures AND verification, so
     stop-phrases can neither glue unrelated docs into shared buckets nor
-    blow up the verify join. Capping requires the global doc-frequency,
-    so the capped path builds the inverted index first and regroups
-    per-doc hash arrays (one extra shuffle on doc) — the uncapped path
-    keeps the pure scan-stage signature."""
+    blow up the verify join.
+
+    Signatures, shingle counts, and the verification index all derive
+    from ONE hashed inverted index (see _minhash_signed)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
-    # Docs with zero shingles (< n tokens) are excluded from pairing:
-    # they would all share the sentinel signature, match on every band,
-    # and emit a quadratic clique of contentless "near-dups" through one
-    # hot bucket.
     shingled = _hashed_shingles(
         df, id_col, text_col, n, spread=False, hash_fn=hash_fn
     )
     if max_doc_freq is not None:
         shingled = _cap_hot_shingles(shingled, max_doc_freq)
-        signed = (
-            shingled.groupBy("doc")
-            .agg(F.collect_list("sh").alias("__hs"))
-            .select(
-                "doc", _minhash_signature(F.col("__hs"), num_hashes).alias("sig")
-            )
-        )
-    else:
-        shingles = F.array_distinct(word_shingles(F.col(text_col), n))
-        hashes = F.transform(shingles, lambda s: _shingle_hash(s, hash_fn))
-        signed = (
-            df.select(
-                F.col(id_col).alias("doc"),
-                _minhash_signature(hashes, num_hashes).alias("sig"),
-                F.size(shingles).alias("__ns"),
-            )
-            .filter(F.col("__ns") > 0)
-            .drop("__ns")
-        )
+    signed = _minhash_signed(shingled, num_hashes)
 
     def _band_hash(sl):
         """Band slice -> 8-byte bucket key. md5 mode hashes the
@@ -351,8 +334,9 @@ def minhash_lsh_pairs(
     # each candidate pair back to its two shingle sets and count the
     # intersection. Work scales with |candidates| x shingles-per-doc —
     # the whole point of LSH at 100 TB. `shingled` is the capped index
-    # when a cap is set, so verification is consistent with bucketing.
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # when a cap is set, so verification is consistent with bucketing;
+    # sizes ride along from the signature aggregate (no extra groupBy).
+    sizes = signed.select("doc", "n_shingles")
     inter = (
         candidates.join(
             shingled.alias("sa"), F.col("doc_a") == F.col("sa.doc")
