@@ -10,6 +10,14 @@ Shape mirrors the reference's operating mode (ETL:17-136 materializes
 tables, Dashboard.sql reads them): the pipeline step includes the
 DATE_KEY-partitioned parquet write of the fact; dashboards then read the
 materialized star.
+
+Methodology: the whole suite runs $SPARK_GRAFT_BENCH_REPS times
+(default 3) and each query reports its per-query MEDIAN; "value" is the
+sum of medians. Single cold runs on this host swing +-20% and charge
+one-time codegen/plan compilation to whichever query runs first —
+medians measure steady-state throughput, which is what matters for a
+long-lived cluster. Set SPARK_GRAFT_BENCH_REPS=1 for the old
+single-cold-run behavior.
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import tempfile
 import time
 
@@ -53,62 +62,76 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples.setdefault(name, []).append(time.perf_counter() - t0)
         return out
 
-    base = tempfile.mkdtemp(prefix="gw_bench_")
-    try:
-        # Full ELT rebuild, materialized (CTAS semantics)
-        staging = weather_staging_from_events(load_table(spark, sf_dir, "events"))
-        wh = pl.build_warehouse(spark, staging, AS_OF_DATE)
-        mat = timed("pipeline_rebuild", lambda: pl.materialize(wh, base))
-        timed("validate", lambda: mat.validate())
-        # Dashboards over the materialized star
-        timed("dashboard_q1", lambda: dash.q1(mat.fact, mat.dim_date).collect())
-        timed("dashboard_q2", lambda: dash.q2(mat.fact, mat.dim_location).collect())
-        timed("dashboard_q3", lambda: dash.q3(mat.fact).collect())
-        timed("dashboard_q4", lambda: dash.q4(mat.fact).collect())
-        timed("dashboard_q5", lambda: dash.q5(mat.fact).collect())
-        # Heavy operator benchmarks straight from the registry. Executed
-        # into the noop sink: full distributed execution, zero
-        # row-to-Python transfer — collect() would otherwise dominate
-        # the numbers for the 100k-row-output queries.
-        for name in (
-            "tpch_star_join_revenue",
-            "tpch_events_window_suite",
-            "tpch_surrogate_key",
-            "events_tumbling_daily",
-            "events_sliding_day_12h",
-            "events_session_30m",
-            "docs_exact_dedup",
-            "docs_ngram_jaccard",
-            "docs_minhash_lsh",
-            "docs_simhash",
-            "docs_text_metrics",
-            "emb_cosine_topk",
-            "emb_lsh_topk",
-            "emb_ivf_topk",
-            "emb_lsh_range_search",
-            "events_asof_last_signup",
-            "docs_pack_by_budget",
-            "media_features",
-        ):
-            timed(
-                name,
-                lambda n=name: QUERIES[n](spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
+    def run_suite() -> None:
+        base = tempfile.mkdtemp(prefix="gw_bench_")
+        try:
+            # Full ELT rebuild, materialized (CTAS semantics)
+            staging = weather_staging_from_events(
+                load_table(spark, sf_dir, "events")
             )
+            wh = pl.build_warehouse(spark, staging, AS_OF_DATE)
+            mat = timed("pipeline_rebuild", lambda: pl.materialize(wh, base))
+            timed("validate", lambda: mat.validate())
+            # Dashboards over the materialized star
+            timed("dashboard_q1", lambda: dash.q1(mat.fact, mat.dim_date).collect())
+            timed(
+                "dashboard_q2", lambda: dash.q2(mat.fact, mat.dim_location).collect()
+            )
+            timed("dashboard_q3", lambda: dash.q3(mat.fact).collect())
+            timed("dashboard_q4", lambda: dash.q4(mat.fact).collect())
+            timed("dashboard_q5", lambda: dash.q5(mat.fact).collect())
+            # Heavy operator benchmarks straight from the registry.
+            # Executed into the noop sink: full distributed execution,
+            # zero row-to-Python transfer — collect() would otherwise
+            # dominate the numbers for the 100k-row-output queries.
+            for name in (
+                "tpch_star_join_revenue",
+                "tpch_events_window_suite",
+                "tpch_surrogate_key",
+                "events_tumbling_daily",
+                "events_sliding_day_12h",
+                "events_session_30m",
+                "docs_exact_dedup",
+                "docs_ngram_jaccard",
+                "docs_minhash_lsh",
+                "docs_simhash",
+                "docs_text_metrics",
+                "emb_cosine_topk",
+                "emb_lsh_topk",
+                "emb_ivf_topk",
+                "emb_lsh_range_search",
+                "events_asof_last_signup",
+                "docs_pack_by_budget",
+                "media_features",
+            ):
+                timed(
+                    name,
+                    lambda n=name: QUERIES[n](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    try:
+        for _ in range(reps):
+            run_suite()
     finally:
-        shutil.rmtree(base, ignore_errors=True)
         spark.stop()
 
+    timings = {
+        name: round(statistics.median(runs), 4) for name, runs in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

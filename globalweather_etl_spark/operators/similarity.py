@@ -166,21 +166,32 @@ def ivf_cosine_topk(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     n_lists Voronoi cells around centroids; each query scores only the
     cells of its n_probe nearest centroids — the coarse-quantizer ANN
-    family (FAISS IVF-Flat), here as pure DataFrame ops.
+    family (FAISS IVF-Flat).
 
     Centroids: the n_lists vectors with smallest xxhash64(id) — a
     deterministic uniform sample (no RNG state, reproducible).
     refine_iters > 0 runs Lloyd iterations fully distributed: explode
     assigned vectors to (list, pos, component), average per (list, pos),
-    rebuild centroid arrays — an iterative algorithm expressed in
-    DataFrame ops, no driver-side math.
+    rebuild centroid arrays.
 
-    Scale shape: assignment is one broadcast-score + argmax aggregation
-    per vector (map-side heavy, one shuffle on id); the probe join
+    impl="arrow" (default, the scale path): the corpus-side assignment
+    is one numpy argmax matmul per Arrow batch against the broadcast
+    n_lists x dim centroid matrix — kilobytes of driver traffic,
+    independent of corpus size, exactly how FAISS ships its coarse
+    quantizer. This removes BOTH the per-vector interpreted dot
+    products AND the argmax groupBy shuffle of the expression form
+    (assignment becomes a narrow map). Candidate scoring stays
+    expression cosine — see _bucketize for why the Arrow round-trip
+    loses once vectors are already JVM-resident. impl="expr" keeps
+    everything as built-in expressions: engine-portable, zero driver
+    round-trips, but interpreted HOF math per row.
+
+    Scale shape: assignment is a narrow scan stage; the probe join
     shuffles on list_id (n_lists spread); per-query work drops by
     ~n_probe/n_lists versus brute force. Recall tunes with n_probe.
     """
@@ -209,30 +220,13 @@ def ivf_cosine_topk(
         )
     )
 
-    def _assign(vectors: DataFrame, vid: str, vcol: str) -> DataFrame:
-        """(id, vec) -> (id, vec, list_id of nearest centroid)."""
-        scored = vectors.crossJoin(F.broadcast(centroids)).select(
-            vid,
-            vcol,
-            "list_id",
-            dot(F.col(vcol), F.col("centroid")).alias("score"),
-        )
-        return (
-            scored.groupBy(vid)
-            .agg(
-                F.max_by("list_id", F.struct("score", "list_id")).alias("list_id"),
-                F.first(vcol).alias(vcol),
-            )
-        )
-
-    for _ in range(refine_iters):
-        assigned = _assign(cand, "cand_id", "cvec")
+    def _lloyd_step(assigned: DataFrame) -> DataFrame:
         # Lloyd step: component-wise mean per list, arrays rebuilt by
         # position — groupBy (list, pos) keeps every stage distributed.
         comps = assigned.select(
             "list_id", F.posexplode("cvec").alias("pos", "x")
         )
-        centroids = (
+        return (
             comps.groupBy("list_id", "pos")
             .agg(F.avg("x").alias("x"))
             .groupBy("list_id")
@@ -245,7 +239,59 @@ def ivf_cosine_topk(
             .select("list_id", _normalize(F.col("centroid")).alias("centroid"))
         )
 
-    assigned = _assign(cand, "cand_id", "cvec")
+    if impl == "arrow":
+        from globalweather_etl_spark.operators.vector_arrow import (
+            argmax_centroid_arrow,
+            centroid_rows_to_matrix,
+        )
+
+        dim_row = cand.select(F.size("cvec").alias("d")).limit(1).collect()
+        dim = dim_row[0]["d"] if dim_row else 0
+
+        def _assign_mat(mat) -> DataFrame:
+            return cand.select(
+                "cand_id",
+                "cvec",
+                argmax_centroid_arrow(mat)(F.col("cvec")).alias("list_id"),
+            )
+
+        # An iterative algorithm needs a barrier per iteration anyway
+        # (centroids_t+1 is a global aggregate of assignment_t) —
+        # collecting the n_lists x dim matrix at each barrier instead of
+        # keeping the chain lazy means the corpus-wide assignment runs
+        # ONCE per iteration, not once per downstream action re-deriving
+        # the whole lineage. Empty lists keep their previous centroid
+        # (the FAISS convention).
+        mat = centroid_rows_to_matrix(centroids.collect(), n_lists, dim)
+        for _ in range(refine_iters):
+            refined = _lloyd_step(_assign_mat(mat)).collect()
+            mat = centroid_rows_to_matrix(refined, n_lists, dim, base=mat)
+        spark = embeddings.sparkSession
+        centroids = spark.createDataFrame(
+            [(i + 1, [float(x) for x in mat[i]]) for i in range(n_lists)],
+            "list_id int, centroid array<double>",
+        )
+        assigned = _assign_mat(mat)
+    elif impl == "expr":
+
+        def _assign(vectors: DataFrame, vid: str, vcol: str) -> DataFrame:
+            """(id, vec) -> (id, vec, list_id of nearest centroid)."""
+            scored = vectors.crossJoin(F.broadcast(centroids)).select(
+                vid,
+                vcol,
+                "list_id",
+                dot(F.col(vcol), F.col("centroid")).alias("score"),
+            )
+            return scored.groupBy(vid).agg(
+                F.max_by("list_id", F.struct("score", "list_id")).alias("list_id"),
+                F.first(vcol).alias(vcol),
+            )
+
+        for _ in range(refine_iters):
+            centroids = _lloyd_step(_assign(cand, "cand_id", "cvec"))
+        assigned = _assign(cand, "cand_id", "cvec")
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("list_id")
     )
@@ -278,6 +324,58 @@ def ivf_cosine_topk(
     )
 
 
+def _bucketize(
+    base: DataFrame,
+    vcol: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    impl: str,
+):
+    """(id-ish cols, vcol) -> same plus (table, bucket) rows, one per
+    hash table; returns (bucketed_df, cosine_fn) for the chosen impl.
+
+    arrow: ONE pandas-UDF matmul emits all num_tables bucket keys per
+    row, then posexplode fans them out — num_tables x fewer signature
+    computations than the expr path, which must re-derive the signature
+    after exploding the table index (its HOFs can't emit arrays of
+    buckets without quadratic codegen).
+
+    Candidate VERIFICATION stays expression cosine in both impls: the
+    candidate vectors are already JVM-resident after the bucket join,
+    and profiling showed the Arrow round-trip of two dim-sized arrays
+    per pair (~1 KB/pair both ways) costs 2-3x more than the
+    interpreted fold — the opposite economics of bucketing, where one
+    matmul replaces dim x planes x tables interpreted ops per row and
+    nothing extra crosses the Arrow boundary."""
+    if impl == "arrow":
+        from globalweather_etl_spark.operators.vector_arrow import (
+            lsh_buckets_arrow,
+        )
+
+        buckets = lsh_buckets_arrow(
+            base.sparkSession, dim, num_planes, num_tables
+        )
+        # posexplode_OUTER: the bucket array always has exactly
+        # num_tables elements, and the non-outer form pushes a
+        # size(..)>0 filter below the Generate that forces a SECOND
+        # ArrowEvalPython evaluation of the UDF per row.
+        bucketed = base.withColumn("__bs", buckets(F.col(vcol))).select(
+            "*", F.posexplode_outer("__bs").alias("table", "bucket")
+        ).drop("__bs")
+        return bucketed, cosine
+    if impl == "expr":
+        tables = F.explode(
+            F.array(*[F.lit(t) for t in range(num_tables)])
+        ).alias("table")
+        bucketed = base.select("*", tables).withColumn(
+            "bucket",
+            lsh_signature_multi(F.col(vcol), F.col("table"), dim, num_planes),
+        )
+        return bucketed, cosine
+    raise ValueError(f"unknown impl: {impl!r}")
+
+
 def lsh_range_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -286,6 +384,7 @@ def lsh_range_pairs(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Bucketed similarity RANGE search: every pair (a, b), a < b, with
     cosine(a, b) >= threshold — the scale path for the all-pairs theta
@@ -304,19 +403,20 @@ def lsh_range_pairs(
     A pair colliding in several tables is scored once per collision and
     deduped by first() — duplicate scores are identical, and aggregating
     an 8-byte double shuffles less than carrying the vectors through a
-    pair-keyed groupBy."""
+    pair-keyed groupBy.
+
+    impl="arrow" (default): all num_tables bucket keys come from ONE
+    numpy matmul per Arrow batch (then posexplode), and verification is
+    a vectorized batch cosine — see operators/vector_arrow.py.
+    impl="expr" computes the same buckets with portable built-in
+    expressions (interpreted per row; the parity of the two paths is
+    pinned by test)."""
     _check_dim(embeddings, vec_col, dim)
     e = spread_for_compute(embeddings)
-    tables = F.explode(
-        F.array(*[F.lit(t) for t in range(num_tables)])
-    ).alias("table")
     base = e.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).select("*", tables)
-    bucketed = base.withColumn(
-        "bucket",
-        lsh_signature_multi(F.col("v"), F.col("table"), dim, num_planes),
     )
+    bucketed, _cos = _bucketize(base, "v", dim, num_planes, num_tables, impl)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -329,7 +429,7 @@ def lsh_range_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            _cos(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
         .groupBy("id_a", "id_b")
         .agg(F.first("cos_sim").alias("cos_sim"))
@@ -346,6 +446,7 @@ def lsh_cosine_topk(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket
     with the query in AT LEAST ONE of num_tables independent hash
@@ -355,36 +456,35 @@ def lsh_cosine_topk(
     ~num_tables/2^num_planes of the table per query. Recall rises with
     num_tables and falls with num_planes; cost moves oppositely.
 
+    impl="arrow"/"expr": vectorized numpy vs portable expressions for
+    bucketing and scoring — see lsh_range_pairs.
+
     `dim` must equal the actual vector length: a mismatch would NULL the
     plane dots (zip_with pads with NULL) and silently collapse every
     vector into one bucket — i.e. num_tables full cross joins. Checked
     eagerly against one sampled row."""
     _check_dim(embeddings, vec_col, dim)
     embeddings = spread_for_compute(embeddings)
-    tables = F.explode(
-        F.array(*[F.lit(t) for t in range(num_tables)])
-    ).alias("table")
 
-    def _bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        base = df.select(
-            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        ).select("*", tables)
-        # Per-table planes: offset the plane index so each table draws
-        # an independent hyperplane family from the same hash stream.
-        return base.withColumn(
-            "bucket",
-            lsh_signature_multi(F.col(out_vec), F.col("table"), dim, num_planes),
-        )
-
-    cand = _bucketed(embeddings, "cand_id", "cvec")
-    qry = _bucketed(queries, "query_id", "qvec")
+    cand, _cos = _bucketize(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+        ),
+        "cvec", dim, num_planes, num_tables, impl,
+    )
+    qry, _ = _bucketize(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+        ),
+        "qvec", dim, num_planes, num_tables, impl,
+    )
     scored = (
         cand.join(F.broadcast(qry), ["table", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            _cos(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
         )
         # a pair matching in several tables appears several times with
         # the same score — dedup by key, scores are identical

@@ -98,14 +98,47 @@ def brute_range_pairs(emb):
 
 def test_lsh_range_pairs_precision_exact(emb, brute_range_pairs):
     """Every emitted pair must be a true >= threshold pair with the
-    exact cosine value (verification makes precision 1.0)."""
-    rows = lsh_range_pairs(
-        emb, threshold=0.4, dim=64, num_planes=4, num_tables=6
-    ).collect()
-    for r in rows:
-        key = (r["id_a"], r["id_b"])
-        assert key in brute_range_pairs
-        assert r["cos_sim"] == brute_range_pairs[key]
+    exact cosine value (verification makes precision 1.0).
+
+    The default arrow impl scores with numpy, whose pairwise summation
+    order differs from the brute-force expression fold at the last ulp
+    — compare with a 1e-9 tolerance there; the portable expr impl folds
+    in the same order as the oracle and must match bit-for-bit."""
+    for impl, tol in (("arrow", 1e-9), ("expr", 0.0)):
+        rows = lsh_range_pairs(
+            emb, threshold=0.4, dim=64, num_planes=4, num_tables=6, impl=impl
+        ).collect()
+        assert rows, impl
+        for r in rows:
+            key = (r["id_a"], r["id_b"])
+            assert key in brute_range_pairs, impl
+            assert abs(r["cos_sim"] - brute_range_pairs[key]) <= tol, impl
+
+
+def test_arrow_expr_parity(emb, queries):
+    """The arrow (numpy-vectorized) and expr (portable expression)
+    implementations must agree: identical LSH bucket keys per (id,
+    table) — the plane family is derived from the same xxhash64 stream
+    — and identical ANN result sets (rank ties and ulp-boundary flips
+    would surface here as symmetric differences)."""
+    from globalweather_etl_spark.operators.similarity import _bucketize
+
+    base = emb.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")
+    )
+    ba, _ = _bucketize(base, "v", 64, 4, 3, "arrow")
+    be, _ = _bucketize(base, "v", 64, 4, 3, "expr")
+    sel = ["id", "table", "bucket"]
+    assert ba.select(*sel).exceptAll(be.select(*sel)).count() == 0
+    assert be.select(*sel).exceptAll(ba.select(*sel)).count() == 0
+
+    keys = ["query_id", "cand_id", "rank"]
+    ia = ivf_cosine_topk(emb, queries, k=5, n_lists=8, n_probe=2, impl="arrow")
+    ie = ivf_cosine_topk(emb, queries, k=5, n_lists=8, n_probe=2, impl="expr")
+    assert ia.select(*keys).exceptAll(ie.select(*keys)).count() == 0
+    la = lsh_cosine_topk(emb, queries, k=5, dim=64, impl="arrow")
+    le = lsh_cosine_topk(emb, queries, k=5, dim=64, impl="expr")
+    assert la.select(*keys).exceptAll(le.select(*keys)).count() == 0
 
 
 def test_lsh_range_pairs_recall_floor(emb, brute_range_pairs):
