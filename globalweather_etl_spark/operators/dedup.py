@@ -28,6 +28,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from globalweather_etl_spark.functions.text import fingerprint_md5, word_shingles
@@ -101,6 +102,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >=1
     shingle: |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
@@ -119,10 +121,19 @@ def ngram_jaccard_pairs(
 
     Shingles are xxhash64-coded before the join: shuffle and join keys
     are 8-byte longs, not multi-word strings (64-bit collisions are
-    negligible at any realistic corpus size)."""
+    negligible at any realistic corpus size).
+
+    cache_index persists the hashed inverted index (memory, spilling to
+    disk) — it feeds three plan branches (sizes, both self-join sides),
+    so without the cache the shingle scan re-executes per branch. At
+    corpus scale persisting the index is the standard trade: it is the
+    operator's working set either way, and disk spill beats re-reading
+    and re-shingling the raw text."""
     shingled = _hashed_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         shingled = _cap_hot_shingles(shingled, max_doc_freq)
+    if cache_index:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = _intersections(shingled)
     return _jaccard_join_sizes(inter, sizes).filter(F.col("jaccard") >= threshold)
@@ -254,6 +265,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     hash_fn: str = "xxhash64",
     max_doc_freq: int | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs.
 
@@ -278,7 +290,9 @@ def minhash_lsh_pairs(
     blow up the verify join.
 
     Signatures, shingle counts, and the verification index all derive
-    from ONE hashed inverted index (see _minhash_signed)."""
+    from ONE hashed inverted index (see _minhash_signed); cache_index
+    persists it (memory, spilling to disk) since the verify path reads
+    it from three plan branches — see ngram_jaccard_pairs."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -288,6 +302,8 @@ def minhash_lsh_pairs(
     )
     if max_doc_freq is not None:
         shingled = _cap_hot_shingles(shingled, max_doc_freq)
+    if cache_index and verify:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     signed = _minhash_signed(shingled, num_hashes)
 
     def _band_hash(sl):
