@@ -406,19 +406,42 @@ def simhash64(text, n: int = 3):
     )
 
 
+def _balanced_or(cols: list[Column]) -> Column:
+    """bitwiseOR-reduce as a balanced tree (depth log2 n, not n).
+    Catalyst's tree traversals over a 64-deep left chain make plan
+    analysis measurably slow (seconds); the balanced form is
+    semantically identical and shallow."""
+    while len(cols) > 1:
+        cols = [
+            cols[i].bitwiseOR(cols[i + 1]) if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(doc, sh, n_shingles) SimHash fingerprints via explode +
     hash-aggregate.
 
-    Same bits as simhash64(), but the majority vote runs as 64
-    conditional SUM columns in a codegen'd hash aggregate (partial
-    map-side combine, one shuffled row of 64 ints per doc) instead of a
-    per-row higher-order fold — HOFs are interpreted, so at corpus scale
-    the aggregate form is the fast path. explode_outer keeps
-    empty-shingle docs (< n tokens): their single NULL hash votes -1 on
-    every bit, yielding fingerprint 0, identical to the expression form."""
+    Same bits as simhash64(), but the majority vote runs inside a
+    codegen'd hash aggregate (partial map-side combine, one shuffled
+    row per doc) instead of a per-row higher-order fold — HOFs are
+    interpreted, so at corpus scale the aggregate form is the fast
+    path.
+
+    The 64 per-bit set-counts are PACKED TWO PER AGGREGATE COLUMN
+    (bits i and i+32 in the low/high 32-bit lanes of one 64-bit sum):
+    each shingle contributes ((h>>i)&1) + ((h>>(i+32))&1)<<32, so a
+    lane overflows only past 2^31 distinct shingles in one document —
+    not a real document. 32 sum columns instead of 64 halves both the
+    aggregate work and the Catalyst planning time of the widest plan in
+    the dedup family. The majority vote per bit is then
+    2*set_count > n_shingles (strictly-greater matches the +1/-1 vote
+    form: votes = 2*set - n > 0). Docs with zero shingles (< n tokens)
+    surface as NULL sums via explode_outer and fingerprint to 0,
+    identical to the expression form."""
     df = spread_for_compute(df)
     hashed = df.select(
         F.col(id_col).alias("doc"),
@@ -429,23 +452,32 @@ def simhash_fingerprints(
             )
         ).alias("h"),
     )
+    one = F.lit(1).cast("long")
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i, m in enumerate(_BIT_MASKS)
-    ]
-    sh = F.lit(0).cast("long")
-    for i, m in enumerate(_BIT_MASKS):
-        sh = sh.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.lit(m).cast("long")).otherwise(
-                F.lit(0).cast("long")
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one)
+            + F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), i + 32).bitwiseAND(one), 32
             )
-        )
+        ).alias(f"v{i}")
+        for i in range(32)
+    ]
+    lane_mask = F.lit((1 << 32) - 1).cast("long")
+    cnt = F.col("n_shingles")
+    bit_terms = []
+    for i in range(32):
+        v = F.coalesce(F.col(f"v{i}"), F.lit(0).cast("long"))
+        lo = v.bitwiseAND(lane_mask)
+        hi = F.shiftrightunsigned(v, 32)
+        for bit, ones in ((i, lo), (i + 32, hi)):
+            m = F.lit(_BIT_MASKS[bit]).cast("long")
+            bit_terms.append(
+                F.when(ones * 2 > cnt, m).otherwise(F.lit(0).cast("long"))
+            )
     return (
         hashed.groupBy("doc")
         .agg(*votes, F.count("h").alias("n_shingles"))
-        .select("doc", sh.alias("sh"), "n_shingles")
+        .select("doc", _balanced_or(bit_terms).alias("sh"), "n_shingles")
     )
 
 

@@ -451,12 +451,26 @@ def register_warehouse(wh: WeatherWarehouse) -> list[str]:
     return sorted(views)
 
 
-def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
+def materialize(
+    wh: WeatherWarehouse, base_path: str, fact_files_per_date: int = 8
+) -> WeatherWarehouse:
     """Full-rebuild CTAS semantics (CREATE OR REPLACE TABLE ... AS,
     ETL:17 etc.): overwrite-write each layer to parquet and re-read, so
     each table is a pipeline breaker exactly like the reference's
     intermediate tables. The fact is partitioned by DATE_KEY so date
     filters in dashboards prune partitions at 100 TB.
+
+    File-count control: a partitionBy write emits one file per (task,
+    date) pair, so writing straight from the window shuffle (partitioned
+    by LOCATION_KEY) produces tasks x dates files — the classic
+    small-files explosion once tasks number in the thousands. The fact
+    is therefore hash-repartitioned on (DATE_KEY, salt) first:
+    at most ``fact_files_per_date`` files AND that many parallel write
+    tasks per date, via ONE deterministic shuffle. (repartitionByRange
+    would balance better but needs a sampling pass that re-executes the
+    whole star-join/window lineage; a plain repartition("DATE_KEY")
+    caps files at one per date but serializes each date's write into a
+    single task — unacceptable when one day of data is terabytes.)
 
     Staging is written FIRST and every downstream layer is rebuilt over
     the materialized staging table — exactly the reference's statement
@@ -516,6 +530,10 @@ def materialize(wh: WeatherWarehouse, base_path: str) -> WeatherWarehouse:
         ).alias("null_fk_count"),
         F.min("AVG_TEMP_F").alias("min_temp_f"),
         F.max("AVG_TEMP_F").alias("max_temp_f"),
+    )
+    fact_df = fact_df.repartition(
+        F.col("DATE_KEY"),
+        F.pmod(F.xxhash64("LOCATION_KEY"), F.lit(fact_files_per_date)),
     )
     fact = _write(fact_df, "fact_weather_day", partition_by=["DATE_KEY"])
     observed = dict(obs.get)
