@@ -350,20 +350,28 @@ def _bucketize(
     nothing extra crosses the Arrow boundary."""
     if impl == "arrow":
         from globalweather_etl_spark.operators.vector_arrow import (
-            lsh_buckets_arrow,
+            lsh_buckets_normalized_arrow,
         )
 
-        buckets = lsh_buckets_arrow(
+        buckets = lsh_buckets_normalized_arrow(
             base.sparkSession, dim, num_planes, num_tables
         )
+        # The UDF also emits the L2-normalized vector, which REPLACES
+        # vcol: downstream verification then scores candidates with a
+        # plain dot product (cosine of unit vectors) — a third of the
+        # per-pair CPU of dot + two norms, the dominant cost once
+        # collisions outnumber rows.
         # posexplode_OUTER: the bucket array always has exactly
         # num_tables elements, and the non-outer form pushes a
         # size(..)>0 filter below the Generate that forces a SECOND
         # ArrowEvalPython evaluation of the UDF per row.
-        bucketed = base.withColumn("__bs", buckets(F.col(vcol))).select(
-            "*", F.posexplode_outer("__bs").alias("table", "bucket")
-        ).drop("__bs")
-        return bucketed, cosine
+        bucketed = (
+            base.withColumn("__o", buckets(F.col(vcol)))
+            .withColumn(vcol, F.col("__o.nv"))
+            .select("*", F.posexplode_outer("__o.bs").alias("table", "bucket"))
+            .drop("__o")
+        )
+        return bucketed, dot
     if impl == "expr":
         tables = F.explode(
             F.array(*[F.lit(t) for t in range(num_tables)])
