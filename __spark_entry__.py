@@ -8,16 +8,17 @@ queries()     -> EXACTLY 50 entries covering every implemented operator
                  first 50 registered queries (observed round 1), so
                  overlapping entries are merged (SURVEY.md §8 lists the
                  merges) — nothing is registered past the cap.
-oracle_sql()  -> matching DuckDB SQL per query (44 of 50). Omitted
+oracle_sql()  -> matching DuckDB SQL per query (45 of 50). Omitted
                  (rows-only check) only where no cross-engine twin
-                 exists: xxhash64-seeded ANN ops (docs_simhash,
-                 emb_lsh_topk, emb_lsh_range_search, emb_ivf_topk),
-                 sketch aggregates (docs_approx_stats — engines use
-                 different sketches), and the stubbed codec path
-                 (media_decode_image). Each is covered by unit tests
-                 (recall floors / error bounds / reference
-                 computations) instead. docs_minhash_lsh gained a FULL
-                 DuckDB oracle in round 2 via md5-derived hashing.
+                 exists: xxhash64-seeded ANN ops (emb_lsh_topk,
+                 emb_lsh_range_search, emb_ivf_topk), sketch aggregates
+                 (docs_approx_stats — engines use different sketches),
+                 and the stubbed codec path (media_decode_image). Each
+                 is covered by unit tests (recall floors / error bounds
+                 / reference computations) instead. docs_minhash_lsh
+                 AND docs_simhash gained FULL DuckDB oracles in round 2
+                 via md5-derived hashing (60-bit prefixes both engines
+                 compute identically).
 """
 
 from __future__ import annotations

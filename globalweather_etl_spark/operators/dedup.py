@@ -419,8 +419,18 @@ def _balanced_or(cols: list[Column]) -> Column:
     return cols[0]
 
 
+def _simhash_bits(hash_fn: str) -> int:
+    """Fingerprint width per hash mode: xxhash64 fills all 64 bits; the
+    md5-prefix hash yields 60 usable bits (15 hex chars)."""
+    return 64 if hash_fn == "xxhash64" else 60
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc, sh, n_shingles) SimHash fingerprints via explode +
     hash-aggregate.
@@ -431,24 +441,32 @@ def simhash_fingerprints(
     interpreted, so at corpus scale the aggregate form is the fast
     path.
 
-    The 64 per-bit set-counts are PACKED TWO PER AGGREGATE COLUMN
-    (bits i and i+32 in the low/high 32-bit lanes of one 64-bit sum):
-    each shingle contributes ((h>>i)&1) + ((h>>(i+32))&1)<<32, so a
-    lane overflows only past 2^31 distinct shingles in one document —
-    not a real document. 32 sum columns instead of 64 halves both the
+    hash_fn="md5" draws shingle hashes from the engine-portable
+    60-bit md5 prefix (see _md5_long) instead of xxhash64 — DuckDB
+    computes identical per-shingle values, so the whole fingerprint
+    (and the pairs query over it) gains an exact cross-engine oracle;
+    the fingerprint then uses 60 bits instead of 64.
+
+    The per-bit set-counts are PACKED TWO PER AGGREGATE COLUMN (bits i
+    and i+half in the low/high 32-bit lanes of one 64-bit sum): each
+    shingle contributes ((h>>i)&1) + ((h>>(i+half))&1)<<32, so a lane
+    overflows only past 2^31 distinct shingles in one document — not a
+    real document. Halving the aggregate width halves both the
     aggregate work and the Catalyst planning time of the widest plan in
     the dedup family. The majority vote per bit is then
     2*set_count > n_shingles (strictly-greater matches the +1/-1 vote
     form: votes = 2*set - n > 0). Docs with zero shingles (< n tokens)
     surface as NULL sums via explode_outer and fingerprint to 0,
     identical to the expression form."""
+    n_bits = _simhash_bits(hash_fn)
+    half = n_bits // 2
     df = spread_for_compute(df)
     hashed = df.select(
         F.col(id_col).alias("doc"),
         F.explode_outer(
             F.transform(
                 F.array_distinct(word_shingles(F.col(text_col), n)),
-                lambda s: F.xxhash64(s),
+                lambda s: _shingle_hash(s, hash_fn),
             )
         ).alias("h"),
     )
@@ -457,19 +475,19 @@ def simhash_fingerprints(
         F.sum(
             F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one)
             + F.shiftleft(
-                F.shiftrightunsigned(F.col("h"), i + 32).bitwiseAND(one), 32
+                F.shiftrightunsigned(F.col("h"), i + half).bitwiseAND(one), 32
             )
         ).alias(f"v{i}")
-        for i in range(32)
+        for i in range(half)
     ]
     lane_mask = F.lit((1 << 32) - 1).cast("long")
     cnt = F.col("n_shingles")
     bit_terms = []
-    for i in range(32):
+    for i in range(half):
         v = F.coalesce(F.col(f"v{i}"), F.lit(0).cast("long"))
         lo = v.bitwiseAND(lane_mask)
         hi = F.shiftrightunsigned(v, 32)
-        for bit, ones in ((i, lo), (i + 32, hi)):
+        for bit, ones in ((i, lo), (i + half, hi)):
             m = F.lit(_BIT_MASKS[bit]).cast("long")
             bit_terms.append(
                 F.when(ones * 2 > cnt, m).otherwise(F.lit(0).cast("long"))
@@ -488,10 +506,12 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     num_bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole bucketing: split the 64-bit fingerprint into num_bands
+    Pigeonhole bucketing: split the fingerprint (64 bits, or 60 in
+    hash_fn="md5" mode — see simhash_fingerprints) into num_bands
     bands; any pair within hamming distance < num_bands agrees exactly
     on >=1 band, so candidates come from equi-joins on (band_idx,
     band_value) — never all-pairs. Verification computes the true
@@ -506,10 +526,13 @@ def simhash_pairs(
             f"distance {max_hamming} can differ in every one of "
             f"{num_bands} bands and would be silently missed"
         )
-    signed = simhash_fingerprints(df, id_col, text_col, n).filter(
+    n_bits = _simhash_bits(hash_fn)
+    if n_bits % num_bands:
+        raise ValueError(f"num_bands must divide {n_bits} in {hash_fn} mode")
+    signed = simhash_fingerprints(df, id_col, text_col, n, hash_fn).filter(
         F.col("n_shingles") > 0
     ).drop("n_shingles")
-    width = 64 // num_bands
+    width = n_bits // num_bands
     mask = (1 << width) - 1
     banded = signed.select(
         "doc",

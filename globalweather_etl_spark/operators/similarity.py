@@ -245,9 +245,6 @@ def ivf_cosine_topk(
             centroid_rows_to_matrix,
         )
 
-        dim_row = cand.select(F.size("cvec").alias("d")).limit(1).collect()
-        dim = dim_row[0]["d"] if dim_row else 0
-
         def _assign_mat(mat) -> DataFrame:
             return cand.select(
                 "cand_id",
@@ -261,8 +258,13 @@ def ivf_cosine_topk(
         # keeping the chain lazy means the corpus-wide assignment runs
         # ONCE per iteration, not once per downstream action re-deriving
         # the whole lineage. Empty lists keep their previous centroid
-        # (the FAISS convention).
-        mat = centroid_rows_to_matrix(centroids.collect(), n_lists, dim)
+        # (the FAISS convention). dim comes from the sampled rows — no
+        # separate probe job.
+        seed_rows = centroids.collect()
+        if not seed_rows:
+            raise ValueError("embeddings table is empty")
+        dim = len(seed_rows[0]["centroid"])
+        mat = centroid_rows_to_matrix(seed_rows, n_lists, dim)
         for _ in range(refine_iters):
             refined = _lloyd_step(_assign_mat(mat)).collect()
             mat = centroid_rows_to_matrix(refined, n_lists, dim, base=mat)

@@ -561,6 +561,36 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
   >= 0.5""",
+    # Full SimHash mirror (hash_fn="md5" on the Spark side): 60-bit
+    # md5-prefix shingle hashes, per-bit majority votes (2*set > n),
+    # 4 pigeonhole bands of 15 bits, bit_count(xor) verification —
+    # every stage computes bit-identical values in both engines.
+    # n=3, max_hamming=3, num_bands=4, matching q_docs_simhash.
+    "docs_simhash": f"""
+WITH sh AS ({_shingles_sql(3)}),
+h AS (SELECT doc_id,
+        CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+      FROM sh),
+votes AS (
+  SELECT doc_id, i, sum((h >> i) & 1) AS ones, count(*) AS ns
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bi
+  GROUP BY doc_id, i),
+fp AS (
+  SELECT doc_id,
+    sum(CASE WHEN ones * 2 > ns THEN (CAST(1 AS BIGINT) << i)
+        ELSE 0 END) AS sh_fp
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b AS band, (sh_fp >> (b * 15)) & 32767 AS bval, sh_fp
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.sh_fp AS fa, b.sh_fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3""",
     "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -644,9 +644,15 @@ def q_docs_minhash_lsh(spark, sf_dir):
 
 
 def q_docs_simhash(spark, sf_dir):
-    """Rows-only check (xxhash64-based fingerprints)."""
+    """Full cross-engine-checkable SimHash: hash_fn="md5" derives
+    shingle hashes from 60-bit md5 prefixes, which DuckDB computes
+    bit-identically — fingerprints, pigeonhole bands, candidate pairs,
+    and the bit_count(xor) hamming verification all hash-match the
+    oracle (previously a rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", n=3, max_hamming=3)
+    return simhash_pairs(
+        docs, "doc_id", "text", n=3, max_hamming=3, hash_fn="md5"
+    )
 
 
 def q_emb_cosine_topk(spark, sf_dir):
