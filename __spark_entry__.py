@@ -8,17 +8,22 @@ queries()     -> EXACTLY 50 entries covering every implemented operator
                  first 50 registered queries (observed round 1), so
                  overlapping entries are merged (SURVEY.md §8 lists the
                  merges) — nothing is registered past the cap.
-oracle_sql()  -> matching DuckDB SQL per query (45 of 50). Omitted
-                 (rows-only check) only where no cross-engine twin
-                 exists: xxhash64-seeded ANN ops (emb_lsh_topk,
-                 emb_lsh_range_search, emb_ivf_topk), sketch aggregates
-                 (docs_approx_stats — engines use different sketches),
-                 and the stubbed codec path (media_decode_image). Each
-                 is covered by unit tests (recall floors / error bounds
-                 / reference computations) instead. docs_minhash_lsh
-                 AND docs_simhash gained FULL DuckDB oracles in round 2
-                 via md5-derived hashing (60-bit prefixes both engines
-                 compute identically).
+oracle_sql()  -> matching DuckDB SQL per query (48 of 50). Omitted
+                 (rows-only check) only where no cross-engine twin can
+                 exist: sketch aggregates (docs_approx_stats — engines
+                 use different sketch implementations) and the stubbed
+                 codec path (media_decode_image — no image codec in the
+                 container). Both are covered by unit tests (error
+                 bounds / reference computations) instead. In round 2,
+                 docs_minhash_lsh, docs_simhash, emb_lsh_range_search,
+                 emb_lsh_topk, and emb_ivf_topk all gained FULL DuckDB
+                 oracles via md5-derived hashing: 60-bit md5 prefixes
+                 seed shingle ids, SimHash bits, LSH hyperplanes, and
+                 the IVF centroid sample identically in both engines,
+                 and similarity values use the sequential fold DuckDB's
+                 list_dot_product reproduces bit-for-bit. (The Lloyd
+                 refinement and the xxhash64 fast paths remain, covered
+                 by recall/parity unit tests.)
 """
 
 from __future__ import annotations

@@ -167,6 +167,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "arrow",
+    portable: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     n_lists Voronoi cells around centroids; each query scores only the
@@ -178,6 +179,16 @@ def ivf_cosine_topk(
     refine_iters > 0 runs Lloyd iterations fully distributed: explode
     assigned vectors to (list, pos, component), average per (list, pos),
     rebuild centroid arrays.
+
+    portable=True draws the centroid sample by md5-prefix hash of the
+    stringified id instead of xxhash64, so DuckDB selects the identical
+    seed set — with refine_iters=0 the whole operator then has an exact
+    cross-engine oracle (sampling, argmax assignment, probing, and
+    exact-fold cosine scoring all mirror in SQL). Lloyd refinement is
+    deliberately NOT part of the oracle surface: its distributed mean
+    sums floats in partition order, which no cross-engine twin can
+    reproduce bit-for-bit without an order-canonical (and
+    memory-unscalable) fold.
 
     impl="arrow" (default, the scale path): the corpus-side assignment
     is one numpy argmax matmul per Arrow batch against the broadcast
@@ -201,8 +212,14 @@ def ivf_cosine_topk(
     qry = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
+    if portable:
+        from globalweather_etl_spark.operators.dedup import _md5_long
+
+        seed_key = _md5_long(F.col("cand_id").cast("string"))
+    else:
+        seed_key = F.xxhash64("cand_id")
     centroids = (
-        cand.orderBy(F.xxhash64("cand_id"))
+        cand.orderBy(seed_key)
         .limit(n_lists)
         .select(
             # Deliberately single-partition: numbering n_lists (<=
@@ -333,6 +350,7 @@ def _bucketize(
     num_planes: int,
     num_tables: int,
     impl: str,
+    portable: bool = False,
 ):
     """(id-ish cols, vcol) -> same plus (table, bucket) rows, one per
     hash table; returns (bucketed_df, cosine_fn) for the chosen impl.
@@ -343,18 +361,48 @@ def _bucketize(
     after exploding the table index (its HOFs can't emit arrays of
     buckets without quadratic codegen).
 
-    Candidate VERIFICATION stays expression cosine in both impls: the
+    Candidate VERIFICATION stays expression-based in both impls: the
     candidate vectors are already JVM-resident after the bucket join,
     and profiling showed the Arrow round-trip of two dim-sized arrays
     per pair (~1 KB/pair both ways) costs 2-3x more than the
     interpreted fold — the opposite economics of bucketing, where one
     matmul replaces dim x planes x tables interpreted ops per row and
-    nothing extra crosses the Arrow boundary."""
+    nothing extra crosses the Arrow boundary.
+
+    portable=True is the ORACLE mode: planes derive from md5 prefixes
+    (DuckDB computes the identical family in SQL), the L2 norm of each
+    vector is precomputed ONCE per row with the same sequential fold
+    the oracle's sqrt(list_dot_product(v,v)) uses, and verification is
+    dot(a,b)/(nrm_a*nrm_b) — bit-identical to the oracle's cosine but
+    one fold per pair instead of three. Bucket keys AND similarity
+    values hash-match the cross-engine oracle. The default mode keeps
+    the faster xxhash64 planes and normalized-dot verification (values
+    differ from an engine oracle at the last ulp).
+
+    Returns (bucketed_df, score_fn) where score_fn(va, vb, na, nb)
+    builds the similarity from the two vector columns and (portable
+    mode only) the two precomputed __nrm columns."""
     if impl == "arrow":
         from globalweather_etl_spark.operators.vector_arrow import (
+            lsh_buckets_arrow,
             lsh_buckets_normalized_arrow,
         )
 
+        # posexplode_OUTER everywhere below: the bucket array always
+        # has exactly num_tables elements, and the non-outer form
+        # pushes a size(..)>0 filter below the Generate that forces a
+        # SECOND ArrowEvalPython evaluation of the UDF per row.
+        if portable:
+            buckets = lsh_buckets_arrow(
+                base.sparkSession, dim, num_planes, num_tables, "md5"
+            )
+            bucketed = (
+                base.withColumn("__bs", buckets(F.col(vcol)))
+                .withColumn("__nrm", l2_norm(F.col(vcol)))
+                .select("*", F.posexplode_outer("__bs").alias("table", "bucket"))
+                .drop("__bs")
+            )
+            return bucketed, lambda va, vb, na, nb: dot(va, vb) / (na * nb)
         buckets = lsh_buckets_normalized_arrow(
             base.sparkSession, dim, num_planes, num_tables
         )
@@ -363,18 +411,20 @@ def _bucketize(
         # plain dot product (cosine of unit vectors) — a third of the
         # per-pair CPU of dot + two norms, the dominant cost once
         # collisions outnumber rows.
-        # posexplode_OUTER: the bucket array always has exactly
-        # num_tables elements, and the non-outer form pushes a
-        # size(..)>0 filter below the Generate that forces a SECOND
-        # ArrowEvalPython evaluation of the UDF per row.
         bucketed = (
             base.withColumn("__o", buckets(F.col(vcol)))
             .withColumn(vcol, F.col("__o.nv"))
             .select("*", F.posexplode_outer("__o.bs").alias("table", "bucket"))
             .drop("__o")
         )
-        return bucketed, dot
+        return bucketed, lambda va, vb, na, nb: dot(va, vb)
     if impl == "expr":
+        if portable:
+            raise ValueError(
+                "portable=True requires impl='arrow': the expression "
+                "path would re-derive md5 plane components per ROW "
+                "(dim x planes x tables md5 calls) instead of once"
+            )
         tables = F.explode(
             F.array(*[F.lit(t) for t in range(num_tables)])
         ).alias("table")
@@ -382,7 +432,7 @@ def _bucketize(
             "bucket",
             lsh_signature_multi(F.col(vcol), F.col("table"), dim, num_planes),
         )
-        return bucketed, cosine
+        return bucketed, lambda va, vb, na, nb: cosine(va, vb)
     raise ValueError(f"unknown impl: {impl!r}")
 
 
@@ -395,6 +445,7 @@ def lsh_range_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "arrow",
+    portable: bool = False,
 ) -> DataFrame:
     """Bucketed similarity RANGE search: every pair (a, b), a < b, with
     cosine(a, b) >= threshold — the scale path for the all-pairs theta
@@ -426,7 +477,9 @@ def lsh_range_pairs(
     base = e.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    bucketed, _cos = _bucketize(base, "v", dim, num_planes, num_tables, impl)
+    bucketed, _cos = _bucketize(
+        base, "v", dim, num_planes, num_tables, impl, portable
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -439,7 +492,9 @@ def lsh_range_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            _cos(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            _cos(
+                F.col("a.v"), F.col("b.v"), F.col("a.__nrm"), F.col("b.__nrm")
+            ).alias("cos_sim"),
         )
         .groupBy("id_a", "id_b")
         .agg(F.first("cos_sim").alias("cos_sim"))
@@ -457,6 +512,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "arrow",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket
     with the query in AT LEAST ONE of num_tables independent hash
@@ -480,21 +536,29 @@ def lsh_cosine_topk(
         embeddings.select(
             F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
         ),
-        "cvec", dim, num_planes, num_tables, impl,
+        "cvec", dim, num_planes, num_tables, impl, portable,
     )
     qry, _ = _bucketize(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
         ),
-        "qvec", dim, num_planes, num_tables, impl,
+        "qvec", dim, num_planes, num_tables, impl, portable,
     )
+    if portable:
+        # both sides carry a __nrm column; disambiguate before the join
+        cand = cand.withColumnRenamed("__nrm", "__nrm_c")
+        qry = qry.withColumnRenamed("__nrm", "__nrm_q")
     scored = (
         cand.join(F.broadcast(qry), ["table", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            _cos(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            _cos(
+                F.col("qvec"), F.col("cvec"),
+                F.col("__nrm_q") if portable else F.lit(None),
+                F.col("__nrm_c") if portable else F.lit(None),
+            ).alias("cos_sim"),
         )
         # a pair matching in several tables appears several times with
         # the same score — dedup by key, scores are identical

@@ -31,31 +31,57 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+_PLANE_CACHE: dict[tuple[int, int, int, str], np.ndarray] = {}
 
 
 def hyperplane_matrix(
-    spark: SparkSession, dim: int, num_planes: int, num_tables: int = 1
+    spark: SparkSession,
+    dim: int,
+    num_planes: int,
+    num_tables: int = 1,
+    derivation: str = "xxhash64",
 ) -> np.ndarray:
     """The deterministic hyperplane family as a dense
     (num_tables*num_planes, dim) float64 matrix.
 
-    Component (i, j) = pmod(xxhash64(i, j), 2000001)/1e6 - 1 — computed
-    by SPARK expressions (a few-thousand-row local job), not a Python
+    derivation="xxhash64" (default): component (i, j) =
+    pmod(xxhash64(i, j), 2000001)/1e6 - 1 — computed by SPARK
+    expressions (a few-thousand-row local job), not a Python
     re-implementation of xxhash64, so the values are bit-identical to
     what lsh_signature_multi derives per row. The i/j operands are
     INTs (sequence literals), matching the expression path's types —
     xxhash64 hashes typed values, so an int/long mismatch would silently
     produce a different plane family.
 
-    Memoized per (dim, planes, tables): the family is a pure function of
-    its shape, so repeated operator constructions in one session reuse
+    derivation="md5": component (i, j) =
+    (md5_60bit('i,j') % 2000001)/1e6 - 1 with the 60-bit md5 prefix of
+    the 'i,j' decimal string — an ENGINE-PORTABLE family DuckDB derives
+    bit-identically in SQL, enabling full cross-engine oracles for the
+    LSH operators (the same md5-prefix trick MinHash/SimHash use).
+
+    Memoized per shape+derivation: the family is a pure function of its
+    parameters, so repeated operator constructions in one session reuse
     the collected matrix instead of re-running the derivation job."""
-    key = (dim, num_planes, num_tables)
+    key = (dim, num_planes, num_tables, derivation)
     cached = _PLANE_CACHE.get(key)
     if cached is not None:
         return cached
     n = num_tables * num_planes
+    if derivation == "xxhash64":
+        comp = (
+            F.pmod(F.xxhash64(F.col("i"), F.col("j")), F.lit(2000001))
+            / F.lit(1000000.0)
+            - F.lit(1.0)
+        )
+    elif derivation == "md5":
+        h60 = F.conv(
+            F.substring(F.md5(F.concat_ws(",", F.col("i"), F.col("j"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        comp = (h60 % F.lit(2000001)) / F.lit(1000000.0) - F.lit(1.0)
+    else:
+        raise ValueError(f"unknown derivation: {derivation!r}")
     rows = (
         spark.range(1)
         .select(
@@ -65,15 +91,7 @@ def hyperplane_matrix(
             "i",
             F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
         )
-        .select(
-            "i",
-            "j",
-            (
-                F.pmod(F.xxhash64(F.col("i"), F.col("j")), F.lit(2000001))
-                / F.lit(1000000.0)
-                - F.lit(1.0)
-            ).alias("p"),
-        )
+        .select("i", "j", comp.alias("p"))
         .collect()
     )
     planes = np.empty((n, dim), dtype=np.float64)
@@ -91,12 +109,16 @@ def _stack(vecs: pd.Series, dim: int) -> np.ndarray:
 
 
 def lsh_buckets_arrow(
-    spark: SparkSession, dim: int, num_planes: int, num_tables: int
+    spark: SparkSession,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    derivation: str = "xxhash64",
 ):
     """Column function: vector -> array<bigint> of num_tables bucket
     keys (bit p of table t = sign(vec . plane[t*num_planes+p]), same
     convention as lsh_signature_multi). One BLAS matmul per Arrow batch."""
-    planes_t = hyperplane_matrix(spark, dim, num_planes, num_tables).T
+    planes_t = hyperplane_matrix(spark, dim, num_planes, num_tables, derivation).T
     weights = (1 << np.arange(num_planes, dtype=np.int64))
 
     @pandas_udf("array<long>")
@@ -137,25 +159,6 @@ def lsh_buckets_normalized_arrow(
         return pd.DataFrame({"bs": list(keys), "nv": list(nv)})
 
     return _buckets_nv
-
-
-def cosine_arrow(dim: int):
-    """Column function: (vec_a, vec_b) -> cosine similarity, one
-    vectorized pass per Arrow batch. Summation order differs from the
-    sequential expression fold at the last-ulp level — use only where
-    results are NOT hash-compared against an engine that folds
-    sequentially (i.e. the rows-only ANN paths, not the oracled exact
-    top-k)."""
-
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = _stack(a, dim)
-        mb = _stack(b, dim)
-        num = (ma * mb).sum(axis=1)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
-
-    return _cos
 
 
 def argmax_centroid_arrow(centroids: np.ndarray):

@@ -451,6 +451,27 @@ def _build_lang_id_sql() -> str:
     ELSE 'und' END"""
 
 
+def _lsh_buckets_sql(num_planes: int, num_tables: int, dim: int = 64) -> str:
+    """CTEs e/planes/buckets mirroring the portable (md5-plane) LSH
+    bucketing: plane index i = t*num_planes + p, component (i, j) from
+    the 60-bit md5 prefix of 'i,j', bucket bit p = sign(v . plane)."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t, p,
+    [ (CAST('0x' || substring(md5(
+          CAST(t*{num_planes}+p AS VARCHAR) || ',' || CAST(j AS VARCHAR)
+        ), 1, 15) AS BIGINT) % 2000001) / 1000000.0 - 1.0
+      FOR j IN range(0, {dim}) ] AS pv
+  FROM (SELECT unnest(range({num_tables})) AS t),
+       (SELECT unnest(range({num_planes})) AS p)),
+buckets AS (
+  SELECT e.vec_id, pl.t AS tbl,
+    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+        THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t)"""
+
+
 EXT_ORACLES: dict[str, str] = {
     # All three exact-dedup views in one: per-doc keeper flag +
     # fingerprint-group duplicate count (keepers = min-id per group;
@@ -591,6 +612,93 @@ cand AS (
 SELECT doc_a, doc_b,
   CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 3""",
+    # Full LSH mirrors (portable=True on the Spark side): hyperplane
+    # component (i, j) = (md5_60bit('i,j') % 2000001)/1e6 - 1 — DuckDB
+    # derives the identical plane family in SQL — and verification is
+    # the sequential-fold cosine list_dot_product reproduces exactly.
+    # Plane-dot SIGNS are compared across engines; a sign can only
+    # diverge if a dot lands within float-summation error of 0
+    # (~1e-13), which the fixed test data does not do.
+    "emb_lsh_range_search": f"""
+WITH {_lsh_buckets_sql(4, 6)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+  list_dot_product(ea.v, eb.v)
+    / (sqrt(list_dot_product(ea.v, ea.v))
+       * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE list_dot_product(ea.v, eb.v)
+    / (sqrt(list_dot_product(ea.v, ea.v))
+       * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
+    "emb_lsh_topk": f"""
+WITH {_lsh_buckets_sql(8, 4)},
+qb AS (SELECT * FROM buckets WHERE vec_id < 10),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM buckets c JOIN qb q
+    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id),
+scored AS (
+  SELECT query_id, cand_id,
+    list_dot_product(eq.v, ec.v)
+      / (sqrt(list_dot_product(eq.v, eq.v))
+         * sqrt(list_dot_product(ec.v, ec.v))) AS cos_sim
+  FROM pairs
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = cand_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    # Full IVF mirror (portable=True, refine_iters=0 on the Spark
+    # side): the centroid sample is the 16 smallest md5-prefix hashes
+    # of the stringified id, centroids are L2-normalized seeds,
+    # assignment is argmax of dot (ties -> larger list_id, matching
+    # numpy argmax over the column-reversed matrix), probes take the
+    # n_probe best centroids per query (ties -> smaller list_id), and
+    # scoring is the exact-fold cosine.
+    "emb_ivf_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id, v FROM e
+  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT)
+  LIMIT 16),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS list_id,
+    [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
+  FROM seeds),
+assign AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT e.vec_id, e.v, c.list_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_dot_product(e.v, c.c) DESC, c.list_id DESC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.c) DESC, c.list_id ASC) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    list_dot_product(eq.v, a.v)
+      / (sqrt(list_dot_product(eq.v, eq.v))
+         * sqrt(list_dot_product(a.v, a.v))) AS cos_sim
+  FROM probes p
+  JOIN assign a USING (list_id)
+  JOIN e eq ON eq.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
     "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

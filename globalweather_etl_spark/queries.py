@@ -662,12 +662,16 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_lsh_range_search(spark, sf_dir):
-    """Rows-only: LSH-bucketed range search — the at-scale path for
-    q_emb_range_search (whose brute all-pairs form stays as the exact
-    oracle baseline). Precision exact via verification; recall floors
-    are pinned in test_similarity.py."""
+    """Full cross-engine-checkable LSH range search (portable=True):
+    hyperplanes derive from md5 prefixes DuckDB computes identically,
+    and verification is the sequential-fold cosine DuckDB's
+    list_dot_product reproduces bit-for-bit — bucket keys, candidate
+    pairs, AND similarity values hash-match the oracle (previously
+    rows-only). Recall floors are pinned in test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4, num_tables=6)
+    return lsh_range_pairs(
+        emb, threshold=0.4, dim=64, num_planes=4, num_tables=6, portable=True
+    )
 
 
 def q_emb_range_search(spark, sf_dir):
@@ -691,20 +695,27 @@ def q_emb_range_search(spark, sf_dir):
 
 
 def q_emb_ivf_topk(spark, sf_dir):
-    """Rows-only: IVF coarse-quantizer ANN with one distributed Lloyd
-    refinement (recall vs brute force asserted in test_similarity)."""
+    """Full cross-engine-checkable IVF ANN (portable=True, no refine):
+    md5-seeded centroid sample, argmax assignment, n_probe probing, and
+    exact-fold cosine scoring all mirror bit-for-bit in DuckDB SQL.
+    The distributed Lloyd refinement path (refine_iters>0) has no
+    order-stable cross-engine twin and stays covered by the recall and
+    arrow/expr parity tests in test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_cosine_topk(
-        emb, queries, k=5, n_lists=16, n_probe=4, refine_iters=1
+        emb, queries, k=5, n_lists=16, n_probe=4, portable=True
     )
 
 
 def q_emb_lsh_topk(spark, sf_dir):
-    """Rows-only check: LSH-bucketed ANN (deterministic hyperplanes)."""
+    """Full cross-engine-checkable LSH ANN top-k (portable=True, same
+    md5 plane family + exact-fold cosine as q_emb_lsh_range_search)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, queries, k=5, dim=64, num_planes=8)
+    return lsh_cosine_topk(
+        emb, queries, k=5, dim=64, num_planes=8, portable=True
+    )
 
 
 # ------------------------------------------- sampling / splits / packing

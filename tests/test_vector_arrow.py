@@ -46,9 +46,12 @@ def test_hyperplane_matrix_matches_expression_derivation(spark):
 
 def test_hyperplane_matrix_memoized(spark):
     a = hyperplane_matrix(spark, 7, 2, 2)
-    assert (7, 2, 2) in _PLANE_CACHE
+    assert (7, 2, 2, "xxhash64") in _PLANE_CACHE
     b = hyperplane_matrix(spark, 7, 2, 2)
     assert a is b
+    # md5-derived family is distinct and separately cached
+    c = hyperplane_matrix(spark, 7, 2, 2, "md5")
+    assert (c != a).any()
 
 
 def test_centroid_rows_to_matrix_requires_all_without_base():
