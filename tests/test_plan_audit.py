@@ -1,0 +1,89 @@
+"""Registry-wide physical-plan audit.
+
+Every one of the 50 registered queries is built (lazily, sf0.001 — no
+execution) and its physical plan is scanned for the three anti-patterns
+that silently destroy a 100 TB run:
+
+- ``CartesianProduct``: an unbroadcast all-pairs join. Never acceptable;
+  even the O(n^2) oracle-baseline range search keeps its small side
+  broadcast.
+- ``BatchEvalPython``: a row-at-a-time Python UDF in the plan. The only
+  sanctioned Python execution is Arrow-batched (``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas``).
+- ``BroadcastNestedLoopJoin`` outside the explicit allowlist below.
+  A BNLJ is the *right* plan when the broadcast side is O(1) rows
+  (constant-source joins, 1-row validation scalars) or a deliberately
+  small broadcast-query/centroid matrix (exact-ANN baselines). It is a
+  catastrophe when Spark falls back to it for a big x big theta join —
+  this test makes any new occurrence a loud failure instead of a quiet
+  100x regression.
+
+The allowlist documents WHY each entry is safe, so a reviewer can audit
+the exceptions in one place.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from globalweather_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin,
+# with the broadcast side and why it is O(small).
+BNLJ_ALLOWED: dict[str, str] = {
+    # The DIM_SOURCE constant-key join (SURVEY J4, ETL:120): the
+    # broadcast side is the literal 1-row constant source.
+    "pipeline_fact": "1-row constant DIM_SOURCE join",
+    "dashboard_q1": "1-row constant DIM_SOURCE join (via fact)",
+    "dashboard_q2": "1-row constant DIM_SOURCE join (via fact)",
+    "dashboard_q3": "1-row constant DIM_SOURCE join (via fact)",
+    "dashboard_q4": "1-row constant DIM_SOURCE join (via fact)",
+    "dashboard_q5": "1-row constant DIM_SOURCE join (via fact)",
+    # Two global 1-row aggregates stitched side by side.
+    "pipeline_validation": "joins two 1-row validation aggregates",
+    "tpch_scalar_checks": "joins 1-row global-aggregate scalars",
+    # Exact-ANN baselines: corpus x broadcast(query-set). The query set
+    # is dimension-sized by contract (limit-guarded in similarity.py).
+    "emb_cosine_topk": "corpus x broadcast small query set (exact baseline)",
+    "emb_range_search": "documented O(n^2) oracle baseline, small side broadcast",
+    # IVF assignment: corpus x broadcast(n_lists x dim centroid matrix).
+    "emb_ivf_topk": "corpus x broadcast centroid matrix (n_lists rows)",
+}
+
+FORBIDDEN_ALWAYS = ("CartesianProduct", "BatchEvalPython")
+
+
+def _formatted_plan(spark, df) -> str:
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_antipatterns(spark, name):
+    plan = _formatted_plan(spark, QUERIES[name](spark, SF_DIR))
+    for pat in FORBIDDEN_ALWAYS:
+        assert pat not in plan, (
+            f"{name}: {pat} in physical plan — this is a scale-killer "
+            f"(unbroadcast all-pairs join or row-at-a-time Python UDF)"
+        )
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        pytest.fail(
+            f"{name}: BroadcastNestedLoopJoin appeared in a query not on "
+            f"the audited allowlist — verify the broadcast side is O(1)/"
+            f"dimension-sized and add it to BNLJ_ALLOWED with a reason, "
+            f"or fix the join"
+        )
+
+
+def test_bnlj_allowlist_is_tight(spark):
+    """Every allowlist entry must still be needed — a stale entry would
+    quietly re-admit a future BNLJ regression for that query."""
+    stale = []
+    for name in BNLJ_ALLOWED:
+        plan = _formatted_plan(spark, QUERIES[name](spark, SF_DIR))
+        if "BroadcastNestedLoopJoin" not in plan:
+            stale.append(name)
+    assert not stale, f"allowlist entries no longer exhibit BNLJ: {stale}"
