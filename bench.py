@@ -104,6 +104,7 @@ def main() -> None:
                 "docs_ngram_jaccard",
                 "docs_minhash_lsh",
                 "docs_simhash",
+                "docs_embedding_neardup",
                 "docs_text_metrics",
                 "emb_cosine_topk",
                 "emb_lsh_topk",

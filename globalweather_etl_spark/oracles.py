@@ -451,11 +451,15 @@ def _build_lang_id_sql() -> str:
     ELSE 'und' END"""
 
 
-def _lsh_buckets_sql(num_planes: int, num_tables: int, dim: int = 64) -> str:
+def _lsh_buckets_sql(
+    num_planes: int, num_tables: int, dim: int = 64, src: str = "embeddings"
+) -> str:
     """CTEs e/planes/buckets mirroring the portable (md5-plane) LSH
     bucketing: plane index i = t*num_planes + p, component (i, j) from
-    the 60-bit md5 prefix of 'i,j', bucket bit p = sign(v . plane)."""
-    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    the 60-bit md5 prefix of 'i,j', bucket bit p = sign(v . plane).
+    ``src`` is the relation supplying (vec_id, embedding) — a table name
+    or a parenthesized subquery."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {src}),
 planes AS (
   SELECT t, p,
     [ (CAST('0x' || substring(md5(
@@ -635,6 +639,33 @@ JOIN e eb ON eb.vec_id = id_b
 WHERE list_dot_product(ea.v, eb.v)
     / (sqrt(list_dot_product(ea.v, ea.v))
        * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4""",
+    # Embedding-cosine near-dup on the DOCUMENTS table: the vector set
+    # is documents JOIN embeddings (doc_id = vec_id), bucketing/verify
+    # mirror emb_lsh_range_search (planes=4, tables=8), keeper = the
+    # lower doc_id of each pair, and the dup side carries its document
+    # metadata. Same bit-exact md5-plane + fold-cosine parity.
+    "docs_embedding_neardup": f"""
+WITH {_lsh_buckets_sql(4, 8, src=(
+    "(SELECT e0.vec_id, e0.embedding FROM embeddings e0 "
+    "JOIN documents d0 ON d0.doc_id = e0.vec_id)"))},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sim AS (
+  SELECT id_a, id_b,
+    list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v))
+         * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b
+  WHERE list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v))
+         * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4)
+SELECT id_a AS keep_doc_id, id_b AS dup_doc_id, cos_sim,
+  d.lang AS dup_lang, d.n_chars AS dup_n_chars
+FROM sim JOIN documents d ON d.doc_id = id_b""",
     "emb_lsh_topk": f"""
 WITH {_lsh_buckets_sql(8, 4)},
 qb AS (SELECT * FROM buckets WHERE vec_id < 10),
@@ -713,16 +744,6 @@ ranked AS (
            ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
   FROM scored)
 SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
-    "emb_range_search": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-    AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-    >= 0.4""",
 }
 
 

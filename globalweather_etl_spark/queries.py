@@ -674,10 +674,42 @@ def q_emb_lsh_range_search(spark, sf_dir):
     )
 
 
+def q_docs_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection on the DOCUMENTS table
+    (semantic dedup, the fifth dedup family next to exact / n-gram
+    Jaccard / MinHash / SimHash): each document's embedding arrives via
+    the 1:1 doc_id = vec_id join, candidates come from LSH bucketing
+    (never an all-pairs stage), each candidate is verified with the
+    exact cosine, and every surviving pair becomes a (keep, dup) edge
+    under min-id keeper semantics with the dup's document metadata
+    joined back on. threshold=0.4 is scaled to this synthetic corpus
+    (its cosine ceiling is ~0.5); a production run sets the same knob
+    to ~0.9. Fully cross-engine-checkable (portable=True md5 planes +
+    fold cosine, as q_emb_lsh_range_search)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "embedding"
+    )
+    pairs = lsh_range_pairs(
+        vecs, threshold=0.4, dim=64, num_planes=4, num_tables=8,
+        id_col="doc_id", portable=True,
+    )
+    return pairs.join(docs, pairs["id_b"] == docs["doc_id"]).select(
+        F.col("id_a").alias("keep_doc_id"),
+        F.col("id_b").alias("dup_doc_id"),
+        F.col("cos_sim"),
+        F.col("lang").alias("dup_lang"),
+        F.col("n_chars").alias("dup_n_chars"),
+    )
+
+
 def q_emb_range_search(spark, sf_dir):
-    """Similarity range 'join': all pairs with cosine >= 0.4 — this
-    brute-force form is the exact oracle baseline; the LSH-bucketed
-    variant (q_emb_lsh_range_search) is the at-scale path."""
+    """Similarity range 'join': all pairs with cosine >= 0.4 — the
+    brute-force exact baseline. NOT in the 50-entry registry (its slot
+    went to docs_embedding_neardup, the bucketed doc-level near-dup):
+    this form exists as the recall reference the LSH variants are
+    measured against in test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     a = e.alias("a")
@@ -824,11 +856,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_minhash_lsh": q_docs_minhash_lsh,
     "docs_simhash": q_docs_simhash,
+    "docs_embedding_neardup": q_docs_embedding_neardup,
     "media_metadata_stats": q_media_metadata_stats,
     "media_features": q_media_features,
     "media_decode_image": q_media_decode_image,
     "emb_cosine_topk": q_emb_cosine_topk,
-    "emb_range_search": q_emb_range_search,
     "emb_lsh_range_search": q_emb_lsh_range_search,
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_ivf_topk": q_emb_ivf_topk,

@@ -47,7 +47,6 @@ BNLJ_ALLOWED: dict[str, str] = {
     # Exact-ANN baselines: corpus x broadcast(query-set). The query set
     # is dimension-sized by contract (limit-guarded in similarity.py).
     "emb_cosine_topk": "corpus x broadcast small query set (exact baseline)",
-    "emb_range_search": "documented O(n^2) oracle baseline, small side broadcast",
     # IVF assignment: corpus x broadcast(n_lists x dim centroid matrix).
     "emb_ivf_topk": "corpus x broadcast centroid matrix (n_lists rows)",
 }

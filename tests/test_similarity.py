@@ -153,3 +153,38 @@ def test_lsh_range_pairs_deterministic(emb):
     a = lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4).collect()
     b = lsh_range_pairs(emb, threshold=0.4, dim=64, num_planes=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_docs_embedding_neardup_contract(spark):
+    """Doc-level semantic near-dup (registry query): keeper is always
+    the lower doc_id, precision is exact versus the brute >= 0.4 pair
+    set, and the dup-side metadata matches the documents table."""
+    from globalweather_etl_spark.queries import q_docs_embedding_neardup
+
+    rows = q_docs_embedding_neardup(spark, SF_DIR).collect()
+    assert rows, "synthetic corpus should contain >=1 near-dup pair"
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    emb_df = load_table(spark, SF_DIR, "embeddings")
+    e = emb_df.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    for r in rows:
+        assert r["keep_doc_id"] < r["dup_doc_id"]
+        assert (r["keep_doc_id"], r["dup_doc_id"]) in brute
+        assert r["cos_sim"] >= 0.4
+        d = docs[r["dup_doc_id"]]
+        assert (r["dup_lang"], r["dup_n_chars"]) == (d["lang"], d["n_chars"])
+    assert len(rows) / len(brute) >= 0.5, "recall floor vs brute baseline"
