@@ -41,6 +41,11 @@ AUDITS = {
     # bucketed range search: candidates from a (table, bucket) hash
     # join, never a nested-loop theta join over all pairs
     "emb_lsh_range_search": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    # doc-level semantic near-dup: same bucketed candidate join, and no
+    # nested-loop anywhere despite the two documents-side joins
+    "docs_embedding_neardup": [
+        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+    ],
     # distributed prefix sum: range exchange + pid-partitioned window,
     # never an unpartitioned Window over the data
     "docs_pack_by_budget": ["rangepartitioning", "__pid"],
