@@ -450,7 +450,8 @@ def lsh_range_pairs(
     """Bucketed similarity RANGE search: every pair (a, b), a < b, with
     cosine(a, b) >= threshold — the scale path for the all-pairs theta
     self-join (q_emb_range_search keeps the brute form as the exact
-    oracle baseline).
+    recall baseline in test_similarity.py; registry-side it backs both
+    emb_lsh_range_search and the doc-level docs_embedding_neardup).
 
     Candidate generation is a SELF-join on (table, bucket): only pairs
     sharing a random-hyperplane bucket in >=1 of num_tables independent
