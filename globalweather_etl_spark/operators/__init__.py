@@ -1,4 +1,5 @@
 from globalweather_etl_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     exact_dedup_keepers,
     exact_dedup_removed,
@@ -42,6 +43,7 @@ __all__ = [
     "shuffle_deterministic",
     "cosine_topk",
     "dot",
+    "decontaminate",
     "exact_dedup",
     "exact_dedup_keepers",
     "exact_dedup_removed",

@@ -1,13 +1,19 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, in increasing fuzziness:
+Five families, in increasing fuzziness:
   exact          hash-groupBy on a content fingerprint (md5)
+  decontaminate  n-gram membership against a benchmark/eval set
+                 (broadcast shingle-set semi-probe — train/test leak
+                 removal, not self-dedup)
   ngram_jaccard  exact Jaccard over word n-gram shingles (inverted-index
                  self-join — no all-pairs blowup)
   minhash_lsh    MinHash signatures + banded LSH bucketing (near-dup at
                  scale: candidate pairs only within matching bands)
   simhash        64-bit SimHash fingerprints + hamming-ball candidate
                  pairing via band rotation
+
+(The sixth, embedding-cosine near-dup, lives on the similarity side:
+queries.q_docs_embedding_neardup over operators.similarity.)
 
 Algorithm lineage (public literature): MinHash resemblance — Broder,
 "On the resemblance and containment of documents" (SEQUENCES 1997);
@@ -250,6 +256,67 @@ def _minhash_signed(shingled: DataFrame, num_hashes: int) -> DataFrame:
             "doc",
             "n_shingles",
             F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    bench_text_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that shares
+    at least ``min_hits`` distinct word ``n``-grams with ANY document in
+    ``benchmark`` (an eval/test set that must not leak into training
+    data). Returns the corpus unchanged plus two columns:
+    ``n_contaminated_shingles`` (distinct shared n-grams) and
+    ``is_contaminated``. Filter on the flag to produce the clean split;
+    the standard practice (GPT-3 appendix C / PaLM-style n-gram overlap)
+    uses long shingles, n in [8, 13], and min_hits=1.
+
+    Scale shape (100 TB corpus, benchmark of thousands of docs): the
+    benchmark's distinct shingle-hash set is kilobytes-to-megabytes and
+    broadcast, so contamination hits are a map-side broadcast hash join
+    in the corpus scan stage — the corpus itself never shuffles for the
+    membership test; only the (doc, hit-count) aggregate and the final
+    id-keyed join shuffle, both keyed by the high-cardinality doc id.
+    Set broadcast_benchmark=False to let the planner choose (e.g. a
+    benchmark too large to broadcast joins shuffle-side on the 8-byte
+    shingle hash).
+
+    Documents shorter than ``n`` words produce no shingles and are
+    never flagged — the membership test is vacuous, not an error."""
+    bench_sh = (
+        _hashed_shingles(
+            benchmark, id_col, bench_text_col or text_col, n, hash_fn=hash_fn
+        )
+        .select("sh")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        _hashed_shingles(corpus, id_col, text_col, n, hash_fn=hash_fn)
+        .join(bench_sh, "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        corpus.join(hits, corpus[id_col] == hits["doc"], "left")
+        .drop("doc")
+        .withColumn(
+            "n_contaminated_shingles",
+            F.coalesce(F.col("n_contaminated_shingles"), F.lit(0)),
+        )
+        .withColumn(
+            "is_contaminated",
+            F.col("n_contaminated_shingles") >= F.lit(min_hits),
         )
     )
 

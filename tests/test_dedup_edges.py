@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     exact_dedup_keepers,
     minhash_lsh_pairs,
@@ -179,3 +180,84 @@ def test_minhash_md5_mode_matches_xxhash_on_verified_pairs(docs):
     assert (1, 2) in xx and (1, 2) in md
     for pair in set(xx) & set(md):
         assert xx[pair] == md[pair]
+
+
+class TestDecontaminate:
+    """Benchmark decontamination: hand-computable 3-gram overlaps."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text with no overlap at all"),
+                (3, "a b"),  # shorter than n=3 words -> zero shingles
+                (4, "x y z w v"),  # exact copy of a benchmark doc
+            ],
+            "doc_id long, text string",
+        )
+        benchmark = spark.createDataFrame(
+            [
+                # shares exactly 3 shingles with doc 1: "the quick
+                # brown", "quick brown fox", "brown fox jumps"
+                (100, "the quick brown fox jumps straight home"),
+                (101, "x y z w v"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, benchmark
+
+    def _counts(self, out):
+        return {
+            r["doc_id"]: (r["n_contaminated_shingles"], r["is_contaminated"])
+            for r in out.collect()
+        }
+
+    def test_exact_overlap_counts(self, frames):
+        corpus, benchmark = frames
+        got = self._counts(
+            decontaminate(corpus, benchmark, "doc_id", "text", n=3)
+        )
+        assert got == {
+            1: (3, True),
+            2: (0, False),
+            3: (0, False),
+            4: (3, True),
+        }
+
+    def test_min_hits_threshold(self, frames):
+        corpus, benchmark = frames
+        got = self._counts(
+            decontaminate(corpus, benchmark, "doc_id", "text", n=3, min_hits=4)
+        )
+        assert not any(flag for _, flag in got.values())
+
+    def test_preserves_corpus_rows_and_columns(self, frames):
+        corpus, benchmark = frames
+        out = decontaminate(corpus, benchmark, "doc_id", "text", n=3)
+        assert out.count() == corpus.count()
+        assert out.columns == corpus.columns + [
+            "n_contaminated_shingles",
+            "is_contaminated",
+        ]
+
+    def test_md5_hash_parity(self, frames):
+        """The engine-portable hash yields identical counts (no hash
+        family dependence in the membership semantics)."""
+        corpus, benchmark = frames
+        a = self._counts(decontaminate(corpus, benchmark, "doc_id", "text", n=3))
+        b = self._counts(
+            decontaminate(
+                corpus, benchmark, "doc_id", "text", n=3, hash_fn="md5"
+            )
+        )
+        assert a == b
+
+    def test_benchmark_side_broadcast(self, frames):
+        """The membership probe must be a broadcast hash join (the
+        corpus never shuffles for it) unless explicitly disabled."""
+        corpus, benchmark = frames
+        plan = decontaminate(
+            corpus, benchmark, "doc_id", "text", n=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
