@@ -377,35 +377,67 @@ FROM sessions GROUP BY user_id, session_id""",
 
 # ------------------------------------------------- multimodal columns
 
+# Scalar bin_00..bin_15 byte-histogram columns (see media_features note).
+_HIST_BIN_COLS = ",\n    ".join(
+    f"len(list_filter(codes, x -> x // 16 = {b})) AS bin_{b:02d}"
+    for b in range(16)
+)
+
+
 def _media_oracles() -> dict[str, str]:
     from globalweather_etl_spark.multimodal.synthesize import MEDIA_SQL
 
     prologue = f"WITH media AS ({MEDIA_SQL})\n"
     return {
+        # Every sum is cast to BIGINT: DuckDB sum(INTEGER) returns
+        # HUGEINT (int128), which pandas renders as float64 — the
+        # driver's dtype-faithful hash then diverges from Spark's int64
+        # even when the values are identical (round-2 hash_match=false).
         "media_metadata_stats": prologue
         + """SELECT kind, count(*) AS n_media,
-  sum(octet_length(payload)) AS total_bytes,
-  sum(width) AS sum_width, sum(n_frames) AS sum_frames
+  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+  CAST(sum(width) AS BIGINT) AS sum_width,
+  CAST(sum(n_frames) AS BIGINT) AS sum_frames
 FROM media GROUP BY kind""",
         # Digest tier: DuckDB has no md5(BLOB); md5 of the source VARCHAR
         # hashes the same UTF-8 bytes the payload was encoded from.
         # Histogram tier: the synthesized corpus is pure ASCII, so
         # payload bytes == codepoints and the Pandas-UDF byte histogram
         # has an exact SQL twin (verified: zero docs match [^\x00-\x7f]).
+        # The 16 bins are emitted as scalar bin_00..bin_15 columns (not
+        # one list column): the driver's pandas canonicalizer
+        # sort_values+hashes cell values, and a list cell is unhashable
+        # (round-2 err on this query).
         "media_features": prologue.rstrip("\n")
-        + """,
+        + f""",
 hist AS (
   SELECT doc_id AS media_id,
-    [len(list_filter(codes, x -> x // 16 = b)) FOR b IN range(0, 16)]
-      AS histogram
+    {_HIST_BIN_COLS}
   FROM (SELECT doc_id,
           [unicode(c) FOR c IN string_split(text, '') IF c != ''] AS codes
         FROM documents))
 SELECT m.media_id, m.kind, md5(d.text) AS digest,
-  octet_length(m.payload) AS n_bytes, h.histogram
+  octet_length(m.payload) AS n_bytes,
+  {", ".join(f"h.bin_{b:02d}" for b in range(16))}
 FROM media m
 JOIN documents d ON m.media_id = d.doc_id
 JOIN hist h ON h.media_id = m.media_id""",
+        # The fake decode (no codec in container) is a deterministic
+        # function of the ASCII payload: dims pass through from
+        # metadata, mean_intensity = mean payload byte = mean codepoint.
+        # numpy's float64 mean and this sum/length division are
+        # bit-identical (integer sum is exact in float64, one rounded
+        # division each).
+        "media_decode_image": prologue
+        + """SELECT m.media_id, m.height, m.width, m.channels,
+  CASE WHEN length(d.text) = 0 THEN 0.0
+       ELSE CAST(list_aggregate(
+              [unicode(c) FOR c IN string_split(d.text, '') IF c != ''],
+              'sum') AS DOUBLE) / length(d.text)
+  END AS mean_intensity
+FROM media m
+JOIN documents d ON d.doc_id = m.media_id
+WHERE m.kind = 'image'""",
     }
 
 
@@ -417,16 +449,24 @@ _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
-def _shingles_sql(n: int) -> str:
+def _shingles_sql(n: int, max_doc_freq: int | None = None) -> str:
     """Distinct word n-gram shingles per doc, mirroring
-    functions.text.word_shingles + array_distinct."""
-    return f"""
+    functions.text.word_shingles + array_distinct. ``max_doc_freq``
+    mirrors dedup._cap_hot_shingles: shingles appearing in more than
+    that many documents are dropped (rows are distinct per doc, so a
+    plain per-shingle count IS the document frequency)."""
+    base = f"""
 SELECT doc_id, unnest(list_distinct(
   CASE WHEN len(toks) >= {n}
        THEN [array_to_string(toks[i:i+{n - 1}], ' ')
              FOR i IN range(1, len(toks) - {n} + 2)]
        ELSE [] END)) AS shingle
 FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)"""
+    if max_doc_freq is None:
+        return base
+    return f"""
+SELECT doc_id, shingle FROM ({base})
+QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_doc_freq}"""
 
 
 def _lang_score_sql(lang_words: list[str]) -> str:
@@ -532,8 +572,12 @@ SELECT doc_id,
         c -> CAST(unicode(c) AS BIGINT))),
     (acc, code) -> (acc * 31 + code) % 2147483647) AS fingerprint
 FROM documents""",
+    # max_doc_freq=64 mirrors the graded query: the hot-shingle cap is
+    # ON so the graded plan is the 100 TB-safe one (at sf0.01 the max
+    # 3-gram doc freq is 7, so the capped output is identical to the
+    # uncapped form — the cap is exercised, not the semantics changed).
     "docs_ngram_jaccard": f"""
-WITH sh AS ({_shingles_sql(3)}),
+WITH sh AS ({_shingles_sql(3, max_doc_freq=64)}),
 sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -551,8 +595,10 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) >= 0.5
     # keys hash the comma-joined decimal signature slice — every stage
     # computes bit-identical values in both engines. n=3, num_hashes=32,
     # bands=8 (4 rows/band), threshold=0.5, matching q_docs_minhash_lsh.
+    # max_doc_freq=64 as in docs_ngram_jaccard: signatures, banding AND
+    # verification all run over the capped shingle space in both engines.
     "docs_minhash_lsh": f"""
-WITH sh AS ({_shingles_sql(3)}),
+WITH sh AS ({_shingles_sql(3, max_doc_freq=64)}),
 h AS (SELECT doc_id,
         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
           AS h

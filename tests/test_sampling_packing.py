@@ -109,7 +109,7 @@ def test_approx_stats_within_error_bounds(spark, docs):
     exact_distinct = docs.select("text").distinct().count()
     # HLL++ default rsd = 5%
     assert abs(row["approx_distinct_docs"] - exact_distinct) <= 0.1 * exact_distinct
-    q10, q50, q90 = row["chars_quantiles"]
+    q10, q50, q90 = row["chars_p10"], row["chars_p50"], row["chars_p90"]
     assert q10 <= q50 <= q90
     lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
     assert lo <= q10 and q90 <= hi
