@@ -8,22 +8,24 @@ queries()     -> EXACTLY 50 entries covering every implemented operator
                  first 50 registered queries (observed round 1), so
                  overlapping entries are merged (SURVEY.md §8 lists the
                  merges) — nothing is registered past the cap.
-oracle_sql()  -> matching DuckDB SQL per query (48 of 50). Omitted
-                 (rows-only check) only where no cross-engine twin can
-                 exist: sketch aggregates (docs_approx_stats — engines
-                 use different sketch implementations) and the stubbed
-                 codec path (media_decode_image — no image codec in the
-                 container). Both are covered by unit tests (error
-                 bounds / reference computations) instead. In round 2,
-                 docs_minhash_lsh, docs_simhash, emb_lsh_range_search,
-                 emb_lsh_topk, and emb_ivf_topk all gained FULL DuckDB
-                 oracles via md5-derived hashing: 60-bit md5 prefixes
-                 seed shingle ids, SimHash bits, LSH hyperplanes, and
-                 the IVF centroid sample identically in both engines,
-                 and similarity values use the sequential fold DuckDB's
+oracle_sql()  -> matching DuckDB SQL for ALL 50 queries (50/50 since
+                 round 3; 48/50 in round 2, 43/50 in round 1). The
+                 md5-portability approach closed the last two gaps:
+                 docs_approx_stats runs the self-implemented portable
+                 HyperLogLog (operators/sketches.py — md5-derived
+                 registers, exact dyadic harmonic sum, bit-identical in
+                 DuckDB) next to exact-regime percentile_approx ==
+                 quantile_disc, and media_decode_image's deterministic
+                 fake decode is a pure function of the ASCII payload
+                 (mean byte == mean codepoint), so DuckDB computes an
+                 exact twin. Earlier rounds: 60-bit md5 prefixes seed
+                 shingle ids, SimHash bits, LSH hyperplanes, and the
+                 IVF centroid sample identically in both engines;
+                 similarity values use the sequential fold DuckDB's
                  list_dot_product reproduces bit-for-bit. (The Lloyd
-                 refinement and the xxhash64 fast paths remain, covered
-                 by recall/parity unit tests.)
+                 refinement, the xxhash64 fast paths, and the builtin
+                 HLL++ remain, covered by recall/parity/error-bound
+                 unit tests.)
 """
 
 from __future__ import annotations

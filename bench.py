@@ -101,6 +101,7 @@ def main() -> None:
                 "events_sliding_day_12h",
                 "events_session_30m",
                 "docs_exact_dedup",
+                "docs_decontaminate",
                 "docs_ngram_jaccard",
                 "docs_minhash_lsh",
                 "docs_simhash",
@@ -140,6 +141,7 @@ def main() -> None:
                 "metric": "elt_rebuild_plus_dashboards_plus_extensions_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,
                 "queries": timings,
                 "sf": (
                     re.search(r"sf([0-9.]+)/?$", sf_dir).group(1)

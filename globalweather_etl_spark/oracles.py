@@ -529,9 +529,23 @@ LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper
   FROM documents GROUP BY md5({_NORM_TEXT})) k USING (doc_id)""",
     "docs_text_metrics": None,  # filled in below (needs _LANG_STOPWORDS)
-    "docs_lang_id": f"""
-SELECT doc_id, lang AS labeled_lang, {_build_lang_id_sql()} AS detected_lang
-FROM documents""",
+    # Benchmark decontamination: benchmark = the doc_id % 7 == 0 corpus
+    # slice; a doc is contaminated iff it shares >=1 distinct word
+    # 5-gram with ANY benchmark doc. The Spark side joins on 60-bit md5
+    # shingle hashes; this twin joins on shingle strings, so a hash
+    # collision would surface as a mismatch.
+    "docs_decontaminate": f"""
+WITH sh AS ({_shingles_sql(5)}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench USING (shingle)
+  GROUP BY s.doc_id)
+SELECT d.doc_id, d.lang,
+  coalesce(h.n, 0) AS n_contaminated_shingles,
+  coalesce(h.n, 0) >= 1 AS is_contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id""",
     # Hash-based sampling/splits: md5 hex prefixes compare identically
     # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
     # (0.25->'4000', 0.8->'cccd', 0.9->'e666'). Split assignment and
@@ -804,7 +818,7 @@ def _text_metrics_sql() -> str:
     )
     return f"""
 WITH m AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, lang,
     CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
     CAST(length(text) AS DOUBLE) AS n_chars,
     CAST(length(text) - length(regexp_replace(text,
@@ -817,6 +831,8 @@ SELECT doc_id,
   CAST(n_punct AS INTEGER) AS n_punct,
   non_ws / n_tok AS avg_word_len,
   {sw_cols},
+  lang AS labeled_lang,
+  {_build_lang_id_sql()} AS detected_lang,
   round(
     0.4 * least(n_tok / 50.0, 1.0)
   + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 4.0, 1.0))
@@ -826,6 +842,30 @@ FROM m"""
 
 
 EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()
+
+
+def _approx_stats_sql() -> str:
+    """docs_approx_stats twin: portable-HLL estimate (bit-identical
+    registers, see operators/sketches.py) cross-joined with the exact
+    discrete quantiles percentile_approx returns in its exact regime."""
+    from globalweather_etl_spark.operators.sketches import hll_oracle_sql
+
+    hll = hll_oracle_sql(
+        "documents", "text", b=6, out_col="approx_distinct_docs"
+    )
+    return f"""
+WITH hll AS ({hll}),
+q AS (SELECT quantile_disc(n_chars, 0.1) AS chars_p10,
+             quantile_disc(n_chars, 0.5) AS chars_p50,
+             quantile_disc(n_chars, 0.9) AS chars_p90,
+             count(*) AS n_docs
+      FROM documents)
+SELECT hll.approx_distinct_docs, q.chars_p10, q.chars_p50, q.chars_p90,
+       q.n_docs
+FROM hll CROSS JOIN q"""
+
+
+EXT_ORACLES["docs_approx_stats"] = _approx_stats_sql()
 
 
 def all_oracles() -> dict[str, str]:

