@@ -109,36 +109,64 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool | None = None) -> DataFrame:
     """Decode image payloads to (height, width, channels, mean_intensity).
 
-    With a real codec (PIL) this would Image.open each payload inside
-    the Arrow batches. The real path is an unimplemented stub (this
-    container ships no codec to implement or test it against); fake=True
-    — the default — substitutes a deterministic decode: dimensions from
-    metadata, intensity = byte mean — same schema, same batch shape,
-    same partitioning."""
+    fake=None (the default) picks the real PIL path when the codec is
+    importable, else the deterministic fake: dimensions from metadata,
+    intensity = byte mean — same schema, same batch shape, same
+    partitioning. fake=False with PIL present Image.opens each payload
+    inside the Arrow batches (gated test in test_multimodal.py — skipped
+    where the container ships no codec); fake=False without PIL raises,
+    honestly, instead of decoding garbage."""
     if fake is None:
         fake = not _HAS_PIL
-    if not fake:
+    if not fake and not _HAS_PIL:
         raise NotImplementedError(
-            "real image decode is a stub (no codec in this container); "
-            "implement with PIL inside _decode below, or use fake=True "
-            "for the deterministic stand-in"
+            "real image decode needs PIL, which this container does not "
+            "ship; use fake=True for the deterministic stand-in"
         )
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mean = [
-                float(np.frombuffer(p, dtype=np.uint8).mean()) if p is not None and len(p) else 0.0
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "height": pdf["height"],
-                    "width": pdf["width"],
-                    "channels": pdf["channels"],
-                    "mean_intensity": mean,
-                }
-            )
+    if not fake:
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            for pdf in batches:
+                ids, hs, ws, cs, means = [], [], [], [], []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    if p is None or not len(p):
+                        continue
+                    arr = np.asarray(Image.open(io.BytesIO(bytes(p))))
+                    ids.append(mid)
+                    hs.append(int(arr.shape[0]))
+                    ws.append(int(arr.shape[1]))
+                    cs.append(1 if arr.ndim == 2 else int(arr.shape[2]))
+                    means.append(float(arr.astype("float64").mean()))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "height": pd.array(hs, dtype="int32"),
+                        "width": pd.array(ws, dtype="int32"),
+                        "channels": pd.array(cs, dtype="int32"),
+                        "mean_intensity": means,
+                    }
+                )
+
+    else:
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mean = [
+                    float(np.frombuffer(p, dtype=np.uint8).mean()) if p is not None and len(p) else 0.0
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "height": pdf["height"],
+                        "width": pdf["width"],
+                        "channels": pdf["channels"],
+                        "mean_intensity": mean,
+                    }
+                )
 
     imgs = media.filter(F.col("kind") == "image").select(
         "media_id",
