@@ -10,6 +10,10 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
+from globalweather_etl_spark.operators.components import (
+    connected_components,
+    neardup_clusters,
+)
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
 from globalweather_etl_spark.operators.resample import resample_last
@@ -35,6 +39,7 @@ from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 __all__ = [
     "apply_scd2",
     "asof_join",
+    "connected_components",
     "cosine",
     "deterministic_sample",
     "hash_split",
@@ -53,6 +58,7 @@ __all__ = [
     "lsh_signature",
     "lsh_signature_multi",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
     "salted_join",
     "simhash64",
