@@ -273,7 +273,11 @@ def q_tpch_events_window_suite(spark, sf_dir):
     single Window operator — one exchange + one sort serve three
     metrics; RANK and the RANGE frame add their own sorts only."""
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    # The parquet writer may mark ts as TIMESTAMP or TIMESTAMP_NTZ
+    # (isAdjustedToUTC flag); unix_micros only accepts TIMESTAMP, and
+    # with the session timezone pinned to UTC the cast is value-identical
+    # either way.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_rank = Window.partitionBy("user_id").orderBy(F.desc("value"))
     w_hour = (

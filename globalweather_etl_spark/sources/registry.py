@@ -70,6 +70,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # repair columns that actually arrived as longs.
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # A third physical variant: parquet MICROS with isAdjustedToUTC unset
+    # arrives as TIMESTAMP_NTZ when the session infers NTZ (Spark 4
+    # default). Normalize to TIMESTAMP so TIMESTAMP-only functions
+    # (unix_micros etc.) and window range frames behave identically on
+    # every session; under the UTC session timezone forced above the
+    # cast is value-preserving.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
