@@ -71,6 +71,61 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax with
+# identical semantics in Java regex and RE2: non-capturing groups,
+# \p{L}/\p{N} classes, leftmost-first alternation. GPT-2's trailing
+# whitespace alternatives use a lookahead RE2 lacks, so they are
+# dropped — whitespace runs simply match nothing and are skipped by
+# the match counter (single leading spaces are absorbed by the ` ?`
+# prefixes, as in the original).
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate: the number of GPT-2 pre-tokenizer
+    pieces (contraction suffixes, letter runs, digit runs, symbol runs).
+    Each piece maps to >=1 real BPE tokens and common words are single
+    tokens, so this tracks true tokenizer counts far better than
+    whitespace splitting on punctuation-heavy or contraction-heavy
+    text — while staying a pure scan-stage expression (no vocab, no
+    UDF)."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.regexp_count(text, F.lit(_BPE_PATTERN)).cast("int")
+    )
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: the fraction of tokens that are
+    repeats of a token already seen in the document
+    (1 - distinct/total). High values mark boilerplate and degenerate
+    generations; 0.0 for empty text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+        )
+    )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher's duplicate-line filter signal: the fraction of non-empty
+    trimmed lines that duplicate an earlier line. Navigation chrome and
+    templated pages score high; clean prose scores 0."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n = F.size(lines)
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / n.cast("double")
+        )
+    )
+
+
 # Mersenne prime 2^31-1: acc*31 + codepoint stays < 2^36, so 64-bit
 # integer math never overflows in Spark or DuckDB and results match.
 _RABIN_PRIME = 2147483647

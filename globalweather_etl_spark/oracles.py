@@ -816,10 +816,25 @@ def _text_metrics_sql() -> str:
     sw_cols = ",\n  ".join(
         f"{_lang_score_sql(ws)} AS sw_{lang}" for lang, ws in _LANG_STOPWORDS.items()
     )
+    # The BPE pre-tokenizer pattern is shared verbatim with the Spark
+    # side (text._BPE_PATTERN) — only the SQL quoting of the leading
+    # apostrophe differs. Both engines use leftmost-first alternation.
+    from globalweather_etl_spark.functions.text import _BPE_PATTERN
+
+    bpe_sql = _BPE_PATTERN.replace("'", "''")
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)),"
+        " l -> trim(l)), l -> l != '')"
+    )
     return f"""
 WITH m AS (
   SELECT doc_id, text, lang,
     CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_tok_distinct,
+    CAST(len({lines}) AS DOUBLE) AS n_lines,
+    CAST(len(list_distinct({lines})) AS DOUBLE) AS n_lines_distinct,
+    CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS INTEGER)
+      AS bpe_tokens,
     CAST(length(text) AS DOUBLE) AS n_chars,
     CAST(length(text) - length(regexp_replace(text,
       '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
@@ -837,7 +852,12 @@ SELECT doc_id,
     0.4 * least(n_tok / 50.0, 1.0)
   + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 4.0, 1.0))
   + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
-                THEN 1.0 ELSE 0.5 END), 9) AS quality
+                THEN 1.0 ELSE 0.5 END), 9) AS quality,
+  bpe_tokens,
+  CASE WHEN n_tok <= 0 THEN 0.0
+       ELSE 1.0 - n_tok_distinct / n_tok END AS dup_word_frac,
+  CASE WHEN n_lines <= 0 THEN 0.0
+       ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac
 FROM m"""
 
 

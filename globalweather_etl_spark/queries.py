@@ -577,9 +577,16 @@ def q_docs_text_metrics(spark, sf_dir):
     stopword hit counts (the raw lang-ID signal), the lang-ID verdict
     itself (labeled vs detected — merged from the former docs_lang_id
     registry entry in round 3 to free a slot for docs_decontaminate),
-    and the composite quality score. All pure expressions — one
-    codegen'd projection, no shuffle, no UDFs."""
-    from globalweather_etl_spark.functions.text import stopword_score
+    the composite quality score, and (round 3) the LLM-corpus quality
+    signals: a GPT-2-pre-tokenizer BPE token estimate and the Gopher
+    duplicate-word / duplicate-line repetition fractions. All pure
+    expressions — one codegen'd projection, no shuffle, no UDFs."""
+    from globalweather_etl_spark.functions.text import (
+        bpe_token_estimate,
+        dup_line_fraction,
+        dup_word_fraction,
+        stopword_score,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -596,6 +603,9 @@ def q_docs_text_metrics(spark, sf_dir):
         F.col("lang").alias("labeled_lang"),
         lang_id(t).alias("detected_lang"),
         F.round(quality_score(t), 9).alias("quality"),
+        bpe_token_estimate(t).alias("bpe_tokens"),
+        dup_word_fraction(t).alias("dup_word_frac"),
+        dup_line_fraction(t).alias("dup_line_frac"),
     )
 
 
