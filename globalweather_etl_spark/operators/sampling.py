@@ -84,3 +84,57 @@ def shuffle_deterministic(df: DataFrame, key: Column, seed: int = 0) -> DataFram
     return df.orderBy(
         F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))), key
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: Column,
+    key: Column,
+    quota: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT per-stratum quota sampling: for every distinct stratum
+    value, keep the `quota` rows whose md5(key || seed) sorts lowest —
+    a deterministic uniform draw (balanced language / domain / source
+    mixes for training sets) that is reproducible across runs, engines,
+    and partitionings.
+
+    Returns (stratum, key, rank_in_stratum), rank 1..quota; callers
+    join back (the result is quota * n_strata rows — broadcastable).
+
+    Scale shape: exact quotas need a per-stratum ranking, but a single
+    `row_number over (partition by stratum)` would hash-partition the
+    FULL table by stratum — with a handful of strata (languages) that
+    is a guaranteed hot-key shuffle at 100 TB. Instead, top-k prune in
+    two phases, the same trick as the two-pass surrogate key:
+
+      1. rank within (stratum, input partition id) — the exchange key
+         includes the partition id, so the shuffle spreads every
+         stratum over all reducers; keep local top-quota. Any superset
+         of the global top-quota survives pruning regardless of row
+         placement, so nondeterministic partition ids cannot change
+         the result.
+      2. rank the pruned set (<= quota * shuffle_partitions rows per
+         stratum) per stratum — a shuffle of a tiny table.
+    """
+    from pyspark.sql import Window
+
+    ok = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    with_ok = df.select(
+        stratum.alias("stratum"), key.alias("key"), ok.alias("__ok")
+    )
+    w_local = Window.partitionBy("stratum", "__pid").orderBy("__ok", "key")
+    pruned = (
+        with_ok.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= quota)
+        .drop("__pid", "__rn")
+    )
+    w_global = Window.partitionBy("stratum").orderBy("__ok", "key")
+    return (
+        pruned.withColumn(
+            "rank_in_stratum", F.row_number().over(w_global).cast("long")
+        )
+        .filter(F.col("rank_in_stratum") <= quota)
+        .drop("__ok")
+    )

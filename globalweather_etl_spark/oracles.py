@@ -550,15 +550,26 @@ LEFT JOIN hits h ON h.doc_id = d.doc_id""",
     # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
     # (0.25->'4000', 0.8->'cccd', 0.9->'e666'). Split assignment and
     # the 25%-sample membership flag share one bucket draw.
+    # strat_rank mirrors stratified_sample's two-phase top-k prune with
+    # a plain per-stratum row_number: pruning keeps any superset of the
+    # global per-stratum top-30, so the two forms are value-identical.
     "docs_sample_split": """
-SELECT doc_id,
+WITH ranked AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rn
+  FROM documents)
+SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
        ELSE 'test' END AS split,
-  b < '4000' AS sampled
+  b < '4000' AS sampled,
+  CAST(CASE WHEN r.rn <= 30 THEN r.rn ELSE 0 END AS BIGINT) AS strat_rank,
+  r.rn <= 30 AS strat_kept
 FROM (SELECT doc_id,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
-      FROM documents)""",
+      FROM documents) d
+JOIN ranked r ON r.doc_id = d.doc_id""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order.
     "docs_pack_by_budget": f"""

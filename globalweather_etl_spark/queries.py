@@ -812,17 +812,34 @@ def q_emb_lsh_topk(spark, sf_dir):
 # ------------------------------------------- sampling / splits / packing
 
 def q_docs_sample_split(spark, sf_dir):
-    """Deterministic sampling AND train/val/test hash-splitting in one
-    result: per doc its split assignment plus the 25%-sample membership
-    flag. Both selectors are pure md5-prefix functions of the key — no
-    shuffle, stable across runs/partitionings/engines."""
+    """Deterministic sampling, train/val/test hash-splitting, AND
+    (round 3) exact per-language stratified quotas in one result: per
+    doc its split assignment, the 25%-sample membership flag, and its
+    rank within a 30-doc-per-language stratified draw (0 = not drawn).
+    The split/sample selectors are pure md5-prefix functions of the key
+    — no shuffle; the stratified draw is the skew-proof two-phase
+    top-k prune (operators/sampling.py: stratified_sample), joined back
+    broadcast because quota * n_strata is tiny by construction."""
+    from globalweather_etl_spark.operators.sampling import stratified_sample
+
     docs = load_table(spark, sf_dir, "documents")
-    return hash_split(
-        docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
-    ).select(
-        "doc_id",
-        "split",
-        sample_flag(F.col("doc_id"), 0.25, seed=7).alias("sampled"),
+    kept = stratified_sample(
+        docs, F.col("lang"), F.col("doc_id"), quota=30, seed=7
+    ).select(F.col("key").alias("doc_id"), "rank_in_stratum")
+    return (
+        hash_split(
+            docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        )
+        .join(F.broadcast(kept), "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            sample_flag(F.col("doc_id"), 0.25, seed=7).alias("sampled"),
+            F.coalesce(F.col("rank_in_stratum"), F.lit(0))
+            .cast("long")
+            .alias("strat_rank"),
+            F.col("rank_in_stratum").isNotNull().alias("strat_kept"),
+        )
     )
 
 

@@ -166,3 +166,62 @@ def test_shuffle_deterministic_is_stable_permutation(docs):
     assert a == b
     assert sorted(a) != a  # actually permuted
     assert len(a) == docs.count()
+
+
+def test_stratified_sample_exact_quota_and_determinism(docs):
+    from globalweather_etl_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        docs, F.col("lang"), F.col("doc_id"), quota=10, seed=3
+    ).collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    for rows in by_stratum.values():
+        assert len(rows) == 10
+        assert sorted(r["rank_in_stratum"] for r in rows) == list(range(1, 11))
+    # Identical keep-set under a different physical partitioning: the
+    # two-phase prune may not depend on partition placement.
+    again = stratified_sample(
+        docs.repartition(13), F.col("lang"), F.col("doc_id"), quota=10, seed=3
+    ).collect()
+    assert {(r["stratum"], r["key"], r["rank_in_stratum"]) for r in again} == {
+        (r["stratum"], r["key"], r["rank_in_stratum"]) for r in out
+    }
+
+
+def test_stratified_sample_matches_naive_single_window(docs):
+    """The skew-proof two-phase prune must equal the textbook
+    row_number-over-stratum form."""
+    from pyspark.sql import Window
+
+    from globalweather_etl_spark.operators.sampling import stratified_sample
+
+    ok = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":3")))
+    w = Window.partitionBy("lang").orderBy(ok, "doc_id")
+    naive = {
+        (r["lang"], r["doc_id"], r["rn"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "rn")
+        .collect()
+    }
+    two_phase = {
+        (r["stratum"], r["key"], r["rank_in_stratum"])
+        for r in stratified_sample(
+            docs, F.col("lang"), F.col("doc_id"), quota=10, seed=3
+        ).collect()
+    }
+    assert two_phase == naive
+
+
+def test_stratified_sample_quota_exceeding_stratum_keeps_all(spark):
+    from globalweather_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "stratum_in string, k long"
+    )
+    out = stratified_sample(
+        df, F.col("stratum_in"), F.col("k"), quota=100
+    ).collect()
+    assert len(out) == 3

@@ -51,7 +51,11 @@ AUDITS = {
     "docs_pack_by_budget": ["rangepartitioning", "__pid"],
     # expression selectors (md5 of a column) can't reach the parquet
     # reader as pushed filters — assert they at least stay inside codegen
-    "docs_sample_split": [r"codegen id"],
+    # Round 3: splits/sample flags stay scan-stage expressions; the
+    # stratified quota adds the two-phase prune (__pid spread, no
+    # per-stratum hot shuffle) and a broadcast join-back, so the corpus
+    # itself is never hash-partitioned.
+    "docs_sample_split": ["BroadcastHashJoin", "__pid"],
 }
 
 
