@@ -16,11 +16,13 @@ from globalweather_etl_spark.operators.components import (
 )
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.repetition import top_ngram_stats
 from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
     shuffle_deterministic,
+    stratified_sample,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
 from globalweather_etl_spark.operators.similarity import (
@@ -65,5 +67,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "spread_for_compute",
+    "stratified_sample",
     "surrogate_key",
+    "top_ngram_stats",
 ]
