@@ -202,3 +202,41 @@ def word_shingles(text: Column, n: int) -> Column:
         F.size(toks) >= n,
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# --- PII scrubbing (corpus-curation stage) ---------------------------
+# Conservative patterns with identical semantics in Java regex and RE2:
+# no lookaround, ASCII \b word boundaries, explicit classes. Precision
+# over recall — a redactor that overmatches eats training text.
+_PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld (tld >= 2 letters)
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4 (no range check — 999.0.0.1 redacts; fine for
+    # scrubbing, wrong for parsing)
+    "IP": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # international-format phone: + then 7..15 digits with separators
+    "PHONE": r"\+[0-9][0-9 ().-]{5,16}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts ({'EMAIL': Column, ...}) — the audit
+    signal; all regexp_count, scan-stage."""
+    return {
+        kind: F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+            F.regexp_count(text, F.lit(pat)).cast("int")
+        )
+        for kind, pat in _PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder token
+    (<EMAIL>, <IP>, <PHONE>). Email first: its local part may contain
+    digits a later pattern could clip. Pure chained regexp_replace —
+    codegen, no UDF, and each pattern has a bit-identical DuckDB
+    regexp_replace(..., 'g') twin."""
+    out = text
+    for kind in ("EMAIL", "IP", "PHONE"):
+        out = F.regexp_replace(out, _PII_PATTERNS[kind], f"<{kind}>")
+    return out

@@ -174,3 +174,54 @@ def test_bpe_pattern_cross_engine_parity(spark):
         for t in fixtures
     ]
     assert got_spark == got_duck
+
+
+def test_pii_redaction_hand_computed(spark):
+    from globalweather_etl_spark.functions.text import pii_counts, redact_pii
+
+    text = (
+        "mail a.b+c@ex-ample.org or admin@host.io, "
+        "server 10.0.255.7, call +1 (415) 555-0199 now"
+    )
+    got = _one_text(spark, text, redact_pii)
+    assert got == ("mail <EMAIL> or <EMAIL>, server <IP>, call <PHONE> now")
+    counts = {
+        k: _one_text(spark, text, lambda c, k=k: pii_counts(c)[k])
+        for k in ("EMAIL", "IP", "PHONE")
+    }
+    assert counts == {"EMAIL": 2, "IP": 1, "PHONE": 1}
+    # clean text untouched
+    assert _one_text(spark, "no pii here 1.5 + 2", redact_pii) == "no pii here 1.5 + 2"
+
+
+def test_pii_patterns_cross_engine_parity(spark):
+    """Each pattern must redact identically under DuckDB's RE2."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.functions.text import _PII_PATTERNS, redact_pii
+
+    fixtures = [
+        "a@b.co x@y.museum not-an@email bad@.com 1.2.3.4.5",
+        "ip 192.168.0.1 ip2 999.1.1.1 version 1.2.3",
+        "+49 (30) 1234-567 vs +1invalid +12 345",
+        "edge a.b+c_d%e@sub.domain-x.org end",
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t in fixtures],
+        T.StructType([T.StructField("text", T.StringType())]),
+    )
+    got_spark = [
+        r["v"] for r in df.select(redact_pii(F.col("text")).alias("v")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = []
+    for t in fixtures:
+        v = t
+        for kind in ("EMAIL", "IP", "PHONE"):
+            pat = _PII_PATTERNS[kind].replace("'", "''")
+            v = con.execute(
+                f"SELECT regexp_replace(?, '{pat}', '<{kind}>', 'g')", [v]
+            ).fetchone()[0]
+        got_duck.append(v)
+    assert got_spark == got_duck
