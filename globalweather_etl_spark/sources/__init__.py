@@ -1,5 +1,12 @@
 from globalweather_etl_spark.sources.registry import Catalog, load_table
 from globalweather_etl_spark.sources.constant import constant_rows
+from globalweather_etl_spark.sources.formats import (
+    corrupt_count,
+    drop_corrupt,
+    read_csv,
+    read_jsonl,
+    write_jsonl,
+)
 from globalweather_etl_spark.sources.weather_from_events import (
     AS_OF_DATE,
     weather_staging_from_events,
@@ -9,6 +16,11 @@ __all__ = [
     "Catalog",
     "load_table",
     "constant_rows",
+    "corrupt_count",
+    "drop_corrupt",
+    "read_csv",
+    "read_jsonl",
+    "write_jsonl",
     "AS_OF_DATE",
     "weather_staging_from_events",
 ]
