@@ -19,6 +19,7 @@ from globalweather_etl_spark.streaming.jobs import (
 from globalweather_etl_spark.streaming.sources import (
     EVENTS_SCHEMA,
     events_stream_from_dir,
+    jsonl_stream_from_dir,
 )
 from globalweather_etl_spark.streaming.stateful import (
     running_user_totals,
@@ -38,6 +39,7 @@ __all__ = [
     "drain_to_memory",
     "enriched_country_counts",
     "events_stream_from_dir",
+    "jsonl_stream_from_dir",
     "run_daily_event_metrics",
     "running_user_totals",
     "streaming_dedup",

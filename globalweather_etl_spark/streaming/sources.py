@@ -40,3 +40,23 @@ def events_stream_from_dir(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(landing_dir)
+
+
+def jsonl_stream_from_dir(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a JSONL landing directory as an unbounded stream — the
+    streaming twin of sources.formats.read_jsonl, for corpora that
+    arrive as line-delimited JSON drops. Explicit schema (streams
+    cannot infer); file tracking in the checkpoint gives exactly-once
+    ingestion; corrupt lines surface as all-NULL rows under PERMISSIVE
+    (the streaming reader cannot carry a corrupt-record column across
+    micro-batches, so strictness is per-job: count NULL keys
+    downstream or run a batch read_jsonl audit over the same dir)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)

@@ -206,3 +206,34 @@ def test_streaming_dedup_drops_replayed_files(spark, batch_events, tmp_path):
         mode="complete",
     )
     assert got.collect()[0]["count"] == batch_events.count()
+
+
+def test_jsonl_stream_equals_batch(spark, tmp_path):
+    """Streaming JSONL ingestion drains the same rows a batch
+    read_jsonl sees over the same landing directory."""
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.sources import (
+        drop_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+    from globalweather_etl_spark.streaming import jsonl_stream_from_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, partitions=3)
+
+    stream = jsonl_stream_from_dir(
+        spark, path, schema, max_files_per_trigger=1
+    ).groupBy("lang").count()
+    got = _drain(spark, stream, "jsonl_counts")
+    want = drop_corrupt(read_jsonl(spark, path, schema)).groupBy("lang").count()
+    assert _rows(got, "lang") == _rows(want, "lang")
