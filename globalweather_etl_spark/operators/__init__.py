@@ -16,6 +16,10 @@ from globalweather_etl_spark.operators.components import (
 )
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.quantize import (
+    dequantize_embeddings,
+    quantize_embeddings,
+)
 from globalweather_etl_spark.operators.repetition import top_ngram_stats
 from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
@@ -46,11 +50,13 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "pack_by_budget",
+    "quantize_embeddings",
     "resample_last",
     "shuffle_deterministic",
     "cosine_topk",
     "dot",
     "decontaminate",
+    "dequantize_embeddings",
     "exact_dedup",
     "exact_dedup_keepers",
     "exact_dedup_removed",
