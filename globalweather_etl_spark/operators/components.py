@@ -60,9 +60,16 @@ def _edge_stats(edges: DataFrame) -> tuple[int, int]:
     xxhash64 sum makes a false stop astronomically unlikely (the
     monotone algorithm cannot oscillate, so a collision would need two
     *adjacent* rounds to collide — one-in-2^64 per run)."""
+    # Accumulate in decimal(38,0): a sum of 64-bit hashes overflows
+    # BIGINT (an ANSI-mode runtime error) after as few as two edges in
+    # the worst case; decimal holds ~10^19 edges' worth of headroom and
+    # costs one aggregate row per round.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -1,0 +1,143 @@
+"""End-to-end training-corpus curation: one call from raw documents to
+packed, split, decontaminated training data.
+
+The flagship composition of the LLM-pipeline operators — the order is
+the one production curation runs use, each stage shrinking the data the
+next stage pays for:
+
+  1. exact dedup        (cheapest; removes byte-identical copies first)
+  2. near-dedup         (MinHash+LSH pairs -> connected components ->
+                         min-id canonical per cluster)
+  3. quality filter     (scan-stage expressions; drop low-quality docs)
+  4. decontamination    (drop docs overlapping the benchmark/eval set)
+  5. split assignment   (deterministic hash split train/val/test)
+  6. token packing      (bin_id/bin_offset within each split)
+
+Every stage is deterministic (md5-keyed), so the whole pipeline is
+reproducible row-for-row on any cluster shape. Stages share the scale
+shapes documented in docs/SCALE.md; nothing here adds a new shuffle
+beyond its constituent operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.functions.text import quality_score, token_count
+from globalweather_etl_spark.operators.components import neardup_clusters
+from globalweather_etl_spark.operators.dedup import (
+    decontaminate,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from globalweather_etl_spark.operators.packing import pack_by_budget
+from globalweather_etl_spark.operators.sampling import hash_split
+
+
+@dataclass
+class CurationResult:
+    """Per-stage outputs (all lazy DataFrames) plus the final corpus.
+
+    counts() triggers one count per stage — use in tests/audits, not in
+    the hot path."""
+
+    exact_deduped: DataFrame
+    near_deduped: DataFrame
+    quality_filtered: DataFrame
+    decontaminated: DataFrame
+    curated: DataFrame  # final: split + bin assignment columns
+    dropped: dict = field(default_factory=dict)
+
+    def counts(self) -> dict:
+        return {
+            "exact_deduped": self.exact_deduped.count(),
+            "near_deduped": self.near_deduped.count(),
+            "quality_filtered": self.quality_filtered.count(),
+            "decontaminated": self.decontaminated.count(),
+            "curated": self.curated.count(),
+        }
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    neardup_threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_doc_freq: int | None = 64,
+    decontaminate_n: int = 8,
+    splits: dict[str, float] | None = None,
+    token_budget: int = 2048,
+    seed: int = 7,
+) -> CurationResult:
+    """Run the full curation pipeline; see module docstring for the
+    stage order and rationale. `benchmark` is the eval set to
+    decontaminate against (None skips stage 4)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    # 1. exact dedup (keeps min-id per byte-identical content)
+    exact = exact_dedup(docs, id_col, text_col)
+
+    # 2. near-dedup: banded-LSH candidate pairs, componentized, min-id
+    # canonical kept. Pairs come from the already-exact-deduped corpus
+    # so identical twins don't re-enter as near-dup pairs.
+    pairs = minhash_lsh_pairs(
+        exact,
+        id_col,
+        text_col,
+        n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=neardup_threshold,
+        max_doc_freq=max_doc_freq,
+    ).select(F.col("doc_a"), F.col("doc_b"))
+    clusters = neardup_clusters(exact, pairs, id_col=id_col)
+    near = exact.join(
+        clusters.filter(F.col("is_canonical") == 1).select(id_col),
+        id_col,
+        "inner",
+    )
+
+    # 3. quality floor (pure scan-stage expression)
+    quality = near.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
+
+    # 4. benchmark decontamination (broadcast shingle-set probe)
+    if benchmark is not None:
+        flagged = decontaminate(
+            quality, benchmark, id_col, text_col, n=decontaminate_n
+        )
+        decon = flagged.filter(~F.col("is_contaminated")).drop(
+            "n_contaminated_shingles", "is_contaminated"
+        )
+    else:
+        decon = quality
+
+    # 5 + 6. split assignment, then token packing WITHIN each split so
+    # bins never straddle train/val/test. pack_by_budget's global
+    # prefix sum runs per split via a split-tagged order key.
+    split_df = hash_split(decon, F.col(id_col), splits, seed=seed)
+    packed = None
+    for name in splits:
+        part = split_df.filter(F.col("split") == name)
+        p = pack_by_budget(
+            part, id_col, token_count(F.col(text_col)), budget=token_budget
+        ).withColumn("split", F.lit(name))
+        packed = p if packed is None else packed.unionByName(p)
+    curated = split_df.join(
+        packed.select(id_col, "bin_id", "bin_offset"), id_col, "inner"
+    )
+
+    return CurationResult(
+        exact_deduped=exact,
+        near_deduped=near,
+        quality_filtered=quality,
+        decontaminated=decon,
+        curated=curated,
+    )

@@ -1,0 +1,80 @@
+"""End-to-end corpus curation pipeline: row accounting, determinism,
+stage semantics on real testdata plus adversarial fixture docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.plans.curation import curate_documents
+from globalweather_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_stages_monotonically_shrink(spark, docs):
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0)
+    res = curate_documents(docs, benchmark=benchmark)
+    c = res.counts()
+    n0 = docs.count()
+    assert n0 >= c["exact_deduped"] >= c["near_deduped"]
+    assert c["near_deduped"] >= c["quality_filtered"]
+    assert c["quality_filtered"] >= c["decontaminated"]
+    # packing/splitting reassigns, never drops
+    assert c["curated"] == c["decontaminated"]
+    # decontamination really fired: benchmark docs describe themselves
+    assert c["decontaminated"] < c["quality_filtered"]
+
+
+def test_curated_schema_and_split_integrity(spark, docs):
+    res = curate_documents(docs)
+    out = res.curated
+    for col in ("split", "bin_id", "bin_offset"):
+        assert col in out.columns
+    rows = out.select("split", "bin_id", "bin_offset").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # bins pack within a split: offsets are non-negative and bounded
+    assert all(0 <= r["bin_offset"] < 2048 for r in rows)
+
+
+def test_pipeline_deterministic_across_partitionings(spark, docs):
+    a = {
+        (r["doc_id"], r["split"], r["bin_id"])
+        for r in curate_documents(docs).curated.select(
+            "doc_id", "split", "bin_id"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["split"], r["bin_id"])
+        for r in curate_documents(docs.repartition(17))
+        .curated.select("doc_id", "split", "bin_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_fixture_duplicates_removed(spark):
+    """Adversarial micro-corpus: exact copies and near-copies collapse
+    to their min-id representative; the clean doc survives."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet green field toward the river"
+    )
+    near = base.replace("quiet", "calm")
+    rows = [
+        (1, "en", base),
+        (2, "en", base),  # exact dup of 1
+        (3, "en", near),  # near dup of 1
+        (4, "en", "completely different text about spark query engines "
+                  "processing petabytes of training data with care and "
+                  "attention to partitioning shuffles and broadcasts"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    res = curate_documents(docs, min_quality=0.0, neardup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in res.curated.select("doc_id").collect())
+    assert kept == [1, 4]
