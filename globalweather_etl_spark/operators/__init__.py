@@ -14,6 +14,7 @@ from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
 )
+from globalweather_etl_spark.operators.mixing import mix_corpora
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
 from globalweather_etl_spark.operators.quantize import (
@@ -65,6 +66,7 @@ __all__ = [
     "lsh_cosine_topk",
     "lsh_signature",
     "lsh_signature_multi",
+    "mix_corpora",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "ngram_jaccard_pairs",

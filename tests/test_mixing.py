@@ -1,0 +1,83 @@
+"""mix_corpora: proportions, determinism, shortfall semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.operators.mixing import mix_corpora
+from globalweather_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)  # ~250 rows
+    b = docs.filter(F.col("doc_id") % 2 == 1)  # ~250 rows
+    return a, b
+
+
+def test_target_rows_proportions(spark, corpora):
+    a, b = corpora
+    out = mix_corpora(
+        {"web": (a, 3.0), "code": (b, 1.0)},
+        F.col("doc_id"),
+        total_rows=200,
+        seed=5,
+    )
+    by_src = {
+        r["mix_source"]: r["n"]
+        for r in out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    # 75/25 of 200 with 1/65536-resolution hash rates: generous ±20%
+    assert 120 <= by_src["web"] <= 180
+    assert 30 <= by_src["code"] <= 70
+
+
+def test_no_target_keeps_largest_demand_full(spark, corpora):
+    a, b = corpora
+    na = a.count()
+    out = mix_corpora(
+        {"big": (a, 1.0), "small": (b, 9.0)}, F.col("doc_id"), seed=5
+    )
+    by_src = {
+        r["mix_source"]: r["n"]
+        for r in out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    # "big" demands the most rows per weight unit -> kept whole
+    assert by_src["big"] == na
+    # small should be ~ 9 * na (but capped by its size) -> it's smaller
+    # than demanded, so everything of it is kept too, via rate >= 1
+    assert by_src["small"] == b.count()
+
+
+def test_deterministic_and_tagged(spark, corpora):
+    a, b = corpora
+    args = dict(key=F.col("doc_id"), total_rows=150, seed=11)
+    one = mix_corpora({"x": (a, 1.0), "y": (b, 1.0)}, **args)
+    two = mix_corpora({"x": (a.repartition(7), 1.0), "y": (b, 1.0)}, **args)
+    s1 = {(r["doc_id"], r["mix_source"]) for r in one.collect()}
+    s2 = {(r["doc_id"], r["mix_source"]) for r in two.collect()}
+    assert s1 == s2
+    assert {t[1] for t in s1} == {"x", "y"}
+
+
+def test_shortfall_not_reweighted(spark, corpora):
+    a, b = corpora
+    tiny = b.limit(10)
+    out = mix_corpora(
+        {"main": (a, 1.0), "tiny": (tiny, 1.0)},
+        F.col("doc_id"),
+        total_rows=400,
+        seed=3,
+    )
+    by_src = {
+        r["mix_source"]: r["n"]
+        for r in out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    # tiny cannot fill its 200-row share: it contributes all 10 rows
+    # and main is NOT inflated to compensate
+    assert by_src["tiny"] == 10
+    assert by_src["main"] <= 250
