@@ -1,12 +1,19 @@
-"""CLI: run the full ELT rebuild + validation + dashboards.
+"""CLI: run the full ELT rebuild + validation + dashboards, or the
+corpus-curation pipeline.
 
     python -m globalweather_etl_spark --sf-dir /root/testdata/sf0.001 \
         --out /tmp/warehouse [--master local[8]] [--json]
 
-Mirrors the reference's operating procedure end to end: execute the
-statement sequence of sql/ETL_GlobalWeather_DB.sql (staging -> dims ->
-fact, materialized per layer), run both validation queries, then the
-five Dashboard.sql queries over the materialized star.
+    python -m globalweather_etl_spark --mode curate \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/curated [--json] \
+        [--benchmark-mod 7] [--min-quality 0.3] [--token-budget 2048]
+
+etl mode mirrors the reference's operating procedure end to end:
+execute the statement sequence of sql/ETL_GlobalWeather_DB.sql
+(staging -> dims -> fact, materialized per layer), run both validation
+queries, then the five Dashboard.sql queries over the materialized
+star. curate mode runs plans/curation.py over the documents table and
+writes the packed, split corpus as parquet partitioned by split.
 """
 
 from __future__ import annotations
@@ -28,7 +35,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="emit one JSON object instead of readable text")
     p.add_argument("--top", type=int, default=5,
                    help="rows to show per dashboard (text mode)")
+    p.add_argument("--mode", choices=["etl", "curate"], default="etl",
+                   help="etl: warehouse rebuild + dashboards; "
+                        "curate: corpus curation over documents")
+    p.add_argument("--benchmark-mod", type=int, default=None,
+                   help="curate: decontaminate against the doc_id %% N "
+                        "== 0 slice (default: no decontamination)")
+    p.add_argument("--min-quality", type=float, default=0.3,
+                   help="curate: quality-score floor")
+    p.add_argument("--token-budget", type=int, default=2048,
+                   help="curate: tokens per packed bin")
     args = p.parse_args(argv)
+
+    if args.mode == "curate":
+        return _curate(args)
 
     from globalweather_etl_spark.plans import dashboard as dash
     from globalweather_etl_spark.plans import build_warehouse, materialize
@@ -74,6 +94,44 @@ def main(argv: list[str] | None = None) -> int:
                 print("  ", r)
     # No spark.stop(): process exit tears the session down for CLI use,
     # and in-process callers (tests) share the getOrCreate session.
+    return 0
+
+
+def _curate(args) -> int:
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.plans import curate_documents
+    from globalweather_etl_spark.session import get_spark
+    from globalweather_etl_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="globalweather-curate",
+        master=args.master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    out_dir = args.out or _tf.mkdtemp(prefix="gw_curated_")
+    docs = load_table(spark, args.sf_dir, "documents")
+    benchmark = (
+        docs.filter(F.col("doc_id") % args.benchmark_mod == 0)
+        if args.benchmark_mod
+        else None
+    )
+    res = curate_documents(
+        docs,
+        benchmark=benchmark,
+        min_quality=args.min_quality,
+        token_budget=args.token_budget,
+    )
+    res.curated.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    counts = res.counts()
+    if args.json:
+        print(json.dumps({"curated_dir": out_dir, "stages": counts}))
+    else:
+        print(f"curated corpus written to {out_dir}")
+        for stage, n in counts.items():
+            print(f"  {stage}: {n}")
     return 0
 
 
