@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.asof import asof_join
 
@@ -70,3 +71,114 @@ def test_null_value_in_matched_row_is_not_torn(spark):
     row = asof_join(left, right, ["k"], "t", "rt", ["rt", "v"]).collect()[0]
     assert row["rt"] == _ts(12)
     assert row["v"] is None
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 25.0, 2), ("a", 40.0, 3), ("b", 5.0, 4)],
+        "k string, t double, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 8.0, "r8"), ("a", 30.0, "r30"), ("b", 50.0, "r50")],
+        "k string, t double, v string",
+    )
+    return left, right
+
+
+def _match(df):
+    return {r["lid"]: r["v"] for r in df.collect()}
+
+
+def test_asof_forward_hand_computed(spark):
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, ["k"], "t", "t", ["v"], direction="forward"
+    )
+    # lid1 t=10 -> next right at 30; lid2 t=25 -> 30; lid3 t=40 -> none;
+    # lid4 (b) t=5 -> 50
+    assert _match(out) == {1: "r30", 2: "r30", 3: None, 4: "r50"}
+
+
+def test_asof_forward_inclusive_tie(spark):
+    left = spark.createDataFrame([("a", 30.0, 1)], "k string, t double, lid long")
+    right = spark.createDataFrame([("a", 30.0, "rx")], "k string, t double, v string")
+    out = asof_join(left, right, ["k"], "t", "t", ["v"], direction="forward")
+    assert _match(out) == {1: "rx"}
+
+
+def test_asof_nearest_hand_computed(spark):
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, ["k"], "t", "t", ["v"], direction="nearest"
+    )
+    # lid1 t=10: back r8 (d2) vs fwd r30 (d20) -> r8
+    # lid2 t=25: back r8 (d17) vs fwd r30 (d5) -> r30
+    # lid3 t=40: back r30 (d10), no fwd -> r30
+    # lid4 t=5:  no back, fwd r50 (d45) -> r50
+    assert _match(out) == {1: "r8", 2: "r30", 3: "r30", 4: "r50"}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("a", 20.0, 1)], "k string, t double, lid long")
+    right = spark.createDataFrame(
+        [("a", 10.0, "back"), ("a", 30.0, "fwd")], "k string, t double, v string"
+    )
+    out = asof_join(left, right, ["k"], "t", "t", ["v"], direction="nearest")
+    assert _match(out) == {1: "back"}
+
+
+def test_asof_tolerance(spark):
+    left, right = _mk(spark)
+    out = asof_join(
+        left, right, ["k"], "t", "t", ["v"],
+        direction="backward", tolerance=3.0,
+    )
+    # lid1 t=10 back r8 d=2 <=3 keep; lid2 t=25 back r8 d=17 drop;
+    # lid3 t=40 back r30 d=10 drop; lid4 no back -> None
+    assert _match(out) == {1: "r8", 2: None, 3: None, 4: None}
+    near = asof_join(
+        left, right, ["k"], "t", "t", ["v"],
+        direction="nearest", tolerance=5.0,
+    )
+    # lid2 nearest is r30 d=5 <=5 keep; lid1 r8 d=2 keep; others drop
+    assert _match(near) == {1: "r8", 2: "r30", 3: None, 4: None}
+
+
+def test_asof_forward_matches_duckdb(spark):
+    """Forward as-of on the real events/users data must equal DuckDB's
+    windowed min-over-following construction."""
+    import duckdb
+
+    from globalweather_etl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t")
+    )
+    # synthetic right side: each user's first event of each type-ish
+    # slice; reuse events sampled down as the quote stream
+    quotes = events.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "t", F.col("event_id").alias("qid")
+    )
+    got = {
+        r["event_id"]: r["qid"]
+        for r in asof_join(
+            events, quotes, ["user_id"], "t", "t", ["qid"],
+            direction="forward",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+WITH e AS (SELECT event_id, user_id, epoch(ts) AS t
+           FROM read_parquet('{sf}/events.parquet')),
+q AS (SELECT user_id, epoch(ts) AS t, event_id AS qid
+      FROM read_parquet('{sf}/events.parquet') WHERE event_id % 5 = 0)
+SELECT e.event_id,
+  (SELECT q.qid FROM q
+   WHERE q.user_id = e.user_id AND q.t >= e.t
+   ORDER BY q.t, q.qid DESC LIMIT 1) AS qid
+FROM e""").fetchall()
+    }
+    assert got == want
