@@ -101,3 +101,78 @@ def test_quality_score_bounded_and_fingerprint_in_range(spark, texts):
     for r in rows:
         assert r["q"] is None or 0.0 <= r["q"] <= 1.0
         assert 0 <= r["fp"] < _RABIN_PRIME
+
+
+# --- round-3 kernels -------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=4,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_roundtrip_bound_property(spark, vectors):
+    """|x - dq(q(x))| <= max(|x|)/254 + eps for arbitrary float32
+    vectors, including all-zero and tiny-magnitude ones."""
+    from globalweather_etl_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding")
+    back = dequantize_embeddings(q, "embedding", out_col="deq")
+    rows = {r["vec_id"]: r["deq"] for r in back.collect()}
+    for i, v in enumerate(vectors):
+        scale = max((abs(x) for x in v), default=0.0)
+        bound = scale / 254.0 + 1e-5 + scale * 1e-6
+        for orig, got in zip(v, rows[i]):
+            assert abs(orig - got) <= bound, (i, orig, got, bound)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_categories=["Cc"]),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_text_signal_bounds_property(spark, texts):
+    """New text signals stay in range on arbitrary ASCII: fractions in
+    [0,1], BPE estimate >= 0 and 0 iff no letter/digit/symbol runs;
+    redaction never raises and yields a string."""
+    from globalweather_etl_spark.functions.text import (
+        bpe_token_estimate,
+        dup_line_fraction,
+        dup_word_fraction,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(t,) for t in texts], T.StructType([T.StructField("text", T.StringType())])
+    )
+    rows = df.select(
+        bpe_token_estimate(F.col("text")).alias("bpe"),
+        dup_word_fraction(F.col("text")).alias("dw"),
+        dup_line_fraction(F.col("text")).alias("dl"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    for r in rows:
+        assert r["bpe"] >= 0
+        assert 0.0 <= r["dw"] <= 1.0
+        assert 0.0 <= r["dl"] <= 1.0
+        assert isinstance(r["red"], str)
