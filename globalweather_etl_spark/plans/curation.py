@@ -141,3 +141,58 @@ def curate_documents(
         decontaminated=decon,
         curated=curated,
     )
+
+
+def corpus_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus health report: size, token totals, quality and
+    repetition distribution, exact-dup rate, PII exposure. The
+    pre-flight audit before running curate_documents (and the
+    post-flight check after).
+
+    Cost: one scan-stage aggregation over pure expressions plus one
+    md5-fingerprint distinct count (the only shuffle). percentile_approx
+    is O(1)-memory per partition — report cost is independent of corpus
+    size beyond the scan.
+    """
+    from globalweather_etl_spark.functions.text import (
+        bpe_token_estimate,
+        dup_word_fraction,
+        fingerprint_md5,
+        pii_counts,
+        quality_score,
+    )
+
+    t = F.col(text_col)
+    pii = pii_counts(t)
+    q = F.round(quality_score(t), 9)
+    per_doc = docs.select(
+        F.col(id_col),
+        fingerprint_md5(t).alias("__fp"),
+        token_count(t).alias("__tok"),
+        bpe_token_estimate(t).alias("__bpe"),
+        q.alias("__q"),
+        dup_word_fraction(t).alias("__dw"),
+        (pii["EMAIL"] + pii["IP"] + pii["PHONE"]).alias("__pii"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("__fp").cast("long").alias("n_unique_contents"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg("__q"), 9).alias("mean_quality"),
+        F.round(
+            F.percentile_approx("__q", 0.5, 10000).cast("double"), 9
+        ).alias("median_quality"),
+        F.round(F.avg("__dw"), 9).alias("mean_dup_word_frac"),
+        F.sum("__pii").cast("long").alias("total_pii_hits"),
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique_contents").cast("double")
+            / F.col("n_docs").cast("double"),
+            9,
+        ),
+    )

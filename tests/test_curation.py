@@ -78,3 +78,34 @@ def test_fixture_duplicates_removed(spark):
     res = curate_documents(docs, min_quality=0.0, neardup_threshold=0.5)
     kept = sorted(r["doc_id"] for r in res.curated.select("doc_id").collect())
     assert kept == [1, 4]
+
+
+def test_corpus_report_values(spark):
+    """Report fields hand-verified on a micro-corpus with a known dup,
+    known tokens, and one email."""
+    from globalweather_etl_spark.plans.curation import corpus_report
+
+    rows = [
+        (1, "en", "alpha beta gamma"),
+        (2, "en", "alpha beta gamma"),          # exact dup of 1
+        (3, "en", "contact me at a@b.co now"),  # 5 tokens, 1 email
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_unique_contents"] == 2
+    assert abs(r["exact_dup_rate"] - (1 - 2 / 3)) < 1e-9
+    assert r["total_tokens"] == 3 + 3 + 5
+    assert r["total_pii_hits"] == 1
+    assert 0.0 <= r["mean_quality"] <= 1.0
+    assert 0.0 <= r["median_quality"] <= 1.0
+
+
+def test_corpus_report_on_testdata(spark, docs):
+    from globalweather_etl_spark.plans.curation import corpus_report
+
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 500
+    assert r["n_unique_contents"] == 500
+    assert r["exact_dup_rate"] == 0.0
+    assert r["total_tokens"] > 0 and r["total_bpe_tokens"] >= r["total_tokens"]
