@@ -109,3 +109,23 @@ def test_corpus_report_on_testdata(spark, docs):
     assert r["n_unique_contents"] == 500
     assert r["exact_dup_rate"] == 0.0
     assert r["total_tokens"] > 0 and r["total_bpe_tokens"] >= r["total_tokens"]
+
+
+def test_write_shards_roundtrip(spark, docs, tmp_path):
+    """Shard layout: split dirs, shard ids derived from bins, all rows
+    preserved and re-readable."""
+    from globalweather_etl_spark.operators.sharding import write_shards
+
+    res = curate_documents(docs)
+    out = str(tmp_path / "shards")
+    write_shards(res.curated, out, bins_per_shard=4)
+    back = spark.read.parquet(out)
+    assert back.count() == res.curated.count()
+    assert "shard_id" in back.columns and "split" in back.columns
+    ok = back.select(
+        (F.col("shard_id") == (F.col("bin_id") / 4).cast("long")).alias("ok")
+    )
+    assert ok.filter(~F.col("ok")).count() == 0
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(out))
