@@ -88,3 +88,57 @@ def test_bnlj_allowlist_is_tight(spark):
         if "BroadcastNestedLoopJoin" not in plan:
             stale.append(name)
     assert not stale, f"allowlist entries no longer exhibit BNLJ: {stale}"
+
+
+# --- round-3 non-registry surfaces: same anti-pattern gate -----------
+
+
+def _extension_plans(spark):
+    """Physical plans of the round-3 composition surfaces that aren't
+    registry queries: curation pipeline stages, corpus report, mixing,
+    quantization. Lazy builds, no execution."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.mixing import mix_corpora
+    from globalweather_etl_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from globalweather_etl_spark.plans.curation import (
+        corpus_report,
+        curate_documents,
+    )
+    from globalweather_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    res = curate_documents(
+        docs, benchmark=docs.filter(F.col("doc_id") % 7 == 0)
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return {
+        "curation_curated": res.curated,
+        "curation_decontaminated": res.decontaminated,
+        "corpus_report": corpus_report(docs),
+        "mix_corpora": mix_corpora(
+            {"x": (a, 1.0), "y": (b, 1.0)}, F.col("doc_id"), total_rows=100
+        ),
+        "quantize_roundtrip": dequantize_embeddings(
+            quantize_embeddings(emb, "embedding"), "embedding"
+        ),
+    }
+
+
+def test_extension_surfaces_no_scale_antipatterns(spark):
+    failures = []
+    for name, df in _extension_plans(spark).items():
+        plan = _formatted_plan(spark, df)
+        for pat in FORBIDDEN_ALWAYS:
+            if pat in plan:
+                failures.append(f"{name}: {pat}")
+        # corpus_report joins two 1-row aggregates -> BNLJ is fine
+        # there; everything else must not BNLJ.
+        if "BroadcastNestedLoopJoin" in plan and name != "corpus_report":
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures
