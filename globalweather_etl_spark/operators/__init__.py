@@ -10,6 +10,7 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
+from globalweather_etl_spark.operators.chunking import chunk_documents
 from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
@@ -47,6 +48,7 @@ from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 __all__ = [
     "apply_scd2",
     "asof_join",
+    "chunk_documents",
     "connected_components",
     "cosine",
     "deterministic_sample",
