@@ -11,6 +11,11 @@ from globalweather_etl_spark.functions.dates import (
     dayofweek_iso,
     weekiso,
 )
+from globalweather_etl_spark.functions.urls import (
+    registered_domain,
+    url_host,
+    url_normalize,
+)
 from globalweather_etl_spark.functions.weather import precip_type, weather_band
 
 __all__ = [
@@ -18,5 +23,8 @@ __all__ = [
     "dayofweek_iso",
     "weekiso",
     "precip_type",
+    "registered_domain",
+    "url_host",
+    "url_normalize",
     "weather_band",
 ]
