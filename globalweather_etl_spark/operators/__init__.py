@@ -31,7 +31,7 @@ from globalweather_etl_spark.operators.sampling import (
     stratified_sample,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
-from globalweather_etl_spark.operators.sharding import write_shards
+from globalweather_etl_spark.operators.sharding import shard_manifest, write_shards
 from globalweather_etl_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -81,5 +81,6 @@ __all__ = [
     "stratified_sample",
     "surrogate_key",
     "top_ngram_stats",
+    "shard_manifest",
     "write_shards",
 ]

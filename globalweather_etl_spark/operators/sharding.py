@@ -44,3 +44,25 @@ def write_shards(
         .partitionBy(split_col)
         .parquet(out_dir)
     )
+
+
+def shard_manifest(
+    spark, out_dir: str, token_col: str = "n_tokens"
+) -> DataFrame:
+    """Manifest of a written shard directory: one row per (split,
+    shard_id) with row count and token sum (when the shards carry a
+    token-count column) — what a trainer's data loader reads to plan
+    epochs without scanning payloads.
+
+    Cost: one column-pruned scan of the shard parquet (row counts come
+    from footers when only counting); output is shard-count sized.
+    """
+    df = spark.read.parquet(out_dir)
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    if token_col in df.columns:
+        aggs.append(F.sum(token_col).cast("long").alias("total_tokens"))
+    return (
+        df.groupBy("split", "shard_id")
+        .agg(*aggs)
+        .orderBy("split", "shard_id")
+    )

@@ -129,3 +129,39 @@ def test_write_shards_roundtrip(spark, docs, tmp_path):
     import os
 
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+def test_jsonl_to_shards_end_to_end(spark, docs, tmp_path):
+    """The full training-data story: land JSONL, ingest with
+    quarantine, curate, shard, manifest — counts reconcile at every
+    boundary."""
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.operators.sharding import (
+        shard_manifest,
+        write_shards,
+    )
+    from globalweather_etl_spark.sources import (
+        drop_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    landing = str(tmp_path / "landing")
+    write_jsonl(docs.select("doc_id", "lang", "text"), landing, partitions=2)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ingested = drop_corrupt(read_jsonl(spark, landing, schema))
+    res = curate_documents(ingested)
+    out = str(tmp_path / "shards")
+    write_shards(res.curated, out, bins_per_shard=4)
+    manifest = shard_manifest(spark, out, token_col="bin_offset")
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == res.curated.count()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["n_rows"] > 0 for r in rows)
