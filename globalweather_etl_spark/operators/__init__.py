@@ -31,6 +31,7 @@ from globalweather_etl_spark.operators.sampling import (
     stratified_sample,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
+from globalweather_etl_spark.operators.sessionize import sessionize
 from globalweather_etl_spark.operators.sharding import shard_manifest, write_shards
 from globalweather_etl_spark.operators.similarity import (
     cosine,
@@ -81,6 +82,7 @@ __all__ = [
     "stratified_sample",
     "surrogate_key",
     "top_ngram_stats",
+    "sessionize",
     "shard_manifest",
     "write_shards",
 ]
