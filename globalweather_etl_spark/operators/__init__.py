@@ -10,6 +10,7 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
+from globalweather_etl_spark.operators.bm25 import bm25_index, bm25_topk
 from globalweather_etl_spark.operators.chunking import chunk_documents
 from globalweather_etl_spark.operators.components import (
     connected_components,
@@ -49,6 +50,8 @@ from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 __all__ = [
     "apply_scd2",
     "asof_join",
+    "bm25_index",
+    "bm25_topk",
     "chunk_documents",
     "connected_components",
     "cosine",

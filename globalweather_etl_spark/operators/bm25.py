@@ -1,0 +1,116 @@
+"""BM25 lexical search over a document corpus — the sparse-retrieval
+complement to the dense-ANN stack in operators/similarity.py.
+
+Index = two aggregates over the exploded token stream:
+  tf(doc, term)   — count per (doc, term)            [one shuffle]
+  df(term), N, avgdl — corpus statistics              [term-grain]
+
+Query scoring joins the (tiny, broadcast) query-term set against the
+tf table — the corpus is touched only at its (doc, term) grain, no
+per-query scan — then sums the standard Okapi BM25 contribution per
+(query, doc) and window-top-ks per query.
+
+Scale shape: tf is the inverted index (doc-term grain, high
+cardinality both ways); stop-like terms can be capped with
+max_doc_ratio exactly like the dedup operators' hot-shingle cap —
+a df filter, applied identically in the oracle. All expressions are
+engine-portable (ln, plain arithmetic), so results are
+DuckDB-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.functions.text import tokens
+
+
+def bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, stats): tf = (id, term, tf, dl); stats = (term, df, n_docs,
+    avgdl). Terms are lowercased whitespace tokens — the same unit the
+    dedup/shingle operators use."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    tf = tf.join(dl, id_col)
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn("n_docs", F.lit(int(n_docs)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+    return tf, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_doc_ratio: float | None = None,
+) -> DataFrame:
+    """Top-k BM25 documents per query string.
+
+    Output: (query, doc_id, score rounded to 9, rank 1..k), ties broken
+    by doc id for determinism. max_doc_ratio drops terms appearing in
+    more than that fraction of documents (stop-term cap — bounds the
+    posting lists the same way max_doc_freq bounds shingle buckets).
+    """
+    tf, stats = bm25_index(docs, id_col, text_col)
+    if max_doc_ratio is not None:
+        stats = stats.filter(
+            F.col("df") <= F.lit(float(max_doc_ratio)) * F.col("n_docs")
+        )
+    qterms = [
+        (qi, t)
+        for qi, q in enumerate(queries)
+        for t in dict.fromkeys(q.lower().split())  # unique, order kept
+    ]
+    qdf = tf.sparkSession.createDataFrame(qterms, "query_id int, term string")
+    # idf with the +1 inside ln (Lucene-style, always positive)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(stats, "term")
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 9).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(id_col).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    qnames = tf.sparkSession.createDataFrame(
+        list(enumerate(queries)), "query_id int, query string"
+    )
+    return out.join(F.broadcast(qnames), "query_id").select(
+        "query", id_col, "score", "rank"
+    )
