@@ -10,7 +10,7 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
-from globalweather_etl_spark.operators.bm25 import bm25_index, bm25_topk
+from globalweather_etl_spark.operators.bm25 import bm25_index, bm25_topk, rrf_fuse
 from globalweather_etl_spark.operators.chunking import chunk_documents
 from globalweather_etl_spark.operators.components import (
     connected_components,
@@ -60,6 +60,7 @@ __all__ = [
     "pack_by_budget",
     "quantize_embeddings",
     "resample_last",
+    "rrf_fuse",
     "shuffle_deterministic",
     "cosine_topk",
     "dot",

@@ -114,3 +114,42 @@ def bm25_topk(
     return out.join(F.broadcast(qnames), "query_id").select(
         "query", id_col, "score", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    on: list[str],
+    k: int = 10,
+    c: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (hybrid retrieval: BM25 +
+    dense ANN): score(item) = sum over lists of 1/(c + rank), top-k per
+    group re-ranked. `on` = grouping + item key columns shared by all
+    inputs (e.g. ["query", "doc_id"]); the first column is the group
+    (per-query fusion), the rest identify the item.
+
+    Plan shape: a union of the (already tiny, top-k-sized) ranked
+    lists, one aggregate, one per-group window — cost is bounded by
+    k * n_lists * n_groups rows regardless of corpus size.
+    """
+    group, item = on[0], on[1:]
+    parts = [df.select(*on, F.col(rank_col).alias("__r")) for df in rankings]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = (
+        unioned.groupBy(*on)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("__r"))), 9
+            ).alias("rrf_score")
+        )
+    )
+    w = Window.partitionBy(group).orderBy(
+        F.desc("rrf_score"), *[F.col(cname).asc() for cname in item]
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -96,3 +96,27 @@ ranked AS (
 SELECT query, doc_id, score, rank FROM ranked WHERE rank <= 5""").fetchall()
     }
     assert got == want
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from globalweather_etl_spark.operators.bm25 import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [("q", 3, 1), ("q", 1, 2), ("q", 4, 3)],
+        "query string, doc_id long, rank long",
+    )
+    out = rrf_fuse([lex, dense], on=["query", "doc_id"], k=4, c=60)
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in out.collect()}
+    s = lambda *ranks: round(sum(1.0 / (60 + r) for r in ranks), 9)
+    # doc1: ranks 1+2; doc3: ranks 3+1; doc2: 2; doc4: 3
+    assert got[1][0] == s(1, 2)
+    assert got[3][0] == s(3, 1)
+    assert got[2][0] == s(2)
+    assert got[4][0] == s(3)
+    # doc1 and doc3 tie exactly (1/61+1/62 both) -> doc_id tiebreak
+    assert got[1][1] == 1 and got[3][1] == 2
+    assert got[2][1] == 3 and got[4][1] == 4
