@@ -182,3 +182,55 @@ SELECT e.event_id,
 FROM e""").fetchall()
     }
     assert got == want
+
+
+def test_asof_nearest_matches_duckdb(spark):
+    """Nearest as-of on real events vs an explicit two-candidate DuckDB
+    construction (closer side wins, ties -> backward, same
+    greatest-struct pick within equal right times)."""
+    import duckdb
+
+    from globalweather_etl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t")
+    )
+    quotes = events.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "t", F.col("event_id").alias("qid")
+    )
+    got = {
+        r["event_id"]: r["qid"]
+        for r in asof_join(
+            events, quotes, ["user_id"], "t", "t", ["qid"],
+            direction="nearest",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+WITH e AS (SELECT event_id, user_id, epoch(ts) AS t
+           FROM read_parquet('{sf}/events.parquet')),
+q AS (SELECT user_id, epoch(ts) AS t, event_id AS qid
+      FROM read_parquet('{sf}/events.parquet') WHERE event_id % 5 = 0),
+cand AS (
+  SELECT e.event_id,
+    (SELECT q.qid FROM q WHERE q.user_id = e.user_id AND q.t <= e.t
+     ORDER BY q.t DESC, q.qid DESC LIMIT 1) AS back_q,
+    (SELECT q.t FROM q WHERE q.user_id = e.user_id AND q.t <= e.t
+     ORDER BY q.t DESC, q.qid DESC LIMIT 1) AS back_t,
+    (SELECT q.qid FROM q WHERE q.user_id = e.user_id AND q.t >= e.t
+     ORDER BY q.t ASC, q.qid DESC LIMIT 1) AS fwd_q,
+    (SELECT q.t FROM q WHERE q.user_id = e.user_id AND q.t >= e.t
+     ORDER BY q.t ASC, q.qid DESC LIMIT 1) AS fwd_t,
+    e.t
+  FROM e)
+SELECT event_id,
+  CASE WHEN fwd_q IS NULL THEN back_q
+       WHEN back_q IS NULL THEN fwd_q
+       WHEN (t - back_t) <= (fwd_t - t) THEN back_q
+       ELSE fwd_q END
+FROM cand""").fetchall()
+    }
+    assert got == want
