@@ -139,3 +139,37 @@ def drain_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def clean_documents(docs: DataFrame, min_quality: float = 0.3) -> DataFrame:
+    """Streaming corpus hygiene: drop low-quality documents and redact
+    PII in one pass. Works identically on a batch frame or a
+    `jsonl_stream_from_dir` stream — every underlying signal is a pure
+    scan-stage expression (functions/text.py), so the streaming planner
+    needs no state, no watermark, and each micro-batch is embarrassingly
+    parallel. The curation stages that DO need global state (dedup,
+    decontamination) stay batch jobs over the landed output.
+
+    Output: doc_id, lang, clean_text (PII-redacted), quality,
+    n_tokens, bpe_tokens.
+    """
+    from globalweather_etl_spark.functions.text import (
+        bpe_token_estimate,
+        quality_score,
+        redact_pii,
+        token_count,
+    )
+
+    t = F.col("text")
+    return (
+        docs.withColumn("quality", F.round(quality_score(t), 9))
+        .filter(F.col("quality") >= F.lit(min_quality))
+        .select(
+            "doc_id",
+            "lang",
+            redact_pii(t).alias("clean_text"),
+            "quality",
+            token_count(t).alias("n_tokens"),
+            bpe_token_estimate(t).alias("bpe_tokens"),
+        )
+    )

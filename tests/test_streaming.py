@@ -237,3 +237,40 @@ def test_jsonl_stream_equals_batch(spark, tmp_path):
     got = _drain(spark, stream, "jsonl_counts")
     want = drop_corrupt(read_jsonl(spark, path, schema)).groupBy("lang").count()
     assert _rows(got, "lang") == _rows(want, "lang")
+
+
+def test_clean_documents_stream_equals_batch(spark, tmp_path):
+    """The streaming corpus cleaner must produce exactly the batch
+    result over the same landed JSONL."""
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.sources import (
+        drop_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+    from globalweather_etl_spark.streaming import (
+        clean_documents,
+        jsonl_stream_from_dir,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_landing")
+    write_jsonl(docs, path, partitions=3)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = clean_documents(
+        jsonl_stream_from_dir(spark, path, schema, max_files_per_trigger=1),
+        min_quality=0.5,
+    )
+    got = _drain(spark, stream, "clean_docs_stream", mode="append")
+    want = clean_documents(
+        drop_corrupt(read_jsonl(spark, path, schema)), min_quality=0.5
+    )
+    assert _rows(got, "doc_id") == _rows(want, "doc_id")
+    assert got.count() > 0
