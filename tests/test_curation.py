@@ -165,3 +165,18 @@ def test_jsonl_to_shards_end_to_end(spark, docs, tmp_path):
     assert sum(r["n_rows"] for r in rows) == res.curated.count()
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_shard_manifest_without_token_column(spark, docs, tmp_path):
+    from globalweather_etl_spark.operators.sharding import (
+        shard_manifest,
+        write_shards,
+    )
+
+    res = curate_documents(docs)
+    out = str(tmp_path / "shards2")
+    write_shards(res.curated.drop("bin_offset"), out, bins_per_shard=8)
+    m = shard_manifest(spark, out, token_col="bin_offset")  # absent
+    rows = m.collect()
+    assert "total_tokens" not in m.columns
+    assert sum(r["n_rows"] for r in rows) == res.curated.count()

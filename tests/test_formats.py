@@ -96,3 +96,16 @@ def test_clean_frame_count_is_legal(spark, tmp_path):
         f.write('{"doc_id": 1, "lang": "en", "text": "ok"}\n')
         f.write("broken line\n")
     assert drop_corrupt(read_jsonl(spark, path, DOC_SCHEMA)).count() == 1
+
+
+def test_csv_strict_mode_fails_on_corrupt(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    path = os.path.join(str(tmp_path), "bad.csv")
+    with open(path, "w") as f:
+        f.write("doc_id,lang,text\n")
+        f.write("xx,en,broken\n")
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        read_csv(spark, path, DOC_SCHEMA, strict=True).collect()
