@@ -4,6 +4,7 @@ from globalweather_etl_spark.operators.dedup import (
     exact_dedup_keepers,
     exact_dedup_removed,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_fingerprints,
@@ -77,6 +78,7 @@ __all__ = [
     "mix_corpora",
     "minhash_lsh_pairs",
     "neardup_clusters",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "salted_join",
     "simhash64",

@@ -637,3 +637,58 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    cache_index: bool = True,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / min(|A|, |B|) >=
+    threshold — catches SUB-document duplication (one document quoted
+    or embedded inside another) that Jaccard misses: a page containing
+    a full copy of a short document has low Jaccard (the long page
+    dilutes the union) but containment ~1.0.
+
+    Output: (doc_a, doc_b, containment, contained) with doc_a < doc_b;
+    `contained` is the id of the smaller (by shingle count, ties ->
+    lower id) document — the one to drop or flag downstream.
+
+    Identical index/candidate machinery (and scale shape) as
+    ngram_jaccard_pairs: hashed inverted index, optional hot-shingle
+    cap applied BEFORE the self-join, intersection counts, size join —
+    only the final score differs.
+    """
+    shingled = _hashed_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        shingled = _cap_hot_shingles(shingled, max_doc_freq)
+    if cache_index:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = _intersections(shingled)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least("sa.n_shingles", "sb.n_shingles").cast("double")
+            ).alias("containment"),
+            F.when(
+                F.col("sa.n_shingles") < F.col("sb.n_shingles"), F.col("doc_a")
+            )
+            .when(
+                F.col("sb.n_shingles") < F.col("sa.n_shingles"), F.col("doc_b")
+            )
+            .otherwise(F.least("doc_a", "doc_b"))
+            .alias("contained"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)

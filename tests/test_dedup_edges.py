@@ -261,3 +261,47 @@ class TestDecontaminate:
             corpus, benchmark, "doc_id", "text", n=3
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+def test_containment_catches_subdocument_duplication(spark):
+    """A short doc fully embedded in a long page: Jaccard low,
+    containment 1.0 — plus DuckDB parity for the score."""
+    import duckdb
+
+    from globalweather_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    got = [(r["doc_a"], r["doc_b"], r["containment"], r["contained"])
+           for r in cont.collect()]
+    assert len(got) == 1
+    a, b, c, contained = got[0]
+    assert (a, b, contained) == (1, 2, 1)
+    assert c == 1.0  # every shingle of doc1 appears in doc2
+
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    assert jac.count() == 0  # Jaccard misses it at the same threshold
+
+    # DuckDB twin of the containment score on distinct word trigrams
+    con = duckdb.connect()
+    want, = con.execute("""
+WITH docs(doc_id, text) AS (VALUES (1, ?), (2, ?)),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM docs),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+inter AS (SELECT count(*) AS c FROM sh a JOIN sh b
+          ON a.s = b.s AND a.doc_id = 1 AND b.doc_id = 2)
+SELECT CAST(c AS DOUBLE) / least(
+  (SELECT ns FROM sizes WHERE doc_id = 1),
+  (SELECT ns FROM sizes WHERE doc_id = 2)) FROM inter
+""", [short, rows[1][1]]).fetchone()
+    assert c == want
