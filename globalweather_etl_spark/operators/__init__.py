@@ -31,6 +31,7 @@ from globalweather_etl_spark.operators.sampling import (
     hash_split,
     shuffle_deterministic,
     stratified_sample,
+    weighted_sample_flag,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
 from globalweather_etl_spark.operators.sessionize import sessionize
@@ -88,6 +89,7 @@ __all__ = [
     "stratified_sample",
     "surrogate_key",
     "top_ngram_stats",
+    "weighted_sample_flag",
     "sessionize",
     "shard_manifest",
     "write_shards",

@@ -138,3 +138,24 @@ def stratified_sample(
         .filter(F.col("rank_in_stratum") <= quota)
         .drop("__ok")
     )
+
+
+def weighted_sample_flag(
+    key: Column, weight: Column, seed: int = 0
+) -> Column:
+    """Deterministic importance sampling: keep a row with probability
+    `weight` (a per-row Column in [0, 1] — e.g. a quality score), as a
+    pure function of (key, seed). The uniform draw is the md5 bucket
+    scaled to [0, 1); rows with weight >= 1 are always kept, <= 0 never.
+
+    Same reproducibility contract as sample_flag — membership is
+    independent of partitioning, cluster shape, and engine (the DuckDB
+    twin divides the same 4-hex-digit bucket by 65536) — but the keep
+    rate follows the weight column instead of one global fraction:
+    quality-weighted corpus downsampling in one scan-stage expression.
+    """
+    u = (
+        F.conv(_hex_bucket(key, seed), 16, 10).cast("double")
+        / F.lit(float(_SPACE))
+    )
+    return u < weight

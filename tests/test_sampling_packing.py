@@ -225,3 +225,56 @@ def test_stratified_sample_quota_exceeding_stratum_keeps_all(spark):
         df, F.col("stratum_in"), F.col("k"), quota=100
     ).collect()
     assert len(out) == 3
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from globalweather_etl_spark.operators.sampling import weighted_sample_flag
+
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        # three weight bands: 0.1, 0.5, 0.9
+        (F.when(F.col("id") % 3 == 0, 0.1)
+         .when(F.col("id") % 3 == 1, 0.5)
+         .otherwise(0.9)).alias("w"),
+    )
+    kept = df.filter(weighted_sample_flag(F.col("id"), F.col("w"), seed=3))
+    rates = {
+        r["w"]: r["n"]
+        for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    # ~6667 per band; binomial 3-sigma bounds
+    assert 530 <= rates[0.1] <= 810
+    assert 3150 <= rates[0.5] <= 3510
+    assert 5820 <= rates[0.9] <= 6180
+    # deterministic under repartition
+    again = df.repartition(13).filter(
+        weighted_sample_flag(F.col("id"), F.col("w"), seed=3)
+    )
+    assert {r["id"] for r in again.collect()} == {r["id"] for r in kept.collect()}
+    # boundary weights
+    allk = spark.range(5).filter(
+        weighted_sample_flag(F.col("id"), F.lit(1.0))
+    ).count()
+    none = spark.range(5).filter(
+        weighted_sample_flag(F.col("id"), F.lit(0.0))
+    ).count()
+    assert (allk, none) == (5, 0)
+
+
+def test_weighted_sample_duckdb_parity(spark):
+    import duckdb
+
+    from globalweather_etl_spark.operators.sampling import weighted_sample_flag
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 100 / 100.0).alias("w")
+    )
+    got = {r["id"] for r in
+           df.filter(weighted_sample_flag(F.col("id"), F.col("w"), 9)).collect()}
+    con = duckdb.connect()
+    want = {r[0] for r in con.execute("""
+SELECT id FROM (SELECT unnest(generate_series(0, 1999)) AS id)
+WHERE CAST(CAST('0x' || substring(md5(CAST(id AS VARCHAR) || ':9'), 1, 4)
+      AS INTEGER) AS DOUBLE) / 65536.0 < (id % 100) / 100.0
+""").fetchall()}
+    assert got == want
