@@ -76,10 +76,18 @@ def curate_documents(
     splits: dict[str, float] | None = None,
     token_budget: int = 2048,
     seed: int = 7,
+    quality_sampling: bool = False,
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for the
     stage order and rationale. `benchmark` is the eval set to
-    decontaminate against (None skips stage 4)."""
+    decontaminate against (None skips stage 4).
+
+    quality_sampling=True replaces the hard `min_quality` floor with
+    deterministic importance sampling: each document survives with
+    probability equal to its quality score (soft filtering — common
+    when a hard threshold would bias the corpus toward one register).
+    Still a pure function of (doc id, seed), so runs reproduce.
+    """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
     # 1. exact dedup (keeps min-id per byte-identical content)
@@ -105,8 +113,21 @@ def curate_documents(
         "inner",
     )
 
-    # 3. quality floor (pure scan-stage expression)
-    quality = near.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    # 3. quality floor or soft quality sampling (scan-stage either way)
+    if quality_sampling:
+        from globalweather_etl_spark.operators.sampling import (
+            weighted_sample_flag,
+        )
+
+        quality = near.filter(
+            weighted_sample_flag(
+                F.col(id_col), quality_score(F.col(text_col)), seed=seed
+            )
+        )
+    else:
+        quality = near.filter(
+            quality_score(F.col(text_col)) >= F.lit(min_quality)
+        )
 
     # 4. benchmark decontamination (broadcast shingle-set probe)
     if benchmark is not None:

@@ -180,3 +180,18 @@ def test_shard_manifest_without_token_column(spark, docs, tmp_path):
     rows = m.collect()
     assert "total_tokens" not in m.columns
     assert sum(r["n_rows"] for r in rows) == res.curated.count()
+
+
+def test_quality_sampling_mode(spark, docs):
+    """Soft quality sampling drops ~(1 - mean quality) of docs,
+    deterministically."""
+    a = curate_documents(docs, quality_sampling=True)
+    b = curate_documents(docs, quality_sampling=True)
+    ka = {r["doc_id"] for r in a.curated.select("doc_id").collect()}
+    kb = {r["doc_id"] for r in b.curated.select("doc_id").collect()}
+    assert ka == kb
+    hard = curate_documents(docs)  # floor 0.3 keeps everything here
+    nh = hard.curated.count()
+    # mean quality ~0.93 on this corpus: soft mode drops a visible,
+    # bounded share
+    assert 0.8 * nh <= len(ka) < nh
