@@ -15,8 +15,9 @@ Layout:
     sources/     source connectors / registries (parquet landing zone, constant-row)
     operators/   reusable DataFrame operators (surrogate keys, dedup, similarity, top-k)
     plans/       the ELT pipeline builders + dashboard + validation queries
+                 + the one-call corpus curation pipeline
     streaming/   Structured Streaming variants of the window metrics
     multimodal/  binary-column (image/audio) plumbing with stubbed decoders
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
