@@ -50,6 +50,13 @@ def mix_corpora(
     """
     if not sources:
         raise ValueError("sources must be non-empty")
+    for name, (df, _) in sources.items():
+        if df.isStreaming:
+            raise ValueError(
+                f"source {name!r} is a streaming DataFrame: mixing "
+                "needs per-source counts, which are undefined on an "
+                "unbounded stream — land the stream first"
+            )
     wsum = sum(w for _, w in sources.values())
     if wsum <= 0:
         raise ValueError("weights must sum > 0")

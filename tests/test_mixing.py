@@ -81,3 +81,19 @@ def test_shortfall_not_reweighted(spark, corpora):
     # and main is NOT inflated to compensate
     assert by_src["tiny"] == 10
     assert by_src["main"] <= 250
+
+
+def test_streaming_source_rejected(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.sources import write_jsonl
+    from globalweather_etl_spark.streaming import jsonl_stream_from_dir
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "landing")
+    write_jsonl(docs, path, partitions=1)
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    stream = jsonl_stream_from_dir(spark, path, schema)
+    with pytest.raises(ValueError, match="streaming"):
+        mix_corpora({"s": (stream, 1.0)}, F.col("doc_id"), total_rows=10)
