@@ -31,20 +31,34 @@ def bm25_index(
 ) -> tuple[DataFrame, DataFrame]:
     """(tf, stats): tf = (id, term, tf, dl); stats = (term, df, n_docs,
     avgdl). Terms are lowercased whitespace tokens — the same unit the
-    dedup/shingle operators use."""
+    dedup/shingle operators use.
+
+    Fully lazy: n_docs/avgdl live in a 1-row aggregate broadcast into
+    stats, so building the index launches no driver actions (the two
+    eager collects of the first version are gone). Documents whose text
+    yields zero tokens still count toward n_docs and pull avgdl down —
+    they hold dl=0 via a left join from the corpus — and an empty corpus
+    is safe: avgdl coalesces to 1.0 instead of float(None) raising.
+    """
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    corpus_dl = (
+        docs.select(id_col)
+        .join(dl, id_col, "left")
+        .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"))
+    )
     tf = tf.join(dl, id_col)
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    corpus_stats = corpus_dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).cast("double").alias("avgdl"),
+    )
     stats = (
         tf.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
-        .withColumn("n_docs", F.lit(int(n_docs)))
-        .withColumn("avgdl", F.lit(float(avgdl)))
+        .crossJoin(F.broadcast(corpus_stats))
     )
     return tf, stats
 

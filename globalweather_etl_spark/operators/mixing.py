@@ -40,9 +40,10 @@ def mix_corpora(
     downsample toward the target (sources too small to fill their
     share keep everything; the mix then under-delivers that share
     rather than silently re-weighting, so the caller sees the
-    shortfall). With total_rows=None, rates are scaled so the LARGEST
-    demand keeps 100% — the biggest mix achievable at the exact target
-    proportions without upsampling.
+    shortfall). With total_rows=None, the mix size is set by the
+    SCARCEST source per weight unit: that source keeps 100% and every
+    other source downsamples to match — the biggest mix achievable at
+    the exact target proportions without upsampling.
 
     Counting each source costs one aggregate per input (metadata-cheap
     for parquet); rows are selected by md5(key || seed || source name),
@@ -64,8 +65,10 @@ def mix_corpora(
     counts = {name: df.count() for name, (df, _) in sources.items()}
 
     if total_rows is None:
-        # demand_i = n_i / w_i; the max keeps 1.0 and defines the mix size
-        scale = max(
+        # supply_i = n_i / w_i rows-per-weight-unit; the scarcest source
+        # binds: it keeps 1.0 and defines the mix size. (max() here would
+        # clamp every rate to 1.0 and ignore the weights entirely.)
+        scale = min(
             counts[name] / norm[name] for name in sources if norm[name] > 0
         )
         rates = {

@@ -119,9 +119,16 @@ def curate_documents(
             weighted_sample_flag,
         )
 
+        # Salt the key: the split draw in stage 5 uses the same
+        # (id, seed) md5 bucket, and an unsalted quality draw would
+        # correlate survival with split assignment (test/val sit in the
+        # high buckets, so they'd only ever receive quality > ~0.95
+        # docs). The salt decorrelates the two draws.
         quality = near.filter(
             weighted_sample_flag(
-                F.col(id_col), quality_score(F.col(text_col)), seed=seed
+                F.concat(F.col(id_col).cast("string"), F.lit("|quality")),
+                quality_score(F.col(text_col)),
+                seed=seed,
             )
         )
     else:

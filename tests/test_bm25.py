@@ -120,3 +120,40 @@ def test_rrf_fusion_hand_computed(spark):
     # doc1 and doc3 tie exactly (1/61+1/62 both) -> doc_id tiebreak
     assert got[1][1] == 1 and got[3][1] == 2
     assert got[2][1] == 3 and got[4][1] == 4
+
+
+def test_empty_corpus_and_zero_token_docs(spark):
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.bm25 import bm25_index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tf, stats = bm25_index(empty)  # must not raise (lazy, no collect)
+    assert tf.count() == 0 and stats.count() == 0
+    assert bm25_topk(empty, ["anything"], k=3).count() == 0
+
+    # Docs absent from the token stream (NULL text: split(NULL) is NULL
+    # and explode drops it) still count toward n_docs and pull avgdl
+    # down via the corpus left join. Empty strings tokenize to one ''
+    # term (split-of-trim semantics, same as the DuckDB twin) -> dl=1.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    _, stats = bm25_index(docs)
+    row = stats.select("n_docs", "avgdl").limit(1).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["avgdl"] == 1.0  # (2 + 1 + 0) / 3
+
+
+def test_index_is_lazy_no_jobs(spark):
+    """bm25_index must launch zero Spark jobs (the stats live in a
+    lazy 1-row aggregate, not driver-side collects)."""
+    from globalweather_etl_spark.operators.bm25 import bm25_index
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    docs = spark.createDataFrame([(1, "x y"), (2, "y z")], "doc_id long, text string")
+    bm25_index(docs)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after

@@ -195,3 +195,26 @@ def test_quality_sampling_mode(spark, docs):
     # mean quality ~0.93 on this corpus: soft mode drops a visible,
     # bounded share
     assert 0.8 * nh <= len(ka) < nh
+
+
+def test_quality_sampling_does_not_starve_splits(spark, docs):
+    """The quality draw must be decorrelated from the split draw: with
+    the same (id, seed) md5 bucket driving both, val/test would only
+    ever receive docs whose quality exceeds their bucket threshold
+    (test ~> 0.95) and would be starved and quality-biased."""
+    from pyspark.sql import functions as F
+
+    res = curate_documents(docs, quality_sampling=True)
+    by_split = {
+        r["split"]: r["n"]
+        for r in res.curated.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(by_split.values())
+    # default splits 0.9/0.05/0.05; with ~460 surviving docs the 5%
+    # splits expect ~23 rows — require presence and a sane band
+    assert set(by_split) == {"train", "val", "test"}
+    for name, frac in [("val", 0.05), ("test", 0.05)]:
+        assert by_split[name] >= 0.3 * frac * total, (name, by_split)
+    assert by_split["train"] <= 0.97 * total

@@ -36,9 +36,12 @@ def test_target_rows_proportions(spark, corpora):
     assert 30 <= by_src["code"] <= 70
 
 
-def test_no_target_keeps_largest_demand_full(spark, corpora):
+def test_no_target_scarcest_source_binds(spark, corpora):
+    # With weights 1:9 over two ~equal-size corpora, the 9-weight source
+    # is the scarcest per weight unit: it keeps 100% and the other
+    # downsamples to ~1/9 of it, preserving the target proportions.
     a, b = corpora
-    na = a.count()
+    nb = b.count()
     out = mix_corpora(
         {"big": (a, 1.0), "small": (b, 9.0)}, F.col("doc_id"), seed=5
     )
@@ -46,11 +49,19 @@ def test_no_target_keeps_largest_demand_full(spark, corpora):
         r["mix_source"]: r["n"]
         for r in out.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
     }
-    # "big" demands the most rows per weight unit -> kept whole
-    assert by_src["big"] == na
-    # small should be ~ 9 * na (but capped by its size) -> it's smaller
-    # than demanded, so everything of it is kept too, via rate >= 1
-    assert by_src["small"] == b.count()
+    assert by_src["small"] == nb
+    expected_big = nb / 9.0
+    # hash-rate sampling at 1/65536 resolution: generous ±60% band
+    assert 0.4 * expected_big <= by_src["big"] <= 1.6 * expected_big
+
+
+def test_no_target_equal_weights_equal_sizes_keeps_all(spark, corpora):
+    # Equal weights over equal-size corpora: every source is equally
+    # scarce, so nothing downsamples. (Same frame twice — per-source key
+    # salting keeps the draws independent.)
+    a, _ = corpora
+    out = mix_corpora({"x": (a, 1.0), "y": (a, 1.0)}, F.col("doc_id"), seed=5)
+    assert out.count() == 2 * a.count()
 
 
 def test_deterministic_and_tagged(spark, corpora):
