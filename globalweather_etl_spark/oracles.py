@@ -371,7 +371,8 @@ sessions AS (
   FROM flagged)
 SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
-  count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value
+  count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value,
+  CAST(session_id AS BIGINT) AS session_seq
 FROM sessions GROUP BY user_id, session_id""",
 }
 
@@ -565,8 +566,11 @@ SELECT d.doc_id,
        ELSE 'test' END AS split,
   b < '4000' AS sampled,
   CAST(CASE WHEN r.rn <= 30 THEN r.rn ELSE 0 END AS BIGINT) AS strat_rank,
-  r.rn <= 30 AS strat_kept
-FROM (SELECT doc_id,
+  r.rn <= 30 AS strat_kept,
+  CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|w:7'), 1, 4)
+       AS INTEGER) AS DOUBLE) / 65536.0
+    < least(CAST(d.n_chars AS DOUBLE) / 2000.0, 1.0) AS weighted_kept
+FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
 JOIN ranked r ON r.doc_id = d.doc_id""",
@@ -837,6 +841,17 @@ def _text_metrics_sql() -> str:
         "list_filter(list_transform(string_split(text, chr(10)),"
         " l -> trim(l)), l -> l != '')"
     )
+    # PII patterns are shared verbatim with the Spark side
+    # (text._PII_PATTERNS, RE2/Java-parity by construction — no
+    # lookaround, ASCII classes); regexp_extract_all is non-overlapping
+    # in both engines, so the counts are bit-identical.
+    from globalweather_etl_spark.functions.text import _PII_PATTERNS
+
+    pii_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS pii_{kind.lower()}"
+        for kind, pat in _PII_PATTERNS.items()
+    )
     return f"""
 WITH m AS (
   SELECT doc_id, text, lang,
@@ -849,8 +864,19 @@ WITH m AS (
     CAST(length(text) AS DOUBLE) AS n_chars,
     CAST(length(text) - length(regexp_replace(text,
       '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
-    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws
-  FROM documents)
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws,
+    {pii_cols}
+  FROM documents),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       unnest(generate_series(1, len(t) - 1)) AS g(i)),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+tng AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         CAST(max(c) AS BIGINT) AS top_ngram_count
+  FROM per_gram GROUP BY 1)
 SELECT doc_id,
   CAST(n_tok AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars_measured,
@@ -868,8 +894,13 @@ SELECT doc_id,
   CASE WHEN n_tok <= 0 THEN 0.0
        ELSE 1.0 - n_tok_distinct / n_tok END AS dup_word_frac,
   CASE WHEN n_lines <= 0 THEN 0.0
-       ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac
-FROM m"""
+       ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac,
+  pii_email, pii_ip, pii_phone,
+  CAST(COALESCE(tng.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(tng.top_ngram_count, 0) AS BIGINT) AS top_ngram_count,
+  COALESCE(CAST(tng.top_ngram_count AS DOUBLE)
+           / CAST(tng.n_ngrams AS DOUBLE), 0.0) AS top_ngram_frac
+FROM m LEFT JOIN tng USING (doc_id)"""
 
 
 EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()

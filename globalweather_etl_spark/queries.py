@@ -488,7 +488,28 @@ def q_events_sliding_day_12h(spark, sf_dir):
 
 
 def q_events_session_30m(spark, sf_dir):
-    return session_stats(load_table(spark, sf_dir, "events"), "30 minutes")
+    """Per-session aggregates from Spark's native session_window
+    (streaming-incremental form), joined with the per-key session
+    ORDINAL from the gaps-and-islands assignment operator
+    (operators/sessionize.py) — grading both session forms and their
+    mutual consistency in one result: every session_window session must
+    line up 1:1 with a sessionize island (same user, same first-event
+    time), or the inner join drops rows and the count diverges."""
+    from globalweather_etl_spark.operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    stats = session_stats(events, "30 minutes")
+    ords = (
+        sessionize(events, "user_id", "ts", 30 * 60.0)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"))
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_seq"),
+            "session_start",
+        )
+    )
+    return stats.join(ords, ["user_id", "session_start"], "inner")
 
 
 def q_events_asof_last_signup(spark, sf_dir):
@@ -579,18 +600,32 @@ def q_docs_text_metrics(spark, sf_dir):
     registry entry in round 3 to free a slot for docs_decontaminate),
     the composite quality score, and (round 3) the LLM-corpus quality
     signals: a GPT-2-pre-tokenizer BPE token estimate and the Gopher
-    duplicate-word / duplicate-line repetition fractions. All pure
-    expressions — one codegen'd projection, no shuffle, no UDFs."""
+    duplicate-word / duplicate-line repetition fractions.
+
+    Round 4 folds in the remaining per-doc curation signals so they are
+    driver-graded: the three PII audit counts (functions/text.py
+    pii_counts — scan-stage regexp_count, RE2-parity patterns) and the
+    Gopher top-bigram concentration (operators/repetition.py
+    top_ngram_stats — the one repetition signal that needs an
+    aggregation). The kernel columns stay pure scan-stage expressions;
+    the top-ngram columns join back on doc_id (docs with <2 tokens have
+    no bigrams and coalesce to zero)."""
     from globalweather_etl_spark.functions.text import (
         bpe_token_estimate,
         dup_line_fraction,
         dup_word_fraction,
+        pii_counts,
         stopword_score,
     )
+    from globalweather_etl_spark.operators.repetition import top_ngram_stats
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    pii = pii_counts(t)
+    tng = top_ngram_stats(docs, "doc_id", "text", n=2).select(
+        "doc_id", "n_ngrams", "top_ngram_count", "top_ngram_frac"
+    )
+    base = docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
         char_count(t).alias("n_chars_measured"),
@@ -606,6 +641,19 @@ def q_docs_text_metrics(spark, sf_dir):
         bpe_token_estimate(t).alias("bpe_tokens"),
         dup_word_fraction(t).alias("dup_word_frac"),
         dup_line_fraction(t).alias("dup_line_frac"),
+        pii["EMAIL"].alias("pii_email"),
+        pii["IP"].alias("pii_ip"),
+        pii["PHONE"].alias("pii_phone"),
+    )
+    return base.join(tng, "doc_id", "left").select(
+        base["*"],
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("top_ngram_count"), F.lit(0))
+        .cast("long")
+        .alias("top_ngram_count"),
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
+        .cast("double")
+        .alias("top_ngram_frac"),
     )
 
 
@@ -819,8 +867,19 @@ def q_docs_sample_split(spark, sf_dir):
     The split/sample selectors are pure md5-prefix functions of the key
     — no shuffle; the stratified draw is the skew-proof two-phase
     top-k prune (operators/sampling.py: stratified_sample), joined back
-    broadcast because quota * n_strata is tiny by construction."""
-    from globalweather_etl_spark.operators.sampling import stratified_sample
+    broadcast because quota * n_strata is tiny by construction.
+
+    Round 4 adds the weighted (importance) sampling membership flag
+    (operators/sampling.py: weighted_sample_flag): keep probability
+    follows a per-row weight — here a length proxy min(n_chars/2000, 1)
+    — as a pure function of (salted key, seed). The key is salted with
+    '|w' so the weighted draw is independent of the split/sample draws
+    sharing this query's (doc_id, seed) bucket (the correlation trap
+    the curation pipeline fixed in round 4)."""
+    from globalweather_etl_spark.operators.sampling import (
+        stratified_sample,
+        weighted_sample_flag,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     kept = stratified_sample(
@@ -839,6 +898,13 @@ def q_docs_sample_split(spark, sf_dir):
             .cast("long")
             .alias("strat_rank"),
             F.col("rank_in_stratum").isNotNull().alias("strat_kept"),
+            weighted_sample_flag(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|w")),
+                F.least(
+                    F.col("n_chars").cast("double") / F.lit(2000.0), F.lit(1.0)
+                ),
+                seed=7,
+            ).alias("weighted_kept"),
         )
     )
 
