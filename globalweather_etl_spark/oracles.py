@@ -590,34 +590,93 @@ SELECT doc_id, n_tokens,
   CAST(prior // 2048 AS BIGINT) AS bin_id,
   CAST(prior % 2048 AS BIGINT) AS bin_offset
 FROM c""",
+    # Rolling fingerprint + the BM25 retrieval twin (mirrors
+    # operators/bm25.py: Lucene-positive idf, k1=1.2 b=0.75, so the
+    # literals below are k1+1=2.2 and 1-b=0.25; avgdl averages over the
+    # WHOLE corpus via a left join, dl=0 for docs absent from the token
+    # stream). Queries must match queries._BM25_QUERIES in order.
     "docs_rolling_fingerprint": """
-SELECT doc_id,
-  list_reduce(
-    list_prepend(CAST(0 AS BIGINT),
-      list_transform(
-        list_filter(
-          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
-          c -> c != ''),
-        c -> CAST(unicode(c) AS BIGINT))),
-    (acc, code) -> (acc * 31 + code) % 2147483647) AS fingerprint
-FROM documents""",
+WITH fp AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          list_filter(
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+            c -> c != ''),
+          c -> CAST(unicode(c) AS BIGINT))),
+      (acc, code) -> (acc * 31 + code) % 2147483647) AS fingerprint
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(COALESCE(dl.dl, 0)) AS avgdl
+      FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+q AS (SELECT 0 AS query_id, 'table scan join' AS query
+      UNION ALL SELECT 1, 'spark window'),
+qt AS (SELECT query_id, unnest(string_split(lower(query), ' ')) AS term
+       FROM q),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    round(sum(
+      ln((g.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))
+    ), 9) AS score
+  FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+  JOIN qt ON qt.term = tf.term CROSS JOIN g
+  GROUP BY 1, 2),
+hits AS (
+  SELECT doc_id, query AS bm25_query, score AS bm25_score,
+    CAST(rank AS BIGINT) AS bm25_rank
+  FROM (
+    SELECT q.query, doc_id, score, query_id,
+      row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS rank
+    FROM scored JOIN q USING (query_id))
+  WHERE rank <= 5)
+SELECT fp.doc_id, fp.fingerprint,
+  COALESCE(h.bm25_query, '') AS bm25_query,
+  COALESCE(h.bm25_score, -1.0) AS bm25_score,
+  CAST(COALESCE(h.bm25_rank, 0) AS BIGINT) AS bm25_rank
+FROM fp LEFT JOIN hits h ON fp.doc_id = h.doc_id""",
     # max_doc_freq=64 mirrors the graded query: the hot-shingle cap is
     # ON so the graded plan is the 100 TB-safe one (at sf0.01 the max
     # 3-gram doc freq is 7, so the capped output is identical to the
     # uncapped form — the cap is exercised, not the semantics changed).
+    # Jaccard (symmetric, threshold .5) and containment (asymmetric,
+    # |A∩B|/min(|A|,|B|), threshold .8) from one shared CTE chain;
+    # pairs passing only one test carry -1 sentinels for the other's
+    # columns, mirroring the full-outer union in q_docs_ngram_jaccard.
     "docs_ngram_jaccard": f"""
 WITH sh AS ({_shingles_sql(3, max_doc_freq=64)}),
 sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_a, doc_b,
+    CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+      AS jaccard,
+    CAST(n_common AS DOUBLE) / CAST(least(sa.ns, sb.ns) AS DOUBLE)
+      AS containment,
+    CASE WHEN sa.ns < sb.ns THEN doc_a
+         WHEN sb.ns < sa.ns THEN doc_b
+         ELSE least(doc_a, doc_b) END AS contained
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id)
 SELECT doc_a, doc_b,
-  CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE) >= 0.5""",
+  CASE WHEN jaccard >= 0.5 THEN jaccard ELSE -1.0 END AS jaccard,
+  CASE WHEN containment >= 0.8 THEN containment ELSE -1.0 END AS containment,
+  CAST(CASE WHEN containment >= 0.8 THEN contained ELSE -1 END AS BIGINT)
+    AS contained
+FROM scored
+WHERE jaccard >= 0.5 OR containment >= 0.8""",
     # Full MinHash+LSH mirror (hash_fn="md5" on the Spark side): shingle
     # ids and band keys are 60-bit md5 prefixes, the affine family
     # (h*(2i+1) + 7919(i+1)) mod P uses only positive operands, and band

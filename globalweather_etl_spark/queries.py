@@ -35,6 +35,7 @@ from globalweather_etl_spark.operators.dedup import (
     decontaminate,
     exact_dedup_keepers,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -717,10 +718,39 @@ def q_docs_approx_stats(spark, sf_dir):
     return hll.crossJoin(stats)
 
 
+# Fixed query strings for the graded BM25 retrieval surface — chosen to
+# hit the synthetic documents' vocabulary (non-empty top-k at all SFs).
+_BM25_QUERIES = ["table scan join", "spark window"]
+
+
 def q_docs_rolling_fingerprint(spark, sf_dir):
+    """Per-doc rolling (Rabin) fingerprint, plus — round 4 — the BM25
+    lexical-retrieval surface (operators/bm25.py): each doc carries its
+    (query, score, rank) when it lands in a fixed query's top-5, else
+    sentinel values. Docs in several top-5 lists fan out one row per
+    hit, so both the index aggregates and the per-query ranking are
+    hashed. Okapi BM25 with Lucene-style positive idf; every expression
+    (ln, plain arithmetic) is engine-portable, so the DuckDB twin
+    reproduces scores bit-for-bit."""
+    from globalweather_etl_spark.operators.bm25 import bm25_topk
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    fp = docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    hits = bm25_topk(docs, _BM25_QUERIES, k=5).select(
+        "doc_id",
+        F.col("query").alias("bm25_query"),
+        F.col("score").alias("bm25_score"),
+        F.col("rank").alias("bm25_rank"),
+    )
+    return fp.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce("bm25_query", F.lit("")).alias("bm25_query"),
+        F.coalesce("bm25_score", F.lit(-1.0)).alias("bm25_score"),
+        F.coalesce(F.col("bm25_rank").cast("long"), F.lit(0).cast("long"))
+        .alias("bm25_rank"),
     )
 
 
@@ -729,10 +759,30 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     (broadcast anti-join before the candidate self-join) is ON. At the
     graded SFs no 3-gram shingle exceeds df=7, so output is identical
     to the uncapped form — the oracle caps its shingle CTE the same
-    way."""
+    way.
+
+    Round 4 also grades the 6th dedup family here: asymmetric n-gram
+    CONTAINMENT (operators/dedup.py ngram_containment_pairs —
+    sub-document duplication Jaccard is blind to). The two operators
+    share the inverted-index shape, so the graded result is their
+    full-outer union on the pair key: a pair passing only one test
+    carries -1 sentinels for the other's columns (the oracle computes
+    both scores from one shared CTE chain and applies the same
+    sentinels, so every value still hash-matches)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
+    jac = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=64
+    )
+    con = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=64
+    )
+    return jac.join(con, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+        F.coalesce("containment", F.lit(-1.0)).alias("containment"),
+        F.coalesce(F.col("contained").cast("long"), F.lit(-1).cast("long"))
+        .alias("contained"),
     )
 
 

@@ -49,6 +49,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     # Exact-ANN baselines: corpus x broadcast(query-set). The query set
     # is dimension-sized by contract (limit-guarded in similarity.py).
     "emb_cosine_topk": "corpus x broadcast small query set (exact baseline)",
+    # BM25's lazy index: term-df aggregate x broadcast of the 1-row
+    # (n_docs, avgdl) corpus aggregate (bm25_index round-4 rewrite).
+    "docs_rolling_fingerprint": "1-row corpus-stats broadcast (bm25_index)",
     # IVF assignment: corpus x broadcast(n_lists x dim centroid matrix).
     "emb_ivf_topk": "corpus x broadcast centroid matrix (n_lists rows)",
 }
