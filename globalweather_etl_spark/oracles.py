@@ -685,8 +685,16 @@ WHERE jaccard >= 0.5 OR containment >= 0.8""",
     # bands=8 (4 rows/band), threshold=0.5, matching q_docs_minhash_lsh.
     # max_doc_freq=64 as in docs_ngram_jaccard: signatures, banding AND
     # verification all run over the capped shingle space in both engines.
+    # Round 4 also grades the cluster assignment (operators/
+    # components.py neardup_clusters): each pair row carries doc_a's
+    # connected-component label (min doc id in the component — the
+    # canonical-keeper policy), the component size, and whether doc_a
+    # IS the canonical. The oracle recomputes components independently
+    # with a recursive min-label walk over the symmetrized pair edges —
+    # diameter-bounded, fine at oracle SFs; the engine runs the O(log n)
+    # large-star/small-star alternation instead.
     "docs_minhash_lsh": f"""
-WITH sh AS ({_shingles_sql(3, max_doc_freq=64)}),
+WITH RECURSIVE sh AS ({_shingles_sql(3, max_doc_freq=64)}),
 h AS (SELECT doc_id,
         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
           AS h
@@ -711,15 +719,35 @@ inter AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b,
-  CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
-    AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
-  >= 0.5""",
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+      AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+    >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+walk AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.v AS node, w.label
+  FROM walk w JOIN edges e ON e.u = w.node),
+labels AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+csizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  l.cluster_id,
+  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  CAST(p.doc_a = l.cluster_id AS INTEGER) AS a_is_canonical
+FROM pairs p
+JOIN labels l ON p.doc_a = l.node
+JOIN csizes s ON l.cluster_id = s.cluster_id""",
     # Full SimHash mirror (hash_fn="md5" on the Spark side): 60-bit
     # md5-prefix shingle hashes, per-bit majority votes (2*set > n),
     # 4 pigeonhole bands of 15 bits, bit_count(xor) verification —

@@ -792,12 +792,35 @@ def q_docs_minhash_lsh(spark, sf_dir):
     bit-identically — so signatures, banding, candidate pairs, and the
     exact-Jaccard verification all hash-match the oracle (previously a
     rows-only check). Precision is exact because candidates are verified
-    with true Jaccard — recall is the LSH S-curve."""
+    with true Jaccard — recall is the LSH S-curve.
+
+    Round 4 also grades the cluster assignment the curation pipeline
+    consumes (operators/components.py neardup_clusters — SoCC'14
+    large-star/small-star connected components): each pair row carries
+    doc_a's component label (min doc id = canonical-keeper policy),
+    the component size, and whether doc_a is the canonical. The pair
+    list is persisted so the iterative CC rounds and the final join
+    share one materialization; the oracle recomputes components with
+    an independent recursive min-label walk in DuckDB."""
+    from pyspark import StorageLevel
+
+    from globalweather_etl_spark.operators.components import neardup_clusters
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
         hash_fn="md5", max_doc_freq=64,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    clusters = neardup_clusters(
+        docs, pairs.select("doc_a", "doc_b"), id_col="doc_id"
     )
+    a_side = clusters.select(
+        F.col("doc_id").alias("doc_a"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_canonical").alias("a_is_canonical"),
+    )
+    return pairs.join(a_side, "doc_a")
 
 
 def q_docs_simhash(spark, sf_dir):
