@@ -33,50 +33,67 @@ def pack_by_budget(
     budget: int,
     order_key: Column | None = None,
     num_partitions: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign (bin_id, bin_offset) to every document.
 
     order_key defaults to md5(id) — a deterministic shuffle so bins mix
     content. bin_offset is the document's starting token position within
     its bin's running total (diagnostics / sequence layout).
+
+    partition_cols packs each group independently (bins never straddle
+    groups — e.g. train/val/test splits) in ONE scan: the range
+    exchange keys on (groups, order), the prefix sums restart per
+    group, and the per-range totals are prefix-summed per group. The
+    per-group output is bit-identical to filtering that group out and
+    packing it alone, because the order key is group-independent.
     """
     sess = df.sparkSession
     n = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
     okey = order_key if order_key is not None else F.md5(F.col(id_col).cast("string"))
+    pcols = list(partition_cols or [])
     base = df.select(
-        F.col(id_col), tokens_col.cast("long").alias("n_tokens"), okey.alias("__ok")
+        *pcols,
+        F.col(id_col),
+        tokens_col.cast("long").alias("n_tokens"),
+        okey.alias("__ok"),
     )
-    ranged = base.repartitionByRange(n, F.col("__ok"), F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("__pid").orderBy("__ok", id_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    # Range-partition on (groups, order): each group's rows are
+    # contiguous in the composite order, so partition-local running
+    # sums per (range, group) compose with per-group range offsets.
+    ranged = base.repartitionByRange(
+        n, *[F.col(c) for c in pcols], F.col("__ok"), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid", *pcols)
+        .orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_prior = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    # Without groups this window is deliberately single-partition over
+    # #partitions rows (see deliberate_single_partition): plan-identical
+    # but suppresses the WindowExec warning so that warning stays a
+    # genuine-regression signal. With groups it partitions per group
+    # (n * n_groups rows total — still tiny).
+    w_offset = (
+        Window.partitionBy(*(pcols or [deliberate_single_partition()]))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        ranged.groupBy("__pid")
+        ranged.groupBy("__pid", *pcols)
         .agg(F.sum("n_tokens").alias("__ptot"))
         .withColumn(
             "__offset",
-            # Deliberately single-partition over #partitions rows (see
-            # deliberate_single_partition): keeps the plan identical but
-            # suppresses the WindowExec warning so that warning stays a
-            # genuine-regression signal.
-            F.coalesce(
-                F.sum("__ptot").over(
-                    Window.partitionBy(deliberate_single_partition())
-                    .orderBy("__pid")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).cast("long"),
+            F.coalesce(F.sum("__ptot").over(w_offset), F.lit(0)).cast("long"),
         )
         .drop("__ptot")
     )
     prior = (local_prior + F.col("__offset")).cast("long")
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        ranged.join(F.broadcast(offsets), ["__pid", *pcols])
         .select(
+            *pcols,
             F.col(id_col),
             F.col("n_tokens"),
             F.floor(prior / F.lit(budget)).cast("long").alias("bin_id"),

@@ -148,16 +148,18 @@ def curate_documents(
         decon = quality
 
     # 5 + 6. split assignment, then token packing WITHIN each split so
-    # bins never straddle train/val/test. pack_by_budget's global
-    # prefix sum runs per split via a split-tagged order key.
+    # bins never straddle train/val/test — one scan for all splits:
+    # pack_by_budget(partition_cols=["split"]) restarts its distributed
+    # prefix sum per split (round 4; previously a per-split
+    # filter/pack/union loop re-scanned the corpus once per split).
     split_df = hash_split(decon, F.col(id_col), splits, seed=seed)
-    packed = None
-    for name in splits:
-        part = split_df.filter(F.col("split") == name)
-        p = pack_by_budget(
-            part, id_col, token_count(F.col(text_col)), budget=token_budget
-        ).withColumn("split", F.lit(name))
-        packed = p if packed is None else packed.unionByName(p)
+    packed = pack_by_budget(
+        split_df,
+        id_col,
+        token_count(F.col(text_col)),
+        budget=token_budget,
+        partition_cols=["split"],
+    )
     curated = split_df.join(
         packed.select(id_col, "bin_id", "bin_offset"), id_col, "inner"
     )

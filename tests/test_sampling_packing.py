@@ -278,3 +278,51 @@ WHERE CAST(CAST('0x' || substring(md5(CAST(id AS VARCHAR) || ':9'), 1, 4)
       AS INTEGER) AS DOUBLE) / 65536.0 < (id % 100) / 100.0
 """).fetchall()}
     assert got == want
+
+
+def test_pack_partition_cols_matches_per_group_packing(spark):
+    """partition_cols packing must be bit-identical to filtering each
+    group out and packing it alone (the order key is group-blind)."""
+    from globalweather_etl_spark.operators.packing import pack_by_budget
+    from globalweather_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    grouped = docs.withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 3 == 0, "a")
+        .when(F.col("doc_id") % 3 == 1, "b")
+        .otherwise("c"),
+    )
+    one_pass = {
+        (r["grp"], r["doc_id"]): (r["bin_id"], r["bin_offset"])
+        for r in pack_by_budget(
+            grouped, "doc_id", F.col("n_chars").cast("long"), budget=4096,
+            partition_cols=["grp"],
+        ).collect()
+    }
+    per_group = {}
+    for g in ("a", "b", "c"):
+        part = grouped.filter(F.col("grp") == g)
+        for r in pack_by_budget(
+            part, "doc_id", F.col("n_chars").cast("long"), budget=4096
+        ).collect():
+            per_group[(g, r["doc_id"])] = (r["bin_id"], r["bin_offset"])
+    assert one_pass == per_group
+
+
+def test_pack_partition_cols_bins_never_straddle_groups(spark):
+    from globalweather_etl_spark.operators.packing import pack_by_budget
+
+    rows = [(i, "x" if i < 50 else "y") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = pack_by_budget(
+        df, "doc_id", F.lit(10), budget=64, partition_cols=["grp"]
+    )
+    # every (grp, bin) pair's tokens fit the budget start: bin 0 of
+    # each group restarts at offset 0
+    firsts = (
+        out.groupBy("grp", "bin_id").agg(F.min("bin_offset").alias("mn"))
+        .filter(F.col("bin_id") == 0)
+        .collect()
+    )
+    assert {r["grp"]: r["mn"] for r in firsts} == {"x": 0, "y": 0}
