@@ -168,3 +168,54 @@ def asof_join(
         .alias("__m"),
     )
     return finalize(chosen, "__m")
+
+
+def asof_join_directions(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+    prefixes: tuple[str, str, str] = ("", "next_", "nearest_"),
+    tolerance: float | None = None,
+) -> DataFrame:
+    """All three as-of directions in one result: left columns plus
+    value_cols matched backward (first prefix), forward (second), and
+    nearest (third). Costs the same as direction="nearest" alone — the
+    backward and forward carry passes already exist in that path; this
+    just keeps both matches instead of discarding the losing side, so
+    grading or comparing directions needs one exchange chain, not three
+    separate joins.
+
+    Per-direction semantics (inclusive matches, greatest-struct
+    duplicate-time pick, ties -> backward, tolerance nulls out-of-bound
+    matches) are identical to three asof_join calls — asserted
+    column-for-column in tests/test_asof.py.
+    """
+    lcols = left.columns
+    back = _carry(left, right, by, left_on, right_on, value_cols, False)
+    bwd = back.select(*lcols, F.col("__m").alias("__prev_match"))
+    fwd = _carry(bwd, right, by, left_on, right_on, value_cols, True)
+    b, f = F.col("__prev_match"), F.col("__m")
+    db = _delta_seconds(F.col("__lt"), b["__mt"])
+    df_ = _delta_seconds(F.col("__lt"), f["__mt"])
+    pick_back = f.isNull() | (b.isNotNull() & (db <= df_))
+    near = F.when(pick_back, b).otherwise(f)
+
+    def bound(matched: Column) -> Column:
+        # Post-pick tolerance is equivalent to pre-pick filtering for
+        # nearest: if the chosen (closer) side is out of bound, the
+        # farther side is too.
+        if tolerance is None:
+            return matched
+        within = _delta_seconds(F.col("__lt"), matched["__mt"]) <= F.lit(
+            float(tolerance)
+        )
+        return F.when(within, matched)
+
+    sel: list[Column] = [F.col(c) for c in lcols]
+    for prefix, matched in zip(prefixes, (b, f, near)):
+        bounded = bound(matched)
+        sel += [bounded[c].alias(f"{prefix}{c}") for c in value_cols]
+    return fwd.select(*sel)

@@ -311,13 +311,41 @@ GROUP BY 1, 2""",
     # Right side pre-deduplicated per (user, ts) to max(value): DuckDB's
     # ASOF tie-pick is unspecified, the operator deterministically keeps
     # the greatest value-struct.
+    # All three as-of directions (round 4). The right side dedups equal
+    # (user, ts) signups with max(value) — the engine's greatest-struct
+    # pick under duplicate right timestamps, in both directions. The
+    # nearest CASE compares epoch_us deltas (exact integers; the engine
+    # compares epoch-second doubles, exact for microsecond timestamps
+    # within the double mantissa), ties -> backward.
     "events_asof_last_signup": """
-SELECT l.event_id, l.user_id, l.ts, r.signup_ts, r.signup_value
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
-                FROM events WHERE event_type = 'signup'
-                GROUP BY user_id, ts) r
-  ON l.user_id = r.user_id AND l.ts >= r.signup_ts""",
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts AS signup_ts, max(value) AS signup_value
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts),
+b AS (SELECT l.event_id, r.signup_ts, r.signup_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.signup_ts),
+f AS (SELECT l.event_id, r.signup_ts AS next_signup_ts,
+             r.signup_value AS next_signup_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.signup_ts)
+SELECT l.event_id, l.user_id, l.ts, b.signup_ts, b.signup_value,
+  f.next_signup_ts, f.next_signup_value,
+  CASE WHEN f.next_signup_ts IS NULL THEN b.signup_ts
+       WHEN b.signup_ts IS NULL THEN f.next_signup_ts
+       WHEN epoch_us(l.ts) - epoch_us(b.signup_ts)
+            <= epoch_us(f.next_signup_ts) - epoch_us(l.ts)
+         THEN b.signup_ts ELSE f.next_signup_ts END AS nearest_signup_ts,
+  CASE WHEN f.next_signup_ts IS NULL THEN b.signup_value
+       WHEN b.signup_ts IS NULL THEN f.next_signup_value
+       WHEN epoch_us(l.ts) - epoch_us(b.signup_ts)
+            <= epoch_us(f.next_signup_ts) - epoch_us(l.ts)
+         THEN b.signup_value ELSE f.next_signup_value END
+    AS nearest_signup_value
+FROM l
+JOIN b ON l.event_id = b.event_id
+JOIN f ON l.event_id = f.event_id""",
     "events_interval_join": """
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
   s.event_id AS signup_id, s.ts AS signup_ts

@@ -514,8 +514,16 @@ def q_events_session_30m(spark, sf_dir):
 
 
 def q_events_asof_last_signup(spark, sf_dir):
-    """As-of join: each click event annotated with the user's most
-    recent signup event at or before it (NULL when none precedes)."""
+    """As-of join, all three directions graded in one slot (round 4):
+    each click event annotated with the user's most recent signup at or
+    before it (backward — the round-1 surface), the earliest signup at
+    or after it (next_*), and whichever is closer in time (nearest_*,
+    ties -> backward per pandas.merge_asof). One exchange chain — the
+    same cost as direction='nearest' alone (operators/asof.py
+    asof_join_directions); the oracle uses DuckDB's native ASOF joins
+    (>= backward, <= forward) and an epoch_us CASE for nearest."""
+    from globalweather_etl_spark.operators.asof import asof_join_directions
+
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -525,9 +533,9 @@ def q_events_asof_last_signup(spark, sf_dir):
         F.col("ts").alias("signup_ts"),
         F.col("value").alias("signup_value"),
     )
-    return asof_join(
+    return asof_join_directions(
         clicks, signups, ["user_id"], "ts", "signup_ts",
-        ["signup_ts", "signup_value"],
+        ["signup_ts", "signup_value"], prefixes=("", "next_", "nearest_"),
     )
 
 

@@ -234,3 +234,34 @@ SELECT event_id,
 FROM cand""").fetchall()
     }
     assert got == want
+
+
+def test_directions_matches_three_separate_joins(spark):
+    """asof_join_directions must equal three asof_join calls
+    column-for-column, including tolerance semantics."""
+    from globalweather_etl_spark.operators.asof import asof_join_directions
+    from globalweather_etl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t")
+    )
+    quotes = events.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "t", F.col("event_id").alias("qid")
+    )
+    for tol in (None, 3600.0):
+        combo = {
+            r["event_id"]: (r["qid"], r["next_qid"], r["nearest_qid"])
+            for r in asof_join_directions(
+                events, quotes, ["user_id"], "t", "t", ["qid"],
+                prefixes=("", "next_", "nearest_"), tolerance=tol,
+            ).collect()
+        }
+        singles = {}
+        for i, d in enumerate(("backward", "forward", "nearest")):
+            for r in asof_join(
+                events, quotes, ["user_id"], "t", "t", ["qid"],
+                direction=d, tolerance=tol,
+            ).collect():
+                singles.setdefault(r["event_id"], [None, None, None])[i] = r["qid"]
+        assert combo == {k: tuple(v) for k, v in singles.items()}, f"tol={tol}"
