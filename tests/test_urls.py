@@ -75,3 +75,61 @@ def test_host_extraction_duckdb_parity(spark):
         ).fetchone()
         want.append(h)
     assert got == want
+
+
+def test_registered_domain_join_psl(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.functions.urls import (
+        registered_domain_join,
+        suffix_table,
+    )
+
+    hosts = [
+        "www.bbc.co.uk",          # 2-label rule -> bbc.co.uk
+        "a.b.example.com",        # default rule -> example.com
+        "deep.sub.shop.com.au",   # 2-label rule -> shop.com.au
+        "x.pvt.k12.ma.us",        # 4-label rule -> x.pvt.k12.ma.us
+        "192.168.0.1",            # IPv4 passthrough
+        "localhost",              # single label passthrough
+        None,                     # NULL passthrough
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h in hosts],
+        T.StructType([T.StructField("host", T.StringType())]),
+    )
+    out = registered_domain_join(df, "host", suffix_table(spark))
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    assert got["www.bbc.co.uk"] == "bbc.co.uk"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["deep.sub.shop.com.au"] == "shop.com.au"
+    assert got["x.pvt.k12.ma.us"] == "x.pvt.k12.ma.us"
+    assert got["192.168.0.1"] == "192.168.0.1"
+    assert got["localhost"] == "localhost"
+    assert got[None] is None
+    # exactly one output row per input row (no join fan-out)
+    assert out.count() == len(hosts)
+
+
+def test_suffix_table_from_psl_format_file(spark, tmp_path):
+    from globalweather_etl_spark.functions.urls import (
+        registered_domain_join,
+        suffix_table,
+    )
+
+    dat = tmp_path / "psl.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"            # single-label: default rule, skipped
+        "co.uk\n"
+        "CO.JP\n"          # case-normalized
+        "co.uk\n"          # duplicate: must not fan out
+        "*.ck\n"           # wildcard: skipped
+        "!www.ck\n"        # exception: skipped
+        "\n"
+    )
+    sfx = suffix_table(spark, path=str(dat))
+    assert {r["suffix"] for r in sfx.collect()} == {"co.uk", "co.jp"}
+    df = spark.createDataFrame([("shop.tokyo.co.jp",)], "host string")
+    out = registered_domain_join(df, "host", sfx).collect()
+    assert out[0]["registered_domain"] == "tokyo.co.jp"
