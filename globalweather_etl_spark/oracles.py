@@ -603,7 +603,10 @@ FROM (SELECT doc_id, n_chars,
       FROM documents) d
 JOIN ranked r ON r.doc_id = d.doc_id""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
-    # distributed prefix sum over the same total order.
+    # distributed prefix sum over the same total order. The chunk CTE
+    # mirrors operators/chunking.py (chunk_tokens=32, overlap=8, so
+    # stride 24): generate_series over the same start grid, list_slice
+    # for the window, array_to_string==concat_ws for the text.
     "docs_pack_by_budget": f"""
 WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -613,11 +616,32 @@ c AS (
   SELECT doc_id, n_tokens,
     COALESCE(SUM(n_tokens) OVER (ORDER BY ok, doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-  FROM t)
-SELECT doc_id, n_tokens,
-  CAST(prior // 2048 AS BIGINT) AS bin_id,
-  CAST(prior % 2048 AS BIGINT) AS bin_offset
-FROM c""",
+  FROM t),
+p AS (
+  SELECT doc_id, n_tokens,
+    CAST(prior // 2048 AS BIGINT) AS bin_id,
+    CAST(prior % 2048 AS BIGINT) AS bin_offset
+  FROM c),
+tk AS (
+  SELECT doc_id, {_TOKS} AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, toks, i, CAST((i - 1) // 24 AS BIGINT) AS chunk_id
+  FROM tk, unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS s(i)),
+ch AS (
+  SELECT doc_id, chunk_id,
+    CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+    CAST(least(i + 31, len(toks)) - i + 1 AS BIGINT) AS n_chunk_tokens,
+    md5(array_to_string(list_slice(toks, i, least(i + 31, len(toks))), ' '))
+      AS chunk_sig
+  FROM g)
+SELECT p.doc_id, p.n_tokens, p.bin_id, p.bin_offset,
+  COALESCE(ch.chunk_id, CAST(-1 AS BIGINT)) AS chunk_id,
+  COALESCE(ch.chunk_start, CAST(-1 AS BIGINT)) AS chunk_start,
+  COALESCE(ch.n_chunk_tokens, CAST(-1 AS BIGINT)) AS n_chunk_tokens,
+  COALESCE(ch.chunk_sig, '') AS chunk_sig
+FROM p LEFT JOIN ch ON p.doc_id = ch.doc_id""",
     # Rolling fingerprint + the BM25 retrieval twin (mirrors
     # operators/bm25.py: Lucene-positive idf, k1=1.2 b=0.75, so the
     # literals below are k1+1=2.2 and 1-b=0.25; avgdl averages over the
@@ -920,6 +944,12 @@ ranked AS (
            ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
   FROM scored)
 SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    # The dq CTE mirrors operators/quantize.py bit-for-bit: scale =
+    # max(|x|) (>= 1e-30) narrowed to float; codes = round(x/scale*127)
+    # (ties away from zero in both engines); reconstruction =
+    # (code_f32 * scale)_f32 / 127.0 narrowed to float — float32
+    # multiply equals double-multiply-then-narrow, so every
+    # reconstructed component is identical and q8_cos needs no slack.
     "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -932,8 +962,29 @@ scored AS (
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
-  FROM scored)
-SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+  FROM scored),
+sc AS (
+  SELECT vec_id, embedding,
+    CAST(greatest(
+      CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE),
+      1e-30) AS FLOAT) AS scale
+  FROM embeddings),
+dq AS (
+  SELECT vec_id, scale,
+    list_transform(embedding, x -> CAST(
+      CAST(CAST(CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127.0)
+           AS TINYINT) AS FLOAT) * scale AS FLOAT) / 127.0
+      AS FLOAT))::DOUBLE[] AS w
+  FROM sc)
+SELECT r.query_id, r.cand_id, r.cos_sim, r.rank,
+  c.scale AS cand_scale,
+  list_dot_product(qv.w, c.w)
+    / (sqrt(list_dot_product(qv.w, qv.w)) * sqrt(list_dot_product(c.w, c.w)))
+    AS q8_cos
+FROM ranked r
+JOIN dq c ON c.vec_id = r.cand_id
+JOIN dq qv ON qv.vec_id = r.query_id
+WHERE r.rank <= 5""",
 }
 
 

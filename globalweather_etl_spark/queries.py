@@ -844,9 +844,50 @@ def q_docs_simhash(spark, sf_dir):
 
 
 def q_emb_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k plus — round 4 — the int8 quantization
+    surface (operators/quantize.py): each (query, candidate) result row
+    also carries the candidate's quantization scale and the cosine
+    recomputed on the DEQUANTIZED int8 vectors (`q8_cos`). Parity is
+    bit-exact, not approximate: round() is ties-away-from-zero in both
+    engines, float32 multiply equals double-multiply-then-narrow
+    (24+24-bit significands fit in 53), and the dot products fold the
+    same double arrays — so quantize -> dequantize -> cosine
+    hash-matches the oracle with no rounding slack."""
+    from globalweather_etl_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5)
+    top = cosine_topk(emb, queries, k=5)
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb.select("vec_id", "embedding"), "embedding")
+        .withColumn("scale", F.col("embedding_scale")),
+        "embedding",
+        out_col="w",
+    )
+    cand = deq.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("w").alias("w_c"),
+        F.col("scale").alias("cand_scale"),
+    )
+    qry = deq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("w").alias("w_q")
+    )
+    return (
+        top.join(cand, "cand_id")
+        .join(F.broadcast(qry), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos_sim",
+            "rank",
+            "cand_scale",
+            cosine(_as_double(F.col("w_q")), _as_double(F.col("w_c")))
+            .alias("q8_cos"),
+        )
+    )
 
 
 def q_emb_lsh_range_search(spark, sf_dir):
@@ -991,8 +1032,38 @@ def q_docs_sample_split(spark, sf_dir):
 
 
 def q_docs_pack_by_budget(spark, sf_dir):
+    """Token-budget packing (operators/packing.py) plus — round 4 —
+    the chunking fan-out (operators/chunking.py): each doc's pack
+    assignment is joined onto its token-window chunks (32-token
+    windows, 8-token overlap), so chunk identity, offsets, sizes, and
+    the chunk text itself (as an md5 signature) are all hashed against
+    the oracle's generate_series/list_slice twin. Chunkless (empty)
+    docs keep one row with -1/'' sentinels so the packing surface
+    stays fully graded."""
+    from globalweather_etl_spark.operators.chunking import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
-    return pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget=2048)
+    packed = pack_by_budget(
+        docs, "doc_id", token_count(F.col("text")), budget=2048
+    )
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_sig"),
+    )
+    return packed.join(chunks, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "bin_id",
+        "bin_offset",
+        F.coalesce("chunk_id", F.lit(-1).cast("long")).alias("chunk_id"),
+        F.coalesce("chunk_start", F.lit(-1).cast("long")).alias("chunk_start"),
+        F.coalesce("n_chunk_tokens", F.lit(-1).cast("long"))
+        .alias("n_chunk_tokens"),
+        F.coalesce("chunk_sig", F.lit("")).alias("chunk_sig"),
+    )
 
 
 # --------------------------------------------------- multimodal columns
