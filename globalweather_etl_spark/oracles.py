@@ -582,12 +582,51 @@ LEFT JOIN hits h ON h.doc_id = d.doc_id""",
     # strat_rank mirrors stratified_sample's two-phase top-k prune with
     # a plain per-stratum row_number: pruning keeps any superset of the
     # global per-stratum top-30, so the two forms are value-identical.
+    # The mix CTEs recompute operators/mixing.py's total_rows=None
+    # rates from SQL counts with the same left-to-right double
+    # arithmetic (norm * scale / count), the same round-to-threshold
+    # quantization, and the same per-source-salted md5 selector.
     "docs_sample_split": """
 WITH ranked AS (
   SELECT doc_id,
     row_number() OVER (PARTITION BY lang
         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rn
-  FROM documents)
+  FROM documents),
+src AS (
+  SELECT doc_id,
+    CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) % 2 = 0
+      AS is_even
+  FROM documents),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN is_even THEN 1 ELSE 0 END) AS DOUBLE) AS n_e,
+    CAST(sum(CASE WHEN NOT is_even THEN 1 ELSE 0 END) AS DOUBLE) AS n_o
+  FROM src),
+rates AS (
+  SELECT
+    least(1.0, 0.75 * least(n_e / 0.75, n_o / 0.25) / n_e) AS rate_e,
+    least(1.0, 0.25 * least(n_e / 0.75, n_o / 0.25) / n_o) AS rate_o
+  FROM cnt),
+th AS (
+  SELECT
+    CASE WHEN round(rate_e * 65536) >= 65536 THEN 'g'
+         ELSE printf('%04x', CAST(round(rate_e * 65536) AS INTEGER)) END
+      AS t_e,
+    CASE WHEN round(rate_o * 65536) >= 65536 THEN 'g'
+         ELSE printf('%04x', CAST(round(rate_o * 65536) AS INTEGER)) END
+      AS t_o
+  FROM rates),
+mixed AS (
+  SELECT s.doc_id,
+    CASE
+      WHEN s.is_even AND substring(
+        md5(CAST(s.doc_id AS VARCHAR) || '|even:7'), 1, 4) < th.t_e
+        THEN 'even'
+      WHEN NOT s.is_even AND substring(
+        md5(CAST(s.doc_id AS VARCHAR) || '|odd:7'), 1, 4) < th.t_o
+        THEN 'odd'
+      ELSE '' END AS mix_source
+  FROM src s CROSS JOIN th)
 SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
@@ -597,11 +636,14 @@ SELECT d.doc_id,
   r.rn <= 30 AS strat_kept,
   CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|w:7'), 1, 4)
        AS INTEGER) AS DOUBLE) / 65536.0
-    < least(CAST(d.n_chars AS DOUBLE) / 2000.0, 1.0) AS weighted_kept
+    < least(CAST(d.n_chars AS DOUBLE) / 2000.0, 1.0) AS weighted_kept,
+  m.mix_source != '' AS mix_kept,
+  m.mix_source AS mix_source
 FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
-JOIN ranked r ON r.doc_id = d.doc_id""",
+JOIN ranked r ON r.doc_id = d.doc_id
+JOIN mixed m ON m.doc_id = d.doc_id""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order. The chunk CTE
     # mirrors operators/chunking.py (chunk_tokens=32, overlap=8, so
@@ -681,20 +723,54 @@ scored AS (
   FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
   JOIN qt ON qt.term = tf.term CROSS JOIN g
   GROUP BY 1, 2),
-hits AS (
-  SELECT doc_id, query AS bm25_query, score AS bm25_score,
-    CAST(rank AS BIGINT) AS bm25_rank
-  FROM (
-    SELECT q.query, doc_id, score, query_id,
+rank5 AS (
+  SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
       row_number() OVER (PARTITION BY query_id
           ORDER BY score DESC, doc_id) AS rank
-    FROM scored JOIN q USING (query_id))
-  WHERE rank <= 5)
+    FROM scored)
+  WHERE rank <= 5),
+ovl AS (
+  SELECT dq.query_id, dt.doc_id, count(*) AS overlap
+  FROM (SELECT DISTINCT doc_id, term FROM toks) dt
+  JOIN (SELECT DISTINCT query_id, term FROM qt) dq ON dq.term = dt.term
+  GROUP BY 1, 2),
+ovtop AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+          ORDER BY overlap DESC, doc_id) AS rank
+    FROM ovl)
+  WHERE rank <= 5),
+fused AS (
+  SELECT query_id, doc_id,
+    round(sum(1.0 / (60.0 + rank)), 9) AS rrf_score
+  FROM (SELECT query_id, doc_id, rank FROM rank5
+        UNION ALL SELECT query_id, doc_id, rank FROM ovtop)
+  GROUP BY 1, 2),
+ftop AS (
+  SELECT query_id, doc_id, rrf_score, rrf_rank FROM (
+    SELECT query_id, doc_id, rrf_score,
+      CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
+    FROM fused)
+  WHERE rrf_rank <= 5),
+ret AS (
+  SELECT COALESCE(h.doc_id, f.doc_id) AS doc_id,
+    COALESCE(h.query_id, f.query_id) AS query_id,
+    h.score AS bm25_score, CAST(h.rank AS BIGINT) AS bm25_rank,
+    f.rrf_score, f.rrf_rank
+  FROM rank5 h FULL OUTER JOIN ftop f
+    ON h.query_id = f.query_id AND h.doc_id = f.doc_id)
 SELECT fp.doc_id, fp.fingerprint,
-  COALESCE(h.bm25_query, '') AS bm25_query,
-  COALESCE(h.bm25_score, -1.0) AS bm25_score,
-  CAST(COALESCE(h.bm25_rank, 0) AS BIGINT) AS bm25_rank
-FROM fp LEFT JOIN hits h ON fp.doc_id = h.doc_id""",
+  COALESCE(q.query, '') AS bm25_query,
+  COALESCE(r.bm25_score, -1.0) AS bm25_score,
+  CAST(COALESCE(r.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+  COALESCE(r.rrf_score, -1.0) AS rrf_score,
+  CAST(COALESCE(r.rrf_rank, 0) AS BIGINT) AS rrf_rank
+FROM fp
+LEFT JOIN ret r ON fp.doc_id = r.doc_id
+LEFT JOIN q ON q.query_id = r.query_id""",
     # max_doc_freq=64 mirrors the graded query: the hot-shingle cap is
     # ON so the graded plan is the 100 TB-safe one (at sf0.01 the max
     # 3-gram doc freq is 7, so the capped output is identical to the

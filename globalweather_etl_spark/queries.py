@@ -24,6 +24,7 @@ from globalweather_etl_spark.functions.text import (
     quality_score,
     rolling_fingerprint,
     token_count,
+    tokens,
 )
 from globalweather_etl_spark.multimodal import (
     byte_histogram,
@@ -739,26 +740,83 @@ def q_docs_rolling_fingerprint(spark, sf_dir):
     hit, so both the index aggregates and the per-query ranking are
     hashed. Okapi BM25 with Lucene-style positive idf; every expression
     (ln, plain arithmetic) is engine-portable, so the DuckDB twin
-    reproduces scores bit-for-bit."""
-    from globalweather_etl_spark.operators.bm25 import bm25_topk
+    reproduces scores bit-for-bit.
+
+    Round 4 adds hybrid retrieval: reciprocal-rank fusion
+    (operators/bm25.py rrf_fuse) of the BM25 list with a lexical-
+    coverage ranker (distinct query terms present in the doc), each
+    row carrying (rrf_score, rrf_rank) when its (query, doc) pair
+    lands in the fused top-5. The fusion sum has at most two terms and
+    two-double addition is exactly commutative, so fused scores also
+    hash bit-for-bit."""
+    from globalweather_etl_spark.operators.bm25 import bm25_topk, rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
     )
-    hits = bm25_topk(docs, _BM25_QUERIES, k=5).select(
+    hits = bm25_topk(docs, _BM25_QUERIES, k=5)
+    # Second ranked list for the fusion: lexical coverage (how many of
+    # the query's distinct terms the doc contains), top-5 per query
+    # with doc_id tiebreak — a deliberately different signal from
+    # BM25's tf/idf so the fused list genuinely re-ranks.
+    qterms = spark.createDataFrame(
+        [
+            (q, t)
+            for q in _BM25_QUERIES
+            for t in sorted(set(q.lower().split()))
+        ],
+        "query string, term string",
+    )
+    toks = docs.select(
         "doc_id",
-        F.col("query").alias("bm25_query"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+            "term"
+        ),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    ov_top = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("query", "doc_id")
+        .agg(F.count("*").alias("overlap"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+    fused = rrf_fuse(
+        [
+            hits.select("query", "doc_id", "rank"),
+            ov_top.select("query", "doc_id", "rank"),
+        ],
+        on=["query", "doc_id"],
+        k=5,
+    )
+    ret = hits.select(
+        "doc_id",
+        F.col("query").alias("q"),
         F.col("score").alias("bm25_score"),
         F.col("rank").alias("bm25_rank"),
+    ).join(
+        fused.select(
+            "doc_id",
+            F.col("query").alias("q"),
+            "rrf_score",
+            F.col("rank").alias("rrf_rank"),
+        ),
+        ["doc_id", "q"],
+        "full_outer",
     )
-    return fp.join(hits, "doc_id", "left").select(
+    return fp.join(ret, "doc_id", "left").select(
         "doc_id",
         "fingerprint",
-        F.coalesce("bm25_query", F.lit("")).alias("bm25_query"),
+        F.coalesce("q", F.lit("")).alias("bm25_query"),
         F.coalesce("bm25_score", F.lit(-1.0)).alias("bm25_score"),
         F.coalesce(F.col("bm25_rank").cast("long"), F.lit(0).cast("long"))
         .alias("bm25_rank"),
+        F.coalesce("rrf_score", F.lit(-1.0)).alias("rrf_score"),
+        F.coalesce(F.col("rrf_rank").cast("long"), F.lit(0).cast("long"))
+        .alias("rrf_rank"),
     )
 
 
@@ -998,6 +1056,7 @@ def q_docs_sample_split(spark, sf_dir):
     '|w' so the weighted draw is independent of the split/sample draws
     sharing this query's (doc_id, seed) bucket (the correlation trap
     the curation pipeline fixed in round 4)."""
+    from globalweather_etl_spark.operators.mixing import mix_corpora
     from globalweather_etl_spark.operators.sampling import (
         stratified_sample,
         weighted_sample_flag,
@@ -1007,6 +1066,25 @@ def q_docs_sample_split(spark, sf_dir):
     kept = stratified_sample(
         docs, F.col("lang"), F.col("doc_id"), quota=30, seed=7
     ).select(F.col("key").alias("doc_id"), "rank_in_stratum")
+    # Round-4 mixing surface (operators/mixing.py): two corpora split
+    # by even/odd source number, blended 3:1 with total_rows=None (the
+    # scarcest-source-per-weight-unit binds; the even corpus keeps
+    # 100%, the odd downsamples to w_o/w_e * n_e/n_o). The oracle
+    # recomputes the rates from SQL counts with the same
+    # left-to-right double arithmetic and the same md5 hex-threshold
+    # selector, so both the rate math and the membership draw are
+    # hash-checked.
+    src_even = (
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int") % 2 == 0
+    )
+    mixed = mix_corpora(
+        {
+            "even": (docs.filter(src_even), 3.0),
+            "odd": (docs.filter(~src_even), 1.0),
+        },
+        key=F.col("doc_id"),
+        seed=7,
+    ).select("doc_id", "mix_source")
     return (
         hash_split(
             docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
@@ -1028,6 +1106,12 @@ def q_docs_sample_split(spark, sf_dir):
                 seed=7,
             ).alias("weighted_kept"),
         )
+        .join(mixed, "doc_id", "left")
+        .select(
+            "*",
+            F.col("mix_source").isNotNull().alias("mix_kept"),
+        )
+        .withColumn("mix_source", F.coalesce("mix_source", F.lit("")))
     )
 
 
