@@ -20,7 +20,40 @@ keys), then a parallel write. No global sort, no driver data path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def shard_id_col(bin_col: str, bins_per_shard: int) -> Column:
+    """The shard-membership expression write_shards keys files by:
+    shard_id = bin_id // bins_per_shard (double-divide + long cast,
+    truncation — bin ids are non-negative)."""
+    return (F.col(bin_col) / F.lit(bins_per_shard)).cast("long")
+
+
+def shard_assignment(
+    df: DataFrame,
+    bins_per_shard: int = 64,
+    split_col: str | None = None,
+    bin_col: str = "bin_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Shard assignment + manifest columns as a pure plan (no I/O):
+    every row gains the shard_id write_shards would file it under and
+    its shard's manifest aggregates (shard_rows, shard_tokens — what
+    shard_manifest reads back from the written directory). Lets the
+    assignment and manifest math be checked cross-engine without a
+    filesystem round-trip; the writer's physical layout stays covered
+    by the round-trip tests.
+
+    Scale shape: one window over the (split, shard_id) key — the same
+    exchange write_shards pays to co-locate shard files.
+    """
+    keys = ([split_col] if split_col else []) + ["shard_id"]
+    out = df.withColumn("shard_id", shard_id_col(bin_col, bins_per_shard))
+    w = Window.partitionBy(*keys)
+    return out.withColumn(
+        "shard_rows", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("shard_tokens", F.sum(token_col).over(w).cast("long"))
 
 
 def write_shards(
@@ -35,7 +68,7 @@ def write_shards(
     columns, e.g. CurationResult.curated) as split-partitioned,
     shard-keyed parquet."""
     sharded = curated.withColumn(
-        "shard_id", (F.col(bin_col) / F.lit(bins_per_shard)).cast("long")
+        "shard_id", shard_id_col(bin_col, bins_per_shard)
     )
     (
         sharded.repartition(F.col(split_col), F.col("shard_id"))

@@ -545,15 +545,104 @@ buckets AS (
   GROUP BY e.vec_id, pl.t)"""
 
 
+def _url_kernel_sql() -> tuple[str, str]:
+    """(two-label suffix array literal, PSL-subset VALUES rows) shared
+    verbatim with functions/urls.py — the oracle inlines the same rule
+    data the Spark side broadcasts."""
+    from globalweather_etl_spark.functions.urls import (
+        _TWO_LABEL_SUFFIXES,
+        PSL_SUBSET,
+    )
+
+    two = ", ".join(f"'{s}'" for s in _TWO_LABEL_SUFFIXES)
+    psl = ", ".join(f"('{s}')" for s in sorted(set(PSL_SUBSET)))
+    return two, psl
+
+
+_TWO_LABEL_SQL, _PSL_VALUES_SQL = _url_kernel_sql()
+
+_URL_HOST_RE = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)'"
+
 EXT_ORACLES: dict[str, str] = {
     # All three exact-dedup views in one: per-doc keeper flag +
     # fingerprint-group duplicate count (keepers = min-id per group;
     # corpus/removed are the TRUE/FALSE partitions of is_keeper).
+    # The URL CTE chain mirrors functions/urls.py expression for
+    # expression (host regex, normalization, heuristic and PSL
+    # registrable domain) over the same synthesized URLs.
     "docs_exact_dedup": f"""
-SELECT d.doc_id, d.lang, d.n_chars,
+WITH psl(sfx) AS (VALUES {_PSL_VALUES_SQL}),
+u AS (
+  SELECT doc_id, lang, n_chars,
+    CASE doc_id % 6
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK/Docs/'
+                  || CAST(doc_id AS VARCHAR) || '?q=Spark#Top'
+      WHEN 1 THEN 'http://cdn.' || source || '.com/a/'
+                  || CAST(doc_id AS VARCHAR) || '?x=1&y=2'
+      WHEN 2 THEN 'https://192.168.0.'
+                  || CAST(doc_id % 200 + 1 AS VARCHAR) || '/x'
+      WHEN 3 THEN 'http://' || source || '.K12.CA.US/p/'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      ELSE 'FTP://Mirror.' || source || '.ORG/#sec'
+    END AS url
+  FROM documents),
+h AS (
+  SELECT *,
+    CASE WHEN regexp_extract(url, {_URL_HOST_RE}, 1) = '' THEN NULL
+         ELSE lower(regexp_extract(url, {_URL_HOST_RE}, 1)) END AS host,
+    regexp_replace(url, '#.*$', '') AS nf
+  FROM u),
+n2 AS (
+  SELECT *,
+    regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pref
+  FROM h),
+norm AS (
+  SELECT *,
+    regexp_replace(lower(pref) || substring(nf, length(pref) + 1),
+        '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\\1') AS url_norm,
+    string_split(host, '.') AS parts
+  FROM n2),
+dom AS (
+  SELECT *, len(parts) AS nl,
+    host IS NOT NULL AND regexp_matches(host,
+      '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$') AS is_ip
+  FROM norm),
+lk AS (
+  SELECT *,
+    CASE WHEN nl >= 2
+      THEN array_to_string(list_slice(parts, nl - 1, nl), '.') END AS last2,
+    CASE WHEN nl >= 3
+      THEN array_to_string(list_slice(parts, nl - 2, nl), '.') END AS last3,
+    CASE WHEN nl >= 4
+      THEN array_to_string(list_slice(parts, nl - 3, nl), '.') END AS last4,
+    CASE WHEN nl >= 5
+      THEN array_to_string(list_slice(parts, nl - 4, nl), '.') END AS last5
+  FROM dom),
+rd AS (
+  SELECT *,
+    CASE WHEN host IS NULL OR is_ip OR nl <= 2 THEN host
+         WHEN list_contains([{_TWO_LABEL_SQL}], last2) AND nl >= 3
+           THEN last3
+         ELSE last2 END AS reg_dom,
+    CASE WHEN host IS NULL OR is_ip OR nl <= 2 THEN host
+         WHEN nl > 4 AND EXISTS(SELECT 1 FROM psl WHERE psl.sfx = last4)
+           THEN last5
+         WHEN nl > 3 AND EXISTS(SELECT 1 FROM psl WHERE psl.sfx = last3)
+           THEN last4
+         WHEN nl > 2 AND EXISTS(SELECT 1 FROM psl WHERE psl.sfx = last2)
+           THEN last3
+         ELSE last2 END AS reg_dom_psl
+  FROM lk)
+SELECT r.doc_id, r.lang, r.n_chars,
   coalesce(k.is_keeper, FALSE) AS is_keeper,
-  coalesce(k.dup_count, 0) AS dup_count
-FROM documents d
+  coalesce(k.dup_count, 0) AS dup_count,
+  r.url,
+  coalesce(r.host, '') AS url_host,
+  r.url_norm,
+  coalesce(r.reg_dom, '') AS reg_domain,
+  coalesce(r.reg_dom_psl, '') AS reg_domain_psl
+FROM rd r
 LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper
   FROM documents GROUP BY md5({_NORM_TEXT})) k USING (doc_id)""",
@@ -659,11 +748,18 @@ c AS (
     COALESCE(SUM(n_tokens) OVER (ORDER BY ok, doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
   FROM t),
-p AS (
+p0 AS (
   SELECT doc_id, n_tokens,
     CAST(prior // 2048 AS BIGINT) AS bin_id,
     CAST(prior % 2048 AS BIGINT) AS bin_offset
   FROM c),
+p AS (
+  SELECT *,
+    CAST(bin_id // 4 AS BIGINT) AS shard_id,
+    CAST(count(*) OVER (PARTITION BY bin_id // 4) AS BIGINT) AS shard_rows,
+    CAST(sum(n_tokens) OVER (PARTITION BY bin_id // 4) AS BIGINT)
+      AS shard_tokens
+  FROM p0),
 tk AS (
   SELECT doc_id, {_TOKS} AS toks
   FROM documents
@@ -679,6 +775,7 @@ ch AS (
       AS chunk_sig
   FROM g)
 SELECT p.doc_id, p.n_tokens, p.bin_id, p.bin_offset,
+  p.shard_id, p.shard_rows, p.shard_tokens,
   COALESCE(ch.chunk_id, CAST(-1 AS BIGINT)) AS chunk_id,
   COALESCE(ch.chunk_start, CAST(-1 AS BIGINT)) AS chunk_start,
   COALESCE(ch.n_chunk_tokens, CAST(-1 AS BIGINT)) AS n_chunk_tokens,
@@ -1151,22 +1248,72 @@ EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()
 def _approx_stats_sql() -> str:
     """docs_approx_stats twin: portable-HLL estimate (bit-identical
     registers, see operators/sketches.py) cross-joined with the exact
-    discrete quantiles percentile_approx returns in its exact regime."""
+    discrete quantiles percentile_approx returns in its exact regime,
+    plus the corpus health report (plans/curation.py corpus_report) —
+    every report column recomputed from the shared text-kernel
+    expressions, means through the DECIMAL(25,12) exact accumulator."""
+    from globalweather_etl_spark.functions.text import (
+        _BPE_PATTERN,
+        _PII_PATTERNS,
+    )
     from globalweather_etl_spark.operators.sketches import hll_oracle_sql
 
     hll = hll_oracle_sql(
         "documents", "text", b=6, out_col="approx_distinct_docs"
     )
+    bpe_sql = _BPE_PATTERN.replace("'", "''")
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{_PII_PATTERNS[k]}'))"
+        for k in ("EMAIL", "IP", "PHONE")
+    )
+    quality = """round(
+    0.4 * least(n_tok / 50.0, 1.0)
+  + 0.3 * (1.0 - least((n_punct / greatest(n_chars_m, 1.0)) * 4.0, 1.0))
+  + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
+                THEN 1.0 ELSE 0.5 END), 9)"""
     return f"""
 WITH hll AS ({hll}),
 q AS (SELECT quantile_disc(n_chars, 0.1) AS chars_p10,
              quantile_disc(n_chars, 0.5) AS chars_p50,
              quantile_disc(n_chars, 0.9) AS chars_p90,
              count(*) AS n_docs
-      FROM documents)
+      FROM documents),
+pd AS (
+  SELECT doc_id,
+    md5({_NORM_TEXT}) AS fp,
+    CAST(len({_TOKS}) AS BIGINT) AS tok,
+    CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT) AS bpe,
+    CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_tok_distinct,
+    CAST(length(text) AS DOUBLE) AS n_chars_m,
+    CAST(length(text) - length(regexp_replace(text,
+      '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws,
+    CAST({pii_sum} AS BIGINT) AS pii
+  FROM documents),
+pq AS (
+  SELECT doc_id, fp, tok, bpe, pii,
+    {quality} AS qual,
+    CASE WHEN n_tok <= 0 THEN 0.0
+         ELSE 1.0 - n_tok_distinct / n_tok END AS dw
+  FROM pd),
+rep AS (
+  SELECT
+    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_contents,
+    CAST(sum(tok) AS BIGINT) AS total_tokens,
+    CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+    round(CAST(sum(CAST(qual AS DECIMAL(25,12))) AS DOUBLE)
+      / count(qual), 6) AS mean_quality,
+    round(CAST(quantile_disc(qual, 0.5) AS DOUBLE), 9) AS median_quality,
+    round(CAST(sum(CAST(dw AS DECIMAL(25,12))) AS DOUBLE)
+      / count(dw), 6) AS mean_dup_word_frac,
+    CAST(sum(pii) AS BIGINT) AS total_pii_hits,
+    round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE), 9) AS exact_dup_rate
+  FROM pq)
 SELECT hll.approx_distinct_docs, q.chars_p10, q.chars_p50, q.chars_p90,
-       q.n_docs
-FROM hll CROSS JOIN q"""
+       q.n_docs, rep.*
+FROM hll CROSS JOIN q CROSS JOIN rep"""
 
 
 EXT_ORACLES["docs_approx_stats"] = _approx_stats_sql()

@@ -160,8 +160,12 @@ def curate_documents(
         budget=token_budget,
         partition_cols=["split"],
     )
+    # n_tokens rides along: write_shards' manifest sums it per shard,
+    # and trainers budget sequences by it.
     curated = split_df.join(
-        packed.select(id_col, "bin_id", "bin_offset"), id_col, "inner"
+        packed.select(id_col, "n_tokens", "bin_id", "bin_offset"),
+        id_col,
+        "inner",
     )
 
     return CurationResult(
@@ -206,16 +210,21 @@ def corpus_report(
         dup_word_fraction(t).alias("__dw"),
         (pii["EMAIL"] + pii["IP"] + pii["PHONE"]).alias("__pii"),
     )
+    from globalweather_etl_spark.functions.aggregates import exact_avg
+
     return per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.count_distinct("__fp").cast("long").alias("n_unique_contents"),
         F.sum("__tok").cast("long").alias("total_tokens"),
         F.sum("__bpe").cast("long").alias("total_bpe_tokens"),
-        F.round(F.avg("__q"), 9).alias("mean_quality"),
+        # exact_avg, not avg: float AVG depends on partial-agg order
+        # (partitioning, AQE), which would make the report — and its
+        # oracle hash — non-reproducible across cluster shapes.
+        exact_avg(F.col("__q")).alias("mean_quality"),
         F.round(
             F.percentile_approx("__q", 0.5, 10000).cast("double"), 9
         ).alias("median_quality"),
-        F.round(F.avg("__dw"), 9).alias("mean_dup_word_frac"),
+        exact_avg(F.col("__dw")).alias("mean_dup_word_frac"),
         F.sum("__pii").cast("long").alias("total_pii_hits"),
     ).withColumn(
         "exact_dup_rate",

@@ -582,22 +582,71 @@ def q_docs_exact_dedup(spark, sf_dir):
     from the real operator: keepers come from the hash-groupBy
     (exact_dedup_keepers); the corpus/removed splits are the
     is_keeper=true/false partitions of this output (their semi/anti-join
-    forms stay covered by exact_dedup/exact_dedup_removed unit tests)."""
+    forms stay covered by exact_dedup/exact_dedup_removed unit tests).
+
+    Round 4 also grades the URL kernel here (functions/urls.py — URL
+    keys ARE web-corpus dedup keys): a deterministic synthetic URL per
+    doc (mixed-case scheme/host, fragments, query strings, IPv4 hosts,
+    multi-label public suffixes, and plain non-URL text) is pushed
+    through url_host, url_normalize, the expression-literal
+    registered_domain heuristic, AND the PSL-driven
+    registered_domain_join (three broadcast probes against the
+    suffix table). The oracle recomputes all four from the same
+    synthesized string — including the inlined PSL subset — so the
+    pattern 3 heuristic-vs-PSL divergence (ca.us vs <host>.k12.ca.us)
+    is itself hash-checked."""
+    from globalweather_etl_spark.functions.urls import (
+        registered_domain,
+        registered_domain_join,
+        suffix_table,
+        url_host,
+        url_normalize,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     keepers = exact_dedup_keepers(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id"),
         F.col("dup_count"),
         F.lit(True).alias("is_keeper"),
     )
+    pat = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(pat == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.CO.UK/Docs/"), did, F.lit("?q=Spark#Top")))
+        .when(pat == 1, F.concat(
+            F.lit("http://cdn."), F.col("source"), F.lit(".com/a/"), did,
+            F.lit("?x=1&y=2")))
+        .when(pat == 2, F.concat(
+            F.lit("https://192.168.0."),
+            (F.col("doc_id") % 200 + 1).cast("string"), F.lit("/x")))
+        .when(pat == 3, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".K12.CA.US/p/"), did))
+        .when(pat == 4, F.concat(F.lit("not a url "), did))
+        .otherwise(F.concat(
+            F.lit("FTP://Mirror."), F.col("source"), F.lit(".ORG/#sec")))
+    )
+    with_host = docs.select(
+        "doc_id", "lang", "n_chars", url.alias("url")
+    ).withColumn("url_host", url_host(F.col("url")))
+    with_psl = registered_domain_join(
+        with_host, "url_host", suffix_table(spark), out_col="reg_domain_psl"
+    )
     return (
-        docs.select("doc_id", "lang", "n_chars")
-        .join(F.broadcast(keepers), "doc_id", "left")
+        with_psl.join(F.broadcast(keepers), "doc_id", "left")
         .select(
             "doc_id",
             "lang",
             "n_chars",
             F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
             F.coalesce("dup_count", F.lit(0)).alias("dup_count"),
+            "url",
+            F.coalesce("url_host", F.lit("")).alias("url_host"),
+            url_normalize(F.col("url")).alias("url_norm"),
+            F.coalesce(registered_domain(F.col("url_host")), F.lit(""))
+            .alias("reg_domain"),
+            F.coalesce("reg_domain_psl", F.lit("")).alias("reg_domain_psl"),
         )
     )
 
@@ -713,7 +762,17 @@ def q_docs_approx_stats(spark, sf_dir):
     - chars_p10/p50/p90 are scalar columns (an array column is
       unhashable for the driver's pandas canonicalizer; round-2 err).
       In percentile_approx's exact regime (accuracy >> n) each equals
-      DuckDB's quantile_disc — verified on edge cases and all SFs."""
+      DuckDB's quantile_disc — verified on edge cases and all SFs.
+
+    Round 4 also grades the corpus health report here
+    (plans/curation.py corpus_report — the pre-flight audit before
+    curate_documents): its one-row output cross-joins in, with the
+    report's means going through the exact-decimal accumulator
+    (exact_avg) so the hash is independent of partial-aggregation
+    order on any cluster shape.
+    """
+    from globalweather_etl_spark.plans.curation import corpus_report
+
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.agg(
         F.percentile_approx("n_chars", 0.1, 10000).alias("chars_p10"),
@@ -724,7 +783,8 @@ def q_docs_approx_stats(spark, sf_dir):
     hll = hll_distinct_estimate(
         docs, "text", b=6, out_col="approx_distinct_docs"
     )
-    return hll.crossJoin(stats)
+    report = corpus_report(docs).drop("n_docs")
+    return hll.crossJoin(stats).crossJoin(report)
 
 
 # Fixed query strings for the graded BM25 retrieval surface — chosen to
@@ -1123,12 +1183,20 @@ def q_docs_pack_by_budget(spark, sf_dir):
     the chunk text itself (as an md5 signature) are all hashed against
     the oracle's generate_series/list_slice twin. Chunkless (empty)
     docs keep one row with -1/'' sentinels so the packing surface
-    stays fully graded."""
+    stays fully graded.
+
+    Also graded here: the shard sink's deterministic assignment
+    (operators/sharding.py shard_assignment — the same shard_id
+    expression write_shards keys files by, bins_per_shard=4) and the
+    manifest aggregates a trainer's loader reads (per-shard row and
+    token totals)."""
     from globalweather_etl_spark.operators.chunking import chunk_documents
+    from globalweather_etl_spark.operators.sharding import shard_assignment
 
     docs = load_table(spark, sf_dir, "documents")
-    packed = pack_by_budget(
-        docs, "doc_id", token_count(F.col("text")), budget=2048
+    packed = shard_assignment(
+        pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget=2048),
+        bins_per_shard=4,
     )
     chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
         "doc_id",
@@ -1142,6 +1210,9 @@ def q_docs_pack_by_budget(spark, sf_dir):
         "n_tokens",
         "bin_id",
         "bin_offset",
+        "shard_id",
+        "shard_rows",
+        "shard_tokens",
         F.coalesce("chunk_id", F.lit(-1).cast("long")).alias("chunk_id"),
         F.coalesce("chunk_start", F.lit(-1).cast("long")).alias("chunk_start"),
         F.coalesce("n_chunk_tokens", F.lit(-1).cast("long"))

@@ -131,6 +131,36 @@ def test_write_shards_roundtrip(spark, docs, tmp_path):
     assert any(d.startswith("split=") for d in os.listdir(out))
 
 
+def test_shard_assignment_matches_written_manifest(spark, docs, tmp_path):
+    """The plan-level shard_assignment (graded cross-engine in
+    docs_pack_by_budget) must agree with what write_shards actually
+    files and shard_manifest reads back: same shard ids, same
+    per-shard row/token totals."""
+    from globalweather_etl_spark.operators.sharding import (
+        shard_assignment,
+        shard_manifest,
+        write_shards,
+    )
+
+    res = curate_documents(docs)
+    out = str(tmp_path / "shards")
+    write_shards(res.curated, out, bins_per_shard=4)
+    manifest = {
+        (r["split"], r["shard_id"]): (r["n_rows"], r["total_tokens"])
+        for r in shard_manifest(spark, out).collect()
+    }
+    assigned = shard_assignment(
+        res.curated, bins_per_shard=4, split_col="split"
+    )
+    plan_side = {
+        (r["split"], r["shard_id"]): (r["shard_rows"], r["shard_tokens"])
+        for r in assigned.select(
+            "split", "shard_id", "shard_rows", "shard_tokens"
+        ).distinct().collect()
+    }
+    assert plan_side == manifest
+
+
 def test_jsonl_to_shards_end_to_end(spark, docs, tmp_path):
     """The full training-data story: land JSONL, ingest with
     quarantine, curate, shard, manifest — counts reconcile at every
