@@ -478,19 +478,24 @@ _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
-def _shingles_sql(n: int, max_doc_freq: int | None = None) -> str:
+def _shingles_sql(
+    n: int, max_doc_freq: int | None = None, source: str = "documents"
+) -> str:
     """Distinct word n-gram shingles per doc, mirroring
     functions.text.word_shingles + array_distinct. ``max_doc_freq``
     mirrors dedup._cap_hot_shingles: shingles appearing in more than
     that many documents are dropped (rows are distinct per doc, so a
-    plain per-shingle count IS the document frequency)."""
+    plain per-shingle count IS the document frequency). ``source`` is
+    any table/CTE with (doc_id, text) — doc frequencies then count
+    over THAT corpus, matching operators that shingle a filtered
+    frame."""
     base = f"""
 SELECT doc_id, unnest(list_distinct(
   CASE WHEN len(toks) >= {n}
        THEN [array_to_string(toks[i:i+{n - 1}], ' ')
              FOR i IN range(1, len(toks) - {n} + 2)]
        ELSE [] END)) AS shingle
-FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)"""
+FROM (SELECT doc_id, {_TOKS} AS toks FROM {source})"""
     if max_doc_freq is None:
         return base
     return f"""
@@ -652,18 +657,125 @@ LEFT JOIN (
     # 5-gram with ANY benchmark doc. The Spark side joins on 60-bit md5
     # shingle hashes; this twin joins on shingle strings, so a hash
     # collision would surface as a mismatch.
+    # Stage-for-stage twin of curate_documents (hash_fn="md5"): exact
+    # dedup -> md5-MinHash banded LSH pairs (threshold .8, cap 64 over
+    # the DEDUPED corpus) -> recursive min-label components, min-id
+    # canonical -> raw quality >= 0.3 -> 8-gram benchmark overlap ->
+    # 'e666'/'f333' hash split -> per-split windowed-cumsum packing.
     "docs_decontaminate": f"""
-WITH sh AS ({_shingles_sql(5)}),
+WITH RECURSIVE sh AS ({_shingles_sql(5)}),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
 hits AS (
   SELECT s.doc_id, count(*) AS n
   FROM sh s JOIN bench USING (shingle)
-  GROUP BY s.doc_id)
+  GROUP BY s.doc_id),
+ex AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id
+        FROM documents GROUP BY md5({_NORM_TEXT})) k USING (doc_id)),
+csh AS ({_shingles_sql(3, max_doc_freq=64, source="ex")}),
+chh AS (SELECT doc_id,
+        CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+          AS h
+      FROM csh),
+csizes0 AS (SELECT doc_id, count(*) AS ns FROM csh GROUP BY doc_id),
+csig AS (
+  SELECT doc_id, i, min((h * (2*i+1) + 7919 * (i+1)) % 2147483647) AS mh
+  FROM chh CROSS JOIN (SELECT unnest(range(32)) AS i) hi
+  GROUP BY doc_id, i),
+cbands AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST('0x' || substring(
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 15)
+      AS BIGINT) AS bhash
+  FROM csig GROUP BY doc_id, i // 4),
+ccand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cbands a JOIN cbands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+cinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM ccand c
+  JOIN csh sa ON sa.doc_id = c.doc_a
+  JOIN csh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b),
+cpairs AS (
+  SELECT doc_a, doc_b
+  FROM cinter
+  JOIN csizes0 sa ON doc_a = sa.doc_id
+  JOIN csizes0 sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.ns + sb.ns - n_common AS DOUBLE)
+    >= 0.8),
+cedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cpairs),
+cwalk AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM cedges) n
+  UNION
+  SELECT e.v AS node, w.label
+  FROM cwalk w JOIN cedges e ON e.u = w.node),
+clabels AS (SELECT node, min(label) AS cluster_id FROM cwalk GROUP BY node),
+canon AS (
+  SELECT e.doc_id, e.text FROM ex e
+  LEFT JOIN clabels l ON l.node = e.doc_id
+  WHERE l.node IS NULL OR l.cluster_id = e.doc_id),
+qual AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+      CAST(length(text) - length(regexp_replace(text,
+        '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
+      CAST(length(text) AS DOUBLE) AS n_chars_m,
+      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS non_ws
+    FROM canon)
+  WHERE 0.4 * least(n_tok / 50.0, 1.0)
+      + 0.3 * (1.0 - least((n_punct / greatest(n_chars_m, 1.0)) * 4.0, 1.0))
+      + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
+                    THEN 1.0 ELSE 0.5 END) >= 0.3),
+bsh8 AS (
+  SELECT DISTINCT shingle FROM (
+    {_shingles_sql(8, source="(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)")})),
+qsh8 AS ({_shingles_sql(8, source="qual")}),
+hits8 AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM qsh8 s JOIN bsh8 USING (shingle)
+  GROUP BY s.doc_id),
+decon AS (
+  SELECT q.doc_id, q.text FROM qual q
+  LEFT JOIN hits8 h8 ON h8.doc_id = q.doc_id
+  WHERE coalesce(h8.n, 0) < 1),
+splitd AS (
+  SELECT doc_id, text,
+    CASE WHEN b < 'e666' THEN 'train'
+         WHEN b < 'f333' THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT *, substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
+        FROM decon)),
+packedc AS (
+  SELECT doc_id, split,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(prior // 2048 AS BIGINT) AS bin_id,
+    CAST(prior % 2048 AS BIGINT) AS bin_offset
+  FROM (
+    SELECT doc_id, split, n_tokens,
+      COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY ok, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+    FROM (SELECT doc_id, split,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+            md5(CAST(doc_id AS VARCHAR)) AS ok
+          FROM splitd)))
 SELECT d.doc_id, d.lang,
   coalesce(h.n, 0) AS n_contaminated_shingles,
-  coalesce(h.n, 0) >= 1 AS is_contaminated
+  coalesce(h.n, 0) >= 1 AS is_contaminated,
+  p.doc_id IS NOT NULL AS is_curated,
+  coalesce(p.split, '') AS cur_split,
+  coalesce(p.n_tokens, CAST(-1 AS BIGINT)) AS cur_n_tokens,
+  coalesce(p.bin_id, CAST(-1 AS BIGINT)) AS bin_id,
+  coalesce(p.bin_offset, CAST(-1 AS BIGINT)) AS bin_offset
 FROM documents d
-LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+LEFT JOIN packedc p ON p.doc_id = d.doc_id""",
     # Hash-based sampling/splits: md5 hex prefixes compare identically
     # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
     # (0.25->'4000', 0.8->'cccd', 0.9->'e666'). Split assignment and

@@ -77,6 +77,7 @@ def curate_documents(
     token_budget: int = 2048,
     seed: int = 7,
     quality_sampling: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for the
     stage order and rationale. `benchmark` is the eval set to
@@ -105,6 +106,7 @@ def curate_documents(
         bands=bands,
         threshold=neardup_threshold,
         max_doc_freq=max_doc_freq,
+        hash_fn=hash_fn,
     ).select(F.col("doc_a"), F.col("doc_b"))
     clusters = neardup_clusters(exact, pairs, id_col=id_col)
     near = exact.join(
@@ -139,7 +141,8 @@ def curate_documents(
     # 4. benchmark decontamination (broadcast shingle-set probe)
     if benchmark is not None:
         flagged = decontaminate(
-            quality, benchmark, id_col, text_col, n=decontaminate_n
+            quality, benchmark, id_col, text_col, n=decontaminate_n,
+            hash_fn=hash_fn,
         )
         decon = flagged.filter(~F.col("is_contaminated")).drop(
             "n_contaminated_shingles", "is_contaminated"

@@ -739,12 +739,47 @@ def q_docs_decontaminate(spark, sf_dir):
     collision would surface as a mismatch (none at graded SFs). Scale
     shape: the benchmark's distinct-shingle set broadcasts; the corpus
     never shuffles for the membership test (operators/dedup.py
-    decontaminate docstring)."""
+    decontaminate docstring).
+
+    Round 4 grades the ENTIRE curation composition here
+    (plans/curation.py curate_documents, default parameters,
+    hash_fn="md5" for value portability): each doc carries whether it
+    survived all six stages (exact dedup -> LSH near-dedup via
+    connected components -> quality floor -> 8-gram decontamination ->
+    hash split -> per-split token packing) and, when it did, its final
+    (split, n_tokens, bin_id, bin_offset). The oracle recomputes every
+    stage in one recursive-CTE chain, so the end-to-end pipeline — not
+    just its stages in isolation — is cross-engine hash-checked."""
+    from globalweather_etl_spark.plans.curation import curate_documents
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     out = decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
-    return out.select(
-        "doc_id", "lang", "n_contaminated_shingles", "is_contaminated"
+    trace = curate_documents(docs, benchmark=bench, hash_fn="md5").curated.select(
+        "doc_id",
+        F.col("split").alias("cur_split"),
+        F.col("n_tokens").cast("long").alias("cur_n_tokens"),
+        "bin_id",
+        "bin_offset",
+    )
+    return (
+        out.select(
+            "doc_id", "lang", "n_contaminated_shingles", "is_contaminated"
+        )
+        .join(trace, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_contaminated_shingles",
+            "is_contaminated",
+            F.col("cur_split").isNotNull().alias("is_curated"),
+            F.coalesce("cur_split", F.lit("")).alias("cur_split"),
+            F.coalesce("cur_n_tokens", F.lit(-1).cast("long"))
+            .alias("cur_n_tokens"),
+            F.coalesce("bin_id", F.lit(-1).cast("long")).alias("bin_id"),
+            F.coalesce("bin_offset", F.lit(-1).cast("long"))
+            .alias("bin_offset"),
+        )
     )
 
 
