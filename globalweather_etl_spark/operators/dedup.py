@@ -692,3 +692,73 @@ def ngram_containment_pairs(
         )
     )
     return scored.filter(F.col("containment") >= threshold)
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    cache_index: bool = True,
+) -> DataFrame:
+    """Jaccard AND containment near-dup tests in ONE pass: pairs passing
+    either test, each score reported when its own threshold is met and
+    ``-1`` sentinels otherwise.
+
+    Bit-identical to
+    ``ngram_jaccard_pairs(...).join(ngram_containment_pairs(...),
+    ["doc_a", "doc_b"], "full_outer")`` with coalesced sentinels
+    (tested), at HALF the cost: both scores are ratios of the same
+    (|A∩B|, |A|, |B|) triple, so running the two operators separately
+    builds the same hashed inverted index and pays the same candidate
+    self-join twice. At 100 TB the self-join is the dominant shuffle —
+    any production near-dup audit that wants both measures should use
+    this form. Output columns: (doc_a, doc_b, jaccard double,
+    containment double, contained long); `contained` is the smaller
+    (by shingle count, ties -> lower id) document of a containment
+    pair, -1 for jaccard-only pairs.
+    """
+    shingled = _hashed_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        shingled = _cap_hot_shingles(shingled, max_doc_freq)
+    if cache_index:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = _intersections(shingled)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    ).cast("double")
+    con = F.col("n_common").cast("double") / F.least(
+        "sa.n_shingles", "sb.n_shingles"
+    ).cast("double")
+    contained = (
+        F.when(F.col("sa.n_shingles") < F.col("sb.n_shingles"), F.col("doc_a"))
+        .when(F.col("sb.n_shingles") < F.col("sa.n_shingles"), F.col("doc_b"))
+        .otherwise(F.least("doc_a", "doc_b"))
+    )
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("__j"),
+            con.alias("__c"),
+            contained.alias("__contained"),
+        )
+    )
+    j_ok = F.col("__j") >= F.lit(float(jaccard_threshold))
+    c_ok = F.col("__c") >= F.lit(float(containment_threshold))
+    return scored.filter(j_ok | c_ok).select(
+        "doc_a",
+        "doc_b",
+        F.when(j_ok, F.col("__j")).otherwise(F.lit(-1.0)).alias("jaccard"),
+        F.when(c_ok, F.col("__c")).otherwise(F.lit(-1.0)).alias("containment"),
+        F.when(c_ok, F.col("__contained").cast("long"))
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("contained"),
+    )

