@@ -101,7 +101,6 @@ def main() -> None:
                 "events_sliding_day_12h",
                 "events_session_30m",
                 "docs_exact_dedup",
-                "docs_decontaminate",
                 "docs_ngram_jaccard",
                 "docs_minhash_lsh",
                 "docs_simhash",
@@ -122,6 +121,46 @@ def main() -> None:
                     .mode("overwrite")
                     .save(),
                 )
+            # Keys with round-stable semantics for the two workloads
+            # whose REGISTRY slot absorbed the full curation pipeline in
+            # round 4 (the registry is capped at 50 graded slots, so new
+            # operators are graded by extending existing entries; bench
+            # keys stay per-workload so cross-round per-query ratios
+            # compare like with like):
+            #  - docs_decontaminate times the plain decontamination
+            #    operator exactly as rounds 1-3 did;
+            #  - curation_e2e (new key) times the full graded
+            #    docs_decontaminate registry entry — decontamination
+            #    audit + 6-stage curate_documents + trace join — the
+            #    heaviest composition in the suite.
+            from globalweather_etl_spark.operators.dedup import decontaminate
+
+            def plain_decontaminate():
+                d = load_table(spark, sf_dir, "documents")
+                bench_set = d.filter(F.col("doc_id") % 7 == 0).select(
+                    "doc_id", "text"
+                )
+                return decontaminate(
+                    d, bench_set, "doc_id", "text", n=5, hash_fn="md5"
+                ).select(
+                    "doc_id", "lang", "n_contaminated_shingles",
+                    "is_contaminated",
+                )
+
+            timed(
+                "docs_decontaminate",
+                lambda: plain_decontaminate()
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            timed(
+                "curation_e2e",
+                lambda: QUERIES["docs_decontaminate"](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
         finally:
             shutil.rmtree(base, ignore_errors=True)
 

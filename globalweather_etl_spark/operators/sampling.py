@@ -159,3 +159,41 @@ def weighted_sample_flag(
         / F.lit(float(_SPACE))
     )
     return u < weight
+
+
+def cap_per_group(
+    df: DataFrame, group: Column, key: Column, n: int
+) -> DataFrame:
+    """Deterministic per-group cap: for every distinct `group` value,
+    keep the `n` rows whose `key` sorts LOWEST. The domain-rebalancing
+    primitive of web-corpus curation (public background: Common-Crawl
+    pipelines cap documents per registered domain so mega-sites don't
+    dominate the training mix); also per-source quotas, per-user example
+    caps, etc. `key` must be unique per row (a doc id) so the result is
+    total-order deterministic.
+
+    Returns (group, key, rank_in_group), rank 1..n; callers join back
+    on the key.
+
+    Scale shape: same two-phase top-k prune as stratified_sample — a
+    single `row_number over (partition by group)` would hash-partition
+    the full table by a SKEWED key (one mega-domain = one hot reducer
+    at 100 TB). Phase 1 ranks within (group, input partition id) and
+    keeps the local top-n (any superset of the global top-n survives,
+    so row placement cannot change the result); phase 2 ranks the
+    pruned set — at most n * shuffle_partitions rows per group.
+    """
+    from pyspark.sql import Window
+
+    with_k = df.select(group.alias("grp"), key.alias("key"))
+    w_local = Window.partitionBy("grp", "__pid").orderBy("key")
+    pruned = (
+        with_k.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= n)
+        .drop("__pid", "__rn")
+    )
+    w_global = Window.partitionBy("grp").orderBy("key")
+    return pruned.withColumn(
+        "rank_in_group", F.row_number().over(w_global).cast("long")
+    ).filter(F.col("rank_in_group") <= n)

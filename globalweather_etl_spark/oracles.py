@@ -638,7 +638,43 @@ rd AS (
          WHEN nl > 2 AND EXISTS(SELECT 1 FROM psl WHERE psl.sfx = last2)
            THEN last3
          ELSE last2 END AS reg_dom_psl
-  FROM lk)
+  FROM lk),
+ld_docs AS (
+  SELECT doc_id,
+    concat_ws(chr(10), text, 'Copyright 2024 ' || source,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'Subscribe to our newsletter' END) AS t
+  FROM documents),
+ld_base AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM ld_docs),
+ld_lines AS (
+  SELECT doc_id, ls[i] AS line, i AS pos
+  FROM ld_base, unnest(generate_series(1, len(ls))) AS g(i)),
+ld_keyed AS (
+  SELECT doc_id, line, pos,
+    CASE WHEN lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) = ''
+         THEN NULL
+         ELSE md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+    END AS lk
+  FROM ld_lines),
+ld_freq AS (
+  SELECT lk, count(DISTINCT doc_id) AS df
+  FROM ld_keyed WHERE lk IS NOT NULL GROUP BY lk),
+ld_flag AS (
+  SELECT ld_keyed.doc_id, line, pos, lk IS NOT NULL AS counted,
+         coalesce(ld_freq.df >= 2, FALSE) AS dup
+  FROM ld_keyed LEFT JOIN ld_freq USING (lk)),
+ld AS (
+  SELECT doc_id,
+    sum(CASE WHEN counted THEN 1 ELSE 0 END)::BIGINT AS line_n_lines,
+    sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS line_n_dup,
+    md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+                            ORDER BY pos), '')) AS line_clean_md5
+  FROM ld_flag GROUP BY doc_id),
+dcap AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY coalesce(reg_dom_psl, '')
+                       ORDER BY doc_id) AS drn
+  FROM rd)
 SELECT r.doc_id, r.lang, r.n_chars,
   coalesce(k.is_keeper, FALSE) AS is_keeper,
   coalesce(k.dup_count, 0) AS dup_count,
@@ -646,8 +682,14 @@ SELECT r.doc_id, r.lang, r.n_chars,
   coalesce(r.host, '') AS url_host,
   r.url_norm,
   coalesce(r.reg_dom, '') AS reg_domain,
-  coalesce(r.reg_dom_psl, '') AS reg_domain_psl
+  coalesce(r.reg_dom_psl, '') AS reg_domain_psl,
+  ld.line_n_lines, ld.line_n_dup, ld.line_clean_md5,
+  (CASE WHEN dcap.drn <= 10 THEN dcap.drn ELSE -1 END)::BIGINT
+    AS domain_rank,
+  dcap.drn <= 10 AS domain_kept
 FROM rd r
+JOIN ld USING (doc_id)
+JOIN dcap USING (doc_id)
 LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper
   FROM documents GROUP BY md5({_NORM_TEXT})) k USING (doc_id)""",

@@ -594,7 +594,29 @@ def q_docs_exact_dedup(spark, sf_dir):
     suffix table). The oracle recomputes all four from the same
     synthesized string — including the inlined PSL subset — so the
     pattern 3 heuristic-vs-PSL divergence (ca.us vs <host>.k12.ca.us)
-    is itself hash-checked."""
+    is itself hash-checked.
+
+    Round 4 also grades LINE-level corpus dedup here (operators/
+    line_dedup.py — CCNet/RefinedWeb-style boilerplate removal, the
+    dedup grain document-level families miss). The synthetic corpus is
+    single-line/unique-text, so the graded input synthesizes the
+    boilerplate the operator exists for: every doc gains a per-source
+    copyright footer (duplicated across thousands of docs) and every
+    third doc a subscribe banner; dedup_lines(min_doc_freq=2) must
+    strip exactly those and reassemble the unique body. Graded as
+    line_n_lines / line_n_dup / line_clean_md5 (md5 of the reassembled
+    text — the full reassembly is hash-checked), with the oracle
+    running the same pinned semantics in DuckDB.
+
+    And the per-domain cap (operators/sampling.py cap_per_group — the
+    Common-Crawl-style rebalancing primitive: at most N docs per
+    registered domain so mega-sites don't dominate the training mix):
+    domain_rank is the doc's deterministic rank within its PSL
+    registrable domain (-1 past the cap of 10), domain_kept the cap
+    verdict. The two-phase skew-proof prune must agree exactly with
+    the oracle's naive row_number window."""
+    from globalweather_etl_spark.operators.line_dedup import dedup_lines
+    from globalweather_etl_spark.operators.sampling import cap_per_group
     from globalweather_etl_spark.functions.urls import (
         registered_domain,
         registered_domain_join,
@@ -633,8 +655,36 @@ def q_docs_exact_dedup(spark, sf_dir):
     with_psl = registered_domain_join(
         with_host, "url_host", suffix_table(spark), out_col="reg_domain_psl"
     )
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("Copyright 2024 "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("Subscribe to our newsletter")
+            ),
+        ).alias("text"),
+    )
+    lined = dedup_lines(multi, "doc_id", "text", min_doc_freq=2).select(
+        "doc_id",
+        F.col("n_lines").alias("line_n_lines"),
+        F.col("n_dup_lines").alias("line_n_dup"),
+        F.md5(F.col("text")).alias("line_clean_md5"),
+    )
+    capped = cap_per_group(
+        with_psl,
+        F.coalesce("reg_domain_psl", F.lit("")),
+        F.col("doc_id"),
+        10,
+    ).select(
+        F.col("key").alias("doc_id"),
+        F.col("rank_in_group").alias("domain_rank"),
+    )
     return (
         with_psl.join(F.broadcast(keepers), "doc_id", "left")
+        .join(lined, "doc_id")
+        .join(capped, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -647,6 +697,12 @@ def q_docs_exact_dedup(spark, sf_dir):
             F.coalesce(registered_domain(F.col("url_host")), F.lit(""))
             .alias("reg_domain"),
             F.coalesce("reg_domain_psl", F.lit("")).alias("reg_domain_psl"),
+            "line_n_lines",
+            "line_n_dup",
+            "line_clean_md5",
+            F.coalesce("domain_rank", F.lit(-1).cast("long"))
+            .alias("domain_rank"),
+            F.col("domain_rank").isNotNull().alias("domain_kept"),
         )
     )
 

@@ -326,3 +326,57 @@ def test_pack_partition_cols_bins_never_straddle_groups(spark):
         .collect()
     )
     assert {r["grp"]: r["mn"] for r in firsts} == {"x": 0, "y": 0}
+
+
+class TestCapPerGroup:
+    def test_hand_fixture(self, spark):
+        from globalweather_etl_spark.operators.sampling import cap_per_group
+
+        rows = [(d, i) for d in ("a.com", "b.org") for i in range(5)]
+        rows += [("c.net", 99)]
+        df = spark.createDataFrame(
+            [(g, g + ":" + str(i)) for g, i in rows], "grp string, id string"
+        )
+        got = sorted(
+            (r["grp"], r["key"], r["rank_in_group"])
+            for r in cap_per_group(
+                df, F.col("grp"), F.col("id"), 2
+            ).collect()
+        )
+        assert got == [
+            ("a.com", "a.com:0", 1),
+            ("a.com", "a.com:1", 2),
+            ("b.org", "b.org:0", 1),
+            ("b.org", "b.org:1", 2),
+            ("c.net", "c.net:99", 1),
+        ]
+
+    def test_placement_independent_and_matches_naive_window(self, spark):
+        """Two-phase prune == single global window, under adversarial
+        repartitionings (the prune must keep a superset of the global
+        top-n regardless of row placement)."""
+        from pyspark.sql import Window
+
+        from globalweather_etl_spark.operators.sampling import cap_per_group
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(F.col("source").alias("g"), F.col("doc_id").alias("k"))
+        w = Window.partitionBy("g").orderBy("k")
+        want = sorted(
+            (r["g"], r["k"], r["rn"])
+            for r in docs.withColumn(
+                "rn", F.row_number().over(w).cast("long")
+            )
+            .filter(F.col("rn") <= 7)
+            .collect()
+        )
+        for part in (docs, docs.repartition(1), docs.repartition(17, "k"),
+                     docs.sort(F.col("k").desc())):
+            got = sorted(
+                (r["grp"], r["key"], r["rank_in_group"])
+                for r in cap_per_group(
+                    part, F.col("g"), F.col("k"), 7
+                ).collect()
+            )
+            assert got == want
