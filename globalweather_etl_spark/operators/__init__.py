@@ -6,6 +6,7 @@ from globalweather_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    ngram_overlap_pairs,
     simhash64,
     simhash_fingerprints,
     simhash_pairs,
@@ -17,6 +18,10 @@ from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
 )
+from globalweather_etl_spark.operators.line_dedup import (
+    dedup_lines,
+    line_doc_freq,
+)
 from globalweather_etl_spark.operators.mixing import mix_corpora
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
@@ -27,6 +32,7 @@ from globalweather_etl_spark.operators.quantize import (
 from globalweather_etl_spark.operators.repetition import top_ngram_stats
 from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
+    cap_per_group,
     deterministic_sample,
     hash_split,
     shuffle_deterministic,
@@ -79,7 +85,11 @@ __all__ = [
     "mix_corpora",
     "minhash_lsh_pairs",
     "neardup_clusters",
+    "cap_per_group",
+    "dedup_lines",
+    "line_doc_freq",
     "ngram_containment_pairs",
+    "ngram_overlap_pairs",
     "ngram_jaccard_pairs",
     "salted_join",
     "simhash64",
