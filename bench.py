@@ -100,7 +100,6 @@ def main() -> None:
                 "events_tumbling_daily",
                 "events_sliding_day_12h",
                 "events_session_30m",
-                "docs_exact_dedup",
                 "docs_ngram_jaccard",
                 "docs_minhash_lsh",
                 "docs_simhash",
@@ -132,8 +131,48 @@ def main() -> None:
             #  - curation_e2e (new key) times the full graded
             #    docs_decontaminate registry entry — decontamination
             #    audit + 6-stage curate_documents + trace join — the
-            #    heaviest composition in the suite.
-            from globalweather_etl_spark.operators.dedup import decontaminate
+            #    heaviest composition in the suite;
+            #  - docs_exact_dedup times the keeper-flag dedup exactly
+            #    as rounds 1-3 did; docs_web_kernel (new key) times the
+            #    full graded docs_exact_dedup registry entry (exact
+            #    dedup + URL/PSL kernel + line-level dedup + per-domain
+            #    cap).
+            from globalweather_etl_spark.operators.dedup import (
+                decontaminate,
+                exact_dedup_keepers,
+            )
+
+            def plain_exact_dedup():
+                d = load_table(spark, sf_dir, "documents")
+                keepers = exact_dedup_keepers(d, "doc_id", "text").select(
+                    F.col("keep_id").alias("doc_id"),
+                    F.col("dup_count"),
+                    F.lit(True).alias("is_keeper"),
+                )
+                return d.select("doc_id", "lang", "n_chars").join(
+                    F.broadcast(keepers), "doc_id", "left"
+                ).select(
+                    "doc_id",
+                    "lang",
+                    "n_chars",
+                    F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+                    F.coalesce("dup_count", F.lit(0)).alias("dup_count"),
+                )
+
+            timed(
+                "docs_exact_dedup",
+                lambda: plain_exact_dedup()
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            timed(
+                "docs_web_kernel",
+                lambda: QUERIES["docs_exact_dedup"](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
 
             def plain_decontaminate():
                 d = load_table(spark, sf_dir, "documents")

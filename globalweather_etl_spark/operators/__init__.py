@@ -25,6 +25,10 @@ from globalweather_etl_spark.operators.line_dedup import (
 from globalweather_etl_spark.operators.mixing import mix_corpora
 from globalweather_etl_spark.operators.packing import pack_by_budget
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.quantiles import (
+    bucketed_quantile_threshold,
+    quantile_keep_flag,
+)
 from globalweather_etl_spark.operators.quantize import (
     dequantize_embeddings,
     quantize_embeddings,
@@ -85,11 +89,13 @@ __all__ = [
     "mix_corpora",
     "minhash_lsh_pairs",
     "neardup_clusters",
+    "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",
     "line_doc_freq",
     "ngram_containment_pairs",
     "ngram_overlap_pairs",
+    "quantile_keep_flag",
     "ngram_jaccard_pairs",
     "salted_join",
     "simhash64",

@@ -829,7 +829,7 @@ LEFT JOIN packedc p ON p.doc_id = d.doc_id""",
     # rates from SQL counts with the same left-to-right double
     # arithmetic (norm * scale / count), the same round-to-threshold
     # quantization, and the same per-source-salted md5 selector.
-    "docs_sample_split": """
+    "docs_sample_split": f"""
 WITH ranked AS (
   SELECT doc_id,
     row_number() OVER (PARTITION BY lang
@@ -869,7 +869,30 @@ mixed AS (
         md5(CAST(s.doc_id AS VARCHAR) || '|odd:7'), 1, 4) < th.t_o
         THEN 'odd'
       ELSE '' END AS mix_source
-  FROM src s CROSS JOIN th)
+  FROM src s CROSS JOIN th),
+qual AS (
+  SELECT doc_id, round(
+    0.4 * least(n_tok / 50.0, 1.0)
+  + 0.3 * (1.0 - least((n_punct / greatest(n_chars_m, 1.0)) * 4.0, 1.0))
+  + 0.3 * (CASE WHEN non_ws / n_tok >= 3.0 AND non_ws / n_tok <= 8.0
+                THEN 1.0 ELSE 0.5 END), 9) AS qv
+  FROM (SELECT doc_id,
+          CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+          CAST(length(text) AS DOUBLE) AS n_chars_m,
+          CAST(length(text) - length(regexp_replace(text,
+            '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) AS n_punct,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            AS non_ws
+        FROM documents)),
+qhist AS (
+  SELECT floor(qv / 0.0001) AS qb, count(*) AS qc FROM qual GROUP BY 1),
+qcum AS (SELECT qb, sum(qc) OVER (ORDER BY qb) AS qcc FROM qhist),
+qth AS (
+  SELECT coalesce(
+    max(CASE WHEN qcc <= floor(0.5 * (SELECT count(*) FROM qual))
+             THEN qb + 1 END),
+    (SELECT min(qb) FROM qhist)) * 0.0001 AS qt
+  FROM qcum)
 SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
@@ -881,12 +904,16 @@ SELECT d.doc_id,
        AS INTEGER) AS DOUBLE) / 65536.0
     < least(CAST(d.n_chars AS DOUBLE) / 2000.0, 1.0) AS weighted_kept,
   m.mix_source != '' AS mix_kept,
-  m.mix_source AS mix_source
+  m.mix_source AS mix_source,
+  qth.qt AS q50_quality_threshold,
+  q.qv >= qth.qt AS quality_top_half
 FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
 JOIN ranked r ON r.doc_id = d.doc_id
-JOIN mixed m ON m.doc_id = d.doc_id""",
+JOIN mixed m ON m.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+CROSS JOIN qth""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order. The chunk CTE
     # mirrors operators/chunking.py (chunk_tokens=32, overlap=8, so

@@ -1205,8 +1205,20 @@ def q_docs_sample_split(spark, sf_dir):
     — as a pure function of (salted key, seed). The key is salted with
     '|w' so the weighted draw is independent of the split/sample draws
     sharing this query's (doc_id, seed) bucket (the correlation trap
-    the curation pipeline fixed in round 4)."""
+    the curation pipeline fixed in round 4).
+
+    Round 4 also grades the histogram quantile threshold here
+    (operators/quantiles.py — the "keep the top half by quality"
+    selector: exact at 1e-4 resolution, no global sort, no approx
+    sketch): every row carries the corpus-wide q=0.5 quality threshold
+    and its own above-threshold verdict; the oracle recomputes the
+    threshold from the same bucket-cumsum formula in DuckDB, so the
+    distributed histogram method is cross-engine checked end-to-end."""
+    from globalweather_etl_spark.functions.text import quality_score
     from globalweather_etl_spark.operators.mixing import mix_corpora
+    from globalweather_etl_spark.operators.quantiles import (
+        quantile_keep_flag,
+    )
     from globalweather_etl_spark.operators.sampling import (
         stratified_sample,
         weighted_sample_flag,
@@ -1216,6 +1228,16 @@ def q_docs_sample_split(spark, sf_dir):
     kept = stratified_sample(
         docs, F.col("lang"), F.col("doc_id"), quota=30, seed=7
     ).select(F.col("key").alias("doc_id"), "rank_in_stratum")
+    qflag = quantile_keep_flag(
+        docs.select(
+            "doc_id", F.round(quality_score(F.col("text")), 9).alias("qv")
+        ),
+        F.col("qv"),
+        0.5,
+        1e-4,
+        out_col="quality_top_half",
+        threshold_col="q50_quality_threshold",
+    ).select("doc_id", "q50_quality_threshold", "quality_top_half")
     # Round-4 mixing surface (operators/mixing.py): two corpora split
     # by even/odd source number, blended 3:1 with total_rows=None (the
     # scarcest-source-per-weight-unit binds; the even corpus keeps
@@ -1262,6 +1284,7 @@ def q_docs_sample_split(spark, sf_dir):
             F.col("mix_source").isNotNull().alias("mix_kept"),
         )
         .withColumn("mix_source", F.coalesce("mix_source", F.lit("")))
+        .join(qflag, "doc_id")
     )
 
 

@@ -43,6 +43,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     "dashboard_q5": "1-row constant DIM_SOURCE join (via fact)",
     # Two global 1-row aggregates stitched side by side.
     "pipeline_validation": "joins two 1-row validation aggregates",
+    # The histogram quantile threshold (operators/quantiles.py) is a
+    # 1-row frame cross-joined broadcast onto every doc.
+    "docs_sample_split": "1-row quantile-threshold broadcast cross join",
     "tpch_scalar_checks": "joins 1-row global-aggregate scalars",
     # 1-row portable-HLL estimate x 1-row quantile/count aggregate.
     "docs_approx_stats": "joins two 1-row sketch aggregates",
