@@ -1,15 +1,18 @@
 """Line-dedup rehearsal (round 4): boilerplate removal at 20x the bench
 corpus. Synthesizes a crawl-shaped 100k-page corpus from sf0.1
-documents — each page is a 5-line body (rotated slices of real doc
-texts, so bodies repeat across ~20 pages each) wrapped in 3 boilerplate
-lines (per-source header/footer shared by ~thousands of pages plus a
-per-rep banner) — then runs dedup_lines(min_doc_freq=2) and reports
+documents — each page is a unique body line (real doc text + page-unique
+suffix) wrapped in 3 boilerplate lines (per-source header/footer
+shared by thousands of pages plus a per-rep banner shared by 5000) — then runs dedup_lines(min_doc_freq=2) and reports
 wall time, line accounting, and the removed fraction.
 
 Usage: python tools/rehearse_line_dedup.py  (REHEARSAL_DIR honored)
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -36,7 +39,9 @@ pages = (
         F.concat_ws(
             "\n",
             F.concat(F.lit("=== "), F.col("source"), F.lit(" portal ===")),
-            F.col("text"),  # body: same text shared by the 20 reps
+            # body: unique per page (doc text + page-unique suffix)
+            F.concat(F.col("text"), F.lit(" #"),
+                     (F.col("doc_id") * 100 + F.col("rep")).cast("string")),
             F.concat(F.lit("banner v"), F.col("rep").cast("string")),
             F.concat(F.lit("Copyright 2024 "), F.col("source")),
         ).alias("text"),
