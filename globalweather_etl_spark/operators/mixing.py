@@ -28,6 +28,7 @@ def mix_corpora(
     key: Column,
     total_rows: int | None = None,
     seed: int = 0,
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Blend named corpora to target weight proportions.
 
@@ -44,6 +45,19 @@ def mix_corpora(
     SCARCEST source per weight unit: that source keeps 100% and every
     other source downsamples to match — the biggest mix achievable at
     the exact target proportions without upsampling.
+
+    allow_upsample=True lifts the min(1, ...) clamp for the
+    `total_rows` path: a source whose share demands rate r > 1 emits
+    floor(r) deterministic copies of every row plus one more where the
+    fractional md5 draw (salted '|up' so it is independent of the
+    membership draws) lands under r - floor(r) — the standard
+    scarce-source epoch repetition of LLM data mixes (public
+    background: Gopher / Llama training blends repeat small
+    high-quality corpora several epochs per pass over the big ones).
+    The output then carries a `mix_epoch` column (0-based copy index;
+    always 0 for downsampled sources), and expected output size is
+    exactly n_i * r per source. Copies are produced by a scan-stage
+    explode(sequence(...)) — no shuffle.
 
     Counting each source costs one aggregate per input (metadata-cheap
     for parquet); rows are selected by md5(key || seed || source name),
@@ -76,23 +90,50 @@ def mix_corpora(
             for name in sources
         }
     else:
-        rates = {
-            name: min(
-                1.0,
-                (total_rows * norm[name] / counts[name]) if counts[name] else 0.0,
+        raw = {
+            name: (
+                (total_rows * norm[name] / counts[name])
+                if counts[name]
+                else 0.0
             )
             for name in sources
+        }
+        rates = {
+            name: (r if allow_upsample else min(1.0, r))
+            for name, r in raw.items()
         }
 
     parts = []
     for name, (df, _) in sources.items():
-        rate = min(1.0, rates[name])
+        rate = rates[name]
         # Source name folds into the seed so shared keys draw
         # independently per source.
         tagged_key = F.concat(key.cast("string"), F.lit(f"|{name}"))
-        part = df.filter(sample_flag(tagged_key, rate, seed)).withColumn(
-            "mix_source", F.lit(name)
-        )
+        if rate <= 1.0:
+            part = df.filter(sample_flag(tagged_key, rate, seed)).withColumn(
+                "mix_source", F.lit(name)
+            )
+            if allow_upsample:
+                part = part.withColumn("mix_epoch", F.lit(0))
+        else:
+            # floor(rate) whole copies per row, plus one more where the
+            # '|up'-salted fractional draw hits. sequence(0, n-1) +
+            # explode is scan-stage; no shuffle.
+            whole = int(rate)
+            frac = rate - whole
+            n_copies = F.lit(whole) + F.when(
+                sample_flag(
+                    F.concat(tagged_key, F.lit("|up")), frac, seed
+                ),
+                1,
+            ).otherwise(0)
+            part = (
+                df.withColumn(
+                    "mix_epoch",
+                    F.explode(F.sequence(F.lit(0), n_copies - 1)),
+                )
+                .withColumn("mix_source", F.lit(name))
+            )
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:

@@ -892,7 +892,37 @@ qth AS (
     max(CASE WHEN qcc <= floor(0.5 * (SELECT count(*) FROM qual))
              THEN qb + 1 END),
     (SELECT min(qb) FROM qhist)) * 0.0001 AS qt
-  FROM qcum)
+  FROM qcum),
+ucnt AS (
+  SELECT
+    CAST(sum(CASE WHEN is_even THEN 1 ELSE 0 END) AS DOUBLE) AS n_e,
+    CAST(sum(CASE WHEN NOT is_even THEN 1 ELSE 0 END) AS DOUBLE) AS n_o,
+    count(*) AS n
+  FROM src),
+urate AS (
+  SELECT CAST(2 * n AS DOUBLE) * (4.0 / 5.0) / n_e AS r_hi,
+         CAST(2 * n AS DOUBLE) * (1.0 / 5.0) / n_o AS r_lo
+  FROM ucnt),
+uth AS (
+  SELECT CAST(floor(r_hi) AS BIGINT) AS whole_hi,
+    CASE WHEN round((r_hi - floor(r_hi)) * 65536) >= 65536 THEN 'g'
+         ELSE printf('%04x',
+           CAST(round((r_hi - floor(r_hi)) * 65536) AS INTEGER)) END AS t_hi,
+    CASE WHEN round(least(r_lo, 1.0) * 65536) >= 65536 THEN 'g'
+         ELSE printf('%04x',
+           CAST(round(least(r_lo, 1.0) * 65536) AS INTEGER)) END AS t_lo
+  FROM urate),
+ups AS (
+  SELECT s.doc_id,
+    CASE WHEN s.is_even THEN
+      uth.whole_hi + CASE WHEN substring(
+        md5(CAST(s.doc_id AS VARCHAR) || '|hi|up:7'), 1, 4) < uth.t_hi
+        THEN 1 ELSE 0 END
+    ELSE CASE WHEN substring(
+        md5(CAST(s.doc_id AS VARCHAR) || '|lo:7'), 1, 4) < uth.t_lo
+        THEN 1 ELSE 0 END
+    END AS up_copies
+  FROM src s CROSS JOIN uth)
 SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
@@ -906,13 +936,15 @@ SELECT d.doc_id,
   m.mix_source != '' AS mix_kept,
   m.mix_source AS mix_source,
   qth.qt AS q50_quality_threshold,
-  q.qv >= qth.qt AS quality_top_half
+  q.qv >= qth.qt AS quality_top_half,
+  u.up_copies AS up_copies
 FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
 JOIN ranked r ON r.doc_id = d.doc_id
 JOIN mixed m ON m.doc_id = d.doc_id
 JOIN qual q ON q.doc_id = d.doc_id
+JOIN ups u ON u.doc_id = d.doc_id
 CROSS JOIN qth""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order. The chunk CTE

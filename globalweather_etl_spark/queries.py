@@ -1257,6 +1257,26 @@ def q_docs_sample_split(spark, sf_dir):
         key=F.col("doc_id"),
         seed=7,
     ).select("doc_id", "mix_source")
+    # Round-4 upsampling surface: a 4:1 blend targeting 2x the corpus
+    # forces the even source's rate past 1 (~3.2 at the graded SFs) —
+    # allow_upsample emits floor(r) deterministic copies per row plus
+    # the '|up'-salted fractional draw; per-doc copy counts are the
+    # graded value (the oracle recomputes rate, epoch count, and the
+    # fractional-draw threshold from SQL counts in lockstep).
+    up = (
+        mix_corpora(
+            {
+                "hi": (docs.filter(src_even), 4.0),
+                "lo": (docs.filter(~src_even), 1.0),
+            },
+            key=F.col("doc_id"),
+            total_rows=2 * docs.count(),
+            seed=7,
+            allow_upsample=True,
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("up_copies"))
+    )
     return (
         hash_split(
             docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
@@ -1285,6 +1305,10 @@ def q_docs_sample_split(spark, sf_dir):
         )
         .withColumn("mix_source", F.coalesce("mix_source", F.lit("")))
         .join(qflag, "doc_id")
+        .join(up, "doc_id", "left")
+        .withColumn(
+            "up_copies", F.coalesce("up_copies", F.lit(0).cast("long"))
+        )
     )
 
 

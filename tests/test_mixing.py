@@ -108,3 +108,88 @@ def test_streaming_source_rejected(spark, tmp_path):
     stream = jsonl_stream_from_dir(spark, path, schema)
     with pytest.raises(ValueError, match="streaming"):
         mix_corpora({"s": (stream, 1.0)}, F.col("doc_id"), total_rows=10)
+
+
+def test_upsample_epochs(spark, corpora):
+    """allow_upsample=True repeats a scarce source deterministically:
+    rate r > 1 emits floor(r) copies per row plus a fractional-draw
+    extra; expected size n*r. DuckDB recomputes the per-row copy count
+    from the same md5 formula."""
+    import duckdb
+
+    a, b = corpora  # each ~250 rows
+    n_a = a.count()
+    n_b = b.count()
+    # weights 4:1, total = 2 * (n_a + n_b): source a's share is
+    # 0.8 * 2 * 500 = 800 from ~250 rows -> rate ~3.2 (upsampled);
+    # source b's is 200 from ~250 -> rate ~0.8 (downsampled).
+    total = 2 * (n_a + n_b)
+    out = mix_corpora(
+        {"hi": (a, 4.0), "lo": (b, 1.0)},
+        F.col("doc_id"),
+        total_rows=total,
+        seed=5,
+        allow_upsample=True,
+    )
+    assert "mix_epoch" in out.columns
+    by = {
+        r["mix_source"]: (r["n"], r["max_ep"])
+        for r in out.groupBy("mix_source")
+        .agg(F.count("*").alias("n"), F.max("mix_epoch").alias("max_ep"))
+        .collect()
+    }
+    rate_hi = total * 0.8 / n_a
+    assert by["hi"][0] == pytest.approx(n_a * rate_hi, rel=0.1)
+    assert by["hi"][1] >= int(rate_hi) - 1  # floor(r) copies exist
+    assert by["lo"][1] == 0  # downsampled side never repeats
+    assert by["lo"][0] == pytest.approx(total * 0.2, rel=0.25)
+
+    # determinism
+    out2 = mix_corpora(
+        {"hi": (a, 4.0), "lo": (b, 1.0)},
+        F.col("doc_id"),
+        total_rows=total,
+        seed=5,
+        allow_upsample=True,
+    )
+    got = sorted(
+        (r["doc_id"], r["mix_source"], r["mix_epoch"]) for r in out.collect()
+    )
+    assert got == sorted(
+        (r["doc_id"], r["mix_source"], r["mix_epoch"]) for r in out2.collect()
+    )
+
+    # DuckDB twin of the per-row copy count for the upsampled source
+    whole = int(rate_hi)
+    frac = rate_hi - whole
+    thr = round(frac * 65536)
+    thr_hex = format(thr, "04x") if thr < 65536 else "g"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"""
+SELECT doc_id,
+  {whole} + CASE WHEN substring(
+      md5(CAST(doc_id AS VARCHAR) || '|hi|up:5'), 1, 4) < '{thr_hex}'
+    THEN 1 ELSE 0 END AS copies
+FROM documents WHERE doc_id % 2 = 0"""
+        ).fetchall()
+    }
+    got_copies = {
+        r["doc_id"]: r["n"]
+        for r in out.filter(F.col("mix_source") == "hi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every emitted doc's copy count matches; docs with 0 copies are
+    # absent from the mix but present in `want` with copies == whole
+    # only if the fractional draw missed AND whole == 0 (not the case
+    # here: whole >= 1 so every doc appears)
+    assert set(got_copies) == set(want)
+    assert got_copies == want
