@@ -1523,10 +1523,20 @@ rep AS (
     CAST(sum(pii) AS BIGINT) AS total_pii_hits,
     round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
       / CAST(count(*) AS DOUBLE), 9) AS exact_dup_rate
-  FROM pq)
+  FROM pq),
+tt AS (
+  SELECT term AS top_token, CAST(c AS BIGINT) AS top_token_count
+  FROM (
+    SELECT t.term, count(*) AS c
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS term
+          FROM documents) t
+    GROUP BY t.term)
+  ORDER BY c DESC, term
+  LIMIT 1)
 SELECT hll.approx_distinct_docs, q.chars_p10, q.chars_p50, q.chars_p90,
-       q.n_docs, rep.*
-FROM hll CROSS JOIN q CROSS JOIN rep"""
+       q.n_docs, rep.*, tt.top_token, tt.top_token_count
+FROM hll CROSS JOIN q CROSS JOIN rep CROSS JOIN tt"""
 
 
 EXT_ORACLES["docs_approx_stats"] = _approx_stats_sql()

@@ -861,7 +861,15 @@ def q_docs_approx_stats(spark, sf_dir):
     report's means going through the exact-decimal accumulator
     (exact_avg) so the hash is independent of partial-aggregation
     order on any cluster shape.
+
+    Plus the corpus-wide most-frequent token (the global argmax every
+    stop-term/vocabulary audit needs): explode -> term-count hash
+    aggregate (high-cardinality key, map-side combined) -> ONE global
+    min over struct(-count, term) — deterministic ties (largest count,
+    then lexicographically smallest term), no sort, no window. The
+    oracle's ORDER BY c DESC, term LIMIT 1 must agree exactly.
     """
+    from globalweather_etl_spark.functions.text import tokens as _tokens
     from globalweather_etl_spark.plans.curation import corpus_report
 
     docs = load_table(spark, sf_dir, "documents")
@@ -875,7 +883,23 @@ def q_docs_approx_stats(spark, sf_dir):
         docs, "text", b=6, out_col="approx_distinct_docs"
     )
     report = corpus_report(docs).drop("n_docs")
-    return hll.crossJoin(stats).crossJoin(report)
+    top_term = (
+        docs.select(
+            F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("term"))).alias(
+                "m"
+            )
+        )
+        .select(
+            F.col("m.term").alias("top_token"),
+            (-F.col("m.nc")).cast("long").alias("top_token_count"),
+        )
+    )
+    return hll.crossJoin(stats).crossJoin(report).crossJoin(top_term)
 
 
 # Fixed query strings for the graded BM25 retrieval surface — chosen to
