@@ -18,6 +18,11 @@ from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
 )
+from globalweather_etl_spark.operators.layout import (
+    file_ranges,
+    files_for_range,
+    write_range_clustered,
+)
 from globalweather_etl_spark.operators.line_dedup import (
     dedup_lines,
     line_doc_freq,
@@ -92,6 +97,8 @@ __all__ = [
     "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",
+    "file_ranges",
+    "files_for_range",
     "line_doc_freq",
     "ngram_containment_pairs",
     "ngram_overlap_pairs",
@@ -106,6 +113,7 @@ __all__ = [
     "surrogate_key",
     "top_ngram_stats",
     "weighted_sample_flag",
+    "write_range_clustered",
     "sessionize",
     "shard_manifest",
     "write_shards",
