@@ -28,7 +28,10 @@ from globalweather_etl_spark.operators.line_dedup import (
     line_doc_freq,
 )
 from globalweather_etl_spark.operators.mixing import mix_corpora
-from globalweather_etl_spark.operators.packing import pack_by_budget
+from globalweather_etl_spark.operators.packing import (
+    materialize_sequences,
+    pack_by_budget,
+)
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
 from globalweather_etl_spark.operators.quantiles import (
     bucketed_quantile_threshold,
@@ -100,6 +103,7 @@ __all__ = [
     "file_ranges",
     "files_for_range",
     "line_doc_freq",
+    "materialize_sequences",
     "ngram_containment_pairs",
     "ngram_overlap_pairs",
     "quantile_keep_flag",

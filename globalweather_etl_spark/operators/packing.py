@@ -100,3 +100,43 @@ def pack_by_budget(
             (prior % F.lit(budget)).alias("bin_offset"),
         )
     )
+
+
+def materialize_sequences(
+    df: DataFrame,
+    text_col: str,
+    bin_cols: list[str] | None = None,
+    offset_col: str = "bin_offset",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Turn pack_by_budget's bin assignment into the training sequences
+    a loader actually reads: ONE row per bin with the member documents'
+    text concatenated in offset order (separator between documents —
+    the EOD marker slot), plus member/token accounting. Input is the
+    packed frame joined back to its text column.
+
+    Scale shape: one aggregate keyed on the bin id (high cardinality —
+    corpus_tokens / budget bins), offset order restored per bin by the
+    same array_sort(collect_list(struct(...))) reassembly the line-dedup
+    operator uses; a bin's payload is ~budget tokens by construction,
+    so per-group state is bounded by the packing budget, not the
+    corpus."""
+    bin_cols = bin_cols or ["bin_id"]
+    return df.groupBy(*bin_cols).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(offset_col).alias("o"),
+                            F.col(text_col).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("seq_text"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+    )

@@ -987,13 +987,22 @@ ch AS (
     md5(array_to_string(list_slice(toks, i, least(i + 31, len(toks))), ' '))
       AS chunk_sig
   FROM g)
+, seqs AS (
+  SELECT p0.bin_id,
+    md5(string_agg(d.text, chr(10) || chr(10)
+        ORDER BY p0.bin_offset)) AS bin_seq_md5,
+    count(*)::BIGINT AS bin_n_docs
+  FROM p0 JOIN documents d ON d.doc_id = p0.doc_id
+  GROUP BY p0.bin_id)
 SELECT p.doc_id, p.n_tokens, p.bin_id, p.bin_offset,
   p.shard_id, p.shard_rows, p.shard_tokens,
   COALESCE(ch.chunk_id, CAST(-1 AS BIGINT)) AS chunk_id,
   COALESCE(ch.chunk_start, CAST(-1 AS BIGINT)) AS chunk_start,
   COALESCE(ch.n_chunk_tokens, CAST(-1 AS BIGINT)) AS n_chunk_tokens,
-  COALESCE(ch.chunk_sig, '') AS chunk_sig
-FROM p LEFT JOIN ch ON p.doc_id = ch.doc_id""",
+  COALESCE(ch.chunk_sig, '') AS chunk_sig,
+  seqs.bin_seq_md5, seqs.bin_n_docs
+FROM p LEFT JOIN ch ON p.doc_id = ch.doc_id
+JOIN seqs ON seqs.bin_id = p.bin_id""",
     # Rolling fingerprint + the BM25 retrieval twin (mirrors
     # operators/bm25.py: Lucene-positive idf, k1=1.2 b=0.75, so the
     # literals below are k1+1=2.2 and 1-b=0.25; avgdl averages over the

@@ -1350,14 +1350,31 @@ def q_docs_pack_by_budget(spark, sf_dir):
     (operators/sharding.py shard_assignment — the same shard_id
     expression write_shards keys files by, bins_per_shard=4) and the
     manifest aggregates a trainer's loader reads (per-shard row and
-    token totals)."""
+    token totals).
+
+    Round 4 completes the story with the materialized training
+    sequence itself (operators/packing.py materialize_sequences): each
+    doc carries the md5 of its bin's full concatenated sequence (docs
+    in offset order, EOD-separator slot between them) and the bin's
+    member count — the oracle's ORDER BY string_agg twin must produce
+    the byte-identical sequence."""
     from globalweather_etl_spark.operators.chunking import chunk_documents
+    from globalweather_etl_spark.operators.packing import (
+        materialize_sequences,
+    )
     from globalweather_etl_spark.operators.sharding import shard_assignment
 
     docs = load_table(spark, sf_dir, "documents")
     packed = shard_assignment(
         pack_by_budget(docs, "doc_id", token_count(F.col("text")), budget=2048),
         bins_per_shard=4,
+    )
+    seqs = materialize_sequences(
+        packed.join(docs.select("doc_id", "text"), "doc_id"), "text"
+    ).select(
+        "bin_id",
+        F.md5("seq_text").alias("bin_seq_md5"),
+        F.col("n_docs").alias("bin_n_docs"),
     )
     chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
         "doc_id",
@@ -1366,19 +1383,26 @@ def q_docs_pack_by_budget(spark, sf_dir):
         F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
         F.md5(F.col("chunk_text")).alias("chunk_sig"),
     )
-    return packed.join(chunks, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "bin_id",
-        "bin_offset",
-        "shard_id",
-        "shard_rows",
-        "shard_tokens",
-        F.coalesce("chunk_id", F.lit(-1).cast("long")).alias("chunk_id"),
-        F.coalesce("chunk_start", F.lit(-1).cast("long")).alias("chunk_start"),
-        F.coalesce("n_chunk_tokens", F.lit(-1).cast("long"))
-        .alias("n_chunk_tokens"),
-        F.coalesce("chunk_sig", F.lit("")).alias("chunk_sig"),
+    return (
+        packed.join(chunks, "doc_id", "left")
+        .join(seqs, "bin_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bin_id",
+            "bin_offset",
+            "shard_id",
+            "shard_rows",
+            "shard_tokens",
+            F.coalesce("chunk_id", F.lit(-1).cast("long")).alias("chunk_id"),
+            F.coalesce("chunk_start", F.lit(-1).cast("long"))
+            .alias("chunk_start"),
+            F.coalesce("n_chunk_tokens", F.lit(-1).cast("long"))
+            .alias("n_chunk_tokens"),
+            F.coalesce("chunk_sig", F.lit("")).alias("chunk_sig"),
+            "bin_seq_md5",
+            "bin_n_docs",
+        )
     )
 
 

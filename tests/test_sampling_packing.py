@@ -380,3 +380,62 @@ class TestCapPerGroup:
                 ).collect()
             )
             assert got == want
+
+
+class TestMaterializeSequences:
+    def test_order_and_accounting(self, spark):
+        import duckdb
+
+        from globalweather_etl_spark.operators.packing import (
+            materialize_sequences,
+            pack_by_budget,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        from globalweather_etl_spark.functions.text import token_count
+        from pyspark.sql import functions as F
+
+        packed = pack_by_budget(
+            docs, "doc_id", token_count(F.col("text")), budget=256
+        ).join(docs, "doc_id")
+        seqs = materialize_sequences(packed, "text")
+        got = {
+            r["bin_id"]: (r["seq_text"], r["n_docs"], r["n_tokens_total"])
+            for r in seqs.collect()
+        }
+        assert len(got) > 1
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                r"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents),
+c AS (
+  SELECT doc_id, text, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY ok, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t),
+p AS (
+  SELECT doc_id, text, n_tokens,
+    CAST(prior // 256 AS BIGINT) AS bin_id,
+    CAST(prior % 256 AS BIGINT) AS bin_offset
+  FROM c)
+SELECT bin_id,
+  string_agg(text, chr(10) || chr(10) ORDER BY bin_offset) AS seq,
+  count(*)::BIGINT, sum(n_tokens)::BIGINT
+FROM p GROUP BY bin_id"""
+            ).fetchall()
+        }
+        assert got == want
