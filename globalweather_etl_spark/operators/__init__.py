@@ -1,6 +1,7 @@
 from globalweather_etl_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
+    exact_dedup_incremental,
     exact_dedup_keepers,
     exact_dedup_removed,
     minhash_lsh_pairs,
@@ -100,6 +101,7 @@ __all__ = [
     "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",
+    "exact_dedup_incremental",
     "file_ranges",
     "files_for_range",
     "line_doc_freq",

@@ -762,3 +762,46 @@ def ngram_overlap_pairs(
         .otherwise(F.lit(-1).cast("long"))
         .alias("contained"),
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion exact dedup: dedup the incoming batch
+    internally (min-id keeper, exactly like exact_dedup), then drop
+    every survivor whose normalized-content fingerprint is already in
+    ``seen_fingerprints`` — the historical state table a long-running
+    crawl pipeline carries batch to batch (one `fingerprint` string
+    column, e.g. the second return value of the previous call).
+
+    Returns (kept, updated_fingerprints): the batch's genuinely-new
+    documents, and the history with their fingerprints added — write
+    it out and feed it to the next batch. With batches processed in
+    ascending id order, folding batches through this function keeps
+    exactly the same CONTENT set as one global exact_dedup over the
+    concatenated corpus (tested); the history table grows by one
+    md5 row per distinct content ever seen.
+
+    Scale shape: the in-batch dedup is the standard fingerprint
+    hash-groupBy; the history probe is a left ANTI equi-join on the
+    fingerprint — a shuffle join on a high-cardinality key (the
+    history at crawl scale is billions of rows: never broadcast,
+    never collected). seen_fingerprints=None starts a fresh history.
+    """
+    batch_kept = exact_dedup(new_docs, id_col, text_col)
+    fps = batch_kept.select(
+        fingerprint_md5(F.col(text_col)).alias("fingerprint"), F.col(id_col)
+    )
+    if seen_fingerprints is None:
+        kept_ids = fps.select(id_col)
+        new_history = fps.select("fingerprint")
+    else:
+        seen = seen_fingerprints.select("fingerprint")
+        fresh = fps.join(seen, "fingerprint", "left_anti")
+        kept_ids = fresh.select(id_col)
+        new_history = seen.unionByName(fresh.select("fingerprint"))
+    kept = batch_kept.join(kept_ids, id_col, "left_semi")
+    return kept, new_history

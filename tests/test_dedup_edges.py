@@ -360,3 +360,72 @@ def test_overlap_pairs_matches_full_outer_of_singles(spark):
     assert [f.name for f in got_df.schema.fields] == [
         "doc_a", "doc_b", "jaccard", "containment", "contained",
     ]
+
+
+def test_exact_dedup_incremental_folds_to_global(spark):
+    """Folding id-ordered batches through exact_dedup_incremental keeps
+    exactly the same CONTENT set as one global exact_dedup, and the
+    history grows by one fingerprint per distinct content."""
+    from globalweather_etl_spark.functions.text import fingerprint_md5
+    from globalweather_etl_spark.operators.dedup import (
+        exact_dedup_incremental,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # amplify so cross-batch duplicates exist: each doc appears in both
+    # batches (ids 2k / 2k+1 share text)
+    dup = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    b1 = dup.filter(F.col("doc_id") % 2 == 0)   # all even ids
+    b2 = dup.filter(F.col("doc_id") % 2 == 1)   # duplicates of batch 1
+
+    k1, h1 = exact_dedup_incremental(b1, None, "doc_id", "text")
+    k2, h2 = exact_dedup_incremental(b2, h1, "doc_id", "text")
+
+    # batch 2 is pure duplication of batch 1 content
+    assert k2.count() == 0
+    # content set == global dedup's content set
+    global_fps = sorted(
+        r["fp"]
+        for r in exact_dedup(dup, "doc_id", "text")
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .collect()
+    )
+    incr_fps = sorted(
+        r["fp"]
+        for r in k1.unionByName(k2)
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .collect()
+    )
+    assert incr_fps == global_fps
+    # history = one row per distinct content, no duplicates
+    hist = [r["fingerprint"] for r in h2.collect()]
+    assert sorted(hist) == global_fps
+    assert len(set(hist)) == len(hist)
+
+
+def test_exact_dedup_incremental_mixed_batches(spark):
+    """New content in batch 2 survives; repeated content does not; the
+    batch's own internal duplicates collapse first."""
+    from globalweather_etl_spark.operators.dedup import (
+        exact_dedup_incremental,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "GAMMA"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    k1, h1 = exact_dedup_incremental(b1, None, "doc_id", "text")
+    k2, h2 = exact_dedup_incremental(b2, h1, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in k1.collect()) == [1, 2]
+    # 10 repeats 'alpha'; 11/12 collapse (case-normalized) keeping 11
+    assert sorted(r["doc_id"] for r in k2.collect()) == [11, 13]
+    assert h2.count() == 4  # alpha beta gamma delta
