@@ -23,6 +23,7 @@ from globalweather_etl_spark.operators.layout import (
     file_ranges,
     files_for_range,
     write_range_clustered,
+    zorder_key,
 )
 from globalweather_etl_spark.operators.line_dedup import (
     dedup_lines,
@@ -120,6 +121,7 @@ __all__ = [
     "top_ngram_stats",
     "weighted_sample_flag",
     "write_range_clustered",
+    "zorder_key",
     "sessionize",
     "shard_manifest",
     "write_shards",

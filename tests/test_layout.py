@@ -78,3 +78,63 @@ def test_composite_key_and_validation(spark, tmp_path):
         raise AssertionError("empty cluster_cols must raise")
     except ValueError:
         pass
+
+
+def test_zorder_key_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "x int, y int")
+    # x=011, y=101 interleaved (x bit b -> pos 2b, y bit b -> pos 2b+1):
+    # pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0, pos4=x2=0, pos5=y2=1
+    # = 1 + 2 + 4 + 32 = 39
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).first()["z"]
+    assert got == 39
+
+
+def test_zorder_clustering_prunes_2d_boxes(spark, tmp_path):
+    """On a 64x64 grid clustered 16 files by z-key, an aligned 8x8 box
+    maps to ONE contiguous z-range and touches a small file subset; an
+    x-only clustering answers y-box queries with every file."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.layout import zorder_key
+
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).cast("int").alias("x"),
+            (F.col("id") / 64).cast("int").alias("y"),
+        )
+        .withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=6))
+    )
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    write_range_clustered(grid, zpath, ["z"], num_files=16)
+    write_range_clustered(grid, xpath, ["x"], num_files=16)
+
+    # aligned 8x8 box: x,y in [8,15] -> z in [zorder(8,8), zorder(15,15)]
+    lo = spark.createDataFrame([(8, 8), (15, 15)], "x int, y int").select(
+        zorder_key([F.col("x"), F.col("y")], bits=6).alias("z")
+    ).collect()
+    zlo, zhi = lo[0]["z"], lo[1]["z"]
+    n_z = len(files_for_range(zpath, "z", zlo, zhi))
+    assert n_z <= 4  # 64 cells of 4096 -> a sliver of the z-line
+
+    # x-clustered layout cannot prune a y-box at all
+    n_x_for_y = len(files_for_range(xpath, "x", 0, 63))  # y predicate
+    assert n_x_for_y == len(file_ranges(xpath, "x"))
+
+    # and the z-range really contains every box cell
+    sel = files_for_range(zpath, "z", zlo, zhi)
+    got = (
+        spark.read.parquet(*[f"{zpath}/{f}" for f in sel])
+        .filter(
+            (F.col("x").between(8, 15)) & (F.col("y").between(8, 15))
+        )
+        .count()
+    )
+    assert got == 64
