@@ -26,6 +26,18 @@ oracle_sql()  -> matching DuckDB SQL for ALL 50 queries (50/50 since
                  refinement, the xxhash64 fast paths, and the builtin
                  HLL++ remain, covered by recall/parity/error-bound
                  unit tests.)
+
+Round 4 keeps the 50 slots but grades MORE OPERATORS PER SLOT by
+extending entries' columns with the oracle in lockstep (SURVEY.md §8
+"Round-4 expansion" is the column->operator map): sessionize ordinals,
+PII counts, top-ngram concentration, weighted/stratified/quantile/
+upsampled sampling flags, containment (one-pass with Jaccard),
+BM25 + RRF retrieval, near-dup cluster labels, all three as-of
+directions, chunk signatures, int8 reconstruction, corpus mixing,
+URL/PSL keys, line-level dedup, per-domain caps, the corpus-wide top
+token, per-bin training-sequence bytes, and the END-TO-END curation
+pipeline (docs_decontaminate carries each doc's full 6-stage outcome
+against a recursive-CTE oracle).
 """
 
 from __future__ import annotations
