@@ -13,6 +13,13 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from globalweather_etl_spark.operators.asof import asof_join
+from globalweather_etl_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+    empty_bloom,
+    exact_dedup_incremental_bloom,
+)
 from globalweather_etl_spark.operators.bm25 import bm25_index, bm25_topk, rrf_fuse
 from globalweather_etl_spark.operators.chunking import chunk_documents
 from globalweather_etl_spark.operators.components import (
@@ -72,6 +79,11 @@ from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 __all__ = [
     "apply_scd2",
     "asof_join",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_probe",
+    "empty_bloom",
+    "exact_dedup_incremental_bloom",
     "bm25_index",
     "bm25_topk",
     "chunk_documents",
