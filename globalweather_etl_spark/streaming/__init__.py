@@ -16,6 +16,7 @@ from globalweather_etl_spark.streaming.jobs import (
     drain_to_memory,
     enriched_country_counts,
     run_daily_event_metrics,
+    run_incremental_dedup,
 )
 from globalweather_etl_spark.streaming.sources import (
     EVENTS_SCHEMA,
@@ -43,6 +44,7 @@ __all__ = [
     "events_stream_from_dir",
     "jsonl_stream_from_dir",
     "run_daily_event_metrics",
+    "run_incremental_dedup",
     "running_user_totals",
     "streaming_dedup",
     "session_stats",

@@ -173,3 +173,111 @@ def clean_documents(docs: DataFrame, min_quality: float = 0.3) -> DataFrame:
             bpe_token_estimate(t).alias("bpe_tokens"),
         )
     )
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)
+
+
+def _bloom_versions(spark: SparkSession, root: str) -> list[int]:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append(int(name[2:]))
+    return out
+
+
+def run_incremental_dedup(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-ingestion exact dedup as a streaming job: fold every
+    micro-batch of ``docs`` (a streaming DataFrame, e.g. from
+    ``jsonl_stream_from_dir``) through the Bloom-screened incremental
+    dedup (operators/bloom.py), so a document whose normalized content
+    was EVER seen — in any earlier micro-batch or earlier run over the
+    same state — is dropped and each distinct content is emitted
+    exactly once (min-id keeper within its first batch).
+
+    State lives next to the output, all replay-safe:
+
+    - ``_state/fingerprints`` — append-only parquet of every distinct
+      content fingerprint ever kept. A replayed micro-batch appends
+      duplicate fingerprint rows; harmless, the probe is an anti-join
+      (set semantics). O(delta) written per batch — the history is
+      never rewritten.
+    - ``_state/bloom/v=<batch_id>`` — the merged filter after that
+      batch, built from the latest earlier version + the batch's new
+      fingerprints (one bounded aggregate; never rebuilt from
+      history). Deterministic per batch id, so replays overwrite
+      their own version.
+    - ``deduped/ingest_batch=<batch_id>`` — the kept documents,
+      per-batch directory overwrite: idempotent under replay.
+
+    Scale shape: per batch, the work is the in-batch hash-groupBy, a
+    Bloom probe (k rows per doc joined against the word table), the
+    history anti-join over only the Bloom-maybe slice, and an
+    O(new-content) state append. The full history is scanned lazily as
+    the anti-join's build side but never shuffled in its entirety and
+    never rewritten.
+    """
+    from globalweather_etl_spark.functions.text import fingerprint_md5
+    from globalweather_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        empty_bloom,
+        exact_dedup_incremental_bloom,
+    )
+
+    hist_dir = os.path.join(out_dir, "_state/fingerprints")
+    bloom_root = os.path.join(out_dir, "_state/bloom")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        history = _read_if_exists(s, hist_dir)
+        prev_versions = [v for v in _bloom_versions(s, bloom_root) if v < batch_id]
+        prev_bloom = (
+            s.read.parquet(os.path.join(bloom_root, f"v={max(prev_versions)}"))
+            if prev_versions
+            else None
+        )
+        kept, _, _ = exact_dedup_incremental_bloom(
+            batch, history, prev_bloom, id_col, text_col, num_bits, num_hashes
+        )
+        out_batch = os.path.join(out_dir, f"deduped/ingest_batch={batch_id}")
+        kept.write.mode("overwrite").parquet(out_batch)
+        # Re-read the landed batch so state derives from what was actually
+        # written (no recompute, no read-while-append lineage on history).
+        fps = (
+            s.read.parquet(out_batch)
+            .select(fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        )
+        fps.write.mode("append").parquet(hist_dir)
+        base = prev_bloom if prev_bloom is not None else empty_bloom(s)
+        bloom_merge(base, bloom_build(fps, "fingerprint", num_bits, num_hashes)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bloom_root, f"v={batch_id}"))
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints/dedup"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

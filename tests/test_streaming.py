@@ -274,3 +274,64 @@ def test_clean_documents_stream_equals_batch(spark, tmp_path):
     )
     assert _rows(got, "doc_id") == _rows(want, "doc_id")
     assert got.count() > 0
+
+
+def test_incremental_dedup_stream_matches_global(spark, tmp_path):
+    """Folding micro-batches through run_incremental_dedup keeps the
+    same CONTENT set as one global exact_dedup over everything landed,
+    across TWO runs sharing state (continuous ingestion)."""
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.operators.dedup import exact_dedup
+    from globalweather_etl_spark.streaming import (
+        jsonl_stream_from_dir,
+        run_incremental_dedup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+
+    # run 1: two files with in-file and cross-file duplicate content
+    mk([(i, f"t-{i % 8}") for i in range(20)]).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    mk([(100 + i, f"t-{i % 15}") for i in range(30)]).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    run_incremental_dedup(
+        jsonl_stream_from_dir(spark, landing, schema, max_files_per_trigger=1),
+        out,
+        num_bits=1 << 14,
+    ).awaitTermination(120)
+
+    def contents():
+        return sorted(
+            r["text"] for r in spark.read.parquet(out + "/deduped").collect()
+        )
+
+    everything = spark.read.json(landing, schema=schema)
+    want = sorted(r["text"] for r in exact_dedup(everything, "doc_id", "text").collect())
+    assert contents() == want
+
+    # run 2 over the same state: new file, mostly already-seen content
+    mk([(200 + i, f"t-{i % 40}") for i in range(40)]).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    run_incremental_dedup(
+        jsonl_stream_from_dir(spark, landing, schema, max_files_per_trigger=1),
+        out,
+        num_bits=1 << 14,
+    ).awaitTermination(120)
+
+    everything = spark.read.json(landing, schema=schema)
+    want = sorted(r["text"] for r in exact_dedup(everything, "doc_id", "text").collect())
+    assert contents() == want
+    # each distinct content exactly once — no duplicates ever emitted
+    assert len(set(contents())) == len(contents())
