@@ -34,6 +34,7 @@ from globalweather_etl_spark.operators.layout import (
 )
 from globalweather_etl_spark.operators.line_dedup import (
     dedup_lines,
+    dedup_lines_within,
     line_doc_freq,
 )
 from globalweather_etl_spark.operators.mixing import mix_corpora
@@ -114,6 +115,7 @@ __all__ = [
     "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",
+    "dedup_lines_within",
     "exact_dedup_incremental",
     "file_ranges",
     "files_for_range",

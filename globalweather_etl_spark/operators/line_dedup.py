@@ -149,3 +149,81 @@ def dedup_lines(
             "n_dup_lines",
         )
     )
+
+
+def dedup_lines_within(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: drop every line whose
+    normalized form already occurred EARLIER IN THE SAME DOCUMENT
+    (keep the first occurrence, preserve order) — the intra-doc
+    counterpart of ``dedup_lines``'s cross-document boilerplate pass,
+    targeting scraper artifacts that repeat a nav block / list item
+    dozens of times inside one page (the transform behind the
+    ``dup_line_fraction`` Gopher SIGNAL in functions/text.py).
+
+    Same key semantics as the cross-doc pass (collapse whitespace,
+    trim, lowercase; whitespace-only lines are structure — never
+    counted, never removed).
+
+    Returns the input columns with the cleaned text in ``out_col``
+    (default: replace ``text_col``) plus ``n_lines_within`` (non-blank
+    lines before) and ``n_dup_within`` (lines removed).
+
+    Scale shape: ZERO shuffles — duplication is judged inside one
+    row, so the whole transform is a single scan-stage higher-order
+    ``aggregate`` over the split array (seen-key set folded left to
+    right). Per-doc cost is O(lines x distinct-lines) via
+    array_contains; documents are bounded (a 10k-line outlier is ~1e8
+    comparisons worst-case on ONE row, not a stage barrier), and no
+    state leaves the row.
+    """
+    out_col = out_col or text_col
+    line = F.split(F.col(text_col), r"\n")
+    zero = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("kept"),
+        F.lit(0).alias("n_lines"),
+        F.lit(0).alias("n_dup"),
+    )
+
+    def _step(acc, ln):
+        key = F.md5(F.lower(F.trim(F.regexp_replace(ln, r"\s+", " "))))
+        blank = F.lower(F.trim(F.regexp_replace(ln, r"\s+", " "))) == ""
+        dup = F.array_contains(acc["seen"], key)
+        return F.when(
+            blank,
+            F.struct(
+                acc["seen"].alias("seen"),
+                F.concat(acc["kept"], F.array(ln)).alias("kept"),
+                acc["n_lines"].alias("n_lines"),
+                acc["n_dup"].alias("n_dup"),
+            ),
+        ).when(
+            dup,
+            F.struct(
+                acc["seen"].alias("seen"),
+                acc["kept"].alias("kept"),
+                (acc["n_lines"] + 1).alias("n_lines"),
+                (acc["n_dup"] + 1).alias("n_dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["seen"], F.array(key)).alias("seen"),
+                F.concat(acc["kept"], F.array(ln)).alias("kept"),
+                (acc["n_lines"] + 1).alias("n_lines"),
+                acc["n_dup"].alias("n_dup"),
+            )
+        )
+
+    folded = F.aggregate(line, zero, _step)
+    keep = [c for c in docs.columns if c != text_col or out_col != text_col]
+    return docs.select(
+        *keep,
+        F.array_join(folded["kept"], "\n").alias(out_col),
+        folded["n_lines"].cast("long").alias("n_lines_within"),
+        folded["n_dup"].cast("long").alias("n_dup_within"),
+    )

@@ -670,6 +670,36 @@ ld AS (
     md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
                             ORDER BY pos), '')) AS line_clean_md5
   FROM ld_flag GROUP BY doc_id),
+wd_docs AS (
+  SELECT doc_id,
+    concat_ws(chr(10), text, 'Copyright 2024 ' || source,
+      CASE WHEN doc_id % 4 = 0
+           THEN 'copyright  2024 ' || upper(source) END) AS t
+  FROM documents),
+wd_base AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM wd_docs),
+wd_lines AS (
+  SELECT doc_id, ls[i] AS line, i AS pos
+  FROM wd_base, unnest(generate_series(1, len(ls))) AS g(i)),
+wd_keyed AS (
+  SELECT doc_id, line, pos,
+    CASE WHEN lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) = ''
+         THEN NULL
+         ELSE md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+    END AS lk
+  FROM wd_lines),
+wd_flag AS (
+  SELECT doc_id, line, pos, lk IS NOT NULL AS counted,
+    CASE WHEN lk IS NULL THEN FALSE
+         ELSE row_number() OVER (PARTITION BY doc_id, lk ORDER BY pos) > 1
+    END AS dup
+  FROM wd_keyed),
+wd AS (
+  SELECT doc_id,
+    sum(CASE WHEN counted THEN 1 ELSE 0 END)::BIGINT AS within_n_lines,
+    sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS within_n_dup,
+    md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+                            ORDER BY pos), '')) AS within_clean_md5
+  FROM wd_flag GROUP BY doc_id),
 dcap AS (
   SELECT doc_id,
     row_number() OVER (PARTITION BY coalesce(reg_dom_psl, '')
@@ -684,11 +714,13 @@ SELECT r.doc_id, r.lang, r.n_chars,
   coalesce(r.reg_dom, '') AS reg_domain,
   coalesce(r.reg_dom_psl, '') AS reg_domain_psl,
   ld.line_n_lines, ld.line_n_dup, ld.line_clean_md5,
+  wd.within_n_lines, wd.within_n_dup, wd.within_clean_md5,
   (CASE WHEN dcap.drn <= 10 THEN dcap.drn ELSE -1 END)::BIGINT
     AS domain_rank,
   dcap.drn <= 10 AS domain_kept
 FROM rd r
 JOIN ld USING (doc_id)
+JOIN wd USING (doc_id)
 JOIN dcap USING (doc_id)
 LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper

@@ -615,7 +615,10 @@ def q_docs_exact_dedup(spark, sf_dir):
     registrable domain (-1 past the cap of 10), domain_kept the cap
     verdict. The two-phase skew-proof prune must agree exactly with
     the oracle's naive row_number window."""
-    from globalweather_etl_spark.operators.line_dedup import dedup_lines
+    from globalweather_etl_spark.operators.line_dedup import (
+        dedup_lines,
+        dedup_lines_within,
+    )
     from globalweather_etl_spark.operators.sampling import cap_per_group
     from globalweather_etl_spark.functions.urls import (
         registered_domain,
@@ -672,6 +675,29 @@ def q_docs_exact_dedup(spark, sf_dir):
         F.col("n_dup_lines").alias("line_n_dup"),
         F.md5(F.col("text")).alias("line_clean_md5"),
     )
+    # Round 4 (late): WITHIN-document repeated-line removal
+    # (dedup_lines_within — zero-shuffle higher-order fold). Synthesized
+    # intra-doc repetition: every 4th doc repeats its copyright footer
+    # as a case/whitespace variant, which normalizes to the same key
+    # and must be dropped while the first occurrence survives verbatim.
+    multi2 = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("Copyright 2024 "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("copyright  2024 "), F.upper(F.col("source"))),
+            ),
+        ).alias("text"),
+    )
+    within = dedup_lines_within(multi2, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_lines_within").alias("within_n_lines"),
+        F.col("n_dup_within").alias("within_n_dup"),
+        F.md5(F.col("text")).alias("within_clean_md5"),
+    )
     capped = cap_per_group(
         with_psl,
         F.coalesce("reg_domain_psl", F.lit("")),
@@ -684,6 +710,7 @@ def q_docs_exact_dedup(spark, sf_dir):
     return (
         with_psl.join(F.broadcast(keepers), "doc_id", "left")
         .join(lined, "doc_id")
+        .join(within, "doc_id")
         .join(capped, "doc_id", "left")
         .select(
             "doc_id",
@@ -700,6 +727,9 @@ def q_docs_exact_dedup(spark, sf_dir):
             "line_n_lines",
             "line_n_dup",
             "line_clean_md5",
+            "within_n_lines",
+            "within_n_dup",
+            "within_clean_md5",
             F.coalesce("domain_rank", F.lit(-1).cast("long"))
             .alias("domain_rank"),
             F.col("domain_rank").isNotNull().alias("domain_kept"),

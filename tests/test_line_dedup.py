@@ -145,3 +145,102 @@ FROM flagged GROUP BY doc_id
     assert got == want
     # the testdata corpus really exercises the operator
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_dedup_lines_within_fixture(spark):
+    from globalweather_etl_spark.operators.line_dedup import dedup_lines_within
+
+    rows = [
+        (1, "repeated inside\nrepeated inside\nsolo line"),
+        (2, "A  Mixed   Case\n\na mixed case\n\nkeep me\nA MIXED CASE"),
+        (3, "   \n\t\n"),  # blank lines repeat but are never removed
+        (4, "only one line"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_within"], r["n_dup_within"])
+        for r in dedup_lines_within(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == ("repeated inside\nsolo line", 3, 1)
+    # first occurrence kept VERBATIM; both later variants dropped
+    assert out[2] == ("A  Mixed   Case\n\n\nkeep me", 4, 2)
+    assert out[3] == ("   \n\t\n", 0, 0)
+    assert out[4] == ("only one line", 1, 0)
+
+
+def test_dedup_lines_within_zero_shuffle_plan(spark):
+    from globalweather_etl_spark.operators.line_dedup import dedup_lines_within
+
+    docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = dedup_lines_within(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_lines_within_duckdb_parity(spark):
+    """Intra-doc dedup over real testdata (with synthesized intra-doc
+    repetition) matches a DuckDB row_number-window twin line for line."""
+    from globalweather_etl_spark.operators.line_dedup import dedup_lines_within
+    from globalweather_etl_spark.sources import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = base.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Repeat   Me"),
+            F.lit("repeat me"),
+            F.when(F.col("doc_id") % 2 == 0, F.split_part(F.col("text"), F.lit("\n"), F.lit(1))),
+        ).alias("text"),
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_within"], r["n_dup_within"])
+        for r in dedup_lines_within(docs, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW documents AS
+        SELECT doc_id,
+               concat_ws(chr(10), text, 'Repeat   Me', 'repeat me',
+                         CASE WHEN doc_id % 2 = 0
+                              THEN split_part(text, chr(10), 1) END) AS text
+        FROM read_parquet('{SF_DIR}/documents.parquet')"""
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            r"""
+WITH base AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, ls[i] AS line, i AS pos
+  FROM base, unnest(generate_series(1, len(ls))) AS g(i)
+),
+keyed AS (
+  SELECT doc_id, line, pos,
+         CASE WHEN lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) = ''
+              THEN NULL
+              ELSE md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g'))))
+         END AS k
+  FROM lines
+),
+flagged AS (
+  SELECT doc_id, line, pos, k IS NOT NULL AS counted,
+         CASE WHEN k IS NULL THEN FALSE
+              ELSE row_number() OVER (PARTITION BY doc_id, k ORDER BY pos) > 1
+         END AS dup
+  FROM keyed
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean,
+       sum(CASE WHEN counted THEN 1 ELSE 0 END)::BIGINT AS n_lines_within,
+       sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_within
+FROM flagged GROUP BY doc_id
+"""
+        ).fetchall()
+    }
+    assert got == want
+    # the synthesized corpus really exercises the operator
+    assert any(v[2] > 0 for v in got.values())
