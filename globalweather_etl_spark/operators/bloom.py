@@ -15,7 +15,9 @@ the small "maybe" slice — true re-crawls plus the controlled
 false-positive margin — pays for the anti-join.
 
 Representation: a Bloom filter IS a DataFrame ``(word_idx BIGINT,
-bits BIGINT)`` — 64 filter bits packed per row, absent rows all-zero.
+bits BIGINT)`` — 63 filter bits packed per row (the sign bit stays
+clear so the words are portable non-negative BIGINTs in any engine),
+absent rows all-zero.
 That makes the filter a first-class dataset: written/read as parquet
 between batches, merged with a ``bit_or`` aggregate, and probed with a
 plain equi-join on ``word_idx`` — no driver-side bitset, no UDF, no
@@ -75,12 +77,13 @@ def _positions(col: Column, num_bits: int, num_hashes: int) -> Column:
 
 
 def _word_mask(pos_col: str):
-    """(word_idx, mask) for a bit position: 64 bits packed per word.
-    ``shiftleft`` wraps at bit 63 into the BIGINT sign bit — fine,
-    bit_or / bitwiseAND operate on the two's-complement pattern."""
+    """(word_idx, mask) for a bit position: 63 bits packed per word —
+    the sign bit stays clear so every mask/word is a non-negative
+    BIGINT in ANY engine (DuckDB raises on a shift into bit 63; one
+    unused bit per word buys exact cross-engine arithmetic)."""
     return (
-        F.shiftright(F.col(pos_col), 6).alias("word_idx"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 64 AS INT))").alias(
+        F.expr(f"{pos_col} DIV 63").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 63 AS INT))").alias(
             "mask"
         ),
     )

@@ -700,6 +700,25 @@ wd AS (
     md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
                             ORDER BY pos), '')) AS within_clean_md5
   FROM wd_flag GROUP BY doc_id),
+bf_fp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+bf_dup AS (SELECT fp FROM bf_fp WHERE doc_id % 5 = 0),
+bf_words AS (
+  SELECT p // 63 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+  FROM (SELECT (CAST('0x' || substring(md5('bloom' || i || '|' || fp), 1, 15)
+                AS BIGINT)) % 1024 AS p
+        FROM bf_dup, unnest([0,1,2,3,4]) AS t(i))
+  GROUP BY 1),
+bf AS (
+  SELECT doc_id,
+         bool_and(coalesce((bits & mask) = mask, FALSE)) AS bloom_seen_maybe
+  FROM (SELECT doc_id, p // 63 AS word_idx,
+               1::BIGINT << CAST(p % 63 AS INT) AS mask
+        FROM (SELECT doc_id,
+                     (CAST('0x' || substring(md5('bloom' || i || '|' || fp),
+                      1, 15) AS BIGINT)) % 1024 AS p
+              FROM bf_fp, unnest([0,1,2,3,4]) AS t(i)))
+  LEFT JOIN bf_words USING (word_idx) GROUP BY doc_id),
 dcap AS (
   SELECT doc_id,
     row_number() OVER (PARTITION BY coalesce(reg_dom_psl, '')
@@ -715,12 +734,14 @@ SELECT r.doc_id, r.lang, r.n_chars,
   coalesce(r.reg_dom_psl, '') AS reg_domain_psl,
   ld.line_n_lines, ld.line_n_dup, ld.line_clean_md5,
   wd.within_n_lines, wd.within_n_dup, wd.within_clean_md5,
+  bf.bloom_seen_maybe,
   (CASE WHEN dcap.drn <= 10 THEN dcap.drn ELSE -1 END)::BIGINT
     AS domain_rank,
   dcap.drn <= 10 AS domain_kept
 FROM rd r
 JOIN ld USING (doc_id)
 JOIN wd USING (doc_id)
+JOIN bf USING (doc_id)
 JOIN dcap USING (doc_id)
 LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper

@@ -698,6 +698,27 @@ def q_docs_exact_dedup(spark, sf_dir):
         F.col("n_dup_within").alias("within_n_dup"),
         F.md5(F.col("text")).alias("within_clean_md5"),
     )
+    # Round 4 (late): the Bloom datapath (operators/bloom.py) graded
+    # end-to-end — build a filter over a synthesized "seen before" set
+    # (every 5th doc's content fingerprint; the corpus itself is
+    # unique-text, so membership must be synthesized like the
+    # boilerplate above), probe EVERY doc's fingerprint. The filter is
+    # deliberately undersized (1024 bits for ~n/5 members) so false
+    # positives are real at this sf: the oracle hash-checks the exact
+    # FP pattern, meaning both engines agree bit-for-bit on build AND
+    # probe, not just on the guaranteed member hits.
+    from globalweather_etl_spark.functions.text import fingerprint_md5
+    from globalweather_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    bm, bk = 1024, 5
+    fps = docs.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    seen_fps = fps.filter(F.col("doc_id") % 5 == 0).select("fingerprint")
+    bloomed = bloom_probe(
+        fps, "fingerprint", bloom_build(seen_fps, "fingerprint", bm, bk),
+        bm, bk, "bloom_seen_maybe",
+    ).select("doc_id", "bloom_seen_maybe")
     capped = cap_per_group(
         with_psl,
         F.coalesce("reg_domain_psl", F.lit("")),
@@ -711,6 +732,7 @@ def q_docs_exact_dedup(spark, sf_dir):
         with_psl.join(F.broadcast(keepers), "doc_id", "left")
         .join(lined, "doc_id")
         .join(within, "doc_id")
+        .join(bloomed, "doc_id")
         .join(capped, "doc_id", "left")
         .select(
             "doc_id",
@@ -730,6 +752,7 @@ def q_docs_exact_dedup(spark, sf_dir):
             "within_n_lines",
             "within_n_dup",
             "within_clean_md5",
+            "bloom_seen_maybe",
             F.coalesce("domain_rank", F.lit(-1).cast("long"))
             .alias("domain_rank"),
             F.col("domain_rank").isNotNull().alias("domain_kept"),

@@ -37,8 +37,36 @@ def _py_positions(value: str, num_bits: int, num_hashes: int) -> list[int]:
 
 def _py_probe(words: dict[int, int], value: str) -> bool:
     return all(
-        (words.get(p >> 6, 0) >> (p % 64)) & 1 for p in _py_positions(value, M, K)
+        (words.get(p // 63, 0) >> (p % 63)) & 1 for p in _py_positions(value, M, K)
     )
+
+
+def test_words_duckdb_parity(spark):
+    """The Spark-built filter words are bit-identical to a DuckDB
+    build over the same values — the 63-bit packing keeps every word
+    a portable non-negative BIGINT."""
+    import duckdb
+
+    vals = [f"m{i}" for i in range(64)]
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING")
+    got = sorted(tuple(r) for r in bloom_build(df, "v", M, K).collect())
+    vv = ", ".join(f"('{v}')" for v in vals)
+    want = sorted(
+        duckdb.sql(
+            f"""
+WITH vals(v) AS (VALUES {vv}),
+pos AS (
+  SELECT (CAST('0x' || substring(md5('bloom' || i || '|' || v), 1, 15)
+          AS BIGINT)) % {M} AS p
+  FROM vals, unnest([0,1,2,3,4]) AS t(i)
+)
+SELECT p // 63 AS word_idx,
+       bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+FROM pos GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+    assert all(w >= 0 and b > 0 for w, b in got)
 
 
 def _members(n):
