@@ -21,6 +21,7 @@ from globalweather_etl_spark.operators.bloom import (
     exact_dedup_incremental_bloom,
 )
 from globalweather_etl_spark.operators.bm25 import bm25_index, bm25_topk, rrf_fuse
+from globalweather_etl_spark.operators.bpe import bpe_encode, bpe_vocab, learn_bpe
 from globalweather_etl_spark.operators.chunking import chunk_documents
 from globalweather_etl_spark.operators.components import (
     connected_components,
@@ -86,6 +87,9 @@ __all__ = [
     "empty_bloom",
     "exact_dedup_incremental_bloom",
     "bm25_index",
+    "bpe_encode",
+    "bpe_vocab",
+    "learn_bpe",
     "bm25_topk",
     "chunk_documents",
     "connected_components",
