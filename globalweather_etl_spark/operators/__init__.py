@@ -1,5 +1,6 @@
 from globalweather_etl_spark.operators.dedup import (
     decontaminate,
+    fuzzy_decontaminate,
     exact_dedup,
     exact_dedup_incremental,
     exact_dedup_keepers,
@@ -104,6 +105,7 @@ __all__ = [
     "cosine_topk",
     "dot",
     "decontaminate",
+    "fuzzy_decontaminate",
     "dequantize_embeddings",
     "exact_dedup",
     "exact_dedup_keepers",

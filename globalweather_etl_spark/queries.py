@@ -859,11 +859,33 @@ def q_docs_decontaminate(spark, sf_dir):
     (split, n_tokens, bin_id, bin_offset). The oracle recomputes every
     stage in one recursive-CTE chain, so the end-to-end pipeline — not
     just its stages in isolation — is cross-engine hash-checked."""
+    from globalweather_etl_spark.operators.dedup import fuzzy_decontaminate
     from globalweather_etl_spark.plans.curation import curate_documents
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     out = decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
+    # Round 4 (late): FUZZY decontamination graded alongside the exact
+    # screen — a synthesized near-match benchmark (every 11th doc plus
+    # an appended eval marker, ids offset by 1e6) must be caught by the
+    # MinHash-LSH candidate pass + benchmark-side containment verify.
+    # Same md5 portability mode; the oracle recomputes signatures,
+    # bands, candidates, and scores in SQL.
+    marker = " eval answer option marker alpha beta gamma"
+    fbench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(marker)).alias("text"),
+    )
+    fz = fuzzy_decontaminate(
+        docs.select("doc_id", "text"), fbench, "doc_id", "text",
+        n=5, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5",
+    ).select(
+        "doc_id",
+        F.round("fuzzy_containment", 9).alias("fuzzy_containment"),
+        F.coalesce("matched_bench", F.lit(-1).cast("long"))
+        .alias("matched_bench"),
+        "is_fuzzy_contaminated",
+    )
     trace = curate_documents(docs, benchmark=bench, hash_fn="md5").curated.select(
         "doc_id",
         F.col("split").alias("cur_split"),
@@ -876,11 +898,15 @@ def q_docs_decontaminate(spark, sf_dir):
             "doc_id", "lang", "n_contaminated_shingles", "is_contaminated"
         )
         .join(trace, "doc_id", "left")
+        .join(fz, "doc_id")
         .select(
             "doc_id",
             "lang",
             "n_contaminated_shingles",
             "is_contaminated",
+            "fuzzy_containment",
+            "matched_bench",
+            "is_fuzzy_contaminated",
             F.col("cur_split").isNotNull().alias("is_curated"),
             F.coalesce("cur_split", F.lit("")).alias("cur_split"),
             F.coalesce("cur_n_tokens", F.lit(-1).cast("long"))
