@@ -200,6 +200,66 @@ def main() -> None:
                 .mode("overwrite")
                 .save(),
             )
+            # Late-round-4 operators, each under its own key (xxhash64
+            # fast path where applicable — the md5 mode exists for
+            # oracle portability, not speed):
+            from globalweather_etl_spark.functions.text import fingerprint_md5
+            from globalweather_etl_spark.operators.bloom import (
+                bloom_build,
+                bloom_probe,
+            )
+            from globalweather_etl_spark.operators.bpe import (
+                bpe_encode,
+                learn_bpe,
+            )
+            from globalweather_etl_spark.operators.dedup import (
+                fuzzy_decontaminate,
+            )
+
+            def plain_fuzzy():
+                d = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                fb = d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" eval answer option marker alpha beta gamma"),
+                    ).alias("text"),
+                )
+                return fuzzy_decontaminate(
+                    d, fb, "doc_id", "text", n=5, num_hashes=32, bands=8,
+                    threshold=0.5,
+                )
+
+            timed(
+                "fuzzy_decontaminate",
+                lambda: plain_fuzzy().write.format("noop").mode("overwrite").save(),
+            )
+
+            def bpe_all():
+                d = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                merges = learn_bpe(d, "text", 100, max_words=5000)
+                bpe_encode(d, "text", merges).select(
+                    "doc_id", "n_bpe"
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("bpe_tokenize", bpe_all)
+
+            def bloom_all():
+                d = load_table(spark, sf_dir, "documents")
+                fps = d.select(
+                    "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+                )
+                seen = fps.filter(F.col("doc_id") % 5 == 0).select("fp")
+                bloom = bloom_build(seen, "fp", 1 << 22, 5)
+                bloom_probe(fps, "fp", bloom, 1 << 22, 5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            timed("bloom_screen", bloom_all)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
