@@ -38,6 +38,15 @@ URL/PSL keys, line-level dedup, per-domain caps, the corpus-wide top
 token, per-bin training-sequence bytes, and the END-TO-END curation
 pipeline (docs_decontaminate carries each doc's full 6-stage outcome
 against a recursive-CTE oracle).
+
+Late round 4 adds three more graded operators the same way:
+within-document repeated-line removal (docs_exact_dedup within_*
+columns, zero-shuffle fold), the Bloom-filter datapath
+(docs_exact_dedup bloom_seen_maybe — build AND probe reproduced
+bit-for-bit in SQL, including the deliberate false-positive pattern
+of an undersized filter), and FUZZY MinHash-LSH benchmark
+decontamination (docs_decontaminate fuzzy_* columns vs a full
+signature/band/candidate/containment SQL twin).
 """
 
 from __future__ import annotations
