@@ -34,6 +34,11 @@ from globalweather_etl_spark.operators.layout import (
     write_range_clustered,
     zorder_key,
 )
+from globalweather_etl_spark.operators.lm import (
+    BigramLM,
+    bigram_lm_score,
+    train_bigram_lm,
+)
 from globalweather_etl_spark.operators.line_dedup import (
     dedup_lines,
     dedup_lines_within,
@@ -91,6 +96,9 @@ __all__ = [
     "bpe_encode",
     "bpe_vocab",
     "learn_bpe",
+    "BigramLM",
+    "bigram_lm_score",
+    "train_bigram_lm",
     "bm25_topk",
     "chunk_documents",
     "connected_components",

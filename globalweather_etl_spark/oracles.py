@@ -1545,7 +1545,42 @@ per_gram AS (
 tng AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
          CAST(max(c) AS BIGINT) AS top_ngram_count
-  FROM per_gram GROUP BY 1)
+  FROM per_gram GROUP BY 1),
+lmtoks AS (
+  SELECT doc_id, i AS pos, lower(t[i]) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t))) AS g(i)
+  WHERE t[i] <> ''),
+lmuni AS (SELECT tok, count(*) AS c FROM lmtoks GROUP BY tok),
+lmkept AS (SELECT tok FROM lmuni WHERE c >= 2),
+lmmap AS (
+  SELECT doc_id, pos,
+         CASE WHEN k.tok IS NULL THEN '<unk>' ELSE lmtoks.tok END AS w
+  FROM lmtoks LEFT JOIN lmkept k ON k.tok = lmtoks.tok),
+lmchain AS (
+  SELECT doc_id,
+         coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>')
+           AS prev,
+         w
+  FROM lmmap),
+lmbi AS (SELECT prev, w, count(*) AS c FROM lmchain GROUP BY prev, w),
+lmpc AS (SELECT prev, count(*) AS c_prev FROM lmchain GROUP BY prev),
+lmvs AS (SELECT count(*) + 1 AS v FROM lmkept),
+lmlp AS (
+  SELECT ch.doc_id, ch.w,
+         ln(CAST(coalesce(lmbi.c, 0) + 1 AS DOUBLE)
+            / CAST(coalesce(lmpc.c_prev, 0) + lmvs.v AS DOUBLE)) AS lp
+  FROM lmchain ch
+  LEFT JOIN lmbi ON lmbi.prev = ch.prev AND lmbi.w = ch.w
+  LEFT JOIN lmpc ON lmpc.prev = ch.prev
+  CROSS JOIN lmvs),
+lmagg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS lm_tokens,
+         sum(CASE WHEN w = '<unk>' THEN 1 ELSE 0 END)::BIGINT AS lm_oov,
+         sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS logprob6
+  FROM lmlp GROUP BY doc_id)
 SELECT doc_id,
   CAST(n_tok AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars_measured,
@@ -1568,8 +1603,12 @@ SELECT doc_id,
   CAST(COALESCE(tng.n_ngrams, 0) AS BIGINT) AS n_ngrams,
   CAST(COALESCE(tng.top_ngram_count, 0) AS BIGINT) AS top_ngram_count,
   COALESCE(CAST(tng.top_ngram_count AS DOUBLE)
-           / CAST(tng.n_ngrams AS DOUBLE), 0.0) AS top_ngram_frac
-FROM m LEFT JOIN tng USING (doc_id)"""
+           / CAST(tng.n_ngrams AS DOUBLE), 0.0) AS top_ngram_frac,
+  COALESCE(lmagg.lm_tokens, 0) AS lm_tokens,
+  COALESCE(lmagg.lm_oov, 0) AS lm_oov,
+  CAST(COALESCE(lmagg.logprob6, 0) AS DOUBLE) AS logprob6
+FROM m LEFT JOIN tng USING (doc_id)
+LEFT JOIN lmagg USING (doc_id)"""
 
 
 EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()

@@ -785,6 +785,10 @@ def q_docs_text_metrics(spark, sf_dir):
         pii_counts,
         stopword_score,
     )
+    from globalweather_etl_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
     from globalweather_etl_spark.operators.repetition import top_ngram_stats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -792,6 +796,23 @@ def q_docs_text_metrics(spark, sf_dir):
     pii = pii_counts(t)
     tng = top_ngram_stats(docs, "doc_id", "text", n=2).select(
         "doc_id", "n_ngrams", "top_ngram_count", "top_ngram_frac"
+    )
+    # Round 4 (late): CCNet-style bigram-LM perplexity signals
+    # (operators/lm.py) — train on the corpus itself, score every doc.
+    # Graded form is the order-independent DECIMAL sum of 6dp-rounded
+    # ln terms plus the integer token/OOV counts; the double
+    # perplexity stays an ungraded production column (engine libm
+    # last-ulp differences make raw-double means unhashable).
+    model = train_bigram_lm(docs, "doc_id", "text", min_count=2)
+    lm = bigram_lm_score(
+        docs.select("doc_id", "text"), model, "doc_id", "text"
+    ).select(
+        "doc_id",
+        "lm_tokens",
+        "lm_oov",
+        # exact DECIMAL sum -> double only for the final rendering
+        # (same exact value => same double in every engine)
+        F.col("logprob6").cast("double").alias("logprob6"),
     )
     base = docs.select(
         "doc_id",
@@ -813,15 +834,22 @@ def q_docs_text_metrics(spark, sf_dir):
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
     )
-    return base.join(tng, "doc_id", "left").select(
-        base["*"],
-        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
-        F.coalesce(F.col("top_ngram_count"), F.lit(0))
-        .cast("long")
-        .alias("top_ngram_count"),
-        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
-        .cast("double")
-        .alias("top_ngram_frac"),
+    return (
+        base.join(tng, "doc_id", "left")
+        .join(lm, "doc_id")
+        .select(
+            base["*"],
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("top_ngram_count"), F.lit(0))
+            .cast("long")
+            .alias("top_ngram_count"),
+            F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
+            .cast("double")
+            .alias("top_ngram_frac"),
+            "lm_tokens",
+            "lm_oov",
+            "logprob6",
+        )
     )
 
 

@@ -55,6 +55,9 @@ BNLJ_ALLOWED: dict[str, str] = {
     # BM25's lazy index: term-df aggregate x broadcast of the 1-row
     # (n_docs, avgdl) corpus aggregate (bm25_index round-4 rewrite).
     "docs_rolling_fingerprint": "1-row corpus-stats broadcast (bm25_index)",
+    # The bigram LM's lazy vocab size: transition chain x broadcast of
+    # the 1-row (v) aggregate (operators/lm.py bigram_lm_score).
+    "docs_text_metrics": "1-row LM vocab-size broadcast cross join",
     # IVF assignment: corpus x broadcast(n_lists x dim centroid matrix).
     "emb_ivf_topk": "corpus x broadcast centroid matrix (n_lists rows)",
 }
