@@ -104,7 +104,6 @@ def main() -> None:
                 "docs_minhash_lsh",
                 "docs_simhash",
                 "docs_embedding_neardup",
-                "docs_text_metrics",
                 "emb_cosine_topk",
                 "emb_lsh_topk",
                 "emb_ivf_topk",
@@ -260,6 +259,33 @@ def main() -> None:
                 ).mode("overwrite").save()
 
             timed("bloom_screen", bloom_all)
+
+            # docs_text_metrics keeps its round-stable (pre-LM) form;
+            # LM train+score gets its own key.
+            from globalweather_etl_spark.operators.lm import (
+                bigram_lm_score,
+                train_bigram_lm,
+            )
+            from globalweather_etl_spark.queries import q_docs_text_metrics
+
+            timed(
+                "docs_text_metrics",
+                lambda: q_docs_text_metrics(spark, sf_dir, include_lm=False)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+            def lm_all():
+                d = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                model = train_bigram_lm(d, "doc_id", "text", min_count=2)
+                bigram_lm_score(d, model, "doc_id", "text").select(
+                    "doc_id", "lm_tokens", "lm_oov", "perplexity"
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("lm_perplexity", lm_all)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 

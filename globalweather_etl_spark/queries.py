@@ -760,7 +760,7 @@ def q_docs_exact_dedup(spark, sf_dir):
     )
 
 
-def q_docs_text_metrics(spark, sf_dir):
+def q_docs_text_metrics(spark, sf_dir, include_lm: bool = True):
     """The full per-document text-analysis kernel in one scan: token /
     char / punctuation counts, average word length, per-language
     stopword hit counts (the raw lang-ID signal), the lang-ID verdict
@@ -803,17 +803,19 @@ def q_docs_text_metrics(spark, sf_dir):
     # ln terms plus the integer token/OOV counts; the double
     # perplexity stays an ungraded production column (engine libm
     # last-ulp differences make raw-double means unhashable).
-    model = train_bigram_lm(docs, "doc_id", "text", min_count=2)
-    lm = bigram_lm_score(
-        docs.select("doc_id", "text"), model, "doc_id", "text"
-    ).select(
-        "doc_id",
-        "lm_tokens",
-        "lm_oov",
-        # exact DECIMAL sum -> double only for the final rendering
-        # (same exact value => same double in every engine)
-        F.col("logprob6").cast("double").alias("logprob6"),
-    )
+    lm = None
+    if include_lm:
+        model = train_bigram_lm(docs, "doc_id", "text", min_count=2)
+        lm = bigram_lm_score(
+            docs.select("doc_id", "text"), model, "doc_id", "text"
+        ).select(
+            "doc_id",
+            "lm_tokens",
+            "lm_oov",
+            # exact DECIMAL sum -> double only for the final rendering
+            # (same exact value => same double in every engine)
+            F.col("logprob6").cast("double").alias("logprob6"),
+        )
     base = docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
@@ -834,22 +836,20 @@ def q_docs_text_metrics(spark, sf_dir):
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
     )
-    return (
-        base.join(tng, "doc_id", "left")
-        .join(lm, "doc_id")
-        .select(
-            base["*"],
-            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
-            F.coalesce(F.col("top_ngram_count"), F.lit(0))
-            .cast("long")
-            .alias("top_ngram_count"),
-            F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
-            .cast("double")
-            .alias("top_ngram_frac"),
-            "lm_tokens",
-            "lm_oov",
-            "logprob6",
-        )
+    out = base.join(tng, "doc_id", "left")
+    ngram_cols = [
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("top_ngram_count"), F.lit(0))
+        .cast("long")
+        .alias("top_ngram_count"),
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
+        .cast("double")
+        .alias("top_ngram_frac"),
+    ]
+    if lm is None:
+        return out.select(base["*"], *ngram_cols)
+    return out.join(lm, "doc_id").select(
+        base["*"], *ngram_cols, "lm_tokens", "lm_oov", "logprob6"
     )
 
 
