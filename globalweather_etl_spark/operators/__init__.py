@@ -28,6 +28,11 @@ from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
 )
+from globalweather_etl_spark.operators.kmeans import (
+    assign_clusters,
+    cluster_sizes,
+    fit_kmeans,
+)
 from globalweather_etl_spark.operators.layout import (
     file_ranges,
     files_for_range,
@@ -126,6 +131,9 @@ __all__ = [
     "mix_corpora",
     "minhash_lsh_pairs",
     "neardup_clusters",
+    "assign_clusters",
+    "cluster_sizes",
+    "fit_kmeans",
     "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",

@@ -1,0 +1,153 @@
+"""Spherical k-means over an embedding column — corpus clustering as a
+first-class operator.
+
+Cluster structure drives several curation moves the similarity
+operators don't expose directly: cluster-balanced sampling (cap or
+re-weight per topic), SemDeDup-style pruning (drop near-identical
+neighbors within a cluster), and per-cluster corpus reports. The
+machinery already existed inside ``ivf_cosine_topk``'s coarse
+quantizer (operators/similarity.py); this module exposes it under a
+clustering API.
+
+Algorithm: deterministic hash-min seeding (the n smallest
+xxhash64(id) vectors — reproducible, no RNG state), then ``iters``
+distributed Lloyd steps on normalized vectors (the shared
+``lloyd_step``: explode to (cluster, pos, component), average, rebuild
+arrays, re-normalize — spherical k-means, whose objective is mean
+cosine to the assigned centroid). Assignment is the Arrow argmax
+matmul against the broadcast (k x dim) centroid matrix: a narrow map
+stage, kilobytes of driver traffic per iteration barrier, independent
+of corpus size.
+
+Scale shape: each iteration is one corpus scan (narrow assignment) +
+one (cluster, pos) hash aggregate whose output is k x dim rows
+regardless of corpus size. The centroid matrix is the ONLY
+driver-resident state. An iterative algorithm needs a barrier per
+iteration anyway (centroids_t+1 is a global aggregate of
+assignment_t), so collecting k x dim doubles per step is the minimal
+possible barrier payload.
+
+Floating-point note: centroid components are partition-order-dependent
+double means, so clustering has no bit-exact cross-engine oracle (the
+same reason IVF's Lloyd refinement is outside the oracle surface —
+similarity.py docstring); tests pin behavior with separable fixtures,
+an objective-improvement check, and arrow-vs-expression assignment
+parity instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.operators.partitioning import (
+    deliberate_single_partition,
+    spread_for_compute,
+)
+from globalweather_etl_spark.operators.similarity import (
+    _as_double,
+    _normalize,
+    cosine,
+    lloyd_step,
+)
+from globalweather_etl_spark.operators.vector_arrow import (
+    argmax_centroid_arrow,
+    centroid_rows_to_matrix,
+)
+
+__all__ = ["fit_kmeans", "assign_clusters", "cluster_sizes"]
+
+
+def fit_kmeans(
+    embeddings: DataFrame,
+    n_clusters: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit spherical k-means; returns the ``(cluster_id, centroid)``
+    DataFrame (cluster_id 1-based, centroids unit-norm). Deterministic
+    for a given input."""
+    cand = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    seeds = (
+        cand.orderBy(F.xxhash64("cand_id"))
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(
+                Window.partitionBy(deliberate_single_partition()).orderBy("cand_id")
+            )
+            .cast("int")
+            .alias("list_id"),
+            _normalize(F.col("cvec")).alias("centroid"),
+        )
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("embeddings table is empty")
+    if len(seeds) < n_clusters:
+        raise ValueError(
+            f"n_clusters={n_clusters} exceeds the {len(seeds)} input vectors"
+        )
+    dim = len(seeds[0]["centroid"])
+    mat = centroid_rows_to_matrix(seeds, n_clusters, dim)
+    for _ in range(iters):
+        assigned = cand.select(
+            "cvec", argmax_centroid_arrow(mat)(F.col("cvec")).alias("list_id")
+        )
+        mat = centroid_rows_to_matrix(
+            lloyd_step(assigned).collect(), n_clusters, dim, base=mat
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in mat[i]]) for i in range(n_clusters)],
+        "cluster_id int, centroid array<double>",
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The input plus ``cluster_id`` (nearest centroid by cosine; ties
+    to the larger id, matching the Arrow argmax convention) and
+    ``cluster_sim`` (cosine to that centroid). The centroid table is
+    collected to a k x dim matrix (bounded by construction) and the
+    assignment is a narrow Arrow map — no join, no shuffle."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cluster_id"])
+    if not rows:
+        raise ValueError("centroids table is empty")
+    k = len(rows)
+    dim = len(rows[0]["centroid"])
+    mat = centroid_rows_to_matrix(
+        [{"list_id": r["cluster_id"], "centroid": r["centroid"]} for r in rows],
+        k,
+        dim,
+    )
+    out = embeddings.withColumn(
+        "cluster_id",
+        argmax_centroid_arrow(mat)(_as_double(F.col(vec_col))),
+    )
+    cent = centroids.select(
+        F.col("cluster_id"), F.col("centroid").alias("__centroid")
+    )
+    return (
+        out.join(F.broadcast(cent), "cluster_id")
+        .withColumn(
+            "cluster_sim",
+            cosine(_as_double(F.col(vec_col)), F.col("__centroid")),
+        )
+        .drop("__centroid")
+    )
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """(cluster_id, n, mean_sim) — the per-topic corpus report."""
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("cluster_sim").alias("mean_sim"),
+    )

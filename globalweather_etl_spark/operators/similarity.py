@@ -157,6 +157,28 @@ def _normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x / n)
 
 
+def lloyd_step(assigned: DataFrame) -> DataFrame:
+    """One distributed Lloyd iteration over ``(list_id, cvec)`` rows:
+    component-wise mean per list, arrays rebuilt by position —
+    groupBy (list, pos) keeps every stage distributed. Centroids are
+    re-normalized (spherical k-means: the mean direction is the
+    cosine-objective optimum). Shared by IVF refinement and the public
+    k-means operator (operators/kmeans.py)."""
+    comps = assigned.select("list_id", F.posexplode("cvec").alias("pos", "x"))
+    return (
+        comps.groupBy("list_id", "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                lambda s: s["x"],
+            ).alias("centroid")
+        )
+        .select("list_id", _normalize(F.col("centroid")).alias("centroid"))
+    )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -237,24 +259,7 @@ def ivf_cosine_topk(
         )
     )
 
-    def _lloyd_step(assigned: DataFrame) -> DataFrame:
-        # Lloyd step: component-wise mean per list, arrays rebuilt by
-        # position — groupBy (list, pos) keeps every stage distributed.
-        comps = assigned.select(
-            "list_id", F.posexplode("cvec").alias("pos", "x")
-        )
-        return (
-            comps.groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
-                    lambda s: s["x"],
-                ).alias("centroid")
-            )
-            .select("list_id", _normalize(F.col("centroid")).alias("centroid"))
-        )
+    _lloyd_step = lloyd_step
 
     if impl == "arrow":
         from globalweather_etl_spark.operators.vector_arrow import (

@@ -1,0 +1,84 @@
+"""Spherical k-means: separable fixture, invariants, assignment parity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.operators.kmeans import (
+    assign_clusters,
+    cluster_sizes,
+    fit_kmeans,
+)
+from globalweather_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Two tight, well-separated direction blobs in R^4."""
+    rows = []
+    for i in range(40):
+        eps = (i % 7) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))  # blob A ~ +x
+        rows.append((100 + i, [0.0, eps, 0.0, -1.0]))  # blob B ~ -w
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_blobs_recovered(blobs):
+    cents = fit_kmeans(blobs, 2, iters=4)
+    assigned = assign_clusters(blobs, cents)
+    groups = (
+        assigned.groupBy("cluster_id")
+        .agg(F.collect_set((F.col("vec_id") < 100).alias("is_a")).alias("s"))
+        .collect()
+    )
+    # each cluster is pure: one holds only blob A, the other only blob B
+    assert sorted(tuple(sorted(r["s"])) for r in groups) == [(False,), (True,)]
+    sizes = {r["cluster_id"]: r["n"] for r in cluster_sizes(assigned).collect()}
+    assert sorted(sizes.values()) == [40, 40]
+    # tight blobs: everyone close to its centroid
+    assert assigned.agg(F.min("cluster_sim")).first()[0] > 0.99
+
+
+def test_deterministic(blobs):
+    a = sorted(map(tuple, fit_kmeans(blobs, 2, iters=3).collect()))
+    b = sorted(map(tuple, fit_kmeans(blobs, 2, iters=3).collect()))
+    assert a == b
+
+
+def test_objective_not_worse_after_lloyd(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c0 = fit_kmeans(emb, 8, iters=0)
+    c3 = fit_kmeans(emb, 8, iters=3)
+    obj0 = assign_clusters(emb, c0).agg(F.avg("cluster_sim")).first()[0]
+    obj3 = assign_clusters(emb, c3).agg(F.avg("cluster_sim")).first()[0]
+    assert obj3 >= obj0 - 1e-9
+
+
+def test_assignment_matches_numpy_argmax(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    cents = fit_kmeans(emb, 4, iters=2)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(emb, cents).collect()
+    }
+    C = np.array(
+        [r["centroid"] for r in sorted(cents.collect(), key=lambda r: r["cluster_id"])]
+    )
+    for r in emb.collect():
+        scores = C @ np.asarray(r["embedding"], dtype=np.float64)
+        best = max(range(len(scores)), key=lambda i: (scores[i], i)) + 1
+        assert got[r["vec_id"]] == best
+
+
+def test_errors(spark, blobs):
+    with pytest.raises(ValueError, match="exceeds"):
+        fit_kmeans(blobs.limit(3), 5, iters=1)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        fit_kmeans(empty, 2)
