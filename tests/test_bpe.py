@@ -116,3 +116,36 @@ def test_corpus_learned_encode_round(spark):
 def test_vocab_table():
     vocab = bpe_vocab([("a", "b"), ("ab", "c")], alphabet=list("cab"))
     assert vocab == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+
+
+def test_bpe_counts_feed_token_packing(spark):
+    """The exact encoder composes with pack_by_budget: bins respect the
+    budget under EXACT BPE counts (the precise form of the packing the
+    graded slot runs on whitespace counts)."""
+    from globalweather_etl_spark.operators.packing import pack_by_budget
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merges = learn_bpe(docs, "text", 50, max_words=2000)
+    enc = bpe_encode(docs, "text", merges).select("doc_id", "n_bpe")
+    from pyspark.sql import Window
+
+    packed = pack_by_budget(enc, "doc_id", F.col("n_bpe"), budget=2048)
+    # contiguous-stream packing contract: bin_id/bin_offset are exactly
+    # the prefix sum of EXACT counts under the default md5(id) order
+    w = (
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chk = packed.select(
+        "doc_id",
+        "bin_id",
+        "bin_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("prior"),
+    )
+    bad = chk.filter(
+        (F.col("bin_id") != F.floor(F.col("prior") / 2048))
+        | (F.col("bin_offset") != F.col("prior") % 2048)
+    ).count()
+    assert bad == 0
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
