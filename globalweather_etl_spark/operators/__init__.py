@@ -5,6 +5,7 @@ from globalweather_etl_spark.operators.dedup import (
     exact_dedup_incremental,
     exact_dedup_keepers,
     exact_dedup_removed,
+    minhash_dedup_incremental,
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -129,6 +130,7 @@ __all__ = [
     "lsh_signature",
     "lsh_signature_multi",
     "mix_corpora",
+    "minhash_dedup_incremental",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "assign_clusters",

@@ -939,3 +939,117 @@ def exact_dedup_incremental(
         new_history = seen.unionByName(fresh.select("fingerprint"))
     kept = batch_kept.join(kept_ids, id_col, "left_semi")
     return kept, new_history
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    seen_signatures: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_doc_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion NEAR-dedup: the fuzzy counterpart of
+    ``exact_dedup_incremental``. Dedup the incoming batch internally
+    (MinHash-LSH pairs -> connected components -> min-id canonical,
+    exactly the batch near-dedup ``curate_documents`` runs), then drop
+    every survivor that near-matches a document ALREADY IN HISTORY.
+
+    The history is a SIGNATURE store — one ``(doc, sig)`` row of
+    ``num_hashes`` longs per document ever kept, NOT the documents or
+    their shingle sets. Probing re-derives band keys from the stored
+    signatures (a cheap scan-stage transform), LSH-joins the batch
+    against them, and verifies candidates with the classic MinHash
+    estimator: est_J = (matching signature components) / num_hashes,
+    an unbiased Jaccard estimate with std ~= sqrt(J(1-J)/num_hashes)
+    (~0.09 at 32 hashes — the standard precision/state trade; raise
+    num_hashes for a sharper gate). In-batch verification still uses
+    exact shingle Jaccard (the text is at hand there).
+
+    Returns ``(kept, new_signatures)``: the genuinely-new documents
+    and the signature store with their rows appended — persist it and
+    feed it to the next batch. Docs with fewer than ``n`` words have
+    no signature: they always survive the near-dup screen and add no
+    history row (screen them with the exact incremental dedup, which
+    has no length floor).
+
+    Scale shape: signatures/bands are the usual one-aggregate one-
+    transform chain on both sides; the history is touched ONLY through
+    the band-key equi-join (shuffle keyed on 8-byte band hashes — high
+    cardinality, never broadcast, never rewritten beyond the O(new)
+    append) and the candidate signature lookups (two id-keyed joins).
+    """
+    from globalweather_etl_spark.operators.components import neardup_clusters
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    in_batch_pairs = minhash_lsh_pairs(
+        new_docs, id_col, text_col, n, num_hashes, bands, threshold,
+        verify=True, hash_fn=hash_fn, max_doc_freq=max_doc_freq,
+    ).select("doc_a", "doc_b")
+    clustered = neardup_clusters(new_docs, in_batch_pairs, id_col=id_col)
+    batch_kept = new_docs.join(
+        clustered.filter(F.col("is_canonical") == 1).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    sh = _hashed_shingles(batch_kept, id_col, text_col, n, hash_fn=hash_fn)
+    if max_doc_freq is not None:
+        sh = _cap_hot_shingles(sh, max_doc_freq)
+    signed = _minhash_signed(sh, num_hashes).select("doc", "sig")
+
+    if seen_signatures is None:
+        # nothing to screen against: every in-batch canonical survives;
+        # docs too short to sign simply carry no history row
+        return batch_kept, signed
+
+    hist = seen_signatures.select(
+        F.col("doc").alias("hdoc"), F.col("sig").alias("hsig")
+    )
+    banded_new = _banded_keys(signed, bands, rows_per_band, hash_fn)
+    banded_hist = _banded_keys(
+        hist.select(F.col("hdoc").alias("doc"), F.col("hsig").alias("sig")),
+        bands,
+        rows_per_band,
+        hash_fn,
+    ).select(F.col("doc").alias("hdoc"), "band", "bhash")
+    cand = (
+        banded_new.join(banded_hist, ["band", "bhash"])
+        .select("doc", "hdoc")
+        .distinct()
+    )
+    est = (
+        cand.join(signed, "doc")
+        .join(hist, "hdoc")
+        .select(
+            "doc",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig"), F.col("hsig"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_j"),
+        )
+    )
+    dup_ids = (
+        est.filter(F.col("est_j") >= F.lit(float(threshold)))
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    kept = batch_kept.join(dup_ids, id_col, "left_anti")
+    fresh_sigs = signed.join(
+        dup_ids.select(F.col(id_col).alias("doc")), "doc", "left_anti"
+    )
+    return kept, seen_signatures.unionByName(fresh_sigs)

@@ -429,3 +429,88 @@ def test_exact_dedup_incremental_mixed_batches(spark):
     # 10 repeats 'alpha'; 11/12 collapse (case-normalized) keeping 11
     assert sorted(r["doc_id"] for r in k2.collect()) == [11, 13]
     assert h2.count() == 4  # alpha beta gamma delta
+
+
+def test_minhash_dedup_incremental(spark):
+    """Fuzzy incremental dedup: near-matches of HISTORY content are
+    dropped via the signature store alone (no shingle state), fresh
+    content survives, and the store grows by kept signatures only."""
+    from globalweather_etl_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "while the patient heron watches from the tall reeds every morning"
+    )
+    other = (
+        "completely different prose about distributed shuffle hash joins "
+        "and adaptive query execution planning for very large clusters"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("every morning", "each evening")),  # in-batch near-dup
+            (3, other),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    k1, h1 = minhash_dedup_incremental(
+        b1, None, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    kept1 = sorted(r["doc_id"] for r in k1.collect())
+    assert kept1 == [1, 3, 4]  # 2 collapsed into 1 in-batch; short doc kept
+    assert sorted(r["doc"] for r in h1.collect()) == [1, 3]  # no sig for doc 4
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("quick", "rapid")),  # near-match of history doc 1
+            (11, "entirely novel content about parquet footer statistics "
+                 "pruning row groups with zone maps and bloom filters"),
+            (12, "short again"),
+        ],
+        "doc_id long, text string",
+    )
+    k2, h2 = minhash_dedup_incremental(
+        b2, h1, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    kept2 = sorted(r["doc_id"] for r in k2.collect())
+    assert kept2 == [11, 12]
+    assert sorted(r["doc"] for r in h2.collect()) == [1, 3, 11]
+
+    # determinism
+    k2b, _ = minhash_dedup_incremental(
+        b2, h1, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    assert sorted(map(tuple, k2.collect())) == sorted(map(tuple, k2b.collect()))
+
+
+def test_minhash_incremental_estimator_matches_python(spark):
+    """The est_J gate equals the component-agreement fraction computed
+    outside Spark for a known pair."""
+    from globalweather_etl_spark.operators.dedup import (
+        _hashed_shingles,
+        _minhash_signed,
+        minhash_dedup_incremental,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in _minhash_signed(
+            _hashed_shingles(df, "doc_id", "text", 3), 32
+        ).collect()
+    }
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 32.0
+
+    hist_df = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    _, h = minhash_dedup_incremental(hist_df, None, "doc_id", "text", n=3)
+    probe = spark.createDataFrame([(2, b)], "doc_id long, text string")
+    for thr, expect_kept in [(agree + 0.01, True), (agree - 0.01, False)]:
+        k, _ = minhash_dedup_incremental(
+            probe, h, "doc_id", "text", n=3, threshold=thr
+        )
+        assert (k.count() == 1) == expect_kept
