@@ -17,6 +17,7 @@ from globalweather_etl_spark.streaming.jobs import (
     enriched_country_counts,
     run_daily_event_metrics,
     run_incremental_dedup,
+    run_incremental_neardedup,
 )
 from globalweather_etl_spark.streaming.sources import (
     EVENTS_SCHEMA,
@@ -45,6 +46,7 @@ __all__ = [
     "jsonl_stream_from_dir",
     "run_daily_event_metrics",
     "run_incremental_dedup",
+    "run_incremental_neardedup",
     "running_user_totals",
     "streaming_dedup",
     "session_stats",

@@ -281,3 +281,83 @@ def run_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_incremental_neardedup(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dedup: the fuzzy sibling of
+    ``run_incremental_dedup``. Each micro-batch is near-deduped
+    in-batch (MinHash-LSH -> components -> min-id canonical) and then
+    screened against the persistent SIGNATURE store
+    (``operators.dedup.minhash_dedup_incremental``), so a document
+    near-matching anything kept in any earlier batch or run is
+    dropped.
+
+    State (replay-safe, all next to the output):
+    - ``_state/signatures`` — append-only parquet of (doc, sig) for
+      every kept document, O(new) written per batch (~256 B/doc at 32
+      hashes); replayed batches re-append their own rows, which is
+      harmless — duplicate signature rows only create duplicate
+      candidate probes against the same content.
+    - ``neardeduped/ingest_batch=<id>`` — kept documents, per-batch
+      overwrite: idempotent under replay.
+
+    The screen inherits the MinHash estimator's variance (module
+    docstring of minhash_dedup_incremental): borderline-similarity
+    pairs near the threshold gate probabilistically but
+    DETERMINISTICALLY (signatures are seeded hashes — the same pair
+    always gates the same way).
+    """
+    from globalweather_etl_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    sig_dir = os.path.join(out_dir, "_state/signatures")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        history = _read_if_exists(s, sig_dir)
+        kept, _ = minhash_dedup_incremental(
+            batch, history, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+            max_doc_freq=max_doc_freq,
+        )
+        out_batch = os.path.join(out_dir, f"neardeduped/ingest_batch={batch_id}")
+        kept.write.mode("overwrite").parquet(out_batch)
+        # state derives from the landed batch (no read-while-append on
+        # the signature dir, no recompute of the screen's lineage)
+        landed = s.read.parquet(out_batch)
+        fresh_sigs = _signatures_of(landed, id_col, text_col, n,
+                                    num_hashes, max_doc_freq)
+        fresh_sigs.write.mode("append").parquet(sig_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints/neardedup"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _signatures_of(docs, id_col, text_col, n, num_hashes, max_doc_freq):
+    from globalweather_etl_spark.operators.dedup import (
+        _cap_hot_shingles,
+        _hashed_shingles,
+        _minhash_signed,
+    )
+
+    sh = _hashed_shingles(docs, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = _cap_hot_shingles(sh, max_doc_freq)
+    return _minhash_signed(sh, num_hashes).select("doc", "sig")

@@ -335,3 +335,59 @@ def test_incremental_dedup_stream_matches_global(spark, tmp_path):
     assert contents() == want
     # each distinct content exactly once — no duplicates ever emitted
     assert len(set(contents())) == len(contents())
+
+
+def test_incremental_neardedup_stream(spark, tmp_path):
+    """Near-matches of earlier micro-batches' content are dropped by
+    the streaming fuzzy screen across two runs sharing state."""
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.streaming import (
+        jsonl_stream_from_dir,
+        run_incremental_neardedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "while the patient heron watches from the tall reeds every morning"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+
+    mk([(1, base), (2, "totally different words about adaptive query "
+                       "execution and shuffle partition coalescing")]).coalesce(
+        1
+    ).write.mode("append").json(landing)
+    mk([(10, base.replace("every morning", "each evening")),  # near-dup of 1
+        (11, "fresh novel content mentioning parquet zone maps and "
+             "row group pruning statistics")]).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    run_incremental_neardedup(
+        jsonl_stream_from_dir(spark, landing, schema, max_files_per_trigger=1),
+        out, n=3, num_hashes=32, bands=16, threshold=0.5,
+    ).awaitTermination(120)
+
+    def kept_ids():
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(out + "/neardeduped").collect()
+        )
+
+    assert kept_ids() == [1, 2, 11]
+
+    # run 2 over the same state: another near-match + one new doc
+    mk([(20, base.replace("quick", "rapid")),
+        (21, "yet another unseen document about broadcast hash join "
+             "thresholds and skew salting strategies")]).coalesce(
+        1
+    ).write.mode("append").json(landing)
+    run_incremental_neardedup(
+        jsonl_stream_from_dir(spark, landing, schema, max_files_per_trigger=1),
+        out, n=3, num_hashes=32, bands=16, threshold=0.5,
+    ).awaitTermination(120)
+    assert kept_ids() == [1, 2, 11, 21]
