@@ -82,3 +82,31 @@ def test_errors(spark, blobs):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         fit_kmeans(empty, 2)
+
+
+def test_cluster_balanced_cap_composition(spark):
+    """Cluster-balanced sampling: fit_kmeans -> assign_clusters ->
+    cap_per_group on cluster_id caps every topic at n docs — the
+    SemDeDup-adjacent curation move the clustering API exists for."""
+    from globalweather_etl_spark.operators.sampling import cap_per_group
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = fit_kmeans(emb, 8, iters=2)
+    assigned = assign_clusters(emb, cents)
+    capped = cap_per_group(
+        assigned, F.col("cluster_id"), F.col("vec_id"), 10
+    )
+    per = {r["key"] for r in capped.collect()}
+    sizes = {r["cluster_id"]: r["n"] for r in cluster_sizes(assigned).collect()}
+    kept_per_cluster = (
+        assigned.join(
+            spark.createDataFrame([(k,) for k in per], "vec_id long"),
+            "vec_id",
+            "left_semi",
+        )
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    for r in kept_per_cluster:
+        assert r["count"] == min(10, sizes[r["cluster_id"]])
