@@ -88,6 +88,10 @@ from globalweather_etl_spark.operators.similarity import (
     lsh_signature_multi,
 )
 from globalweather_etl_spark.operators.skew import salted_join
+from globalweather_etl_spark.operators.span_dedup import (
+    duplicate_span_starts,
+    remove_duplicate_spans,
+)
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
@@ -147,6 +151,8 @@ __all__ = [
     "materialize_sequences",
     "ngram_containment_pairs",
     "ngram_overlap_pairs",
+    "duplicate_span_starts",
+    "remove_duplicate_spans",
     "quantile_keep_flag",
     "ngram_jaccard_pairs",
     "salted_join",

@@ -719,6 +719,58 @@ bf AS (
                       1, 15) AS BIGINT)) % 1024 AS p
               FROM bf_fp, unnest([0,1,2,3,4]) AS t(i)))
   LEFT JOIN bf_words USING (word_idx) GROUP BY doc_id),
+sp_docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 = 0
+         THEN text || ' this syndicated boilerplate passage is repeated verbatim across many documents of the crawl corpus'
+         ELSE text END AS text
+  FROM documents),
+sp_toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM sp_docs),
+       unnest(generate_series(1, len(t))) AS g(i)
+  WHERE t[i] <> ''),
+sp_wins AS (
+  SELECT doc_id, i - 1 AS p,
+         CAST('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15)
+           AS BIGINT) AS gh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM sp_docs),
+       unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8),
+sp_dup AS (
+  SELECT gh, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, gh FROM sp_wins)
+  GROUP BY gh HAVING count(*) >= 2),
+sp_marks AS (
+  SELECT DISTINCT w.doc_id, w.p
+  FROM sp_wins w JOIN sp_dup USING (gh)
+  WHERE w.doc_id <> sp_dup.keeper),
+sp_flag AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         EXISTS (SELECT 1 FROM sp_marks m
+                 WHERE m.doc_id = t.doc_id
+                   AND m.p <= t.pos AND t.pos < m.p + 8) AS rm
+  FROM sp_toks t),
+sp_spans AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM sp_marks)
+  WHERE prev IS NULL OR p > prev + 7
+  GROUP BY doc_id),
+sp AS (
+  SELECT d.doc_id,
+    md5(coalesce((SELECT string_agg(tok, ' ' ORDER BY pos)
+                  FROM sp_flag f
+                  WHERE f.doc_id = d.doc_id AND NOT f.rm), ''))
+      AS span_clean_md5,
+    coalesce((SELECT count(*) FROM sp_flag f
+              WHERE f.doc_id = d.doc_id AND f.rm), 0)::BIGINT
+      AS span_tokens_removed,
+    coalesce(sp_spans.n_spans, 0)::BIGINT AS span_n_spans
+  FROM sp_docs d LEFT JOIN sp_spans USING (doc_id)),
 dcap AS (
   SELECT doc_id,
     row_number() OVER (PARTITION BY coalesce(reg_dom_psl, '')
@@ -735,6 +787,7 @@ SELECT r.doc_id, r.lang, r.n_chars,
   ld.line_n_lines, ld.line_n_dup, ld.line_clean_md5,
   wd.within_n_lines, wd.within_n_dup, wd.within_clean_md5,
   bf.bloom_seen_maybe,
+  sp.span_clean_md5, sp.span_tokens_removed, sp.span_n_spans,
   (CASE WHEN dcap.drn <= 10 THEN dcap.drn ELSE -1 END)::BIGINT
     AS domain_rank,
   dcap.drn <= 10 AS domain_kept
@@ -742,6 +795,7 @@ FROM rd r
 JOIN ld USING (doc_id)
 JOIN wd USING (doc_id)
 JOIN bf USING (doc_id)
+JOIN sp USING (doc_id)
 JOIN dcap USING (doc_id)
 LEFT JOIN (
   SELECT min(doc_id) AS doc_id, count(*) AS dup_count, TRUE AS is_keeper

@@ -719,6 +719,40 @@ def q_docs_exact_dedup(spark, sf_dir):
         fps, "fingerprint", bloom_build(seen_fps, "fingerprint", bm, bk),
         bm, bk, "bloom_seen_maybe",
     ).select("doc_id", "bloom_seen_maybe")
+    # Round 4 (late): duplicate-SPAN removal (operators/span_dedup.py,
+    # Lee-et-al-2022-style ExactSubstr at token grain). The corpus is
+    # unique-text, so the cross-document syndicated passage is
+    # synthesized (appended to every 6th doc); the min-id host keeps
+    # its copy, every other host's span is erased. Graded as the md5
+    # of the cleaned token stream + removal accounting, oracle in
+    # lockstep (same md5 window hashing).
+    from globalweather_etl_spark.operators.span_dedup import (
+        remove_duplicate_spans,
+    )
+
+    syndicated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " this syndicated boilerplate passage is repeated "
+                    "verbatim across many documents of the crawl corpus"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = remove_duplicate_spans(
+        syndicated, "doc_id", "text", k=8, hash_fn="md5"
+    ).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("span_clean_md5"),
+        "span_tokens_removed",
+        "span_n_spans",
+    )
     capped = cap_per_group(
         with_psl,
         F.coalesce("reg_domain_psl", F.lit("")),
@@ -733,6 +767,7 @@ def q_docs_exact_dedup(spark, sf_dir):
         .join(lined, "doc_id")
         .join(within, "doc_id")
         .join(bloomed, "doc_id")
+        .join(spans, "doc_id")
         .join(capped, "doc_id", "left")
         .select(
             "doc_id",
@@ -753,6 +788,9 @@ def q_docs_exact_dedup(spark, sf_dir):
             "within_n_dup",
             "within_clean_md5",
             "bloom_seen_maybe",
+            "span_clean_md5",
+            "span_tokens_removed",
+            "span_n_spans",
             F.coalesce("domain_rank", F.lit(-1).cast("long"))
             .alias("domain_rank"),
             F.col("domain_rank").isNotNull().alias("domain_kept"),
