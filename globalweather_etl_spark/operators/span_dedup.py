@@ -80,12 +80,23 @@ def duplicate_span_starts(
     k: int = 16,
     min_doc_freq: int = 2,
     hash_fn: str = "xxhash64",
+    cache_index: bool = True,
 ) -> DataFrame:
     """(doc, p) marks: 0-based token positions whose k-window is a
     duplicate this document does NOT keep (the min-id document per
     duplicated window keeps its copy). The building block —
-    ``remove_duplicate_spans`` erases them; audits can count them."""
+    ``remove_duplicate_spans`` erases them; audits can count them.
+
+    ``cache_index`` persists the window-fingerprint index (memory,
+    spilling to disk): it feeds two plan branches (the doc-frequency/
+    keeper aggregate and the mark join), which would otherwise re-scan
+    and re-fingerprint the corpus — the same trade ngram_jaccard_pairs
+    makes for its inverted index."""
     wk = _window_keys(docs, id_col, text_col, k, hash_fn)
+    if cache_index:
+        from pyspark import StorageLevel
+
+        wk = wk.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         wk.select("doc", "gh")
         .distinct()
@@ -113,6 +124,7 @@ def remove_duplicate_spans(
     min_doc_freq: int = 2,
     hash_fn: str = "xxhash64",
     out_col: str | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """The corpus with duplicated spans erased: input columns with
     ``text_col`` replaced (or written to ``out_col``) by the surviving
@@ -122,7 +134,9 @@ def remove_duplicate_spans(
     keep their token stream (whitespace-normalized) and zero counts.
     """
     out_col = out_col or text_col
-    marks = duplicate_span_starts(docs, id_col, text_col, k, min_doc_freq, hash_fn)
+    marks = duplicate_span_starts(
+        docs, id_col, text_col, k, min_doc_freq, hash_fn, cache_index
+    )
     per_doc = marks.groupBy("doc").agg(
         F.array_sort(F.collect_list("p")).alias("starts")
     )
