@@ -29,6 +29,7 @@ from globalweather_etl_spark.operators.components import (
     connected_components,
     neardup_clusters,
 )
+from globalweather_etl_spark.operators.funnel import funnel
 from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
@@ -140,6 +141,7 @@ __all__ = [
     "assign_clusters",
     "cluster_sizes",
     "fit_kmeans",
+    "funnel",
     "bucketed_quantile_threshold",
     "cap_per_group",
     "dedup_lines",

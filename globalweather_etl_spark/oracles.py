@@ -396,12 +396,45 @@ WITH flagged AS (
 sessions AS (
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged)
-SELECT user_id, min(ts) AS session_start,
-  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  FROM flagged),
+fm1 AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1),
+fm2 AS (
+  SELECT e.user_id, e.ts, e.event_id
+  FROM events e JOIN fm1 ON fm1.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND (e.ts > fm1.ts OR (e.ts = fm1.ts AND e.event_id > fm1.event_id))
+  QUALIFY row_number() OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts, e.event_id) = 1),
+fm3 AS (
+  SELECT e.user_id, e.ts, e.event_id
+  FROM events e JOIN fm2 ON fm2.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND (e.ts > fm2.ts OR (e.ts = fm2.ts AND e.event_id > fm2.event_id))
+  QUALIFY row_number() OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts, e.event_id) = 1),
+fun AS (
+  SELECT u.user_id,
+    (CASE WHEN fm1.ts IS NULL THEN 0
+          WHEN fm2.ts IS NULL THEN 1
+          WHEN fm3.ts IS NULL THEN 2 ELSE 3 END)::INTEGER AS funnel_steps,
+    fm1.ts IS NOT NULL AND fm2.ts IS NOT NULL AND fm3.ts IS NOT NULL
+      AS funnel_converted,
+    fm1.ts AS funnel_t_first
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN fm1 USING (user_id)
+  LEFT JOIN fm2 USING (user_id)
+  LEFT JOIN fm3 USING (user_id))
+SELECT user_id, min(s.ts) AS session_start,
+  max(s.ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value,
-  CAST(session_id AS BIGINT) AS session_seq
-FROM sessions GROUP BY user_id, session_id""",
+  CAST(session_id AS BIGINT) AS session_seq,
+  any_value(fun.funnel_steps) AS funnel_steps,
+  any_value(fun.funnel_converted) AS funnel_converted,
+  any_value(fun.funnel_t_first) AS funnel_t_first
+FROM sessions s JOIN fun USING (user_id)
+GROUP BY user_id, session_id""",
 }
 
 # ------------------------------------------------- multimodal columns

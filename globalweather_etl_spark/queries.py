@@ -497,6 +497,7 @@ def q_events_session_30m(spark, sf_dir):
     mutual consistency in one result: every session_window session must
     line up 1:1 with a sessionize island (same user, same first-event
     time), or the inner join drops rows and the count diverges."""
+    from globalweather_etl_spark.operators.funnel import funnel
     from globalweather_etl_spark.operators.sessionize import sessionize
 
     events = load_table(spark, sf_dir, "events")
@@ -511,7 +512,26 @@ def q_events_session_30m(spark, sf_dir):
             "session_start",
         )
     )
-    return stats.join(ords, ["user_id", "session_start"], "inner")
+    # Round 4 (late): the per-user funnel (operators/funnel.py,
+    # greedy-earliest signup -> click -> purchase) rides along on every
+    # session row — the oracle recomputes the greedy match with
+    # chained earliest-after subqueries.
+    fun = funnel(events, ["signup", "click", "purchase"]).select(
+        "user_id",
+        F.col("steps_reached").alias("funnel_steps"),
+        F.col("converted").alias("funnel_converted"),
+        F.col("t_first").alias("funnel_t_first"),
+    )
+    return (
+        stats.join(ords, ["user_id", "session_start"], "inner")
+        .join(fun, "user_id", "left")
+        .withColumn(
+            "funnel_steps", F.coalesce("funnel_steps", F.lit(0).cast("int"))
+        )
+        .withColumn(
+            "funnel_converted", F.coalesce("funnel_converted", F.lit(False))
+        )
+    )
 
 
 def q_events_asof_last_signup(spark, sf_dir):
