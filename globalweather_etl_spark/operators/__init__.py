@@ -66,6 +66,7 @@ from globalweather_etl_spark.operators.quantize import (
     quantize_embeddings,
 )
 from globalweather_etl_spark.operators.repetition import top_ngram_stats
+from globalweather_etl_spark.operators.retention import retention_cohorts
 from globalweather_etl_spark.operators.resample import resample_last
 from globalweather_etl_spark.operators.sampling import (
     cap_per_group,
@@ -119,6 +120,7 @@ __all__ = [
     "pack_by_budget",
     "quantize_embeddings",
     "resample_last",
+    "retention_cohorts",
     "rrf_fuse",
     "shuffle_deterministic",
     "cosine_topk",
