@@ -99,7 +99,6 @@ def main() -> None:
                 "tpch_surrogate_key",
                 "events_tumbling_daily",
                 "events_sliding_day_12h",
-                "events_session_30m",
                 "docs_ngram_jaccard",
                 "docs_minhash_lsh",
                 "docs_simhash",
@@ -286,6 +285,35 @@ def main() -> None:
                 ).write.format("noop").mode("overwrite").save()
 
             timed("lm_perplexity", lm_all)
+
+            # events_session_30m keeps its round-stable (pre-funnel)
+            # form; the event-analytics pair gets its own key.
+            from globalweather_etl_spark.operators.funnel import funnel
+            from globalweather_etl_spark.operators.retention import (
+                retention_cohorts,
+            )
+            from globalweather_etl_spark.queries import q_events_session_30m
+
+            timed(
+                "events_session_30m",
+                lambda: q_events_session_30m(
+                    spark, sf_dir, include_funnel=False
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+            def analytics_all():
+                ev = load_table(spark, sf_dir, "events")
+                funnel(ev, ["signup", "click", "purchase"]).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                retention_cohorts(ev, period="week").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            timed("funnel_retention", analytics_all)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 

@@ -489,7 +489,7 @@ def q_events_sliding_day_12h(spark, sf_dir):
     return sliding_stats(load_table(spark, sf_dir, "events"), "1 day", "12 hours")
 
 
-def q_events_session_30m(spark, sf_dir):
+def q_events_session_30m(spark, sf_dir, include_funnel: bool = True):
     """Per-session aggregates from Spark's native session_window
     (streaming-incremental form), joined with the per-key session
     ORDINAL from the gaps-and-islands assignment operator
@@ -515,7 +515,12 @@ def q_events_session_30m(spark, sf_dir):
     # Round 4 (late): the per-user funnel (operators/funnel.py,
     # greedy-earliest signup -> click -> purchase) rides along on every
     # session row — the oracle recomputes the greedy match with
-    # chained earliest-after subqueries.
+    # chained earliest-after subqueries. include_funnel=False is the
+    # bench's round-stable pre-funnel workload (same split as
+    # q_docs_text_metrics' include_lm).
+    base_sessions = stats.join(ords, ["user_id", "session_start"], "inner")
+    if not include_funnel:
+        return base_sessions
     fun = funnel(events, ["signup", "click", "purchase"]).select(
         "user_id",
         F.col("steps_reached").alias("funnel_steps"),
@@ -523,8 +528,7 @@ def q_events_session_30m(spark, sf_dir):
         F.col("t_first").alias("funnel_t_first"),
     )
     return (
-        stats.join(ords, ["user_id", "session_start"], "inner")
-        .join(fun, "user_id", "left")
+        base_sessions.join(fun, "user_id", "left")
         .withColumn(
             "funnel_steps", F.coalesce("funnel_steps", F.lit(0).cast("int"))
         )
