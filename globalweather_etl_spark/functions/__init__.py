@@ -12,6 +12,7 @@ from globalweather_etl_spark.functions.dates import (
     weekiso,
 )
 from globalweather_etl_spark.functions.urls import (
+    filter_domains,
     registered_domain,
     url_host,
     url_normalize,
@@ -20,6 +21,7 @@ from globalweather_etl_spark.functions.weather import precip_type, weather_band
 
 __all__ = [
     "date_parts",
+    "filter_domains",
     "dayofweek_iso",
     "weekiso",
     "precip_type",

@@ -199,3 +199,50 @@ def registered_domain(host: Column) -> Column:
         .when(F.array_contains(suffix_set, last2) & (n >= 3), last3)
         .otherwise(last2)
     )
+
+
+def filter_domains(
+    df,
+    url_col: str,
+    domains,
+    mode: str = "block",
+    suffixes=None,
+):
+    """Domain allow/block filtering — the crawl-pipeline gate that sits
+    in front of every other curation stage (licensing blocklists,
+    curated-source allowlists, spam domains).
+
+    ``domains`` is a 1-column DataFrame ('domain') or an iterable of
+    strings, matched case-insensitively against the PSL-derived
+    REGISTRABLE domain of each row's URL (so 'example.co.uk' covers
+    every subdomain of it). mode='block' drops matching rows;
+    mode='allow' keeps ONLY matching rows. Rows whose URL yields no
+    host (non-URLs, NULLs) are kept under 'block' (nothing matched)
+    and dropped under 'allow' (nothing matched).
+
+    Scale shape: registrable-domain derivation is the broadcast
+    suffix-table probe of registered_domain_join (corpus never
+    shuffles); the list membership test is a broadcast LEFT SEMI/ANTI
+    join on the domain — block/allow lists are list-sized by
+    definition. Helper columns are dropped; the output schema equals
+    the input schema.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    spark = df.sparkSession
+    if not hasattr(domains, "columns"):
+        domains = spark.createDataFrame(
+            [(d,) for d in domains], "domain string"
+        )
+    if suffixes is None:
+        suffixes = suffix_table(spark)
+    tagged = df.withColumn("__fd_host", url_host(F.col(url_col)))
+    tagged = registered_domain_join(
+        tagged, "__fd_host", suffixes, out_col="__fd_domain"
+    )
+    dlist = F.broadcast(
+        domains.select(F.lower(F.col("domain")).alias("__fd_domain")).distinct()
+    )
+    how = "left_anti" if mode == "block" else "left_semi"
+    kept = tagged.join(dlist, "__fd_domain", how)
+    return kept.drop("__fd_host", "__fd_domain")

@@ -133,3 +133,38 @@ def test_suffix_table_from_psl_format_file(spark, tmp_path):
     df = spark.createDataFrame([("shop.tokyo.co.jp",)], "host string")
     out = registered_domain_join(df, "host", sfx).collect()
     assert out[0]["registered_domain"] == "tokyo.co.jp"
+
+
+def test_filter_domains_block_and_allow(spark):
+    from globalweather_etl_spark.functions.urls import filter_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.spam.Example.CO.UK/page"),  # sub of blocked
+            (2, "http://spam.example.co.uk/x"),
+            (3, "https://good.example.org/y"),
+            (4, "http://192.168.0.1/z"),  # IP host
+            (5, "not a url at all"),
+            (6, None),
+        ],
+        "doc_id long, url string",
+    )
+    block = ["Example.co.uk"]
+
+    blocked = filter_domains(docs, "url", block, mode="block")
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [3, 4, 5, 6]
+    assert blocked.columns == docs.columns  # helper cols dropped
+
+    allowed = filter_domains(docs, "url", ["example.org"], mode="allow")
+    assert sorted(r["doc_id"] for r in allowed.collect()) == [3]
+
+    # DataFrame-valued list and IP matching
+    ips = spark.createDataFrame([("192.168.0.1",)], "domain string")
+    assert sorted(
+        r["doc_id"] for r in filter_domains(docs, "url", ips, mode="block").collect()
+    ) == [1, 2, 3, 5, 6]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        filter_domains(docs, "url", block, mode="deny")
