@@ -117,10 +117,61 @@ PIPELINE_ORACLES: dict[str, str] = {
     "'Frostbyte' AS DATASET_NAME, 'Snowflake Marketplace' AS INGEST_METHOD",
     "pipeline_fact": WEATHER_PROLOGUE + "SELECT * FROM fact",
     "pipeline_validation": WEATHER_PROLOGUE
-    + """SELECT 'NULL_FK_COUNT' AS metric, CAST(count(*) AS DOUBLE) AS value
+    + """, exp AS (
+  SELECT
+    CAST(count(*) AS DOUBLE) AS row_count,
+    CAST(count(*) FILTER (WHERE DATE_KEY IS NULL) AS DOUBLE) AS nn_date,
+    CAST(count(*) FILTER (WHERE LOCATION_KEY IS NULL) AS DOUBLE) AS nn_loc,
+    CAST(count(*) FILTER (WHERE DATE_KEY IS NOT NULL
+                            AND LOCATION_KEY IS NOT NULL
+                            AND SOURCE_KEY IS NOT NULL) AS DOUBLE)
+      - (SELECT count(*) FROM (SELECT DISTINCT DATE_KEY, LOCATION_KEY,
+                                 SOURCE_KEY FROM fact
+                               WHERE DATE_KEY IS NOT NULL
+                                 AND LOCATION_KEY IS NOT NULL
+                                 AND SOURCE_KEY IS NOT NULL))
+      AS uniq,
+    CAST(count(*) FILTER (WHERE AVG_TEMP_F IS NOT NULL
+                            AND AVG_TEMP_F NOT BETWEEN -90 AND 140) AS DOUBLE)
+      AS rng,
+    CAST(count(*) FILTER (WHERE WEATHER_BAND IS NOT NULL AND WEATHER_BAND
+      NOT IN ('Freezing','Cold','Mild','Warm','Hot')) AS DOUBLE) AS inset,
+    CAST(count(*) FILTER (WHERE WEATHER_BAND IS NOT NULL
+      AND NOT regexp_matches(WEATHER_BAND, '^[A-Z][a-z]+$')) AS DOUBLE)
+      AS remiss,
+    CAST(count(PRECIPITATION_IN) AS DOUBLE) / count(*) AS compl,
+    CAST(count(*) FILTER (WHERE DATE_KEY IS NOT NULL AND DATE_KEY
+      NOT IN (SELECT DATE_KEY FROM dim_date)) AS DOUBLE) AS fk_date,
+    CAST(count(*) FILTER (WHERE WEATHER_BAND IS NOT NULL AND WEATHER_BAND
+      NOT IN (SELECT WEATHER_BAND FROM dim_weather_band)) AS DOUBLE) AS fk_wb
+  FROM fact
+)
+SELECT 'NULL_FK_COUNT' AS metric, CAST(count(*) AS DOUBLE) AS value
   FROM fact WHERE LOCATION_KEY IS NULL OR DATE_KEY IS NULL
 UNION ALL SELECT 'MIN_TEMP_F', CAST(min(AVG_TEMP_F) AS DOUBLE) FROM fact
-UNION ALL SELECT 'MAX_TEMP_F', CAST(max(AVG_TEMP_F) AS DOUBLE) FROM fact""",
+UNION ALL SELECT 'MAX_TEMP_F', CAST(max(AVG_TEMP_F) AS DOUBLE) FROM fact
+UNION ALL SELECT 'exp__row_count', row_count FROM exp
+UNION ALL SELECT 'exp__row_count__ok', CAST(row_count >= 1 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__not_null__DATE_KEY', nn_date FROM exp
+UNION ALL SELECT 'exp__not_null__DATE_KEY__ok', CAST(nn_date = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__not_null__LOCATION_KEY', nn_loc FROM exp
+UNION ALL SELECT 'exp__not_null__LOCATION_KEY__ok', CAST(nn_loc = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__unique__DATE_KEY_LOCATION_KEY_SOURCE_KEY', uniq FROM exp
+UNION ALL SELECT 'exp__unique__DATE_KEY_LOCATION_KEY_SOURCE_KEY__ok',
+  CAST(uniq = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__between__AVG_TEMP_F', rng FROM exp
+UNION ALL SELECT 'exp__between__AVG_TEMP_F__ok', CAST(rng = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__in_set__WEATHER_BAND', inset FROM exp
+UNION ALL SELECT 'exp__in_set__WEATHER_BAND__ok', CAST(inset = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__matches__WEATHER_BAND', remiss FROM exp
+UNION ALL SELECT 'exp__matches__WEATHER_BAND__ok', CAST(remiss = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__completeness__PRECIPITATION_IN', compl FROM exp
+UNION ALL SELECT 'exp__completeness__PRECIPITATION_IN__ok',
+  CAST(compl >= 0.9 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__fk__DATE_KEY', fk_date FROM exp
+UNION ALL SELECT 'exp__fk__DATE_KEY__ok', CAST(fk_date = 0 AS DOUBLE) FROM exp
+UNION ALL SELECT 'exp__fk__WEATHER_BAND', fk_wb FROM exp
+UNION ALL SELECT 'exp__fk__WEATHER_BAND__ok', CAST(fk_wb = 0 AS DOUBLE) FROM exp""",
     "pipeline_normalized_weather_day": WEATHER_PROLOGUE
     + """SELECT DATE_VALID_STD, POSTAL_CODE, AVG_TEMPERATURE_AIR_2M_F,
     MIN_TEMPERATURE_AIR_2M_F, MAX_TEMPERATURE_AIR_2M_F,

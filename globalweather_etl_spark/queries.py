@@ -111,8 +111,21 @@ def q_pipeline_validation(spark, sf_dir):
     """Both reference validation queries (ETL:177-187) as one
     (metric, value) result: the NULL-FK count (must be 0) and the
     AVG_TEMP_F range. Merged so both A6/P3 checks fit one driver slot
-    (the grading driver caps the registry at 50 queries)."""
-    fact = _warehouse(spark, sf_dir).fact
+    (the grading driver caps the registry at 50 queries).
+
+    Round 5 also grades the declarative expectations engine here
+    (operators/expectations.py — the reference's ad-hoc validation
+    generalized Deequ-style): a suite over the fact table — row bound,
+    NULL checks, key uniqueness, temp range, band membership/regex,
+    completeness, and TWO broadcast-probe referential-integrity checks
+    (DATE_KEY -> dim_date, WEATHER_BAND -> dim_weather_band) — all
+    compiled into ONE aggregate scan, emitted as exp__<name> metric
+    rows plus exp__<name>__ok verdict rows.  The oracle recomputes
+    every metric and verdict over the same fact CTE."""
+    from globalweather_etl_spark.operators import expectations as ex
+
+    wh = _warehouse(spark, sf_dir)
+    fact = wh.fact
     null_fk = pl.validate_null_fk(fact).select(
         F.lit("NULL_FK_COUNT").alias("metric"),
         F.col("NULL_FK_COUNT").cast("double").alias("value"),
@@ -131,7 +144,45 @@ def q_pipeline_validation(spark, sf_dir):
             )
         ).alias("kv")
     ).select("kv.metric", "kv.value")
-    return null_fk.unionAll(rng)
+    suite = ex.ExpectationSuite(
+        [
+            ex.expect_row_count(min_rows=1),
+            ex.expect_not_null("DATE_KEY"),
+            ex.expect_not_null("LOCATION_KEY"),
+            ex.expect_unique(["DATE_KEY", "LOCATION_KEY", "SOURCE_KEY"]),
+            ex.expect_between("AVG_TEMP_F", -90.0, 140.0),
+            ex.expect_in_set(
+                "WEATHER_BAND", ["Freezing", "Cold", "Mild", "Warm", "Hot"]
+            ),
+            ex.expect_matches("WEATHER_BAND", "^[A-Z][a-z]+$"),
+            ex.expect_completeness("PRECIPITATION_IN", 0.9),
+            ex.expect_fk("DATE_KEY", wh.dim_date, "DATE_KEY"),
+            ex.expect_fk("WEATHER_BAND", wh.dim_weather_band, "WEATHER_BAND"),
+        ]
+    )
+    exp_rows = (
+        suite.run(fact)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("exp__"), F.col("metric")).alias(
+                            "metric"
+                        ),
+                        F.col("value").alias("value"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("exp__"), F.col("metric"), F.lit("__ok")
+                        ).alias("metric"),
+                        F.col("passed").cast("double").alias("value"),
+                    ),
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.value")
+    )
+    return null_fk.unionAll(rng).unionAll(exp_rows)
 
 
 def q_pipeline_normalized_weather_day(spark, sf_dir):
