@@ -337,11 +337,42 @@ _EXACT_VALUE_SUM = (
 WINDOW_ORACLES: dict[str, str] = {
     # Spark's window(ts, '1 day') aligns to the 1970 epoch in the UTC
     # session timezone; epoch_us floor-division reproduces it exactly.
+    # Round 5: the base windows joined with the day-grain retention
+    # triangle (operators/retention.py) reshaped onto the same day
+    # spine — cohort born that day + day-1/day-7 comeback.
     "events_tumbling_daily": f"""
-SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
-    AS window_start,
-  event_type, count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value
-FROM events GROUP BY 1, 2""",
+WITH base AS (
+  SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+      AS window_start,
+    event_type, count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value
+  FROM events GROUP BY 1, 2),
+activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS period FROM events),
+cohorts AS (SELECT u, min(period) AS cohort FROM activity GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM cohorts GROUP BY cohort),
+act AS (
+  SELECT c.cohort, datediff('day', c.cohort, a.period) AS off,
+         count(*) AS n_active
+  FROM activity a JOIN cohorts c USING (u) GROUP BY 1, 2),
+daily AS (
+  SELECT s.cohort,
+    CAST(max(s.n_cohort) AS BIGINT) AS cohort_size,
+    CAST(coalesce(max(CASE WHEN a.off = 1 THEN a.n_active END), 0) AS BIGINT)
+      AS ret_d1_active,
+    CAST(coalesce(max(CASE WHEN a.off = 7 THEN a.n_active END), 0) AS BIGINT)
+      AS ret_d7_active
+  FROM sizes s LEFT JOIN act a USING (cohort) GROUP BY s.cohort)
+SELECT b.window_start, b.event_type, b.n_events, b.total_value,
+  CAST(coalesce(d.cohort_size, 0) AS BIGINT) AS cohort_size,
+  CAST(coalesce(d.ret_d1_active, 0) AS BIGINT) AS ret_d1_active,
+  CAST(coalesce(d.ret_d7_active, 0) AS BIGINT) AS ret_d7_active,
+  CASE WHEN coalesce(d.cohort_size, 0) > 0
+       THEN CAST(d.ret_d1_active AS DOUBLE) / d.cohort_size
+       ELSE 0.0 END AS ret_d1,
+  CASE WHEN coalesce(d.cohort_size, 0) > 0
+       THEN CAST(d.ret_d7_active AS DOUBLE) / d.cohort_size
+       ELSE 0.0 END AS ret_d7
+FROM base b LEFT JOIN daily d ON b.window_start = d.cohort""",
     # duration/slide = 2 -> each event belongs to exactly the 2
     # slide-aligned windows covering its timestamp.
     "events_sliding_day_12h": f"""

@@ -89,3 +89,32 @@ FROM active JOIN sizes USING (cohort)"""
     assert got == want
     # offset-0 rows are fully retained by construction
     assert all(v[2] == 1.0 for k, v in got.items() if k[1] == 0)
+
+
+def test_graded_day_spine_reshape(spark):
+    """The registry's day-grain reshape (q_events_tumbling_daily):
+    per-day cohort sizes partition the distinct-user population, and
+    the comeback columns agree with the raw triangle."""
+    from globalweather_etl_spark.queries import q_events_tumbling_daily
+
+    out = q_events_tumbling_daily(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    per_day = {}
+    for r in out:
+        per_day[r["window_start"]] = (
+            r["cohort_size"], r["ret_d1_active"], r["ret_d7_active"]
+        )
+        if r["cohort_size"] == 0:
+            assert r["ret_d1"] == 0.0 and r["ret_d7"] == 0.0
+        else:
+            assert r["ret_d1"] == r["ret_d1_active"] / r["cohort_size"]
+    assert sum(v[0] for v in per_day.values()) == n_users
+    tri = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(ev, period="day").collect()
+    }
+    for day, (size, d1, d7) in per_day.items():
+        if size:
+            assert tri.get((day, 1), 0) == d1
+            assert tri.get((day, 7), 0) == d7
