@@ -126,3 +126,106 @@ FROM (
                         AS BIGINT) AS h
             FROM {source})
       GROUP BY h & {m - 1}) rb USING (bucket)))"""
+
+
+# --------------------------------------------------- count-min sketch
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight: str | Column | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the value
+    stream in ``col``, as a SPARSE DataFrame ``(row, bucket, cnt)`` —
+    absent (row, bucket) cells are zero.
+
+    Portable hashing like every hash-seeded operator here: row ``i``
+    uses the first 60 bits of ``md5(i || '|' || value)``, bucket =
+    ``hash % width`` — bit-identical in DuckDB, so estimates have a
+    full cross-engine oracle (graded in `docs_approx_stats`).
+
+    Scale shape (100 TB): one projection fans each value into ``depth``
+    (row, bucket) cells map-side, then ONE hash aggregate whose key
+    space is at most depth x width cells — the O(d*w)-memory streaming
+    sketch as a two-level Spark aggregation; the sketch itself is tiny
+    and broadcastable however large the stream.  ``weight`` switches
+    from occurrence counting to weighted sums (BIGINT weights).
+
+    Mergeability (the property that makes CMS the cross-shard /
+    cross-day rollup tool): two sketches with the same (depth, width)
+    merge by unioning and re-summing — covered in tests.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    c = F.col(col) if isinstance(col, str) else col
+    w = (
+        F.lit(1).cast("long")
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight).cast(
+            "long"
+        )
+    )
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _md5_long(
+                        F.concat(
+                            F.lit(str(i)), F.lit("|"), c.cast("string")
+                        )
+                    )
+                    % F.lit(width)
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+        w.alias("w"),
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.sum("w").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch: for each row of ``queries``, the minimum
+    over the ``depth`` hash rows of the addressed cell — the classic
+    never-underestimating CMS count.  The sketch side is broadcast
+    (<= depth*width rows); the query stream never shuffles."""
+    c = F.col(col) if isinstance(col, str) else col
+    probes = queries.withColumn(
+        "__cms",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        _md5_long(
+                            F.concat(
+                                F.lit(str(i)), F.lit("|"), c.cast("string")
+                            )
+                        )
+                        % F.lit(width)
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        ),
+    )
+    exploded = probes.select(
+        *queries.columns, F.explode("__cms").alias("p")
+    ).select(*queries.columns, "p.row", "p.bucket")
+    joined = exploded.join(
+        F.broadcast(sketch), ["row", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
+    return joined.groupBy(*queries.columns).agg(
+        F.min("cnt").cast("long").alias(out_col)
+    )

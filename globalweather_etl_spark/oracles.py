@@ -1849,19 +1849,39 @@ rep AS (
     round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
       / CAST(count(*) AS DOUBLE), 9) AS exact_dup_rate
   FROM pq),
+tc AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS term
+        FROM documents) t
+  GROUP BY t.term),
 tt AS (
-  SELECT term AS top_token, CAST(c AS BIGINT) AS top_token_count
+  SELECT term AS top_token, c AS top_token_count
+  FROM tc ORDER BY c DESC, term LIMIT 1),
+cms_sk AS (
+  SELECT row, bucket, CAST(sum(c) AS BIGINT) AS cnt
   FROM (
-    SELECT t.term, count(*) AS c
-    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
-            AS term
-          FROM documents) t
-    GROUP BY t.term)
-  ORDER BY c DESC, term
-  LIMIT 1)
+    {" UNION ALL ".join(
+        "SELECT %d AS row, CAST('0x' || substring(md5('%d|' || term), 1, 15)"
+        " AS BIGINT) %% 4096 AS bucket, c FROM tc" % (i, i)
+        for i in range(4)
+    )})
+  GROUP BY row, bucket),
+cms_top AS (
+  SELECT CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_top_est
+  FROM (SELECT i AS row,
+          CAST('0x' || substring(md5(i || '|' ||
+            (SELECT top_token FROM tt)), 1, 15) AS BIGINT) % 4096 AS bucket
+        FROM (SELECT unnest(range(4)) AS i)) p
+  LEFT JOIN cms_sk s USING (row, bucket)),
+cms_mass AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS cms_row0_mass
+  FROM cms_sk WHERE row = 0)
 SELECT hll.approx_distinct_docs, q.chars_p10, q.chars_p50, q.chars_p90,
-       q.n_docs, rep.*, tt.top_token, tt.top_token_count
-FROM hll CROSS JOIN q CROSS JOIN rep CROSS JOIN tt"""
+       q.n_docs, rep.*, tt.top_token, tt.top_token_count,
+       cms_top.cms_top_est, cms_mass.cms_row0_mass
+FROM hll CROSS JOIN q CROSS JOIN rep CROSS JOIN tt
+  CROSS JOIN cms_top CROSS JOIN cms_mass"""
 
 
 EXT_ORACLES["docs_approx_stats"] = _approx_stats_sql()

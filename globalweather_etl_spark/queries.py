@@ -1149,8 +1149,22 @@ def q_docs_approx_stats(spark, sf_dir):
     min over struct(-count, term) — deterministic ties (largest count,
     then lexicographically smallest term), no sort, no window. The
     oracle's ORDER BY c DESC, term LIMIT 1 must agree exactly.
+
+    Round 5 also grades the COUNT-MIN sketch here (the third sketch
+    family, operators/sketches.py count_min_sketch — portable md5 row
+    hashes, sparse (row, bucket, cnt) cells): built from the SAME
+    term-count aggregate via weighted insertion (mass-identical to
+    sketching the raw stream, but only |vocab| x depth rows enter the
+    cell aggregate), then point-queried for the exact top token
+    (cms_top_est — the classic never-underestimating count) and
+    audited for mass conservation (cms_row0_mass == total token
+    occurrences). The oracle rebuilds the identical cells and probe.
     """
     from globalweather_etl_spark.functions.text import tokens as _tokens
+    from globalweather_etl_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
     from globalweather_etl_spark.plans.curation import corpus_report
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1164,13 +1178,15 @@ def q_docs_approx_stats(spark, sf_dir):
         docs, "text", b=6, out_col="approx_distinct_docs"
     )
     report = corpus_report(docs).drop("n_docs")
-    top_term = (
+    term_counts = (
         docs.select(
             F.explode(_tokens(F.lower(F.col("text")))).alias("term")
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .agg(
+    )
+    top_term = (
+        term_counts.agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("term"))).alias(
                 "m"
             )
@@ -1180,7 +1196,21 @@ def q_docs_approx_stats(spark, sf_dir):
             (-F.col("m.nc")).cast("long").alias("top_token_count"),
         )
     )
-    return hll.crossJoin(stats).crossJoin(report).crossJoin(top_term)
+    sk = count_min_sketch(term_counts, "term", depth=4, width=4096,
+                          weight="c")
+    cms_top = cms_estimate(
+        sk, top_term, "top_token", depth=4, width=4096,
+        out_col="cms_top_est",
+    )
+    cms_mass = sk.filter(F.col("row") == 0).agg(
+        F.sum("cnt").cast("long").alias("cms_row0_mass")
+    )
+    return (
+        hll.crossJoin(stats)
+        .crossJoin(report)
+        .crossJoin(cms_top)
+        .crossJoin(cms_mass)
+    )
 
 
 # Fixed query strings for the graded BM25 retrieval surface — chosen to
