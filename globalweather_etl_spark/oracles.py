@@ -284,7 +284,29 @@ ga AS (
   SELECT count(*) AS n_rows,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
-  FROM lineitem)
+  FROM lineitem),
+cdc_src AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+cdc_old AS (SELECT * FROM cdc_src WHERE o_orderkey % 3 != 0),
+cdc_new AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderstatus
+            FROM cdc_src WHERE o_orderkey % 5 != 0),
+cdc AS (
+  SELECT
+    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_inserted,
+    count(*) FILTER (WHERE n.o_orderkey IS NULL) AS n_deleted,
+    count(*) FILTER (WHERE o.o_orderkey IS NOT NULL
+      AND n.o_orderkey IS NOT NULL
+      AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus))
+      AS n_updated,
+    count(*) FILTER (WHERE o.o_orderkey IS NOT NULL
+      AND n.o_orderkey IS NOT NULL
+      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+      AS n_unchanged
+  FROM cdc_old o FULL OUTER JOIN cdc_new n ON o.o_orderkey = n.o_orderkey)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -301,7 +323,11 @@ UNION ALL SELECT 'min_price', CAST(min_price AS DOUBLE) FROM ga
 UNION ALL SELECT 'max_price', CAST(max_price AS DOUBLE) FROM ga
 UNION ALL SELECT 'orders_via_constant_join', CAST(count(*) AS DOUBLE)
   FROM orders o
-  CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s""",
+  CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s
+UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
+UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
+UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc
+UNION ALL SELECT 'diff_unchanged', CAST(n_unchanged AS DOUBLE) FROM cdc""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -404,6 +404,13 @@ def q_tpch_scalar_checks(spark, sf_dir):
       of quantity and price
     - FROM-less constant-row source + constant-key (cross) join:
       order count through the 1-row source table
+
+    Round 5 also grades snapshot diff / CDC here
+    (operators/table_diff.py): two deterministically mutated orders
+    snapshots (key%3 deletes on the old side, key%5 on the new,
+    key%7 price updates) are classified through the full-outer
+    NULL-safe diff, and the four diff_summary counts land as
+    diff_* rows — the oracle recomputes the same classification.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -461,7 +468,35 @@ def q_tpch_scalar_checks(spark, sf_dir):
         [("orders_via_constant_join", "n_orders")],
     )
 
-    return set_ops.unionAll(outer).unionAll(global_agg).unionAll(constant_join)
+    from globalweather_etl_spark.operators.table_diff import (
+        diff_summary,
+        table_diff,
+    )
+
+    snap = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    snap_old = snap.filter(F.col("o_orderkey") % 3 != 0)
+    snap_new = snap.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cdc = _unpivot_metrics(
+        diff_summary(table_diff(snap_old, snap_new, ["o_orderkey"])),
+        [
+            ("diff_inserted", "n_inserted"),
+            ("diff_deleted", "n_deleted"),
+            ("diff_updated", "n_updated"),
+            ("diff_unchanged", "n_unchanged"),
+        ],
+    )
+
+    return (
+        set_ops.unionAll(outer)
+        .unionAll(global_agg)
+        .unionAll(constant_join)
+        .unionAll(cdc)
+    )
 
 
 def q_tpch_pivot_status(spark, sf_dir):
