@@ -1,0 +1,132 @@
+"""SnapshotTable: commit/append/overwrite semantics, time travel,
+rollback, version diff, vacuum safety, commit-race behavior, and a
+DuckDB cross-read of a pinned version's file list."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_append_overwrite_history(spark, table):
+    v1 = table.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    v2 = table.write(_df(spark, [(3, "c")]), mode="append")
+    v3 = table.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert sorted(r["k"] for r in table.read(1).collect()) == [1, 2]
+    assert sorted(r["k"] for r in table.read(2).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in table.read().collect()) == [9]
+    hist = table.history()
+    assert [h.version for h in hist] == [1, 2, 3]
+    assert [h.n_rows for h in hist] == [2, 3, 1]
+    assert hist[1].mode == "append"
+
+
+def test_time_travel_is_pinned_against_later_writes(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    pinned = table.read(1)
+    table.write(_df(spark, [(2, "b")]), mode="append")
+    table.write(_df(spark, [(3, "c")]), mode="overwrite")
+    # the old DataFrame still scans exactly version 1's files
+    assert [r["k"] for r in pinned.collect()] == [1]
+
+
+def test_restore_is_o1_rollback(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    table.write(_df(spark, [(9, "z")]), mode="overwrite")
+    v3 = table.restore(1)
+    assert v3 == 3
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+    # restore wrote no data files: v3 references v1's files verbatim
+    assert table._manifest(3)["files"] == table._manifest(1)["files"]
+
+
+def test_diff_between_versions(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.write(
+        _df(spark, [(1, "a"), (2, "B"), (4, "d")]), mode="overwrite"
+    )
+    got = {
+        r["k"]: r["diff_status"]
+        for r in table.diff(1, 2, ["k"]).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "updated", 3: "deleted", 4: "inserted"
+    }
+
+
+def test_vacuum_keeps_referenced_files(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    table.write(_df(spark, [(2, "b")]), mode="append")
+    table.write(_df(spark, [(9, "z")]), mode="overwrite")
+    rep = table.vacuum(keep_last=2)
+    # v1 manifest dropped; v2 still references v1's files -> kept
+    assert rep["manifests_removed"] == 1 and rep["files_removed"] == 0
+    assert table.versions() == [2, 3]
+    assert sorted(r["k"] for r in table.read(2).collect()) == [1, 2]
+    rep2 = table.vacuum(keep_last=1)
+    # v2 dropped: v1+v2 data now unreferenced and deleted
+    assert rep2["manifests_removed"] == 1 and rep2["files_removed"] > 0
+    assert sorted(r["k"] for r in table.read().collect()) == [9]
+    with pytest.raises(ValueError):
+        table.read(2)
+
+
+def test_commit_race_loser_retries(spark, table):
+    """Simulate a concurrent writer landing a manifest between another
+    writer's read of the log and its publish: the atomic-rename loser
+    must retry under the next version, losing no commit."""
+    table.write(_df(spark, [(1, "a")]))
+    # occupy version 2 out-of-band, as a racing writer would
+    m = dict(table._manifest(1))
+    m["version"] = 2
+    assert table._write_json_atomic(m, table._manifest_path(2))
+    v = table.write(_df(spark, [(5, "e")]), mode="append")
+    assert v == 3
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 5]
+
+
+def test_empty_overwrite_and_schema_pinning(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    table.write(_df(spark, []).filter(F.lit(False)), mode="overwrite")
+    out = table.read()
+    assert out.count() == 0
+    assert out.schema.simpleString() == "struct<k:bigint,v:string>"
+
+
+def test_duckdb_cross_read(spark, table):
+    """A pinned version's manifested file list reads identically from
+    an independent engine — the format is plain parquet + JSON."""
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    table.write(_df(spark, [(3, "c")]), mode="append")
+    files = [
+        f"{table.path}/{rel}" for rel in table._manifest(2)["files"]
+    ]
+    rows = duckdb.connect().execute(
+        f"SELECT k, v FROM read_parquet({files!r}) ORDER BY k"
+    ).fetchall()
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_errors(spark, table):
+    with pytest.raises(ValueError):
+        table.read()
+    table.write(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        table.write(_df(spark, [(1, "a")]), mode="upsert")
+    with pytest.raises(ValueError):
+        table.vacuum(keep_last=0)
+    with pytest.raises(ValueError):
+        table.read(42)
