@@ -202,6 +202,55 @@ class SnapshotTable:
                 return version
             # lost the race: re-read the log and retry on a new version
 
+    def write_batch(
+        self, df: DataFrame, batch_id: int, mode: str = "append"
+    ) -> int | None:
+        """Exactly-once commit for streaming `foreachBatch` sinks: the
+        manifest records ``batch_id``, and a batch id that any live
+        manifest already carries is skipped (returns None) — so a
+        replayed micro-batch after a checkpoint recovery cannot land
+        its rows twice.  The data files a skipped replay may have
+        written before the manifest check are unreferenced and
+        reclaimed by ``vacuum``."""
+        for v in self.versions():
+            if self._manifest(v).get("batch_id") == batch_id:
+                return None
+        commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+        df.write.mode("error").parquet(commit_dir)
+        new_files = self._list_commit_files(commit_dir)
+        n_new = (
+            self.spark.read.schema(df.schema).parquet(commit_dir).count()
+        )
+        while True:
+            parent = self.latest_version()
+            if parent is not None and any(
+                self._manifest(v).get("batch_id") == batch_id
+                for v in self.versions()
+            ):
+                return None  # a racing replay landed it first
+            if parent is None:
+                base_files: list[str] = []
+                base_rows = 0
+                version = 1
+            else:
+                pm = self._manifest(parent)
+                base_files = pm["files"] if mode == "append" else []
+                base_rows = pm["n_rows"] if mode == "append" else 0
+                version = parent + 1
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "batch_id": batch_id,
+                "schema": df.schema.json(),
+                "files": base_files + new_files,
+                "n_rows": base_rows + n_new,
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(version)
+            ):
+                return version
+
     def restore(self, version: int) -> int:
         """Roll the head back to ``version``'s exact file listing as a
         NEW commit — O(1), no data movement, history preserved."""

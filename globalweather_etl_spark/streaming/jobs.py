@@ -361,3 +361,41 @@ def _signatures_of(docs, id_col, text_col, n, num_hashes, max_doc_freq):
     if max_doc_freq is not None:
         sh = _cap_hot_shingles(sh, max_doc_freq)
     return _minhash_signed(sh, num_hashes).select("doc", "sig")
+
+
+def run_snapshot_ingest(
+    docs: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingestion into a versioned SnapshotTable
+    (sources/snapshots.py): every micro-batch becomes one atomic
+    append commit, stamped with the micro-batch id for exactly-once
+    semantics — after a checkpoint recovery, a replayed batch finds
+    its id in the manifest log and is skipped, so readers (who always
+    scan a pinned manifest) never see duplicates OR torn batches.
+
+    This is the manifest-log answer to the classic foreachBatch
+    at-least-once problem the per-batch-directory jobs above solve
+    with overwrite-by-batch-dir: here the whole table additionally
+    gains time travel, rollback, diff, and vacuum for free.
+
+    Scale shape: per batch, O(batch) data write + one manifest append;
+    the table's history length is the number of commits, not its row
+    count. Run `vacuum` on a maintenance cadence to bound manifests
+    and reclaim any torn-replay data files.
+    """
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        SnapshotTable(batch.sparkSession, table_path).write_batch(
+            batch, batch_id, mode="append"
+        )
+
+    writer = docs.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -130,3 +130,62 @@ def test_errors(spark, table):
         table.vacuum(keep_last=0)
     with pytest.raises(ValueError):
         table.read(42)
+
+
+def test_write_batch_exactly_once(spark, table):
+    v = table.write_batch(_df(spark, [(1, "a")]), batch_id=0)
+    assert v == 1
+    # replay of the same micro-batch: skipped, no new version
+    assert table.write_batch(_df(spark, [(1, "a")]), batch_id=0) is None
+    assert table.write_batch(_df(spark, [(2, "b")]), batch_id=1) == 2
+    assert table.latest_version() == 2
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+    # torn-replay data files (written before the skip) are vacuumable
+    rep = table.vacuum(keep_last=2)
+    assert table.read(2).count() == 2
+
+
+def test_streaming_snapshot_ingest(spark, tmp_path):
+    """Two availableNow runs over a growing JSONL landing dir: each
+    drop lands exactly once, the table versions append atomically, and
+    a checkpoint replay cannot double-commit."""
+    import json as _json
+
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+    from globalweather_etl_spark.streaming.jobs import run_snapshot_ingest
+    from globalweather_etl_spark.streaming.sources import (
+        jsonl_stream_from_dir,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+
+    def drop(name, rows):
+        (land / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("a.jsonl", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    schema = "k long, v string"
+    q = run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck
+    )
+    q.awaitTermination(120)
+    t = SnapshotTable(spark, tbl)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+    drop("b.jsonl", [{"k": 3, "v": "c"}])
+    q2 = run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck
+    )
+    q2.awaitTermination(120)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # every commit is batch-stamped; a third run with nothing new is a no-op
+    head = t.latest_version()
+    q3 = run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck
+    )
+    q3.awaitTermination(120)
+    assert t.latest_version() == head
