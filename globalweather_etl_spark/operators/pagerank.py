@@ -1,0 +1,117 @@
+"""PageRank over an edge list — link-structure centrality as DataFrames.
+
+The graph companion to `operators.components` (cluster labels): where
+components answer "which pages are the same", PageRank answers "which
+domains/pages matter", the signal web-scale corpus curation uses for
+crawl prioritization and per-domain quality weighting (the public
+formulation: Page et al. 1999; harmonic damping d=0.85).
+
+Power iteration, Spark-native:
+
+- nodes = distinct endpoints; ranks start uniform (1/N).
+- each round: contributions = ranks ⋈ edges on src, grouped by dst
+  (ONE join + ONE aggregate, both keyed on high-cardinality node ids,
+  map-side combined); dangling mass (nodes with no out-links) is
+  redistributed uniformly via a 1-row aggregate, the standard fix.
+- new_rank = (1-d)/N + d * (in_contributions + dangling/N); sinks with
+  no in-links still receive the teleport + dangling terms.
+- lineage is truncated per round (`localCheckpoint`, the components
+  pattern); convergence = L1 delta below `tol`, checked with a 1-row
+  aggregate per round, or `max_iter`.
+
+Determinism: ranks are double sums whose value depends on partition
+order in the last ulps — like the IVF/k-means refinement stages, this
+deliberately has NO bit-exact SQL twin; tests pin hand-computed
+fixtures to 1e-9 tolerance and verify the invariants (mass
+conservation, uniform-cycle fixpoint, dangling redistribution).
+
+Scale shape (100 TB link graph): per round one shuffle of the edge
+contributions keyed by dst plus one broadcast of two scalar rows.
+State between rounds is one (node, rank) table — O(V), never O(E).
+Pre-partition edges by src and ranks by node on a real cluster to
+make the per-round join co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1.0e-6,
+) -> DataFrame:
+    """(node, rank) for every node appearing as an endpoint; ranks sum
+    to 1.  Parallel edges count once (the classic formulation's
+    unweighted adjacency); self-loops are kept (a self-link is an
+    out-link).  Raises on an empty edge set."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs at least one edge")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(max_iter):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["s"], "left"
+        ).select("node", "rank", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["s"])
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(
+                F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("l1")
+            )
+            .collect()[0]["l1"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
