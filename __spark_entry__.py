@@ -47,6 +47,22 @@ bit-for-bit in SQL, including the deliberate false-positive pattern
 of an undersized filter), and FUZZY MinHash-LSH benchmark
 decontamination (docs_decontaminate fuzzy_* columns vs a full
 signature/band/candidate/containment SQL twin).
+
+Round 5 grades five more families in the same slots (SURVEY.md §8
+"Round-5 expansion"): the declarative expectations engine
+(pipeline_validation exp__* metric/verdict rows — ten constraints
+compiled to ONE aggregate scan incl. two broadcast FK probes), cohort
+retention reshaped onto the day spine (events_tumbling_daily
+cohort_size/ret_d1/ret_d7), the portable count-min sketch
+(docs_approx_stats cms_top_est/cms_row0_mass, cells rebuilt
+bit-for-bit in SQL), snapshot diff / CDC (tpch_scalar_checks diff_*
+counts over deterministically mutated orders snapshots), and the
+char-entropy redundancy signal (docs_text_metrics char_entropy6,
+9dp-DECIMAL term sum). Versioned snapshot tables, exactly-once
+streaming table commits, PageRank, SemDeDup, compression-ratio, and
+skew diagnostics are deliberately un-oracled (float iterations /
+filesystem state / zlib — each module docstring says why) and covered
+by fixture, invariant, NumPy-parity, and cross-engine-read tests.
 """
 
 from __future__ import annotations

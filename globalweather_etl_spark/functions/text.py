@@ -318,3 +318,35 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(_batches, schema)
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_controls: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """The standard web-text cleanup chain as ONE composable scan-stage
+    expression — the public normalization the dedup fingerprints apply
+    inline (fingerprint_md5 / rolling_fingerprint), exposed for
+    pipelines that need the cleaned text itself (display, chunking,
+    tokenizer input).
+
+    Steps (each optional, applied in this order): strip C0/C1 control
+    characters (keeping \\t \\n \\r, which the whitespace pass then
+    folds), collapse whitespace runs to single spaces + trim,
+    lowercase, strip the kernel's punctuation class.  All Java/RE2-
+    parity regexes, so the chain mirrors 1:1 into any SQL engine."""
+    out = text
+    if strip_controls:
+        out = F.regexp_replace(
+            out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+        )
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, _WS, " "))
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, _PUNCT, "")
+    return out

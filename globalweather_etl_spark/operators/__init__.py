@@ -30,6 +30,29 @@ from globalweather_etl_spark.operators.components import (
     neardup_clusters,
 )
 from globalweather_etl_spark.operators.funnel import funnel
+from globalweather_etl_spark.operators.expectations import (
+    ExpectationSuite,
+    expect_between,
+    expect_completeness,
+    expect_fk,
+    expect_in_set,
+    expect_matches,
+    expect_not_null,
+    expect_row_count,
+    expect_unique,
+)
+from globalweather_etl_spark.operators.pagerank import pagerank
+from globalweather_etl_spark.operators.semdedup import semdedup
+from globalweather_etl_spark.operators.skew_report import (
+    key_skew_report,
+    skew_summary,
+)
+from globalweather_etl_spark.operators.sketches import (
+    cms_estimate,
+    count_min_sketch,
+    hll_distinct_estimate,
+)
+from globalweather_etl_spark.operators.table_diff import diff_summary, table_diff
 from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
@@ -97,6 +120,24 @@ from globalweather_etl_spark.operators.span_dedup import (
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
+    "ExpectationSuite",
+    "expect_between",
+    "expect_completeness",
+    "expect_fk",
+    "expect_in_set",
+    "expect_matches",
+    "expect_not_null",
+    "expect_row_count",
+    "expect_unique",
+    "pagerank",
+    "semdedup",
+    "key_skew_report",
+    "skew_summary",
+    "cms_estimate",
+    "count_min_sketch",
+    "hll_distinct_estimate",
+    "diff_summary",
+    "table_diff",
     "apply_scd2",
     "asof_join",
     "bloom_build",

@@ -1,5 +1,6 @@
 from globalweather_etl_spark.sources.registry import Catalog, load_table
 from globalweather_etl_spark.sources.constant import constant_rows
+from globalweather_etl_spark.sources.snapshots import SnapshotInfo, SnapshotTable
 from globalweather_etl_spark.sources.formats import (
     corrupt_count,
     drop_corrupt,
@@ -13,6 +14,8 @@ from globalweather_etl_spark.sources.weather_from_events import (
 )
 
 __all__ = [
+    "SnapshotInfo",
+    "SnapshotTable",
     "Catalog",
     "load_table",
     "constant_rows",

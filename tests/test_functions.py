@@ -287,3 +287,35 @@ def test_compression_ratio(spark):
         want = (len(zlib.compress(b, 6)) / len(b)) if b else 0.0
         assert got[doc_id] == want
     assert got[1] < 0.05 < got[2]  # repetition compresses far better
+
+
+def test_normalize_text(spark):
+    import duckdb
+
+    from globalweather_etl_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "  Hello\t\tWORLD \x07bell\x00 "),
+        (2, "Keep,\nlines? (ok) [y]"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["a"], r["b"])
+        for r in df.select(
+            "i",
+            normalize_text(F.col("t")).alias("a"),
+            normalize_text(F.col("t"), strip_punct=True).alias("b"),
+        ).collect()
+    }
+    assert got[1] == ("hello world bell", "hello world bell")
+    assert got[2] == ("keep, lines? (ok) [y]", "keep lines ok y")
+    assert got[3] == (None, None)
+    # SQL mirror (same regex chain) agrees
+    want = duckdb.connect().execute(
+        r"""SELECT lower(trim(regexp_replace(regexp_replace(
+              'Keep,' || chr(10) || 'lines? (ok) [y]',
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+              '\s+', ' ', 'g')))"""
+    ).fetchone()[0]
+    assert got[2][0] == want
