@@ -350,3 +350,48 @@ def normalize_text(
     if strip_punct:
         out = F.regexp_replace(out, _PUNCT, "")
     return out
+
+
+def char_entropy_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, char_entropy6) via explode + two hash aggregates — the
+    THROUGHPUT form of `char_entropy` (identical values; equality is
+    test-pinned).  The expression form's nested HOF costs
+    O(len x distinct) *interpreted* ops per row (Spark HOFs don't
+    codegen — the same reason MinHash runs as a hash aggregate, see
+    docs/SCALE.md); this one is all codegen'd: explode chars ->
+    count per (id, char) -> per-id DECIMAL term sum.  Two shuffles
+    keyed on the id, both map-side combined.  Docs with no characters
+    (empty/NULL text) have no rows here — coalesce to 0.0 on join,
+    matching the expression form."""
+    c = F.col(text_col)
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+        ).alias("__c"),
+    )
+    counts = chars.groupBy("__id", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    nd = F.col("__n").cast("double")
+    return (
+        counts.groupBy("__id")
+        .agg(
+            F.sum("__n").cast("long").alias("__total"),
+            F.sum(
+                F.round(nd * F.log(nd), 9).cast("decimal(25,9)")
+            ).alias("__s"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                (
+                    F.log(F.col("__total").cast("double"))
+                    - F.col("__s").cast("double")
+                    / F.col("__total").cast("double")
+                )
+                / F.lit(_LN2),
+                6,
+            ).alias("char_entropy6"),
+        )
+    )

@@ -999,7 +999,7 @@ def q_docs_text_metrics(
     runs under the char_entropy bench key."""
     from globalweather_etl_spark.functions.text import (
         bpe_token_estimate,
-        char_entropy,
+        char_entropy_table,
         dup_line_fraction,
         dup_word_fraction,
         pii_counts,
@@ -1055,12 +1055,15 @@ def q_docs_text_metrics(
         pii["EMAIL"].alias("pii_email"),
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
-        *(
-            [char_entropy(t).alias("char_entropy6")]
-            if include_entropy
-            else []
-        ),
     )
+    if include_entropy:
+        # throughput form (codegen'd aggregates; ~3x the expression
+        # form's speed at sf0.1 — docs/PERF.md round 5); empty docs
+        # have no char rows and coalesce to the expression form's 0.0
+        ent = char_entropy_table(docs, "doc_id", "text")
+        base = base.join(ent, "doc_id", "left").withColumn(
+            "char_entropy6", F.coalesce("char_entropy6", F.lit(0.0))
+        )
     out = base.join(tng, "doc_id", "left")
     ngram_cols = [
         F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),

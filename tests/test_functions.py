@@ -319,3 +319,27 @@ def test_normalize_text(spark):
               '\s+', ' ', 'g')))"""
     ).fetchone()[0]
     assert got[2][0] == want
+
+
+def test_char_entropy_forms_agree(spark):
+    """Expression form == aggregate (throughput) form on real docs."""
+    from globalweather_etl_spark.functions.text import (
+        char_entropy,
+        char_entropy_table,
+    )
+    from globalweather_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    expr = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", char_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: r["char_entropy6"]
+        for r in char_entropy_table(docs).collect()
+    }
+    assert expr == {**expr, **agg}  # agg ⊆ expr with equal values
+    missing = set(expr) - set(agg)  # only char-less docs may be absent
+    assert all(expr[k] == 0.0 for k in missing)
