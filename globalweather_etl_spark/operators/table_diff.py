@@ -34,7 +34,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff", "diff_summary"]
+__all__ = ["table_diff", "diff_summary", "apply_diff"]
 
 
 def table_diff(
@@ -128,3 +128,33 @@ def diff_summary(
         F.count_if(s == "updated").cast("long").alias("n_updated"),
         F.count_if(s == "unchanged").cast("long").alias("n_unchanged"),
     )
+
+
+def apply_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Replay a `table_diff` onto the OLD snapshot, reconstructing NEW
+    exactly: drop 'deleted' keys, upsert 'updated' values, add
+    'inserted' rows.  The CDC consumer side — ship the (small) diff,
+    not the snapshot; `apply_diff(old, table_diff(old, new), ...) ==
+    new` is the round-trip contract (property-tested).
+
+    One broadcast-friendly semi/anti join pair on the keys plus a
+    union of the diff's new_* projections — O(|old| + |diff|), the old
+    snapshot shuffles once at most.  Only the key + compared columns
+    are reconstructed (the diff carries nothing else, by design)."""
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    s = F.col(status_col)
+    removed = diff.filter(s.isin("deleted", "updated")).select(*keys)
+    survivors = old.select(*keys, *compare_cols).join(
+        removed, keys, "left_anti"
+    )
+    replaced = diff.filter(s.isin("inserted", "updated")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return survivors.unionByName(replaced)

@@ -271,6 +271,61 @@ class SnapshotTable:
             ):
                 return new_version
 
+    def write_audited(
+        self, df: DataFrame, suite, mode: str = "append"
+    ) -> int:
+        """Write-audit-publish: stage ``df``'s data files, run the
+        expectations ``suite`` (operators.expectations) against the
+        STAGED files, and only publish the manifest if every
+        expectation passes — readers can never observe a version that
+        failed its checks.  On failure raises ValueError listing the
+        failed expectations; the staged files stay unreferenced (and
+        invisible) until ``vacuum`` reclaims them.
+
+        The audit reads the staged parquet back, so it validates what
+        was actually written (encoding included), not the input plan —
+        one extra scan of the NEW data only, never the table."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+        commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+        df.write.mode("error").parquet(commit_dir)
+        staged = self.spark.read.schema(df.schema).parquet(commit_dir)
+        ok, rows = suite.check(staged)
+        if not ok:
+            failed = [
+                f"{r['metric']}={r['value']}" for r in rows if not r["passed"]
+            ]
+            raise ValueError(
+                "write_audited: staged data failed expectations "
+                f"[{', '.join(failed)}]; files left unpublished at "
+                f"{commit_dir} (vacuum reclaims them)"
+            )
+        new_files = self._list_commit_files(commit_dir)
+        n_new = staged.count()
+        while True:
+            parent = self.latest_version()
+            if parent is None:
+                base_files: list[str] = []
+                base_rows = 0
+                version = 1
+            else:
+                pm = self._manifest(parent)
+                base_files = pm["files"] if mode == "append" else []
+                base_rows = pm["n_rows"] if mode == "append" else 0
+                version = parent + 1
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "mode": f"audited-{mode}",
+                "schema": df.schema.json(),
+                "files": base_files + new_files,
+                "n_rows": base_rows + n_new,
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(version)
+            ):
+                return version
+
     # --------------------------------------------------------- reads
     def read(self, version: int | None = None) -> DataFrame:
         """DataFrame over the pinned manifest's exact file list (latest

@@ -255,3 +255,64 @@ def test_funnel_invariants_property(spark, evs):
         else:
             assert r["t_first"] is None and r["t_last"] is None
         assert tight[u]["steps_reached"] <= r["steps_reached"]
+
+
+# ------------------------------------------- round-5 CDC round-trip
+
+@settings(max_examples=20, deadline=None)
+@given(
+    old=st.dictionaries(
+        st.integers(0, 30),
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.sampled_from([1.0, 2.0, None])),
+        max_size=12,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 30),
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.sampled_from([1.0, 2.0, None])),
+        max_size=12,
+    ),
+)
+def test_apply_diff_roundtrip(spark, old, new):
+    """apply_diff(old, table_diff(old, new)) == new, for arbitrary
+    keyed snapshots including NULL transitions."""
+    from globalweather_etl_spark.operators.table_diff import (
+        apply_diff,
+        table_diff,
+    )
+
+    schema = "k long, s string, v double"
+    old_df = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in old.items()], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in new.items()], schema
+    )
+    d = table_diff(old_df, new_df, ["k"])
+    rebuilt = apply_diff(old_df, d, ["k"], ["s", "v"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new_df.collect())
+    )
+    # and the diff itself partitions the key universe
+    assert d.count() == len(set(old) | set(new))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40),
+    probe=st.sampled_from("abcdefgh"),
+)
+def test_cms_never_underestimates(spark, vals, probe):
+    from globalweather_etl_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = count_min_sketch(df, "v", depth=3, width=8)  # tiny: force collisions
+    qs = spark.createDataFrame([(probe,)], "v string")
+    [row] = cms_estimate(sk, qs, "v", depth=3, width=8).collect()
+    true = vals.count(probe)
+    assert row["cms_est"] >= true
+    assert row["cms_est"] <= len(vals)  # bounded by stream mass

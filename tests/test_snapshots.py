@@ -189,3 +189,29 @@ def test_streaming_snapshot_ingest(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert t.latest_version() == head
+
+
+def test_write_audited_publishes_only_clean_data(spark, table):
+    """Write-audit-publish: a failing expectations suite blocks the
+    manifest; readers never see the staged files; a passing write
+    publishes normally and vacuum reclaims the failed stage."""
+    from globalweather_etl_spark.operators.expectations import (
+        ExpectationSuite,
+        expect_between,
+        expect_not_null,
+    )
+
+    suite = ExpectationSuite(
+        [expect_not_null("v"), expect_between("k", 0, 100)]
+    )
+    v = table.write_audited(_df(spark, [(1, "a"), (2, "b")]), suite)
+    assert v == 1
+    with pytest.raises(ValueError, match="not_null__v"):
+        table.write_audited(_df(spark, [(3, None)]), suite)
+    # the failed stage is invisible: head unchanged, rows unchanged
+    assert table.latest_version() == 1
+    assert table.read().count() == 2
+    # and its files are unreferenced -> reclaimed
+    rep = table.vacuum(keep_last=1)
+    assert rep["files_removed"] > 0
+    assert table.read().count() == 2
