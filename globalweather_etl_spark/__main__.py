@@ -35,9 +35,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="emit one JSON object instead of readable text")
     p.add_argument("--top", type=int, default=5,
                    help="rows to show per dashboard (text mode)")
-    p.add_argument("--mode", choices=["etl", "curate"], default="etl",
+    p.add_argument("--mode", choices=["etl", "curate", "snapshot"],
+                   default="etl",
                    help="etl: warehouse rebuild + dashboards; "
-                        "curate: corpus curation over documents")
+                        "curate: corpus curation over documents; "
+                        "snapshot: audited commit of documents into a "
+                        "versioned table + history/diff report")
     p.add_argument("--benchmark-mod", type=int, default=None,
                    help="curate: decontaminate against the doc_id %% N "
                         "== 0 slice (default: no decontamination)")
@@ -49,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "curate":
         return _curate(args)
+    if args.mode == "snapshot":
+        return _snapshot(args)
 
     from globalweather_etl_spark.plans import dashboard as dash
     from globalweather_etl_spark.plans import build_warehouse, materialize
@@ -94,6 +99,63 @@ def main(argv: list[str] | None = None) -> int:
                 print("  ", r)
     # No spark.stop(): process exit tears the session down for CLI use,
     # and in-process callers (tests) share the getOrCreate session.
+    return 0
+
+
+def _snapshot(args) -> int:
+    """Audited snapshot commit of the documents table into a versioned
+    SnapshotTable at --out (write-audit-publish; one full snapshot
+    per run, so doc_id stays a key across versions), then the history and
+    — from the second commit on — the head-vs-parent diff summary."""
+    import tempfile as _tf
+
+    from globalweather_etl_spark.operators.expectations import (
+        ExpectationSuite,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+    )
+    from globalweather_etl_spark.operators.table_diff import diff_summary
+    from globalweather_etl_spark.session import get_spark
+    from globalweather_etl_spark.sources import SnapshotTable, load_table
+
+    spark = get_spark(
+        app_name="globalweather-snapshot",
+        master=args.master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    out_dir = args.out or _tf.mkdtemp(prefix="gw_snapshots_")
+    docs = load_table(spark, args.sf_dir, "documents")
+    suite = ExpectationSuite(
+        [
+            expect_row_count(min_rows=1),
+            expect_not_null("doc_id"),
+            expect_unique(["doc_id"]),
+        ]
+    )
+    t = SnapshotTable(spark, out_dir)
+    version = t.write_audited(docs, suite, mode="overwrite")
+    history = [
+        {"version": h.version, "mode": h.mode, "n_files": h.n_files,
+         "n_rows": h.n_rows}
+        for h in t.history()
+    ]
+    diff = None
+    if version > 1:
+        [row] = diff_summary(
+            t.diff(version - 1, version, ["doc_id"])
+        ).collect()
+        diff = {k: row[k] for k in
+                ("n_inserted", "n_deleted", "n_updated", "n_unchanged")}
+    if args.json:
+        print(json.dumps({"table": out_dir, "committed_version": version,
+                          "history": history, "head_vs_parent": diff}))
+    else:
+        print(f"committed v{version} at {out_dir}")
+        for h in history:
+            print(f"  v{h['version']}: {h['n_rows']} rows ({h['mode']})")
+        if diff:
+            print(f"  head vs parent: {diff}")
     return 0
 
 

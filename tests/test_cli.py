@@ -47,3 +47,31 @@ def test_cli_curate_mode(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert {"doc_id", "split", "bin_id", "bin_offset"} <= set(back.columns)
     assert back.count() == stages["curated"]
+
+
+def test_snapshot_mode(spark, tmp_path, capsys):
+    import json as _json
+
+    from globalweather_etl_spark.__main__ import main
+
+    out = str(tmp_path / "snaps")
+    for expect_version in (1, 2):
+        rc = main(
+            [
+                "--mode", "snapshot",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--out", out,
+                "--master", "local[4]",
+                "--json",
+            ]
+        )
+        assert rc == 0
+        payload = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert payload["committed_version"] == expect_version
+    assert payload["head_vs_parent"] == {
+        "n_inserted": 0, "n_deleted": 0, "n_updated": 0,
+        "n_unchanged": 500,
+    }
+    assert [h["n_rows"] for h in payload["history"]] == [500, 500]
