@@ -76,10 +76,11 @@ def pagerank(
         with_deg = ranks.join(
             deg, ranks["node"] == deg["s"], "left"
         ).select("node", "rank", "deg")
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # dangling mass stays IN-PLAN: a 1-row aggregate broadcast into
+        # the update, so each round runs ONE driver action (the
+        # convergence check), not two.
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
         )
         contrib = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -91,13 +92,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__m") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
