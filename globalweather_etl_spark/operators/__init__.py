@@ -52,7 +52,12 @@ from globalweather_etl_spark.operators.sketches import (
     count_min_sketch,
     hll_distinct_estimate,
 )
-from globalweather_etl_spark.operators.table_diff import diff_summary, table_diff
+from globalweather_etl_spark.operators.table_diff import (
+    apply_diff,
+    diff_summary,
+    table_diff,
+)
+from globalweather_etl_spark.operators.tfidf import hashed_tfidf, idf_table
 from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
@@ -120,6 +125,9 @@ from globalweather_etl_spark.operators.span_dedup import (
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
+    "apply_diff",
+    "hashed_tfidf",
+    "idf_table",
     "ExpectationSuite",
     "expect_between",
     "expect_completeness",
