@@ -1383,16 +1383,35 @@ ret AS (
     h.score AS bm25_score, CAST(h.rank AS BIGINT) AS bm25_rank,
     f.rrf_score, f.rrf_rank
   FROM rank5 h FULL OUTER JOIN ftop f
-    ON h.query_id = f.query_id AND h.doc_id = f.doc_id)
+    ON h.query_id = f.query_id AND h.doc_id = f.doc_id),
+tfx AS (SELECT doc_id, term, tf FROM tf WHERE term != ''),
+tdf AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+tw AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % 64 AS bucket,
+    CAST(round(tf * round(ln((g.n_docs + 1) / (df + 1.0)) + 1, 6), 6)
+         AS DECIMAL(25,6)) AS w
+  FROM tfx JOIN tdf USING (term) CROSS JOIN g),
+tpb AS (SELECT doc_id, bucket, sum(w) AS w FROM tw GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS tfidf_nnz,
+    round(sqrt(CAST(sum(CAST(round(
+        CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 9) AS DECIMAL(25,9)))
+      AS DOUBLE)), 6) AS tfidf_norm6
+  FROM tpb GROUP BY doc_id)
 SELECT fp.doc_id, fp.fingerprint,
   COALESCE(q.query, '') AS bm25_query,
   COALESCE(r.bm25_score, -1.0) AS bm25_score,
   CAST(COALESCE(r.bm25_rank, 0) AS BIGINT) AS bm25_rank,
   COALESCE(r.rrf_score, -1.0) AS rrf_score,
-  CAST(COALESCE(r.rrf_rank, 0) AS BIGINT) AS rrf_rank
+  CAST(COALESCE(r.rrf_rank, 0) AS BIGINT) AS rrf_rank,
+  CAST(COALESCE(t.tfidf_nnz, 0) AS BIGINT) AS tfidf_nnz,
+  COALESCE(t.tfidf_norm6, 0.0) AS tfidf_norm6
 FROM fp
 LEFT JOIN ret r ON fp.doc_id = r.doc_id
-LEFT JOIN q ON q.query_id = r.query_id""",
+LEFT JOIN q ON q.query_id = r.query_id
+LEFT JOIN tstat t ON t.doc_id = fp.doc_id""",
     # max_doc_freq=64 mirrors the graded query: the hot-shingle cap is
     # ON so the graded plan is the 100 TB-safe one (at sf0.01 the max
     # 3-gram doc freq is 7, so the capped output is identical to the

@@ -1347,16 +1347,47 @@ def q_docs_rolling_fingerprint(spark, sf_dir):
         ["doc_id", "q"],
         "full_outer",
     )
-    return fp.join(ret, "doc_id", "left").select(
+    # Round 5 also grades the hashed-TFIDF vectorizer here
+    # (operators/tfidf.py — the embedding-free bridge into
+    # kmeans/semdedup/ANN): per doc, the nonzero-bucket count and the
+    # L2 norm of the dim-64 vector (norm via 9dp-rounded DECIMAL
+    # square sum then IEEE sqrt — deterministic in any engine).
+    from globalweather_etl_spark.operators.tfidf import hashed_tfidf
+
+    vec = hashed_tfidf(docs, dim=64)
+    sq = F.aggregate(
+        F.transform(
+            "tfidf",
+            lambda x: F.round(x * x, 9).cast("decimal(25,9)"),
+        ),
+        F.lit(0).cast("decimal(25,9)"),
+        lambda a, b: (a + b).cast("decimal(25,9)"),
+    )
+    tfstats = vec.select(
         "doc_id",
-        "fingerprint",
-        F.coalesce("q", F.lit("")).alias("bm25_query"),
-        F.coalesce("bm25_score", F.lit(-1.0)).alias("bm25_score"),
-        F.coalesce(F.col("bm25_rank").cast("long"), F.lit(0).cast("long"))
-        .alias("bm25_rank"),
-        F.coalesce("rrf_score", F.lit(-1.0)).alias("rrf_score"),
-        F.coalesce(F.col("rrf_rank").cast("long"), F.lit(0).cast("long"))
-        .alias("rrf_rank"),
+        F.size(F.filter("tfidf", lambda x: x != 0.0))
+        .cast("long")
+        .alias("tfidf_nnz"),
+        F.round(F.sqrt(sq.cast("double")), 6).alias("tfidf_norm6"),
+    )
+    return (
+        fp.join(ret, "doc_id", "left")
+        .join(tfstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce("q", F.lit("")).alias("bm25_query"),
+            F.coalesce("bm25_score", F.lit(-1.0)).alias("bm25_score"),
+            F.coalesce(
+                F.col("bm25_rank").cast("long"), F.lit(0).cast("long")
+            ).alias("bm25_rank"),
+            F.coalesce("rrf_score", F.lit(-1.0)).alias("rrf_score"),
+            F.coalesce(
+                F.col("rrf_rank").cast("long"), F.lit(0).cast("long")
+            ).alias("rrf_rank"),
+            F.col("tfidf_nnz"),
+            F.col("tfidf_norm6"),
+        )
     )
 
 
