@@ -270,7 +270,13 @@ class ExpectationSuite:
             e.metric(flags.get(e.name)).alias(e.name)
             for e in self.expectations
         ]
-        return prepared.observe(obs, *aggs), obs
+        out = prepared.observe(obs, *aggs)
+        # drop the FK helper flags ABOVE the metrics node: callers get
+        # the original schema back (safe to write), while CollectMetrics
+        # still references the flags so the probe joins survive pruning
+        if flags:
+            out = out.drop(*flags.values())
+        return out, obs
 
     def verdicts(self, metrics: dict) -> dict[str, bool]:
         """Apply pass bounds to an Observation's metric dict."""

@@ -282,6 +282,10 @@ class WeatherWarehouse:
     # Metrics observed during the fact write (materialize() only):
     # validation with ZERO extra fact scans. None for lazy warehouses.
     observed_validation: dict | None = None
+    # Expectations-suite results observed during the same fact write
+    # (materialize(expectations=...)): {"metrics": {...},
+    # "verdicts": {...}}. None when no suite was supplied.
+    observed_expectations: dict | None = None
     # Surrogate-key strategy the warehouse was built with; materialize()
     # threads it through its rebuild.
     key_strategy: str = "distributed"
@@ -452,7 +456,10 @@ def register_warehouse(wh: WeatherWarehouse) -> list[str]:
 
 
 def materialize(
-    wh: WeatherWarehouse, base_path: str, fact_files_per_date: int = 8
+    wh: WeatherWarehouse,
+    base_path: str,
+    fact_files_per_date: int = 8,
+    expectations=None,
 ) -> WeatherWarehouse:
     """Full-rebuild CTAS semantics (CREATE OR REPLACE TABLE ... AS,
     ETL:17 etc.): overwrite-write each layer to parquet and re-read, so
@@ -477,7 +484,14 @@ def materialize(
     sequence, where each CTAS reads the previously created table. (The
     naive alternative — writing each original lazy plan — re-derives
     staging from the raw source once per layer: 10 redundant source
-    scans per rebuild.)"""
+    scans per rebuild.)
+
+    ``expectations`` (an operators.expectations.ExpectationSuite over
+    the fact schema) rides the SAME write via a second Observation —
+    arbitrary declarative data-quality checks at zero extra scans;
+    results land in ``observed_expectations`` (metrics + verdicts).
+    `expect_unique` can't be observed (Spark disallows DISTINCT in
+    observed metrics) — run it via suite.run() instead."""
     spark = wh.staging.sparkSession
 
     def _write(df: DataFrame, name: str, partition_by: list[str] | None = None):
@@ -531,12 +545,24 @@ def materialize(
         F.min("AVG_TEMP_F").alias("min_temp_f"),
         F.max("AVG_TEMP_F").alias("max_temp_f"),
     )
+    exp_obs = None
+    if expectations is not None:
+        fact_df, exp_obs = expectations.observation(
+            fact_df, name="fact_expectations"
+        )
     fact_df = fact_df.repartition(
         F.col("DATE_KEY"),
         F.pmod(F.xxhash64("LOCATION_KEY"), F.lit(fact_files_per_date)),
     )
     fact = _write(fact_df, "fact_weather_day", partition_by=["DATE_KEY"])
     observed = dict(obs.get)
+    observed_exp = None
+    if exp_obs is not None:
+        metrics = dict(exp_obs.get)
+        observed_exp = {
+            "metrics": metrics,
+            "verdicts": expectations.verdicts(metrics),
+        }
     return WeatherWarehouse(
         as_of_date=wh.as_of_date,
         staging=staging,
@@ -550,5 +576,6 @@ def materialize(
         normalized_date=written["normalized_date"],
         normalized_weather_day=written["normalized_weather_day"],
         observed_validation=observed,
+        observed_expectations=observed_exp,
         key_strategy=wh.key_strategy,
     )

@@ -212,3 +212,40 @@ def test_cache_staging_single_scan_and_identical_results(
     assert "Scan ExistingRDD" in plan
     key = lambda rows: sorted(map(tuple, rows), key=repr)  # noqa: E731
     assert key(cached.fact.collect()) == key(wh.fact.collect())
+
+
+def test_materialize_with_expectations(spark, weather_fixture, tmp_path):
+    """A declarative suite rides the fact write (second Observation):
+    metrics + verdicts land on the warehouse with zero extra scans,
+    the FK helper flags never reach the parquet schema, and the
+    values agree with a standalone suite.run() over the same fact."""
+    from globalweather_etl_spark.operators.expectations import (
+        ExpectationSuite,
+        expect_between,
+        expect_fk,
+        expect_not_null,
+        expect_row_count,
+    )
+    from globalweather_etl_spark.plans import build_warehouse, materialize
+    from globalweather_etl_spark.sources import AS_OF_DATE
+
+    wh = build_warehouse(spark, weather_fixture, AS_OF_DATE)
+    suite = ExpectationSuite(
+        [
+            expect_row_count(min_rows=1),
+            expect_not_null("DATE_KEY"),
+            expect_between("AVG_TEMP_F", -90.0, 140.0),
+            expect_fk("DATE_KEY", wh.dim_date, "DATE_KEY"),
+        ]
+    )
+    mat = materialize(wh, str(tmp_path / "wh"), expectations=suite)
+    got = mat.observed_expectations
+    assert got is not None and all(got["verdicts"].values())
+    # no helper flags leaked into the written fact
+    assert not [c for c in mat.fact.columns if c.startswith("__exp_fk")]
+    # observed metrics == a dedicated scan's report
+    rep = {
+        r["metric"]: r["value"] for r in suite.run(mat.fact).collect()
+    }
+    for name, v in got["metrics"].items():
+        assert rep[name] == pytest.approx(v)
