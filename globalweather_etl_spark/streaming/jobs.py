@@ -399,3 +399,68 @@ def run_snapshot_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_audited_ingest(
+    docs: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    suite,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming write-audit-publish: every micro-batch is checked
+    against a declarative expectations suite
+    (operators/expectations.py) BEFORE it can reach the versioned
+    table.  Clean batches commit exactly-once into the SnapshotTable
+    (batch-id-stamped manifests, as run_snapshot_ingest); failing
+    batches are routed whole to a per-batch quarantine directory
+    (overwrite-by-batch-dir: idempotent under replay) together with a
+    _report.json naming the failed expectations — the operational
+    pattern that keeps one bad upstream drop from poisoning a
+    continuously-ingested corpus, while losing nothing (quarantined
+    batches can be repaired and re-committed by a batch job).
+
+    Scale shape: the audit is ONE aggregate over the micro-batch (the
+    suite compiles every constraint into a single scan) plus the
+    commit write — O(batch) per trigger, independent of table size.
+    """
+    import json as _json
+
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        ok, rows = suite.check(batch)
+        if ok:
+            SnapshotTable(batch.sparkSession, table_path).write_batch(
+                batch, batch_id, mode="append"
+            )
+            return
+        qdir = os.path.join(quarantine_path, f"ingest_batch={batch_id}")
+        batch.write.mode("overwrite").parquet(qdir)
+        report = {
+            "batch_id": batch_id,
+            "failed": [
+                {"metric": r["metric"], "value": r["value"]}
+                for r in rows
+                if not r["passed"]
+            ],
+        }
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(qdir, "_report.json")
+        )
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(hpath, True)
+        try:
+            out.write(_json.dumps(report).encode("utf-8"))
+        finally:
+            out.close()
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -215,3 +215,50 @@ def test_write_audited_publishes_only_clean_data(spark, table):
     rep = table.vacuum(keep_last=1)
     assert rep["files_removed"] > 0
     assert table.read().count() == 2
+
+
+def test_streaming_audited_ingest_quarantines_bad_batches(spark, tmp_path):
+    """Clean drop commits to the versioned table; a drop violating the
+    suite routes to quarantine with a failure report; the table's head
+    never sees the bad rows."""
+    import json as _json
+
+    from globalweather_etl_spark.operators.expectations import (
+        ExpectationSuite,
+        expect_not_null,
+    )
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+    from globalweather_etl_spark.streaming.jobs import run_audited_ingest
+    from globalweather_etl_spark.streaming.sources import (
+        jsonl_stream_from_dir,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    tbl, q, ck = (str(tmp_path / p) for p in ("tbl", "quarantine", "ck"))
+    suite = ExpectationSuite([expect_not_null("v")])
+    schema = "k long, v string"
+
+    def run():
+        run_audited_ingest(
+            jsonl_stream_from_dir(spark, str(land), schema),
+            tbl, q, suite, ck,
+        ).awaitTermination(120)
+
+    (land / "good.jsonl").write_text(
+        '{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n'
+    )
+    run()
+    t = SnapshotTable(spark, tbl)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+    (land / "bad.jsonl").write_text('{"k": 3, "v": null}\n')
+    run()
+    # table head unchanged; bad batch in quarantine with a report
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    qdirs = [p for p in (tmp_path / "quarantine").iterdir() if p.is_dir()]
+    assert len(qdirs) == 1
+    report = _json.loads((qdirs[0] / "_report.json").read_text())
+    assert report["failed"][0]["metric"] == "not_null__v"
+    back = spark.read.parquet(str(qdirs[0]))
+    assert back.count() == 1 and back.collect()[0]["k"] == 3
