@@ -45,6 +45,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = ["SnapshotTable", "SnapshotInfo"]
@@ -354,6 +355,53 @@ class SnapshotTable:
             keys,
             compare_cols,
         )
+
+    # --------------------------------------------- layout maintenance
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """Rewrite the head's files into ~target-sized ones as a NEW
+        overwrite commit — the versioned twin of
+        `operators.compaction.compact_parquet`: rows and schema are
+        untouched (bit-identity is test-pinned via content equality),
+        old versions remain time-travelable, and the small files are
+        reclaimed by the next `vacuum`.  Returns the new version.
+
+        Streaming ingestion (one file per micro-batch) is the intended
+        caller: run compact + vacuum on a maintenance cadence and the
+        per-file open/footer cost of head scans stays bounded however
+        many commits the table has absorbed."""
+        if target_file_bytes < 1:
+            raise ValueError("target_file_bytes must be positive")
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        m = self._manifest(head)
+        total = 0
+        for rel in m["files"]:
+            total += self._fs.getFileStatus(
+                self._p(f"{self.path}/{rel}")
+            ).getLen()
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.read(head).repartition(n_out)
+        return self.write(df, mode="overwrite")
+
+    def write_clustered(
+        self, df: DataFrame, cluster_by: list[str], n_files: int = 8,
+        mode: str = "overwrite",
+    ) -> int:
+        """Commit with a range-clustered file layout: rows are range-
+        partitioned and sorted within files on ``cluster_by``, so each
+        data file's parquet footer covers a narrow key range and
+        selective readers can skip whole files
+        (`operators.layout.file_ranges` / `files_for_range` audit the
+        resulting footers).  One sampling pass + one shuffle, then the
+        normal atomic manifest publish."""
+        if not cluster_by:
+            raise ValueError("cluster_by needs at least one column")
+        cols = [F.col(c) for c in cluster_by]
+        clustered = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
+            *cols
+        )
+        return self.write(clustered, mode=mode)
 
     # -------------------------------------------------------- vacuum
     def vacuum(self, keep_last: int = 1) -> dict:

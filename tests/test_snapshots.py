@@ -262,3 +262,54 @@ def test_streaming_audited_ingest_quarantines_bad_batches(spark, tmp_path):
     assert report["failed"][0]["metric"] == "not_null__v"
     back = spark.read.parquet(str(qdirs[0]))
     assert back.count() == 1 and back.collect()[0]["k"] == 3
+
+
+def test_compact_preserves_content_and_history(spark, table):
+    for b in range(6):
+        table.write_batch(_df(spark, [(b, f"v{b}")]), batch_id=b)
+    head = table.latest_version()
+    before = sorted(map(tuple, table.read().collect()))
+    assert table._manifest(head)["files"] and len(
+        table._manifest(head)["files"]
+    ) >= 6
+    v = table.compact(target_file_bytes=1 << 30)  # everything -> 1 file
+    assert v == head + 1
+    assert len(table._manifest(v)["files"]) == 1
+    assert sorted(map(tuple, table.read().collect())) == before
+    # old head still time-travels; vacuum reclaims the small files
+    assert sorted(map(tuple, table.read(head).collect())) == before
+    rep = table.vacuum(keep_last=1)
+    assert rep["files_removed"] >= 6
+    assert sorted(map(tuple, table.read().collect())) == before
+
+
+def test_write_clustered_layout(spark, table):
+    from globalweather_etl_spark.operators.layout import (
+        file_ranges,
+        files_for_range,
+    )
+
+    rows = [(i, f"s{i}") for i in range(1000)]
+    v = table.write_clustered(
+        _df(spark, rows), cluster_by=["k"], n_files=4
+    )
+    m = table._manifest(v)
+    assert len(m["files"]) == 4
+    assert sorted(r["k"] for r in table.read().collect()) == list(range(1000))
+    # footers cover narrow, disjoint ranges -> selective reads skip files
+    commit_dir = table.path + "/" + m["files"][0].rsplit("/", 1)[0]
+    spans = sorted((lo, hi) for _, lo, hi in file_ranges(commit_dir, "k"))
+    assert len(spans) == 4
+    for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # disjoint
+    assert len(files_for_range(commit_dir, "k", 10, 20)) == 1
+
+
+def test_compact_errors(spark, table):
+    with pytest.raises(ValueError):
+        table.compact()
+    table.write(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        table.compact(target_file_bytes=0)
+    with pytest.raises(ValueError):
+        table.write_clustered(_df(spark, [(1, "a")]), cluster_by=[])
