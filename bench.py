@@ -331,12 +331,29 @@ def main() -> None:
             timed(
                 "events_session_30m",
                 lambda: q_events_session_30m(
-                    spark, sf_dir, include_funnel=False
+                    spark, sf_dir, include_funnel=False,
+                    include_paths=False,
                 )
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
             )
+
+            # round-5: the observed-journey extraction under its own
+            # key (its graded columns ride events_session_30m)
+            from globalweather_etl_spark.operators.paths import (
+                session_paths,
+                top_paths,
+            )
+
+            def paths_all():
+                ev = load_table(spark, sf_dir, "events")
+                p = session_paths(ev)
+                top_paths(p, k=20).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            timed("session_paths", paths_all)
 
             def analytics_all():
                 ev = load_table(spark, sf_dir, "events")

@@ -42,6 +42,7 @@ from globalweather_etl_spark.operators.expectations import (
     expect_unique,
 )
 from globalweather_etl_spark.operators.pagerank import pagerank
+from globalweather_etl_spark.operators.paths import session_paths, top_paths
 from globalweather_etl_spark.operators.semdedup import semdedup
 from globalweather_etl_spark.operators.skew_report import (
     key_skew_report,
@@ -125,6 +126,8 @@ from globalweather_etl_spark.operators.span_dedup import (
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
+    "session_paths",
+    "top_paths",
     "apply_diff",
     "hashed_tfidf",
     "idf_table",

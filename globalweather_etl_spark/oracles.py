@@ -495,7 +495,7 @@ FROM t GROUP BY 1, 2""",
     # end = last event + gap.
     "events_session_30m": f"""
 WITH flagged AS (
-  SELECT user_id, event_id, ts, value,
+  SELECT user_id, event_id, ts, value, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
@@ -505,6 +505,17 @@ sessions AS (
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      ORDER BY ts, event_id) AS rnk
+  FROM sessions),
+pp AS (
+  SELECT user_id, session_id,
+    string_agg(event_type, '>' ORDER BY rnk)
+      FILTER (WHERE rnk <= 8) AS session_path,
+    CAST(count(*) FILTER (WHERE rnk <= 8) AS BIGINT) AS n_path_events,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+  FROM ranked GROUP BY user_id, session_id),
 fm1 AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1),
@@ -534,15 +545,19 @@ fun AS (
   LEFT JOIN fm1 USING (user_id)
   LEFT JOIN fm2 USING (user_id)
   LEFT JOIN fm3 USING (user_id))
-SELECT user_id, min(s.ts) AS session_start,
+SELECT s.user_id AS user_id, min(s.ts) AS session_start,
   max(s.ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events, {_EXACT_VALUE_SUM} AS total_value,
-  CAST(session_id AS BIGINT) AS session_seq,
+  CAST(s.session_id AS BIGINT) AS session_seq,
+  any_value(pp.session_path) AS session_path,
+  any_value(pp.n_path_events) AS n_path_events,
+  any_value(pp.n_event_types) AS n_event_types,
   any_value(fun.funnel_steps) AS funnel_steps,
   any_value(fun.funnel_converted) AS funnel_converted,
   any_value(fun.funnel_t_first) AS funnel_t_first
 FROM sessions s JOIN fun USING (user_id)
-GROUP BY user_id, session_id""",
+JOIN pp ON pp.user_id = s.user_id AND pp.session_id = s.session_id
+GROUP BY s.user_id, s.session_id""",
 }
 
 # ------------------------------------------------- multimodal columns

@@ -636,7 +636,9 @@ def q_events_sliding_day_12h(spark, sf_dir):
     return sliding_stats(load_table(spark, sf_dir, "events"), "1 day", "12 hours")
 
 
-def q_events_session_30m(spark, sf_dir, include_funnel: bool = True):
+def q_events_session_30m(
+    spark, sf_dir, include_funnel: bool = True, include_paths: bool = True
+):
     """Per-session aggregates from Spark's native session_window
     (streaming-incremental form), joined with the per-key session
     ORDINAL from the gaps-and-islands assignment operator
@@ -666,6 +668,25 @@ def q_events_session_30m(spark, sf_dir, include_funnel: bool = True):
     # bench's round-stable pre-funnel workload (same split as
     # q_docs_text_metrics' include_lm).
     base_sessions = stats.join(ords, ["user_id", "session_start"], "inner")
+    if include_paths:
+        # Round 5: the observed per-session journey
+        # (operators/paths.py — sessionize -> ordered event-type path,
+        # first 8 events, full-session distinct-type count); the
+        # oracle rebuilds it with ranked string_agg over the same
+        # gaps-and-islands CTE. include_paths=False keeps the bench's
+        # round-stable workload split.
+        from globalweather_etl_spark.operators.paths import session_paths
+
+        pp = session_paths(events, gap_seconds=30 * 60.0).select(
+            "user_id",
+            F.col("session_id").alias("session_seq"),
+            "session_path",
+            "n_path_events",
+            "n_event_types",
+        )
+        base_sessions = base_sessions.join(
+            pp, ["user_id", "session_seq"], "inner"
+        )
     if not include_funnel:
         return base_sessions
     fun = funnel(events, ["signup", "click", "purchase"]).select(

@@ -1,0 +1,119 @@
+"""Session paths: hand-computed journeys, truncation, top-paths
+ranking, and a DuckDB twin over real events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from globalweather_etl_spark.operators.paths import session_paths, top_paths
+from globalweather_etl_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, 1.0)
+            for i, (u, m, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_hand_computed_journeys(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "signup"), (1, 5, "click"), (1, 10, "purchase"),
+            (1, 120, "click"),           # new session after 110-min gap
+            (2, 0, "click"),
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_path"], r["n_path_events"], r["n_event_types"]
+        )
+        for r in session_paths(ev, gap_seconds=1800).collect()
+    }
+    assert got == {
+        (1, 1): ("signup>click>purchase", 3, 3),
+        (1, 2): ("click", 1, 1),
+        (2, 1): ("click", 1, 1),
+    }
+
+
+def test_truncation_caps_carried_state(spark):
+    ev = _ev(spark, [(1, m, "click") for m in range(12)])
+    [r] = session_paths(ev, max_events=4).collect()
+    assert r["session_path"] == ">".join(["click"] * 4)
+    assert r["n_path_events"] == 4
+    assert r["n_event_types"] == 1  # distinct types over the FULL session
+
+
+def test_top_paths(spark):
+    ev = _ev(
+        spark,
+        [(u, 0, "a") for u in range(5)]
+        + [(u, 1, "b") for u in range(5)]      # 5x a>b
+        + [(10 + u, 0, "c") for u in range(3)]  # 3x c
+        + [(20, 0, "d")],
+    )
+    p = session_paths(ev)
+    got = [
+        (r["session_path"], r["n_sessions"], r["share"])
+        for r in top_paths(p, k=2).collect()
+    ]
+    assert got == [("a>b", 5, 5 / 9), ("c", 3, 3 / 9)]
+
+
+def test_duckdb_twin_on_real_events(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    got = sorted(
+        (r["user_id"], r["session_id"], r["session_path"],
+         r["n_path_events"], r["n_event_types"])
+        for r in session_paths(ev).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.connect().execute(
+                f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM read_parquet('{SF_DIR}/events.parquet')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      ORDER BY ts, event_id) AS rnk
+  FROM sessions)
+SELECT user_id, CAST(session_id AS BIGINT),
+  string_agg(event_type, '>' ORDER BY rnk)
+    FILTER (WHERE rnk <= 8) AS session_path,
+  CAST(count(*) FILTER (WHERE rnk <= 8) AS BIGINT),
+  CAST(count(DISTINCT event_type) AS BIGINT)
+FROM ranked GROUP BY user_id, session_id"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_errors(spark):
+    ev = _ev(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError):
+        session_paths(ev, max_events=0)
+    with pytest.raises(ValueError):
+        top_paths(session_paths(ev), k=0)
