@@ -20,4 +20,4 @@ Layout:
     multimodal/  binary-column (image/audio) plumbing with stubbed decoders
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
