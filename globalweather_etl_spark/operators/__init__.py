@@ -30,6 +30,10 @@ from globalweather_etl_spark.operators.components import (
     neardup_clusters,
 )
 from globalweather_etl_spark.operators.funnel import funnel
+from globalweather_etl_spark.operators.fuzzy_join import (
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
 from globalweather_etl_spark.operators.expectations import (
     ExpectationSuite,
     expect_between,
@@ -202,6 +206,8 @@ __all__ = [
     "dedup_lines_within",
     "exact_dedup_incremental",
     "file_ranges",
+    "fuzzy_join",
+    "fuzzy_self_pairs",
     "files_for_range",
     "line_doc_freq",
     "materialize_sequences",

@@ -306,7 +306,16 @@ cdc AS (
       AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
       AS n_unchanged
-  FROM cdc_old o FULL OUTER JOIN cdc_new n ON o.o_orderkey = n.o_orderkey)
+  FROM cdc_old o FULL OUTER JOIN cdc_new n ON o.o_orderkey = n.o_orderkey),
+fz AS (
+  SELECT count(*) FILTER (WHERE d <= 1) AS d1,
+         count(*) AS d2,
+         sum(d) AS sum_d
+  FROM (
+    SELECT levenshtein(a.p_name, b.p_name) AS d
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2))
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -327,7 +336,10 @@ UNION ALL SELECT 'orders_via_constant_join', CAST(count(*) AS DOUBLE)
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc
-UNION ALL SELECT 'diff_unchanged', CAST(n_unchanged AS DOUBLE) FROM cdc""",
+UNION ALL SELECT 'diff_unchanged', CAST(n_unchanged AS DOUBLE) FROM cdc
+UNION ALL SELECT 'fuzzy_name_pairs_d1', CAST(d1 AS DOUBLE) FROM fz
+UNION ALL SELECT 'fuzzy_name_pairs_d2', CAST(d2 AS DOUBLE) FROM fz
+UNION ALL SELECT 'fuzzy_name_dist_sum', CAST(sum_d AS DOUBLE) FROM fz""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
