@@ -34,6 +34,12 @@ from globalweather_etl_spark.operators.fuzzy_join import (
     fuzzy_join,
     fuzzy_self_pairs,
 )
+from globalweather_etl_spark.operators.pq import (
+    decode_pq,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
 from globalweather_etl_spark.operators.expectations import (
     ExpectationSuite,
     expect_between,
@@ -217,6 +223,10 @@ __all__ = [
     "remove_duplicate_spans",
     "quantile_keep_flag",
     "ngram_jaccard_pairs",
+    "decode_pq",
+    "encode_pq",
+    "pq_topk",
+    "train_pq",
     "salted_join",
     "simhash64",
     "simhash_fingerprints",

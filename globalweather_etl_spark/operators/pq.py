@@ -1,0 +1,306 @@
+"""Product quantization (PQ) — compressed-domain approximate nearest
+neighbor search over an embedding column.
+
+Public background: Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the FAISS `IndexPQ` recipe.
+Each dim-d vector is split into ``m`` contiguous subvectors of
+``d/m`` components; each subspace gets its own k-entry codebook
+(k-means over the subvectors), and a vector is stored as ``m`` small
+integer codes. Search uses asymmetric distance computation (ADC): per
+query, precompute an (m x k) lookup table of subspace distances, then
+score any stored vector with m table lookups — never touching the
+original floats.
+
+Why this is THE 100 TB embedding path: at m=8, k<=256 a 64-dim
+float64 vector (512 bytes) becomes 8 one-byte codes — a 64x smaller
+working set, which is the difference between an ANN sweep that
+rescans raw parquet vectors and one whose encoded table fits in the
+page cache of a modest cluster. The scan stage reads ONLY the codes
+column (column pruning drops the raw vectors entirely).
+
+Scale shape, stage by stage:
+  train_pq    bounded-iteration Lloyd on all m subspaces JOINTLY —
+              per iteration ONE narrow Arrow assignment scan + ONE
+              (sub, code, pos) hash aggregate whose output is
+              m*k*(d/m) = k*d rows regardless of corpus size; the
+              codebook (k*d doubles) is the only driver state, same
+              barrier-payload argument as operators/kmeans.py.
+  encode_pq   one narrow Arrow map (argmin over k per subspace, BLAS
+              batch matmul) — no shuffle, no join.
+  pq_topk     broadcast the bounded query set as ADC lookup tables,
+              score codes in a narrow Arrow map, per-query top-k via
+              the same window-over-query pattern as cosine_topk
+              (operators/similarity.py:51). The candidate table never
+              shuffles; only (query, candidate, dist) survivors do.
+
+Accuracy is the PQ trade (quantization error, controlled by m and k)
+— scores have no exact cross-engine oracle BY CONSTRUCTION (trained
+float centroids, same reason the Lloyd refinement in kmeans.py is
+un-oracled), so tests pin: exact recovery when data lies ON a
+codebook, reconstruction-error monotonicity in k, recall against the
+exact brute-force ranking, cosine/L2 consistency, and determinism
+(hash-min seeding, no RNG).
+
+Codes are 0-based ints (ndarray indexing convention; ties in both
+assignment and ADC break toward the SMALLER code/candidate id —
+np.argmin's first-occurrence rule — so every stage is deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.similarity import _as_double
+from globalweather_etl_spark.operators.vector_arrow import _stack
+
+__all__ = [
+    "train_pq",
+    "encode_pq",
+    "decode_pq",
+    "pq_topk",
+    "codebooks_to_df",
+    "codebooks_from_df",
+]
+
+
+def _split_dims(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
+    return dim // m
+
+
+def _assign_codes_arrow(codebooks: np.ndarray):
+    """Column function: vector -> array<int> of m codes. One batched
+    ||x_s||^2 - 2 x_s.c + ||c||^2 argmin per subspace; ties to the
+    smaller code (np.argmin first occurrence)."""
+    m, k, dsub = codebooks.shape
+    c_t = codebooks.transpose(0, 2, 1)  # m x dsub x k
+    c_sq = (codebooks**2).sum(axis=2)  # m x k
+
+    @pandas_udf("array<int>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = _stack(vecs, m * dsub).reshape(len(vecs), m, dsub)
+        # dists[b, s, j] = -2 * x[b,s] . c[s,j] + ||c[s,j]||^2  (the
+        # ||x||^2 term is constant per (b, s) and drops out of argmin)
+        dots = np.einsum("bsd,sdk->bsk", x, c_t)
+        codes = np.argmin(c_sq[None, :, :] - 2.0 * dots, axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _assign
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> np.ndarray:
+    """Train per-subspace codebooks; returns the (m, k, d/m) ndarray
+    (driver-resident, k*d doubles — kilobytes). Deterministic: seeds
+    are the subvector slices of the k hash-min input vectors, then
+    ``iters`` joint Lloyd steps (one scan + one bounded aggregate
+    each). Empty Lloyd cells keep their previous centroid (the FAISS
+    convention, as in vector_arrow.centroid_rows_to_matrix).
+
+    normalize=True trains on L2-normalized vectors — the cosine
+    regime: for unit vectors ||a-b||^2 = 2 - 2*cos(a,b), so L2 ADC
+    ranks identically to cosine (pq_topk(metric='cosine') relies on
+    this)."""
+    vec = _as_double(F.col(vec_col))
+    if normalize:
+        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, y: acc + y * y))
+        vec = F.transform(vec, lambda x: x / norm)
+    cand = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("cand_id"), vec.alias("cvec")
+    )
+    head = cand.select(F.size("cvec").alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError("embeddings table is empty")
+    dim = head[0]["d"]
+    dsub = _split_dims(dim, m)
+
+    seeds = (
+        cand.orderBy(F.xxhash64(F.col("cand_id").cast("string")), "cand_id")
+        .limit(k)
+        .select("cvec")
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds the {len(seeds)} input vectors")
+    books = np.array(
+        [[np.asarray(r["cvec"], dtype=np.float64)[s * dsub : (s + 1) * dsub]
+          for r in seeds]
+         for s in range(m)]
+    )  # m x k x dsub
+
+    for _ in range(iters):
+        assigned = cand.select(
+            "cvec", _assign_codes_arrow(books)(F.col("cvec")).alias("codes")
+        )
+        rows = (
+            assigned.select(
+                F.posexplode("codes").alias("sub", "code"), F.col("cvec")
+            )
+            .select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("cvec"), F.col("sub") * dsub + 1, dsub)
+                ).alias("pos", "comp"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("comp").alias("mean"))
+            .collect()
+        )
+        nxt = books.copy()
+        for r in rows:
+            nxt[r["sub"], r["code"], r["pos"]] = r["mean"]
+        books = nxt
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    normalize: bool = False,
+) -> DataFrame:
+    """The input plus ``code_col`` (array<int>, m entries) — one
+    narrow Arrow map. normalize must match the training choice."""
+    vec = _as_double(F.col(vec_col))
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, y: acc + y * y)
+        )
+        vec = F.transform(_as_double(F.col(vec_col)), lambda x: x / norm)
+    return df.withColumn(code_col, _assign_codes_arrow(codebooks)(vec))
+
+
+def decode_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    code_col: str = "pq_codes",
+    out_col: str = "pq_decoded",
+) -> DataFrame:
+    """Reconstruct the quantized vector (concatenated codebook
+    entries) — the decompression half of the storage story."""
+    m, k, dsub = codebooks.shape
+
+    @pandas_udf("array<double>")
+    def _decode(codes: pd.Series) -> pd.Series:
+        c = np.array([np.asarray(v, dtype=np.int64) for v in codes]).reshape(
+            len(codes), m
+        )
+        rec = codebooks[np.arange(m)[None, :], c].reshape(len(codes), m * dsub)
+        return pd.Series(list(rec))
+
+    return df.withColumn(out_col, _decode(F.col(code_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    metric: str = "l2",
+) -> DataFrame:
+    """ADC top-k: (query_id, cand_id, adc_dist[, adc_cos], rank) for
+    every query vector, scored purely from candidate CODES.
+
+    The bounded query set is collected into per-query (m x k) lookup
+    tables (the broadcast-small-side assumption of cosine_topk);
+    metric='cosine' requires codebooks trained with normalize=True
+    and query vectors are normalized here — adc_cos = 1 - d/2."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric: {metric!r}")
+    m, kc, dsub = codebooks.shape
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries table is empty")
+    qids = [r["query_id"] for r in qrows]
+    qm = np.array([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    if metric == "cosine":
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qs = qm.reshape(len(qids), m, dsub)
+    # lut[q, s, j] = ||q_s - c_sj||^2
+    luts = (
+        (qs[:, :, None, :] - codebooks[None, :, :, :]) ** 2
+    ).sum(axis=3)  # n_q x m x k
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        c = np.array([np.asarray(v, dtype=np.int64) for v in codes]).reshape(
+            len(codes), m
+        )
+        # dists[b, q] = sum_s luts[q, s, c[b, s]]: the (1, m) position
+        # index broadcasts against the (batch, m) code matrix, giving
+        # per_sub shape n_q x batch x m
+        per_sub = luts[:, np.arange(m)[None, :], c]
+        dists = per_sub.sum(axis=2).T
+        return pd.Series(list(dists))
+
+    scored = (
+        spread_for_compute(encoded)
+        .select(F.col(id_col).alias("cand_id"), _adc(F.col(code_col)).alias("ds"))
+        .select("cand_id", F.posexplode("ds").alias("qpos", "adc_dist"))
+        .withColumn(
+            "query_id",
+            F.element_at(
+                F.array(*[F.lit(q) for q in qids]), F.col("qpos") + 1
+            ),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+    if metric == "cosine":
+        out = out.withColumn("adc_cos", F.lit(1.0) - F.col("adc_dist") / 2.0)
+    return out
+
+
+def codebooks_to_df(spark, codebooks: np.ndarray) -> DataFrame:
+    """Persistable (sub, code, centroid) form — write as parquet next
+    to the encoded table so any session (or engine) can decode."""
+    m, k, _ = codebooks.shape
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in codebooks[s, c]])
+            for s in range(m)
+            for c in range(k)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+
+
+def codebooks_from_df(df: DataFrame) -> np.ndarray:
+    """Inverse of codebooks_to_df (validates a full m x k grid)."""
+    rows = df.collect()
+    if not rows:
+        raise ValueError("codebooks table is empty")
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.full((m, k, dsub), np.nan)
+    for r in rows:
+        books[r["sub"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
+    if np.isnan(books).any():
+        raise ValueError("codebooks table is missing (sub, code) entries")
+    return books

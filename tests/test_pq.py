@@ -1,0 +1,145 @@
+"""Product quantization (operators/pq.py): exact recovery on-codebook,
+reconstruction-error monotonicity, ADC recall vs the exact ranking,
+cosine consistency, determinism, and codebook persistence round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.operators.pq import (
+    codebooks_from_df,
+    codebooks_to_df,
+    decode_pq,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
+from globalweather_etl_spark.operators.similarity import cosine_topk
+
+DIM, M, DSUB = 16, 4, 4
+
+
+def _clustered(n: int, n_centers: int, noise: float, seed: int = 7):
+    """n DIM-dim vectors around n_centers well-separated centers."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, DIM)) * 4.0
+    idx = rng.integers(0, n_centers, size=n)
+    return centers[idx] + rng.normal(size=(n, DIM)) * noise
+
+
+def _emb_df(spark, mat):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _emb_df(spark, _clustered(300, 12, noise=0.05))
+
+
+def test_exact_recovery_on_codebook(spark):
+    """Vectors assembled FROM a codebook grid encode/decode losslessly."""
+    books = np.arange(M * 4 * DSUB, dtype=np.float64).reshape(M, 4, DSUB)
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(20, M))
+    vecs = books[np.arange(M)[None, :], codes].reshape(20, DIM)
+    df = encode_pq(_emb_df(spark, vecs), books)
+    got = decode_pq(df, books).orderBy("vec_id").collect()
+    for r, want_codes, want_vec in zip(got, codes, vecs):
+        assert r["pq_codes"] == list(want_codes)
+        assert np.allclose(r["pq_decoded"], want_vec)
+
+
+def _mse(df):
+    return df.select(
+        F.avg(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "pq_decoded", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("mse")
+    ).collect()[0]["mse"]
+
+
+def test_reconstruction_error_shrinks_with_k(spark, corpus):
+    errs = []
+    for k in (2, 12):
+        books = train_pq(corpus, m=M, k=k, iters=4)
+        errs.append(_mse(decode_pq(encode_pq(corpus, books), books)))
+    # larger codebooks strictly reduce quantization error, and at k=12
+    # it is a small fraction of the signal energy (hash-min seeding is
+    # not k-means++, so unseeded clusters keep it off the floor)
+    assert errs[1] < errs[0] / 2
+    energy = corpus.select(
+        F.avg(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert errs[1] < 0.15 * energy
+
+
+def test_adc_candidate_recall_vs_exact(spark):
+    """PQ's operating mode at scale: ADC top-20 as the CANDIDATE set,
+    exact rerank on the survivors. The exact cosine top-5 must sit
+    inside the ADC top-20 (cluster-mates share codes, so ADC cannot
+    order WITHIN a cluster — recall-at-larger-R is the honest metric,
+    the FAISS nprobe/rerank recipe)."""
+    corpus = _emb_df(spark, _clustered(240, 24, noise=0.05, seed=11))
+    books = train_pq(corpus, m=M, k=24, iters=4, normalize=True)
+    encoded = encode_pq(corpus, books, normalize=True)
+    queries = corpus.filter(F.col("vec_id") < 8)
+    got = pq_topk(encoded, queries, books, k=20, metric="cosine")
+    exact = cosine_topk(corpus, queries, k=5)
+    g = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.8, f"exact-top5-in-adc-top20 recall {recall}"
+    # adc_cos is a genuine cosine approximation on unit vectors
+    row = got.filter(F.col("rank") == 1).limit(1).collect()[0]
+    assert -1.01 <= row["adc_cos"] <= 1.01
+
+
+def test_train_is_deterministic(spark, corpus):
+    b1 = train_pq(corpus, m=M, k=6, iters=3)
+    b2 = train_pq(corpus, m=M, k=6, iters=3)
+    assert np.array_equal(b1, b2)
+
+
+def test_codebooks_df_round_trip(spark, corpus):
+    books = train_pq(corpus, m=M, k=5, iters=2)
+    back = codebooks_from_df(codebooks_to_df(spark, books))
+    assert np.allclose(books, back)
+
+
+def test_codes_are_in_range_and_column_pruned(spark, corpus):
+    books = train_pq(corpus, m=M, k=6, iters=2)
+    enc = encode_pq(corpus, books)
+    stats = enc.select(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("sz"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] < 6 and stats["sz"] == M
+
+
+def test_dim_must_divide(spark, corpus):
+    with pytest.raises(ValueError):
+        train_pq(corpus, m=5, k=4, iters=1)
+
+
+def test_real_embeddings_end_to_end(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq(emb, m=8, k=8, iters=2, normalize=True)
+    assert books.shape == (8, 8, 8)
+    enc = encode_pq(emb, books, normalize=True)
+    top = pq_topk(enc, emb.limit(3), books, k=3, metric="cosine")
+    rows = top.collect()
+    assert len(rows) == 9
+    assert all(r["rank"] in (1, 2, 3) for r in rows)
