@@ -37,6 +37,7 @@ from globalweather_etl_spark.operators.fuzzy_join import (
 from globalweather_etl_spark.operators.pq import (
     decode_pq,
     encode_pq,
+    ivfpq_topk,
     pq_topk,
     train_pq,
 )
@@ -225,6 +226,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "decode_pq",
     "encode_pq",
+    "ivfpq_topk",
     "pq_topk",
     "train_pq",
     "salted_join",

@@ -63,6 +63,7 @@ __all__ = [
     "encode_pq",
     "decode_pq",
     "pq_topk",
+    "ivfpq_topk",
     "codebooks_to_df",
     "codebooks_from_df",
 ]
@@ -274,6 +275,142 @@ def pq_topk(
     if metric == "cosine":
         out = out.withColumn("adc_cos", F.lit(1.0) - F.col("adc_dist") / 2.0)
     return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    coarse_iters: int = 2,
+    pq_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS billion-scale recipe, Jégou 2011 §V): coarse
+    spherical-k-means lists prune the search space, PQ over the
+    RESIDUAL (vector minus its list centroid) compresses what remains
+    — residuals are smaller and better-centered than raw vectors, so
+    the same codebook budget quantizes them more finely.
+
+    Plan shape end to end: coarse fit/assign is operators/kmeans.py
+    (narrow Arrow argmax, bounded Lloyd barriers); residuals are one
+    zip_with against the broadcast centroid table; PQ train/encode as
+    in train_pq/encode_pq (bounded aggregates, narrow maps). Search
+    probes each query's n_probe nearest lists and scores ONLY those
+    lists' codes with per-(query, list) ADC tables — the full n_q x
+    n_lists x m x k table is kilobytes and ships in the UDF closure;
+    candidates reach the scorer through one broadcast equi-join on
+    list_id (the candidate table never shuffles). Cosine regime
+    throughout: inputs are L2-normalized, adc_cos = 1 - dist/2.
+
+    Returns (query_id, cand_id, adc_cos, rank) — rank by ADC score,
+    ties to the smaller candidate id. Like pq_topk this is a
+    candidate generator: exact rerank of the top-R survivors is one
+    join back to the raw vectors."""
+    from globalweather_etl_spark.operators.kmeans import fit_kmeans
+    from globalweather_etl_spark.operators.similarity import _normalize
+    from globalweather_etl_spark.operators.vector_arrow import (
+        argmax_centroid_arrow,
+        centroid_rows_to_matrix,
+    )
+
+    cand = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("cand_id"),
+        _normalize(_as_double(F.col(vec_col))).alias("nvec"),
+    )
+    coarse = fit_kmeans(
+        cand, n_lists, iters=coarse_iters, id_col="cand_id", vec_col="nvec"
+    )
+    crows = sorted(coarse.collect(), key=lambda r: r["cluster_id"])
+    dim = len(crows[0]["centroid"])
+    cmat = centroid_rows_to_matrix(
+        [{"list_id": r["cluster_id"], "centroid": r["centroid"]} for r in crows],
+        n_lists,
+        dim,
+    )
+    assigned = cand.withColumn(
+        "list_id", argmax_centroid_arrow(cmat)(F.col("nvec"))
+    )
+    cent = coarse.select(
+        F.col("cluster_id").alias("list_id"),
+        F.col("centroid").alias("__cent"),
+    )
+    residuals = assigned.join(F.broadcast(cent), "list_id").select(
+        "cand_id",
+        "list_id",
+        F.zip_with("nvec", "__cent", lambda a, b: a - b).alias("res"),
+    )
+    books = train_pq(
+        residuals, m=m, k=k_codes, iters=pq_iters, id_col="cand_id",
+        vec_col="res",
+    )
+    encoded = encode_pq(residuals, books, vec_col="res").select(
+        "cand_id", "list_id", "pq_codes"
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries table is empty")
+    qids = [r["query_id"] for r in qrows]
+    qm = np.array([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    dsub = dim // m
+    # q_res[q, l] = q - centroid_l, per probed-or-not list (bounded):
+    q_res = (qm[:, None, :] - cmat[None, :, :]).reshape(
+        len(qids), n_lists, m, dsub
+    )
+    # luts[q, l, s, j] = ||q_res[q, l, s] - books[s, j]||^2
+    luts = ((q_res[:, :, :, None, :] - books[None, None, :, :, :]) ** 2).sum(
+        axis=4
+    )
+    # probe lists: top n_probe by query-to-centroid dot
+    probe_scores = qm @ cmat.T  # n_q x n_lists
+    order = np.argsort(-probe_scores, axis=1)[:, :n_probe]
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (qpos, qids[qpos], int(order[qpos, p]) + 1)
+            for qpos in range(len(qids))
+            for p in range(order.shape[1])
+        ],
+        ["qpos", "query_id", "list_id"],
+    )
+
+    @pandas_udf("double")
+    def _adc_res(qpos: pd.Series, list_id: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.array([np.asarray(v, dtype=np.int64) for v in codes]).reshape(
+            len(codes), m
+        )
+        qp = qpos.to_numpy(dtype=np.int64)
+        li = list_id.to_numpy(dtype=np.int64) - 1
+        d = luts[qp[:, None], li[:, None], np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(d)
+
+    scored = (
+        encoded.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.lit(1.0)
+                - _adc_res(F.col("qpos"), F.col("list_id"), F.col("pq_codes"))
+                / 2.0
+            ).alias("adc_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_cos", "rank")
+    )
 
 
 def codebooks_to_df(spark, codebooks: np.ndarray) -> DataFrame:

@@ -143,3 +143,40 @@ def test_real_embeddings_end_to_end(spark):
     rows = top.collect()
     assert len(rows) == 9
     assert all(r["rank"] in (1, 2, 3) for r in rows)
+
+
+def test_ivfpq_candidate_recall_and_determinism(spark):
+    """IVF-PQ with generous probing must contain the exact top-5 in its
+    top-20 on clustered data, and be run-to-run deterministic."""
+    from globalweather_etl_spark.operators.pq import ivfpq_topk
+
+    corpus = _emb_df(spark, _clustered(240, 24, noise=0.05, seed=19))
+    queries = corpus.filter(F.col("vec_id") < 6)
+    got = ivfpq_topk(
+        corpus, queries, k=20, n_lists=8, n_probe=4, m=M, k_codes=16
+    )
+    rows = {tuple(r) for r in got.select("query_id", "cand_id").collect()}
+    again = ivfpq_topk(
+        corpus, queries, k=20, n_lists=8, n_probe=4, m=M, k_codes=16
+    )
+    assert {tuple(r) for r in again.select("query_id", "cand_id").collect()} == rows
+
+    exact = cosine_topk(corpus, queries, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    recall = len(rows & e) / len(e)
+    assert recall >= 0.8, f"exact-top5-in-ivfpq-top20 recall {recall}"
+
+
+def test_ivfpq_scores_are_cosine_like(spark):
+    from globalweather_etl_spark.operators.pq import ivfpq_topk
+
+    corpus = _emb_df(spark, _clustered(120, 6, noise=0.05, seed=23))
+    got = ivfpq_topk(
+        corpus, corpus.filter(F.col("vec_id") == 0), k=3, n_lists=4,
+        n_probe=4, m=M, k_codes=8,
+    ).collect()
+    assert len(got) == 3
+    for r in got:
+        # quantization can push the estimate slightly past the cosine
+        # range; it must stay near it
+        assert -1.2 <= r["adc_cos"] <= 1.2
