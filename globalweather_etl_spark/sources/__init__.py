@@ -6,7 +6,9 @@ from globalweather_etl_spark.sources.formats import (
     drop_corrupt,
     read_csv,
     read_jsonl,
+    read_orc,
     write_jsonl,
+    write_orc,
 )
 from globalweather_etl_spark.sources.weather_from_events import (
     AS_OF_DATE,
@@ -23,7 +25,9 @@ __all__ = [
     "drop_corrupt",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "write_jsonl",
+    "write_orc",
     "AS_OF_DATE",
     "weather_staging_from_events",
 ]

@@ -137,6 +137,50 @@ def drop_corrupt(df: DataFrame) -> DataFrame:
     return df.filter(keep).drop(CORRUPT_COL)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    expected_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read ORC (the other columnar interchange format — Hive-era
+    warehouses hand data off as ORC as often as parquet). ORC embeds
+    its schema, so there is no inference cost and no corrupt-record
+    mode; what CAN drift silently between drops is the embedded schema
+    itself, so callers that depend on a shape pass ``expected_schema``
+    and drift fails loudly (name + type comparison, nullability
+    ignored — writers disagree about it and it carries no data risk).
+
+    Spark's native ORC reader keeps the same scan-stage guarantees as
+    parquet: predicate pushdown, column pruning, and split-per-stripe
+    parallelism (plan-audited in tests)."""
+    df = spark.read.orc(path)
+    if expected_schema is not None:
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        want = [(f.name, f.dataType) for f in expected_schema.fields]
+        if got != want:
+            raise ValueError(
+                f"ORC schema drift at {path}: expected {want}, found {got}"
+            )
+    return df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Write ORC (interchange twin of read_orc). ``partition_by``
+    produces the hive-layout directory tree downstream engines
+    partition-prune on; ``partitions`` bounds file count the same way
+    write_jsonl does."""
+    out = df.coalesce(partitions) if partitions else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
     """Write line-delimited JSON (the interchange twin of read_jsonl).
     `partitions` coalesces to bound output file count — JSONL drops are
