@@ -267,7 +267,14 @@ SELECT event_id, user_id, ts, value,
   round(CAST(sum(CAST(value AS DECIMAL(25,10)))
       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-      AS DOUBLE), 9) AS VALUE_1H_SUM
+      AS DOUBLE), 9) AS VALUE_1H_SUM,
+  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+    AS BIGINT) AS VALUE_QUARTILE,
+  round(percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC), 9)
+    AS VALUE_PCT_RANK,
+  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value DESC), 9)
+    AS VALUE_CUME_DIST,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS PROPS_K
 FROM events""",
     "tpch_surrogate_key": """
 SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)

