@@ -34,6 +34,10 @@ from globalweather_etl_spark.operators.fuzzy_join import (
     fuzzy_join,
     fuzzy_self_pairs,
 )
+from globalweather_etl_spark.operators.paths import (
+    session_transitions,
+    transition_matrix,
+)
 from globalweather_etl_spark.operators.pq import (
     decode_pq,
     encode_pq,
@@ -230,6 +234,8 @@ __all__ = [
     "pq_topk",
     "train_pq",
     "salted_join",
+    "session_transitions",
+    "transition_matrix",
     "simhash64",
     "simhash_fingerprints",
     "simhash_pairs",

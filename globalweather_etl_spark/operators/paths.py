@@ -25,12 +25,12 @@ path string + a bounded top-k (TakeOrderedAndProject).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.sessionize import sessionize
 
-__all__ = ["session_paths", "top_paths"]
+__all__ = ["session_paths", "session_transitions", "top_paths", "transition_matrix"]
 
 
 def session_paths(
@@ -94,4 +94,80 @@ def top_paths(
             F.col("n_sessions").cast("double")
             / F.lit(float(max(total, 1))),
         )
+    )
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """One row per journey STEP: (user, session_id, src, dst) with the
+    pseudo-states Markov flow analysis needs — '(start)' -> first
+    event and last event -> '(end)' — so a session of n events yields
+    exactly n + 1 transitions.
+
+    Shape: sessionize's window plus ONE more (user, session) window
+    serving both lag (src) and lead (end detection) from a single
+    exchange + sort; the end rows are a second branch over the same
+    windowed frame (two scans of the input — acceptable because the
+    downstream aggregate is the expensive part; persist upstream if
+    the source is not a cheap parquet scan)."""
+    sess = sessionize(events, user_col, ts_col, gap_seconds)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    stepped = sess.select(
+        F.col(user_col).alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.coalesce(F.lag(type_col).over(w), F.lit("(start)")).alias("src"),
+        F.col(type_col).alias("dst"),
+        F.lead(type_col).over(w).alias("__next"),
+    )
+    ends = stepped.filter(F.col("__next").isNull()).select(
+        "user_id",
+        "session_id",
+        F.col("dst").alias("src"),
+        F.lit("(end)").alias("dst"),
+    )
+    return stepped.drop("__next").unionByName(ends)
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_seconds: float = 1800.0,
+    include_bounds: bool = True,
+) -> DataFrame:
+    """The corpus Markov matrix behind flow/Sankey views:
+    (src, dst, n, p) where p is the row-stochastic probability of the
+    next step given the current one (sums to 1 per src; 9dp-rounded
+    for cross-engine comparison). include_bounds=False drops the
+    '(start)'/'(end)' pseudo-state rows.
+
+    Scale shape: the per-step frame aggregates map-side onto the
+    (src, dst) vocabulary — output is event-type-vocab^2 rows no
+    matter the corpus, so the per-src normalization window runs on a
+    bounded frame."""
+    t = session_transitions(
+        events, user_col, ts_col, type_col, id_col, gap_seconds
+    )
+    if not include_bounds:
+        t = t.filter(
+            (F.col("src") != "(start)") & (F.col("dst") != "(end)")
+        )
+    counts = t.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_src = Window.partitionBy("src")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_src).cast("double"),
+            9,
+        ),
     )

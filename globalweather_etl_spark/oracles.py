@@ -535,6 +535,21 @@ pp AS (
     CAST(count(*) FILTER (WHERE rnk <= 8) AS BIGINT) AS n_path_events,
     CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
   FROM ranked GROUP BY user_id, session_id),
+trans AS (
+  SELECT user_id, session_id,
+    coalesce(lag(event_type) OVER sw, '(start)') AS src,
+    event_type AS dst
+  FROM ranked
+  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY rnk)
+  UNION ALL
+  SELECT user_id, session_id, event_type, '(end)'
+  FROM ranked
+  QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+                             ORDER BY rnk DESC) = 1),
+tc AS (
+  SELECT user_id, session_id,
+    CAST(count(DISTINCT (src, dst)) AS BIGINT) AS n_distinct_transitions
+  FROM trans GROUP BY user_id, session_id),
 fm1 AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1),
@@ -571,11 +586,13 @@ SELECT s.user_id AS user_id, min(s.ts) AS session_start,
   any_value(pp.session_path) AS session_path,
   any_value(pp.n_path_events) AS n_path_events,
   any_value(pp.n_event_types) AS n_event_types,
+  any_value(tc.n_distinct_transitions) AS n_distinct_transitions,
   any_value(fun.funnel_steps) AS funnel_steps,
   any_value(fun.funnel_converted) AS funnel_converted,
   any_value(fun.funnel_t_first) AS funnel_t_first
 FROM sessions s JOIN fun USING (user_id)
 JOIN pp ON pp.user_id = s.user_id AND pp.session_id = s.session_id
+JOIN tc ON tc.user_id = s.user_id AND tc.session_id = s.session_id
 GROUP BY s.user_id, s.session_id""",
 }
 

@@ -729,6 +729,29 @@ def q_events_session_30m(
         base_sessions = base_sessions.join(
             pp, ["user_id", "session_seq"], "inner"
         )
+        # Late round 5: the per-session slice of the Markov journey
+        # machinery (operators/paths.py session_transitions — lag
+        # bigrams with the '(start)'/'(end)' pseudo-states); the
+        # corpus-grain transition_matrix has its own DuckDB-parity
+        # test, this column gives the driver a per-session projection
+        # of the same step extraction.
+        from globalweather_etl_spark.operators.paths import (
+            session_transitions,
+        )
+
+        tr = (
+            session_transitions(events, gap_seconds=30 * 60.0)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count_distinct("src", "dst")
+                .cast("long")
+                .alias("n_distinct_transitions")
+            )
+            .withColumnRenamed("session_id", "session_seq")
+        )
+        base_sessions = base_sessions.join(
+            tr, ["user_id", "session_seq"], "inner"
+        )
     if not include_funnel:
         return base_sessions
     fun = funnel(events, ["signup", "click", "purchase"]).select(

@@ -117,3 +117,113 @@ def test_errors(spark):
         session_paths(ev, max_events=0)
     with pytest.raises(ValueError):
         top_paths(session_paths(ev), k=0)
+
+
+def test_transitions_hand_computed(spark):
+    from globalweather_etl_spark.operators.paths import (
+        session_transitions,
+        transition_matrix,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "signup"), (1, 5, "click"), (1, 10, "purchase"),
+            (1, 120, "click"),           # second session
+            (2, 0, "click"),
+        ],
+    )
+    steps = {
+        (r["user_id"], r["session_id"], r["src"], r["dst"])
+        for r in session_transitions(ev, gap_seconds=1800).collect()
+    }
+    assert steps == {
+        (1, 1, "(start)", "signup"),
+        (1, 1, "signup", "click"),
+        (1, 1, "click", "purchase"),
+        (1, 1, "purchase", "(end)"),
+        (1, 2, "(start)", "click"),
+        (1, 2, "click", "(end)"),
+        (2, 1, "(start)", "click"),
+        (2, 1, "click", "(end)"),
+    }
+    mat = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in transition_matrix(ev, gap_seconds=1800).collect()
+    }
+    assert mat[("(start)", "signup")] == (1, round(1 / 3, 9))
+    assert mat[("(start)", "click")] == (2, round(2 / 3, 9))
+    assert mat[("click", "(end)")] == (2, round(2 / 3, 9))
+
+
+def test_transition_rows_per_session_is_n_plus_1(spark):
+    from globalweather_etl_spark.operators.paths import session_transitions
+
+    ev = _ev(spark, [(1, m, "click") for m in range(5)] + [(2, 0, "click")])
+    t = session_transitions(ev)
+    assert t.count() == 6 + 2  # (5 events + 1) + (1 event + 1)
+
+
+def test_transition_probabilities_are_row_stochastic(spark):
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.paths import transition_matrix
+
+    events = load_table(spark, SF_DIR, "events")
+    mat = transition_matrix(events)
+    sums = (
+        mat.groupBy("src").agg(F.sum("p").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-6, r
+    # '(end)' is absorbing: never a src; '(start)' never a dst
+    assert mat.filter(F.col("src") == "(end)").count() == 0
+    assert mat.filter(F.col("dst") == "(start)").count() == 0
+
+
+def test_transition_matrix_duckdb_twin(spark):
+    from globalweather_etl_spark.operators.paths import transition_matrix
+
+    events = load_table(spark, SF_DIR, "events")
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in transition_matrix(events).collect()
+    }
+    con = duckdb.connect()
+    # DuckDB reads the TIMESTAMP(NANOS) column natively; ordering and
+    # 30-minute gap comparisons are value-identical to load_table's
+    # exact nanos->micros repair on the Spark side.
+    con.execute(
+        f"CREATE VIEW events AS SELECT event_id, user_id, event_type, ts"
+        f" FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+trans AS (
+  SELECT coalesce(lag(event_type) OVER sw, '(start)') AS src,
+         event_type AS dst
+  FROM sessions
+  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+  UNION ALL
+  SELECT event_type, '(end)' FROM sessions
+  QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts DESC, event_id DESC) = 1)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+  round(count(*) / sum(count(*)) OVER (PARTITION BY src), 9) AS p
+FROM trans GROUP BY src, dst"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 3
