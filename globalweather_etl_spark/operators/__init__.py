@@ -58,6 +58,9 @@ from globalweather_etl_spark.operators.expectations import (
 )
 from globalweather_etl_spark.operators.pagerank import pagerank
 from globalweather_etl_spark.operators.paths import session_paths, top_paths
+from globalweather_etl_spark.operators.semantic_decon import (
+    semantic_decontaminate,
+)
 from globalweather_etl_spark.operators.semdedup import semdedup
 from globalweather_etl_spark.operators.skew_report import (
     key_skew_report,
@@ -156,6 +159,7 @@ __all__ = [
     "expect_row_count",
     "expect_unique",
     "pagerank",
+    "semantic_decontaminate",
     "semdedup",
     "key_skew_report",
     "skew_summary",
