@@ -274,7 +274,11 @@ SELECT event_id, user_id, ts, value,
     AS VALUE_PCT_RANK,
   round(cume_dist() OVER (PARTITION BY user_id ORDER BY value DESC), 9)
     AS VALUE_CUME_DIST,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS PROPS_K
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS PROPS_K,
+  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS USER_FIRST_VALUE,
+  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS USER_SECOND_VALUE
 FROM events""",
     "tpch_surrogate_key": """
 SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
@@ -1925,6 +1929,8 @@ WITH hll AS ({hll}),
 q AS (SELECT quantile_disc(n_chars, 0.1) AS chars_p10,
              quantile_disc(n_chars, 0.5) AS chars_p50,
              quantile_disc(n_chars, 0.9) AS chars_p90,
+             round(quantile_cont(n_chars, 0.25), 9) AS chars_q1_cont,
+             round(quantile_cont(n_chars, 0.75), 9) AS chars_q3_cont,
              count(*) AS n_docs
       FROM documents),
 pd AS (
@@ -1989,6 +1995,7 @@ cms_mass AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS cms_row0_mass
   FROM cms_sk WHERE row = 0)
 SELECT hll.approx_distinct_docs, q.chars_p10, q.chars_p50, q.chars_p90,
+       q.chars_q1_cont, q.chars_q3_cont,
        q.n_docs, rep.*, tt.top_token, tt.top_token_count,
        cms_top.cms_top_est, cms_mass.cms_row0_mass
 FROM hll CROSS JOIN q CROSS JOIN rep CROSS JOIN tt

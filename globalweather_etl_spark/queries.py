@@ -374,6 +374,11 @@ def q_tpch_events_window_suite(spark, sf_dir):
         F.round(F.percent_rank().over(w_rank), 9).alias("VALUE_PCT_RANK"),
         F.round(F.cume_dist().over(w_rank), 9).alias("VALUE_CUME_DIST"),
         F.get_json_object("props", "$.k").cast("long").alias("PROPS_K"),
+        # first_value / nth_value over w_seq's default running frame
+        # (RANGE unbounded-preceding..current; the event_id tiebreak
+        # makes peers single rows, so both engines see ROWS semantics)
+        F.first("value").over(w_seq).alias("USER_FIRST_VALUE"),
+        F.nth_value("value", 2).over(w_seq).alias("USER_SECOND_VALUE"),
     )
 
 
@@ -1312,6 +1317,16 @@ def q_docs_approx_stats(spark, sf_dir):
         F.percentile_approx("n_chars", 0.1, 10000).alias("chars_p10"),
         F.percentile_approx("n_chars", 0.5, 10000).alias("chars_p50"),
         F.percentile_approx("n_chars", 0.9, 10000).alias("chars_p90"),
+        # Late round 5: the CONTINUOUS (interpolated) percentile family
+        # — Spark's exact `percentile` against DuckDB's quantile_cont;
+        # both compute lower + frac*(upper-lower) at rank (n-1)p, and
+        # the 9dp round guards the hash against representation noise.
+        F.round(F.percentile("n_chars", F.lit(0.25)), 9).alias(
+            "chars_q1_cont"
+        ),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 9).alias(
+            "chars_q3_cont"
+        ),
         F.count(F.lit(1)).alias("n_docs"),
     )
     hll = hll_distinct_estimate(
