@@ -16,7 +16,11 @@ separately on local[32]:
   this generator: within a dense topic cluster the exact top-10 is
   barely separated from rank-100 — distance concentration — so no
   quantizer ranks it reliably; reported, not asserted);
-- the storage ratio: code bytes vs raw float64 vector bytes.
+- the storage ratio: code bytes vs raw float64 vector bytes;
+- the IVF-PQ composition (ivfpq_topk, n_lists=32, n_probe=8): full
+  train+encode+search wall for the same 16 queries, with the same
+  planted-base metric — the probed-list pruning must not lose the
+  near-copies' bases.
 
 Usage: python tools/rehearse_pq.py [n_vectors] [m] [k]
 Prints one JSON line; paste into docs/PERF.md.
@@ -109,6 +113,22 @@ def main() -> None:
     want = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
     recall = len(got & want) / len(want)
 
+    from globalweather_etl_spark.operators.pq import ivfpq_topk
+
+    t0 = time.perf_counter()
+    ivf = ivfpq_topk(
+        emb, queries, k=10, n_lists=32, n_probe=8, m=m, k_codes=k,
+        coarse_iters=2, pq_iters=3,
+    )
+    ivf_rows = ivf.collect()
+    ivfpq_s = round(time.perf_counter() - t0, 2)
+    ivf_top10 = {(r["query_id"], r["cand_id"]) for r in ivf_rows}
+    ivf_planted = sum(
+        1
+        for q in range(n_base, n_base + 16)
+        if (q, q - n_base) in ivf_top10
+    )
+
     print(
         json.dumps(
             {
@@ -122,6 +142,8 @@ def main() -> None:
                 "planted_base_in_adc_top10": f"{planted_found}/16",
                 "exact10_in_adc50_recall": round(recall, 4),
                 "compression_x": round(DIM * 8 / (m * 4), 1),
+                "ivfpq_total_s_16q": ivfpq_s,
+                "ivfpq_planted_base_in_top10": f"{ivf_planted}/16",
             }
         )
     )
