@@ -1,20 +1,27 @@
-"""Fuzzy-join rehearsal: 100k distinct strings, planted typos, exact
-recall through the blocked plan.
+"""Fuzzy-join rehearsal: 100k distinct strings, planted typos, the
+hot-gram cap in its intended regime.
 
-Synthesizes n distinct entity-like strings ("vendor-<id>-<suffix>"
-over a 40k-base vocabulary) plus n/10 planted single-edit typos
-(substitute one character), then runs fuzzy_self_pairs(max_dist=1) and
-reports:
+Synthesizes n distinct entity-like strings ("vendor-<base36 id>-co")
+plus n/10 planted single-edit typos. This corpus is DELIBERATELY
+adversarial for uncapped blocking: every string shares the
+"vendor-"/"-co" stop-grams, so the uncapped candidate stage is
+~n^2/2 pairs — the exact failure mode operators/fuzzy_join.py
+documents (a dry run confirmed it: the uncapped join at n=110k did
+not finish in minutes). The rehearsal therefore runs with
+``max_gram_freq`` ON, which is how the operator is meant to be used
+on real entity data, and reports:
 
-- wall time (the inverted-index + length-prune + threshold-levenshtein
-  plan — never a cross join);
-- planted-typo recall: every (original, typo) pair MUST be found —
-  the q-gram lemma guarantees completeness at these lengths, so this
-  is an exactness check at scale, not a quality trade-off;
-- the candidate-pair count versus the n^2/2 a naive plan would score
-  (the number that decides 100 TB feasibility).
+- wall time of the capped plan (inverted index minus hot grams +
+  length prune + threshold levenshtein);
+- candidate-pair volume under the cap vs the naive n^2/2 — the
+  feasibility number;
+- planted-typo recall under the cap: a pair survives iff it still
+  shares at least one RARE gram (the untouched base36-id chunk).
+  Typos landing inside a SHORT id can destroy every rare gram and
+  lose the pair — the documented completeness trade of the cap —
+  so recall is reported honestly, expected high but below 1.0.
 
-Usage: python tools/rehearse_fuzzy.py [n_base] [n_typos]
+Usage: python tools/rehearse_fuzzy.py [n_base] [n_typos] [max_gram_freq]
 Prints one JSON line; paste into docs/PERF.md.
 """
 
@@ -38,10 +45,14 @@ from globalweather_etl_spark.session import get_spark
 def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_typos = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    max_gram_freq = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
     spark = get_spark(
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "16g",
+        },
     )
 
     # distinct base strings: "vendor-<base36ish>-co" — length ~14,
@@ -78,7 +89,9 @@ def main() -> None:
     n_rows = corpus.count()
 
     t0 = time.perf_counter()
-    pairs = fuzzy_self_pairs(corpus, "name", max_dist=1).persist()
+    pairs = fuzzy_self_pairs(
+        corpus, "name", max_dist=1, max_gram_freq=max_gram_freq
+    ).persist()
     n_pairs = pairs.count()
     wall = round(time.perf_counter() - t0, 2)
 
@@ -101,12 +114,13 @@ def main() -> None:
     n_planted = planted.count()
     n_found = planted.join(pairs, ["s_a", "s_b"], "inner").count()
 
-    # candidate volume the blocking actually produced (re-derive the
-    # candidate stage: sum over block keys of freq*(freq-1)/2)
+    # candidate volume the CAPPED blocking actually produced (sum over
+    # surviving block keys of freq*(freq-1)/2)
     keys = _block_keys(corpus.distinct(), "name", q=2, max_dist=1)
     cand = (
         keys.groupBy("key")
         .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") <= max_gram_freq)
         .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("c"))
         .collect()[0]["c"]
     )

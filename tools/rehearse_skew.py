@@ -49,6 +49,10 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
             # force the shuffle-join regime the rehearsal studies
             "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # local-mode default heap is 1g; a 20M-row deliberately
+            # skewed shuffle needs real executor memory (fresh JVM, so
+            # the setting is honored at launch)
+            "spark.driver.memory": "24g",
         },
     )
 
