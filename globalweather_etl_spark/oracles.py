@@ -318,6 +318,29 @@ cdc AS (
       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
       AS n_unchanged
   FROM cdc_old o FULL OUTER JOIN cdc_new n ON o.o_orderkey = n.o_orderkey),
+sfx AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+      * CAST(l_quantity AS DECIMAL(25,6)) AS DECIMAL(38,6)))
+      AS DOUBLE) AS sxx,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6))
+      * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,6)))
+      AS DOUBLE) AS syy,
+    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6))
+      * CAST(l_extendedprice AS DECIMAL(25,6)) AS DECIMAL(38,6)))
+      AS DOUBLE) AS sxy
+  FROM lineitem),
+mx AS (
+  SELECT
+    round((sxy - sx * sy / nn)
+      / sqrt((sxx - sx * sx / nn) * (syy - sy * sy / nn)), 9)
+      AS corr_qty_price,
+    round((sxy - sx * sy / nn) / (sxx - sx * sx / nn), 9)
+      AS slope_price_on_qty,
+    round((sxy - sx * sy / nn) / nn, 6) AS cov_pop_qty_price
+  FROM sfx),
 fz AS (
   SELECT count(*) FILTER (WHERE d <= 1) AS d1,
          count(*) AS d2,
@@ -350,7 +373,10 @@ UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_unchanged', CAST(n_unchanged AS DOUBLE) FROM cdc
 UNION ALL SELECT 'fuzzy_name_pairs_d1', CAST(d1 AS DOUBLE) FROM fz
 UNION ALL SELECT 'fuzzy_name_pairs_d2', CAST(d2 AS DOUBLE) FROM fz
-UNION ALL SELECT 'fuzzy_name_dist_sum', CAST(sum_d AS DOUBLE) FROM fz""",
+UNION ALL SELECT 'fuzzy_name_dist_sum', CAST(sum_d AS DOUBLE) FROM fz
+UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
+UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
+UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

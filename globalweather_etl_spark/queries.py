@@ -435,6 +435,14 @@ def q_tpch_scalar_checks(spark, sf_dir):
     NULL-safe diff, and the four diff_summary counts land as
     diff_* rows — the oracle recomputes the same classification.
 
+    Late round 5 also grades the bivariate-statistics family here:
+    Pearson correlation, OLS slope, and population covariance between
+    l_quantity and l_extendedprice, computed from five DECIMAL-exact
+    sufficient statistics with the textbook formulas applied in
+    double (native corr()/regr_slope() are partial-order-dependent
+    double folds with no cross-engine twin; the decimal-sum route is
+    bit-identical on any cluster shape — the exact_avg argument).
+
     Late round 5 grades the fuzzy string join the same way
     (operators/fuzzy_join.py): every distinct p_name pair within
     Levenshtein distance 2 through the q-gram-blocked operator, with
@@ -521,6 +529,47 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Decimal-exact Pearson correlation + OLS slope over lineitem
+    # (quantity vs price). Native corr()/regr_slope() are one-pass
+    # double folds whose partial-aggregation order differs between
+    # engines; computing the five sufficient statistics as exact
+    # DECIMAL sums and applying the textbook formulas in double makes
+    # the result bit-identical on any cluster shape AND in DuckDB.
+    d = lambda c: F.col(c).cast("decimal(25,6)")
+    suff = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("l_quantity")).alias("sx"),
+        F.sum(d("l_extendedprice")).alias("sy"),
+        F.sum(
+            (d("l_quantity") * d("l_quantity")).cast("decimal(38,6)")
+        ).alias("sxx"),
+        F.sum(
+            (d("l_extendedprice") * d("l_extendedprice")).cast("decimal(38,6)")
+        ).alias("syy"),
+        F.sum(
+            (d("l_quantity") * d("l_extendedprice")).cast("decimal(38,6)")
+        ).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = sxy - sx * sy / nn
+    var_x = sxx - sx * sx / nn
+    var_y = syy - sy * sy / nn
+    stats_mx = _unpivot_metrics(
+        suff.select(
+            F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
+            F.round(cov_n / var_x, 9).alias("slope_price_on_qty"),
+            F.round(cov_n / nn, 6).alias("cov_pop_qty_price"),
+        ),
+        [
+            ("corr_qty_price", "corr_qty_price"),
+            ("slope_price_on_qty", "slope_price_on_qty"),
+            ("cov_pop_qty_price", "cov_pop_qty_price"),
+        ],
+    )
+
     from globalweather_etl_spark.operators.fuzzy_join import fuzzy_self_pairs
 
     part = load_table(spark, sf_dir, "part")
@@ -543,6 +592,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(constant_join)
         .unionAll(cdc)
         .unionAll(fuzzy)
+        .unionAll(stats_mx)
     )
 
 
