@@ -356,6 +356,14 @@ SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
   EXCEPT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL SELECT 'intersect_all_rows', CAST(count(*) AS DOUBLE) FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+UNION ALL SELECT 'except_all_rows', CAST(count(*) AS DOUBLE) FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
 UNION ALL SELECT 'customers_without_orders', CAST(no_orders AS DOUBLE) FROM fo
 UNION ALL SELECT 'orphan_orders', CAST(orphans AS DOUBLE) FROM fo
 UNION ALL SELECT 'full_outer_rows', CAST(n_rows AS DOUBLE) FROM fo

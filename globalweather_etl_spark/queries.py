@@ -420,7 +420,10 @@ def q_tpch_scalar_checks(spark, sf_dir):
     rows — merged so each keeps driver coverage within the 50-query cap:
 
     - INTERSECT/EXCEPT: customers holding both an urgent and a low
-      priority order, minus any with an 'F'-status order
+      priority order, minus any with an 'F'-status order — plus the
+      multiset INTERSECT ALL / EXCEPT ALL counts (late round 5;
+      min-multiplicity / multiplicity-subtraction semantics the
+      DISTINCT forms cannot distinguish)
     - FULL OUTER join coverage: customers without orders / orphan
       orders / total joined rows
     - global (ungrouped) aggregates over lineitem: count + min/max
@@ -462,6 +465,18 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .subtract(failed)
         .agg(F.count(F.lit(1)).alias("n")),
         [("set_ops_customers", "n")],
+    )
+    # multiset (ALL) variants — intersectAll keeps min(multiplicity),
+    # exceptAll subtracts multiplicities; distinct-set rows above
+    # cannot distinguish them from their DISTINCT cousins
+    set_ops_all = _unpivot_metrics(
+        urgent.intersectAll(low).agg(F.count(F.lit(1)).alias("ia")),
+        [("intersect_all_rows", "ia")],
+    ).unionAll(
+        _unpivot_metrics(
+            urgent.exceptAll(low).agg(F.count(F.lit(1)).alias("ea")),
+            [("except_all_rows", "ea")],
+        )
     )
 
     outer = _unpivot_metrics(
@@ -587,7 +602,8 @@ def q_tpch_scalar_checks(spark, sf_dir):
     )
 
     return (
-        set_ops.unionAll(outer)
+        set_ops.unionAll(set_ops_all)
+        .unionAll(outer)
         .unionAll(global_agg)
         .unionAll(constant_join)
         .unionAll(cdc)
