@@ -69,6 +69,7 @@ from globalweather_etl_spark.operators.skew_report import (
 from globalweather_etl_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
+    hll_distinct_by,
     hll_distinct_estimate,
 )
 from globalweather_etl_spark.operators.table_diff import (
@@ -165,6 +166,7 @@ __all__ = [
     "skew_summary",
     "cms_estimate",
     "count_min_sketch",
+    "hll_distinct_by",
     "hll_distinct_estimate",
     "diff_summary",
     "table_diff",

@@ -94,6 +94,68 @@ def hll_distinct_estimate(
     return agg.select(F.round(est, 6).alias(out_col))
 
 
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str | Column,
+    b: int = 6,
+    rho_cap: int = 40,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group portable-HLL distinct counts: (group_cols...,
+    out_col) — the GROUP BY form of hll_distinct_estimate, e.g.
+    distinct users per day or distinct documents per source at 100 TB
+    where count(DISTINCT x) per group would shuffle the raw values.
+
+    Same registers, same estimate, and EXACTLY the global function's
+    value on each group slice (tested), via the empty-register
+    identity: a present bucket always has rho >= 1 (the 60-bit hash's
+    top bits give bitlen <= w, so rho_raw >= 1), so the grid join the
+    global form uses is replaced by sum_inv = sum(2^-rho) +
+    (m - n_present) * 1.0 and n_empty = m - n_present — one fewer
+    join, and the whole operator is two map-side-combinable hash
+    aggregates on (group, bucket) then (group). All register terms
+    are dyadic rationals, so the float sums are exact in any
+    aggregation order — the property that makes the estimate
+    hash-stable cross-engine and cross-cluster-shape."""
+    m = 1 << b
+    w = 60 - b
+    if not 0 < rho_cap <= w:
+        raise ValueError(f"rho_cap must be in (0, {w}]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use "
+                         "hll_distinct_estimate for the global form")
+    c = F.col(col) if isinstance(col, str) else col
+    h = _md5_long(c.cast("string"))
+    hashed = df.select(
+        *group_cols,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.least(
+            F.lit(w + 1) - F.length(F.bin(F.shiftright(h, b))),
+            F.lit(rho_cap),
+        ).alias("rho_raw"),
+    )
+    per_bucket = hashed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho_raw").alias("rho")
+    )
+    two_pow_neg_rho = F.lit(1.0) / F.expr(
+        "shiftleft(cast(1 as bigint), cast(rho as int))"
+    ).cast("double")
+    agg = per_bucket.groupBy(*group_cols).agg(
+        (
+            F.sum(two_pow_neg_rho)
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        ).alias("sum_inv"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("sum_inv")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias(out_col))
+
+
 def hll_oracle_sql(
     source: str,
     value_expr: str,

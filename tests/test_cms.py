@@ -147,3 +147,86 @@ LEFT JOIN sk USING (row, bucket)"""
 def test_errors(stream):
     with pytest.raises(ValueError):
         count_min_sketch(stream, "v", depth=0)
+
+
+# ------------------------- grouped portable HLL (hll_distinct_by)
+
+
+def test_hll_by_matches_global_per_slice(spark):
+    from globalweather_etl_spark.operators.sketches import (
+        hll_distinct_by,
+        hll_distinct_estimate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grouped = {
+        r["lang"]: r["approx_distinct"]
+        for r in hll_distinct_by(docs, ["lang"], "text").collect()
+    }
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert set(grouped) == set(langs)
+    for lang in langs:
+        [g] = hll_distinct_estimate(
+            docs.filter(F.col("lang") == lang), "text"
+        ).collect()
+        assert grouped[lang] == g["approx_distinct"], lang
+
+
+def test_hll_by_error_bound(spark):
+    from globalweather_etl_spark.operators.sketches import hll_distinct_by
+
+    # 3 groups with known distinct counts 100 / 500 / 2000
+    df = spark.range(2600).select(
+        F.when(F.col("id") < 100, F.lit("a"))
+        .when(F.col("id") < 600, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("g"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct_by(df, ["g"], "v", b=8).collect()
+    }
+    for g, truth in (("a", 100), ("b", 500), ("c", 2000)):
+        # b=8 -> m=256 -> ~6.5% standard error; allow 4 sigma
+        assert abs(got[g] - truth) / truth < 0.26, (g, got[g])
+
+
+def test_hll_by_duckdb_grouped_twin(spark):
+    from globalweather_etl_spark.operators.sketches import hll_distinct_by
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["lang"],): r["approx_distinct"]
+        for r in hll_distinct_by(
+            spark.read.parquet(f"{sf}/documents.parquet"), ["lang"], "text",
+            b=6,
+        ).collect()
+    }
+    m, w, b, cap = 64, 54, 6, 40
+    import math
+
+    alpha = 0.709  # _alpha(64)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+SELECT lang,
+  round(CASE WHEN {alpha} * {m} * {m} / sum_inv <= {2.5 * m}
+              AND n_empty > 0
+        THEN {float(m)} * ln({float(m)} / n_empty)
+        ELSE {alpha} * {m} * {m} / sum_inv END, 6)
+FROM (
+  SELECT lang,
+    sum(1.0 / (CAST(1 AS BIGINT) << rho)) + ({m} - count(*)) AS sum_inv,
+    {m} - count(*) AS n_empty
+  FROM (
+    SELECT lang, h & {m - 1} AS bucket,
+      max(least({w + 1} - length(ltrim(bin(h >> {b}), '0')), {cap})) AS rho
+    FROM (SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+            AS h
+          FROM read_parquet('{sf}/documents.parquet'))
+    GROUP BY lang, h & {m - 1})
+  GROUP BY lang)"""
+    ).fetchall()
+    want = {(r[0],): r[1] for r in rows}
+    assert got == want
