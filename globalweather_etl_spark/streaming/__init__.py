@@ -11,6 +11,7 @@ stateful.py / jobs.py.
 
 from globalweather_etl_spark.streaming.jobs import (
     clean_documents,
+    clicks_with_optional_signup,
     clicks_with_recent_signup,
     daily_weather_band_counts,
     drain_to_memory,
@@ -38,6 +39,7 @@ from globalweather_etl_spark.streaming.windows import (
 __all__ = [
     "clean_documents",
     "EVENTS_SCHEMA",
+    "clicks_with_optional_signup",
     "clicks_with_recent_signup",
     "daily_weather_band_counts",
     "drain_to_memory",

@@ -126,6 +126,39 @@ def clicks_with_recent_signup(
     )
 
 
+def clicks_with_optional_signup(
+    clicks: DataFrame, signups: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, paired
+    with its same-user signups in the preceding ``within`` window —
+    or emitted ONCE with NULL signup columns if none arrives.
+
+    The outer side is the semantics the inner form can't express
+    ("which clicks had no recent signup?"), and it is where streaming
+    state management actually bites: Spark can only emit the NULL row
+    once it is certain no match can still arrive, i.e. when the
+    watermark passes click.ts + within and the click's state is
+    evicted. Matched rows stream out immediately (append mode);
+    unmatched rows surface one watermark-advance later — tests drive
+    this with staggered micro-batches. On batch inputs the same
+    expression is a plain left interval join (parity-tested), where
+    the lateness machinery is a no-op."""
+    c = clicks.alias("c")
+    s = signups.alias("s")
+    cond = (
+        (F.col("c.user_id") == F.col("s.user_id"))
+        & (F.col("s.ts") <= F.col("c.ts"))
+        & (F.col("s.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(s, cond, "left_outer").select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("s.ts").alias("signup_ts"),
+    )
+
+
 def drain_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -391,3 +391,102 @@ def test_incremental_neardedup_stream(spark, tmp_path):
         out, n=3, num_hashes=32, bands=16, threshold=0.5,
     ).awaitTermination(120)
     assert kept_ids() == [1, 2, 11, 21]
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit immediately;
+    an unmatched click emits its NULL row only after the watermark
+    passes its eviction time. Staggered files (maxFilesPerTrigger=1)
+    advance the watermark across micro-batches so the eviction is
+    actually exercised; far-future sentinel clicks push the watermark
+    but are themselves still unexpired, so assertions restrict to the
+    first-day rows — where the stream must match the batch left join
+    exactly."""
+    import datetime as dt
+    import time as _time
+
+    from globalweather_etl_spark.streaming import (
+        clicks_with_optional_signup,
+        events_stream_from_dir,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    landing = str(tmp_path / "lo_landing")
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            [
+                (i, ts, u, et, 1.0, "{}")
+                for i, (ts, u, et) in enumerate(rows, start=hash(name) % 1000 * 100)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("append").parquet(landing)
+        _time.sleep(1.1)  # distinct mod-times -> deterministic batch order
+
+    # batch 1: user 1 clicks with NO signup (must surface as NULL row);
+    # user 2 signup then click inside the window (must match)
+    _write(
+        [
+            (t0, 1, "click"),
+            (t0, 2, "signup"),
+            (t0 + dt.timedelta(minutes=10), 2, "click"),
+        ],
+        "b1",
+    )
+    # batches 2 + 3: far-future sentinels on BOTH event types — each
+    # branch's watermark node sits behind its filter, so only events of
+    # its own type advance it, and the join's state watermark is the
+    # min of the two. b2 advances both past batch 1's eviction horizon;
+    # b3 triggers the eviction scan that emits the NULL row.
+    _write(
+        [
+            (t0 + dt.timedelta(days=10), 99, "click"),
+            (t0 + dt.timedelta(days=10), 99, "signup"),
+        ],
+        "b2",
+    )
+    _write(
+        [
+            (t0 + dt.timedelta(days=20), 98, "click"),
+            (t0 + dt.timedelta(days=20), 98, "signup"),
+        ],
+        "b3",
+    )
+
+    stream = events_stream_from_dir(spark, landing, max_files_per_trigger=1)
+    s_clicks = with_watermark(
+        stream.filter(F.col("event_type") == "click"), "ts", "1 hour"
+    )
+    s_signups = with_watermark(
+        stream.filter(F.col("event_type") == "signup"), "ts", "1 hour"
+    )
+    q = drain_to_memory(
+        clicks_with_optional_signup(s_clicks, s_signups, within="1 hour"),
+        "t_lojoin",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_lojoin").filter(
+        F.col("click_ts") < t0 + dt.timedelta(days=1)
+    )
+
+    batch = spark.read.parquet(landing)
+    want = clicks_with_optional_signup(
+        batch.filter(F.col("event_type") == "click"),
+        batch.filter(F.col("event_type") == "signup"),
+        within="1 hour",
+    ).filter(F.col("click_ts") < t0 + dt.timedelta(days=1))
+
+    key = lambda df: sorted(
+        (r["user_id"], r["click_ts"], r["signup_ts"]) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    # the NULL row for user 1 was genuinely emitted by eviction
+    assert got.filter(
+        (F.col("user_id") == 1) & F.col("signup_id").isNull()
+    ).count() == 1
+    # and user 2's match carries a real signup
+    assert got.filter(
+        (F.col("user_id") == 2) & F.col("signup_id").isNotNull()
+    ).count() == 1
