@@ -356,6 +356,175 @@ class SnapshotTable:
             compare_cols,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        max_retries: int = 5,
+    ) -> dict:
+        """Delta-style MERGE with file-level copy-on-write pruning:
+        apply ``source`` to the table head by key and commit the result
+        as a new version.  Semantics per key:
+
+          in both      when_matched:     'update' (ALL matching target
+                       rows are replaced by the one source row — upsert
+                       semantics for keyed tables, documented here
+                       because ANSI MERGE would instead clone the
+                       source row per matched target row), 'delete',
+                       or 'ignore'
+          source-only  when_not_matched: 'insert' or 'ignore'
+          target-only  always kept
+
+        The 100 TB property is WHICH files get rewritten: one inner
+        join (target ⋈ distinct source keys) tags the data files that
+        contain any matched key via input_file_name(); ONLY those
+        files are rewritten — every untouched file is carried into the
+        new manifest BY REFERENCE, so merge cost scales with the data
+        files the keys actually live in (clustered layouts localize
+        them; see write_clustered), not with table size.  Source keys
+        must be unique (eager guard).  Optimistic concurrency: if a
+        concurrent commit wins the version race, the whole merge
+        recomputes against the new head (up to ``max_retries``).
+
+        Returns {"version", "files_rewritten", "files_kept",
+        "n_rows"}; a merge with nothing to do commits nothing and
+        returns the current head."""
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"bad when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"source has duplicate merge keys, e.g. {dup[0]}"
+            )
+        head = self.latest_version()
+        if head is None:
+            if when_not_matched == "insert":
+                v = self.write(source, mode="overwrite")
+                m = self._manifest(v)
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "files_kept": 0,
+                    "n_rows": m["n_rows"],
+                }
+            raise ValueError(f"no commits yet at {self.path}")
+
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self._manifest(base)
+            cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+            ]
+            if sorted(source.columns) != sorted(cols):
+                raise ValueError(
+                    f"source columns {sorted(source.columns)} != table "
+                    f"columns {sorted(cols)}"
+                )
+            src = source.select(*cols)
+            src_keys = src.select(*keys).distinct()
+            tgt = self.read(base).withColumn("__file", F.input_file_name())
+            hit_files_abs = {
+                r["__file"]
+                for r in tgt.join(src_keys, keys, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            hit_rel = [
+                rel
+                for rel in m["files"]
+                if any(a.endswith(rel) for a in hit_files_abs)
+            ]
+            kept_rel = [r for r in m["files"] if r not in set(hit_rel)]
+
+            out_parts = []
+            n_hit_rows = 0
+            if hit_rel:
+                hit_tgt = self.spark.read.schema(
+                    StructType.fromJson(json.loads(m["schema"]))
+                ).parquet(*[f"{self.path}/{rel}" for rel in hit_rel])
+                n_hit_rows = hit_tgt.count()
+                survivors = hit_tgt.join(src_keys, keys, "left_anti")
+                if when_matched == "update":
+                    matched_src = src.join(
+                        hit_tgt.select(*keys).distinct(), keys, "left_semi"
+                    )
+                    out_parts.append(survivors.unionByName(matched_src))
+                elif when_matched == "delete":
+                    out_parts.append(survivors)
+                else:  # ignore: keep the files as they are
+                    out_parts.append(hit_tgt)
+            if when_not_matched == "insert":
+                # keys absent from the WHOLE target (not just hit files)
+                inserts = src.join(
+                    tgt.select(*keys).distinct(), keys, "left_anti"
+                )
+                out_parts.append(inserts)
+            if not out_parts and not hit_rel:
+                return {
+                    "version": base,
+                    "files_rewritten": 0,
+                    "files_kept": len(m["files"]),
+                    "n_rows": m["n_rows"],
+                }
+
+            rewrite = out_parts[0]
+            for p in out_parts[1:]:
+                rewrite = rewrite.unionByName(p)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            new_files = self._list_commit_files(commit_dir)
+            n_written = (
+                self.spark.read.schema(rewrite.schema)
+                .parquet(commit_dir)
+                .count()
+            )
+            if not hit_rel and n_written == 0:
+                # insert-mode merge that found nothing to insert: the
+                # table is unchanged — don't burn a version (the empty
+                # commit dir is unreferenced; vacuum reclaims it)
+                return {
+                    "version": base,
+                    "files_rewritten": 0,
+                    "files_kept": len(m["files"]),
+                    "n_rows": m["n_rows"],
+                }
+            manifest = {
+                "version": base + 1,
+                "parent": base,
+                "mode": "merge",
+                "schema": m["schema"],
+                "files": kept_rel + new_files,
+                "n_rows": m["n_rows"] - n_hit_rows + n_written,
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(base + 1)
+            ):
+                return {
+                    "version": base + 1,
+                    "files_rewritten": len(hit_rel),
+                    "files_kept": len(kept_rel),
+                    "n_rows": manifest["n_rows"],
+                }
+            # lost the race: a concurrent commit changed the head — the
+            # pruning decisions are stale, recompute everything
+        raise RuntimeError(
+            f"merge_into lost the commit race {max_retries} times"
+        )
+
     # --------------------------------------------- layout maintenance
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
         """Rewrite the head's files into ~target-sized ones as a NEW

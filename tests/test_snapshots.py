@@ -313,3 +313,126 @@ def test_compact_errors(spark, table):
         table.compact(target_file_bytes=0)
     with pytest.raises(ValueError):
         table.write_clustered(_df(spark, [(1, "a")]), cluster_by=[])
+
+
+# ------------------------------------------------------- merge_into
+
+
+def _read_map(table, version=None):
+    return {r["k"]: r["v"] for r in table.read(version).collect()}
+
+
+def test_merge_upsert_update_and_insert(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    res = table.merge_into(
+        _df(spark, [(2, "B"), (4, "d")]), keys=["k"]
+    )
+    assert res["version"] == 2
+    assert _read_map(table) == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert res["n_rows"] == 4
+    # pre-merge version still time-travels
+    assert _read_map(table, 1) == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_delete_and_ignore_unmatched(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.merge_into(
+        _df(spark, [(2, "x"), (9, "x")]),
+        keys=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert _read_map(table) == {1: "a", 3: "c"}
+
+
+def test_merge_update_collapses_duplicate_target_rows(spark, table):
+    # upsert semantics: ALL matching target rows replaced by ONE source row
+    table.write(_df(spark, [(1, "a"), (1, "a2"), (2, "b")]))
+    table.merge_into(_df(spark, [(1, "A")]), keys=["k"])
+    rows = sorted(tuple(r) for r in table.read().collect())
+    assert rows == [(1, "A"), (2, "b")]
+
+
+def test_merge_prunes_untouched_files(spark, table):
+    # two separate append commits -> disjoint file sets; merging a key
+    # from the SECOND commit must carry the first commit's files by
+    # reference
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    table.write(_df(spark, [(10, "x"), (11, "y")]))  # append
+    m_before = table._manifest(table.latest_version())
+    res = table.merge_into(_df(spark, [(10, "X")]), keys=["k"])
+    assert res["files_kept"] > 0
+    m_after = table._manifest(res["version"])
+    kept = set(m_before["files"]) & set(m_after["files"])
+    assert kept, "untouched files must be carried by reference"
+    assert _read_map(table) == {1: "a", 2: "b", 10: "X", 11: "y"}
+    # rewritten fraction is file-local: commit-1 files all survive
+    assert res["files_rewritten"] < len(m_before["files"])
+
+
+def test_merge_into_empty_table_inserts(spark, table):
+    res = table.merge_into(_df(spark, [(1, "a")]), keys=["k"])
+    assert res["version"] == 1
+    assert _read_map(table) == {1: "a"}
+
+
+def test_merge_guards(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate merge keys"):
+        table.merge_into(_df(spark, [(5, "x"), (5, "y")]), keys=["k"])
+    with _pt.raises(ValueError, match="bad when_matched"):
+        table.merge_into(_df(spark, [(5, "x")]), keys=["k"],
+                         when_matched="replace")
+    with _pt.raises(ValueError, match="columns"):
+        table.merge_into(
+            spark.createDataFrame([(1, "a", 1.0)], "k long, v string, z double"),
+            keys=["k"],
+        )
+
+
+def test_merge_noop_returns_head(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    res = table.merge_into(
+        _df(spark, [(9, "x")]),
+        keys=["k"],
+        when_matched="update",
+        when_not_matched="ignore",
+    )
+    assert res["version"] == 1 and res["files_rewritten"] == 0
+    assert _read_map(table) == {1: "a"}
+
+
+def test_merge_matches_duckdb_upsert_twin(spark, table):
+    import duckdb as _dd
+
+    table.write(_df(spark, [(i, f"v{i}") for i in range(50)]))
+    src = [(k, f"U{k}") for k in range(30, 70)]
+    table.merge_into(
+        spark.createDataFrame(src, "k long, v string"), keys=["k"]
+    )
+    got = sorted(tuple(r) for r in table.read().collect())
+    con = _dd.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(50)) AS k")
+    con.execute("UPDATE t SET k = k")  # no-op; build v column next
+    want = sorted(
+        con.execute(
+            """
+WITH tgt AS (SELECT k, 'v' || k AS v FROM t),
+src AS (SELECT unnest(range(30, 70)) AS k, 'U' || unnest(range(30, 70)) AS v)
+SELECT k, v FROM tgt WHERE k NOT IN (SELECT k FROM src)
+UNION ALL SELECT k, v FROM src"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_merge_insert_mode_with_no_inserts_is_noop(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    res = table.merge_into(
+        _df(spark, [(9, "x")]).filter("k < 0"),  # empty source slice
+        keys=["k"],
+    )
+    assert res["version"] == 1
+    assert _read_map(table) == {1: "a"}
