@@ -78,6 +78,10 @@ from globalweather_etl_spark.operators.table_diff import (
     table_diff,
 )
 from globalweather_etl_spark.operators.tfidf import hashed_tfidf, idf_table
+from globalweather_etl_spark.operators.ivm import (
+    IncrementalAggregate,
+    Measure,
+)
 from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
@@ -145,6 +149,8 @@ from globalweather_etl_spark.operators.span_dedup import (
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
 
 __all__ = [
+    "IncrementalAggregate",
+    "Measure",
     "session_paths",
     "top_paths",
     "apply_diff",

@@ -162,12 +162,19 @@ class SnapshotTable:
             out.append(full[idx + 1 :])
         return sorted(out)
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        manifest_extra: dict | None = None,
+    ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
         'append' adds the new files to the parent version's listing;
         'overwrite' starts a fresh listing (the old files stay on disk
-        for time travel until vacuumed)."""
+        for time travel until vacuumed). ``manifest_extra`` entries
+        land verbatim in the manifest (reserved keys protected) —
+        see merge_into."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append/overwrite, got {mode!r}")
         commit_dir = (
@@ -190,6 +197,15 @@ class SnapshotTable:
                 base_rows = pm["n_rows"] if mode == "append" else 0
                 version = parent + 1
             manifest = {
+                **{
+                    k: v
+                    for k, v in (manifest_extra or {}).items()
+                    if k
+                    not in (
+                        "version", "parent", "mode", "schema", "files",
+                        "n_rows",
+                    )
+                },
                 "version": version,
                 "parent": parent,
                 "mode": mode,
@@ -363,6 +379,7 @@ class SnapshotTable:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         max_retries: int = 5,
+        manifest_extra: dict | None = None,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -387,6 +404,10 @@ class SnapshotTable:
         must be unique (eager guard).  Optimistic concurrency: if a
         concurrent commit wins the version race, the whole merge
         recomputes against the new head (up to ``max_retries``).
+        ``manifest_extra`` entries land verbatim in the commit's
+        manifest (reserved keys are protected) — the hook exactly-once
+        layers like operators.ivm use to stamp batch ids, mirroring
+        write_batch.
 
         Returns {"version", "files_rewritten", "files_kept",
         "n_rows"}; a merge with nothing to do commits nothing and
@@ -411,7 +432,9 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             if when_not_matched == "insert":
-                v = self.write(source, mode="overwrite")
+                v = self.write(
+                    source, mode="overwrite", manifest_extra=manifest_extra
+                )
                 m = self._manifest(v)
                 return {
                     "version": v,
@@ -503,6 +526,15 @@ class SnapshotTable:
                     "n_rows": m["n_rows"],
                 }
             manifest = {
+                **{
+                    k: v
+                    for k, v in (manifest_extra or {}).items()
+                    if k
+                    not in (
+                        "version", "parent", "mode", "schema", "files",
+                        "n_rows",
+                    )
+                },
                 "version": base + 1,
                 "parent": base,
                 "mode": "merge",
