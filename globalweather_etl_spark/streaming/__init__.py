@@ -12,6 +12,7 @@ stateful.py / jobs.py.
 from globalweather_etl_spark.streaming.jobs import (
     clean_documents,
     clicks_with_optional_signup,
+    run_ivm_refresh,
     clicks_with_recent_signup,
     daily_weather_band_counts,
     drain_to_memory,
@@ -40,6 +41,7 @@ __all__ = [
     "clean_documents",
     "EVENTS_SCHEMA",
     "clicks_with_optional_signup",
+    "run_ivm_refresh",
     "clicks_with_recent_signup",
     "daily_weather_band_counts",
     "drain_to_memory",

@@ -434,6 +434,39 @@ def run_snapshot_ingest(
     return writer.start()
 
 
+def run_ivm_refresh(
+    events: DataFrame,
+    table_path: str,
+    group_cols: list[str],
+    measures,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained GROUP BY aggregate (operators/ivm.py)
+    fed by a stream: each micro-batch folds into the materialized
+    state with one partial aggregate + a file-pruned merge, stamped
+    with the batch id for exactly-once refresh after checkpoint
+    recovery. This is the reference's dashboard-aggregate shape run
+    as a CONTINUOUS aggregate — readers query the state table
+    (IncrementalAggregate.read()) and never rescan the raw events.
+
+    Per-trigger cost is O(batch) + the state files the batch's groups
+    live in; the raw stream is never retained."""
+    from globalweather_etl_spark.operators.ivm import IncrementalAggregate
+
+    def _refresh(batch: DataFrame, batch_id: int) -> None:
+        IncrementalAggregate(
+            batch.sparkSession, table_path, group_cols, measures
+        ).apply_batch(batch, batch_id=batch_id)
+
+    writer = events.writeStream.foreachBatch(_refresh).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_audited_ingest(
     docs: DataFrame,
     table_path: str,

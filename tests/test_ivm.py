@@ -98,3 +98,34 @@ def test_measure_validation(spark, tmp_path):
             spark, str(tmp_path / "d"), ["g"],
             [Measure("x", "count"), Measure("x", "count")],
         )
+
+
+def test_streaming_ivm_refresh_equals_batch_recompute(spark, tmp_path):
+    """Drive the continuous aggregate from a file stream with
+    maxFilesPerTrigger=1 (4 micro-batches); the state must equal the
+    from-scratch recompute over everything landed."""
+    from globalweather_etl_spark.streaming import (
+        events_stream_from_dir,
+        run_ivm_refresh,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    landing = str(tmp_path / "landing")
+    for i in range(4):
+        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    state_path = str(tmp_path / "ivm_stream")
+    q = run_ivm_refresh(
+        events_stream_from_dir(spark, landing, max_files_per_trigger=1),
+        state_path,
+        ["event_type"],
+        MEASURES,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    agg = IncrementalAggregate(spark, state_path, ["event_type"], MEASURES)
+    landed = spark.read.parquet(landing)
+    assert _rows(agg.read()) == _rows(agg.recompute(landed))
+    # >1 batch actually folded (not a single-batch degenerate run)
+    assert agg.table.latest_version() >= 2
