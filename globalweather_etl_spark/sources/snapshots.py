@@ -187,6 +187,7 @@ class SnapshotTable:
         )
         while True:
             parent = self.latest_version()
+            schema_json = df.schema.json()
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
@@ -196,6 +197,18 @@ class SnapshotTable:
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
                 version = parent + 1
+                if mode == "append":
+                    # schema evolution: the manifest records the UNION
+                    # of the parent schema and the appended frame's —
+                    # added columns read as NULL from older files (an
+                    # explicit read schema fills missing parquet
+                    # columns), and columns the new frame omits are
+                    # kept, never silently dropped. Same-name type
+                    # conflicts fail the commit loudly.
+                    schema_json = _unify_schemas(
+                        StructType.fromJson(json.loads(pm["schema"])),
+                        df.schema,
+                    ).json()
             manifest = {
                 **{
                     k: v
@@ -209,7 +222,7 @@ class SnapshotTable:
                 "version": version,
                 "parent": parent,
                 "mode": mode,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
             }
@@ -245,6 +258,7 @@ class SnapshotTable:
                 for v in self.versions()
             ):
                 return None  # a racing replay landed it first
+            schema_json = df.schema.json()
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
@@ -254,12 +268,17 @@ class SnapshotTable:
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
                 version = parent + 1
+                if mode == "append":
+                    schema_json = _unify_schemas(
+                        StructType.fromJson(json.loads(pm["schema"])),
+                        df.schema,
+                    ).json()
             manifest = {
                 "version": version,
                 "parent": parent,
                 "mode": mode,
                 "batch_id": batch_id,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
             }
@@ -640,3 +659,27 @@ class SnapshotTable:
             "manifests_removed": len(drop),
             "files_removed": removed_files,
         }
+
+
+def _unify_schemas(old: StructType, new: StructType) -> StructType:
+    """Union-by-name of two commit schemas (append-mode evolution):
+    columns keep OLD order first, added columns follow in new order,
+    everything nullable (older files lack the added columns). A
+    same-name type conflict is a loud error — silent coercion is how
+    lakehouse tables rot."""
+    from pyspark.sql.types import StructField
+
+    new_by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        nf = new_by_name.pop(f.name, None)
+        if nf is not None and nf.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: "
+                f"{f.dataType} vs {nf.dataType}"
+            )
+        fields.append(StructField(f.name, f.dataType, True))
+    for f in new.fields:
+        if f.name in new_by_name:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)

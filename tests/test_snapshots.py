@@ -436,3 +436,43 @@ def test_merge_insert_mode_with_no_inserts_is_noop(spark, table):
     )
     assert res["version"] == 1
     assert _read_map(table) == {1: "a"}
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_append_with_added_column_evolves_schema(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    table.write(evolved, mode="append")
+    got = {r["k"]: (r["v"], r["score"]) for r in table.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel still sees the original two-column shape
+    assert table.read(1).columns == ["k", "v"]
+
+
+def test_append_missing_column_keeps_it(spark, table):
+    table.write(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, v string, score double")
+    )
+    table.write(_df(spark, [(2, "b")]), mode="append")  # no score column
+    got = {r["k"]: r["score"] for r in table.read().collect()}
+    assert got == {1: 1.0, 2: None}
+    assert "score" in table.read().columns
+
+
+def test_append_type_conflict_fails_loudly(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(2, 3)], "k long, v long")  # v was string
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="type conflict"):
+        table.write(bad, mode="append")
+
+
+def test_batch_append_evolves_schema_too(spark, table):
+    table.write_batch(_df(spark, [(1, "a")]), batch_id=0)
+    evolved = spark.createDataFrame([(2, "b", 7.0)], "k long, v string, score double")
+    table.write_batch(evolved, batch_id=1)
+    got = {r["k"]: r["score"] for r in table.read().collect()}
+    assert got == {1: None, 2: 7.0}
