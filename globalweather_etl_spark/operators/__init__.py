@@ -119,7 +119,10 @@ from globalweather_etl_spark.operators.quantize import (
 )
 from globalweather_etl_spark.operators.repetition import top_ngram_stats
 from globalweather_etl_spark.operators.retention import retention_cohorts
-from globalweather_etl_spark.operators.resample import resample_last
+from globalweather_etl_spark.operators.resample import (
+    resample_interpolate,
+    resample_last,
+)
 from globalweather_etl_spark.operators.sampling import (
     cap_per_group,
     deterministic_sample,
@@ -198,6 +201,7 @@ __all__ = [
     "hash_split",
     "pack_by_budget",
     "quantize_embeddings",
+    "resample_interpolate",
     "resample_last",
     "retention_cohorts",
     "rrf_fuse",

