@@ -172,7 +172,11 @@ class IncrementalAggregate:
             {"ivm_batch_id": batch_id} if batch_id is not None else None
         )
         return self.table.merge_into(
-            p, keys=self.group_cols, manifest_extra=extra
+            p,
+            keys=self.group_cols,
+            manifest_extra=extra,
+            assume_unique_source=True,  # p is a groupBy output
+            rewrite_partitions=8,  # group states are narrow; bound files
         )
 
     # -------------------------------------------------------------- read

@@ -399,6 +399,8 @@ class SnapshotTable:
         when_not_matched: str = "insert",
         max_retries: int = 5,
         manifest_extra: dict | None = None,
+        assume_unique_source: bool = False,
+        rewrite_partitions: int | None = None,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -437,17 +439,21 @@ class SnapshotTable:
             raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
         if not keys:
             raise ValueError("keys must be non-empty")
-        dup = (
-            source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"source has duplicate merge keys, e.g. {dup[0]}"
+        if not assume_unique_source:
+            # one eager guard job; callers whose source is unique BY
+            # CONSTRUCTION (e.g. a groupBy output — operators/ivm.py)
+            # pass assume_unique_source=True to skip it
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    f"source has duplicate merge keys, e.g. {dup[0]}"
+                )
         head = self.latest_version()
         if head is None:
             if when_not_matched == "insert":
@@ -526,6 +532,12 @@ class SnapshotTable:
             rewrite = out_parts[0]
             for p in out_parts[1:]:
                 rewrite = rewrite.unionByName(p)
+            if rewrite_partitions is not None:
+                # bound the commit's file count — merges whose touched
+                # state is small (IVM group states, dimension tables)
+                # otherwise write one near-empty file per shuffle
+                # partition, and the NEXT merge pays per-file opens
+                rewrite = rewrite.coalesce(rewrite_partitions)
             commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
             rewrite.write.mode("error").parquet(commit_dir)
             new_files = self._list_commit_files(commit_dir)
