@@ -250,7 +250,13 @@ GROUP BY c.c_name ORDER BY AVG_ORDER_VALUE DESC, c.c_name LIMIT 15""",
     "tpch_order_date_parts": f"""
 SELECT DISTINCT CAST(o_orderdate AS DATE) AS ORDER_DATE,
   {_DATE_PARTS.format(d="CAST(o_orderdate AS DATE)")},
-  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS DAY_OF_YEAR
+  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS DAY_OF_YEAR,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS QUARTER,
+  last_day(CAST(o_orderdate AS DATE)) AS MONTH_END,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+    AS PLUS_3_MONTHS,
+  CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+    AS DAYS_IN_MONTH
 FROM orders""",
     "tpch_events_window_suite": """
 SELECT event_id, user_id, ts, value,

@@ -312,6 +312,12 @@ def q_tpch_order_date_parts(spark, sf_dir):
         parts["DAY_OF_WEEK"].alias("DAY_OF_WEEK"),
         parts["WEEK_OF_YEAR"].alias("WEEK_OF_YEAR"),
         F.dayofyear(d).cast("int").alias("DAY_OF_YEAR"),
+        # late round 5: the calendar-arithmetic family — quarter,
+        # month-end, end-clamped month addition, month length
+        F.quarter(d).cast("int").alias("QUARTER"),
+        F.last_day(d).alias("MONTH_END"),
+        F.add_months(d, 3).alias("PLUS_3_MONTHS"),
+        F.dayofmonth(F.last_day(d)).cast("int").alias("DAYS_IN_MONTH"),
     ).distinct()
 
 
