@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from globalweather_etl_spark.operators.partitioning import (
     deliberate_single_partition,
@@ -64,6 +65,20 @@ def pack_by_budget(
     ranged = base.repartitionByRange(
         n, *[F.col(c) for c in pcols], F.col("__ok"), F.col(id_col)
     ).withColumn("__pid", F.spark_partition_id())
+    # MATERIALIZE the range partitioning: two plan branches consume
+    # `ranged` (the offsets aggregate and the final join's left side),
+    # and without a persist each branch re-executes repartitionByRange
+    # INDEPENDENTLY. The range boundaries come from sampling the
+    # upstream rows by position, and after a shuffle-heavy upstream
+    # (e.g. the curation pipeline) intra-partition row order is not
+    # run-stable — so the two evaluations can draw DIFFERENT
+    # boundaries, making __pid mean different ranges in the two
+    # branches and silently corrupting offsets (caught at sf0.1 by the
+    # cross-engine check: ~1.2k shifted bin assignments, intermittent).
+    # Persisting pins one materialization; both branches read the same
+    # blocks. At cluster scale this is the operator's working set for
+    # the duration of one job — the same trade as the dedup index cache.
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     w_local = (
         Window.partitionBy("__pid", *pcols)
         .orderBy("__ok", id_col)

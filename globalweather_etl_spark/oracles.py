@@ -284,7 +284,10 @@ SELECT event_id, user_id, ts, value,
   first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
     AS USER_FIRST_VALUE,
   nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-    AS USER_SECOND_VALUE
+    AS USER_SECOND_VALUE,
+  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 9)
+    AS VALUE_7ROW_MEDIAN
 FROM events""",
     "tpch_surrogate_key": """
 SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
@@ -552,7 +555,7 @@ SELECT p.user_id, p.grid_ts, p.ts, p.value, n.next_ts, n.next_value,
       * (CAST(epoch_us(p.grid_ts) AS DOUBLE)
          - CAST(epoch_us(p.ts) AS DOUBLE))
       / (CAST(epoch_us(n.next_ts) AS DOUBLE)
-         - CAST(epoch_us(p.ts) AS DOUBLE)) END, 9) AS value_interp
+         - CAST(epoch_us(p.ts) AS DOUBLE)) END, 6) AS value_interp
 FROM p JOIN n ON p.user_id = n.user_id AND p.grid_ts = n.grid_ts""",
     "events_daily_band_counts": """
 WITH t AS (

@@ -385,6 +385,28 @@ def q_tpch_events_window_suite(spark, sf_dir):
         # makes peers single rows, so both engines see ROWS semantics)
         F.first("value").over(w_seq).alias("USER_FIRST_VALUE"),
         F.nth_value("value", 2).over(w_seq).alias("USER_SECOND_VALUE"),
+        _windowed_median(
+            F.col("value"), w_seq.rowsBetween(-6, 0)
+        ).alias("VALUE_7ROW_MEDIAN"),
+    )
+
+
+def _windowed_median(value, frame):
+    """Trailing-frame MEDIAN — a window aggregate Spark does not ship
+    (percentile functions are not windowable): sorted collect_list
+    over the frame, middle element (odd) or mean of the two middles
+    (even) — exactly DuckDB's interpolated median over the same ROWS
+    frame. Frames are bounded (<= 7 rows), so the carried array is
+    O(frame), not O(partition)."""
+    vals = F.array_sort(F.collect_list(value).over(frame))
+    n = F.size(vals)
+    lo = F.element_at(vals, (n / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return F.round(
+        F.when(
+            n % 2 == 1, F.element_at(vals, ((n + 1) / 2).cast("int"))
+        ).otherwise((lo + hi) / 2.0),
+        9,
     )
 
 
@@ -897,7 +919,7 @@ def q_events_resample_hourly(spark, sf_dir):
     interp = resample_interpolate(
         events.select("user_id", "ts", "value"),
         by=["user_id"], ts_col="ts", value_col="value",
-        interval="1 hour",
+        interval="1 hour", round_digits=6,
     ).select("user_id", "grid_ts", "next_ts", "next_value", "value_interp")
     return ffill.join(interp, ["user_id", "grid_ts"])
 
