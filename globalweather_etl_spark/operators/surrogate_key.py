@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from globalweather_etl_spark.operators.partitioning import (
     deliberate_single_partition,
@@ -62,6 +63,17 @@ def _surrogate_key_distributed(
     ranged = df.repartitionByRange(
         n, *[F.asc_nulls_last(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
+    # MATERIALIZE: the local-rank branch and the offsets branch both
+    # consume `ranged`, and exchange reuse is NOT guaranteed across
+    # the broadcast side's separate job — if each branch re-executes
+    # repartitionByRange over an upstream whose intra-partition row
+    # order varies between jobs, the sampled range boundaries can
+    # differ and __pid means different ranges per branch, silently
+    # corrupting every key after the first divergence. The same bug
+    # class was OBSERVED in pack_by_budget at sf0.1 (commit 47bf95b);
+    # the persist pins one materialization for both branches (and
+    # saved ~35% of that operator's wall — one range shuffle, not two).
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # Partition-local rank: the window partitions by __pid, so no single
     # task ever sees more than one range-partition of rows.
     w = Window.partitionBy("__pid").orderBy(
@@ -73,10 +85,10 @@ def _surrogate_key_distributed(
     # partition, so the running-sum window touches only #partitions rows
     # in a single trivial task — single-partition BY DESIGN, marked with
     # deliberate_single_partition so the WindowExec warning stays
-    # reserved for genuine regressions. Both branches read the same
-    # range-shuffle exchange (Spark's ReuseExchange), so the input is
-    # ranged once, not twice — and nothing scales with row count on the
-    # driver.
+    # reserved for genuine regressions. Both branches read the persisted
+    # ranged blocks (see above — ReuseExchange alone is not a guarantee
+    # across the broadcast side's job), and nothing scales with row
+    # count on the driver.
     offsets = (
         ranged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
