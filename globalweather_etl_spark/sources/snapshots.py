@@ -41,6 +41,7 @@ same caveat every manifest-log format documents publicly.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -101,6 +102,12 @@ class SnapshotTable:
         """Write to a hidden temp file, publish via rename.  Returns
         False (and cleans up) if ``dest`` already exists — the loser of
         a concurrent commit race."""
+        if "committed_at" not in obj:
+            # wall-clock commit stamp: powers read_asof()/AS OF time
+            # travel and age-based retention; versions remain the
+            # authoritative total order (clocks can skew — read_asof
+            # resolves by stamp but always returns a real version)
+            obj = {**obj, "committed_at": time.time()}
         tmp = self._p(
             f"{self.path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
         )
@@ -363,6 +370,22 @@ class SnapshotTable:
                 return version
 
     # --------------------------------------------------------- reads
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by WALL CLOCK: the newest version whose commit
+        stamp is <= ``ts`` (unix seconds) — the SQL `AS OF TIMESTAMP`
+        form, resolved against the manifest log's committed_at stamps.
+        Raises if the table has no commit at or before ``ts``."""
+        best = None
+        for v in self.versions():
+            at = self._manifest(v).get("committed_at")
+            if at is not None and at <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before ts={ts} at {self.path}"
+            )
+        return self.read(best)
+
     def read(self, version: int | None = None) -> DataFrame:
         """DataFrame over the pinned manifest's exact file list (latest
         version by default).  Empty tables read as an empty frame with
@@ -695,3 +718,161 @@ def _unify_schemas(old: StructType, new: StructType) -> StructType:
         if f.name in new_by_name:
             fields.append(StructField(f.name, f.dataType, True))
     return StructType(fields)
+
+
+# ---------------------------------------------------------------------
+# Per-file Bloom indexes: point-lookup FILE pruning for snapshot tables
+# (the Delta/Iceberg bloom-column-index idea on the manifest log). The
+# hashing is operators/bloom.py's engine-portable scheme, so the probe
+# can run DRIVER-SIDE in pure Python — deciding which files to open
+# costs zero Spark jobs.
+
+
+def _py_bloom_positions(value, num_bits: int, num_hashes: int) -> list[int]:
+    """Python twin of operators.bloom._positions — identical 60-bit
+    md5 draws, so a driver-side probe agrees bit-for-bit with the
+    Spark-built filter."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"bloom{i}|{value}".encode()).hexdigest()[:15], 16
+        )
+        % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+def _index_methods():
+    """Attach the index methods to SnapshotTable (defined here to keep
+    the class body above focused on the commit protocol)."""
+
+    def _index_path(self, version: int, key_col: str):
+        return self._p(
+            f"{self.path}/{_MANIFEST_DIR}/idx-v{version:08d}.{key_col}.json"
+        )
+
+    def build_file_index(
+        self,
+        key_col: str,
+        version: int | None = None,
+        num_bits: int = 4096,
+        num_hashes: int = 4,
+    ) -> dict:
+        """Build (or rebuild) a per-data-file Bloom index over
+        ``key_col`` for one version (head by default) and persist it
+        next to the manifests. One Spark job: explode each row's k bit
+        positions, groupBy (file, word) bit_or — output is bounded by
+        files x num_bits/63 words. Key values hash as their string
+        rendering (use string/integer keys; document floats out).
+
+        Returns {"files": n, "words": total_words}."""
+        from globalweather_etl_spark.operators.bloom import (
+            _positions,
+            _word_mask,
+        )
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        m = self._manifest(v)
+        df = self.read(v).withColumn("__file", F.input_file_name())
+        rows = (
+            df.filter(F.col(key_col).isNotNull())
+            .select(
+                "__file",
+                F.explode(
+                    _positions(
+                        F.col(key_col).cast("string"), num_bits, num_hashes
+                    )
+                ).alias("pos"),
+            )
+            .select("__file", *_word_mask("pos"))
+            .groupBy("__file", "word_idx")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        by_abs: dict = {}
+        for r in rows:
+            by_abs.setdefault(r["__file"], {})[str(r["word_idx"])] = r["bits"]
+        files = {}
+        for rel in m["files"]:
+            hit = next(
+                (w for a, w in by_abs.items() if a.endswith(rel)), {}
+            )
+            files[rel] = hit
+        idx = {
+            "version": v,
+            "key_col": key_col,
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+            "files": files,
+        }
+        dest = self._index_path(v, key_col)
+        if self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        if not self._write_json_atomic(idx, dest):
+            raise RuntimeError(f"could not publish index at {dest}")
+        return {
+            "files": len(files),
+            "words": sum(len(w) for w in files.values()),
+        }
+
+    def files_for_key(
+        self, key_col: str, value, version: int | None = None
+    ) -> list[str] | None:
+        """Data files (relative paths) that MAY contain ``value`` per
+        the Bloom index — or None if the version has no index for this
+        column. Pure driver-side arithmetic: no Spark job runs."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        p = self._index_path(v, key_col)
+        if not self._fs.exists(p):
+            return None
+        idx = self._read_json(p)
+        positions = _py_bloom_positions(
+            value, idx["num_bits"], idx["num_hashes"]
+        )
+        need = {}
+        for pos in positions:
+            need.setdefault(pos // 63, 0)
+            need[pos // 63] |= 1 << (pos % 63)
+        out = []
+        for rel, words in idx["files"].items():
+            if all(
+                (words.get(str(w), 0) & mask) == mask
+                for w, mask in need.items()
+            ):
+                out.append(rel)
+        return out
+
+    def read_where(
+        self, key_col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup: rows where ``key_col == value``, opening ONLY
+        the files the Bloom index cannot rule out (falls back to a
+        full filtered scan when no index exists). Bloom false
+        positives cost an extra file open, never a wrong row — the
+        exact filter always applies."""
+        v = self.latest_version() if version is None else version
+        files = self.files_for_key(key_col, value, v)
+        pred = F.col(key_col).cast("string") == F.lit(str(value))
+        if files is None:
+            return self.read(v).filter(pred)
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/{rel}" for rel in files]
+        return (
+            self.spark.read.schema(schema).parquet(*paths).filter(pred)
+        )
+
+    SnapshotTable._index_path = _index_path
+    SnapshotTable.build_file_index = build_file_index
+    SnapshotTable.files_for_key = files_for_key
+    SnapshotTable.read_where = read_where
+
+
+_index_methods()

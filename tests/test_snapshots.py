@@ -476,3 +476,58 @@ def test_batch_append_evolves_schema_too(spark, table):
     table.write_batch(evolved, batch_id=1)
     got = {r["k"]: r["score"] for r in table.read().collect()}
     assert got == {1: None, 2: 7.0}
+
+
+def test_read_asof_wall_clock(spark, table):
+    import time as _t
+
+    table.write(_df(spark, [(1, "a")]))
+    _t.sleep(0.05)
+    mid = _t.time()
+    _t.sleep(0.05)
+    table.write(_df(spark, [(2, "b")]), mode="append")
+    assert {r["k"] for r in table.read_asof(mid).collect()} == {1}
+    assert {r["k"] for r in table.read_asof(_t.time()).collect()} == {1, 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no commit"):
+        table.read_asof(mid - 100)
+
+
+# --------------------------------------------- per-file bloom indexes
+
+
+def test_bloom_index_point_lookup_prunes_files(spark, table):
+    # two commits -> disjoint file sets with disjoint key ranges
+    table.write(_df(spark, [(i, f"a{i}") for i in range(10)]))
+    table.write(
+        _df(spark, [(i, f"b{i}") for i in range(100, 110)]), mode="append"
+    )
+    stats = table.build_file_index("k")
+    assert stats["files"] >= 2
+    hit = table.files_for_key("k", 105)
+    allf = table._manifest(table.latest_version())["files"]
+    assert hit is not None and 0 < len(hit) < len(allf)
+    rows = table.read_where("k", 105).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(105, "b105")]
+    # absent key: with 4k bits over 20 keys the probe prunes everything
+    assert table.files_for_key("k", 999999) == []
+    assert table.read_where("k", 999999).count() == 0
+
+
+def test_bloom_lookup_equals_full_filter(spark, table):
+    table.write(_df(spark, [(i % 7, f"v{i}") for i in range(60)]))
+    table.build_file_index("k")
+    for k in (0, 3, 6):
+        got = sorted(tuple(r) for r in table.read_where("k", k).collect())
+        want = sorted(
+            tuple(r)
+            for r in table.read().filter(F.col("k") == k).collect()
+        )
+        assert got == want and got
+
+
+def test_read_where_without_index_falls_back(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    rows = table.read_where("k", 2).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(2, "b")]
