@@ -404,8 +404,14 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 SELECT o_orderpriority, o_orderstatus,
   CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
   CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
-  count(*) AS n_orders
-FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+  count(*) AS n_orders, 'rollup' AS grouping_form
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  count(*) AS n_orders, 'cube' AS grouping_form
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
     "tpch_distinct_agg": """
 SELECT o_orderpriority,
   count(DISTINCT l_suppkey) AS n_suppliers,

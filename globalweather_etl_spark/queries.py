@@ -663,12 +663,24 @@ def q_tpch_rollup_counts(spark, sf_dir):
     """ROLLUP (hierarchical grouping sets): order counts by
     (priority, orderstatus), per-priority subtotals, and a grand total
     in one pass — Spark expands grouping sets map-side into a single
-    aggregation, no N-pass union."""
+    aggregation, no N-pass union.
+
+    Late round 5 unions in the CUBE form (the full grouping-set
+    lattice — ROLLUP's rows plus the status-only marginals), tagged by
+    a grouping_form column so both expansions hash in one slot."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        F.grouping("o_orderstatus").cast("int").alias("g_status"),
-        F.count(F.lit(1)).alias("n_orders"),
+
+    def _agg(grouped, form):
+        return grouped.agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ).withColumn("grouping_form", F.lit(form))
+
+    return _agg(
+        orders.rollup("o_orderpriority", "o_orderstatus"), "rollup"
+    ).unionByName(
+        _agg(orders.cube("o_orderpriority", "o_orderstatus"), "cube")
     )
 
 

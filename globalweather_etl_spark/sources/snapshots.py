@@ -659,15 +659,29 @@ class SnapshotTable:
         return self.write(clustered, mode=mode)
 
     # -------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> dict:
         """Drop manifests older than the last ``keep_last`` versions,
         then delete data files no kept manifest references.  Time
         travel to dropped versions is gone; kept versions are
-        untouched.  Returns {'manifests_removed', 'files_removed'}."""
+        untouched.  Returns {'manifests_removed', 'files_removed'}.
+
+        ``older_than`` (seconds) is the retention form every lakehouse
+        vacuum exposes: versions whose committed_at stamp is within
+        the window are kept EVEN beyond keep_last (the guard against
+        deleting what a long-running reader or read_asof window may
+        still pin); unstamped legacy manifests count as old."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         keep = set(vs[-keep_last:])
+        if older_than is not None:
+            horizon = time.time() - older_than
+            for v in vs:
+                at = self._manifest(v).get("committed_at")
+                if at is not None and at > horizon:
+                    keep.add(v)
         drop = [v for v in vs if v not in keep]
         referenced: set[str] = set()
         for v in keep:

@@ -531,3 +531,18 @@ def test_read_where_without_index_falls_back(spark, table):
     table.write(_df(spark, [(1, "a"), (2, "b")]))
     rows = table.read_where("k", 2).collect()
     assert [(r["k"], r["v"]) for r in rows] == [(2, "b")]
+
+
+def test_vacuum_age_retention_protects_recent_versions(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    table.write(_df(spark, [(2, "b")]), mode="append")
+    table.write(_df(spark, [(3, "c")]), mode="append")
+    # keep_last=1 would drop v1+v2, but everything committed within the
+    # retention window stays
+    rep = table.vacuum(keep_last=1, older_than=3600.0)
+    assert rep["manifests_removed"] == 0
+    assert table.versions() == [1, 2, 3]
+    # a zero-second window degrades to plain keep_last
+    rep2 = table.vacuum(keep_last=1, older_than=0.0)
+    assert rep2["manifests_removed"] == 2
+    assert table.versions() == [3]
