@@ -109,6 +109,7 @@ from globalweather_etl_spark.operators.packing import (
     pack_by_budget,
 )
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
+from globalweather_etl_spark.operators.profile import column_profile
 from globalweather_etl_spark.operators.quantiles import (
     bucketed_quantile_threshold,
     quantile_keep_flag,
@@ -229,6 +230,7 @@ __all__ = [
     "funnel",
     "bucketed_quantile_threshold",
     "cap_per_group",
+    "column_profile",
     "dedup_lines",
     "dedup_lines_within",
     "exact_dedup_incremental",
