@@ -33,6 +33,7 @@ from globalweather_etl_spark.operators.funnel import funnel
 from globalweather_etl_spark.operators.fuzzy_join import (
     fuzzy_join,
     fuzzy_self_pairs,
+    resolve_entities,
 )
 from globalweather_etl_spark.operators.paths import (
     session_transitions,
@@ -237,6 +238,7 @@ __all__ = [
     "file_ranges",
     "fuzzy_join",
     "fuzzy_self_pairs",
+    "resolve_entities",
     "files_for_range",
     "line_doc_freq",
     "materialize_sequences",

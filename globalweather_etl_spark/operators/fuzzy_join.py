@@ -205,3 +205,53 @@ def fuzzy_join(
             F.col(f"{left_col}_l"), F.col(f"{right_col}_r"), max_dist
         ).alias("dist"),
     ).filter(F.col("dist") >= 0)
+
+
+def resolve_entities(
+    df: DataFrame,
+    str_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution over one string column:
+    (entity, canonical, cluster_size) for every DISTINCT value, where
+    values within TRANSITIVE edit-distance-``max_dist`` chains share a
+    cluster ("Acme Corp" ~ "Acme Corp." ~ "Acme  Corp" unify even when
+    the endpoints are 2 edits apart) and ``canonical`` is the
+    lexicographically smallest member — deterministic, human-auditable.
+    Callers normalize a table with one equi-join on their own column.
+
+    Composition, not new machinery: fuzzy_self_pairs (blocked candidate
+    generation + threshold verify) -> operators.components
+    connected_components (large-star/small-star over xxhash64 node ids
+    — 64-bit collisions are negligible at any realistic entity count)
+    -> a min-string aggregate per component. Each stage's scale story
+    is its own module's; the glue adds one groupBy and two joins on
+    high-cardinality keys."""
+    from globalweather_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = df.select(F.col(str_col).alias("entity")).distinct().select(
+        "entity", F.xxhash64("entity").alias("__nid")
+    )
+    pairs = fuzzy_self_pairs(
+        df, str_col, max_dist, q=q, max_gram_freq=max_gram_freq
+    ).select(
+        F.xxhash64("s_a").alias("__a"), F.xxhash64("s_b").alias("__b")
+    )
+    comp = connected_components(pairs, src="__a", dst="__b")
+    labeled = nodes.join(
+        comp.withColumnRenamed("node", "__nid"), "__nid", "left"
+    ).select(
+        "entity",
+        F.coalesce(F.col("component"), F.col("__nid")).alias("__comp"),
+    )
+    reps = labeled.groupBy("__comp").agg(
+        F.min("entity").alias("canonical"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return labeled.join(reps, "__comp").select(
+        "entity", "canonical", "cluster_size"
+    )

@@ -129,3 +129,45 @@ def test_rejects_negative_distance(spark):
     df = spark.createDataFrame([("x",)], ["s"])
     with pytest.raises(ValueError):
         fuzzy_self_pairs(df, "s", max_dist=-1)
+
+
+def test_resolve_entities_transitive_chains(spark):
+    from globalweather_etl_spark.operators.fuzzy_join import resolve_entities
+
+    names = [
+        "acme corp",    # chain: a ~ b ~ c though a-c are 2 edits apart
+        "acme corp.",
+        "acme  corp.",
+        "zenith ltd",   # singleton
+        "weather hub",  # pair
+        "weather hubs",
+        "weather hub",  # duplicate row folds into the same entity
+    ]
+    df = spark.createDataFrame([(s,) for s in names], ["name"])
+    got = {
+        r["entity"]: (r["canonical"], r["cluster_size"])
+        for r in resolve_entities(df, "name", max_dist=1).collect()
+    }
+    assert got["acme corp"] == ("acme  corp.", 3)  # lexicographic min
+    assert got["acme corp."] == ("acme  corp.", 3)
+    assert got["acme  corp."] == ("acme  corp.", 3)
+    assert got["zenith ltd"] == ("zenith ltd", 1)
+    assert got["weather hub"] == ("weather hub", 2)
+    assert got["weather hubs"] == ("weather hub", 2)
+    assert len(got) == 6  # one row per DISTINCT entity
+
+
+def test_resolve_entities_real_part_names(spark):
+    from globalweather_etl_spark.operators.fuzzy_join import resolve_entities
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    out = resolve_entities(part, "p_name", max_dist=1)
+    rows = out.collect()
+    # invariants: canonical is a member of its own cluster; sizes agree
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical"], []).append(r)
+    for canon, members in by_canon.items():
+        assert any(m["entity"] == canon for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+    assert out.count() == part.select("p_name").distinct().count()
