@@ -444,7 +444,7 @@ def _unpivot_metrics(df, names_cols: list[tuple[str, str]]):
 
 
 def q_tpch_scalar_checks(spark, sf_dir):
-    """Four scalar-result operator families bundled as (check, value)
+    """Scalar-result operator families bundled as (check, value)
     rows — merged so each keeps driver coverage within the 50-query cap:
 
     - INTERSECT/EXCEPT: customers holding both an urgent and a low
