@@ -36,6 +36,7 @@ from globalweather_etl_spark.operators.fuzzy_join import (
     resolve_entities,
 )
 from globalweather_etl_spark.operators.paths import (
+    cooccurrence,
     session_transitions,
     transition_matrix,
 )
@@ -232,6 +233,7 @@ __all__ = [
     "bucketed_quantile_threshold",
     "cap_per_group",
     "column_profile",
+    "cooccurrence",
     "dedup_lines",
     "dedup_lines_within",
     "exact_dedup_incremental",

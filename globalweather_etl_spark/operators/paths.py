@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.sessionize import sessionize
 
-__all__ = ["session_paths", "session_transitions", "top_paths", "transition_matrix"]
+__all__ = ["cooccurrence", "session_paths", "session_transitions", "top_paths", "transition_matrix"]
 
 
 def session_paths(
@@ -170,4 +170,90 @@ def transition_matrix(
             F.col("n").cast("double") / F.sum("n").over(w_src).cast("double"),
             9,
         ),
+    )
+
+
+def cooccurrence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: float = 1800.0,
+    min_sessions: int = 1,
+) -> DataFrame:
+    """Session-level association analysis (market-basket over event
+    types): for every unordered pair of event types, in how many
+    sessions they CO-OCCUR, plus the standard association measures —
+
+      support    n_sessions(a AND b) / n_sessions
+      lift       support / (p(a) * p(b))   (>1: appear together more
+                 than independence predicts — the flow/affinity signal)
+
+    Output: (type_a, type_b, n_both, support, lift), type_a < type_b,
+    9dp-rounded doubles. min_sessions floors n_both (noise cut).
+
+    Shape: sessionize -> per-session DISTINCT type set (hash
+    aggregate) -> pair explode within the set. Per-session pair work
+    is |types-per-session|^2, bounded by the event-type VOCABULARY
+    squared — never by session length, because the set is distinct
+    types; the final aggregate lands on vocab^2 rows. Singleton type
+    probabilities come from the same session-set frame."""
+    sess = sessionize(events, user_col, ts_col, gap_seconds)
+    per_session = sess.groupBy(user_col, "session_id").agg(
+        F.array_sort(F.collect_set(type_col)).alias("__types")
+    )
+    # n_sessions stays IN-PLAN (1-row aggregate broadcast-cross-joined
+    # in at the end) — the bm25 lazy-stats convention, no eager action
+    total = per_session.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_sessions")
+    )
+    singles = per_session.select(
+        F.explode("__types").alias("t")
+    ).groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        per_session.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "__types",
+                            lambda a: F.transform(
+                                "__types",
+                                lambda b: F.struct(
+                                    a.alias("type_a"), b.alias("type_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["type_a"] < p["type_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_sessions)
+    )
+    a = singles.select(
+        F.col("t").alias("type_a"), F.col("n_t").alias("__na")
+    )
+    b = singles.select(
+        F.col("t").alias("type_b"), F.col("n_t").alias("__nb")
+    )
+    n = F.col("__n_sessions")
+    return (
+        pairs.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / n, 9).alias("support"),
+            F.round(
+                (F.col("n_both") / n)
+                / ((F.col("__na") / n) * (F.col("__nb") / n)),
+                9,
+            ).alias("lift"),
+        )
     )

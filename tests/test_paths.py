@@ -227,3 +227,78 @@ FROM trans GROUP BY src, dst"""
         ).fetchall()
     }
     assert got == want and len(got) > 3
+
+
+def test_cooccurrence_hand_computed(spark):
+    from globalweather_etl_spark.operators.paths import cooccurrence
+
+    ev = _ev(
+        spark,
+        [
+            # session 1 (user 1): {signup, click}
+            (1, 0, "signup"), (1, 5, "click"), (1, 6, "click"),
+            # session 2 (user 1): {click, purchase}
+            (1, 120, "click"), (1, 125, "purchase"),
+            # session 3 (user 2): {click}
+            (2, 0, "click"),
+        ],
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["support"], r["lift"])
+        for r in cooccurrence(ev, gap_seconds=1800).collect()
+    }
+    # 3 sessions; click in all 3, signup in 1, purchase in 1
+    assert got[("click", "signup")] == (1, round(1 / 3, 9),
+                                        round((1 / 3) / ((3 / 3) * (1 / 3)), 9))
+    assert got[("click", "purchase")][0] == 1
+    assert ("purchase", "signup") not in got  # never co-occur
+    # click+anything lift == 1.0: click is in every session
+    assert got[("click", "signup")][2] == 1.0
+
+
+def test_cooccurrence_duckdb_twin(spark):
+    from globalweather_etl_spark.operators.paths import cooccurrence
+
+    events = load_table(spark, SF_DIR, "events")
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["support"], r["lift"])
+        for r in cooccurrence(events).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT event_id, user_id, event_type, ts"
+        f" FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    rows = con.execute(
+        """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+st AS (SELECT DISTINCT user_id, session_id, event_type FROM sessions),
+n AS (SELECT CAST(count(DISTINCT (user_id, session_id)) AS DOUBLE) AS ns
+      FROM sessions),
+singles AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+  round(n_both / ns, 9) AS support,
+  round((n_both / ns) / ((sa.n_t / ns) * (sb.n_t / ns)), 9) AS lift
+FROM pairs, n
+JOIN singles sa ON sa.event_type = pairs.type_a
+JOIN singles sb ON sb.event_type = pairs.type_b"""
+    ).fetchall()
+    want = {(r[0], r[1]): (r[2], r[3], r[4]) for r in rows}
+    assert got == want and len(got) >= 3
