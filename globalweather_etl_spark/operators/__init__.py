@@ -132,6 +132,7 @@ from globalweather_etl_spark.operators.sampling import (
     hash_split,
     shuffle_deterministic,
     stratified_sample,
+    weighted_sample_exact,
     weighted_sample_flag,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
@@ -265,6 +266,7 @@ __all__ = [
     "stratified_sample",
     "surrogate_key",
     "top_ngram_stats",
+    "weighted_sample_exact",
     "weighted_sample_flag",
     "write_range_clustered",
     "zorder_key",

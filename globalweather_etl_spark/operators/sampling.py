@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.operators.partitioning import (
+    deliberate_single_partition,
+)
+
 _SPACE = 16**4  # 4 hex chars
 
 
@@ -197,3 +201,74 @@ def cap_per_group(
     return pruned.withColumn(
         "rank_in_group", F.row_number().over(w_global).cast("long")
     ).filter(F.col("rank_in_group") <= n)
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement (public
+    background: Efraimidis & Spirakis 2006, the A-Res reservoir key) —
+    each row draws score = u^(1/w) from a deterministic uniform u and
+    the k LARGEST scores win; inclusion probabilities then follow the
+    weights, every sample has exactly k rows (given >= k positive
+    weights), and no row repeats. The exact-size counterpart of
+    `weighted_sample_flag` (Bernoulli, random size).
+
+    u is a 48-bit md5 draw (key:es:seed), shifted to the open interval
+    (0,1) — fine enough that score ties are measure-zero; rows with
+    weight <= 0 or NULL never select. Deterministic per seed and
+    engine-portable (DuckDB parity-tested; pow is the one libm call —
+    cross-engine ulp differences only matter for scores within 1e-16,
+    never observed).
+
+    Returns (key, es_score, rank_in_sample), rank 1..k — callers join
+    back on their key. Scale shape: the same two-phase top-k prune as
+    stratified_sample/cap_per_group — local top-k per input partition
+    (any superset of the global top-k survives, so nondeterministic
+    partition ids cannot change the result), then one k*partitions-row
+    global ranking. No global sort, no hot key."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    space = float(16**12)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":es:{seed}"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(space)
+    score = F.when(
+        weight.isNotNull() & (weight > 0), F.pow(u, F.lit(1.0) / weight)
+    )
+    base = df.select(key.alias("key"), score.alias("es_score")).filter(
+        F.col("es_score").isNotNull()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.desc("es_score"), F.asc("key")
+    )
+    pruned = (
+        base.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
+    w_global = Window.partitionBy(
+        deliberate_single_partition()
+    ).orderBy(F.desc("es_score"), F.asc("key"))
+    return (
+        pruned.withColumn(
+            "rank_in_sample", F.row_number().over(w_global).cast("long")
+        )
+        .filter(F.col("rank_in_sample") <= k)
+    )

@@ -439,3 +439,93 @@ FROM p GROUP BY bin_id"""
             ).fetchall()
         }
         assert got == want
+
+
+# ---------------------- exact-k weighted sampling (A-Res keys)
+
+
+def test_weighted_exact_k_and_determinism(spark):
+    from globalweather_etl_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") % 9) + 1).cast("double").alias("w")
+    )
+    a = weighted_sample_exact(df, F.col("id"), F.col("w"), k=25, seed=3)
+    rows = a.collect()
+    assert len(rows) == 25
+    assert sorted(r["rank_in_sample"] for r in rows) == list(range(1, 26))
+    assert len({r["key"] for r in rows}) == 25  # without replacement
+    b = weighted_sample_exact(df, F.col("id"), F.col("w"), k=25, seed=3)
+    assert {r["key"] for r in b.collect()} == {r["key"] for r in rows}
+
+
+def test_weighted_exact_nonpositive_weights_never_selected(spark):
+    from globalweather_etl_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0)],
+        "id long, w double",
+    )
+    got = {
+        r["key"]
+        for r in weighted_sample_exact(
+            df, F.col("id"), F.col("w"), k=5
+        ).collect()
+    }
+    assert got == {1, 5}  # only the positive-weight rows can appear
+
+
+def test_weighted_exact_duckdb_twin(spark):
+    from globalweather_etl_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"), ((F.col("id") % 7) + 0.5).alias("w")
+    )
+    got = [
+        (r["key"], r["rank_in_sample"])
+        for r in weighted_sample_exact(df, F.col("id"), F.col("w"), k=20,
+                                       seed=11)
+        .orderBy("rank_in_sample")
+        .collect()
+    ]
+    import duckdb as _dd
+
+    rows = _dd.connect().execute(
+        """
+WITH t AS (SELECT unnest(range(300)) AS id),
+s AS (
+  SELECT id,
+    pow((CAST('0x' || substring(md5(id || ':es:11'), 1, 12) AS BIGINT)
+         + 0.5) / 281474976710656.0,
+        1.0 / ((id % 7) + 0.5)) AS sc
+  FROM t)
+SELECT id, row_number() OVER (ORDER BY sc DESC, id) AS rk
+FROM s ORDER BY sc DESC, id LIMIT 20"""
+    ).fetchall()
+    assert got == [(r[0], r[1]) for r in rows]
+
+
+def test_weighted_exact_inclusion_tracks_weights(spark):
+    """Pure-Python replication across 200 seeds: the weight-4 item of a
+    {1,1,4}-weighted triple should win the k=1 draw ~4/6 of the time."""
+    import hashlib
+
+    def winner(seed):
+        best = None
+        for item, w in (("a", 1.0), ("b", 1.0), ("c", 4.0)):
+            h = hashlib.md5(f"{item}:es:{seed}".encode()).hexdigest()[:12]
+            u = (int(h, 16) + 0.5) / 16**12
+            s = u ** (1.0 / w)
+            if best is None or s > best[1]:
+                best = (item, s)
+        return best[0]
+
+    wins = sum(1 for seed in range(200) if winner(seed) == "c")
+    # E[wins] = 200 * 4/6 = 133; 4 sigma ~ 27
+    assert 106 <= wins <= 160, wins
