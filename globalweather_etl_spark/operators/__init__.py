@@ -125,6 +125,7 @@ from globalweather_etl_spark.operators.retention import retention_cohorts
 from globalweather_etl_spark.operators.resample import (
     resample_interpolate,
     resample_last,
+    time_weighted_avg,
 )
 from globalweather_etl_spark.operators.sampling import (
     cap_per_group,
@@ -207,6 +208,7 @@ __all__ = [
     "quantize_embeddings",
     "resample_interpolate",
     "resample_last",
+    "time_weighted_avg",
     "retention_cohorts",
     "rrf_fuse",
     "shuffle_deterministic",

@@ -350,6 +350,24 @@ mx AS (
       AS slope_price_on_qty,
     round((sxy - sx * sy / nn) / nn, 6) AS cov_pop_qty_price
   FROM sfx),
+twap_seg AS (
+  SELECT user_id,
+    CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS DECIMAL(25,6))
+      AS dt,
+    CAST(CAST(value AS DECIMAL(25,6))
+      * CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS DECIMAL(25,6))
+      AS DECIMAL(38,6)) AS vdt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+twap_user AS (
+  SELECT user_id,
+    round(CAST(sum(vdt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 9) AS twap
+  FROM twap_seg WHERE dt IS NOT NULL GROUP BY user_id),
+twap AS (
+  SELECT round(CAST(sum(CAST(twap AS DECIMAL(25,10))) AS DOUBLE)
+           / count(*), 9) AS mean_user_twap,
+         CAST(count(*) AS BIGINT) AS n_twap_users
+  FROM twap_user),
 fz AS (
   SELECT count(*) FILTER (WHERE d <= 1) AS d1,
          count(*) AS d2,
@@ -393,7 +411,9 @@ UNION ALL SELECT 'fuzzy_name_pairs_d2', CAST(d2 AS DOUBLE) FROM fz
 UNION ALL SELECT 'fuzzy_name_dist_sum', CAST(sum_d AS DOUBLE) FROM fz
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
-UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx""",
+UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx
+UNION ALL SELECT 'mean_user_twap', mean_user_twap FROM twap
+UNION ALL SELECT 'n_twap_users', CAST(n_twap_users AS DOUBLE) FROM twap""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -629,6 +629,30 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Late round 5: the time-weighted average over irregular series
+    # (operators/resample.py time_weighted_avg — holding-duration
+    # weights, DECIMAL-exact accumulators); graded as the exact-decimal
+    # mean of the per-user TWAPs plus the contributing-user count.
+    from globalweather_etl_spark.operators.resample import (
+        time_weighted_avg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    twap = _unpivot_metrics(
+        time_weighted_avg(events, ["user_id"], "ts", "value").agg(
+            F.round(
+                F.sum(F.col("twap").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_user_twap"),
+            F.count(F.lit(1)).alias("n_twap_users"),
+        ),
+        [
+            ("mean_user_twap", "mean_user_twap"),
+            ("n_twap_users", "n_twap_users"),
+        ],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -637,6 +661,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(stats_mx)
+        .unionAll(twap)
     )
 
 

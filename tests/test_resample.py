@@ -125,3 +125,29 @@ def test_interp_grid_matches_ffill_grid(spark):
         "user_id", "grid_ts"
     )
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from globalweather_etl_spark.operators.resample import time_weighted_avg
+
+    # v=10 held 1h, v=40 held 3h -> twap = (10*1 + 40*3) / 4 = 32.5
+    df = _obs(spark, [(1, 0, 10.0), (1, 60, 40.0), (1, 240, 99.0)])
+    [r] = time_weighted_avg(df, ["user_id"], "ts", "value").collect()
+    assert r["twap"] == 32.5
+    # singleton key: no interval -> no row (NULL semantics via filter)
+    single = _obs(spark, [(2, 0, 7.0)])
+    assert time_weighted_avg(single, ["user_id"], "ts", "value").count() == 0
+
+
+def test_time_weighted_avg_irregular_vs_plain_mean(spark):
+    from globalweather_etl_spark.operators.resample import time_weighted_avg
+
+    # many samples at v=100 in one minute, then v=0 held a day:
+    # plain mean is ~50+, twap is ~0
+    rows = [(1, m / 60, 100.0) for m in range(10)] + [
+        (1, 10, 0.0),
+        (1, 60 * 24, 0.0),
+    ]
+    df = _obs(spark, rows)
+    [r] = time_weighted_avg(df, ["user_id"], "ts", "value").collect()
+    assert r["twap"] < 2.0
