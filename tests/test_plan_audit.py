@@ -151,3 +151,82 @@ def test_extension_surfaces_no_scale_antipatterns(spark):
         if "BroadcastNestedLoopJoin" in plan and name != "corpus_report":
             failures.append(f"{name}: BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+# --- round-5 non-registry surfaces: same anti-pattern gate -----------
+
+
+def _round5_plans(spark):
+    """Lazy physical plans of the round-5 operator surfaces that are
+    not registry queries: fuzzy join / entity resolution, transitions,
+    co-occurrence, profiling, TWAP, exact weighted sampling, PQ
+    encode, semantic decontamination, grouped HLL."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.fuzzy_join import (
+        fuzzy_join,
+        fuzzy_self_pairs,
+    )
+    from globalweather_etl_spark.operators.paths import (
+        cooccurrence,
+        transition_matrix,
+    )
+    from globalweather_etl_spark.operators.pq import encode_pq
+    from globalweather_etl_spark.operators.profile import column_profile
+    from globalweather_etl_spark.operators.resample import (
+        time_weighted_avg,
+    )
+    from globalweather_etl_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+    from globalweather_etl_spark.operators.semantic_decon import (
+        semantic_decontaminate,
+    )
+    from globalweather_etl_spark.operators.sketches import hll_distinct_by
+    from globalweather_etl_spark.sources import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    events = load_table(spark, SF_DIR, "events")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = np.zeros((8, 4, 8))
+    return {
+        "fuzzy_self_pairs": fuzzy_self_pairs(part, "p_name", 1),
+        "fuzzy_join_two_table": fuzzy_join(
+            part, part, "p_name", "p_brand", 1
+        ),
+        "transition_matrix": transition_matrix(events),
+        "cooccurrence": cooccurrence(events),
+        "column_profile": column_profile(docs),
+        "time_weighted_avg": time_weighted_avg(
+            events, ["user_id"], "ts", "value"
+        ),
+        "weighted_sample_exact": weighted_sample_exact(
+            docs, F.col("doc_id"), F.col("n_chars").cast("double"), k=10
+        ),
+        "pq_encode": encode_pq(emb, books),
+        "semantic_decon": semantic_decontaminate(
+            emb, emb.limit(3), eps=0.9
+        ),
+        "hll_distinct_by": hll_distinct_by(docs, ["lang"], "text"),
+    }
+
+
+def test_round5_surfaces_no_scale_antipatterns(spark):
+    failures = []
+    for name, df in _round5_plans(spark).items():
+        plan = _formatted_plan(spark, df)
+        for pat in FORBIDDEN_ALWAYS:
+            if pat in plan:
+                failures.append(f"{name}: {pat}")
+        # cooccurrence/TWAP-style 1-row total cross joins are BNLJ by
+        # construction (broadcast side is ONE row); everything else
+        # must not BNLJ.
+        if "BroadcastNestedLoopJoin" in plan and name not in (
+            "cooccurrence",
+        ):
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures
