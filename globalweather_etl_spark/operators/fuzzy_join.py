@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
 
 
@@ -139,6 +141,9 @@ def fuzzy_self_pairs(
     )
     if max_gram_freq is not None:
         keys = _cap_hot_grams(keys, max_gram_freq)
+    # the index feeds BOTH self-join sides (and the cap's freq branch):
+    # persist it once — the ngram_jaccard cache_index argument
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
