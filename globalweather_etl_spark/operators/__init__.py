@@ -73,6 +73,9 @@ from globalweather_etl_spark.operators.sketches import (
     count_min_sketch,
     hll_distinct_by,
     hll_distinct_estimate,
+    hll_estimate_from_registers,
+    hll_merge,
+    hll_registers,
 )
 from globalweather_etl_spark.operators.table_diff import (
     apply_diff,
@@ -182,6 +185,9 @@ __all__ = [
     "count_min_sketch",
     "hll_distinct_by",
     "hll_distinct_estimate",
+    "hll_estimate_from_registers",
+    "hll_merge",
+    "hll_registers",
     "diff_summary",
     "table_diff",
     "apply_scd2",

@@ -291,3 +291,76 @@ def cms_estimate(
     return joined.groupBy(*queries.columns).agg(
         F.min("cnt").cast("long").alias(out_col)
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str | Column,
+    b: int = 6,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """The portable HLL's MERGEABLE state as a DataFrame: (bucket,
+    rho), absent buckets zero — the register form that makes
+    distinct-counting incremental. Fold a stream of batches with
+    hll_merge (register max is the union operation, associative and
+    commutative), persist the tiny frame between batches (<= 2^b
+    rows), and finalize any time with hll_estimate_from_registers —
+    the count-distinct twin of the IVM mergeable-partial idea, and
+    the reason every serious engine stores HLL sketches, not counts.
+
+    The estimate from merged registers is IDENTICAL to running
+    hll_distinct_estimate over the concatenated input (registers are
+    a pure max over per-value draws — tested)."""
+    m = 1 << b
+    w = 60 - b
+    if not 0 < rho_cap <= w:
+        raise ValueError(f"rho_cap must be in (0, {w}]")
+    c = F.col(col) if isinstance(col, str) else col
+    h = _md5_long(c.cast("string"))
+    return (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.least(
+                F.lit(w + 1) - F.length(F.bin(F.shiftright(h, b))),
+                F.lit(rho_cap),
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register sets built with the same (b, rho_cap):
+    per-bucket max. Fold any number of batches in any order."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    b: int = 6,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Finalize (bucket, rho) registers into the 1-row estimate —
+    the same harmonic sum + small-range correction as
+    hll_distinct_estimate, via the empty-register identity (present
+    buckets always have rho >= 1, see hll_distinct_by)."""
+    m = 1 << b
+    two_pow_neg_rho = F.lit(1.0) / F.expr(
+        "shiftleft(cast(1 as bigint), cast(rho as int))"
+    ).cast("double")
+    agg = registers.filter(F.col("rho") > 0).agg(
+        (
+            F.sum(two_pow_neg_rho)
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        ).alias("sum_inv"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("sum_inv")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 6).alias(out_col))

@@ -230,3 +230,66 @@ FROM (
     ).fetchall()
     want = {(r[0],): r[1] for r in rows}
     assert got == want
+
+
+# ----------------- mergeable HLL register state (incremental distinct)
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    from globalweather_etl_spark.operators.sketches import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    merged = hll_merge(
+        hll_merge(hll_registers(a, "text"), hll_registers(b, "text")),
+        hll_registers(c, "text"),
+    )
+    [inc] = hll_estimate_from_registers(merged).collect()
+    [whole] = hll_distinct_estimate(docs, "text").collect()
+    assert inc["approx_distinct"] == whole["approx_distinct"]
+
+
+def test_hll_merge_is_order_independent(spark):
+    from globalweather_etl_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = hll_registers(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    b = hll_registers(docs.filter(F.col("doc_id") % 2 == 1), "text")
+    [ab] = hll_estimate_from_registers(hll_merge(a, b)).collect()
+    [ba] = hll_estimate_from_registers(hll_merge(b, a)).collect()
+    assert ab["approx_distinct"] == ba["approx_distinct"]
+
+
+def test_hll_registers_round_trip_parquet(spark, tmp_path):
+    """Registers persist as a tiny parquet between batches — the
+    incremental-distinct state-store pattern."""
+    from globalweather_etl_spark.operators.sketches import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    state = str(tmp_path / "hll_state")
+    hll_registers(docs.filter(F.col("doc_id") < 250), "text").write.parquet(
+        state
+    )
+    merged = hll_merge(
+        spark.read.parquet(state),
+        hll_registers(docs.filter(F.col("doc_id") >= 250), "text"),
+    )
+    [inc] = hll_estimate_from_registers(merged).collect()
+    [whole] = hll_distinct_estimate(docs, "text").collect()
+    assert inc["approx_distinct"] == whole["approx_distinct"]
