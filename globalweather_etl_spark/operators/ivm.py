@@ -20,6 +20,14 @@ accumulate in DECIMAL(25,6) so merge order can never change the
 result — the repo-wide exact_avg argument — which makes the state
 bit-identical to a from-scratch recompute (tested, not just close).
 
+Plus approx_distinct: COUNT(DISTINCT x) is famously NOT
+self-maintainable exactly (the state would be the value set itself),
+but the portable-HLL register form (operators/sketches.py) IS — the
+measure keeps 2^6 per-group register columns whose merge is
+element-wise max, so the incremental estimate EXACTLY equals the
+from-scratch sketch over all data regardless of batch slicing, with
+the sketch's ~13%% standard error on the value itself.
+
 Scale shape per refresh:
   partial(batch)   one map-side-combinable hash aggregate, O(batch)
   merge            SnapshotTable.merge_into with source = the merged
@@ -42,11 +50,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from globalweather_etl_spark.operators.dedup import _md5_long
 from globalweather_etl_spark.sources.snapshots import SnapshotTable
 
 __all__ = ["Measure", "IncrementalAggregate"]
 
-_KINDS = ("count", "sum", "min", "max", "avg")
+_KINDS = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_HLL_B = 6  # 64 registers -> ~13% standard error; fixed so states merge
 
 
 @dataclass(frozen=True)
@@ -111,6 +121,8 @@ class IncrementalAggregate:
                     )
             elif m.kind == "min":
                 aggs.append(F.min(m.col).alias(f"__{m.name}_min"))
+            elif m.kind == "approx_distinct":
+                aggs += _hll_partial_aggs(m)
             else:
                 aggs.append(F.max(m.col).alias(f"__{m.name}_max"))
         return aggs
@@ -138,6 +150,12 @@ class IncrementalAggregate:
                     )
             elif m.kind == "min":
                 aggs.append(F.min(f"__{m.name}_min").alias(f"__{m.name}_min"))
+            elif m.kind == "approx_distinct":
+                # register merge = element-wise max (nulls lose)
+                aggs += [
+                    F.max(f"__{m.name}_r{i}").alias(f"__{m.name}_r{i}")
+                    for i in range(1 << _HLL_B)
+                ]
             else:
                 aggs.append(F.max(f"__{m.name}_max").alias(f"__{m.name}_max"))
         return aggs
@@ -203,6 +221,8 @@ class IncrementalAggregate:
                 )
             elif m.kind == "min":
                 cols.append(F.col(f"__{m.name}_min").alias(m.name))
+            elif m.kind == "approx_distinct":
+                cols.append(_hll_finalize(m).alias(m.name))
             else:
                 cols.append(F.col(f"__{m.name}_max").alias(m.name))
         return state.select(*cols)
@@ -229,6 +249,57 @@ class IncrementalAggregate:
                 )
             elif m.kind == "min":
                 cols.append(F.col(f"__{m.name}_min").alias(m.name))
+            elif m.kind == "approx_distinct":
+                cols.append(_hll_finalize(m).alias(m.name))
             else:
                 cols.append(F.col(f"__{m.name}_max").alias(m.name))
         return state.select(*cols)
+
+
+def _hll_partial_aggs(m: Measure):
+    """Per-group HLL registers as 2^b columns: register i's value is
+    max(rho) over rows hashing to bucket i (NULL if the bucket is
+    empty for the group). The sketches.py portable hash, inlined so
+    the columns are plain agg expressions."""
+    mreg = 1 << _HLL_B
+    w = 60 - _HLL_B
+    h = _md5_long(F.col(m.col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(mreg - 1))
+    rho = F.least(
+        F.lit(w + 1) - F.length(F.bin(F.shiftright(h, _HLL_B))),
+        F.lit(40),
+    )
+    return [
+        F.max(F.when(bucket == i, rho)).alias(f"__{m.name}_r{i}")
+        for i in range(mreg)
+    ]
+
+
+def _hll_finalize(m: Measure):
+    """Registers -> rounded estimate (the sketches.py formula over the
+    column form; empty registers are NULL -> rho 0)."""
+    from globalweather_etl_spark.operators.sketches import _alpha
+
+    mreg = 1 << _HLL_B
+    sum_inv = None
+    n_empty = None
+    for i in range(mreg):
+        r = F.coalesce(F.col(f"__{m.name}_r{i}"), F.lit(0))
+        # exact dyadic 2^-rho via integer shift (sketches.py note:
+        # never pow); shiftleft's bit count must be an expression, so
+        # the SQL form
+        term = F.lit(1.0) / F.expr(
+            f"shiftleft(cast(1 as bigint),"
+            f" cast(coalesce(__{m.name}_r{i}, 0) as int))"
+        ).cast("double")
+        empt = F.when(r == 0, 1).otherwise(0)
+        sum_inv = term if sum_inv is None else sum_inv + term
+        n_empty = empt if n_empty is None else n_empty + empt
+    raw = F.lit(_alpha(mreg) * mreg * mreg) / sum_inv
+    return F.round(
+        F.when(
+            (raw <= F.lit(2.5 * mreg)) & (n_empty > 0),
+            F.lit(float(mreg)) * F.log(F.lit(float(mreg)) / n_empty),
+        ).otherwise(raw),
+        6,
+    )

@@ -129,3 +129,27 @@ def test_streaming_ivm_refresh_equals_batch_recompute(spark, tmp_path):
     assert _rows(agg.read()) == _rows(agg.recompute(landed))
     # >1 batch actually folded (not a single-batch degenerate run)
     assert agg.table.latest_version() >= 2
+
+
+def test_approx_distinct_measure_incremental_equals_recompute(spark, tmp_path):
+    """HLL-register measure: incremental state after 5 adversarial
+    batches EXACTLY equals the from-scratch sketch, and matches the
+    standalone grouped HLL operator."""
+    from globalweather_etl_spark.operators.sketches import hll_distinct_by
+
+    agg = IncrementalAggregate(
+        spark,
+        str(tmp_path / "ivm_hll"),
+        ["event_type"],
+        [Measure("n", "count"), Measure("uu", "approx_distinct", "user_id")],
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    for i in range(5):
+        agg.apply_batch(events.filter(F.col("event_id") % 5 == i))
+    assert _rows(agg.read()) == _rows(agg.recompute(events))
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct_by(events, ["event_type"], "user_id").collect()
+    }
+    got = {r["event_type"]: r["uu"] for r in agg.read().collect()}
+    assert got == want
