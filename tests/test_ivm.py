@@ -153,3 +153,33 @@ def test_approx_distinct_measure_incremental_equals_recompute(spark, tmp_path):
     }
     got = {r["event_type"]: r["uu"] for r in agg.read().collect()}
     assert got == want
+
+
+def test_streaming_refresh_with_approx_distinct(spark, tmp_path):
+    from globalweather_etl_spark.streaming import (
+        events_stream_from_dir,
+        run_ivm_refresh,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    landing = str(tmp_path / "landing2")
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    measures = [
+        Measure("n", "count"),
+        Measure("uu", "approx_distinct", "user_id"),
+    ]
+    state = str(tmp_path / "ivm_hll_stream")
+    q = run_ivm_refresh(
+        events_stream_from_dir(spark, landing, max_files_per_trigger=1),
+        state,
+        ["event_type"],
+        measures,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(180)
+    agg = IncrementalAggregate(spark, state, ["event_type"], measures)
+    landed = spark.read.parquet(landing)
+    assert _rows(agg.read()) == _rows(agg.recompute(landed))
