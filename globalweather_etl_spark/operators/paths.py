@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from globalweather_etl_spark.operators.sessionize import sessionize
 
@@ -202,6 +203,10 @@ def cooccurrence(
     per_session = sess.groupBy(user_col, "session_id").agg(
         F.array_sort(F.collect_set(type_col)).alias("__types")
     )
+    # three branches consume the session-set frame (pairs, singles,
+    # total) — persist it once instead of re-running sessionize +
+    # collect_set per branch (4 scans -> 1, measured in the plan)
+    per_session = per_session.persist(StorageLevel.MEMORY_AND_DISK)
     # n_sessions stays IN-PLAN (1-row aggregate broadcast-cross-joined
     # in at the end) — the bm25 lazy-stats convention, no eager action
     total = per_session.agg(
