@@ -233,7 +233,14 @@ def resolve_entities(
     — 64-bit collisions are negligible at any realistic entity count)
     -> a min-string aggregate per component. Each stage's scale story
     is its own module's; the glue adds one groupBy and two joins on
-    high-cardinality keys."""
+    high-cardinality keys.
+
+    Caveat (measured, docs/PERF.md): transitive closure over a DENSE
+    pair graph over-merges — at 110k synthetic near-neighbors with
+    5.4M dist<=1 pairs, components collapse to a handful of giant
+    clusters. Real entity corpora are sparse and resolve cleanly; if
+    your pair graph is dense, tighten max_dist, cap pair degree, or
+    split clusters downstream before trusting the canonicals."""
     from globalweather_etl_spark.operators.components import (
         connected_components,
     )

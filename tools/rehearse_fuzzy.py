@@ -125,6 +125,19 @@ def main() -> None:
         .collect()[0]["c"]
     )
     naive = n_rows * (n_rows - 1) / 2
+
+    # entity-resolution stage over the same corpus: pairs -> components
+    # -> canonical (the capped pairs feed the cluster step)
+    from globalweather_etl_spark.operators.fuzzy_join import resolve_entities
+
+    t0 = time.perf_counter()
+    resolved = resolve_entities(
+        corpus, "name", max_dist=1, max_gram_freq=max_gram_freq
+    ).persist()
+    n_entities = resolved.count()
+    n_clusters = resolved.select("canonical").distinct().count()
+    resolve_s = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -136,6 +149,9 @@ def main() -> None:
                 "candidate_pairs_upper": int(cand),
                 "naive_pairs": int(naive),
                 "candidate_reduction_x": round(naive / max(cand, 1), 1),
+                "resolve_s": resolve_s,
+                "n_entities": n_entities,
+                "n_clusters": n_clusters,
             }
         )
     )
