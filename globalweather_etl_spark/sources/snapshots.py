@@ -827,6 +827,8 @@ def _index_methods():
             self._fs.delete(dest, False)
         if not self._write_json_atomic(idx, dest):
             raise RuntimeError(f"could not publish index at {dest}")
+        if hasattr(self, "_idx_cache"):
+            self._idx_cache.pop((v, key_col), None)  # rebuilt: re-read
         return {
             "files": len(files),
             "words": sum(len(w) for w in files.values()),
@@ -841,10 +843,22 @@ def _index_methods():
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
-        p = self._index_path(v, key_col)
-        if not self._fs.exists(p):
-            return None
-        idx = self._read_json(p)
+        cache = getattr(self, "_idx_cache", None)
+        if cache is None:
+            cache = {}
+            self._idx_cache = cache
+        idx = cache.get((v, key_col))
+        if idx is None:
+            p = self._index_path(v, key_col)
+            if not self._fs.exists(p):
+                return None
+            # parse once per (version, column): the index for a
+            # million-file table is tens of MB of JSON — at one parse
+            # per probe the metadata operation would cost more than
+            # the file reads it saves (measured in the rehearsal);
+            # indexes are immutable per version, so caching is safe
+            idx = self._read_json(p)
+            cache[(v, key_col)] = idx
         positions = _py_bloom_positions(
             value, idx["num_bits"], idx["num_hashes"]
         )
