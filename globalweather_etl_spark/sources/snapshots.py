@@ -139,12 +139,27 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
+        # manifests are immutable once published, so the parsed dict is
+        # cached per version (the py4j stream read + JSON parse is the
+        # dominant cost of log scans — e.g. the per-batch stamp check
+        # in write_batch/IVM reads EVERY manifest); vacuum drops the
+        # entries it deletes. The existence check stays uncached so a
+        # vacuumed version still errors correctly.
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = {}
+            self._manifest_cache = cache
         p = self._manifest_path(version)
         if not self._fs.exists(p):
+            cache.pop(version, None)
             raise ValueError(
                 f"version {version} does not exist (have {self.versions()})"
             )
-        return self._read_json(p)
+        m = cache.get(version)
+        if m is None:
+            m = self._read_json(p)
+            cache[version] = m
+        return m
 
     def history(self) -> list[SnapshotInfo]:
         return [
@@ -704,6 +719,8 @@ class SnapshotTable:
                 removed_files += 1
         for v in drop:
             self._fs.delete(self._manifest_path(v), False)
+            if hasattr(self, "_manifest_cache"):
+                self._manifest_cache.pop(v, None)
         return {
             "manifests_removed": len(drop),
             "files_removed": removed_files,
