@@ -168,7 +168,14 @@ class IncrementalAggregate:
         self, batch: DataFrame, batch_id: int | None = None
     ) -> dict:
         """Fold one INSERT-ONLY batch into the state; returns the
-        merge_into summary (or {"skipped": batch_id} on a replay)."""
+        merge_into summary (or {"skipped": batch_id} on a replay).
+
+        The replay check scans the manifest log (parsed manifests are
+        cached per version, so it is one filesystem listing + dict
+        lookups); its window is bounded by vacuum retention — replay
+        protection only needs to cover the checkpoint-recovery
+        horizon, so run vacuum(keep_last=..., older_than=...) on the
+        state table's maintenance cadence and the log stays short."""
         if batch_id is not None:
             for v in self.table.versions():
                 if self.table._manifest(v).get("ivm_batch_id") == batch_id:
