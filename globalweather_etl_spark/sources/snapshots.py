@@ -721,6 +721,18 @@ class SnapshotTable:
             self._fs.delete(self._manifest_path(v), False)
             if hasattr(self, "_manifest_cache"):
                 self._manifest_cache.pop(v, None)
+        # dropped versions' Bloom-index sidecars go with their
+        # manifests (and out of the parse cache)
+        mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
+        for st in self._fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("idx-v") and name.endswith(".json"):
+                v = int(name[5:13])
+                if v in set(drop):
+                    self._fs.delete(st.getPath(), False)
+                    if hasattr(self, "_idx_cache"):
+                        key_col = name[14:-5]
+                        self._idx_cache.pop((v, key_col), None)
         return {
             "manifests_removed": len(drop),
             "files_removed": removed_files,

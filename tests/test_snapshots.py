@@ -546,3 +546,16 @@ def test_vacuum_age_retention_protects_recent_versions(spark, table):
     rep2 = table.vacuum(keep_last=1, older_than=0.0)
     assert rep2["manifests_removed"] == 2
     assert table.versions() == [3]
+
+
+def test_vacuum_removes_stale_bloom_indexes(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    table.build_file_index("k")
+    table.write(_df(spark, [(2, "b")]), mode="overwrite")
+    table.build_file_index("k")
+    table.vacuum(keep_last=1)
+    # v1's index sidecar is gone with its manifest; v2's survives
+    assert not table._fs.exists(table._index_path(1, "k"))
+    assert table._fs.exists(table._index_path(2, "k"))
+    # and lookups on the head still work
+    assert [r["k"] for r in table.read_where("k", 2).collect()] == [2]
