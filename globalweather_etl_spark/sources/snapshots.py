@@ -44,6 +44,7 @@ import json
 import time
 import uuid
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,9 +100,25 @@ class SnapshotTable:
         return json.loads(text)
 
     def _write_json_atomic(self, obj: dict, dest) -> bool:
-        """Write to a hidden temp file, publish via rename.  Returns
-        False (and cleans up) if ``dest`` already exists — the loser of
-        a concurrent commit race."""
+        """Write to a hidden temp file, claim the destination with an
+        exclusive-create lock, publish via rename.  Returns False (and
+        cleans up) if ``dest`` is already committed or claimed — the
+        loser of a concurrent commit race.
+
+        Why the lock: rename-if-absent is NOT portable arbitration.
+        HDFS rename fails when the destination exists, but POSIX (and
+        therefore Hadoop's RawLocalFileSystem) rename silently
+        REPLACES it — two racing committers would both "win" the same
+        version and one manifest would vanish, its data files later
+        vacuumed.  ``fs.create(lock, overwrite=False)`` fails if the
+        lock exists on every Hadoop filesystem (atomically on HDFS),
+        so the zero-length ``v<NNN>.json.lock`` file is the single
+        arbiter; the rename that follows can then never collide.
+        Locks persist for the life of their manifest (vacuum drops
+        them together) so a late zombie writer can never re-claim a
+        published version.  A writer that crashes between claim and
+        publish burns its version number — ``_locked_versions`` lets
+        the retry loops skip over the burn."""
         if "committed_at" not in obj:
             # wall-clock commit stamp: powers read_asof()/AS OF time
             # travel and age-based retention; versions remain the
@@ -119,10 +136,35 @@ class SnapshotTable:
         if self._fs.exists(dest):
             self._fs.delete(tmp, False)
             return False
+        lock = self._p(dest.toString() + ".lock")
+        try:
+            self._fs.create(lock, False).close()
+        except Exception:
+            self._fs.delete(tmp, False)
+            if self._fs.exists(lock) or self._fs.exists(dest):
+                return False  # lost the claim race
+            raise  # a real IO failure, not a race — surface it
         ok = self._fs.rename(tmp, dest)
         if not ok:
             self._fs.delete(tmp, False)
         return ok
+
+    def _locked_versions(self) -> list[int]:
+        """Versions claimed by a lock file (published or burned by a
+        crashed writer) — retry loops allocate PAST these so a burned
+        claim can never wedge the log."""
+        mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
+        out = []
+        for st in self._fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json.lock"):
+                out.append(int(name[1:-10]))
+        return out
+
+    def _next_version(self, parent: int | None) -> int:
+        """The next version number to claim given the published head:
+        one past the max of the head and every outstanding lock."""
+        return max([parent or 0, *self._locked_versions()]) + 1
 
     # ------------------------------------------------------- the log
     def versions(self) -> list[int]:
@@ -170,6 +212,26 @@ class SnapshotTable:
         ]
 
     # ------------------------------------------------------- commits
+    def _qualified_root(self) -> str:
+        """The fully-qualified table root (scheme + authority), the
+        exact prefix every path returned by listFiles/listStatus on
+        this filesystem shares — cached once."""
+        q = getattr(self, "_qroot", None)
+        if q is None:
+            q = self._fs.makeQualified(self._root).toString().rstrip("/")
+            self._qroot = q
+        return q
+
+    def _rel(self, full: str) -> str:
+        """Table-root-relative form of a qualified path.  Prefix-strip
+        against the qualified root — NOT a substring search for
+        '/data/', which would mis-split any table rooted under a path
+        that itself contains a /data/ segment (e.g. /data/warehouse/t)."""
+        qroot = self._qualified_root()
+        if not full.startswith(qroot + "/"):
+            raise ValueError(f"path {full!r} is not under table root {qroot!r}")
+        return full[len(qroot) + 1 :]
+
     def _list_commit_files(self, commit_dir: str) -> list[str]:
         out = []
         it = self._fs.listFiles(self._p(commit_dir), True)
@@ -179,9 +241,7 @@ class SnapshotTable:
             if name.startswith("_") or name.startswith("."):
                 continue
             # store paths relative to the table root
-            full = st.getPath().toString()
-            idx = full.index(f"/{_DATA_DIR}/")
-            out.append(full[idx + 1 :])
+            out.append(self._rel(st.getPath().toString()))
         return sorted(out)
 
     def write(
@@ -209,16 +269,15 @@ class SnapshotTable:
         )
         while True:
             parent = self.latest_version()
+            version = self._next_version(parent)
             schema_json = df.schema.json()
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
-                version = 1
             else:
                 pm = self._manifest(parent)
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
-                version = parent + 1
                 if mode == "append":
                     # schema evolution: the manifest records the UNION
                     # of the parent schema and the appended frame's —
@@ -280,16 +339,15 @@ class SnapshotTable:
                 for v in self.versions()
             ):
                 return None  # a racing replay landed it first
+            version = self._next_version(parent)
             schema_json = df.schema.json()
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
-                version = 1
             else:
                 pm = self._manifest(parent)
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
-                version = parent + 1
                 if mode == "append":
                     schema_json = _unify_schemas(
                         StructType.fromJson(json.loads(pm["schema"])),
@@ -315,7 +373,7 @@ class SnapshotTable:
         m = self._manifest(version)
         while True:
             parent = self.latest_version()
-            new_version = (parent or 0) + 1
+            new_version = self._next_version(parent)
             manifest = {
                 "version": new_version,
                 "parent": parent,
@@ -362,20 +420,29 @@ class SnapshotTable:
         n_new = staged.count()
         while True:
             parent = self.latest_version()
+            version = self._next_version(parent)
+            schema_json = df.schema.json()
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
-                version = 1
             else:
                 pm = self._manifest(parent)
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
-                version = parent + 1
+                if mode == "append":
+                    # same union-by-name evolution as write(): a frame
+                    # omitting a parent column must not drop it from
+                    # the manifest schema (the audited path previously
+                    # recorded df.schema verbatim — silent column loss)
+                    schema_json = _unify_schemas(
+                        StructType.fromJson(json.loads(pm["schema"])),
+                        df.schema,
+                    ).json()
             manifest = {
                 "version": version,
                 "parent": parent,
                 "mode": f"audited-{mode}",
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
             }
@@ -509,6 +576,10 @@ class SnapshotTable:
 
         for _ in range(max_retries):
             base = self.latest_version()
+            # claim target BEFORE the expensive work: any concurrent
+            # commit must collide with us on this exact version's lock
+            # (never skip past), so a stale merge can never publish
+            target = self._next_version(base)
             m = self._manifest(base)
             cols = [
                 f.name
@@ -522,8 +593,12 @@ class SnapshotTable:
             src = source.select(*cols)
             src_keys = src.select(*keys).distinct()
             tgt = self.read(base).withColumn("__file", F.input_file_name())
+            # input_file_name() renders a percent-ENCODED URI (spaces
+            # -> %20 etc.) while manifests store plain relative paths;
+            # decode before matching, and anchor on the '/' so a rel
+            # can only match at a path-segment boundary
             hit_files_abs = {
-                r["__file"]
+                unquote(r["__file"])
                 for r in tgt.join(src_keys, keys, "left_semi")
                 .select("__file")
                 .distinct()
@@ -532,7 +607,7 @@ class SnapshotTable:
             hit_rel = [
                 rel
                 for rel in m["files"]
-                if any(a.endswith(rel) for a in hit_files_abs)
+                if any(a.endswith(f"/{rel}") for a in hit_files_abs)
             ]
             kept_rel = [r for r in m["files"] if r not in set(hit_rel)]
 
@@ -604,7 +679,7 @@ class SnapshotTable:
                         "n_rows",
                     )
                 },
-                "version": base + 1,
+                "version": target,
                 "parent": base,
                 "mode": "merge",
                 "schema": m["schema"],
@@ -612,10 +687,10 @@ class SnapshotTable:
                 "n_rows": m["n_rows"] - n_hit_rows + n_written,
             }
             if self._write_json_atomic(
-                manifest, self._manifest_path(base + 1)
+                manifest, self._manifest_path(target)
             ):
                 return {
-                    "version": base + 1,
+                    "version": target,
                     "files_rewritten": len(hit_rel),
                     "files_kept": len(kept_rel),
                     "n_rows": manifest["n_rows"],
@@ -675,7 +750,10 @@ class SnapshotTable:
 
     # -------------------------------------------------------- vacuum
     def vacuum(
-        self, keep_last: int = 1, older_than: float | None = None
+        self,
+        keep_last: int = 1,
+        older_than: float | None = None,
+        unreferenced_grace: float = 86400.0,
     ) -> dict:
         """Drop manifests older than the last ``keep_last`` versions,
         then delete data files no kept manifest references.  Time
@@ -686,7 +764,17 @@ class SnapshotTable:
         vacuum exposes: versions whose committed_at stamp is within
         the window are kept EVEN beyond keep_last (the guard against
         deleting what a long-running reader or read_asof window may
-        still pin); unstamped legacy manifests count as old."""
+        still pin); unstamped legacy manifests count as old.
+
+        ``unreferenced_grace`` (seconds) guards IN-FLIGHT commits:
+        every commit path writes data files FIRST and publishes the
+        manifest after, so a freshly-written unreferenced file may be
+        a commit about to publish — deleting it would corrupt that
+        version permanently (the manifest would reference deleted
+        files).  Only unreferenced files whose modification time is
+        older than the grace window are reclaimed (the Delta/Iceberg
+        tombstone-retention rule); pass 0.0 only when no writer can
+        possibly be in flight (tests, single-writer maintenance)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
@@ -702,6 +790,7 @@ class SnapshotTable:
         for v in keep:
             referenced.update(self._manifest(v)["files"])
         removed_files = 0
+        mtime_horizon_ms = (time.time() - unreferenced_grace) * 1000.0
         ddir = self._p(f"{self.path}/{_DATA_DIR}")
         it = self._fs.listFiles(ddir, True)
         to_delete = []
@@ -710,15 +799,23 @@ class SnapshotTable:
             name = st.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
-            full = st.getPath().toString()
-            rel = full[full.index(f"/{_DATA_DIR}/") + 1 :]
-            if rel not in referenced:
+            rel = self._rel(st.getPath().toString())
+            if (
+                rel not in referenced
+                and st.getModificationTime() <= mtime_horizon_ms
+            ):
                 to_delete.append(st.getPath())
         for p in to_delete:
             if self._fs.delete(p, False):
                 removed_files += 1
         for v in drop:
             self._fs.delete(self._manifest_path(v), False)
+            # the version's publish lock goes with its manifest (no
+            # writer can target a dropped version number again: new
+            # claims always allocate past the published head)
+            self._fs.delete(
+                self._p(self._manifest_path(v).toString() + ".lock"), False
+            )
             if hasattr(self, "_manifest_cache"):
                 self._manifest_cache.pop(v, None)
         # dropped versions' Bloom-index sidecars go with their
@@ -837,11 +934,14 @@ def _index_methods():
         )
         by_abs: dict = {}
         for r in rows:
-            by_abs.setdefault(r["__file"], {})[str(r["word_idx"])] = r["bits"]
+            # input_file_name() is percent-encoded; manifests are not
+            by_abs.setdefault(unquote(r["__file"]), {})[
+                str(r["word_idx"])
+            ] = r["bits"]
         files = {}
         for rel in m["files"]:
             hit = next(
-                (w for a, w in by_abs.items() if a.endswith(rel)), {}
+                (w for a, w in by_abs.items() if a.endswith(f"/{rel}")), {}
             )
             files[rel] = hit
         idx = {

@@ -217,6 +217,21 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def _state_except_batch(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame | None:
+    """The dedup-state history a micro-batch may probe: every
+    ``ingest_batch=<k>`` partition EXCEPT the batch's own.  A replayed
+    batch that already appended its state before crashing must not see
+    its own rows as history — it would drop everything it previously
+    kept and overwrite its output with an empty result, losing those
+    documents forever (the emitted-exactly-once violation)."""
+    df = _read_if_exists(spark, state_dir)
+    if df is None:
+        return None
+    return df.filter(F.col("ingest_batch") != batch_id).drop("ingest_batch")
+
+
 def _bloom_versions(spark: SparkSession, root: str) -> list[int]:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(root)
@@ -250,10 +265,15 @@ def run_incremental_dedup(
 
     State lives next to the output, all replay-safe:
 
-    - ``_state/fingerprints`` — append-only parquet of every distinct
-      content fingerprint ever kept. A replayed micro-batch appends
-      duplicate fingerprint rows; harmless, the probe is an anti-join
-      (set semantics). O(delta) written per batch — the history is
+    - ``_state/fingerprints/ingest_batch=<batch_id>`` — parquet of the
+      distinct content fingerprints each batch kept, one partition per
+      batch, written with per-partition OVERWRITE.  The history a
+      batch probes is every partition EXCEPT its own — so a replayed
+      batch (crash after the state append but before the checkpoint
+      commit) can never see its own fingerprints as "already seen",
+      recompute kept as empty, and overwrite its output with nothing
+      (the exactly-once-emission violation a plain append-only history
+      allows).  O(delta) written per batch — older partitions are
       never rewritten.
     - ``_state/bloom/v=<batch_id>`` — the merged filter after that
       batch, built from the latest earlier version + the batch's new
@@ -283,7 +303,7 @@ def run_incremental_dedup(
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        history = _read_if_exists(s, hist_dir)
+        history = _state_except_batch(s, hist_dir, batch_id)
         prev_versions = [v for v in _bloom_versions(s, bloom_root) if v < batch_id]
         prev_bloom = (
             s.read.parquet(os.path.join(bloom_root, f"v={max(prev_versions)}"))
@@ -301,7 +321,12 @@ def run_incremental_dedup(
             s.read.parquet(out_batch)
             .select(fingerprint_md5(F.col(text_col)).alias("fingerprint"))
         )
-        fps.write.mode("append").parquet(hist_dir)
+        # idempotent per-batch state partition (see docstring): a replay
+        # overwrites ITS OWN partition instead of appending duplicates
+        # the replay would then probe against
+        fps.write.mode("overwrite").parquet(
+            os.path.join(hist_dir, f"ingest_batch={batch_id}")
+        )
         base = prev_bloom if prev_bloom is not None else empty_bloom(s)
         bloom_merge(base, bloom_build(fps, "fingerprint", num_bits, num_hashes)).write.mode(
             "overwrite"
@@ -337,11 +362,13 @@ def run_incremental_neardedup(
     dropped.
 
     State (replay-safe, all next to the output):
-    - ``_state/signatures`` — append-only parquet of (doc, sig) for
-      every kept document, O(new) written per batch (~256 B/doc at 32
-      hashes); replayed batches re-append their own rows, which is
-      harmless — duplicate signature rows only create duplicate
-      candidate probes against the same content.
+    - ``_state/signatures/ingest_batch=<id>`` — (doc, sig) for every
+      kept document, one OVERWRITE partition per batch (~256 B/doc at
+      32 hashes).  The history a batch screens against excludes its
+      own partition, so a replay (crash between the state write and
+      the checkpoint commit) cannot match against its own signatures
+      and drop every document it previously kept — the same
+      exactly-once-emission hazard run_incremental_dedup guards.
     - ``neardeduped/ingest_batch=<id>`` — kept documents, per-batch
       overwrite: idempotent under replay.
 
@@ -359,7 +386,7 @@ def run_incremental_neardedup(
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        history = _read_if_exists(s, sig_dir)
+        history = _state_except_batch(s, sig_dir, batch_id)
         kept, _ = minhash_dedup_incremental(
             batch, history, id_col, text_col,
             n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -368,11 +395,14 @@ def run_incremental_neardedup(
         out_batch = os.path.join(out_dir, f"neardeduped/ingest_batch={batch_id}")
         kept.write.mode("overwrite").parquet(out_batch)
         # state derives from the landed batch (no read-while-append on
-        # the signature dir, no recompute of the screen's lineage)
+        # the signature dir, no recompute of the screen's lineage);
+        # per-batch OVERWRITE partition: replays redo their own state
         landed = s.read.parquet(out_batch)
         fresh_sigs = _signatures_of(landed, id_col, text_col, n,
                                     num_hashes, max_doc_freq)
-        fresh_sigs.write.mode("append").parquet(sig_dir)
+        fresh_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"ingest_batch={batch_id}")
+        )
 
     writer = (
         docs.writeStream.foreachBatch(_fold)

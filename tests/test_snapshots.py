@@ -71,12 +71,12 @@ def test_vacuum_keeps_referenced_files(spark, table):
     table.write(_df(spark, [(1, "a")]))
     table.write(_df(spark, [(2, "b")]), mode="append")
     table.write(_df(spark, [(9, "z")]), mode="overwrite")
-    rep = table.vacuum(keep_last=2)
+    rep = table.vacuum(keep_last=2, unreferenced_grace=0.0)
     # v1 manifest dropped; v2 still references v1's files -> kept
     assert rep["manifests_removed"] == 1 and rep["files_removed"] == 0
     assert table.versions() == [2, 3]
     assert sorted(r["k"] for r in table.read(2).collect()) == [1, 2]
-    rep2 = table.vacuum(keep_last=1)
+    rep2 = table.vacuum(keep_last=1, unreferenced_grace=0.0)
     # v2 dropped: v1+v2 data now unreferenced and deleted
     assert rep2["manifests_removed"] == 1 and rep2["files_removed"] > 0
     assert sorted(r["k"] for r in table.read().collect()) == [9]
@@ -127,7 +127,7 @@ def test_errors(spark, table):
     with pytest.raises(ValueError):
         table.write(_df(spark, [(1, "a")]), mode="upsert")
     with pytest.raises(ValueError):
-        table.vacuum(keep_last=0)
+        table.vacuum(keep_last=0, unreferenced_grace=0.0)
     with pytest.raises(ValueError):
         table.read(42)
 
@@ -141,7 +141,7 @@ def test_write_batch_exactly_once(spark, table):
     assert table.latest_version() == 2
     assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
     # torn-replay data files (written before the skip) are vacuumable
-    rep = table.vacuum(keep_last=2)
+    rep = table.vacuum(keep_last=2, unreferenced_grace=0.0)
     assert table.read(2).count() == 2
 
 
@@ -212,7 +212,7 @@ def test_write_audited_publishes_only_clean_data(spark, table):
     assert table.latest_version() == 1
     assert table.read().count() == 2
     # and its files are unreferenced -> reclaimed
-    rep = table.vacuum(keep_last=1)
+    rep = table.vacuum(keep_last=1, unreferenced_grace=0.0)
     assert rep["files_removed"] > 0
     assert table.read().count() == 2
 
@@ -278,7 +278,7 @@ def test_compact_preserves_content_and_history(spark, table):
     assert sorted(map(tuple, table.read().collect())) == before
     # old head still time-travels; vacuum reclaims the small files
     assert sorted(map(tuple, table.read(head).collect())) == before
-    rep = table.vacuum(keep_last=1)
+    rep = table.vacuum(keep_last=1, unreferenced_grace=0.0)
     assert rep["files_removed"] >= 6
     assert sorted(map(tuple, table.read().collect())) == before
 
@@ -539,11 +539,11 @@ def test_vacuum_age_retention_protects_recent_versions(spark, table):
     table.write(_df(spark, [(3, "c")]), mode="append")
     # keep_last=1 would drop v1+v2, but everything committed within the
     # retention window stays
-    rep = table.vacuum(keep_last=1, older_than=3600.0)
+    rep = table.vacuum(keep_last=1, older_than=3600.0, unreferenced_grace=0.0)
     assert rep["manifests_removed"] == 0
     assert table.versions() == [1, 2, 3]
     # a zero-second window degrades to plain keep_last
-    rep2 = table.vacuum(keep_last=1, older_than=0.0)
+    rep2 = table.vacuum(keep_last=1, older_than=0.0, unreferenced_grace=0.0)
     assert rep2["manifests_removed"] == 2
     assert table.versions() == [3]
 
@@ -553,9 +553,122 @@ def test_vacuum_removes_stale_bloom_indexes(spark, table):
     table.build_file_index("k")
     table.write(_df(spark, [(2, "b")]), mode="overwrite")
     table.build_file_index("k")
-    table.vacuum(keep_last=1)
+    table.vacuum(keep_last=1, unreferenced_grace=0.0)
     # v1's index sidecar is gone with its manifest; v2's survives
     assert not table._fs.exists(table._index_path(1, "k"))
     assert table._fs.exists(table._index_path(2, "k"))
     # and lookups on the head still work
     assert [r["k"] for r in table.read_where("k", 2).collect()] == [2]
+
+
+# ----------------------------------------------- round-6 hardening fixes
+
+
+def test_table_rooted_under_a_data_segment(spark, tmp_path):
+    """A table whose ROOT path itself contains '/data/' (the common
+    /data/warehouse layout) must record correct manifest-relative
+    paths — rel computation is a prefix strip against the qualified
+    root, not a substring search for the first '/data/'."""
+    root = tmp_path / "data" / "warehouse" / "tbl"
+    t = SnapshotTable(spark, str(root))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    # every manifest rel must start at the table's own data dir
+    for v in t.versions():
+        for rel in t._manifest(v)["files"]:
+            assert rel.startswith("data/c-"), rel
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # merge + vacuum walk the same rel machinery
+    res = t.merge_into(
+        _df(spark, [(3, "C"), (4, "d")]), keys=["k"]
+    )
+    assert res["n_rows"] == 4
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
+    rep = t.vacuum(keep_last=1, unreferenced_grace=0.0)
+    assert rep["manifests_removed"] == 2
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_vacuum_grace_protects_inflight_commit_files(spark, table):
+    """Data files written but not yet referenced by a manifest (an
+    in-flight commit) must survive vacuum while inside the grace
+    window — deleting them would corrupt the about-to-publish version."""
+    table.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # simulate the first half of a commit: data files on disk, no
+    # manifest yet (exactly what write()/merge_into do before publish)
+    staged = f"{table.path}/data/c-inflight"
+    _df(spark, [(2, "b")]).write.parquet(staged)
+    rep = table.vacuum(keep_last=1)  # default grace: 24h
+    assert rep["files_removed"] == 0  # the staged files survived
+    # ...so the in-flight commit can still publish correctly; with the
+    # window elapsed (grace 0) the same files are reclaimable garbage
+    rep2 = table.vacuum(keep_last=1, unreferenced_grace=0.0)
+    assert rep2["files_removed"] > 0
+
+
+def test_burned_lock_never_wedges_the_log(spark, table):
+    """A writer that crashed between claiming a version's lock and
+    publishing its manifest burns that number; later commits allocate
+    past it instead of retrying it forever."""
+    table.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # simulate the crash: v2's lock exists, v2's manifest never will
+    lock = table._p(table._manifest_path(2).toString() + ".lock")
+    table._fs.create(lock, False).close()
+    v = table.write(_df(spark, [(2, "b")]), mode="append")
+    assert v == 3  # skipped the burned claim
+    assert table.versions() == [1, 3]
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+    # merge allocates past burns the same way
+    res = table.merge_into(_df(spark, [(9, "z")]), keys=["k"])
+    assert res["version"] == 4
+    assert table.latest_version() == 4
+
+
+def test_concurrent_same_version_publish_single_winner(spark, table):
+    """Two committers racing the SAME version number: exactly one
+    manifest survives (the lock arbitrates), the loser's temp file is
+    cleaned up — local-filesystem rename alone would silently let both
+    'win' and replace one manifest with the other."""
+    table.write(_df(spark, [(1, "a")]), mode="overwrite")
+    dest = table._manifest_path(2)
+    m = dict(table._manifest(1))
+    m["version"] = 2
+    m["parent"] = 1
+    won_a = table._write_json_atomic(dict(m), dest)
+    won_b = table._write_json_atomic(
+        {**m, "n_rows": 999}, dest
+    )
+    assert won_a is True and won_b is False
+    assert table._manifest(2)["n_rows"] == m["n_rows"]  # winner's content
+
+
+def test_write_audited_append_keeps_omitted_columns(spark, table):
+    """Audited append evolves the manifest schema by union-by-name like
+    write(): a frame omitting a parent column must not drop it."""
+    from globalweather_etl_spark.operators.expectations import (
+        ExpectationSuite,
+        expect_not_null,
+    )
+
+    table.write(_df(spark, [(1, "a")]), mode="overwrite")
+    suite = ExpectationSuite([expect_not_null("k")])
+    only_k = spark.createDataFrame([(7,)], "k long")
+    table.write_audited(only_k, suite, mode="append")
+    head = table.read()
+    assert set(head.columns) == {"k", "v"}
+    got = {r["k"]: r["v"] for r in head.collect()}
+    assert got == {1: "a", 7: None}
+
+
+def test_merge_handles_uri_encoded_table_paths(spark, tmp_path):
+    """Table paths needing URI escaping (spaces): input_file_name()
+    renders them percent-encoded; file-hit matching must decode before
+    comparing against manifest rels or every merge rewrites nothing."""
+    root = tmp_path / "ware house" / "tbl v2"
+    t = SnapshotTable(spark, str(root))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    res = t.merge_into(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    assert res["files_rewritten"] >= 1  # the hit file WAS identified
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

@@ -490,3 +490,105 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     assert got.filter(
         (F.col("user_id") == 2) & F.col("signup_id").isNotNull()
     ).count() == 1
+
+
+def test_incremental_dedup_replay_after_state_append_keeps_output(
+    spark, tmp_path
+):
+    """The crash-replay hazard: a batch that appended its fingerprints
+    to state but crashed before its checkpoint committed is replayed —
+    it must NOT see its own fingerprints as history (that would
+    recompute kept as empty and overwrite its output with nothing,
+    silently losing those documents forever). Deleting the checkpoint
+    replays batch 0 over the same single file, which is exactly the
+    state-already-written replay shape."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.streaming import (
+        jsonl_stream_from_dir,
+        run_incremental_dedup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, f"content-{i % 5}") for i in range(12)], schema
+    ).coalesce(1).write.mode("append").json(landing)
+
+    def run():
+        run_incremental_dedup(
+            jsonl_stream_from_dir(spark, landing, schema),
+            out,
+            num_bits=1 << 14,
+        ).awaitTermination(120)
+
+    run()
+    first = sorted(
+        r["text"] for r in spark.read.parquet(out + "/deduped").collect()
+    )
+    assert first == [f"content-{i}" for i in range(5)]
+
+    # simulate the replay: state + outputs survive, the checkpoint does
+    # not — batch 0 reruns over the same file with its state partition
+    # already on disk
+    shutil.rmtree(str(tmp_path / "out" / "_checkpoints"))
+    run()
+    replayed = sorted(
+        r["text"] for r in spark.read.parquet(out + "/deduped").collect()
+    )
+    assert replayed == first  # nothing lost, nothing duplicated
+
+
+def test_incremental_neardedup_replay_after_state_append(spark, tmp_path):
+    """Same replay shape for the fuzzy screen: a replayed batch must
+    not match against its OWN signatures and drop everything it kept."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.streaming import (
+        jsonl_stream_from_dir,
+        run_incremental_neardedup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the "
+                "quiet river while the heron watches from tall reeds"),
+            (2, "completely different prose about adaptive query "
+                "execution and shuffle partition coalescing at scale"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").json(landing)
+
+    def run():
+        run_incremental_neardedup(
+            jsonl_stream_from_dir(spark, landing, schema),
+            out, n=3, num_hashes=32, bands=16, threshold=0.5,
+        ).awaitTermination(120)
+
+    run()
+    kept = lambda: sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out + "/neardeduped").collect()
+    )
+    assert kept() == [1, 2]
+    shutil.rmtree(str(tmp_path / "out" / "_checkpoints"))
+    run()
+    assert kept() == [1, 2]

@@ -81,7 +81,7 @@ def main() -> None:
             t.read().filter(F.col("doc_id") % 2 == 0), mode="overwrite"
         )
         t0 = time.perf_counter()
-        vac = t.vacuum(keep_last=1)
+        vac = t.vacuum(keep_last=1, unreferenced_grace=0.0)
         vacuum_s = round(time.perf_counter() - t0, 3)
         survivor_rows = t.read().count()
 
