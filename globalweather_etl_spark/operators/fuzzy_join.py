@@ -218,6 +218,7 @@ def resolve_entities(
     max_dist: int = 1,
     q: int = 2,
     max_gram_freq: int | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """End-to-end entity resolution over one string column:
     (entity, canonical, cluster_size) for every DISTINCT value, where
@@ -240,7 +241,16 @@ def resolve_entities(
     5.4M dist<=1 pairs, components collapse to a handful of giant
     clusters. Real entity corpora are sparse and resolve cleanly; if
     your pair graph is dense, tighten max_dist, cap pair degree, or
-    split clusters downstream before trusting the canonicals."""
+    split clusters downstream before trusting the canonicals.
+
+    ``max_cluster_size`` is the guard that makes this safe to run
+    blind: when set, the resolution FAILS LOUDLY (ValueError naming
+    the worst offenders) if any cluster exceeds the bound — a giant
+    cluster is the over-merge signature, and silently unifying ten
+    thousand distinct entities under one canonical is strictly worse
+    than stopping.  The check is one bounded aggregate over the
+    already-computed cluster sizes (O(1) driver rows), nothing extra
+    at scale."""
     from globalweather_etl_spark.operators.components import (
         connected_components,
     )
@@ -264,6 +274,33 @@ def resolve_entities(
         F.min("entity").alias("canonical"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError(
+                f"max_cluster_size must be >= 1, got {max_cluster_size}"
+            )
+        # the guard materializes reps; persist so the returned plan
+        # reuses it instead of recomputing the component aggregate
+        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+        worst = (
+            reps.filter(F.col("cluster_size") > max_cluster_size)
+            .orderBy(F.col("cluster_size").desc(), "canonical")
+            .select("canonical", "cluster_size")
+            .limit(3)
+            .collect()
+        )
+        if worst:
+            offenders = ", ".join(
+                f"{r['canonical']!r}×{r['cluster_size']}" for r in worst
+            )
+            raise ValueError(
+                "resolve_entities: over-merge guard tripped — cluster(s) "
+                f"larger than max_cluster_size={max_cluster_size}: "
+                f"{offenders}. A giant cluster means the pair graph is "
+                "dense and transitive closure is unifying distinct "
+                "entities; tighten max_dist, set max_gram_freq, or raise "
+                "the bound deliberately."
+            )
     return labeled.join(reps, "__comp").select(
         "entity", "canonical", "cluster_size"
     )

@@ -295,7 +295,7 @@ SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
   c_mktsegment, c_nationkey
 FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)""",
     "tpch_scalar_checks": """
-WITH fo AS (
+WITH RECURSIVE fo AS (
   SELECT count(*) FILTER (WHERE o.o_orderkey IS NULL) AS no_orders,
          count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphans,
          count(*) AS n_rows
@@ -368,15 +368,51 @@ twap AS (
            / count(*), 9) AS mean_user_twap,
          CAST(count(*) AS BIGINT) AS n_twap_users
   FROM twap_user),
+fpairs AS (
+  SELECT a.p_name AS s_a, b.p_name AS s_b,
+         levenshtein(a.p_name, b.p_name) AS d
+  FROM (SELECT DISTINCT p_name FROM part) a
+  JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
 fz AS (
   SELECT count(*) FILTER (WHERE d <= 1) AS d1,
          count(*) AS d2,
          sum(d) AS sum_d
-  FROM (
-    SELECT levenshtein(a.p_name, b.p_name) AS d
-    FROM (SELECT DISTINCT p_name FROM part) a
-    JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 2))
+  FROM fpairs),
+eredges AS (
+  SELECT s_a AS u, s_b AS v FROM fpairs
+  UNION SELECT s_b AS u, s_a AS v FROM fpairs),
+erwalk AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM eredges) n
+  UNION
+  SELECT e.v AS node, w.label FROM erwalk w JOIN eredges e ON e.u = w.node),
+erlab AS (SELECT node, min(label) AS canonical FROM erwalk GROUP BY node),
+erall AS (
+  SELECT p.p_name AS entity, coalesce(l.canonical, p.p_name) AS canonical
+  FROM (SELECT DISTINCT p_name FROM part) p
+  LEFT JOIN erlab l ON l.node = p.p_name),
+ersz AS (SELECT canonical, count(*) AS cs FROM erall GROUP BY canonical),
+er AS (
+  SELECT count(*) AS n_values,
+         count(DISTINCT e.canonical) AS n_clusters,
+         max(s.cs) AS max_cluster,
+         count(*) FILTER (WHERE s.cs > 1) AS merged_values
+  FROM erall e JOIN ersz s ON e.canonical = s.canonical),
+lk_base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 3 != 0),
+lk_src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 5 = 0),
+lk_v2 AS (
+  SELECT * FROM lk_src
+  UNION ALL
+  SELECT * FROM lk_base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM lk_src)),
+lk_v3 AS (SELECT * FROM lk_v2 WHERE o_orderkey % 7 != 0),
+lk_k0 AS (
+  SELECT min(o_orderkey) AS k0 FROM lk_src
+  WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -409,6 +445,25 @@ UNION ALL SELECT 'diff_unchanged', CAST(n_unchanged AS DOUBLE) FROM cdc
 UNION ALL SELECT 'fuzzy_name_pairs_d1', CAST(d1 AS DOUBLE) FROM fz
 UNION ALL SELECT 'fuzzy_name_pairs_d2', CAST(d2 AS DOUBLE) FROM fz
 UNION ALL SELECT 'fuzzy_name_dist_sum', CAST(sum_d AS DOUBLE) FROM fz
+UNION ALL SELECT 'er_n_values', CAST(n_values AS DOUBLE) FROM er
+UNION ALL SELECT 'er_n_clusters', CAST(n_clusters AS DOUBLE) FROM er
+UNION ALL SELECT 'er_max_cluster', CAST(max_cluster AS DOUBLE) FROM er
+UNION ALL SELECT 'er_merged_values', CAST(merged_values AS DOUBLE) FROM er
+UNION ALL SELECT 'merge_v2_rows', CAST(count(*) AS DOUBLE) FROM lk_v2
+UNION ALL SELECT 'merge_v2_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v2
+UNION ALL SELECT 'merge_v3_rows', CAST(count(*) AS DOUBLE) FROM lk_v3
+UNION ALL SELECT 'merge_v3_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v3
+UNION ALL SELECT 'merge_tt_v1_rows', CAST(count(*) AS DOUBLE) FROM lk_base
+UNION ALL SELECT 'merge_tt_v1_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_base
+UNION ALL SELECT 'merge_bloom_lookup_price',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v3, lk_k0 WHERE o_orderkey = k0
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx
@@ -583,6 +638,12 @@ SELECT p.user_id, p.grid_ts, p.ts, p.value, n.next_ts, n.next_value,
       / (CAST(epoch_us(n.next_ts) AS DOUBLE)
          - CAST(epoch_us(p.ts) AS DOUBLE)) END, 6) AS value_interp
 FROM p JOIN n ON p.user_id = n.user_id AND p.grid_ts = n.grid_ts""",
+    # Round 6: the Spark side maintains this aggregate INCREMENTALLY
+    # (operators/ivm.py folding 4 batches into a snapshot-table state);
+    # the oracle stays the from-scratch GROUP BY over all events — the
+    # equality IS the IVM correctness statement. temp_* mirror the IVM
+    # measures: DECIMAL(25,6)-exact sum (the mergeable-partial form),
+    # avg = decimal-sum / non-null count at 9dp, min/max at 6dp.
     "events_daily_band_counts": """
 WITH t AS (
   SELECT ts,
@@ -595,7 +656,12 @@ SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
        WHEN temp BETWEEN 51 AND 70 THEN 'Mild'
        WHEN temp BETWEEN 71 AND 85 THEN 'Warm'
        ELSE 'Hot' END AS weather_band,
-  count(*) AS n_forecasts
+  count(*) AS n_forecasts,
+  round(CAST(sum(CAST(temp AS DECIMAL(25,6))) AS DOUBLE), 6) AS temp_sum,
+  round(CAST(sum(CAST(temp AS DECIMAL(25,6))) AS DOUBLE)
+        / count(temp), 9) AS temp_avg,
+  round(min(temp), 6) AS temp_min,
+  round(max(temp), 6) AS temp_max
 FROM t GROUP BY 1, 2""",
     # Gaps-and-islands rewrite of session_window(ts, '30 minutes'):
     # a new session starts when the gap from the previous event exceeds

@@ -480,6 +480,28 @@ def q_tpch_scalar_checks(spark, sf_dir):
     pair counts at d<=1 / d<=2 and the distance sum as fuzzy_* rows —
     the oracle's brute-force quadratic twin must agree exactly (the
     blocking is completeness-guaranteed at these name lengths).
+
+    Round 6 grades the LAKEHOUSE layer here (sources/snapshots.py): a
+    versioned snapshot table is committed from a deterministic orders
+    subset, upsert-MERGEd (doubled prices for key%5==0, inserts for
+    the keys the base lacks), then delete-MERGEd (key%7==0), and the
+    rows that land are READ BACK from the resulting manifests — head
+    state after each merge, TIME TRAVEL to the pre-merge version
+    (which must be untouched by the copy-on-write rewrites), and a
+    Bloom-file-index point lookup of the smallest surviving updated
+    key.  The oracle recomputes all three states relationally
+    (full-outer upsert + delete filter), so a wrong file-level
+    rewrite, a key matched or missed during pruning, a corrupted
+    carried-by-reference file, or a stale time-travel read all
+    hash-mismatch.
+
+    Round 6 also grades entity resolution
+    (operators/fuzzy_join.py resolve_entities): transitive
+    edit-distance-2 chains over distinct p_name values unify into
+    clusters with lexicographic-min canonicals; cluster counts /
+    max size / merged-value counts land as er_* rows against a
+    recursive-CTE connected-components twin over the same
+    brute-force pair graph.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -613,7 +635,10 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
-    from globalweather_etl_spark.operators.fuzzy_join import fuzzy_self_pairs
+    from globalweather_etl_spark.operators.fuzzy_join import (
+        fuzzy_self_pairs,
+        resolve_entities,
+    )
 
     part = load_table(spark, sf_dir, "part")
     fuzzy = _unpivot_metrics(
@@ -627,6 +652,110 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ("fuzzy_name_pairs_d2", "d2"),
             ("fuzzy_name_dist_sum", "sum_d"),
         ],
+    )
+
+    # Round 6: entity resolution over the same pair graph — blocked
+    # pairs -> connected components -> lexicographic-min canonical;
+    # singletons are their own canonical
+    ents = resolve_entities(part, "p_name", max_dist=2)
+    er = _unpivot_metrics(
+        ents.agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.countDistinct("canonical").alias("n_clusters"),
+            F.max("cluster_size").alias("max_cluster"),
+            F.count_if(F.col("cluster_size") > 1).alias("merged_values"),
+        ),
+        [
+            ("er_n_values", "n_values"),
+            ("er_n_clusters", "n_clusters"),
+            ("er_max_cluster", "max_cluster"),
+            ("er_merged_values", "merged_values"),
+        ],
+    )
+
+    # Round 6: the lakehouse read-back family (see docstring). The
+    # snapshot table lives in a throwaway temp dir; every write/merge
+    # below is an eager commit, and the returned rows scan the PINNED
+    # manifests those commits published.
+    import tempfile
+
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    snap_cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = orders.select(*snap_cols).filter(F.col("o_orderkey") % 3 != 0)
+    st = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="gw_lakehouse_") + "/orders_snap"
+    )
+    # 8 key-hashed files so the delete-merge demonstrably prunes:
+    # only files holding matched keys rewrite, the rest carry by
+    # reference into the new manifest
+    v1 = st.write(base.repartition(8, "o_orderkey"), mode="overwrite")
+    upsert_src = (
+        orders.select(*snap_cols)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    m2 = st.merge_into(upsert_src, keys=["o_orderkey"])
+    del_src = st.read().filter(F.col("o_orderkey") % 7 == 0)
+    st.merge_into(
+        del_src,
+        keys=["o_orderkey"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    st.build_file_index("o_orderkey")
+    # smallest key that was UPDATED by the upsert and survived the
+    # delete — deterministic at any sf; the lookup must open only the
+    # Bloom-candidate files and return its doubled price
+    k0 = (
+        upsert_src.filter(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    dsum = lambda df: df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("s"),
+    )
+    lake = (
+        _unpivot_metrics(
+            dsum(st.read(m2["version"])),
+            [("merge_v2_rows", "n"), ("merge_v2_price_sum", "s")],
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dsum(st.read()),
+                [("merge_v3_rows", "n"), ("merge_v3_price_sum", "s")],
+            )
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dsum(st.read(v1)),
+                [
+                    ("merge_tt_v1_rows", "n"),
+                    ("merge_tt_v1_price_sum", "s"),
+                ],
+            )
+        )
+        .unionAll(
+            _unpivot_metrics(
+                st.read_where("o_orderkey", k0).agg(
+                    F.round(
+                        F.sum(
+                            F.col("o_totalprice").cast("decimal(25,6)")
+                        ).cast("double"),
+                        4,
+                    ).alias("p")
+                ),
+                [("merge_bloom_lookup_price", "p")],
+            )
+        )
     )
 
     # Late round 5: the time-weighted average over irregular series
@@ -660,8 +789,10 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(constant_join)
         .unionAll(cdc)
         .unionAll(fuzzy)
+        .unionAll(er)
         .unionAll(stats_mx)
         .unionAll(twap)
+        .unionAll(lake)
     )
 
 
@@ -976,11 +1107,72 @@ def q_events_interval_join(spark, sf_dir):
 
 
 def q_events_daily_band_counts(spark, sf_dir):
-    """The streaming dashboard job's exact body, run in batch for the
-    oracle (stream==batch parity is tested in test_streaming.py)."""
-    from globalweather_etl_spark.streaming import daily_weather_band_counts
+    """The reference's weather-band dashboard aggregate (the streaming
+    job daily_weather_band_counts' semantics), computed by INCREMENTAL
+    VIEW MAINTENANCE instead of a one-shot GROUP BY — round 6's graded
+    lakehouse read-back for operators/ivm.py.
 
-    return daily_weather_band_counts(load_table(spark, sf_dir, "events"))
+    The events table is sliced into four deterministic micro-batches
+    (event_id % 4) and folded one batch at a time into an
+    IncrementalAggregate state table (a versioned SnapshotTable of
+    mergeable partials: count + DECIMAL-exact sum/avg + min/max of the
+    derived temperature per (day, band)); the returned frame is the
+    maintained state's finalized read-back. The oracle stays the plain
+    GROUP BY over ALL events, so a wrong partial, a wrong merge of
+    touched groups, a file-pruning miss, or a wrong finalize
+    hash-mismatches — incremental maintenance must be bit-identical to
+    the from-scratch aggregate (the module's DECIMAL-partials
+    argument). Streaming twin: streaming.jobs.run_ivm_refresh
+    (stream==batch fold parity in test_ivm.py); stream==batch parity
+    of the underlying aggregate body in test_streaming.py."""
+    import tempfile
+
+    from globalweather_etl_spark.functions import weather_band
+    from globalweather_etl_spark.operators.ivm import (
+        IncrementalAggregate,
+        Measure,
+    )
+    from globalweather_etl_spark.sources.weather_from_events import _fmod
+
+    events = load_table(spark, sf_dir, "events")
+    temp = _fmod(F.col("value"), 120.0) - F.lit(10.0)
+    classified = events.select(
+        F.col("event_id"),
+        # window(ts, '1 day').start == day-truncation in the UTC
+        # session tz — plain group columns so the state table can
+        # merge on them
+        F.date_trunc("day", F.col("ts")).alias("window_start"),
+        weather_band(temp).alias("weather_band"),
+        temp.alias("temp"),
+    )
+    ia = IncrementalAggregate(
+        spark,
+        tempfile.mkdtemp(prefix="gw_ivm_") + "/band_state",
+        group_cols=["window_start", "weather_band"],
+        measures=[
+            Measure("n_forecasts", "count"),
+            Measure("temp_sum", "sum", "temp"),
+            Measure("temp_avg", "avg", "temp"),
+            Measure("temp_min", "min", "temp"),
+            Measure("temp_max", "max", "temp"),
+        ],
+    )
+    for b in range(4):
+        ia.apply_batch(
+            classified.filter(F.pmod(F.col("event_id"), F.lit(4)) == b)
+            .drop("event_id"),
+            batch_id=b,
+        )
+    out = ia.read()
+    return out.select(
+        "window_start",
+        "weather_band",
+        "n_forecasts",
+        F.round(F.col("temp_sum"), 6).alias("temp_sum"),
+        F.col("temp_avg"),
+        F.round(F.col("temp_min"), 6).alias("temp_min"),
+        F.round(F.col("temp_max"), 6).alias("temp_max"),
+    )
 
 
 # ------------------------------------------- dedup / text / similarity

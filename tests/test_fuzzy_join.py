@@ -171,3 +171,27 @@ def test_resolve_entities_real_part_names(spark):
         assert any(m["entity"] == canon for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
     assert out.count() == part.select("p_name").distinct().count()
+
+
+def test_resolve_entities_over_merge_guard(spark):
+    """max_cluster_size fails loudly when transitive closure builds a
+    giant cluster (the dense-graph over-merge signature) and passes
+    untouched when every cluster is within bound."""
+    import pytest as _pytest
+
+    from globalweather_etl_spark.operators.fuzzy_join import resolve_entities
+
+    # a 5-long typo chain: every neighbor is 1 edit apart, endpoints far
+    chain = ["node aaaa", "node aaab", "node aabb", "node abbb", "node bbbb"]
+    df = spark.createDataFrame([(s,) for s in chain + ["other thing"]], ["name"])
+
+    with _pytest.raises(ValueError, match="over-merge guard"):
+        resolve_entities(df, "name", max_dist=1, max_cluster_size=3)
+
+    # bound >= actual worst cluster: identical result to the unguarded run
+    ok = resolve_entities(df, "name", max_dist=1, max_cluster_size=5)
+    got = {r["entity"]: r["cluster_size"] for r in ok.collect()}
+    assert got == {**{s: 5 for s in chain}, "other thing": 1}
+
+    with _pytest.raises(ValueError, match="max_cluster_size must be >= 1"):
+        resolve_entities(df, "name", max_dist=1, max_cluster_size=0)
