@@ -20,6 +20,18 @@ accumulate in DECIMAL(25,6) so merge order can never change the
 result — the repo-wide exact_avg argument — which makes the state
 bit-identical to a from-scratch recompute (tested, not just close).
 
+Round 6 adds the RETRACTION path: ``apply_batch_cdc`` folds a batch
+carrying an ``__op`` column (+1 insert / -1 delete; an update is the
+delete of the old row plus the insert of the new one — exactly the
+change stream a MERGE INTO upsert source induces).  count/sum/avg are
+self-maintainable under retraction (partials become op-weighted sums);
+min/max and approx_distinct are NOT (a retracted maximum would need
+the full value multiset to find its successor) and are rejected
+loudly.  Every state row also carries a hidden ``__live`` net-row
+counter; a group retracted to zero rows is DELETED from the state in
+the same atomic commit (merge_into's WHEN MATCHED AND __live=0 THEN
+DELETE arm), so the state table never accumulates ghost groups.
+
 Plus approx_distinct: COUNT(DISTINCT x) is famously NOT
 self-maintainable exactly (the state would be the value set itself),
 but the portable-HLL register form (operators/sketches.py) IS — the
@@ -99,7 +111,9 @@ class IncrementalAggregate:
 
     # ---------------------------------------------------- partial state
     def _partial_aggs(self):
-        aggs = []
+        # __live: net row count per group — insert-only batches count
+        # rows, CDC batches sum ops; a group at 0 is dropped from state
+        aggs = [F.count(F.lit(1)).cast("long").alias("__live")]
         for m in self.measures:
             if m.kind == "count":
                 aggs.append(
@@ -128,7 +142,7 @@ class IncrementalAggregate:
         return aggs
 
     def _merge_aggs(self):
-        aggs = []
+        aggs = [F.sum("__live").cast("long").alias("__live")]
         for m in self.measures:
             if m.kind == "count":
                 aggs.append(
@@ -163,6 +177,37 @@ class IncrementalAggregate:
     def _partial(self, df: DataFrame) -> DataFrame:
         return df.groupBy(*self.group_cols).agg(*self._partial_aggs())
 
+    def _partial_aggs_cdc(self, op_col: str):
+        """Op-weighted partials: a -1 row subtracts exactly what its
+        +1 twin added, so partial+merge over any batch slicing equals
+        the from-scratch aggregate over the net rows (DECIMAL sums —
+        order-independent)."""
+        op = F.col(op_col).cast("long")
+        aggs = [F.sum(op).cast("long").alias("__live")]
+        for m in self.measures:
+            if m.kind == "count":
+                aggs.append(F.sum(op).cast("long").alias(f"__{m.name}_cnt"))
+            elif m.kind in ("sum", "avg"):
+                aggs.append(
+                    F.sum(
+                        F.col(m.col).cast("decimal(25,6)")
+                        * op.cast("decimal(25,6)")
+                    )
+                    .cast("decimal(25,6)")
+                    .alias(f"__{m.name}_sum")
+                )
+                if m.kind == "avg":
+                    aggs.append(
+                        F.sum(
+                            F.when(F.col(m.col).isNotNull(), op).otherwise(
+                                F.lit(0)
+                            )
+                        )
+                        .cast("long")
+                        .alias(f"__{m.name}_cnt")
+                    )
+        return aggs
+
     # ----------------------------------------------------------- refresh
     def apply_batch(
         self, batch: DataFrame, batch_id: int | None = None
@@ -176,10 +221,10 @@ class IncrementalAggregate:
         protection only needs to cover the checkpoint-recovery
         horizon, so run vacuum(keep_last=..., older_than=...) on the
         state table's maintenance cadence and the log stays short."""
-        if batch_id is not None:
-            for v in self.table.versions():
-                if self.table._manifest(v).get("ivm_batch_id") == batch_id:
-                    return {"skipped": batch_id}
+        if batch_id is not None and self.table._batch_seen(
+            batch_id, "ivm_batch_id", "ivm_max_batch_id"
+        ):
+            return {"skipped": batch_id}
         p = self._partial(batch)
         head = self.table.latest_version()
         if head is not None:
@@ -203,6 +248,94 @@ class IncrementalAggregate:
             assume_unique_source=True,  # p is a groupBy output
             rewrite_partitions=8,  # group states are narrow; bound files
         )
+
+    def apply_batch_cdc(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        op_col: str = "__op",
+    ) -> dict:
+        """Fold one CHANGE batch into the state: every row carries
+        ``op_col`` = +1 (insert) or -1 (delete); an update is the -1 of
+        the old row plus the +1 of the new one — the change stream a
+        MERGE INTO upsert induces (table_diff emits exactly this shape).
+
+        count/sum/avg retract exactly; min/max/approx_distinct are not
+        self-maintainable under deletes (module docstring) and raise.
+        Groups whose net row count reaches zero are DELETED from the
+        state in the same atomic commit; a net-negative group (more
+        retractions than insertions — a malformed change stream) fails
+        loudly BEFORE anything commits.
+
+        Scale shape: identical to apply_batch — one op-weighted partial
+        aggregate O(batch), one state semi-join over the touched groups
+        only, one file-pruned merge. Exactly-once via the same
+        ivm_batch_id manifest stamp."""
+        bad_kinds = {
+            m.kind for m in self.measures
+            if m.kind in ("min", "max", "approx_distinct")
+        }
+        if bad_kinds:
+            raise ValueError(
+                "apply_batch_cdc: measures of kind "
+                f"{sorted(bad_kinds)} are not self-maintainable under "
+                "deletes (retracting an extremum needs the full value "
+                "multiset); keep those views insert-only (apply_batch) "
+                "or recompute them"
+            )
+        if batch_id is not None and self.table._batch_seen(
+            batch_id, "ivm_batch_id", "ivm_max_batch_id"
+        ):
+            return {"skipped": batch_id}
+        bad_op = (
+            batch.filter(~F.col(op_col).isin(1, -1)).limit(1).collect()
+        )
+        if bad_op:
+            raise ValueError(
+                f"apply_batch_cdc: {op_col} must be +1 or -1, got "
+                f"{bad_op[0][op_col]!r}"
+            )
+        p = batch.groupBy(*self.group_cols).agg(
+            *self._partial_aggs_cdc(op_col)
+        )
+        head = self.table.latest_version()
+        if head is not None:
+            touched_old = self.table.read().join(
+                p.select(*self.group_cols).distinct(),
+                self.group_cols,
+                "left_semi",
+            )
+            p = (
+                touched_old.unionByName(p)
+                .groupBy(*self.group_cols)
+                .agg(*self._merge_aggs())
+            )
+        # consumed by the guard AND the merge: persist so both see one
+        # evaluation (and the merge's own multi-consumption is cheap)
+        p = p.persist()
+        neg = p.filter(F.col("__live") < 0).limit(1).collect()
+        if neg:
+            p.unpersist()
+            raise ValueError(
+                "apply_batch_cdc: group retracted below zero rows "
+                f"(e.g. {neg[0].asDict()}) — the change stream deleted "
+                "rows that were never inserted; nothing was committed"
+            )
+        extra = (
+            {"ivm_batch_id": batch_id} if batch_id is not None else None
+        )
+        try:
+            return self.table.merge_into(
+                p,
+                keys=self.group_cols,
+                manifest_extra=extra,
+                assume_unique_source=True,
+                rewrite_partitions=8,
+                # emptied groups leave the state in the same commit
+                matched_delete_condition=F.col("__live") == 0,
+            )
+        finally:
+            p.unpersist()
 
     # -------------------------------------------------------------- read
     def read(self) -> DataFrame:

@@ -203,6 +203,62 @@ class SnapshotTable:
             cache[version] = m
         return m
 
+    def _stamp_carry(self, parent: int | None, own: dict) -> dict:
+        """Monotone HIGH-WATER batch stamps (max_batch_id /
+        ivm_max_batch_id), carried through EVERY commit path.
+
+        Replay protection used to scan the whole manifest log for a
+        version stamped with the incoming batch id — which meant
+        vacuum retention bounded the replay window: drop an old
+        stamped manifest and a replay of that batch would apply twice.
+        Since foreachBatch ids are monotonically increasing per
+        checkpoint, the high-water mark in the HEAD manifest is a
+        complete O(1) replay check that survives any vacuum — every
+        commit (stream or not) carries the mark forward.  Corollary:
+        one snapshot table pairs with ONE writing stream/checkpoint;
+        pointing a fresh checkpoint (ids restarting at 0) at an
+        existing table skips everything by design — use a new table
+        or clear the stamps deliberately."""
+        pm = self._manifest(parent) if parent is not None else {}
+        out = {}
+        for own_key, max_key in (
+            ("batch_id", "max_batch_id"),
+            ("ivm_batch_id", "ivm_max_batch_id"),
+        ):
+            cands = [
+                v
+                for v in (
+                    pm.get(max_key),
+                    pm.get(own_key),
+                    own.get(own_key),
+                )
+                if v is not None
+            ]
+            if cands:
+                out[max_key] = max(cands)
+        return out
+
+    def _batch_seen(
+        self,
+        batch_id: int,
+        own_key: str = "batch_id",
+        max_key: str = "max_batch_id",
+    ) -> bool:
+        """Replay check: O(1) against the head's high-water mark when
+        present, falling back to the full-log scan for histories whose
+        commits predate stamp carrying."""
+        head = self.latest_version()
+        if head is None:
+            return False
+        hm = self._manifest(head)
+        mx = hm.get(max_key, hm.get(own_key))
+        if mx is not None:
+            return batch_id <= mx
+        return any(
+            self._manifest(v).get(own_key) == batch_id
+            for v in self.versions()
+        )
+
     def history(self) -> list[SnapshotInfo]:
         return [
             SnapshotInfo(
@@ -297,9 +353,10 @@ class SnapshotTable:
                     if k
                     not in (
                         "version", "parent", "mode", "schema", "files",
-                        "n_rows",
+                        "n_rows", "max_batch_id", "ivm_max_batch_id",
                     )
                 },
+                **self._stamp_carry(parent, manifest_extra or {}),
                 "version": version,
                 "parent": parent,
                 "mode": mode,
@@ -323,9 +380,8 @@ class SnapshotTable:
         its rows twice.  The data files a skipped replay may have
         written before the manifest check are unreferenced and
         reclaimed by ``vacuum``."""
-        for v in self.versions():
-            if self._manifest(v).get("batch_id") == batch_id:
-                return None
+        if self._batch_seen(batch_id):
+            return None
         commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
         df.write.mode("error").parquet(commit_dir)
         new_files = self._list_commit_files(commit_dir)
@@ -334,10 +390,7 @@ class SnapshotTable:
         )
         while True:
             parent = self.latest_version()
-            if parent is not None and any(
-                self._manifest(v).get("batch_id") == batch_id
-                for v in self.versions()
-            ):
+            if self._batch_seen(batch_id):
                 return None  # a racing replay landed it first
             version = self._next_version(parent)
             schema_json = df.schema.json()
@@ -354,6 +407,7 @@ class SnapshotTable:
                         df.schema,
                     ).json()
             manifest = {
+                **self._stamp_carry(parent, {"batch_id": batch_id}),
                 "version": version,
                 "parent": parent,
                 "mode": mode,
@@ -375,6 +429,7 @@ class SnapshotTable:
             parent = self.latest_version()
             new_version = self._next_version(parent)
             manifest = {
+                **self._stamp_carry(parent, {}),
                 "version": new_version,
                 "parent": parent,
                 "mode": f"restore({version})",
@@ -439,6 +494,7 @@ class SnapshotTable:
                         df.schema,
                     ).json()
             manifest = {
+                **self._stamp_carry(parent, {}),
                 "version": version,
                 "parent": parent,
                 "mode": f"audited-{mode}",
@@ -506,6 +562,7 @@ class SnapshotTable:
         manifest_extra: dict | None = None,
         assume_unique_source: bool = False,
         rewrite_partitions: int | None = None,
+        matched_delete_condition=None,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -519,6 +576,16 @@ class SnapshotTable:
                        or 'ignore'
           source-only  when_not_matched: 'insert' or 'ignore'
           target-only  always kept
+
+        ``matched_delete_condition`` (a Column or SQL string over the
+        SOURCE row's columns) is the ANSI ``WHEN MATCHED AND <cond>
+        THEN DELETE`` arm for when_matched='update': matched keys whose
+        source row satisfies the condition are DELETED instead of
+        updated, and not-matched source rows satisfying it are ignored
+        rather than inserted (a row that only says "remove me" must not
+        create state).  This is how retraction-aware callers
+        (operators/ivm.py CDC refresh) upsert live groups and drop
+        emptied ones in ONE atomic commit.
 
         The 100 TB property is WHICH files get rewritten: one inner
         join (target ⋈ distinct source keys) tags the data files that
@@ -544,6 +611,13 @@ class SnapshotTable:
             raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
         if not keys:
             raise ValueError("keys must be non-empty")
+        if matched_delete_condition is not None:
+            if when_matched != "update":
+                raise ValueError(
+                    "matched_delete_condition requires when_matched='update'"
+                )
+            if isinstance(matched_delete_condition, str):
+                matched_delete_condition = F.expr(matched_delete_condition)
         if not assume_unique_source:
             # one eager guard job; callers whose source is unique BY
             # CONSTRUCTION (e.g. a groupBy output — operators/ivm.py)
@@ -562,8 +636,12 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             if when_not_matched == "insert":
+                boot = source
+                if matched_delete_condition is not None:
+                    # delete-marked rows must not bootstrap state either
+                    boot = boot.filter(~matched_delete_condition)
                 v = self.write(
-                    source, mode="overwrite", manifest_extra=manifest_extra
+                    boot, mode="overwrite", manifest_extra=manifest_extra
                 )
                 m = self._manifest(v)
                 return {
@@ -623,6 +701,12 @@ class SnapshotTable:
                     matched_src = src.join(
                         hit_tgt.select(*keys).distinct(), keys, "left_semi"
                     )
+                    if matched_delete_condition is not None:
+                        # WHEN MATCHED AND cond THEN DELETE: drop the
+                        # matched row instead of writing it back
+                        matched_src = matched_src.filter(
+                            ~matched_delete_condition
+                        )
                     out_parts.append(survivors.unionByName(matched_src))
                 elif when_matched == "delete":
                     out_parts.append(survivors)
@@ -633,6 +717,10 @@ class SnapshotTable:
                 inserts = src.join(
                     tgt.select(*keys).distinct(), keys, "left_anti"
                 )
+                if matched_delete_condition is not None:
+                    # a not-matched row that only retracts must not
+                    # create state
+                    inserts = inserts.filter(~matched_delete_condition)
                 out_parts.append(inserts)
             if not out_parts and not hit_rel:
                 return {
@@ -676,9 +764,10 @@ class SnapshotTable:
                     if k
                     not in (
                         "version", "parent", "mode", "schema", "files",
-                        "n_rows",
+                        "n_rows", "max_batch_id", "ivm_max_batch_id",
                     )
                 },
+                **self._stamp_carry(base, manifest_extra or {}),
                 "version": target,
                 "parent": base,
                 "mode": "merge",

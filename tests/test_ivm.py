@@ -183,3 +183,208 @@ def test_streaming_refresh_with_approx_distinct(spark, tmp_path):
     agg = IncrementalAggregate(spark, state, ["event_type"], measures)
     landed = spark.read.parquet(landing)
     assert _rows(agg.read()) == _rows(agg.recompute(landed))
+
+
+# ------------------------------------------------- round 6: retraction
+
+CDC_MEASURES = [
+    Measure("n_events", "count"),
+    Measure("total_value", "sum", "value"),
+    Measure("avg_value", "avg", "value"),
+]
+
+
+@pytest.fixture()
+def cdc_agg(spark, tmp_path):
+    return IncrementalAggregate(
+        spark, str(tmp_path / "ivm_cdc"), ["event_type"], CDC_MEASURES
+    )
+
+
+def _with_op(df, op):
+    return df.withColumn("__op", F.lit(op))
+
+
+def test_cdc_updates_and_deletes_equal_net_recompute(spark, cdc_agg):
+    """The MERGE-driven change-stream shape: inserts, then an update
+    wave (delete old row + insert new row), then a delete wave — the
+    maintained state must be BIT-identical to the from-scratch
+    aggregate over the net surviving rows."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    # batch 0/1: insert everything in two slices
+    for i in range(2):
+        cdc_agg.apply_batch_cdc(
+            _with_op(events.filter(F.col("event_id") % 2 == i), 1)
+        )
+    # batch 2: UPDATE value -> value+10 for event_id%5==0
+    upd = events.filter(F.col("event_id") % 5 == 0)
+    cdc_agg.apply_batch_cdc(
+        _with_op(upd, -1).unionByName(
+            _with_op(upd.withColumn("value", F.col("value") + 10), 1)
+        )
+    )
+    # batch 3: DELETE event_id%3==0 (their post-update rows)
+    dele = events.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 5 == 0, F.col("value") + 10
+        ).otherwise(F.col("value")),
+    ).filter(F.col("event_id") % 3 == 0)
+    cdc_agg.apply_batch_cdc(_with_op(dele, -1))
+
+    net = (
+        events.withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 5 == 0, F.col("value") + 10
+            ).otherwise(F.col("value")),
+        )
+        .filter(F.col("event_id") % 3 != 0)
+    )
+    assert _rows(cdc_agg.read()) == _rows(cdc_agg.recompute(net))
+
+
+def test_cdc_group_retracted_to_zero_leaves_state(spark, cdc_agg):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    cdc_agg.apply_batch_cdc(_with_op(df, 1))
+    assert {r["event_type"] for r in cdc_agg.read().collect()} == {"a", "b"}
+    # retract every 'b' row: the group must VANISH, not linger at 0
+    cdc_agg.apply_batch_cdc(
+        _with_op(df.filter(F.col("event_type") == "b"), -1)
+    )
+    out = {r["event_type"]: r["n_events"] for r in cdc_agg.read().collect()}
+    assert out == {"a": 2}
+    # and the state table itself holds no ghost row
+    assert cdc_agg.table.read().filter(
+        F.col("event_type") == "b"
+    ).count() == 0
+
+
+def test_cdc_rejects_non_maintainable_measures(spark, tmp_path):
+    agg = IncrementalAggregate(
+        spark, str(tmp_path / "ivm_mm"), ["event_type"],
+        [Measure("m", "min", "value")],
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        agg.apply_batch_cdc(_with_op(df, 1))
+
+
+def test_cdc_negative_retraction_fails_before_commit(spark, cdc_agg):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0)], "event_id long, event_type string, value double"
+    )
+    cdc_agg.apply_batch_cdc(_with_op(df, 1), batch_id=0)
+    head = cdc_agg.table.latest_version()
+    # delete twice what exists: loud failure, no commit
+    doubled = _with_op(df, -1).unionByName(
+        _with_op(df.withColumn("event_id", F.lit(99)), -1)
+    )
+    with pytest.raises(ValueError, match="below zero"):
+        cdc_agg.apply_batch_cdc(doubled, batch_id=1)
+    assert cdc_agg.table.latest_version() == head
+
+
+def test_cdc_bad_op_rejected(spark, cdc_agg):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="must be \\+1 or -1"):
+        cdc_agg.apply_batch_cdc(df.withColumn("__op", F.lit(2)))
+
+
+def test_cdc_replay_skipped(spark, cdc_agg):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 4.0)],
+        "event_id long, event_type string, value double",
+    )
+    cdc_agg.apply_batch_cdc(_with_op(df, 1), batch_id=3)
+    before = _rows(cdc_agg.read())
+    assert cdc_agg.apply_batch_cdc(_with_op(df, 1), batch_id=3) == {
+        "skipped": 3
+    }
+    assert _rows(cdc_agg.read()) == before
+
+
+def test_cdc_composes_with_insert_only_batches(spark, cdc_agg):
+    """A table maintained by apply_batch can absorb a later retraction
+    wave via apply_batch_cdc — the two paths share one state schema."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    cdc_agg.apply_batch(events)
+    gone = events.filter(F.col("event_id") % 4 == 1)
+    cdc_agg.apply_batch_cdc(_with_op(gone, -1))
+    net = events.filter(F.col("event_id") % 4 != 1)
+    assert _rows(cdc_agg.read()) == _rows(cdc_agg.recompute(net))
+
+
+def test_ivm_stream_replay_with_vacuum_racing(spark, tmp_path):
+    """run_ivm_refresh driven from a landing dir, with vacuum running
+    between batches and the CHECKPOINT lost afterwards: the full-stream
+    replay must be skipped batch-for-batch (high-water ivm stamp
+    survives the dropped manifests) and the state must equal the
+    from-scratch recompute."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from globalweather_etl_spark.streaming import jsonl_stream_from_dir
+    from globalweather_etl_spark.streaming.jobs import run_ivm_refresh
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    measures = [
+        Measure("n", "count"),
+        Measure("total", "sum", "value"),
+    ]
+    rows1 = [("click", 1.0), ("view", 2.0), ("click", 3.0)]
+    rows2 = [("view", 5.0), ("buy", 7.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    run_ivm_refresh(
+        jsonl_stream_from_dir(spark, landing, schema),
+        state, ["event_type"], measures, ckpt,
+    ).awaitTermination(120)
+
+    ia = IncrementalAggregate(spark, state, ["event_type"], measures)
+    # vacuum races the stream between micro-batches: stamped manifests
+    # from batch 0 are dropped
+    ia.table.vacuum(keep_last=1, unreferenced_grace=0.0)
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    run_ivm_refresh(
+        jsonl_stream_from_dir(spark, landing, schema),
+        state, ["event_type"], measures, ckpt,
+    ).awaitTermination(120)
+    want = _rows(
+        ia.recompute(spark.createDataFrame(rows1 + rows2, schema))
+    )
+    assert _rows(ia.read()) == want
+
+    # checkpoint lost: the whole stream replays from batch 0 — every
+    # batch must be skipped by the carried stamp, state unchanged
+    ia.table.vacuum(keep_last=1, unreferenced_grace=0.0)
+    shutil.rmtree(ckpt)
+    run_ivm_refresh(
+        jsonl_stream_from_dir(spark, landing, schema),
+        state, ["event_type"], measures, ckpt,
+    ).awaitTermination(120)
+    assert _rows(ia.read()) == want

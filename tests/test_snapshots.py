@@ -672,3 +672,68 @@ def test_merge_handles_uri_encoded_table_paths(spark, tmp_path):
     assert res["files_rewritten"] >= 1  # the hit file WAS identified
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_matched_delete_condition(spark, table):
+    """WHEN MATCHED AND cond THEN DELETE in one atomic commit: matched
+    rows satisfying the condition are removed, other matches update,
+    unmatched non-deleting rows insert, and a row that only retracts
+    never creates state."""
+    table.write(
+        _df(spark, [(1, "a"), (2, "b"), (5, "e")]), mode="overwrite"
+    )
+    src = _df(
+        spark,
+        [
+            (2, "B"),          # matched, keep -> update
+            (5, "__dead__"),   # matched, delete
+            (4, "d"),          # unmatched, keep -> insert
+            (6, "__dead__"),   # unmatched retraction -> must NOT insert
+        ],
+    )
+    res = table.merge_into(
+        src, keys=["k"], matched_delete_condition=F.col("v") == "__dead__"
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    assert res["n_rows"] == 3
+    # time travel: the pre-merge version is untouched
+    assert sorted(r["k"] for r in table.read(1).collect()) == [1, 2, 5]
+    # guard: the condition arm requires update semantics
+    with pytest.raises(ValueError, match="requires when_matched"):
+        table.merge_into(
+            _df(spark, [(1, "x")]),
+            keys=["k"],
+            when_matched="delete",
+            matched_delete_condition=F.col("v") == "x",
+        )
+
+
+def test_merge_delete_condition_on_empty_table_bootstrap(spark, table):
+    """Bootstrap merge into an empty table filters delete-marked rows."""
+    src = _df(spark, [(1, "a"), (2, "__dead__")])
+    table.merge_into(
+        src, keys=["k"], matched_delete_condition=F.col("v") == "__dead__"
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a"}
+
+
+def test_replay_skipped_even_after_vacuum_dropped_the_stamp(spark, table):
+    """Exactly-once must survive retention: vacuum drops the manifest
+    that carried a batch's stamp, but the high-water mark rides every
+    later commit, so the replay is still skipped — the interaction that
+    used to bound replay protection by the vacuum window."""
+    assert table.write_batch(_df(spark, [(1, "a")]), batch_id=0) == 1
+    assert table.write_batch(_df(spark, [(2, "b")]), batch_id=1) == 2
+    # a NON-stream commit interleaves and must carry the mark too
+    table.write(_df(spark, [(3, "c")]), mode="append")
+    table.vacuum(keep_last=1, unreferenced_grace=0.0)  # stamps 0/1 dropped
+    assert table.versions() == [3]
+    # replay of batch 0 after checkpoint loss: must be a no-op
+    assert table.write_batch(_df(spark, [(1, "a")]), batch_id=0) is None
+    assert table.write_batch(_df(spark, [(1, "a")]), batch_id=1) is None
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2, 3]
+    # genuinely new batches still land
+    assert table.write_batch(_df(spark, [(4, "d")]), batch_id=2) is not None
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2, 3, 4]
