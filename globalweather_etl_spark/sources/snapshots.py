@@ -907,18 +907,19 @@ class SnapshotTable:
             )
             if hasattr(self, "_manifest_cache"):
                 self._manifest_cache.pop(v, None)
-        # dropped versions' Bloom-index sidecars go with their
-        # manifests (and out of the parse cache)
+        # dropped versions' Bloom-index sidecars (parquet dir + meta
+        # json) go with their manifests (and out of the probe cache)
+        dropped = set(drop)
         mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
         for st in self._fs.listStatus(mdir):
             name = st.getPath().getName()
-            if name.startswith("idx-v") and name.endswith(".json"):
+            if name.startswith("idx-v"):
                 v = int(name[5:13])
-                if v in set(drop):
-                    self._fs.delete(st.getPath(), False)
-                    if hasattr(self, "_idx_cache"):
-                        key_col = name[14:-5]
-                        self._idx_cache.pop((v, key_col), None)
+                if v in dropped:
+                    self._fs.delete(st.getPath(), True)
+        if dropped and hasattr(self, "_idx_cache"):
+            for key in [k for k in self._idx_cache if k[0] in dropped]:
+                self._idx_cache.pop(key, None)
         return {
             "manifests_removed": len(drop),
             "files_removed": removed_files,
@@ -955,6 +956,16 @@ def _unify_schemas(old: StructType, new: StructType) -> StructType:
 # hashing is operators/bloom.py's engine-portable scheme, so the probe
 # can run DRIVER-SIDE in pure Python — deciding which files to open
 # costs zero Spark jobs.
+#
+# Round 6: the index is a PARQUET SIDECAR table (file, word_idx, bits)
+# next to the manifests, not a driver-assembled JSON — the build is one
+# Spark job that never materializes the index on the driver (the old
+# JSON collected files x 65 words and its parse/write was already the
+# bottleneck at toy scale), and the probe has two regimes: tables under
+# a file-count threshold load the sidecar ONCE into a driver cache and
+# probe in pure Python (zero jobs, the hot path), larger tables probe
+# with a word-pruned Spark filter whose cost is flat in file count
+# (parquet predicate pushdown on word_idx; output is candidates only).
 
 
 def _py_bloom_positions(value, num_bits: int, num_hashes: int) -> list[int]:
@@ -977,8 +988,15 @@ def _index_methods():
     the class body above focused on the commit protocol)."""
 
     def _index_path(self, version: int, key_col: str):
+        """The parquet sidecar directory for one (version, column)."""
         return self._p(
-            f"{self.path}/{_MANIFEST_DIR}/idx-v{version:08d}.{key_col}.json"
+            f"{self.path}/{_MANIFEST_DIR}/idx-v{version:08d}.{key_col}.parquet"
+        )
+
+    def _index_meta_path(self, version: int, key_col: str):
+        return self._p(
+            f"{self.path}/{_MANIFEST_DIR}/"
+            f"idx-v{version:08d}.{key_col}.meta.json"
         )
 
     def build_file_index(
@@ -989,13 +1007,21 @@ def _index_methods():
         num_hashes: int = 4,
     ) -> dict:
         """Build (or rebuild) a per-data-file Bloom index over
-        ``key_col`` for one version (head by default) and persist it
-        next to the manifests. One Spark job: explode each row's k bit
-        positions, groupBy (file, word) bit_or — output is bounded by
-        files x num_bits/63 words. Key values hash as their string
-        rendering (use string/integer keys; document floats out).
+        ``key_col`` for one version (head by default) as a parquet
+        sidecar of (file, word_idx, bits) rows. ONE Spark job — explode
+        each row's k bit positions, groupBy (file, word) bit_or, write
+        — with output bounded by files x num_bits/63 words and NOTHING
+        materialized on the driver, so the build scales to
+        million-file tables. Key values hash as their string rendering
+        (use string/integer keys; document floats out).
 
-        Returns {"files": n, "words": total_words}."""
+        The ``file`` column stores the manifest-relative path, derived
+        in-plan: every data file lives under a ``data/c-<uuid>/``
+        commit dir whose tail is plain ASCII, so the substring after
+        the LAST ``/data/c-`` needs no URI decoding and can never
+        collide with a root path containing ``/data/``.
+
+        Returns {"files": n_indexed, "words": total_words}."""
         from globalweather_etl_spark.operators.bloom import (
             _positions,
             _word_mask,
@@ -1005,8 +1031,16 @@ def _index_methods():
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(v)
-        df = self.read(v).withColumn("__file", F.input_file_name())
-        rows = (
+        if not m["files"]:
+            raise ValueError(f"version {v} has no data files to index")
+        rel = F.concat(
+            F.lit(f"{_DATA_DIR}/c-"),
+            F.substring_index(
+                F.input_file_name(), f"/{_DATA_DIR}/c-", -1
+            ),
+        )
+        df = self.read(v).withColumn("__file", rel)
+        idx_df = (
             df.filter(F.col(key_col).isNotNull())
             .select(
                 "__file",
@@ -1019,45 +1053,48 @@ def _index_methods():
             .select("__file", *_word_mask("pos"))
             .groupBy("__file", "word_idx")
             .agg(F.bit_or("mask").alias("bits"))
-            .collect()
-        )
-        by_abs: dict = {}
-        for r in rows:
-            # input_file_name() is percent-encoded; manifests are not
-            by_abs.setdefault(unquote(r["__file"]), {})[
-                str(r["word_idx"])
-            ] = r["bits"]
-        files = {}
-        for rel in m["files"]:
-            hit = next(
-                (w for a, w in by_abs.items() if a.endswith(f"/{rel}")), {}
+            .select(
+                F.col("__file").alias("file"), "word_idx", "bits"
             )
-            files[rel] = hit
-        idx = {
+        )
+        dest = self._index_path(v, key_col)
+        idx_df.coalesce(8).write.mode("overwrite").parquet(dest.toString())
+        stats = self.spark.read.parquet(dest.toString()).agg(
+            F.countDistinct("file").alias("nf"),
+            F.count(F.lit(1)).alias("nw"),
+        ).collect()[0]
+        meta = {
             "version": v,
             "key_col": key_col,
             "num_bits": num_bits,
             "num_hashes": num_hashes,
-            "files": files,
+            "n_files": int(stats["nf"]),
+            "n_words": int(stats["nw"]),
         }
-        dest = self._index_path(v, key_col)
-        if self._fs.exists(dest):
-            self._fs.delete(dest, False)
-        if not self._write_json_atomic(idx, dest):
-            raise RuntimeError(f"could not publish index at {dest}")
+        mdest = self._index_meta_path(v, key_col)
+        out = self._fs.create(mdest, True)
+        try:
+            out.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
         if hasattr(self, "_idx_cache"):
             self._idx_cache.pop((v, key_col), None)  # rebuilt: re-read
-        return {
-            "files": len(files),
-            "words": sum(len(w) for w in files.values()),
-        }
+        return {"files": meta["n_files"], "words": meta["n_words"]}
+
+    # below this many indexed files the whole sidecar is loaded ONCE
+    # into a driver dict and every probe is pure Python (zero jobs);
+    # above it, probes run a word-pruned Spark filter — flat in file
+    # count, candidates-only output
+    _IDX_CACHE_FILE_LIMIT = 50_000
 
     def files_for_key(
         self, key_col: str, value, version: int | None = None
     ) -> list[str] | None:
         """Data files (relative paths) that MAY contain ``value`` per
         the Bloom index — or None if the version has no index for this
-        column. Pure driver-side arithmetic: no Spark job runs."""
+        column. Small indexes probe driver-side from a one-time cache
+        (no Spark job); large ones run one pushdown-pruned Spark
+        filter over the sidecar."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
@@ -1065,33 +1102,65 @@ def _index_methods():
         if cache is None:
             cache = {}
             self._idx_cache = cache
-        idx = cache.get((v, key_col))
-        if idx is None:
-            p = self._index_path(v, key_col)
-            if not self._fs.exists(p):
+        entry = cache.get((v, key_col))
+        if entry is None:
+            mp = self._index_meta_path(v, key_col)
+            if not self._fs.exists(mp):
                 return None
-            # parse once per (version, column): the index for a
-            # million-file table is tens of MB of JSON — at one parse
-            # per probe the metadata operation would cost more than
-            # the file reads it saves (measured in the rehearsal);
-            # indexes are immutable per version, so caching is safe
-            idx = self._read_json(p)
-            cache[(v, key_col)] = idx
+            meta = self._read_json(mp)
+            words = None
+            if meta["n_files"] <= SnapshotTable._IDX_CACHE_FILE_LIMIT:
+                # hot path: pull the sidecar once; probes are O(k) dict
+                # lookups from here on (indexes are immutable per
+                # version, so caching is safe)
+                words = {}
+                for r in self.spark.read.parquet(
+                    self._index_path(v, key_col).toString()
+                ).collect():
+                    words.setdefault(r["file"], {})[r["word_idx"]] = r[
+                        "bits"
+                    ]
+            entry = (meta, words)
+            cache[(v, key_col)] = entry
+        meta, words = entry
         positions = _py_bloom_positions(
-            value, idx["num_bits"], idx["num_hashes"]
+            value, meta["num_bits"], meta["num_hashes"]
         )
         need = {}
         for pos in positions:
             need.setdefault(pos // 63, 0)
             need[pos // 63] |= 1 << (pos % 63)
-        out = []
-        for rel, words in idx["files"].items():
-            if all(
-                (words.get(str(w), 0) & mask) == mask
-                for w, mask in need.items()
-            ):
-                out.append(rel)
-        return out
+        if words is not None:
+            return [
+                rel
+                for rel, w in words.items()
+                if all(
+                    (w.get(wi, 0) & mask) == mask
+                    for wi, mask in need.items()
+                )
+            ]
+        # big-table path: one Spark probe. word_idx IN (...) prunes row
+        # groups via parquet pushdown; a file qualifies when EVERY
+        # needed word is present with its mask bits set.
+        sidecar = self.spark.read.parquet(
+            self._index_path(v, key_col).toString()
+        )
+        match = None
+        for wi, mask in need.items():
+            cond = (F.col("word_idx") == wi) & (
+                F.col("bits").bitwiseAND(F.lit(mask)) == F.lit(mask)
+            )
+            match = cond if match is None else (match | cond)
+        hits = (
+            sidecar.filter(F.col("word_idx").isin(*need.keys()))
+            .filter(match)
+            .groupBy("file")
+            .agg(F.countDistinct("word_idx").alias("n"))
+            .filter(F.col("n") == len(need))
+            .select("file")
+            .collect()
+        )
+        return sorted(r["file"] for r in hits)
 
     def read_where(
         self, key_col: str, value, version: int | None = None
@@ -1116,6 +1185,8 @@ def _index_methods():
         )
 
     SnapshotTable._index_path = _index_path
+    SnapshotTable._index_meta_path = _index_meta_path
+    SnapshotTable._IDX_CACHE_FILE_LIMIT = _IDX_CACHE_FILE_LIMIT
     SnapshotTable.build_file_index = build_file_index
     SnapshotTable.files_for_key = files_for_key
     SnapshotTable.read_where = read_where

@@ -737,3 +737,28 @@ def test_replay_skipped_even_after_vacuum_dropped_the_stamp(spark, table):
     # genuinely new batches still land
     assert table.write_batch(_df(spark, [(4, "d")]), batch_id=2) is not None
     assert sorted(r["k"] for r in table.read().collect()) == [1, 2, 3, 4]
+
+
+def test_bloom_sidecar_spark_probe_matches_cached_probe(spark, table):
+    """Above the cache file limit the probe runs as a word-pruned
+    Spark filter over the parquet sidecar — it must return exactly the
+    candidate set the driver-cached path computes (and the lookup the
+    same rows as a full filter)."""
+    table.write(_df(spark, [(i, f"a{i}") for i in range(10)]))
+    table.write(
+        _df(spark, [(i, f"b{i}") for i in range(100, 110)]), mode="append"
+    )
+    table.build_file_index("k")
+    cached = {
+        k: table.files_for_key("k", k) for k in (0, 5, 105, 999999)
+    }
+    # new handle (cold cache) forced onto the Spark-probe path
+    big = SnapshotTable(spark, table.path)
+    big._IDX_CACHE_FILE_LIMIT = 0
+    for k, want in cached.items():
+        assert sorted(big.files_for_key("k", k)) == sorted(want)
+        got = sorted(tuple(r) for r in big.read_where("k", k).collect())
+        ref = sorted(
+            tuple(r) for r in table.read().filter(F.col("k") == k).collect()
+        )
+        assert got == ref
