@@ -32,6 +32,54 @@ import time
 
 from pyspark.sql import functions as F
 
+# Every bench key -> the graded registry slot whose workload it times
+# (and how the two relate, where they differ). Emitted as "key_map" in
+# the JSON line so the per-key numbers are self-explaining: keys marked
+# "round-stable form" time the workload exactly as earlier rounds did
+# even though the REGISTRY slot has since absorbed more graded columns
+# (the registry is capped at 50 slots; new operators are graded by
+# extending existing entries, but cross-round perf ratios must compare
+# like with like).
+KEY_MAP = {
+    "pipeline_rebuild": "pipeline_fact + all pipeline_dim_* (materialized CTAS form, DATE_KEY-partitioned fact write)",
+    "validate": "pipeline_validation (Observation-powered, cost rides the rebuild)",
+    "dashboard_q1": "dashboard_q1",
+    "dashboard_q2": "dashboard_q2",
+    "dashboard_q3": "dashboard_q3",
+    "dashboard_q4": "dashboard_q4",
+    "dashboard_q5": "dashboard_q5",
+    "events_tumbling_daily": "events_tumbling_daily (round-stable pre-retention form; the slot's retention columns are benched by funnel_retention)",
+    "tpch_star_join_revenue": "tpch_star_join_revenue",
+    "tpch_events_window_suite": "tpch_events_window_suite",
+    "tpch_surrogate_key": "tpch_surrogate_key",
+    "events_sliding_day_12h": "events_sliding_day_12h",
+    "docs_ngram_jaccard": "docs_ngram_jaccard",
+    "docs_minhash_lsh": "docs_minhash_lsh",
+    "docs_simhash": "docs_simhash",
+    "docs_embedding_neardup": "docs_embedding_neardup",
+    "emb_cosine_topk": "emb_cosine_topk",
+    "emb_lsh_topk": "emb_lsh_topk",
+    "emb_ivf_topk": "emb_ivf_topk",
+    "emb_lsh_range_search": "emb_lsh_range_search",
+    "events_asof_last_signup": "events_asof_last_signup (all three as-of directions, one exchange chain)",
+    "docs_pack_by_budget": "docs_pack_by_budget",
+    "media_features": "media_features",
+    "docs_exact_dedup": "docs_exact_dedup (round-stable keeper-flag form)",
+    "docs_web_kernel": "docs_exact_dedup (FULL graded slot: exact dedup + URL/PSL kernel + line/span/within dedup + domain caps + Bloom columns)",
+    "docs_decontaminate": "docs_decontaminate (round-stable plain-decontamination form)",
+    "curation_e2e": "docs_decontaminate (FULL graded slot: decontamination audit + 6-stage curate_documents + trace join)",
+    "fuzzy_decontaminate": "docs_decontaminate (fuzzy_* graded columns' operator)",
+    "bpe_tokenize": "test-only operator (operators/bpe.py; no SQL twin, see module docstring)",
+    "bloom_screen": "docs_exact_dedup (bloom_seen_maybe graded column's operator)",
+    "docs_text_metrics": "docs_text_metrics (round-stable pre-LM/pre-entropy kernel)",
+    "char_entropy": "docs_text_metrics (char_entropy6 graded column, aggregate form)",
+    "lm_perplexity": "docs_text_metrics (lm_* graded columns: bigram LM train + score)",
+    "events_session_30m": "events_session_30m (round-stable pre-funnel/pre-paths form)",
+    "session_paths": "events_session_30m (session_path/transition graded columns' operators + top-20 rollup)",
+    "funnel_retention": "events_session_30m funnel columns + events_tumbling_daily retention columns",
+    "lakehouse_ivm_refresh": "events_daily_band_counts (FULL graded slot: 4 IVM micro-batch folds into a snapshot-table state + finalize read-back)",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -365,6 +413,23 @@ def main() -> None:
                 ).save()
 
             timed("funnel_retention", analytics_all)
+
+            # round-6: the lakehouse layer's graded workload — the
+            # events_daily_band_counts slot now computes via IVM (4
+            # micro-batch folds into a snapshot-table state, each one
+            # partial aggregate + a file-pruned MERGE commit, then the
+            # finalize read-back). Timed end-to-end incl. the commits.
+            from globalweather_etl_spark.queries import (
+                q_events_daily_band_counts,
+            )
+
+            timed(
+                "lakehouse_ivm_refresh",
+                lambda: q_events_daily_band_counts(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
@@ -386,6 +451,7 @@ def main() -> None:
                 "unit": "sec",
                 "reps": reps,
                 "queries": timings,
+                "key_map": {k: KEY_MAP[k] for k in timings},
                 "sf": (
                     re.search(r"sf([0-9.]+)/?$", sf_dir).group(1)
                     if re.search(r"sf([0-9.]+)/?$", sf_dir)

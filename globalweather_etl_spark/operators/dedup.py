@@ -171,21 +171,26 @@ def _hashed_shingles(
     )
 
 
-def _cap_hot_shingles(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
-
-    Rows in ``shingled`` are distinct per (doc, sh), so a plain count
-    per sh IS the document frequency. The hot set is tiny by
-    construction (a cap is chosen so that only stop-phrases exceed it),
-    so it broadcasts and the filter is a broadcast ANTI join — no extra
-    shuffle of the index beyond the doc-freq aggregation, which shuffles
-    on the same key (sh) the candidate self-join uses."""
-    hot = (
+def _hot_shingles(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
+    """The shingles whose document frequency exceeds ``max_doc_freq``
+    (rows in ``shingled`` are distinct per (doc, sh), so a plain count
+    per sh IS the document frequency). Tiny by construction — a cap is
+    chosen so that only stop-phrases exceed it — so it broadcasts."""
+    return (
         shingled.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("sh")
     )
+
+
+def _cap_hot_shingles(shingled: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    The hot set broadcasts and the filter is a broadcast ANTI join —
+    no extra shuffle of the index beyond the doc-freq aggregation,
+    which shuffles on the same key (sh) the candidate self-join uses."""
+    hot = _hot_shingles(shingled, max_doc_freq)
     return shingled.join(F.broadcast(hot), "sh", "left_anti")
 
 
@@ -417,11 +422,23 @@ def fuzzy_decontaminate(
     corp_sh = _hashed_shingles(
         spread_for_compute(corpus), id_col, text_col, n, spread=False, hash_fn=hash_fn
     )
-    if max_doc_freq is not None:
-        corp_sh = _cap_hot_shingles(corp_sh, max_doc_freq)
     bench_sh = _hashed_shingles(
         benchmark, id_col, bench_text_col or text_col, n, hash_fn=hash_fn
     )
+    if max_doc_freq is not None:
+        # ONE hot set, computed from the corpus (the side that defines
+        # "hot") and removed from BOTH sides. Capping only the corpus
+        # desynchronizes the two MinHash signature spaces — an
+        # identical (corpus doc, bench doc) pair would hash different
+        # shingle sets, band collisions become probabilistic, and
+        # contaminated documents slip through (measured: 8-11% of
+        # planted identical matches missed at the 1M-doc rehearsal,
+        # tools/rehearse_dedup_scale.py, before this fix).
+        hot = _hot_shingles(corp_sh, max_doc_freq).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        corp_sh = corp_sh.join(F.broadcast(hot), "sh", "left_anti")
+        bench_sh = bench_sh.join(F.broadcast(hot), "sh", "left_anti")
     banded_c = _banded_keys(
         _minhash_signed(corp_sh, num_hashes), bands, rows_per_band, hash_fn
     )

@@ -144,3 +144,47 @@ FROM documents d LEFT JOIN best ON best.cdoc = d.doc_id"""
     assert got == want
     # the synthesized benchmark really flags its source docs
     assert sum(1 for v in got.values() if v[2]) > 0
+
+
+def test_hot_shingle_cap_is_symmetric(spark):
+    """The cap must remove the SAME hot-shingle set from both signature
+    spaces: a corpus doc IDENTICAL to a benchmark doc must always be
+    flagged even when shared boilerplate makes most shingles hot on the
+    corpus side only (the benchmark is too small to trip the cap by
+    itself). Before the round-6 fix the corpus-only cap desynchronized
+    the signatures and 8-11%% of planted identical matches were missed
+    at the 1M-doc rehearsal."""
+    boiler = (
+        "subscribe to our newsletter today click here for more breaking "
+        "updates terms of service apply all rights reserved"
+    )
+    # 80 corpus docs all sharing the boilerplate prefix -> its shingles
+    # have corpus df=80 > cap=16; each doc's tail is unique
+    corpus = spark.createDataFrame(
+        [
+            (i, f"{boiler} body w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g")
+            for i in range(80)
+        ],
+        "doc_id long, text string",
+    )
+    # 3 bench docs: verbatim copies of corpus docs 5, 17, 42 — bench-side
+    # boilerplate df=3 <= cap, so only a SHARED hot set keeps the two
+    # signature spaces aligned
+    bench = corpus.filter(F.col("doc_id").isin(5, 17, 42)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    out = fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text",
+        n=5, num_hashes=32, bands=8, threshold=0.5, max_doc_freq=16,
+    )
+    flagged = {
+        r["doc_id"]
+        for r in out.filter(F.col("is_fuzzy_contaminated")).collect()
+    }
+    assert {5, 17, 42} <= flagged
+    # identical pairs score containment 1.0 over the surviving shingles
+    got = {
+        r["doc_id"]: r["fuzzy_containment"]
+        for r in out.filter(F.col("doc_id").isin(5, 17, 42)).collect()
+    }
+    assert all(v == 1.0 for v in got.values()), got
