@@ -412,7 +412,12 @@ lk_v2 AS (
 lk_v3 AS (SELECT * FROM lk_v2 WHERE o_orderkey % 7 != 0),
 lk_k0 AS (
   SELECT min(o_orderkey) AS k0 FROM lk_src
-  WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0)
+  WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0),
+zm_win AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'),
+zm_key AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -464,6 +469,14 @@ UNION ALL SELECT 'merge_tt_v1_price_sum',
 UNION ALL SELECT 'merge_bloom_lookup_price',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_v3, lk_k0 WHERE o_orderkey = k0
+UNION ALL SELECT 'zm_date_rows', CAST(count(*) AS DOUBLE) FROM zm_win
+UNION ALL SELECT 'zm_date_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM zm_win
+UNION ALL SELECT 'zm_key_rows', CAST(count(*) AS DOUBLE) FROM zm_key
+UNION ALL SELECT 'zm_key_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM zm_key
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

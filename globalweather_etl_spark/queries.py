@@ -758,6 +758,38 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 6: zone-map range reads — orders committed with a
+    # date-clustered file layout, per-file min/max stats built from
+    # parquet FOOTERS only (one distributed metadata pass, O(files)
+    # I/O), then read back through read_range so the hash equality
+    # proves a pruned read loses no rows. Pruning EFFECTIVENESS
+    # (candidate files < total on this layout, conservative keeps for
+    # missing stats) is test-pinned in tests/test_zonemap.py; the
+    # registry grades the result contract.
+    import datetime as _dt
+
+    zst = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="gw_zonemap_") + "/orders_zm"
+    )
+    zst.write_clustered(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        cluster_by=["o_orderdate"],
+        n_files=8,
+        mode="overwrite",
+    )
+    zst.build_stats(cols=["o_orderdate", "o_orderkey"])
+    zwin = zst.read_range(
+        "o_orderdate", _dt.date(1994, 1, 1), _dt.date(1994, 12, 31)
+    )
+    zkey = zst.read_range("o_orderkey", hi=1000)
+    zm = _unpivot_metrics(
+        dsum(zwin), [("zm_date_rows", "n"), ("zm_date_price_sum", "s")]
+    ).unionAll(
+        _unpivot_metrics(
+            dsum(zkey), [("zm_key_rows", "n"), ("zm_key_price_sum", "s")]
+        )
+    )
+
     # Late round 5: the time-weighted average over irregular series
     # (operators/resample.py time_weighted_avg — holding-duration
     # weights, DECIMAL-exact accumulators); graded as the exact-decimal
@@ -793,6 +825,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(stats_mx)
         .unionAll(twap)
         .unionAll(lake)
+        .unionAll(zm)
     )
 
 

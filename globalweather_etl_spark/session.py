@@ -44,6 +44,12 @@ def get_spark(
         # fall back to row-at-a-time reads.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # INT96 timestamps carry NO parquet min/max statistics — every
+        # write would be invisible to zone maps / row-group pruning on
+        # its ts columns (operators/layout.py forces this per-write for
+        # the same reason). TIMESTAMP_MICROS is value-identical for
+        # Spark timestamps (micros precision internally).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

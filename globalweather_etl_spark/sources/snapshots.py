@@ -907,8 +907,9 @@ class SnapshotTable:
             )
             if hasattr(self, "_manifest_cache"):
                 self._manifest_cache.pop(v, None)
-        # dropped versions' Bloom-index sidecars (parquet dir + meta
-        # json) go with their manifests (and out of the probe cache)
+        # dropped versions' Bloom-index and zone-map sidecars (parquet
+        # dir + meta json) go with their manifests (and out of the
+        # probe caches)
         dropped = set(drop)
         mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
         for st in self._fs.listStatus(mdir):
@@ -917,9 +918,16 @@ class SnapshotTable:
                 v = int(name[5:13])
                 if v in dropped:
                     self._fs.delete(st.getPath(), True)
+            elif name.startswith("stats-v"):
+                v = int(name[7:15])
+                if v in dropped:
+                    self._fs.delete(st.getPath(), True)
         if dropped and hasattr(self, "_idx_cache"):
             for key in [k for k in self._idx_cache if k[0] in dropped]:
                 self._idx_cache.pop(key, None)
+        if dropped and hasattr(self, "_zm_cache"):
+            for key in [k for k in self._zm_cache if k in dropped]:
+                self._zm_cache.pop(key, None)
         return {
             "manifests_removed": len(drop),
             "files_removed": removed_files,
@@ -1193,3 +1201,534 @@ def _index_methods():
 
 
 _index_methods()
+
+
+# ---------------------------------------------------------------------
+# Zone maps: per-file min/max column statistics for RANGE-predicate
+# file pruning — the data-skipping half the Bloom index (point lookups)
+# doesn't cover, and the manifest-level twin of what Delta/Iceberg
+# store as per-file stats. A parquet sidecar next to the manifests
+# holds one (file, column) row with conservative [min, max] bounds and
+# the null count; a range read opens only the files whose interval
+# intersects the predicate. On a `write_clustered` layout that's a
+# small constant fraction of the table; on a random layout it's every
+# file — layout and stats together are the pruning story.
+#
+# Two build regimes:
+#   method="footer" — ONE distributed pass over parquet FOOTERS only
+#     (pyarrow metadata reads, ~KB per file): total I/O is O(files),
+#     never O(data) — the million-file path. Requires the table root
+#     to be worker-mountable as a local path (file:/, NFS, fuse); any
+#     other scheme raises with guidance to use "scan".
+#   method="scan" — one pure-Spark job over the data (groupBy file →
+#     min/max/nulls), any Hadoop scheme. Reads the data once, like the
+#     Bloom build. Both regimes produce IDENTICAL sidecar rows
+#     (test-pinned) because they share one canonical value encoding.
+#
+# Canonical encoding (comparison-safe across build paths and probes):
+#   numeric/boolean → double in min_num/max_num; long and decimal are
+#     widened by a relative 1e-12 epsilon AFTER the (correctly-rounded)
+#     double cast, so the bound stays conservative despite the cast —
+#     widening is monotone, so widen(min(v)) == min(widen(v)) and the
+#     two build regimes agree bit-for-bit.
+#   string/date/timestamp → min_str/max_str as raw string / ISO
+#     'yyyy-MM-dd' / fixed-width 'yyyy-MM-dd HH:mm:ss.ffffff' naive-UTC
+#     — all three compare lexicographically in both Python (code
+#     points) and Spark (UTF-8 bytes), which agree because UTF-8
+#     preserves code-point order.
+# A (file, column) row with NULL min/max and null_count == n_rows is an
+# all-NULL file — PRUNABLE for any range predicate (ranges never match
+# NULL). NULL min/max with NULL null_count means footer stats were
+# missing — the file is conservatively kept. Files the sidecar doesn't
+# mention at all (schema evolution: older files lack the column) are
+# also kept. Parquet writers may truncate long binary stats; truncated
+# bounds are widened by the writer, so pruning stays correct — the
+# footer/scan equality contract is exact only for values shorter than
+# the writer's truncation threshold. Float NaN min/max are recorded as
+# missing stats (kept), matching the well-known NaN-ordering hazard.
+
+
+_ZM_EPS_TYPES = {"bigint", "decimal"}  # widened after double cast
+_ZM_NUM_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "boolean",
+}
+
+
+def _zm_kind(dt) -> str | None:
+    """'num' / 'str' sidecar slot for a Spark type, None = unsupported
+    (arrays, maps, structs, binary are not zone-mappable)."""
+    s = dt.simpleString()
+    if s in _ZM_NUM_TYPES or s.startswith("decimal"):
+        return "num"
+    if s in ("string", "date") or s.startswith("timestamp"):
+        return "str"
+    return None
+
+
+def _zm_widen_lo(v: float) -> float:
+    return v - max(abs(v) * 1e-12, 1e-300)
+
+
+def _zm_widen_hi(v: float) -> float:
+    return v + max(abs(v) * 1e-12, 1e-300)
+
+
+def _zm_encode(value, dt):
+    """Python-side canonical encoding of one value for column type
+    ``dt`` — the exact twin of the Spark-side expressions in the scan
+    build (shared contract documented above). Returns
+    (kind, num_or_None, str_or_None)."""
+    import datetime
+    import decimal
+    import math
+
+    s = dt.simpleString()
+    if value is None:
+        return (_zm_kind(dt), None, None)
+    if s in _ZM_NUM_TYPES or s.startswith("decimal"):
+        if isinstance(value, bool):
+            f = float(int(value))
+        elif isinstance(value, (int, float, decimal.Decimal)):
+            f = float(value)
+        else:
+            raise TypeError(f"unexpected {type(value)} for {s}")
+        if math.isnan(f):
+            return ("num", None, None)
+        return ("num", f, None)
+    if s == "date":
+        if isinstance(value, datetime.date):
+            return ("str", None, value.isoformat())
+        return ("str", None, str(value))
+    if s.startswith("timestamp"):
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return ("str", None, value.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        return ("str", None, str(value))
+    return ("str", None, str(value))
+
+
+def _zm_eps_widen(s: str) -> bool:
+    return s == "bigint" or s.startswith("decimal")
+
+
+def _stats_methods():
+    """Attach the zone-map methods to SnapshotTable."""
+    import os as _os
+
+    def _zm_path(self, version: int):
+        return self._p(
+            f"{self.path}/{_MANIFEST_DIR}/stats-v{version:08d}.parquet"
+        )
+
+    def _zm_meta_path(self, version: int):
+        return self._p(
+            f"{self.path}/{_MANIFEST_DIR}/stats-v{version:08d}.meta.json"
+        )
+
+    def _zm_local_root(self) -> str:
+        """Local-filesystem form of the table root for footer reads, or
+        a loud error for non-mountable schemes."""
+        p = self.path
+        if p.startswith("file://"):
+            p = p[len("file:/") + 1:]
+            p = "/" + p.lstrip("/")
+        elif p.startswith("file:"):
+            p = p[len("file:"):]
+        if "://" in p:
+            raise ValueError(
+                f"footer stats need a locally mountable root, got "
+                f"{self.path!r}; use build_stats(method='scan') for "
+                f"remote schemes"
+            )
+        return p
+
+    def _zm_colspec(self, schema: StructType, cols):
+        fields = {f.name: f for f in schema.fields}
+        if cols is None:
+            picked = [
+                (f.name, _zm_kind(f.dataType), f.dataType)
+                for f in schema.fields
+                if _zm_kind(f.dataType) is not None
+            ]
+        else:
+            picked = []
+            for c in cols:
+                if c not in fields:
+                    raise KeyError(f"no column {c!r} in table schema")
+                k = _zm_kind(fields[c].dataType)
+                if k is None:
+                    raise TypeError(
+                        f"column {c!r} of type "
+                        f"{fields[c].dataType.simpleString()} is not "
+                        f"zone-mappable"
+                    )
+                picked.append((c, k, fields[c].dataType))
+        return picked
+
+    def build_stats(
+        self,
+        cols: list[str] | None = None,
+        version: int | None = None,
+        method: str = "footer",
+    ) -> dict:
+        """Build (or rebuild) the per-file zone-map sidecar for one
+        version (head by default). ``cols`` defaults to every
+        zone-mappable column. Returns {'files': n, 'rows': n}."""
+        if method not in ("footer", "scan"):
+            raise ValueError(f"method must be footer/scan, got {method!r}")
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        m = self._manifest(v)
+        if not m["files"]:
+            raise ValueError(f"version {v} has no data files")
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        colspec = self._zm_colspec(schema, cols)
+        if not colspec:
+            raise ValueError("no zone-mappable columns")
+        out_schema = (
+            "file string, column string, min_num double, max_num double,"
+            " min_str string, max_str string, null_count bigint,"
+            " n_rows bigint"
+        )
+        if method == "footer":
+            root = self._zm_local_root()
+            spec = [(c, k, dt.json()) for c, k, dt in colspec]
+            rels = self.spark.createDataFrame(
+                [(r,) for r in m["files"]], "file string"
+            ).repartition(min(len(m["files"]), 64))
+
+            def _footers(batches):
+                import pandas as pd
+                import pyarrow.parquet as pq
+                from pyspark.sql.types import _parse_datatype_json_string
+
+                types = {
+                    c: _parse_datatype_json_string(dj) for c, k, dj in spec
+                }
+                for pdf in batches:
+                    rows = []
+                    for rel in pdf["file"]:
+                        md = pq.ParquetFile(
+                            _os.path.join(root, rel)
+                        ).metadata
+                        idx = {
+                            md.schema.column(i).name: i
+                            for i in range(md.num_columns)
+                        }
+                        for cname, kind, _dj in spec:
+                            if cname not in idx:
+                                continue  # evolved file: kept by probes
+                            lo = hi = None
+                            nulls: int | None = 0
+                            known = True
+                            for rg in range(md.num_row_groups):
+                                cc = md.row_group(rg).column(idx[cname])
+                                st = cc.statistics
+                                nv = md.row_group(rg).num_rows
+                                if st is None or st.null_count is None:
+                                    known = False
+                                    break
+                                nulls += st.null_count
+                                if st.num_values == 0:
+                                    continue  # all-NULL row group
+                                if not st.has_min_max:
+                                    known = False
+                                    break
+                                _, n1, s1 = _zm_encode(
+                                    st.min, types[cname]
+                                )
+                                _, n2, s2 = _zm_encode(
+                                    st.max, types[cname]
+                                )
+                                if (
+                                    kind == "num"
+                                    and (n1 is None or n2 is None)
+                                ):
+                                    known = False  # NaN stats
+                                    break
+                                cur_lo = n1 if kind == "num" else s1
+                                cur_hi = n2 if kind == "num" else s2
+                                lo = (
+                                    cur_lo
+                                    if lo is None
+                                    else min(lo, cur_lo)
+                                )
+                                hi = (
+                                    cur_hi
+                                    if hi is None
+                                    else max(hi, cur_hi)
+                                )
+                            if not known:
+                                lo = hi = None
+                                nulls = None
+                            ts = types[cname].simpleString()
+                            if (
+                                kind == "num"
+                                and lo is not None
+                                and _zm_eps_widen(ts)
+                            ):
+                                lo = _zm_widen_lo(lo)
+                                hi = _zm_widen_hi(hi)
+                            rows.append(
+                                {
+                                    "file": rel,
+                                    "column": cname,
+                                    "min_num": lo if kind == "num" else None,
+                                    "max_num": hi if kind == "num" else None,
+                                    "min_str": lo if kind == "str" else None,
+                                    "max_str": hi if kind == "str" else None,
+                                    "null_count": nulls,
+                                    "n_rows": md.num_rows,
+                                }
+                            )
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "file", "column", "min_num", "max_num",
+                            "min_str", "max_str", "null_count", "n_rows",
+                        ],
+                    )
+
+            idx_df = rels.mapInPandas(_footers, out_schema)
+        else:
+            rel = F.concat(
+                F.lit(f"{_DATA_DIR}/c-"),
+                F.substring_index(
+                    F.input_file_name(), f"/{_DATA_DIR}/c-", -1
+                ),
+            )
+            df = self.read(v).withColumn("__file", rel)
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            stack_parts = []
+            for cname, kind, dt in colspec:
+                ts = dt.simpleString()
+                if kind == "num":
+                    e = F.col(cname).cast("double")
+                    if ts == "boolean":
+                        e = F.col(cname).cast("int").cast("double")
+                    lo_e, hi_e = e, e
+                    if _zm_eps_widen(ts):
+                        lo_e = e - F.greatest(
+                            F.abs(e) * F.lit(1e-12), F.lit(1e-300)
+                        )
+                        hi_e = e + F.greatest(
+                            F.abs(e) * F.lit(1e-12), F.lit(1e-300)
+                        )
+                    mn = F.min(lo_e)
+                    mx = F.max(hi_e)
+                    sn, sx = F.lit(None).cast("string"), F.lit(
+                        None
+                    ).cast("string")
+                else:
+                    if ts.startswith("timestamp"):
+                        e = F.date_format(
+                            F.col(cname), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                        )
+                    else:
+                        e = F.col(cname).cast("string")
+                    mn, mx = F.lit(None).cast("double"), F.lit(
+                        None
+                    ).cast("double")
+                    sn, sx = F.min(e), F.max(e)
+                aggs += [
+                    mn.alias(f"__mn_{cname}"),
+                    mx.alias(f"__mx_{cname}"),
+                    sn.alias(f"__sn_{cname}"),
+                    sx.alias(f"__sx_{cname}"),
+                    (F.count(F.lit(1)) - F.count(F.col(cname))).alias(
+                        f"__nc_{cname}"
+                    ),
+                ]
+                stack_parts.append(
+                    f"'{cname}', `__mn_{cname}`, `__mx_{cname}`,"
+                    f" `__sn_{cname}`, `__sx_{cname}`, `__nc_{cname}`"
+                )
+            per_file = df.groupBy("__file").agg(*aggs)
+            idx_df = per_file.select(
+                F.col("__file").alias("file"),
+                F.expr(
+                    f"stack({len(colspec)}, {', '.join(stack_parts)}) as "
+                    "(column, min_num, max_num, min_str, max_str,"
+                    " null_count)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select(
+                "file", "column", "min_num", "max_num", "min_str",
+                "max_str", "null_count", "n_rows",
+            )
+        dest = self._zm_path(v)
+        idx_df.coalesce(8).write.mode("overwrite").parquet(dest.toString())
+        stats = (
+            self.spark.read.parquet(dest.toString())
+            .agg(
+                F.countDistinct("file").alias("nf"),
+                F.count(F.lit(1)).alias("nr"),
+            )
+            .collect()[0]
+        )
+        meta = {
+            "version": v,
+            "columns": [c for c, _k, _dt in colspec],
+            "kinds": {c: k for c, k, _dt in colspec},
+            "types": {c: dt.simpleString() for c, _k, dt in colspec},
+            "n_files": len(m["files"]),
+            "n_stat_files": int(stats["nf"]),
+            "n_rows": int(stats["nr"]),
+            "method": method,
+        }
+        out = self._fs.create(self._zm_meta_path(v), True)
+        try:
+            out.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+        if hasattr(self, "_zm_cache"):
+            self._zm_cache.pop(v, None)
+        return {"files": meta["n_stat_files"], "rows": meta["n_rows"]}
+
+    _ZM_CACHE_FILE_LIMIT = 50_000
+
+    def _zm_bounds(self, col, lo, hi, version):
+        """Resolve (version, meta) and encode predicate bounds with the
+        canonical codec; returns None if no sidecar for the version."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        mp = self._zm_meta_path(v)
+        if not self._fs.exists(mp):
+            return None
+        meta = self._read_json(mp)
+        if col not in meta["kinds"]:
+            return None
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        dt = {f.name: f.dataType for f in schema.fields}[col]
+        _, lo_n, lo_s = (
+            _zm_encode(lo, dt) if lo is not None else (None, None, None)
+        )
+        _, hi_n, hi_s = (
+            _zm_encode(hi, dt) if hi is not None else (None, None, None)
+        )
+        kind = meta["kinds"][col]
+        lo_e = lo_n if kind == "num" else lo_s
+        hi_e = hi_n if kind == "num" else hi_s
+        return v, meta, kind, lo_e, hi_e, m
+
+    def files_for_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str] | None:
+        """Data files (relative paths) that MAY hold rows with
+        ``lo <= col <= hi`` (either bound may be None for one-sided
+        ranges) per the zone-map sidecar — or None when the version has
+        no stats for this column. Conservative: files with missing or
+        unknown stats are always candidates; all-NULL files are pruned
+        (a range predicate never matches NULL). Small sidecars probe
+        from a one-time driver cache (zero jobs per probe); above
+        ``_ZM_CACHE_FILE_LIMIT`` files the prunable set comes from one
+        pushdown-pruned Spark filter, flat in file count."""
+        r = self._zm_bounds(col, lo, hi, version)
+        if r is None:
+            return None
+        v, meta, kind, lo_e, hi_e, m = r
+        mn_c = "min_num" if kind == "num" else "min_str"
+        mx_c = "max_num" if kind == "num" else "max_str"
+        if meta["n_files"] <= SnapshotTable._ZM_CACHE_FILE_LIMIT:
+            cache = getattr(self, "_zm_cache", None)
+            if cache is None:
+                cache = {}
+                self._zm_cache = cache
+            rows = cache.get(v)
+            if rows is None:
+                rows = self.spark.read.parquet(
+                    self._zm_path(v).toString()
+                ).collect()
+                cache[v] = rows
+            prunable = set()
+            for row in rows:
+                if row["column"] != col:
+                    continue
+                if row[mn_c] is None:
+                    if (
+                        row["null_count"] is not None
+                        and row["null_count"] == row["n_rows"]
+                    ):
+                        prunable.add(row["file"])  # all-NULL file
+                    continue
+                if (hi_e is not None and row[mn_c] > hi_e) or (
+                    lo_e is not None and row[mx_c] < lo_e
+                ):
+                    prunable.add(row["file"])
+            return [f for f in m["files"] if f not in prunable]
+        sidecar = self.spark.read.parquet(
+            self._zm_path(v).toString()
+        ).filter(F.col("column") == col)
+        out_of_range = F.lit(False)
+        if hi_e is not None:
+            out_of_range = out_of_range | (F.col(mn_c) > F.lit(hi_e))
+        if lo_e is not None:
+            out_of_range = out_of_range | (F.col(mx_c) < F.lit(lo_e))
+        all_null = F.col(mn_c).isNull() & (
+            F.col("null_count") == F.col("n_rows")
+        )
+        prunable = {
+            r["file"]
+            for r in sidecar.filter(
+                (F.col(mn_c).isNotNull() & out_of_range) | all_null
+            )
+            .select("file")
+            .collect()
+        }
+        return [f for f in m["files"] if f not in prunable]
+
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read: rows with ``lo <= col <= hi`` (inclusive; either
+        bound may be None), opening ONLY the files the zone map cannot
+        rule out — the range twin of ``read_where``. Falls back to a
+        full filtered scan when no stats exist. Zone-map false
+        positives cost an extra file open, never a wrong row — the
+        exact filter always applies."""
+        if lo is None and hi is None:
+            raise ValueError("need at least one bound")
+        v = self.latest_version() if version is None else version
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        files = self.files_for_range(col, lo, hi, v)
+        if files is None:
+            return self.read(v).filter(pred)
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/{rel}" for rel in files]
+        return (
+            self.spark.read.schema(schema).parquet(*paths).filter(pred)
+        )
+
+    SnapshotTable._zm_path = _zm_path
+    SnapshotTable._zm_meta_path = _zm_meta_path
+    SnapshotTable._zm_local_root = _zm_local_root
+    SnapshotTable._zm_colspec = _zm_colspec
+    SnapshotTable._zm_bounds = _zm_bounds
+    SnapshotTable._ZM_CACHE_FILE_LIMIT = _ZM_CACHE_FILE_LIMIT
+    SnapshotTable.build_stats = build_stats
+    SnapshotTable.files_for_range = files_for_range
+    SnapshotTable.read_range = read_range
+
+
+_stats_methods()

@@ -492,6 +492,102 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     ).count() == 1
 
 
+def test_stream_stream_left_outer_late_match_dropped_not_retracted(
+    spark, tmp_path
+):
+    """The outer join's emitted rows are FINAL: once eviction has
+    produced a click's NULL row, a same-user signup arriving from
+    behind the watermark is DROPPED — it must neither retract the NULL
+    row nor emit a contradicting matched row (the double-emission
+    anomaly append mode forbids). This is the flip side of the
+    eviction test above: that one proves the NULL row arrives, this
+    one proves it stays exactly-once under late data."""
+    import datetime as dt
+    import time as _time
+
+    from globalweather_etl_spark.streaming import (
+        clicks_with_optional_signup,
+        events_stream_from_dir,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    landing = str(tmp_path / "lo_late_landing")
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            [
+                (i, ts, u, et, 1.0, "{}")
+                for i, (ts, u, et) in enumerate(
+                    rows, start=hash(name) % 1000 * 100
+                )
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("append").parquet(landing)
+        _time.sleep(1.1)  # distinct mod-times -> deterministic batch order
+
+    # b1: user 1 clicks with no signup yet; user 3 is the control match
+    _write(
+        [
+            (t0, 1, "click"),
+            (t0, 3, "signup"),
+            (t0 + dt.timedelta(minutes=10), 3, "click"),
+        ],
+        "b1",
+    )
+    # b2 advances both sides' watermarks far past b1's eviction
+    # horizon; b3's trigger runs the eviction scan that emits user 1's
+    # NULL row
+    _write(
+        [
+            (t0 + dt.timedelta(days=10), 99, "click"),
+            (t0 + dt.timedelta(days=10), 99, "signup"),
+        ],
+        "b2",
+    )
+    _write(
+        [
+            (t0 + dt.timedelta(days=20), 98, "click"),
+            (t0 + dt.timedelta(days=20), 98, "signup"),
+        ],
+        "b3",
+    )
+    # b4: the LATE signup — inside user 1's click window by event time,
+    # but days behind the watermark by arrival time. A sentinel rides
+    # along so the batch demonstrably processes.
+    _write(
+        [
+            (t0 - dt.timedelta(minutes=5), 1, "signup"),
+            (t0 + dt.timedelta(days=30), 97, "click"),
+            (t0 + dt.timedelta(days=30), 97, "signup"),
+        ],
+        "b4",
+    )
+
+    stream = events_stream_from_dir(spark, landing, max_files_per_trigger=1)
+    s_clicks = with_watermark(
+        stream.filter(F.col("event_type") == "click"), "ts", "1 hour"
+    )
+    s_signups = with_watermark(
+        stream.filter(F.col("event_type") == "signup"), "ts", "1 hour"
+    )
+    q = drain_to_memory(
+        clicks_with_optional_signup(s_clicks, s_signups, within="1 hour"),
+        "t_lojoin_late",
+        output_mode="append",
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_lojoin_late").filter(
+        F.col("click_ts") < t0 + dt.timedelta(days=1)
+    )
+    rows = sorted(
+        (r["user_id"], r["signup_id"] is not None) for r in got.collect()
+    )
+    # user 1: exactly ONE row, still the NULL row — the late signup
+    # neither matched nor retracted; user 3: exactly one matched row
+    assert rows == [(1, False), (3, True)]
+
+
 def test_incremental_dedup_replay_after_state_append_keeps_output(
     spark, tmp_path
 ):

@@ -1,0 +1,283 @@
+"""Zone-map (per-file min/max) sidecar: build regimes, range pruning,
+and the conservative-keep contract.
+
+The reference has no table format at all (Snowflake supplies
+micro-partition pruning under ETL:23-136); this layer is our
+re-implementation of the public per-file-stats data-skipping idea
+(Delta/Iceberg manifest stats), so the tests pin three things: the two
+build regimes agree bit-for-bit, pruning never changes results (only
+which files open), and every unknown-stats case is kept, never pruned.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+
+def _mk_rows(n=64):
+    out = []
+    for i in range(n):
+        out.append(
+            Row(
+                k=i,
+                big=(i - n // 2) * 10_000_000_000_000_000,  # > 2^53 spans
+                dec=decimal.Decimal(i * 100 + 7) / 100,
+                s=f"w{i:04d}",
+                d=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                ts=dt.datetime(2024, 1, 1, 0, 0, 0)
+                + dt.timedelta(hours=3 * i, microseconds=i),
+                val=float(i) * 1.5,
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def zm_table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zm")) + "/t"
+    st = SnapshotTable(spark, root)
+    df = spark.createDataFrame(_mk_rows()).withColumn(
+        "dec", F.col("dec").cast("decimal(20,2)")
+    )
+    st.write_clustered(df, cluster_by=["k"], n_files=8, mode="overwrite")
+    return st
+
+
+def _sidecar_rows(st, v):
+    return sorted(
+        (
+            tuple(r)
+            for r in st.spark.read.parquet(
+                st._zm_path(v).toString()
+            ).collect()
+        )
+    )
+
+
+class TestBuildRegimes:
+    def test_footer_and_scan_agree_bit_for_bit(self, zm_table):
+        v = zm_table.latest_version()
+        zm_table.build_stats(version=v, method="footer")
+        footer = _sidecar_rows(zm_table, v)
+        zm_table.build_stats(version=v, method="scan")
+        scan = _sidecar_rows(zm_table, v)
+        assert footer == scan
+        # every zone-mappable column of every file got a stats row
+        assert len(footer) == 8 * 7
+
+    def test_remote_scheme_rejected_for_footer(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/t")
+        st.path = "s3a://bucket/t"  # footer guard looks at the root only
+        with pytest.raises(ValueError, match="scan"):
+            st._zm_local_root()
+
+    def test_unsupported_column_is_loud(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/arr")
+        st.write(
+            spark.createDataFrame([Row(k=1, a=[1, 2])]), mode="overwrite"
+        )
+        with pytest.raises(TypeError, match="zone-mappable"):
+            st.build_stats(cols=["a"])
+        # default column pick silently skips it but keeps k
+        st.build_stats()
+        assert st.files_for_range("k", 5, 9) == []
+
+
+class TestPruning:
+    def test_clustered_layout_prunes_files(self, zm_table):
+        zm_table.build_stats()
+        all_files = zm_table._manifest(zm_table.latest_version())["files"]
+        cand = zm_table.files_for_range("k", 10, 17)
+        assert 1 <= len(cand) <= 3 < len(all_files) == 8
+
+    def test_range_read_equals_full_filter(self, zm_table):
+        got = sorted(
+            r["k"]
+            for r in zm_table.read_range("k", 10, 17).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in zm_table.read()
+            .filter(F.col("k").between(10, 17))
+            .collect()
+        )
+        assert got == want == list(range(10, 18))
+
+    def test_one_sided_ranges(self, zm_table):
+        lo_only = zm_table.read_range("k", lo=60).collect()
+        assert sorted(r["k"] for r in lo_only) == [60, 61, 62, 63]
+        hi_only = zm_table.read_range("k", hi=3).collect()
+        assert sorted(r["k"] for r in hi_only) == [0, 1, 2, 3]
+        with pytest.raises(ValueError, match="bound"):
+            zm_table.read_range("k")
+
+    def test_string_date_timestamp_and_widened_types(self, zm_table):
+        # string: lexicographic window on the zero-padded words
+        got = sorted(
+            r["s"]
+            for r in zm_table.read_range("s", "w0005", "w0008").collect()
+        )
+        assert got == [f"w{i:04d}" for i in range(5, 9)]
+        # date window
+        got = zm_table.read_range(
+            "d", dt.date(2024, 2, 1), dt.date(2024, 2, 3)
+        ).count()
+        assert got == 3
+        # timestamp window (TIMESTAMP_MICROS stats must exist)
+        assert (
+            len(
+                zm_table.files_for_range(
+                    "ts",
+                    dt.datetime(2024, 1, 1, 0, 0),
+                    dt.datetime(2024, 1, 1, 9, 0),
+                )
+            )
+            < 8
+        )
+        got = zm_table.read_range(
+            "ts",
+            dt.datetime(2024, 1, 1, 0, 0),
+            dt.datetime(2024, 1, 1, 9, 0),
+        ).count()
+        # hours 0, 3, 6 qualify; hour 9 carries +3 us and misses the
+        # inclusive bound — the microsecond tail is the point: stats
+        # comparisons must be exact to the microsecond
+        assert got == 3
+        # bigint beyond 2^53: widened bounds stay conservative
+        got = zm_table.read_range(
+            "big", 0, 10_000_000_000_000_000
+        ).count()
+        assert got == 2  # i = 32, 33
+        # decimal
+        got = zm_table.read_range(
+            "dec", decimal.Decimal("10.07"), decimal.Decimal("12.07")
+        ).count()
+        assert got == 3
+
+    def test_random_layout_keeps_all_but_stays_correct(
+        self, spark, tmp_path
+    ):
+        st = SnapshotTable(spark, str(tmp_path) + "/rand")
+        df = spark.createDataFrame(
+            [Row(k=i) for i in range(64)]
+        ).repartition(8)  # round-robin: every file spans ~full range
+        st.write(df, mode="overwrite")
+        st.build_stats()
+        assert len(st.files_for_range("k", 10, 12)) == 8
+        assert sorted(
+            r["k"] for r in st.read_range("k", 10, 12).collect()
+        ) == [10, 11, 12]
+
+
+class TestConservativeKeeps:
+    def test_no_sidecar_returns_none_and_read_falls_back(
+        self, spark, tmp_path
+    ):
+        st = SnapshotTable(spark, str(tmp_path) + "/nostats")
+        st.write(
+            spark.createDataFrame([Row(k=i) for i in range(10)]),
+            mode="overwrite",
+        )
+        assert st.files_for_range("k", 2, 4) is None
+        assert st.read_range("k", 2, 4).count() == 3
+
+    def test_all_null_file_is_pruned(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/nulls")
+        st.write(
+            spark.createDataFrame(
+                [Row(k=i, v=float(i)) for i in range(8)]
+            ).coalesce(1),
+            mode="overwrite",
+        )
+        st.write(
+            spark.createDataFrame(
+                [Row(k=100 + i, v=None) for i in range(4)],
+                "k bigint, v double",
+            ).coalesce(1),
+            mode="append",
+        )
+        st.build_stats()
+        # the all-NULL-v file can never satisfy a range predicate on v
+        assert len(st.files_for_range("v", 0.0, 1000.0)) == 1
+        assert st.read_range("v", 0.0, 1000.0).count() == 8
+        # but a k-range still reads it
+        assert st.read_range("k", 100, 101).count() == 2
+
+    def test_schema_evolved_file_without_column_is_kept(
+        self, spark, tmp_path
+    ):
+        st = SnapshotTable(spark, str(tmp_path) + "/evolve")
+        st.write(
+            spark.createDataFrame([Row(k=1)]).coalesce(1),
+            mode="overwrite",
+        )
+        st.write(
+            spark.createDataFrame([Row(k=2, v=7.0)]).coalesce(1),
+            mode="append",
+        )
+        st.build_stats(cols=["v"])
+        # the old file has no v footer entry -> conservatively kept
+        assert len(st.files_for_range("v", 0.0, 100.0)) == 2
+        assert st.read_range("v", 0.0, 100.0).count() == 1
+
+    def test_unknown_column_returns_none(self, zm_table):
+        assert zm_table.files_for_range("nope", 1, 2) is None
+
+
+class TestLifecycle:
+    def test_vacuum_drops_dropped_versions_sidecars(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/vac")
+        v1 = st.write(
+            spark.createDataFrame([Row(k=1)]), mode="overwrite"
+        )
+        st.build_stats(version=v1)
+        v2 = st.write(
+            spark.createDataFrame([Row(k=2)]), mode="overwrite"
+        )
+        st.build_stats(version=v2)
+        assert st._fs.exists(st._zm_meta_path(v1))
+        st.vacuum(keep_last=1, unreferenced_grace=0.0)
+        assert not st._fs.exists(st._zm_meta_path(v1))
+        assert not st._fs.exists(st._zm_path(v1))
+        assert st._fs.exists(st._zm_meta_path(v2))
+        assert st.read_range("k", 0, 5).count() == 1
+
+    def test_rebuild_invalidates_probe_cache(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/cache")
+        st.write(
+            spark.createDataFrame(
+                [Row(k=i) for i in range(16)]
+            ).coalesce(2),
+            mode="overwrite",
+        )
+        st.build_stats()
+        before = st.files_for_range("k", 0, 100)
+        v2 = st.write(
+            spark.createDataFrame([Row(k=100 + i) for i in range(4)]),
+            mode="append",
+        )
+        st.build_stats(version=v2)
+        after = st.files_for_range("k", 100, 200, version=v2)
+        assert set(before).isdisjoint(set(after))
+        assert st.read_range("k", 100, 200).count() == 4
+
+    def test_spark_probe_path_matches_cached_path(self, zm_table):
+        """Force the big-table Spark probe regime and pin it to the
+        driver-cache regime's answer (same contract as the Bloom
+        sidecar's two regimes)."""
+        v = zm_table.latest_version()
+        cached = zm_table.files_for_range("k", 10, 17, version=v)
+        old = SnapshotTable._ZM_CACHE_FILE_LIMIT
+        SnapshotTable._ZM_CACHE_FILE_LIMIT = 0
+        try:
+            zm_table._zm_cache = {}
+            spark_path = zm_table.files_for_range("k", 10, 17, version=v)
+        finally:
+            SnapshotTable._ZM_CACHE_FILE_LIMIT = old
+        assert cached == spark_path
