@@ -415,7 +415,8 @@ lk_k0 AS (
   WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0),
 zm_win AS (
   SELECT o_orderkey, o_totalprice FROM orders
-  WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'),
+  WHERE CAST(o_orderdate AS DATE)
+    BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
 zm_key AS (
   SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (

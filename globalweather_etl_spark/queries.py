@@ -772,14 +772,21 @@ def q_tpch_scalar_checks(spark, sf_dir):
         spark, tempfile.mkdtemp(prefix="gw_zonemap_") + "/orders_zm"
     )
     zst.write_clustered(
-        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        orders.select(
+            "o_orderkey",
+            # DATE stats are INT32 footer min/max under ANY session's
+            # parquet timestamp encoding (a foreign driver session may
+            # still write INT96 timestamps, which carry no stats)
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        ),
         cluster_by=["o_orderdate"],
         n_files=8,
         mode="overwrite",
     )
     zst.build_stats(cols=["o_orderdate", "o_orderkey"])
     zwin = zst.read_range(
-        "o_orderdate", _dt.date(1994, 1, 1), _dt.date(1994, 12, 31)
+        "o_orderdate", _dt.date(1996, 1, 1), _dt.date(1996, 12, 31)
     )
     zkey = zst.read_range("o_orderkey", hi=1000)
     zm = _unpivot_metrics(

@@ -1117,7 +1117,10 @@ def _index_methods():
                 return None
             meta = self._read_json(mp)
             words = None
-            if meta["n_files"] <= SnapshotTable._IDX_CACHE_FILE_LIMIT:
+            # instance lookup (falls back to the class attr) so a
+            # per-handle override can force the big-table regime —
+            # tests and rehearsals set it on the instance
+            if meta["n_files"] <= self._IDX_CACHE_FILE_LIMIT:
                 # hot path: pull the sidecar once; probes are O(k) dict
                 # lookups from here on (indexes are immutable per
                 # version, so caching is safe)
@@ -1300,6 +1303,14 @@ def _zm_encode(value, dt):
             return ("str", None, value.isoformat())
         return ("str", None, str(value))
     if s.startswith("timestamp"):
+        if isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        ):
+            # a date bound against a timestamp column means midnight —
+            # encoding the bare date would sort BEFORE every same-day
+            # timestamp string and wrongly prune a file whose min is
+            # exactly midnight of the bound day
+            value = datetime.datetime(value.year, value.month, value.day)
         if isinstance(value, datetime.datetime):
             if value.tzinfo is not None:
                 value = value.astimezone(datetime.timezone.utc).replace(
@@ -1639,7 +1650,9 @@ def _stats_methods():
         v, meta, kind, lo_e, hi_e, m = r
         mn_c = "min_num" if kind == "num" else "min_str"
         mx_c = "max_num" if kind == "num" else "max_str"
-        if meta["n_files"] <= SnapshotTable._ZM_CACHE_FILE_LIMIT:
+        # instance lookup (falls back to the class attr): a per-handle
+        # override forces the big-table Spark-probe regime
+        if meta["n_files"] <= self._ZM_CACHE_FILE_LIMIT:
             cache = getattr(self, "_zm_cache", None)
             if cache is None:
                 cache = {}

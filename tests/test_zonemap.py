@@ -229,6 +229,35 @@ class TestConservativeKeeps:
     def test_unknown_column_returns_none(self, zm_table):
         assert zm_table.files_for_range("nope", 1, 2) is None
 
+    def test_date_bound_on_timestamp_column_keeps_midnight_file(
+        self, spark, tmp_path
+    ):
+        """A date upper bound against a timestamp column means
+        midnight-inclusive: a file whose min is EXACTLY midnight of
+        the bound day must be kept (the bare-date encoding would sort
+        before every same-day timestamp and wrongly prune it)."""
+        st = SnapshotTable(spark, str(tmp_path) + "/midnight")
+        st.write(
+            spark.createDataFrame(
+                [
+                    Row(ts=dt.datetime(2024, 5, 1, 0, 0, 0), k=1),
+                    Row(ts=dt.datetime(2024, 5, 1, 8, 0, 0), k=2),
+                ]
+            ).coalesce(1),
+            mode="overwrite",
+        )
+        st.build_stats(cols=["ts"])
+        assert len(
+            st.files_for_range(
+                "ts", dt.date(2024, 4, 1), dt.date(2024, 5, 1)
+            )
+        ) == 1
+        got = st.read_range(
+            "ts", dt.date(2024, 4, 1), dt.date(2024, 5, 1)
+        ).collect()
+        # Spark promotes the date bound to midnight: only k=1 matches
+        assert [r["k"] for r in got] == [1]
+
 
 class TestLifecycle:
     def test_vacuum_drops_dropped_versions_sidecars(self, spark, tmp_path):
@@ -273,11 +302,7 @@ class TestLifecycle:
         sidecar's two regimes)."""
         v = zm_table.latest_version()
         cached = zm_table.files_for_range("k", 10, 17, version=v)
-        old = SnapshotTable._ZM_CACHE_FILE_LIMIT
-        SnapshotTable._ZM_CACHE_FILE_LIMIT = 0
-        try:
-            zm_table._zm_cache = {}
-            spark_path = zm_table.files_for_range("k", 10, 17, version=v)
-        finally:
-            SnapshotTable._ZM_CACHE_FILE_LIMIT = old
+        big = SnapshotTable(zm_table.spark, zm_table.path)
+        big._ZM_CACHE_FILE_LIMIT = 0  # instance override, class untouched
+        spark_path = big.files_for_range("k", 10, 17, version=v)
         assert cached == spark_path
