@@ -837,6 +837,87 @@ class SnapshotTable:
         )
         return self.write(clustered, mode=mode)
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        zorder_by: list[str],
+        n_files: int = 8,
+        bits: int = 8,
+        mode: str = "overwrite",
+    ) -> int:
+        """Commit with a Z-ORDER (Morton) clustered file layout — the
+        multi-dimensional form of ``write_clustered`` (the public
+        technique behind Delta/Iceberg Z-ORDER): each cluster column
+        is bucketed into 2^bits uniform slots between its global
+        min/max (`width_bucket`, one tiny pre-aggregate), the bucket
+        bits are interleaved (`operators.layout.zorder_key` — pure
+        codegen shifts/ORs), and rows range-write on the interleaved
+        key. Zone maps built on the result prune BOX predicates on
+        ANY of the cluster columns, where a lexicographic layout only
+        prunes on the leading one.
+
+        Numeric, date and timestamp columns are supported; rows with
+        a NULL in any cluster column get a NULL key and cluster
+        together at the range start (still readable, never pruned
+        incorrectly — zone maps treat them by null_count). Uniform
+        bucketing is the documented trade: heavy skew concentrates
+        buckets, degrading (never breaking) pruning — pre-transform
+        skewed columns if needed."""
+        from globalweather_etl_spark.operators.layout import zorder_key
+
+        if not zorder_by:
+            raise ValueError("zorder_by needs at least one column")
+        if len(zorder_by) * bits > 63:
+            raise ValueError(
+                f"{len(zorder_by)} cols x {bits} bits exceeds a long"
+            )
+        dts = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        def _as_num(c: str):
+            s = dts.get(c)
+            if s is None:
+                raise KeyError(f"no column {c!r}")
+            if s == "date":
+                return F.datediff(F.col(c), F.lit("1970-01-01")).cast(
+                    "double"
+                )
+            if s.startswith("timestamp"):
+                return F.col(c).cast("double")
+            col = F.col(c).cast("double")
+            if s in ("string", "boolean") or s.startswith(
+                ("array", "map", "struct", "binary")
+            ):
+                raise TypeError(
+                    f"column {c!r} of type {s} cannot be z-ordered "
+                    "(needs a numeric/date/timestamp axis)"
+                )
+            return col
+
+        nums = {c: _as_num(c) for c in zorder_by}
+        bounds = df.agg(
+            *[F.min(e).alias(f"mn_{c}") for c, e in nums.items()],
+            *[F.max(e).alias(f"mx_{c}") for c, e in nums.items()],
+        ).collect()[0]
+        n_buckets = 1 << bits
+        buckets = []
+        for c, e in nums.items():
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            if mn is None or mn == mx:
+                buckets.append(F.lit(0))
+                continue
+            wb = F.width_bucket(
+                e, F.lit(float(mn)), F.lit(float(mx)), F.lit(n_buckets)
+            )
+            buckets.append(F.least(wb, F.lit(n_buckets)) - 1)
+        z = zorder_key(buckets, bits)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return self.write(clustered, mode=mode)
+
     # -------------------------------------------------------- vacuum
     def vacuum(
         self,

@@ -306,3 +306,88 @@ class TestLifecycle:
         big._ZM_CACHE_FILE_LIMIT = 0  # instance override, class untouched
         spark_path = big.files_for_range("k", 10, 17, version=v)
         assert cached == spark_path
+
+
+class TestZOrder:
+    @pytest.fixture(scope="class")
+    def grid(self, spark, tmp_path_factory):
+        """64x64 integer grid: the canonical z-order demonstrator."""
+        return spark.createDataFrame(
+            [Row(x=i % 64, y=i // 64, v=float(i)) for i in range(4096)]
+        )
+
+    def test_box_predicates_prune_on_both_axes(
+        self, spark, grid, tmp_path
+    ):
+        zt = SnapshotTable(spark, str(tmp_path) + "/z")
+        zt.write_zordered(grid, ["x", "y"], n_files=16, bits=6)
+        zt.build_stats(cols=["x", "y"])
+        lex = SnapshotTable(spark, str(tmp_path) + "/lex")
+        lex.write_clustered(grid, cluster_by=["x"], n_files=16)
+        lex.build_stats(cols=["x", "y"])
+        # y-box: the z-layout prunes; the x-lexicographic layout
+        # cannot (every file spans the full y range)
+        assert len(zt.files_for_range("y", 0, 7)) <= 8
+        assert len(lex.files_for_range("y", 0, 7)) == 16
+        # x-box: BOTH layouts prune
+        assert len(zt.files_for_range("x", 0, 7)) <= 8
+        assert len(lex.files_for_range("x", 0, 7)) <= 2
+        # correctness on both axes of the z layout
+        got = sorted(
+            (r["x"], r["y"])
+            for r in zt.read_range("y", 3, 4).collect()
+        )
+        want = sorted(
+            (r["x"], r["y"])
+            for r in grid.filter(F.col("y").between(3, 4)).collect()
+        )
+        assert got == want
+
+    def test_nulls_cluster_and_read_back(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/znull")
+        df = spark.createDataFrame(
+            [Row(x=i, y=(None if i % 5 == 0 else i)) for i in range(50)],
+            "x long, y long",
+        )
+        st.write_zordered(df, ["x", "y"], n_files=4, bits=4)
+        assert st.read().count() == 50
+        st.build_stats()
+        # range reads never return NULL-y rows; totals still check out
+        assert st.read_range("y", 0, 100).count() == 40
+
+    def test_constant_and_date_axes(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/zdate")
+        df = spark.createDataFrame(
+            [
+                Row(
+                    d=dt.date(2024, 1, 1) + dt.timedelta(days=i % 30),
+                    c=1,
+                    v=i,
+                )
+                for i in range(300)
+            ]
+        )
+        st.write_zordered(df, ["d", "c"], n_files=4, bits=4)
+        st.build_stats(cols=["d"])
+        assert (
+            len(
+                st.files_for_range(
+                    "d", dt.date(2024, 1, 1), dt.date(2024, 1, 5)
+                )
+            )
+            < 4
+        )
+        assert (
+            st.read_range(
+                "d", dt.date(2024, 1, 1), dt.date(2024, 1, 5)
+            ).count()
+            == 50
+        )
+
+    def test_unsupported_axis_is_loud(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/zbad")
+        df = spark.createDataFrame([Row(s="a", v=1)])
+        with pytest.raises(TypeError, match="z-ordered"):
+            st.write_zordered(df, ["s"], n_files=2)
+        with pytest.raises(ValueError, match="exceeds"):
+            st.write_zordered(df, ["v"] * 9, bits=8)
