@@ -1465,10 +1465,20 @@ def _stats_methods():
         cols: list[str] | None = None,
         version: int | None = None,
         method: str = "footer",
+        incremental: bool = False,
     ) -> dict:
         """Build (or rebuild) the per-file zone-map sidecar for one
         version (head by default). ``cols`` defaults to every
-        zone-mappable column. Returns {'files': n, 'rows': n}."""
+        zone-mappable column. Returns {'files': n, 'rows': n}.
+
+        ``incremental=True`` reuses the NEWEST other version's sidecar
+        (same column set): stats are computed only for files that
+        version didn't cover, its rows for files still present carry
+        over verbatim, and rows for files a MERGE/overwrite removed
+        are dropped — per-commit maintenance cost is O(changed files),
+        matching the commit protocol's O(new data) story. Falls back
+        to a full build when no compatible base exists (different
+        columns, or none built yet)."""
         if method not in ("footer", "scan"):
             raise ValueError(f"method must be footer/scan, got {method!r}")
         v = self.latest_version() if version is None else version
@@ -1486,12 +1496,36 @@ def _stats_methods():
             " min_str string, max_str string, null_count bigint,"
             " n_rows bigint"
         )
+        target_files = list(m["files"])
+        base_v = None
+        base_files: set[str] = set()
+        if incremental:
+            want = sorted(c for c, _k, _dt in colspec)
+            for u in reversed(self.versions()):
+                if u == v:
+                    continue
+                mp = self._zm_meta_path(u)
+                if self._fs.exists(mp):
+                    bm = self._read_json(mp)
+                    if sorted(bm["columns"]) == want:
+                        base_v = u
+                    # only the newest existing sidecar is a candidate —
+                    # an older one with matching columns would silently
+                    # redo work the newer one already carries
+                    break
+            if base_v is not None:
+                base_files = set(self._manifest(base_v)["files"])
+                target_files = [
+                    f for f in m["files"] if f not in base_files
+                ]
         if method == "footer":
             root = self._zm_local_root()
             spec = [(c, k, dt.json()) for c, k, dt in colspec]
             rels = self.spark.createDataFrame(
-                [(r,) for r in m["files"]], "file string"
-            ).repartition(min(len(m["files"]), 64))
+                [(r,) for r in target_files] or [("",)], "file string"
+            ).filter(F.col("file") != "").repartition(
+                max(1, min(len(target_files), 64))
+            )
 
             def _footers(batches):
                 import pandas as pd
@@ -1593,7 +1627,17 @@ def _stats_methods():
                     F.input_file_name(), f"/{_DATA_DIR}/c-", -1
                 ),
             )
-            df = self.read(v).withColumn("__file", rel)
+            if target_files:
+                paths = [f"{self.path}/{r}" for r in target_files]
+                df = (
+                    self.spark.read.schema(schema)
+                    .parquet(*paths)
+                    .withColumn("__file", rel)
+                )
+            else:
+                df = self.spark.createDataFrame(
+                    [], schema
+                ).withColumn("__file", F.lit(""))
             aggs = [F.count(F.lit(1)).alias("__n")]
             stack_parts = []
             for cname, kind, dt in colspec:
@@ -1652,6 +1696,22 @@ def _stats_methods():
                 "file", "column", "min_num", "max_num", "min_str",
                 "max_str", "null_count", "n_rows",
             )
+        if base_v is not None:
+            still = [f for f in m["files"] if f in base_files]
+            keep = self.spark.createDataFrame(
+                [(f,) for f in still] or [("",)], "file string"
+            ).filter(F.col("file") != "")
+            carried = (
+                self.spark.read.parquet(
+                    self._zm_path(base_v).toString()
+                )
+                .join(keep, "file")
+                .select(
+                    "file", "column", "min_num", "max_num", "min_str",
+                    "max_str", "null_count", "n_rows",
+                )
+            )
+            idx_df = idx_df.unionByName(carried)
         dest = self._zm_path(v)
         idx_df.coalesce(8).write.mode("overwrite").parquet(dest.toString())
         stats = (
@@ -1671,6 +1731,8 @@ def _stats_methods():
             "n_stat_files": int(stats["nf"]),
             "n_rows": int(stats["nr"]),
             "method": method,
+            "base_version": base_v,
+            "n_computed_files": len(target_files),
         }
         out = self._fs.create(self._zm_meta_path(v), True)
         try:

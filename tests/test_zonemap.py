@@ -391,3 +391,90 @@ class TestZOrder:
             st.write_zordered(df, ["s"], n_files=2)
         with pytest.raises(ValueError, match="exceeds"):
             st.write_zordered(df, ["v"] * 9, bits=8)
+
+
+class TestIncrementalStats:
+    def test_append_computes_only_new_files(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/inc")
+        st.write(
+            spark.createDataFrame(
+                [Row(k=i) for i in range(16)]
+            ).coalesce(2),
+            mode="overwrite",
+        )
+        st.build_stats()
+        v2 = st.write(
+            spark.createDataFrame(
+                [Row(k=100 + i) for i in range(8)]
+            ).coalesce(1),
+            mode="append",
+        )
+        st.build_stats(version=v2, incremental=True)
+        meta = st._read_json(st._zm_meta_path(v2))
+        assert meta["base_version"] is not None
+        assert meta["n_computed_files"] == 1  # only the appended file
+        inc_rows = _sidecar_rows(st, v2)
+        # bit-identical to a from-scratch build of the same version
+        st.build_stats(version=v2)  # full rebuild overwrites
+        assert _sidecar_rows(st, v2) == inc_rows
+        st._zm_cache = {}
+        assert st.read_range("k", 100, 200, version=v2).count() == 8
+
+    def test_merge_drops_rewritten_files_rows(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/incmerge")
+        st.write(
+            spark.createDataFrame(
+                [Row(k=i, v=float(i)) for i in range(32)]
+            ).repartition(4, "k"),
+            mode="overwrite",
+        )
+        st.build_stats()
+        src = spark.createDataFrame([Row(k=3, v=999.0)])
+        st.merge_into(src, keys=["k"])
+        st.build_stats(incremental=True)
+        inc_rows = _sidecar_rows(st, st.latest_version())
+        meta = st._read_json(st._zm_meta_path(st.latest_version()))
+        # the merge rewrote one source file; only its replacement
+        # output needed computing — the three untouched files carried
+        n_head = len(st._manifest(st.latest_version())["files"])
+        assert meta["n_computed_files"] == n_head - 3 < n_head
+        st.build_stats()  # full rebuild
+        assert _sidecar_rows(st, st.latest_version()) == inc_rows
+        st._zm_cache = {}
+        assert (
+            st.read_range("v", 999.0, 999.0).collect()[0]["k"] == 3
+        )
+
+    def test_no_compatible_base_falls_back_to_full(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/incfall")
+        st.write(
+            spark.createDataFrame([Row(k=1, v=2.0)]), mode="overwrite"
+        )
+        st.build_stats(cols=["k"])
+        v2 = st.write(
+            spark.createDataFrame([Row(k=2, v=3.0)]), mode="append"
+        )
+        # different column set -> full build, not a partial carry
+        st.build_stats(version=v2, cols=["k", "v"], incremental=True)
+        meta = st._read_json(st._zm_meta_path(v2))
+        assert meta["base_version"] is None
+        # full fallback: EVERY manifest file was computed, none carried
+        n_head = len(st._manifest(v2)["files"])
+        assert meta["n_computed_files"] == meta["n_stat_files"] == n_head
+        assert st.read_range("v", 2.5, 3.5).count() == 1
+
+    def test_incremental_scan_method(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/incscan")
+        st.write(
+            spark.createDataFrame([Row(k=i) for i in range(8)]).coalesce(1),
+            mode="overwrite",
+        )
+        st.build_stats(method="scan")
+        v2 = st.write(
+            spark.createDataFrame([Row(k=50 + i) for i in range(4)]).coalesce(1),
+            mode="append",
+        )
+        st.build_stats(version=v2, method="scan", incremental=True)
+        full = SnapshotTable(spark, st.path)
+        full.build_stats(version=v2, method="scan")
+        assert _sidecar_rows(st, v2) == _sidecar_rows(full, v2)
