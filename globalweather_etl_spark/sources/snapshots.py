@@ -791,7 +791,12 @@ class SnapshotTable:
         )
 
     # --------------------------------------------- layout maintenance
-    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the head's files into ~target-sized ones as a NEW
         overwrite commit — the versioned twin of
         `operators.compaction.compact_parquet`: rows and schema are
@@ -799,12 +804,23 @@ class SnapshotTable:
         old versions remain time-travelable, and the small files are
         reclaimed by the next `vacuum`.  Returns the new version.
 
+        A plain compact hash-repartitions, which DESTROYS any
+        clustered layout the table carried (and with it zone-map
+        pruning). Pass ``cluster_by`` (range + in-file sort, the
+        `write_clustered` layout) or ``zorder_by`` (Morton, the
+        `write_zordered` layout) to re-cluster during the rewrite —
+        the same single shuffle either way, so restoring the layout is
+        free relative to the rewrite. This is the Delta OPTIMIZE /
+        OPTIMIZE ZORDER maintenance pair.
+
         Streaming ingestion (one file per micro-batch) is the intended
         caller: run compact + vacuum on a maintenance cadence and the
         per-file open/footer cost of head scans stays bounded however
         many commits the table has absorbed."""
         if target_file_bytes < 1:
             raise ValueError("target_file_bytes must be positive")
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
         head = self.latest_version()
         if head is None:
             raise ValueError(f"no commits yet at {self.path}")
@@ -815,6 +831,16 @@ class SnapshotTable:
                 self._p(f"{self.path}/{rel}")
             ).getLen()
         n_out = max(1, -(-total // target_file_bytes))
+        if zorder_by:
+            return self.write_zordered(
+                self.read(head), zorder_by, n_files=n_out,
+                mode="overwrite",
+            )
+        if cluster_by:
+            return self.write_clustered(
+                self.read(head), cluster_by, n_files=n_out,
+                mode="overwrite",
+            )
         df = self.read(head).repartition(n_out)
         return self.write(df, mode="overwrite")
 

@@ -478,3 +478,46 @@ class TestIncrementalStats:
         full = SnapshotTable(spark, st.path)
         full.build_stats(version=v2, method="scan")
         assert _sidecar_rows(st, v2) == _sidecar_rows(full, v2)
+
+
+class TestCompactLayout:
+    def test_compact_recluster_restores_pruning(self, spark, tmp_path):
+        """Many small commits -> compact(cluster_by) -> one commit
+        whose zone maps prune again; content bit-identical."""
+        st = SnapshotTable(spark, str(tmp_path) + "/copt")
+        for lo in range(0, 64, 8):  # 8 tiny append commits
+            st.write(
+                spark.createDataFrame(
+                    [Row(k=lo + i) for i in range(8)]
+                ).coalesce(1),
+                mode="append",
+            )
+        before = sorted(r["k"] for r in st.read().collect())
+        v = st.compact(
+            target_file_bytes=2_000, cluster_by=["k"]
+        )
+        assert sorted(r["k"] for r in st.read(v).collect()) == before
+        st.build_stats(version=v)
+        files = st._manifest(v)["files"]
+        cand = st.files_for_range("k", 0, 7, version=v)
+        assert len(cand) < len(files)
+        assert st.read_range("k", 0, 7, version=v).count() == 8
+
+    def test_compact_zorder_and_guard(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/cz")
+        st.write(
+            spark.createDataFrame(
+                [Row(x=i % 16, y=i // 16) for i in range(256)]
+            ).coalesce(1),
+            mode="overwrite",
+        )
+        with pytest.raises(ValueError, match="not both"):
+            st.compact(cluster_by=["x"], zorder_by=["y"])
+        v = st.compact(target_file_bytes=500, zorder_by=["x", "y"])
+        st.build_stats(version=v, cols=["x", "y"])
+        files = st._manifest(v)["files"]
+        if len(files) >= 4:
+            assert len(
+                st.files_for_range("y", 0, 3, version=v)
+            ) < len(files)
+        assert st.read_range("y", 0, 3, version=v).count() == 64
