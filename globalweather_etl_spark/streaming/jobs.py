@@ -431,6 +431,7 @@ def run_snapshot_ingest(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuous ingestion into a versioned SnapshotTable
     (sources/snapshots.py): every micro-batch becomes one atomic
@@ -448,13 +449,22 @@ def run_snapshot_ingest(
     the table's history length is the number of commits, not its row
     count. Run `vacuum` on a maintenance cadence to bound manifests
     and reclaim any torn-replay data files.
+
+    ``stats_cols``: maintain the zone-map sidecar as part of every
+    commit — an INCREMENTAL build_stats after each write_batch, so
+    stats cost O(the batch's files) per trigger and the head is always
+    range-prunable without a separate maintenance job. A skipped
+    replay (write_batch -> None) skips the stats build too.
     """
     from globalweather_etl_spark.sources.snapshots import SnapshotTable
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
-        SnapshotTable(batch.sparkSession, table_path).write_batch(
-            batch, batch_id, mode="append"
-        )
+        st = SnapshotTable(batch.sparkSession, table_path)
+        v = st.write_batch(batch, batch_id, mode="append")
+        if v is not None and stats_cols:
+            st.build_stats(
+                cols=stats_cols, version=v, incremental=True
+            )
 
     writer = docs.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint_dir

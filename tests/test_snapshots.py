@@ -191,6 +191,63 @@ def test_streaming_snapshot_ingest(spark, tmp_path):
     assert t.latest_version() == head
 
 
+def test_streaming_ingest_maintains_zone_maps(spark, tmp_path):
+    """stats_cols: every micro-batch commit carries an INCREMENTAL
+    zone-map build — after two runs the head is range-prunable with
+    per-batch stats cost O(that batch's files), and a no-op replay
+    run leaves the sidecar untouched."""
+    import json as _json
+
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+    from globalweather_etl_spark.streaming.jobs import run_snapshot_ingest
+    from globalweather_etl_spark.streaming.sources import (
+        jsonl_stream_from_dir,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    schema = "k long, v string"
+
+    def drop(name, rows):
+        (land / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("a.jsonl", [{"k": i, "v": "a"} for i in range(10)])
+    run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck,
+        stats_cols=["k"],
+    ).awaitTermination(120)
+    drop("b.jsonl", [{"k": 100 + i, "v": "b"} for i in range(10)])
+    run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck,
+        stats_cols=["k"],
+    ).awaitTermination(120)
+    t = SnapshotTable(spark, tbl)
+    head = t.latest_version()
+    meta = t._read_json(t._zm_meta_path(head))
+    # the second batch's build computed ONLY its own files
+    assert meta["base_version"] is not None
+    assert (
+        meta["n_computed_files"]
+        == meta["n_stat_files"]
+        - len(t._manifest(meta["base_version"])["files"])
+    )
+    assert sorted(
+        r["k"] for r in t.read_range("k", 100, 200).collect()
+    ) == [100 + i for i in range(10)]
+    # stats prune: the k<=9 window skips batch b's files
+    assert len(t.files_for_range("k", 0, 9)) < meta["n_stat_files"]
+    # a replayed no-op run leaves head and sidecar untouched
+    run_snapshot_ingest(
+        jsonl_stream_from_dir(spark, str(land), schema), tbl, ck,
+        stats_cols=["k"],
+    ).awaitTermination(120)
+    assert t.latest_version() == head
+
+
 def test_write_audited_publishes_only_clean_data(spark, table):
     """Write-audit-publish: a failing expectations suite blocks the
     manifest; readers never see the staged files; a passing write
