@@ -11,6 +11,10 @@ from globalweather_etl_spark.functions.dates import (
     dayofweek_iso,
     weekiso,
 )
+from globalweather_etl_spark.functions.html import (
+    strip_html,
+    visible_text_ratio,
+)
 from globalweather_etl_spark.functions.urls import (
     filter_domains,
     registered_domain,
@@ -20,6 +24,8 @@ from globalweather_etl_spark.functions.urls import (
 from globalweather_etl_spark.functions.weather import precip_type, weather_band
 
 __all__ = [
+    "strip_html",
+    "visible_text_ratio",
     "date_parts",
     "filter_domains",
     "dayofweek_iso",

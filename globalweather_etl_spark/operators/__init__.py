@@ -158,8 +158,18 @@ from globalweather_etl_spark.operators.span_dedup import (
     remove_duplicate_spans,
 )
 from globalweather_etl_spark.operators.surrogate_key import surrogate_key
+from globalweather_etl_spark.operators.quality_classifier import (
+    QualityModel,
+    hashed_features,
+    score_quality,
+    train_quality_classifier,
+)
 
 __all__ = [
+    "QualityModel",
+    "hashed_features",
+    "score_quality",
+    "train_quality_classifier",
     "IncrementalAggregate",
     "Measure",
     "session_paths",
