@@ -78,6 +78,7 @@ KEY_MAP = {
     "session_paths": "events_session_30m (session_path/transition graded columns' operators + top-20 rollup)",
     "funnel_retention": "events_session_30m funnel columns + events_tumbling_daily retention columns",
     "lakehouse_ivm_refresh": "events_daily_band_counts (FULL graded slot: 4 IVM micro-batch folds into a snapshot-table state + finalize read-back)",
+    "lakehouse_zonemap": "tpch_scalar_checks zm_* graded shape (date-clustered snapshot commit + footer-only stats build + two pruned range reads)",
 }
 
 
@@ -430,6 +431,47 @@ def main() -> None:
                 .mode("overwrite")
                 .save(),
             )
+
+            # round-6 continuation: the zone-map workload — a
+            # date-clustered snapshot commit, the footer-only stats
+            # build, then two pruned range reads (the tpch_scalar_checks
+            # zm_* graded shape, timed end-to-end incl. the commit)
+            import datetime as _dt
+
+            from globalweather_etl_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+
+            def zonemap_all():
+                orders = load_table(spark, sf_dir, "orders")
+                zst = SnapshotTable(
+                    spark,
+                    tempfile.mkdtemp(prefix="bench_zm_", dir=base)
+                    + "/orders_zm",
+                )
+                zst.write_clustered(
+                    orders.select(
+                        "o_orderkey",
+                        F.col("o_orderdate").cast("date").alias(
+                            "o_orderdate"
+                        ),
+                        "o_totalprice",
+                    ),
+                    cluster_by=["o_orderdate"],
+                    n_files=8,
+                    mode="overwrite",
+                )
+                zst.build_stats(cols=["o_orderdate", "o_orderkey"])
+                zst.read_range(
+                    "o_orderdate",
+                    _dt.date(1996, 1, 1),
+                    _dt.date(1996, 12, 31),
+                ).write.format("noop").mode("overwrite").save()
+                zst.read_range("o_orderkey", hi=1000).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            timed("lakehouse_zonemap", zonemap_all)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
