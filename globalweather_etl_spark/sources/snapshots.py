@@ -1902,6 +1902,49 @@ def _stats_methods():
             self.spark.read.schema(schema).parquet(*paths).filter(pred)
         )
 
+    def read_box(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-column range read: rows satisfying EVERY
+        ``(col, lo, hi)`` predicate (inclusive; lo or hi may be None),
+        opening only files in the INTERSECTION of the per-column
+        zone-map candidate sets. On a `write_zordered` layout this is
+        the payoff query — a 2-D box touches the few files whose
+        interleaved key ranges cover it; on a lexicographic layout
+        only the leading column prunes. Columns without stats simply
+        don't prune (their candidate set is everything); the exact
+        filter always applies."""
+        if not predicates:
+            raise ValueError("need at least one predicate")
+        v = self.latest_version() if version is None else version
+        pred = F.lit(True)
+        cand: set[str] | None = None
+        for col, lo, hi in predicates:
+            if lo is None and hi is None:
+                raise ValueError(f"predicate on {col!r} needs a bound")
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+            files = self.files_for_range(col, lo, hi, v)
+            if files is not None:
+                cand = (
+                    set(files) if cand is None else cand & set(files)
+                )
+        if cand is None:
+            return self.read(v).filter(pred)
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        keep = [f for f in m["files"] if f in cand]
+        if not keep:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/{rel}" for rel in keep]
+        return (
+            self.spark.read.schema(schema).parquet(*paths).filter(pred)
+        )
+
     SnapshotTable._zm_path = _zm_path
     SnapshotTable._zm_meta_path = _zm_meta_path
     SnapshotTable._zm_local_root = _zm_local_root
@@ -1911,6 +1954,7 @@ def _stats_methods():
     SnapshotTable.build_stats = build_stats
     SnapshotTable.files_for_range = files_for_range
     SnapshotTable.read_range = read_range
+    SnapshotTable.read_box = read_box
 
 
 _stats_methods()

@@ -521,3 +521,51 @@ class TestCompactLayout:
                 st.files_for_range("y", 0, 3, version=v)
             ) < len(files)
         assert st.read_range("y", 0, 3, version=v).count() == 64
+
+
+class TestBoxReads:
+    def test_box_intersects_candidates_on_zorder(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/box")
+        grid = spark.createDataFrame(
+            [Row(x=i % 64, y=i // 64) for i in range(4096)]
+        )
+        st.write_zordered(grid, ["x", "y"], n_files=16, bits=6)
+        st.build_stats(cols=["x", "y"])
+        got = sorted(
+            (r["x"], r["y"])
+            for r in st.read_box([("x", 8, 15), ("y", 8, 15)]).collect()
+        )
+        assert got == sorted(
+            (x, y) for x in range(8, 16) for y in range(8, 16)
+        )
+        # the 2-D box touches fewer files than either 1-D candidate set
+        fx = set(st.files_for_range("x", 8, 15))
+        fy = set(st.files_for_range("y", 8, 15))
+        assert len(fx & fy) < min(len(fx), len(fy)) or len(
+            fx & fy
+        ) <= 4
+
+    def test_box_without_stats_falls_back(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/boxns")
+        st.write(
+            spark.createDataFrame(
+                [Row(x=i, y=10 * i) for i in range(20)]
+            ),
+            mode="overwrite",
+        )
+        assert st.read_box([("x", 5, 9), ("y", 0, 70)]).count() == 3
+        with pytest.raises(ValueError, match="bound"):
+            st.read_box([("x", None, None)])
+        with pytest.raises(ValueError, match="predicate"):
+            st.read_box([])
+
+    def test_empty_intersection_returns_empty(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/boxe")
+        st.write_clustered(
+            spark.createDataFrame([Row(x=i, y=i) for i in range(64)]),
+            cluster_by=["x"],
+            n_files=8,
+        )
+        st.build_stats()
+        out = st.read_box([("x", 0, 3), ("y", 60, 63)])
+        assert out.count() == 0
