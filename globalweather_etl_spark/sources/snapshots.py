@@ -539,6 +539,50 @@ class SnapshotTable:
         paths = [f"{self.path}/{rel}" for rel in m["files"]]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def read_since(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED by commits after ``since_version`` up to
+        ``version`` (head by default) — the incremental-consumer read
+        (the table-changes idea every lakehouse exposes for streaming
+        readers and IVM refreshers). Valid ONLY when every commit in
+        the window is append-mode: appends never remove files, so the
+        added rows are exactly the window's new files, read directly —
+        O(new data), never a table scan or diff. Any overwrite, merge,
+        or restore in the window raises loudly: those rewrite or drop
+        rows, and a row-level answer needs ``diff(a, b, keys)``.
+
+        Reads use the NEWER manifest's schema, so columns added by
+        append-mode evolution inside the window null-fill for files
+        that predate them. Compose with per-version batch stamps for
+        exactly-once downstream folds (version numbers are the natural
+        batch ids)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        base = self._manifest(since_version)  # loud if unknown/vacuumed
+        if v < since_version:
+            raise ValueError(
+                f"version {v} precedes since_version {since_version}"
+            )
+        for u in self.versions():
+            if since_version < u <= v:
+                mode = self._manifest(u)["mode"]
+                if mode != "append":
+                    raise ValueError(
+                        f"version {u} is {mode!r}, not append: the "
+                        "window's added rows are not its new files — "
+                        "use diff() for row-level CDC"
+                    )
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        seen = set(base["files"])
+        new_files = [f for f in m["files"] if f not in seen]
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/{rel}" for rel in new_files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def diff(
         self, old_version: int, new_version: int, keys, compare_cols=None
     ) -> DataFrame:
