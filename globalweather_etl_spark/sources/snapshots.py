@@ -1467,7 +1467,17 @@ def _zm_encode(value, dt):
                 value = value.astimezone(datetime.timezone.utc).replace(
                     tzinfo=None
                 )
-            return ("str", None, value.strftime("%Y-%m-%d %H:%M:%S.%f"))
+            # NOT strftime: glibc %Y does not zero-pad years < 1000, so
+            # a dirty year-999 timestamp would sort AFTER year 2000 and
+            # break the ordering contract (Spark's 'yyyy' pattern pads;
+            # the Python twin must too — hypothesis-caught)
+            return (
+                "str",
+                None,
+                f"{value.year:04d}-{value.month:02d}-{value.day:02d} "
+                f"{value.hour:02d}:{value.minute:02d}:"
+                f"{value.second:02d}.{value.microsecond:06d}",
+            )
         return ("str", None, str(value))
     return ("str", None, str(value))
 

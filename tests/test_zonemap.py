@@ -569,3 +569,200 @@ class TestBoxReads:
         st.build_stats()
         out = st.read_box([("x", 0, 3), ("y", 60, 63)])
         assert out.count() == 0
+
+
+class TestEncodeProperties:
+    """Hypothesis: the canonical zone-map encoding must preserve order
+    within each supported type — pruning compares encoded forms, so a
+    single inversion is a wrong-row bug."""
+
+    def test_numeric_order_preserved(self):
+        from hypothesis import given, settings, strategies as hst
+
+        from pyspark.sql.types import DoubleType, LongType
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            hst.lists(
+                hst.integers(-(2**63) + 1, 2**63 - 1),
+                min_size=2,
+                max_size=6,
+            )
+        )
+        def longs_widen_conservatively(vals):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode, _zm_widen_lo, _zm_widen_hi,
+            )
+
+            dt_ = LongType()
+            enc = [_zm_encode(v, dt_)[1] for v in vals]
+            lo = _zm_widen_lo(min(enc))
+            hi = _zm_widen_hi(max(enc))
+            # every true value's encoded probe bound stays inside the
+            # widened stats interval -> the file can never be pruned
+            # while containing a match
+            for v in vals:
+                e = _zm_encode(v, dt_)[1]
+                assert lo <= e <= hi
+
+        longs_widen_conservatively()
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            hst.floats(allow_nan=False, allow_infinity=True),
+            hst.floats(allow_nan=False, allow_infinity=True),
+        )
+        def doubles_monotone(a, b):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode,
+            )
+
+            dt_ = DoubleType()
+            ea, eb = _zm_encode(a, dt_)[1], _zm_encode(b, dt_)[1]
+            assert (a <= b) == (ea <= eb)
+
+        doubles_monotone()
+
+    def test_temporal_string_encoding_monotone(self):
+        from hypothesis import given, settings, strategies as hst
+
+        from pyspark.sql.types import DateType, StringType, TimestampType
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            hst.datetimes(
+                min_value=dt.datetime(1, 1, 1),
+                max_value=dt.datetime(9999, 12, 28),
+            ),
+            hst.datetimes(
+                min_value=dt.datetime(1, 1, 1),
+                max_value=dt.datetime(9999, 12, 28),
+            ),
+        )
+        def timestamps_monotone(a, b):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode,
+            )
+
+            t = TimestampType()
+            ea, eb = _zm_encode(a, t)[2], _zm_encode(b, t)[2]
+            assert (a <= b) == (ea <= eb)
+
+        timestamps_monotone()
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            hst.dates(
+                min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)
+            ),
+            hst.dates(
+                min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)
+            ),
+        )
+        def dates_monotone(a, b):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode,
+            )
+
+            d = DateType()
+            ea, eb = _zm_encode(a, d)[2], _zm_encode(b, d)[2]
+            assert (a <= b) == (ea <= eb)
+
+        dates_monotone()
+
+        @settings(max_examples=300, deadline=None)
+        @given(hst.text(max_size=40), hst.text(max_size=40))
+        def strings_identity(a, b):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode,
+            )
+
+            s = StringType()
+            ea, eb = _zm_encode(a, s)[2], _zm_encode(b, s)[2]
+            assert (a <= b) == (ea <= eb)
+
+        strings_identity()
+
+    def test_date_bound_vs_timestamp_stats_alignment(self):
+        """Cross-type probe: a date bound against timestamp stats must
+        behave exactly like midnight of that day."""
+        from hypothesis import given, settings, strategies as hst
+
+        from pyspark.sql.types import TimestampType
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            hst.dates(
+                min_value=dt.date(1, 1, 2), max_value=dt.date(9999, 12, 28)
+            ),
+            hst.datetimes(
+                min_value=dt.datetime(1, 1, 1),
+                max_value=dt.datetime(9999, 12, 28),
+            ),
+        )
+        def aligned(day, ts):
+            from globalweather_etl_spark.sources.snapshots import (
+                _zm_encode,
+            )
+
+            t = TimestampType()
+            e_day = _zm_encode(day, t)[2]
+            e_ts = _zm_encode(ts, t)[2]
+            midnight = dt.datetime(day.year, day.month, day.day)
+            assert (e_ts <= e_day) == (ts <= midnight)
+            assert (e_ts >= e_day) == (ts >= midnight)
+
+        aligned()
+
+
+class TestRangeReadProperty:
+    def test_random_data_random_windows(self, spark, tmp_path):
+        """End-to-end property at bounded scale: random integer data in
+        a random file layout, random windows — the pruned read must
+        equal the plain filter every time."""
+        import random
+
+        rng = random.Random(20260815)
+        st = SnapshotTable(spark, str(tmp_path) + "/prop")
+        vals = [rng.randint(-1000, 1000) for _ in range(500)]
+        st.write(
+            spark.createDataFrame(
+                [Row(k=v) for v in vals]
+            ).repartition(rng.randint(1, 12)),
+            mode="overwrite",
+        )
+        st.build_stats(method="scan")
+        for _ in range(25):
+            a, b = rng.randint(-1200, 1200), rng.randint(-1200, 1200)
+            lo, hi = min(a, b), max(a, b)
+            got = sorted(
+                r["k"] for r in st.read_range("k", lo, hi).collect()
+            )
+            want = sorted(v for v in vals if lo <= v <= hi)
+            assert got == want, (lo, hi)
+
+
+def test_pre_year_1000_timestamp_both_builds_agree(spark, tmp_path):
+    """The hypothesis-caught year-padding bug, pinned end-to-end: a
+    dirty year-999 timestamp must carry identical footer/scan stats
+    and stay correctly ordered against modern rows."""
+    st = SnapshotTable(spark, str(tmp_path) + "/y999")
+    st.write(
+        spark.createDataFrame(
+            [
+                Row(ts=dt.datetime(999, 1, 1, 12, 0, 0), k=1),
+                Row(ts=dt.datetime(2024, 6, 1, 12, 0, 0), k=2),
+            ]
+        ).coalesce(1),
+        mode="overwrite",
+    )
+    v = st.latest_version()
+    st.build_stats(cols=["ts"], method="footer")
+    footer = _sidecar_rows(st, v)
+    st.build_stats(cols=["ts"], method="scan")
+    assert _sidecar_rows(st, v) == footer
+    st._zm_cache = {}
+    got = st.read_range(
+        "ts", dt.datetime(2000, 1, 1), dt.datetime(2030, 1, 1)
+    ).collect()
+    assert [r["k"] for r in got] == [2]
