@@ -583,6 +583,49 @@ class SnapshotTable:
         paths = [f"{self.path}/{rel}" for rel in new_files]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def read_changes(
+        self,
+        since_version: int,
+        keys: list[str],
+        version: int | None = None,
+        op_col: str = "__op",
+    ) -> DataFrame:
+        """Op-tagged change feed between two versions: +1 rows for
+        inserts and the new side of updates, -1 rows for deletes and
+        the old side of updates — exactly the change stream
+        `operators.ivm.IncrementalAggregate.apply_batch_cdc` folds, so
+        an IVM view stays maintainable across MERGE/overwrite commits
+        that `read_since` must refuse. Derived from `diff()`, so it
+        reads both pinned versions (the row-level complement of
+        read_since's O(new-data) append fast path; prefer read_since
+        when the window is append-only). Emitted columns are the keys
+        plus the columns SHARED by both versions — a column added by
+        evolution inside the window has no old side to retract."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        d = self.diff(since_version, v, keys)
+        compare = [
+            c[len("new_"):]
+            for c in d.columns
+            if c.startswith("new_")
+        ]
+        plus = d.filter(
+            F.col("diff_status").isin("inserted", "updated")
+        ).select(
+            *keys,
+            *[F.col(f"new_{c}").alias(c) for c in compare],
+            F.lit(1).alias(op_col),
+        )
+        minus = d.filter(
+            F.col("diff_status").isin("deleted", "updated")
+        ).select(
+            *keys,
+            *[F.col(f"old_{c}").alias(c) for c in compare],
+            F.lit(-1).alias(op_col),
+        )
+        return plus.unionByName(minus)
+
     def diff(
         self, old_version: int, new_version: int, keys, compare_cols=None
     ) -> DataFrame:

@@ -343,6 +343,73 @@ def test_read_since_drives_exactly_once_ivm(spark, tmp_path):
         assert g[2] == pytest.approx(w[2], rel=1e-12)
 
 
+def test_read_changes_feeds_ivm_through_a_merge(spark, tmp_path):
+    """The loop read_since can't close: a MERGE window, turned into an
+    op-tagged change feed, folds into apply_batch_cdc — the maintained
+    state equals a from-scratch aggregate of the merged head."""
+    from globalweather_etl_spark.operators.ivm import (
+        IncrementalAggregate,
+        Measure,
+    )
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path) + "/chg")
+    base = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(30)],
+        "k long, g string, v double",
+    )
+    v1 = st.write(base.repartition(4, "k"), mode="overwrite")
+    agg = IncrementalAggregate(
+        spark,
+        str(tmp_path / "ivm"),
+        ["g"],
+        [
+            Measure("n", "count"),
+            Measure("total", "sum", "v"),
+        ],
+    )
+    agg.apply_batch(st.read(v1), batch_id=v1)
+    # one merge: update k%5==0 (v*10), delete k%7==3, insert k=100
+    src = (
+        base.filter(F.col("k") % 5 == 0)
+        .withColumn("v", F.col("v") * 10)
+        .unionByName(
+            spark.createDataFrame(
+                [(100, "g0", 5.0)], "k long, g string, v double"
+            )
+        )
+    )
+    st.merge_into(src, keys=["k"])
+    st.merge_into(
+        st.read().filter(F.col("k") % 7 == 3),
+        keys=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    head = st.latest_version()
+    changes = st.read_changes(v1, keys=["k"], version=head)
+    # the feed balances: net row delta == head count - v1 count
+    net = changes.agg(F.sum("__op")).collect()[0][0]
+    assert net == st.read(head).count() - st.read(v1).count()
+    agg.apply_batch_cdc(changes, batch_id=head)
+    # replay is a stamped no-op
+    agg.apply_batch_cdc(changes, batch_id=head)
+    want = sorted(
+        tuple(r)
+        for r in st.read(head)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in agg.read().select("g", "n", "total").collect()
+    )
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], rel=1e-12)
+
+
 def test_write_audited_publishes_only_clean_data(spark, table):
     """Write-audit-publish: a failing expectations suite blocks the
     manifest; readers never see the staged files; a passing write
