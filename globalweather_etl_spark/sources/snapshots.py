@@ -1371,12 +1371,25 @@ def _index_methods():
         self, key_col: str, value, version: int | None = None
     ) -> DataFrame:
         """Point lookup: rows where ``key_col == value``, opening ONLY
-        the files the Bloom index cannot rule out (falls back to a
-        full filtered scan when no index exists). Bloom false
+        the files neither the Bloom index nor the zone map (a point is
+        the range [value, value]) can rule out — the two sidecars
+        prune complementary cases: Bloom catches values inside a
+        file's min/max that simply aren't there, zone maps catch
+        out-of-range values a saturated Bloom filter can't. Falls
+        back to a full filtered scan when no index exists. False
         positives cost an extra file open, never a wrong row — the
         exact filter always applies."""
         v = self.latest_version() if version is None else version
         files = self.files_for_key(key_col, value, v)
+        try:
+            rng = self.files_for_range(key_col, value, value, v)
+        except (TypeError, KeyError):
+            rng = None  # no stats / bound-type mismatch: Bloom only
+        if files is None:
+            files = rng
+        elif rng is not None:
+            keep = set(rng)
+            files = [f for f in files if f in keep]
         pred = F.col(key_col).cast("string") == F.lit(str(value))
         if files is None:
             return self.read(v).filter(pred)
@@ -1527,6 +1540,35 @@ def _zm_encode(value, dt):
 
 def _zm_eps_widen(s: str) -> bool:
     return s == "bigint" or s.startswith("decimal")
+
+
+def _zm_check_bound(value, dt, col: str) -> None:
+    """Reject bound/column type mismatches LOUDLY. A numeric bound
+    against a string column would prune by lexicographic stats while
+    Spark's exact filter compares numerically after coercion — the
+    two can disagree and silently drop matching files; better to make
+    the caller cast explicitly."""
+    import datetime
+    import decimal
+
+    s = dt.simpleString()
+    if s in _ZM_NUM_TYPES or s.startswith("decimal"):
+        ok = isinstance(
+            value, (int, float, decimal.Decimal, bool)
+        )
+    elif s == "date":
+        ok = isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        )
+    elif s.startswith("timestamp"):
+        ok = isinstance(value, datetime.date)  # date or datetime
+    else:  # string
+        ok = isinstance(value, str)
+    if not ok:
+        raise TypeError(
+            f"bound {value!r} ({type(value).__name__}) does not match "
+            f"column {col!r} of type {s}; cast the bound explicitly"
+        )
 
 
 def _stats_methods():
@@ -1883,6 +1925,9 @@ def _stats_methods():
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
         dt = {f.name: f.dataType for f in schema.fields}[col]
+        for b in (lo, hi):
+            if b is not None:
+                _zm_check_bound(b, dt, col)
         _, lo_n, lo_s = (
             _zm_encode(lo, dt) if lo is not None else (None, None, None)
         )

@@ -766,3 +766,57 @@ def test_pre_year_1000_timestamp_both_builds_agree(spark, tmp_path):
         "ts", dt.datetime(2000, 1, 1), dt.datetime(2030, 1, 1)
     ).collect()
     assert [r["k"] for r in got] == [2]
+
+
+class TestBoundGuardsAndComposition:
+    def test_bound_type_mismatch_is_loud(self, zm_table):
+        zm_table.build_stats()  # guard needs a sidecar to defend
+        with pytest.raises(TypeError, match="cast the bound"):
+            zm_table.files_for_range("s", 5, 9)  # numeric vs string col
+        with pytest.raises(TypeError, match="cast the bound"):
+            zm_table.read_range("k", "0", "9")  # string vs numeric col
+        with pytest.raises(TypeError, match="cast the bound"):
+            zm_table.files_for_range("d", dt.datetime(2024, 1, 1), None)
+
+    def test_read_where_intersects_bloom_and_zonemap(
+        self, spark, tmp_path
+    ):
+        """A deliberately saturated Bloom filter keeps almost every
+        file; the zone map on the clustered layout still prunes the
+        point lookup to its one covering file."""
+        st = SnapshotTable(spark, str(tmp_path) + "/compose")
+        st.write_clustered(
+            spark.createDataFrame([Row(k=i) for i in range(512)]),
+            cluster_by=["k"],
+            n_files=8,
+        )
+        st.build_file_index("k", num_bits=64)  # saturated: ~all set
+        st.build_stats(cols=["k"])
+        bloom_only = st.files_for_key("k", 100)
+        zm_only = st.files_for_range("k", 100, 100)
+        assert len(zm_only) == 1
+        assert len(bloom_only) >= len(zm_only)
+        got = st.read_where("k", 100).collect()
+        assert [r["k"] for r in got] == [100]
+
+    def test_read_where_without_stats_unchanged(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/composeb")
+        st.write(
+            spark.createDataFrame([Row(k=i) for i in range(32)]),
+            mode="overwrite",
+        )
+        st.build_file_index("k")
+        assert [
+            r["k"] for r in st.read_where("k", 7).collect()
+        ] == [7]
+        # zone map only (no Bloom): read_where prunes via stats alone
+        st2 = SnapshotTable(spark, str(tmp_path) + "/composec")
+        st2.write_clustered(
+            spark.createDataFrame([Row(k=i) for i in range(64)]),
+            cluster_by=["k"],
+            n_files=4,
+        )
+        st2.build_stats()
+        assert [
+            r["k"] for r in st2.read_where("k", 63).collect()
+        ] == [63]
