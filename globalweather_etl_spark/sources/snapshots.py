@@ -27,6 +27,10 @@ re-implemented from first principles — no external libraries):
 - ``vacuum(keep_last=n)`` drops manifests older than the kept window,
   then deletes data files no kept version references — the only
   destructive operation, and the reason data files must be immutable.
+- ``delete_where`` / ``merge_into(strategy="merge-on-read")`` commit
+  DELETION VECTORS (positional delete sidecars over
+  ``_metadata.row_index``) instead of rewriting files; every read path
+  applies them, ``purge_deletes``/``compact`` materializes them away.
 
 Scale shape (100 TB): commits touch only the new files plus one
 manifest write — append cost is O(new data), independent of table
@@ -44,7 +48,6 @@ import json
 import time
 import uuid
 from dataclasses import dataclass
-from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +57,8 @@ __all__ = ["SnapshotTable", "SnapshotInfo"]
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+# deletion-vector store schema: one row per deleted (file, position)
+_DV_SCHEMA = "__dv_file string, __dv_pos long"
 
 
 @dataclass(frozen=True)
@@ -327,6 +332,7 @@ class SnapshotTable:
             parent = self.latest_version()
             version = self._next_version(parent)
             schema_json = df.schema.json()
+            dv_carry = None
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
@@ -346,6 +352,10 @@ class SnapshotTable:
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
                     ).json()
+                    # appends keep every parent file, so the parent's
+                    # deletion vectors carry — dropping them would
+                    # resurrect deleted rows
+                    dv_carry = pm.get("dvs")
             manifest = {
                 **{
                     k: v
@@ -354,6 +364,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
+                        "dvs",
                     )
                 },
                 **self._stamp_carry(parent, manifest_extra or {}),
@@ -363,6 +374,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
+                **({"dvs": dv_carry} if dv_carry else {}),
             }
             if self._write_json_atomic(
                 manifest, self._manifest_path(version)
@@ -394,6 +406,7 @@ class SnapshotTable:
                 return None  # a racing replay landed it first
             version = self._next_version(parent)
             schema_json = df.schema.json()
+            dv_carry = None
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
@@ -406,6 +419,7 @@ class SnapshotTable:
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
                     ).json()
+                    dv_carry = pm.get("dvs")
             manifest = {
                 **self._stamp_carry(parent, {"batch_id": batch_id}),
                 "version": version,
@@ -415,6 +429,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
+                **({"dvs": dv_carry} if dv_carry else {}),
             }
             if self._write_json_atomic(
                 manifest, self._manifest_path(version)
@@ -436,6 +451,9 @@ class SnapshotTable:
                 "schema": m["schema"],
                 "files": m["files"],
                 "n_rows": m["n_rows"],
+                # the restored version's deletion vectors are part of
+                # its row set — carry them or deleted rows resurrect
+                **({"dvs": m["dvs"]} if m.get("dvs") else {}),
             }
             if self._write_json_atomic(
                 manifest, self._manifest_path(new_version)
@@ -477,6 +495,7 @@ class SnapshotTable:
             parent = self.latest_version()
             version = self._next_version(parent)
             schema_json = df.schema.json()
+            dv_carry = None
             if parent is None:
                 base_files: list[str] = []
                 base_rows = 0
@@ -493,6 +512,7 @@ class SnapshotTable:
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
                     ).json()
+                    dv_carry = pm.get("dvs")
             manifest = {
                 **self._stamp_carry(parent, {}),
                 "version": version,
@@ -501,6 +521,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
+                **({"dvs": dv_carry} if dv_carry else {}),
             }
             if self._write_json_atomic(
                 manifest, self._manifest_path(version)
@@ -526,18 +547,88 @@ class SnapshotTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """DataFrame over the pinned manifest's exact file list (latest
-        version by default).  Empty tables read as an empty frame with
-        the manifest schema."""
+        version by default), with the version's DELETION VECTORS
+        applied (merge-on-read — see delete_where).  Empty tables read
+        as an empty frame with the manifest schema."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(version)
+        return self._read_files(m["files"], m)
+
+    # ------------------------------------------- merge-on-read reads
+    def _rel_file_expr(self):
+        """Manifest-relative path of the scanned file, as a Column —
+        the executor-side twin of ``_rel``: percent-decode
+        ``_metadata.file_path`` (Spark renders it URI-encoded, spaces
+        -> %20) and strip the qualified table root.  Every deletion-
+        vector producer AND consumer derives file identity through
+        this one expression, so DV matching is self-consistent even if
+        an exotic filesystem renders paths differently from the
+        manifest; delete_where additionally cross-checks the derived
+        ids against the manifest listing and fails loudly on drift."""
+        qroot = self._qualified_root()
+        dec = F.url_decode(F.col("_metadata.file_path"))
+        return dec.substr(F.lit(len(qroot) + 2), F.lit(1 << 30))
+
+    def _read_files(
+        self, rels: list[str], m: dict, with_pos: bool = False
+    ) -> DataFrame:
+        """DataFrame over a subset of manifest ``m``'s data files with
+        the manifest's deletion vectors applied — the single scan
+        helper behind read()/read_where/read_range/read_box and the
+        merge/delete paths.  Files the DV sidecar never touched scan
+        PLAIN (no metadata columns, no join — the common case stays
+        whole-stage-codegen); files with deletions scan with
+        ``_metadata.row_index`` attached and anti-join the (file, pos)
+        store.  ``with_pos=True`` keeps the ``__dv_file``/``__dv_pos``
+        identity columns on every row (both branches) for callers that
+        need row addresses (delete_where, merge-on-read merges)."""
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
-            return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/{rel}" for rel in m["files"]]
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not rels:
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("__dv_file"),
+                    F.lit(None).cast("long").alias("__dv_pos"),
+                )
+            return df
+        dv = m.get("dvs") or {"stores": [], "files": []}
+        dvd = set(dv["files"])
+        clean = [r for r in rels if r not in dvd]
+        hit = [r for r in rels if r in dvd]
+
+        def _scan(subset, attach):
+            df = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{r}" for r in subset]
+            )
+            if attach:
+                df = df.select(
+                    "*",
+                    self._rel_file_expr().alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            return df
+
+        parts = []
+        if clean:
+            parts.append(_scan(clean, with_pos))
+        if hit:
+            store = self.spark.read.schema(_DV_SCHEMA).parquet(
+                *[f"{self.path}/{s}" for s in dv["stores"]]
+            )
+            live = _scan(hit, True).join(
+                store, ["__dv_file", "__dv_pos"], "left_anti"
+            )
+            if not with_pos:
+                live = live.drop("__dv_file", "__dv_pos")
+            parts.append(live)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_since(
         self, since_version: int, version: int | None = None
@@ -639,6 +730,145 @@ class SnapshotTable:
             compare_cols,
         )
 
+    def delete_where(
+        self,
+        condition,
+        store_files: int = 1,
+        max_retries: int = 5,
+    ) -> dict:
+        """MERGE-ON-READ delete: remove rows matching ``condition`` (a
+        Column or SQL string) WITHOUT rewriting any data file — the
+        deletion-vector design Delta and Iceberg publish (positional
+        delete files).  The commit writes only a tiny parquet store of
+        deleted ``(file, row_position)`` pairs and a manifest whose
+        ``dvs`` entry points at it; every read path anti-joins the
+        store for the affected files (see ``_read_files``).  Cost is
+        O(matched rows) regardless of how large the matched files are
+        — the copy-on-write complement (``merge_into``) pays O(matched
+        FILES) instead, so merge-on-read wins when deletes are sparse
+        and scattered (GDPR row erasure across a 100 TB table touches
+        a few thousand rows in thousands of files: DV commit writes
+        kilobytes; copy-on-write would rewrite terabytes).
+
+        The condition is evaluated on the LIVE rows (prior deletions
+        already applied), so re-running the same delete is a no-op and
+        row accounting stays exact.  Reads get slightly slower on the
+        affected files (one anti-join) until ``purge_deletes`` or
+        ``compact`` materializes the deletions away — the documented
+        merge-on-read trade.  Time travel to pre-delete versions is
+        untouched.  ``store_files`` bounds the DV store's file count
+        (deletes are usually tiny; raise it for billion-row sweeps).
+
+        Returns {"version", "n_deleted", "files_affected"}; a delete
+        matching nothing commits nothing."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        if store_files < 1:
+            raise ValueError("store_files must be >= 1")
+        if self.latest_version() is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        for _ in range(max_retries):
+            base = self.latest_version()
+            target = self._next_version(base)
+            m = self._manifest(base)
+            live = self._read_files(m["files"], m, with_pos=True)
+            matches = (
+                live.filter(condition)
+                .select("__dv_file", "__dv_pos")
+                .coalesce(store_files)
+            )
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            matches.write.mode("error").parquet(commit_dir)
+            store_rels = self._list_commit_files(commit_dir)
+            back = self.spark.read.schema(_DV_SCHEMA).parquet(commit_dir)
+            n_del = back.count()
+            if n_del == 0:
+                # nothing matched: don't burn a version (the empty
+                # store dir is unreferenced; vacuum reclaims it)
+                return {
+                    "version": base, "n_deleted": 0, "files_affected": 0,
+                }
+            affected = sorted(
+                r["__dv_file"]
+                for r in back.select("__dv_file").distinct().collect()
+            )
+            unknown = [a for a in affected if a not in set(m["files"])]
+            if unknown:
+                raise RuntimeError(
+                    "deletion-vector file ids do not match the manifest "
+                    f"listing (root-derivation drift?): {unknown[:3]}"
+                )
+            pdv = m.get("dvs") or {"stores": [], "files": []}
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "delete",
+                "schema": m["schema"],
+                "files": m["files"],
+                "n_rows": m["n_rows"] - n_del,
+                "dvs": {
+                    "stores": pdv["stores"] + store_rels,
+                    "files": sorted(set(pdv["files"]) | set(affected)),
+                },
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(target)
+            ):
+                return {
+                    "version": target,
+                    "n_deleted": n_del,
+                    "files_affected": len(affected),
+                }
+            # lost the race: the matched positions may be stale against
+            # the new head — recompute everything
+        raise RuntimeError(
+            f"delete_where lost the commit race {max_retries} times"
+        )
+
+    def purge_deletes(self, max_retries: int = 5) -> int:
+        """Materialize the head's deletion vectors: rewrite ONLY the
+        files that carry deletions (survivor rows, DVs applied), carry
+        every clean file by reference, and commit a DV-free version —
+        Delta's ``REORG TABLE … APPLY (PURGE)``.  Cost is O(data in
+        DV'd files), not table size; after the commit, reads of those
+        files are plain scans again and the next ``vacuum`` reclaims
+        the now-unreferenced DV stores.  No-op (returns the head) when
+        the head has no deletion vectors."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self._manifest(base)
+            dv = m.get("dvs")
+            if not dv or not dv["files"]:
+                return base
+            target = self._next_version(base)
+            dvd = set(dv["files"])
+            clean = [r for r in m["files"] if r not in dvd]
+            hit = [r for r in m["files"] if r in dvd]
+            rewrite = self._read_files(hit, m)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            new_files = self._list_commit_files(commit_dir)
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "purge",
+                "schema": m["schema"],
+                "files": clean + new_files,
+                "n_rows": m["n_rows"],
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(target)
+            ):
+                return target
+        raise RuntimeError(
+            f"purge_deletes lost the commit race {max_retries} times"
+        )
+
     def merge_into(
         self,
         source: DataFrame,
@@ -650,6 +880,8 @@ class SnapshotTable:
         assume_unique_source: bool = False,
         rewrite_partitions: int | None = None,
         matched_delete_condition=None,
+        strategy: str = "copy-on-write",
+        dv_store_files: int = 1,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -689,13 +921,30 @@ class SnapshotTable:
         layers like operators.ivm use to stamp batch ids, mirroring
         write_batch.
 
+        ``strategy`` picks how matched rows leave the table:
+        'copy-on-write' (default) rewrites the files containing
+        matched keys — reads stay plain scans, merge cost is O(data in
+        matched FILES); 'merge-on-read' instead records the matched
+        target rows as deletion-vector positions (see delete_where)
+        and appends the update/insert rows as NEW files — NO file is
+        ever rewritten, merge cost is O(matched ROWS + source), and
+        reads of the affected files pay an anti-join until
+        ``purge_deletes``/``compact``.  Both strategies produce
+        IDENTICAL table contents (test-pinned); pick merge-on-read for
+        frequent small upserts into huge files, copy-on-write for
+        read-hot tables.  ``dv_store_files`` bounds the merge-on-read
+        DV store's file count.
+
         Returns {"version", "files_rewritten", "files_kept",
-        "n_rows"}; a merge with nothing to do commits nothing and
-        returns the current head."""
+        "n_rows"} (merge-on-read adds "n_dv_deletes" and always has
+        files_rewritten=0); a merge with nothing to do commits nothing
+        and returns the current head."""
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"bad when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"bad strategy: {strategy!r}")
         if not keys:
             raise ValueError("keys must be non-empty")
         if matched_delete_condition is not None:
@@ -757,31 +1006,38 @@ class SnapshotTable:
                 )
             src = source.select(*cols)
             src_keys = src.select(*keys).distinct()
-            tgt = self.read(base).withColumn("__file", F.input_file_name())
-            # input_file_name() renders a percent-ENCODED URI (spaces
-            # -> %20 etc.) while manifests store plain relative paths;
-            # decode before matching, and anchor on the '/' so a rel
-            # can only match at a path-segment boundary
-            hit_files_abs = {
-                unquote(r["__file"])
+            pdv = m.get("dvs") or {"stores": [], "files": []}
+            # live target rows with (file, position) identity attached
+            # at scan time — prior deletion vectors already applied, so
+            # a row deleted by an earlier commit can never match again
+            tgt = self._read_files(m["files"], m, with_pos=True)
+
+            if strategy == "merge-on-read":
+                result = self._merge_mor(
+                    base, target, m, pdv, src, src_keys, keys,
+                    when_matched, when_not_matched,
+                    matched_delete_condition, rewrite_partitions,
+                    dv_store_files, manifest_extra, tgt,
+                )
+                if result is not None:
+                    return result
+                continue  # lost the commit race: recompute
+
+            hit_rel = sorted(
+                r["__dv_file"]
                 for r in tgt.join(src_keys, keys, "left_semi")
-                .select("__file")
+                .select("__dv_file")
                 .distinct()
                 .collect()
-            }
-            hit_rel = [
-                rel
-                for rel in m["files"]
-                if any(a.endswith(f"/{rel}") for a in hit_files_abs)
-            ]
+            )
             kept_rel = [r for r in m["files"] if r not in set(hit_rel)]
 
             out_parts = []
             n_hit_rows = 0
             if hit_rel:
-                hit_tgt = self.spark.read.schema(
-                    StructType.fromJson(json.loads(m["schema"]))
-                ).parquet(*[f"{self.path}/{rel}" for rel in hit_rel])
+                # DV-applied read: rows already deleted in the hit
+                # files must not survive into the rewrite
+                hit_tgt = self._read_files(hit_rel, m)
                 n_hit_rows = hit_tgt.count()
                 survivors = hit_tgt.join(src_keys, keys, "left_anti")
                 if when_matched == "update":
@@ -844,6 +1100,10 @@ class SnapshotTable:
                     "files_kept": len(m["files"]),
                     "n_rows": m["n_rows"],
                 }
+            # rewritten files leave their DV entries behind; kept
+            # files keep theirs (stores carry whole — stale pairs for
+            # rewritten rels can never match a scan again)
+            rem_dv = [f for f in pdv["files"] if f in set(kept_rel)]
             manifest = {
                 **{
                     k: v
@@ -852,6 +1112,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
+                        "dvs",
                     )
                 },
                 **self._stamp_carry(base, manifest_extra or {}),
@@ -861,6 +1122,11 @@ class SnapshotTable:
                 "schema": m["schema"],
                 "files": kept_rel + new_files,
                 "n_rows": m["n_rows"] - n_hit_rows + n_written,
+                **(
+                    {"dvs": {"stores": pdv["stores"], "files": rem_dv}}
+                    if rem_dv
+                    else {}
+                ),
             }
             if self._write_json_atomic(
                 manifest, self._manifest_path(target)
@@ -876,6 +1142,120 @@ class SnapshotTable:
         raise RuntimeError(
             f"merge_into lost the commit race {max_retries} times"
         )
+
+    def _merge_mor(
+        self, base, target, m, pdv, src, src_keys, keys,
+        when_matched, when_not_matched, matched_delete_condition,
+        rewrite_partitions, dv_store_files, manifest_extra, tgt,
+    ) -> dict | None:
+        """One merge-on-read attempt against head ``base`` (see
+        merge_into): matched target rows become deletion-vector
+        positions, update/insert rows append as new files, no file is
+        rewritten.  Returns the result dict, or None when the commit
+        race was lost (caller recomputes)."""
+        n_matched = 0
+        store_rels: list[str] = []
+        affected: list[str] = []
+        if when_matched in ("update", "delete"):
+            matched_pos = (
+                tgt.join(src_keys, keys, "left_semi")
+                .select("__dv_file", "__dv_pos")
+                .coalesce(dv_store_files)
+            )
+            dv_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            matched_pos.write.mode("error").parquet(dv_dir)
+            store_rels = self._list_commit_files(dv_dir)
+            back = self.spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
+            n_matched = back.count()
+            if n_matched:
+                affected = sorted(
+                    r["__dv_file"]
+                    for r in back.select("__dv_file").distinct().collect()
+                )
+                unknown = [
+                    a for a in affected if a not in set(m["files"])
+                ]
+                if unknown:
+                    raise RuntimeError(
+                        "deletion-vector file ids do not match the "
+                        f"manifest listing: {unknown[:3]}"
+                    )
+        out_parts = []
+        if when_matched == "update":
+            matched_src = src.join(
+                tgt.select(*keys).distinct(), keys, "left_semi"
+            )
+            if matched_delete_condition is not None:
+                matched_src = matched_src.filter(
+                    ~matched_delete_condition
+                )
+            out_parts.append(matched_src)
+        if when_not_matched == "insert":
+            inserts = src.join(
+                tgt.select(*keys).distinct(), keys, "left_anti"
+            )
+            if matched_delete_condition is not None:
+                inserts = inserts.filter(~matched_delete_condition)
+            out_parts.append(inserts)
+        new_files: list[str] = []
+        n_written = 0
+        if out_parts:
+            rewrite = out_parts[0]
+            for p in out_parts[1:]:
+                rewrite = rewrite.unionByName(p)
+            if rewrite_partitions is not None:
+                rewrite = rewrite.coalesce(rewrite_partitions)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            new_files = self._list_commit_files(commit_dir)
+            n_written = (
+                self.spark.read.schema(rewrite.schema)
+                .parquet(commit_dir)
+                .count()
+            )
+        if n_matched == 0 and n_written == 0:
+            # unreferenced empty dirs are vacuum's to reclaim
+            return {
+                "version": base,
+                "files_rewritten": 0,
+                "files_kept": len(m["files"]),
+                "n_rows": m["n_rows"],
+                "n_dv_deletes": 0,
+            }
+        dv_files = sorted(set(pdv["files"]) | set(affected))
+        stores = pdv["stores"] + (store_rels if n_matched else [])
+        manifest = {
+            **{
+                k: v
+                for k, v in (manifest_extra or {}).items()
+                if k
+                not in (
+                    "version", "parent", "mode", "schema", "files",
+                    "n_rows", "max_batch_id", "ivm_max_batch_id", "dvs",
+                )
+            },
+            **self._stamp_carry(base, manifest_extra or {}),
+            "version": target,
+            "parent": base,
+            "mode": "merge",
+            "schema": m["schema"],
+            "files": m["files"] + new_files,
+            "n_rows": m["n_rows"] - n_matched + n_written,
+            **(
+                {"dvs": {"stores": stores, "files": dv_files}}
+                if dv_files
+                else {}
+            ),
+        }
+        if self._write_json_atomic(manifest, self._manifest_path(target)):
+            return {
+                "version": target,
+                "files_rewritten": 0,
+                "files_kept": len(m["files"]),
+                "n_rows": manifest["n_rows"],
+                "n_dv_deletes": n_matched,
+            }
+        return None
 
     # --------------------------------------------- layout maintenance
     def compact(
@@ -1071,7 +1451,12 @@ class SnapshotTable:
         drop = [v for v in vs if v not in keep]
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
+            mv = self._manifest(v)
+            referenced.update(mv["files"])
+            # deletion-vector stores live under data/ like data files
+            # and are exactly as load-bearing: deleting a referenced
+            # store would resurrect its deleted rows
+            referenced.update((mv.get("dvs") or {}).get("stores", []))
         removed_files = 0
         mtime_horizon_ms = (time.time() - unreferenced_grace) * 1000.0
         ddir = self._p(f"{self.path}/{_DATA_DIR}")
@@ -1394,13 +1779,9 @@ def _index_methods():
         if files is None:
             return self.read(v).filter(pred)
         m = self._manifest(v)
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/{rel}" for rel in files]
-        return (
-            self.spark.read.schema(schema).parquet(*paths).filter(pred)
-        )
+        # _read_files applies the version's deletion vectors — a
+        # DV-deleted row must not reappear in a point lookup
+        return self._read_files(files, m).filter(pred)
 
     SnapshotTable._index_path = _index_path
     SnapshotTable._index_meta_path = _index_meta_path
@@ -2036,13 +2417,8 @@ def _stats_methods():
         if files is None:
             return self.read(v).filter(pred)
         m = self._manifest(v)
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/{rel}" for rel in files]
-        return (
-            self.spark.read.schema(schema).parquet(*paths).filter(pred)
-        )
+        # deletion vectors apply to pruned reads too (_read_files)
+        return self._read_files(files, m).filter(pred)
 
     def read_box(
         self,
@@ -2078,14 +2454,9 @@ def _stats_methods():
         if cand is None:
             return self.read(v).filter(pred)
         m = self._manifest(v)
-        schema = StructType.fromJson(json.loads(m["schema"]))
         keep = [f for f in m["files"] if f in cand]
-        if not keep:
-            return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/{rel}" for rel in keep]
-        return (
-            self.spark.read.schema(schema).parquet(*paths).filter(pred)
-        )
+        # deletion vectors apply to pruned reads too (_read_files)
+        return self._read_files(keep, m).filter(pred)
 
     SnapshotTable._zm_path = _zm_path
     SnapshotTable._zm_meta_path = _zm_meta_path
