@@ -76,9 +76,15 @@ class QualityModel:
 def _feature_expr(text: Column, dim: int, ngrams: int) -> Column:
     """In-plan hashed feature indices for one document: distinct
     xxhash64 buckets of word unigrams (+ n-grams up to ``ngrams``),
-    lowercased, punctuation-split. Pure expressions — no UDF."""
+    lowercased, punctuation-split. Pure expressions — no UDF.
+
+    NULL text is routine in web corpora (the sibling text kernel is
+    NULL-safe throughout): coalesce to '' so a NULL document yields an
+    EMPTY feature array (margin = bias) instead of a NULL array that
+    would crash the Arrow gather downstream (advisor finding, r6)."""
     toks = F.filter(
-        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != ""
+        F.split(F.lower(F.coalesce(text, F.lit(""))), _TOKEN_SPLIT),
+        lambda t: t != "",
     )
     grams = [toks]
     for k in range(2, ngrams + 1):
@@ -122,8 +128,16 @@ def _margin_udf(weights: np.ndarray, bias: float):
 
     @F.pandas_udf(DoubleType())
     def margin(features):
+        # None features (a NULL array reaching the UDF through some
+        # other caller's plan) degrade to the empty feature set —
+        # margin = bias — mirroring _feature_expr's NULL coalesce.
         return features.map(
-            lambda idx: bias + float(weights[np.asarray(idx, dtype=np.int64)].sum())
+            lambda idx: bias
+            + (
+                float(weights[np.asarray(idx, dtype=np.int64)].sum())
+                if idx is not None
+                else 0.0
+            )
         )
 
     return margin

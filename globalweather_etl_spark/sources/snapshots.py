@@ -569,7 +569,18 @@ class SnapshotTable:
         manifest; delete_where additionally cross-checks the derived
         ids against the manifest listing and fails loudly on drift."""
         qroot = self._qualified_root()
-        dec = F.url_decode(F.col("_metadata.file_path"))
+        # PERCENT-decode only: url_decode is form-decoding, so a
+        # literal '+' in the table root or a file name would decode to
+        # a space and the derived id would no longer match the
+        # manifest rel (Hadoop Path.toString keeps '+' literal; the
+        # URI encoding of _metadata.file_path never escapes '+'
+        # either).  Protect '+' as %2B first so only %XX sequences
+        # decode (advisor finding, r6).
+        dec = F.url_decode(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"\+", "%2B"
+            )
+        )
         return dec.substr(F.lit(len(qroot) + 2), F.lit(1 << 30))
 
     def _read_files(
@@ -1626,7 +1637,19 @@ def _index_methods():
                 F.input_file_name(), f"/{_DATA_DIR}/c-", -1
             ),
         )
-        df = self.read(v).withColumn("__file", rel)
+        # PLAIN scan of the manifest's files, NOT read(v): a version
+        # with deletion vectors reads as a UNION of two scans, which
+        # input_file_name() cannot span (caught by the DV test suite).
+        # Indexing deleted rows' keys is harmless — a Bloom index is
+        # candidates-only, so a deleted key costs one false-positive
+        # file open at probe time; the read path applies the DVs and
+        # the exact filter.
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[f"{self.path}/{r}" for r in m["files"]])
+            .withColumn("__file", rel)
+        )
         idx_df = (
             df.filter(F.col(key_col).isNotNull())
             .select(
@@ -2017,6 +2040,34 @@ def _stats_methods():
         version (head by default). ``cols`` defaults to every
         zone-mappable column. Returns {'files': n, 'rows': n}.
 
+        The session timezone is pinned to UTC for the duration: the
+        scan build renders timestamp bounds via date_format, whose
+        timezone is baked in at DataFrame ANALYSIS time from the
+        session conf, while the probe codec (_zm_encode) and the
+        footer build render naive UTC.  Under a non-UTC session the
+        sidecar strings would be wall-shifted and read_range would
+        silently prune files that contain matching rows
+        (advisor-reproduced under Asia/Kolkata, round 6).
+        """
+        _tz_key = "spark.sql.session.timeZone"
+        _tz_prev = self.spark.conf.get(_tz_key)
+        self.spark.conf.set(_tz_key, "UTC")
+        try:
+            return _build_stats_impl(
+                self, cols, version, method, incremental
+            )
+        finally:
+            self.spark.conf.set(_tz_key, _tz_prev)
+
+    def _build_stats_impl(
+        self,
+        cols: list[str] | None = None,
+        version: int | None = None,
+        method: str = "footer",
+        incremental: bool = False,
+    ) -> dict:
+        """build_stats body; caller holds the UTC session-tz pin.
+
         ``incremental=True`` reuses the NEWEST other version's sidecar
         (same column set): stats are computed only for files that
         version didn't cover, its rows for files still present carry
@@ -2309,6 +2360,33 @@ def _stats_methods():
         for b in (lo, hi):
             if b is not None:
                 _zm_check_bound(b, dt, col)
+        # A NAIVE datetime bound against a session-tz TIMESTAMP column
+        # is interpreted by Spark's exact filter in the SESSION
+        # timezone, while the sidecar strings are UTC-rendered: under
+        # a non-UTC session the pruning and the residual filter would
+        # disagree and drop matching files.  tz-AWARE bounds pin an
+        # instant and are safe under any session tz (both sides
+        # convert to UTC); timestamp_ntz / date / numeric / string
+        # columns are tz-insensitive.  Fail loudly instead of
+        # mispruning (advisor finding, round 6).
+        if dt.simpleString() == "timestamp":
+            import datetime as _dtmod
+
+            naive = any(
+                isinstance(b, _dtmod.datetime) and b.tzinfo is None
+                for b in (lo, hi)
+                if b is not None
+            )
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+            if naive and tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+                raise ValueError(
+                    f"naive datetime bound on timestamp column {col!r} "
+                    f"under session timezone {tz!r}: zone-map pruning "
+                    "encodes bounds in UTC while Spark's exact filter "
+                    "would interpret the literal in the session "
+                    "timezone — pass a tz-aware bound or set "
+                    "spark.sql.session.timeZone=UTC"
+                )
         _, lo_n, lo_s = (
             _zm_encode(lo, dt) if lo is not None else (None, None, None)
         )

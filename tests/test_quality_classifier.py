@@ -65,6 +65,38 @@ class TestFeaturization:
         uni = hashed_features(df, "id", "t", dim=1 << 12, ngrams=1)
         assert len(f1) > len(uni.collect()[0]["features"]) == 3
 
+    def test_null_text_is_empty_features_and_scorable(self, spark):
+        """Regression (round-6 advisory): a NULL document used to reach
+        the margin UDF as a None features array and crash both train
+        and score with a TypeError. NULL text now featurizes to [] and
+        scores at sigmoid(bias)."""
+        df = spark.createDataFrame(
+            [(1, "real text here"), (2, None)], "id long, t string"
+        )
+        got = {
+            r["id"]: r["features"]
+            for r in hashed_features(df, "id", "t", dim=256).collect()
+        }
+        assert got[2] == []
+        model = QualityModel(
+            weights=np.ones(256), bias=0.5, dim=256, ngrams=2
+        )
+        scores = {
+            r["id"]: r["quality_prob"]
+            for r in score_quality(df, model, "t").collect()
+        }
+        assert scores[2] == pytest.approx(1.0 / (1.0 + np.exp(-0.5)))
+        assert scores[1] > scores[2]  # positive weights on real tokens
+        # training over a frame containing a NULL document must not crash
+        tr = spark.createDataFrame(
+            [(1, "good solid text", 1), (2, None, 0), (3, "spam spam", 0)],
+            "id long, t string, y int",
+        )
+        m = train_quality_classifier(
+            tr, "id", "t", "y", dim=256, epochs=2
+        )
+        assert np.isfinite(m.bias) and np.isfinite(m.weights).all()
+
     def test_short_docs_no_bigrams(self, spark):
         df = spark.createDataFrame(
             [(1, "word"), (2, ""), (3, "two tokens")], "id long, t string"

@@ -296,6 +296,53 @@ class TestLifecycle:
         assert set(before).isdisjoint(set(after))
         assert st.read_range("k", 100, 200).count() == 4
 
+    def test_scan_build_under_non_utc_session(self, spark, tmp_path):
+        """Regression (round-6 advisory): the scan build rendered
+        timestamp bounds via date_format in the SESSION timezone while
+        the probe codec renders naive UTC — under Asia/Kolkata a
+        pruned read silently returned 0 of the matching rows.  The
+        build now pins UTC around the stats job, and naive bounds
+        under a non-UTC session fail loudly instead of mispruning."""
+        tzkey = "spark.sql.session.timeZone"
+        prev = spark.conf.get(tzkey)
+        try:
+            st = SnapshotTable(spark, str(tmp_path) + "/tz")
+            df = spark.createDataFrame(
+                [
+                    Row(
+                        k=i,
+                        ts=dt.datetime(2024, 1, 1)
+                        + dt.timedelta(hours=6 * i),
+                    )
+                    for i in range(32)
+                ]
+            )
+            st.write_clustered(
+                df, cluster_by=["ts"], n_files=8, mode="overwrite"
+            )
+            spark.conf.set(tzkey, "Asia/Kolkata")
+            st.build_stats(cols=["ts"], method="scan")
+            # conf restored after the build, not left pinned
+            assert spark.conf.get(tzkey) == "Asia/Kolkata"
+            lo = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+            hi = dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc)
+            want = (
+                st.read()
+                .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+                .count()
+            )
+            assert want > 0
+            assert st.read_range("ts", lo, hi).count() == want
+            files = st.files_for_range("ts", lo, hi)
+            all_files = st._manifest(st.latest_version())["files"]
+            assert files is not None and len(files) < len(all_files)
+            with pytest.raises(ValueError, match="session timezone"):
+                st.read_range(
+                    "ts", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4)
+                )
+        finally:
+            spark.conf.set(tzkey, prev)
+
     def test_spark_probe_path_matches_cached_path(self, zm_table):
         """Force the big-table Spark probe regime and pin it to the
         driver-cache regime's answer (same contract as the Bloom
