@@ -418,7 +418,12 @@ zm_win AS (
   WHERE CAST(o_orderdate AS DATE)
     BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
 zm_key AS (
-  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000)
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000),
+zb_box AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE CAST(o_orderdate AS DATE)
+    BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND o_custkey BETWEEN 100 AND 2000)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -478,6 +483,10 @@ UNION ALL SELECT 'zm_key_rows', CAST(count(*) AS DOUBLE) FROM zm_key
 UNION ALL SELECT 'zm_key_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM zm_key
+UNION ALL SELECT 'zb_box_rows', CAST(count(*) AS DOUBLE) FROM zb_box
+UNION ALL SELECT 'zb_box_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM zb_box
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -797,6 +797,38 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 7: Z-ORDER + 2-D box read — the OPTIMIZE ZORDER payoff
+    # query. Orders committed on a Morton-interleaved
+    # (o_orderdate, o_custkey) layout, stats built, then a 2-D box
+    # read through the INTERSECTION of both columns' zone-map
+    # candidate sets; the hash equality proves the pruned box read
+    # loses no rows on the z-ordered layout. Pruning effectiveness on
+    # both axes is test-pinned (tests/test_zonemap.py TestZOrder).
+    zbt = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="gw_zorder_") + "/orders_zb"
+    )
+    zbt.write_zordered(
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_custkey",
+            "o_totalprice",
+        ),
+        zorder_by=["o_orderdate", "o_custkey"],
+        n_files=16,
+        mode="overwrite",
+    )
+    zbt.build_stats(cols=["o_orderdate", "o_custkey"])
+    zbox = zbt.read_box(
+        [
+            ("o_orderdate", _dt.date(1995, 1, 1), _dt.date(1996, 12, 31)),
+            ("o_custkey", 100, 2000),
+        ]
+    )
+    zb = _unpivot_metrics(
+        dsum(zbox), [("zb_box_rows", "n"), ("zb_box_price_sum", "s")]
+    )
+
     # Late round 5: the time-weighted average over irregular series
     # (operators/resample.py time_weighted_avg — holding-duration
     # weights, DECIMAL-exact accumulators); graded as the exact-decimal
@@ -833,6 +865,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(twap)
         .unionAll(lake)
         .unionAll(zm)
+        .unionAll(zb)
     )
 
 
@@ -1164,7 +1197,21 @@ def q_events_daily_band_counts(spark, sf_dir):
     the from-scratch aggregate (the module's DECIMAL-partials
     argument). Streaming twin: streaming.jobs.run_ivm_refresh
     (stream==batch fold parity in test_ivm.py); stream==batch parity
-    of the underlying aggregate body in test_streaming.py."""
+    of the underlying aggregate body in test_streaming.py.
+
+    Round 7 pushes RETRACTIONS through the graded path: the
+    count/sum/avg measures live in a CDC-capable state whose last two
+    batches fold via apply_batch_cdc (+1/-1 op rows) — batch 2 inserts
+    a deterministic PHANTOM distortion of the batch-3 rows alongside
+    its real rows, and batch 3 retracts every phantom while inserting
+    its real rows (the -old/+new change stream a MERGE upsert
+    induces). The net state equals the plain GROUP BY, so the graded
+    equality now proves the retraction algebra (exact count/sum/avg
+    subtraction AND deletion of groups whose live count reaches zero,
+    since some phantom (day, band) groups exist only while the
+    phantoms do). min/max are not self-maintainable under deletes
+    (operators/ivm.py docstring) and stay in a second, insert-only
+    state; the result joins the two states."""
     import tempfile
 
     from globalweather_etl_spark.functions import weather_band
@@ -1185,25 +1232,62 @@ def q_events_daily_band_counts(spark, sf_dir):
         weather_band(temp).alias("weather_band"),
         temp.alias("temp"),
     )
+    root = tempfile.mkdtemp(prefix="gw_ivm_")
     ia = IncrementalAggregate(
         spark,
-        tempfile.mkdtemp(prefix="gw_ivm_") + "/band_state",
+        root + "/band_state",
         group_cols=["window_start", "weather_band"],
         measures=[
             Measure("n_forecasts", "count"),
             Measure("temp_sum", "sum", "temp"),
             Measure("temp_avg", "avg", "temp"),
+        ],
+    )
+    mm = IncrementalAggregate(
+        spark,
+        root + "/band_minmax",
+        group_cols=["window_start", "weather_band"],
+        measures=[
             Measure("temp_min", "min", "temp"),
             Measure("temp_max", "max", "temp"),
         ],
     )
+    batches = [
+        classified.filter(
+            F.pmod(F.col("event_id"), F.lit(4)) == b
+        ).drop("event_id")
+        for b in range(4)
+    ]
+    # phantom rows: the batch-3 events under a deterministic value
+    # distortion — inserted (+1) with batch 2, retracted (-1) with
+    # batch 3, so they must leave NO trace in the final state. The
+    # 'PH-' band prefix puts every phantom in a group NO real row
+    # occupies (real bands cover all (day, band) pairs at any sf), so
+    # the retraction must DELETE those groups, not just zero them.
+    ph_temp = _fmod(F.col("value") * 3.0 + 41.0, 120.0) - F.lit(10.0)
+    phantom = events.filter(
+        F.pmod(F.col("event_id"), F.lit(4)) == 3
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("window_start"),
+        F.concat(F.lit("PH-"), weather_band(ph_temp)).alias(
+            "weather_band"
+        ),
+        ph_temp.alias("temp"),
+    )
+    _op = lambda df, o: df.withColumn("__op", F.lit(o))
+    ia.apply_batch(batches[0], batch_id=0)
+    ia.apply_batch(batches[1], batch_id=1)
+    ia.apply_batch_cdc(
+        _op(batches[2], 1).unionByName(_op(phantom, 1)), batch_id=2
+    )
+    ia.apply_batch_cdc(
+        _op(batches[3], 1).unionByName(_op(phantom, -1)), batch_id=3
+    )
     for b in range(4):
-        ia.apply_batch(
-            classified.filter(F.pmod(F.col("event_id"), F.lit(4)) == b)
-            .drop("event_id"),
-            batch_id=b,
-        )
-    out = ia.read()
+        mm.apply_batch(batches[b], batch_id=b)
+    out = ia.read().join(
+        mm.read(), ["window_start", "weather_band"]
+    )
     return out.select(
         "window_start",
         "weather_band",
