@@ -58,13 +58,15 @@ _TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
 @dataclass(frozen=True)
 class QualityModel:
     """Broadcastable model state: hashed-feature weights + intercept.
-    ``dim`` and ``ngrams`` pin the featurization the weights were
-    trained under — score_quality re-derives features with them."""
+    ``dim``, ``ngrams`` and ``hash_fn`` pin the featurization the
+    weights were trained under — score_quality re-derives features
+    with them."""
 
     weights: np.ndarray  # float64[dim]
     bias: float
     dim: int
     ngrams: int
+    hash_fn: str = "xxhash64"
 
     def __post_init__(self):
         if self.weights.shape != (self.dim,):
@@ -73,15 +75,24 @@ class QualityModel:
             )
 
 
-def _feature_expr(text: Column, dim: int, ngrams: int) -> Column:
+def _feature_expr(
+    text: Column, dim: int, ngrams: int, hash_fn: str = "xxhash64"
+) -> Column:
     """In-plan hashed feature indices for one document: distinct
-    xxhash64 buckets of word unigrams (+ n-grams up to ``ngrams``),
+    hash buckets of word unigrams (+ n-grams up to ``ngrams``),
     lowercased, punctuation-split. Pure expressions — no UDF.
+
+    ``hash_fn``: 'xxhash64' (default, fastest — JVM codegen) or 'md5'
+    (the repo's engine-portable 60-bit scheme, operators/dedup.py:89)
+    for cross-engine-checkable scoring — a DuckDB twin can recompute
+    the exact same feature indices.
 
     NULL text is routine in web corpora (the sibling text kernel is
     NULL-safe throughout): coalesce to '' so a NULL document yields an
     EMPTY feature array (margin = bias) instead of a NULL array that
     would crash the Arrow gather downstream (advisor finding, r6)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     toks = F.filter(
         F.split(F.lower(F.coalesce(text, F.lit(""))), _TOKEN_SPLIT),
         lambda t: t != "",
@@ -101,11 +112,16 @@ def _feature_expr(text: Column, dim: int, ngrams: int) -> Column:
     allg = grams[0]
     for g in grams[1:]:
         allg = F.concat(allg, g)
-    return F.array_distinct(
-        F.transform(
-            allg, lambda t: (F.abs(F.xxhash64(t)) % dim).cast("int")
-        )
-    )
+    if hash_fn == "md5":
+        # 60-bit md5 prefix (always positive) — DuckDB twin:
+        # CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % dim
+        bucket = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            % dim
+        ).cast("int")
+    else:
+        bucket = lambda t: (F.abs(F.xxhash64(t)) % dim).cast("int")
+    return F.array_distinct(F.transform(allg, bucket))
 
 
 def hashed_features(
@@ -114,12 +130,15 @@ def hashed_features(
     text_col: str,
     dim: int = 1 << 18,
     ngrams: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, features int-array) — binary presence features in the
     hashed space. Scan-stage only."""
     return df.select(
         F.col(id_col).alias("id"),
-        _feature_expr(F.col(text_col), dim, ngrams).alias("features"),
+        _feature_expr(F.col(text_col), dim, ngrams, hash_fn).alias(
+            "features"
+        ),
     )
 
 
@@ -153,6 +172,7 @@ def train_quality_classifier(
     epochs: int = 20,
     lr: float = 1.0,
     l2: float = 1e-6,
+    hash_fn: str = "xxhash64",
 ) -> QualityModel:
     """Full-batch gradient descent for L2 logistic regression over
     hashed features. ``label_col`` is 0/1 (1 = good). Per epoch: one
@@ -160,7 +180,7 @@ def train_quality_classifier(
     ``dim`` rows (the gradient aggregate). The features frame is
     persisted across epochs — featurization runs once."""
     feats = (
-        hashed_features(df, id_col, text_col, dim, ngrams)
+        hashed_features(df, id_col, text_col, dim, ngrams, hash_fn)
         .join(
             df.select(
                 F.col(id_col).alias("id"),
@@ -198,7 +218,9 @@ def train_quality_classifier(
             b -= lr * (b_grad / n)
     finally:
         feats.unpersist()
-    return QualityModel(weights=w, bias=b, dim=dim, ngrams=ngrams)
+    return QualityModel(
+        weights=w, bias=b, dim=dim, ngrams=ngrams, hash_fn=hash_fn
+    )
 
 
 def score_quality(
@@ -210,7 +232,9 @@ def score_quality(
     """Append P(good) under the model — one broadcast + one
     Arrow-batched UDF, scan-stage (no shuffle)."""
     m = _margin_udf(model.weights, model.bias)
-    feats = _feature_expr(F.col(text_col), model.dim, model.ngrams)
+    feats = _feature_expr(
+        F.col(text_col), model.dim, model.ngrams, model.hash_fn
+    )
     return df.withColumn(
         out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-m(feats)))
     )

@@ -18,10 +18,19 @@ side in queries.py / plans/):
 
 from __future__ import annotations
 
+from globalweather_etl_spark.operators.qc_frozen import (
+    QC_FROZEN_BIAS_MICRO as _QC_BIAS_MICRO,
+    QC_FROZEN_DIM as _QC_DIM,
+    QC_FROZEN_W_MICRO,
+)
 from globalweather_etl_spark.sources.weather_from_events import (
     AS_OF_DATE,
     WEATHER_STAGING_SQL,
 )
+
+# the frozen classifier's micro-unit weight vector as a DuckDB list
+# literal (1-based indexing at probe time) — operators/qc_frozen.py
+_QC_W_SQL = "[" + ", ".join(str(w) for w in QC_FROZEN_W_MICRO) + "]"
 
 # ---------------------------------------------------------------- weather ELT
 
@@ -1454,7 +1463,26 @@ ups AS (
         md5(CAST(s.doc_id AS VARCHAR) || '|lo:7'), 1, 4) < uth.t_lo
         THEN 1 ELSE 0 END
     END AS up_copies
-  FROM src s CROSS JOIN uth)
+  FROM src s CROSS JOIN uth),
+qct AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text),
+      '[^\\p{{L}}\\p{{N}}]+'), x -> x != '') AS tk
+  FROM documents),
+qcg AS (
+  SELECT doc_id, tk[i] AS g
+  FROM qct, unnest(generate_series(1, len(tk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM qct, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+qcf AS (
+  SELECT DISTINCT doc_id,
+    CAST(CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+      % {_QC_DIM} AS INTEGER) AS j
+  FROM qcg),
+qcs AS (
+  SELECT doc_id, CAST(sum(({_QC_W_SQL})[j + 1]) AS BIGINT) AS wsum
+  FROM qcf GROUP BY doc_id)
 SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
@@ -1469,7 +1497,10 @@ SELECT d.doc_id,
   m.mix_source AS mix_source,
   qth.qt AS q50_quality_threshold,
   q.qv >= qth.qt AS quality_top_half,
-  u.up_copies AS up_copies
+  u.up_copies AS up_copies,
+  CAST({_QC_BIAS_MICRO} + coalesce(s.wsum, 0) AS DOUBLE) / 1000000.0
+    AS qc_score6,
+  ({_QC_BIAS_MICRO} + coalesce(s.wsum, 0)) > 0 AS qc_keep
 FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
@@ -1477,6 +1508,7 @@ JOIN ranked r ON r.doc_id = d.doc_id
 JOIN mixed m ON m.doc_id = d.doc_id
 JOIN qual q ON q.doc_id = d.doc_id
 JOIN ups u ON u.doc_id = d.doc_id
+LEFT JOIN qcs s ON s.doc_id = d.doc_id
 CROSS JOIN qth""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order. The chunk CTE
@@ -1964,6 +1996,12 @@ def _text_metrics_sql() -> str:
         f" AS pii_{kind.lower()}"
         for kind, pat in _PII_PATTERNS.items()
     )
+    # HTML kernel twin (functions/html.py STRIP_HTML_SQL): the same
+    # deterministic page wrapper as the Spark side, stripped with the
+    # RE2 mirror of every pattern — byte-identity is the contract.
+    from globalweather_etl_spark.functions.html import STRIP_HTML_SQL
+
+    strip_sql = STRIP_HTML_SQL("h")
     return f"""
 WITH m AS (
   SELECT doc_id, text, lang,
@@ -2033,7 +2071,19 @@ entct AS (
 entagg AS (
   SELECT doc_id, sum(n) AS n_total,
          sum(CAST(round(n * ln(n), 9) AS DECIMAL(25,9))) AS s
-  FROM entct GROUP BY doc_id)
+  FROM entct GROUP BY doc_id),
+hd AS (
+  SELECT doc_id,
+    '<!DOCTYPE html><html><head><title>Doc '
+    || CAST(doc_id AS VARCHAR)
+    || '</title><style>p{{color:red}}</style></head><body>'
+    || '<script>var x = 1 < 2;</script><h1>Header &amp; intro</h1><p>'
+    || text
+    || '</p><!-- hidden comment --><div>footer&nbsp;'
+    || '&quot;fine&quot;</div></body></html>' AS h
+  FROM documents),
+hs AS (
+  SELECT doc_id, length(h) AS hlen, {strip_sql} AS stripped FROM hd)
 SELECT doc_id,
   CAST(n_tok AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars_measured,
@@ -2053,6 +2103,10 @@ SELECT doc_id,
   CASE WHEN n_lines <= 0 THEN 0.0
        ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac,
   pii_email, pii_ip, pii_phone,
+  md5(hs.stripped) AS html_clean_md5,
+  CASE WHEN hs.hlen = 0 THEN 0.0
+       ELSE round(CAST(length(hs.stripped) AS DOUBLE) / hs.hlen, 9)
+  END AS html_visible_ratio,
   COALESCE(CASE WHEN entagg.n_total > 0
     THEN round((ln(entagg.n_total)
                 - CAST(entagg.s AS DOUBLE) / entagg.n_total)
@@ -2066,7 +2120,8 @@ SELECT doc_id,
   CAST(COALESCE(lmagg.logprob6, 0) AS DOUBLE) AS logprob6
 FROM m LEFT JOIN tng USING (doc_id)
 LEFT JOIN lmagg USING (doc_id)
-LEFT JOIN entagg USING (doc_id)"""
+LEFT JOIN entagg USING (doc_id)
+JOIN hs USING (doc_id)"""
 
 
 EXT_ORACLES["docs_text_metrics"] = _text_metrics_sql()

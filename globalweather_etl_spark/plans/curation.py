@@ -86,10 +86,20 @@ def curate_documents(
     quality_sampling: bool = False,
     hash_fn: str = "xxhash64",
     persist: bool = True,
+    html_input: bool = False,
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for the
     stage order and rationale. `benchmark` is the eval set to
     decontaminate against (None skips stage 4).
+
+    html_input=True prepends stage 0: boilerplate-strip the text
+    column (functions/html.py strip_html — scan-stage regex kernel,
+    zero UDFs) so every downstream signal — dedup fingerprints,
+    near-dup shingles, quality scores, decontamination n-grams, token
+    counts — operates on the VISIBLE text, not markup. This is the
+    WET-generation front door a web-corpus run needs: two pages with
+    identical content but different chrome dedup as identical, and
+    quality no longer rewards tag soup.
 
     quality_sampling=True replaces the hard `min_quality` floor with
     deterministic importance sampling: each document survives with
@@ -114,6 +124,13 @@ def curate_documents(
     from pyspark import StorageLevel
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    # 0. optional HTML -> visible text (scan-stage; fuses into the
+    # same parquet scan stage 1 reads, so it costs no extra pass)
+    if html_input:
+        from globalweather_etl_spark.functions.html import strip_html
+
+        docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
 
     # 1. exact dedup (keeps min-id per byte-identical content)
     exact = exact_dedup(docs, id_col, text_col)

@@ -1551,7 +1551,19 @@ def q_docs_text_metrics(
     engine-portable determinism); its zlib sibling compression_ratio
     stays test-only by design (no SQL engine exposes zlib).
     include_entropy=False is the bench's round-stable split; entropy
-    runs under the char_entropy bench key."""
+    runs under the char_entropy bench key.
+
+    Round 7 grades the HTML->text extraction kernel
+    (functions/html.py): each document is wrapped in a deterministic
+    HTML page exercising every kernel path (script/style kill,
+    comments, entity decoding, block breaks, whitespace folding), and
+    the md5 of the stripped text plus the visible-text ratio land as
+    graded columns — the oracle re-runs the RE2 twin
+    (STRIP_HTML_SQL), so a single byte of divergence between the Java
+    and RE2 pattern subsets hash-mismatches. The documents table is
+    plain text, so HTML is synthesized (the span-dedup column's
+    established pattern); real-HTML ingestion is the curation path
+    (plans/curation.py html_input=True, e2e-tested)."""
     from globalweather_etl_spark.functions.text import (
         bpe_token_estimate,
         char_entropy_table,
@@ -1566,9 +1578,31 @@ def q_docs_text_metrics(
     )
     from globalweather_etl_spark.operators.repetition import top_ngram_stats
 
+    from globalweather_etl_spark.functions.html import (
+        strip_html,
+        visible_text_ratio,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     pii = pii_counts(t)
+    # deterministic HTML page around each doc (see docstring): hits
+    # the block-kill, comment, entity, block-break and whitespace
+    # paths of the kernel in every row
+    html_doc = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style></head><body>"
+            "<script>var x = 1 < 2;</script>"
+            "<h1>Header &amp; intro</h1><p>"
+        ),
+        t,
+        F.lit(
+            "</p><!-- hidden comment --><div>footer&nbsp;"
+            "&quot;fine&quot;</div></body></html>"
+        ),
+    )
     tng = top_ngram_stats(docs, "doc_id", "text", n=2).select(
         "doc_id", "n_ngrams", "top_ngram_count", "top_ngram_frac"
     )
@@ -1610,6 +1644,10 @@ def q_docs_text_metrics(
         pii["EMAIL"].alias("pii_email"),
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
+        F.md5(strip_html(html_doc)).alias("html_clean_md5"),
+        F.round(visible_text_ratio(html_doc), 9).alias(
+            "html_visible_ratio"
+        ),
     )
     if include_entropy:
         # throughput form (codegen'd aggregates; ~3x the expression
@@ -2198,9 +2236,31 @@ def q_docs_sample_split(spark, sf_dir):
     sketch): every row carries the corpus-wide q=0.5 quality threshold
     and its own above-threshold verdict; the oracle recomputes the
     threshold from the same bucket-cumsum formula in DuckDB, so the
-    distributed histogram method is cross-engine checked end-to-end."""
+    distributed histogram method is cross-engine checked end-to-end.
+
+    Round 7 grades the TRAINABLE quality classifier's scoring path
+    (operators/quality_classifier.py + operators/qc_frozen.py): each
+    doc is featurized with the frozen model's portable-md5 hashed
+    n-grams and scored against its 6dp-quantized weights in exact
+    integer MICRO-UNITS (long sums are associative; double sums are
+    not), landing as qc_score6 (micro-sum / 1e6 in double — the same
+    rational rounds to the same double in every engine) and qc_keep
+    (margin > 0). The oracle recomputes tokenize -> n-gram -> md5
+    bucket -> distinct -> gather -> sum from scratch, so a divergence
+    anywhere in the scoring chain hash-mismatches. Training stays
+    NumPy-parity-tested (like kmeans/pagerank; qc_frozen.py
+    docstring records why)."""
     from globalweather_etl_spark.functions.text import quality_score
     from globalweather_etl_spark.operators.mixing import mix_corpora
+    from globalweather_etl_spark.operators.qc_frozen import (
+        QC_FROZEN_BIAS_MICRO,
+        QC_FROZEN_DIM,
+        QC_FROZEN_NGRAMS,
+        QC_FROZEN_W_MICRO,
+    )
+    from globalweather_etl_spark.operators.quality_classifier import (
+        _feature_expr,
+    )
     from globalweather_etl_spark.operators.quantiles import (
         quantile_keep_flag,
     )
@@ -2210,6 +2270,22 @@ def q_docs_sample_split(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # frozen-classifier margin in exact micro-units (see docstring):
+    # scan-stage — featurize, gather weights from a literal array, sum
+    qc_feats = _feature_expr(
+        F.col("text"), QC_FROZEN_DIM, QC_FROZEN_NGRAMS, hash_fn="md5"
+    )
+    qc_w = F.array(*[F.lit(w) for w in QC_FROZEN_W_MICRO])
+    qc_micro = F.aggregate(
+        qc_feats,
+        F.lit(QC_FROZEN_BIAS_MICRO).cast("long"),
+        lambda acc, j: acc + F.element_at(qc_w, j + F.lit(1)),
+    )
+    qc = docs.select(
+        "doc_id",
+        (qc_micro.cast("double") / F.lit(1e6)).alias("qc_score6"),
+        (qc_micro > 0).alias("qc_keep"),
+    )
     kept = stratified_sample(
         docs, F.col("lang"), F.col("doc_id"), quota=30, seed=7
     ).select(F.col("key").alias("doc_id"), "rank_in_stratum")
@@ -2294,6 +2370,7 @@ def q_docs_sample_split(spark, sf_dir):
         .withColumn(
             "up_copies", F.coalesce("up_copies", F.lit(0).cast("long"))
         )
+        .join(qc, "doc_id")
     )
 
 

@@ -250,6 +250,49 @@ def test_quality_sampling_does_not_starve_splits(spark, docs):
     assert by_split["train"] <= 0.97 * total
 
 
+def test_html_input_curates_on_visible_text(spark, docs):
+    """html_input=True strips boilerplate BEFORE every stage: two
+    pages with identical visible content but different chrome must
+    exact-dedup as identical, and the curated corpus equals the
+    plain-text run of the same underlying documents."""
+    from globalweather_etl_spark.functions.html import strip_html
+
+    # wrap each doc in page chrome that varies BY DOC (tracking ids,
+    # per-page script), so raw-text dedup could never collapse them
+    chrome = F.concat(
+        F.lit("<html><head><script>track('"),
+        F.col("doc_id").cast("string"),
+        F.lit("');</script><style>body{margin:0}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- page "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --></body></html>"),
+    )
+    pages = docs.select("doc_id", chrome.alias("text"))
+    res_html = curate_documents(pages, html_input=True)
+    # same pipeline over the pre-stripped text must agree row-for-row
+    res_plain = curate_documents(
+        pages.withColumn("text", strip_html(F.col("text")))
+    )
+    cols = ["doc_id", "split", "n_tokens", "bin_id", "bin_offset"]
+    a = sorted(tuple(r) for r in res_html.curated.select(*cols).collect())
+    b = sorted(tuple(r) for r in res_plain.curated.select(*cols).collect())
+    assert a == b and len(a) > 0
+    # the chrome really is invisible: a duplicated doc body behind
+    # DIFFERENT chrome exact-dedups to one survivor
+    twin = spark.createDataFrame(
+        [(1, "<div><p>same body</p><script>a()</script></div>"),
+         (2, "<span>same body</span><!-- other chrome -->")],
+        "doc_id long, text string",
+    )
+    kept = curate_documents(
+        twin, html_input=True, min_quality=0.0
+    ).exact_deduped.collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 1
+    res_html.unpersist()
+    res_plain.unpersist()
+
+
 def test_persist_off_is_bit_identical(spark, docs):
     """persist=True (default; caches the multiply-consumed stage
     outputs) changes nothing about the result — every stage is
