@@ -2341,6 +2341,8 @@ def _stats_methods():
         return {"files": meta["n_stat_files"], "rows": meta["n_rows"]}
 
     _ZM_CACHE_FILE_LIMIT = 50_000
+    # max versions whose sidecar rows one handle caches (LRU evicted)
+    _ZM_CACHE_VERSIONS = 4
 
     def _zm_bounds(self, col, lo, hi, version):
         """Resolve (version, meta) and encode predicate bounds with the
@@ -2423,9 +2425,14 @@ def _stats_methods():
         # instance lookup (falls back to the class attr): a per-handle
         # override forces the big-table Spark-probe regime
         if meta["n_files"] <= self._ZM_CACHE_FILE_LIMIT:
+            # LRU across versions: a handle probing many versions
+            # (time-travel sweeps) would otherwise hold every
+            # version's sidecar rows forever (r6 advisory nit)
+            import collections as _collections
+
             cache = getattr(self, "_zm_cache", None)
             if cache is None:
-                cache = {}
+                cache = _collections.OrderedDict()
                 self._zm_cache = cache
             rows = cache.get(v)
             if rows is None:
@@ -2433,6 +2440,10 @@ def _stats_methods():
                     self._zm_path(v).toString()
                 ).collect()
                 cache[v] = rows
+                while len(cache) > self._ZM_CACHE_VERSIONS:
+                    cache.popitem(last=False)
+            else:
+                cache.move_to_end(v)
             prunable = set()
             for row in rows:
                 if row["column"] != col:
@@ -2460,13 +2471,30 @@ def _stats_methods():
         all_null = F.col(mn_c).isNull() & (
             F.col("null_count") == F.col("n_rows")
         )
+        is_prunable = (F.col(mn_c).isNotNull() & out_of_range) | all_null
+        # collect whichever of prunable/candidates is SMALLER: a
+        # selective predicate prunes nearly every file, and collecting
+        # the prunable set would then pull almost the whole file list
+        # to the driver (r6 advisory nit). The candidate-side collect
+        # is only sound under FULL sidecar coverage (files without a
+        # stats row must stay candidates, and only the prunable-side
+        # walk keeps them implicitly) — one cheap count decides.
+        counts = sidecar.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(is_prunable).alias("np"),
+        ).collect()[0]
+        full_cover = int(counts["n"]) == len(m["files"])
+        if full_cover and int(counts["np"]) * 2 > int(counts["n"]):
+            cand = {
+                r["file"]
+                for r in sidecar.filter(~is_prunable)
+                .select("file")
+                .collect()
+            }
+            return [f for f in m["files"] if f in cand]
         prunable = {
             r["file"]
-            for r in sidecar.filter(
-                (F.col(mn_c).isNotNull() & out_of_range) | all_null
-            )
-            .select("file")
-            .collect()
+            for r in sidecar.filter(is_prunable).select("file").collect()
         }
         return [f for f in m["files"] if f not in prunable]
 
@@ -2542,6 +2570,7 @@ def _stats_methods():
     SnapshotTable._zm_colspec = _zm_colspec
     SnapshotTable._zm_bounds = _zm_bounds
     SnapshotTable._ZM_CACHE_FILE_LIMIT = _ZM_CACHE_FILE_LIMIT
+    SnapshotTable._ZM_CACHE_VERSIONS = _ZM_CACHE_VERSIONS
     SnapshotTable.build_stats = build_stats
     SnapshotTable.files_for_range = files_for_range
     SnapshotTable.read_range = read_range

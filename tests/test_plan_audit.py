@@ -230,3 +230,91 @@ def test_round5_surfaces_no_scale_antipatterns(spark):
         ):
             failures.append(f"{name}: BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+# --- round-6/7 non-registry surfaces: same anti-pattern gate ----------
+
+
+def _round67_plans(spark, tmp_path):
+    """Lazy physical plans of the round-6/7 surfaces that aren't
+    registry queries: the lakehouse read paths (zone-map range/box
+    reads, Bloom+zone-map point lookups, DV-applied scans, CDC feeds),
+    the HTML-aware curation entry, and the quality classifier's
+    featurization/scoring.
+
+    The lakehouse plans need a COMMITTED table, so a tiny (64-row)
+    setup executes first; the audited frames — the read paths a 100 TB
+    consumer runs — stay lazy. The write-side interiors (write_zordered
+    pre-aggregate, build_stats, apply_batch_cdc's fold) execute during
+    setup of this gate and of the registry slots that grade them
+    (tpch_scalar_checks zb_*, events_daily_band_counts), so a
+    scale-killer there still fails the suite at build time; this gate
+    pins the read-back plans."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from globalweather_etl_spark.functions.html import (
+        strip_html,
+        visible_text_ratio,
+    )
+    from globalweather_etl_spark.operators.quality_classifier import (
+        QualityModel,
+        hashed_features,
+        score_quality,
+    )
+    from globalweather_etl_spark.plans.curation import curate_documents
+    from globalweather_etl_spark.sources import load_table
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, SF_DIR, "documents")
+    st = SnapshotTable(spark, str(tmp_path) + "/gate")
+    st.write_zordered(
+        spark.createDataFrame(
+            [Row(k=i, d=i % 8, v=float(i)) for i in range(64)]
+        ),
+        zorder_by=["k", "d"],
+        n_files=4,
+        mode="overwrite",
+    )
+    st.build_stats(cols=["k", "d"])
+    st.build_file_index("k")
+    v_del = st.delete_where("k = 7")["version"]
+    st.build_stats(cols=["k", "d"])  # re-pin stats to the DV'd head
+    v_app = st.write(
+        spark.createDataFrame([Row(k=100, d=0, v=1.0)]), mode="append"
+    )
+    model = QualityModel(
+        weights=np.zeros(64), bias=0.0, dim=64, ngrams=2, hash_fn="md5"
+    )
+    return {
+        "zm_read_range": st.read_range("k", 3, 9),
+        "zm_read_box": st.read_box([("k", 3, 9), ("d", 1, 3)]),
+        "bloom_zm_point_lookup": st.read_where("k", 5),
+        "dv_applied_read": st.read(version=v_del),
+        # read_since needs an append-only window (refuses the delete)
+        "cdc_read_since": st.read_since(v_del, version=v_app),
+        "cdc_read_changes": st.read_changes(1, keys=["k"]),
+        "html_strip": docs.select(
+            strip_html(F.col("text")).alias("t"),
+            visible_text_ratio(F.col("text")).alias("r"),
+        ),
+        "html_curation": curate_documents(
+            docs, html_input=True, persist=False
+        ).curated,
+        "qc_featurize": hashed_features(
+            docs, "doc_id", "text", dim=64, hash_fn="md5"
+        ),
+        "qc_score": score_quality(docs, model, "text"),
+    }
+
+
+def test_round67_surfaces_no_scale_antipatterns(spark, tmp_path):
+    failures = []
+    for name, df in _round67_plans(spark, tmp_path).items():
+        plan = _formatted_plan(spark, df)
+        for pat in FORBIDDEN_ALWAYS:
+            if pat in plan:
+                failures.append(f"{name}: {pat}")
+        if "BroadcastNestedLoopJoin" in plan:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures

@@ -346,13 +346,42 @@ class TestLifecycle:
     def test_spark_probe_path_matches_cached_path(self, zm_table):
         """Force the big-table Spark probe regime and pin it to the
         driver-cache regime's answer (same contract as the Bloom
-        sidecar's two regimes)."""
+        sidecar's two regimes). The selective predicate exercises the
+        candidate-side collect (prunable > half the files), the wide
+        one the prunable-side collect — both must agree with the
+        cached walk."""
         v = zm_table.latest_version()
-        cached = zm_table.files_for_range("k", 10, 17, version=v)
         big = SnapshotTable(zm_table.spark, zm_table.path)
         big._ZM_CACHE_FILE_LIMIT = 0  # instance override, class untouched
-        spark_path = big.files_for_range("k", 10, 17, version=v)
-        assert cached == spark_path
+        for lo, hi in ((10, 17), (0, 60), (2, 3)):
+            cached = zm_table.files_for_range("k", lo, hi, version=v)
+            assert cached == big.files_for_range("k", lo, hi, version=v)
+
+    def test_probe_cache_is_lru_bounded(self, spark, tmp_path):
+        """A handle probing many versions must not hold every
+        version's sidecar rows forever — the per-handle cache is LRU
+        capped at _ZM_CACHE_VERSIONS (r6 advisory)."""
+        st = SnapshotTable(spark, str(tmp_path) + "/lru")
+        st.write(
+            spark.createDataFrame([Row(k=i) for i in range(8)]).coalesce(2),
+            mode="overwrite",
+        )
+        st.build_stats(cols=["k"])
+        versions = [st.latest_version()]
+        for j in range(6):
+            v = st.write(
+                spark.createDataFrame([Row(k=100 + j)]), mode="append"
+            )
+            st.build_stats(cols=["k"], version=v, incremental=True)
+            versions.append(v)
+        for v in versions:
+            got = st.files_for_range("k", 0, 1000, version=v)
+            assert got  # every version still answers correctly
+        assert len(st._zm_cache) <= st._ZM_CACHE_VERSIONS
+        # the MOST RECENTLY probed versions are the ones retained
+        assert set(st._zm_cache) == set(
+            versions[-st._ZM_CACHE_VERSIONS :]
+        )
 
 
 class TestZOrder:
