@@ -422,6 +422,35 @@ lk_v3 AS (SELECT * FROM lk_v2 WHERE o_orderkey % 7 != 0),
 lk_k0 AS (
   SELECT min(o_orderkey) AS k0 FROM lk_src
   WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0),
+cfd AS (
+  SELECT
+    count(*) FILTER (WHERE n.o_orderkey IS NOT NULL
+      AND (b.o_orderkey IS NULL
+           OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus))
+      AS plus_rows,
+    count(*) FILTER (WHERE b.o_orderkey IS NOT NULL
+      AND (n.o_orderkey IS NULL
+           OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus))
+      AS minus_rows,
+    round(CAST(
+      coalesce(sum(CAST(n.o_totalprice AS DECIMAL(25,6)))
+        FILTER (WHERE n.o_orderkey IS NOT NULL
+          AND (b.o_orderkey IS NULL
+               OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+               OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus)),
+        0)
+      - coalesce(sum(CAST(b.o_totalprice AS DECIMAL(25,6)))
+        FILTER (WHERE b.o_orderkey IS NOT NULL
+          AND (n.o_orderkey IS NULL
+               OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+               OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus)),
+        0) AS DOUBLE), 4) AS net_price
+  FROM lk_base b FULL OUTER JOIN lk_v3 n
+    ON b.o_orderkey = n.o_orderkey),
+rs_app AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 9 = 0),
 zm_win AS (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE)
@@ -484,6 +513,13 @@ UNION ALL SELECT 'merge_tt_v1_price_sum',
 UNION ALL SELECT 'merge_bloom_lookup_price',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_v3, lk_k0 WHERE o_orderkey = k0
+UNION ALL SELECT 'changefeed_plus_rows', CAST(plus_rows AS DOUBLE) FROM cfd
+UNION ALL SELECT 'changefeed_minus_rows', CAST(minus_rows AS DOUBLE) FROM cfd
+UNION ALL SELECT 'changefeed_net_price_sum', net_price FROM cfd
+UNION ALL SELECT 'read_since_rows', CAST(count(*) AS DOUBLE) FROM rs_app
+UNION ALL SELECT 'read_since_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM rs_app
 UNION ALL SELECT 'zm_date_rows', CAST(count(*) AS DOUBLE) FROM zm_win
 UNION ALL SELECT 'zm_date_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)

@@ -502,6 +502,14 @@ def q_tpch_scalar_checks(spark, sf_dir):
     max size / merged-value counts land as er_* rows against a
     recursive-CTE connected-components twin over the same
     brute-force pair graph.
+
+    Round 7 grades the CDC read surfaces over the same committed
+    history (changefeed_*: read_changes' op-tagged +1/-1 feed across
+    the two merges vs a relational window-diff twin; read_since_*:
+    the append-only incremental read returning exactly one append
+    commit's rows) and the Z-order box read (zb_*: a 2-D read_box
+    over a Morton-clustered commit vs the plain two-predicate
+    filter).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -758,6 +766,44 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 7: the CDC read surfaces over the SAME committed history.
+    # read_changes(v1 -> head) op-tags every row the two merges
+    # inserted/updated/deleted (+1 new side, -1 old side); the oracle
+    # recomputes the feed from the relational window diff, so a wrong
+    # old/new side, a missed delete, or an unchanged row leaking into
+    # the feed all hash-mismatch. read_since then grades the
+    # append-only fast path: one append commit on top, and the
+    # incremental read must return EXACTLY the appended rows (it reads
+    # only the window's new files — O(new data), no diff, no scan).
+    chg = st.read_changes(v1, keys=["o_orderkey"])
+    cf = _unpivot_metrics(
+        chg.agg(
+            F.count_if(F.col("__op") == 1).alias("p"),
+            F.count_if(F.col("__op") == -1).alias("mns"),
+            F.round(
+                F.sum(
+                    F.col("__op")
+                    * F.col("o_totalprice").cast("decimal(25,6)")
+                ).cast("double"),
+                4,
+            ).alias("net"),
+        ),
+        [
+            ("changefeed_plus_rows", "p"),
+            ("changefeed_minus_rows", "mns"),
+            ("changefeed_net_price_sum", "net"),
+        ],
+    )
+    v3 = st.latest_version()
+    append_src = orders.select(*snap_cols).filter(
+        F.col("o_orderkey") % 9 == 0
+    )
+    v4 = st.write(append_src, mode="append")
+    rs = _unpivot_metrics(
+        dsum(st.read_since(v3, version=v4)),
+        [("read_since_rows", "n"), ("read_since_price_sum", "s")],
+    )
+
     # Round 6: zone-map range reads — orders committed with a
     # date-clustered file layout, per-file min/max stats built from
     # parquet FOOTERS only (one distributed metadata pass, O(files)
@@ -864,6 +910,8 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(stats_mx)
         .unionAll(twap)
         .unionAll(lake)
+        .unionAll(cf)
+        .unionAll(rs)
         .unionAll(zm)
         .unionAll(zb)
     )
