@@ -714,23 +714,63 @@ FROM p JOIN n ON p.user_id = n.user_id AND p.grid_ts = n.grid_ts""",
     # avg = decimal-sum / non-null count at 9dp, min/max at 6dp.
     "events_daily_band_counts": """
 WITH t AS (
-  SELECT ts,
+  SELECT ts, user_id,
     (value - floor(value / 120.0) * 120.0) - 10.0 AS temp
-  FROM events)
-SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
-    AS window_start,
-  CASE WHEN temp < 32 THEN 'Freezing'
-       WHEN temp BETWEEN 32 AND 50 THEN 'Cold'
-       WHEN temp BETWEEN 51 AND 70 THEN 'Mild'
-       WHEN temp BETWEEN 71 AND 85 THEN 'Warm'
-       ELSE 'Hot' END AS weather_band,
+  FROM events),
+g AS (
+  SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+      AS window_start,
+    CASE WHEN temp < 32 THEN 'Freezing'
+         WHEN temp BETWEEN 32 AND 50 THEN 'Cold'
+         WHEN temp BETWEEN 51 AND 70 THEN 'Mild'
+         WHEN temp BETWEEN 71 AND 85 THEN 'Warm'
+         ELSE 'Hot' END AS weather_band,
+    temp, user_id
+  FROM t),
+-- grouped portable-HLL twin of the IVM approx_distinct measure
+-- (operators/sketches.py hash/register/correction, per group):
+-- b=6 -> 64 registers, alpha(64)=0.709, linear-count branch at
+-- raw <= 2.5*m = 160 with empty registers
+hh AS (
+  SELECT window_start, weather_band,
+    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+      AS BIGINT) AS h
+  FROM g),
+hr AS (
+  SELECT window_start, weather_band, h & 63 AS bucket,
+    max(least(55 - length(ltrim(bin(h >> 6), '0')), 40)) AS rho
+  FROM hh GROUP BY 1, 2, 3),
+hg AS (SELECT DISTINCT window_start, weather_band FROM hh),
+hf AS (
+  SELECT k.window_start, k.weather_band, coalesce(r.rho, 0) AS rho
+  FROM hg k
+  CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+  LEFT JOIN hr r ON r.window_start = k.window_start
+    AND r.weather_band = k.weather_band AND r.bucket = b.bucket),
+he AS (
+  SELECT window_start, weather_band,
+    sum(1.0 / (CAST(1 AS BIGINT) << rho)) AS sum_inv,
+    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_empty
+  FROM hf GROUP BY 1, 2),
+hll AS (
+  SELECT window_start, weather_band,
+    round(CASE WHEN 0.709 * 64 * 64 / sum_inv <= 160.0
+                    AND n_empty > 0
+               THEN 64.0 * ln(64.0 / n_empty)
+               ELSE 0.709 * 64 * 64 / sum_inv END, 6) AS n_users_hll
+  FROM he)
+SELECT g.window_start, g.weather_band,
   count(*) AS n_forecasts,
   round(CAST(sum(CAST(temp AS DECIMAL(25,6))) AS DOUBLE), 6) AS temp_sum,
   round(CAST(sum(CAST(temp AS DECIMAL(25,6))) AS DOUBLE)
         / count(temp), 9) AS temp_avg,
   round(min(temp), 6) AS temp_min,
-  round(max(temp), 6) AS temp_max
-FROM t GROUP BY 1, 2""",
+  round(max(temp), 6) AS temp_max,
+  any_value(hll.n_users_hll) AS n_users_hll
+FROM g
+JOIN hll ON hll.window_start = g.window_start
+  AND hll.weather_band = g.weather_band
+GROUP BY 1, 2""",
     # Gaps-and-islands rewrite of session_window(ts, '30 minutes'):
     # a new session starts when the gap from the previous event exceeds
     # the gap duration (Spark merges when next.start <= prev.end);

@@ -1279,6 +1279,7 @@ def q_events_daily_band_counts(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).alias("window_start"),
         weather_band(temp).alias("weather_band"),
         temp.alias("temp"),
+        F.col("user_id"),
     )
     root = tempfile.mkdtemp(prefix="gw_ivm_")
     ia = IncrementalAggregate(
@@ -1298,6 +1299,11 @@ def q_events_daily_band_counts(spark, sf_dir):
         measures=[
             Measure("temp_min", "min", "temp"),
             Measure("temp_max", "max", "temp"),
+            # round 7: the mergeable-HLL approx-distinct measure —
+            # the incremental register-max folds must EXACTLY equal
+            # the from-scratch sketch over all events (the oracle's
+            # grouped portable-HLL twin), whatever the batch slicing
+            Measure("n_users_hll", "approx_distinct", "user_id"),
         ],
     )
     batches = [
@@ -1321,6 +1327,7 @@ def q_events_daily_band_counts(spark, sf_dir):
             "weather_band"
         ),
         ph_temp.alias("temp"),
+        F.col("user_id"),
     )
     _op = lambda df, o: df.withColumn("__op", F.lit(o))
     ia.apply_batch(batches[0], batch_id=0)
@@ -1344,6 +1351,7 @@ def q_events_daily_band_counts(spark, sf_dir):
         F.col("temp_avg"),
         F.round(F.col("temp_min"), 6).alias("temp_min"),
         F.round(F.col("temp_max"), 6).alias("temp_max"),
+        "n_users_hll",
     )
 
 
