@@ -78,7 +78,8 @@ KEY_MAP = {
     "events_session_30m": "events_session_30m (round-stable pre-funnel/pre-paths form)",
     "session_paths": "events_session_30m (session_path/transition graded columns' operators + top-20 rollup)",
     "funnel_retention": "events_session_30m funnel columns + events_tumbling_daily retention columns",
-    "lakehouse_ivm_refresh": "events_daily_band_counts (FULL graded slot: 4 IVM micro-batch folds into a snapshot-table state + finalize read-back)",
+    "lakehouse_ivm_refresh": "events_daily_band_counts (round-stable r6 form: 4 insert-only IVM folds into one state + finalize read-back)",
+    "lakehouse_ivm_cdc": "events_daily_band_counts (FULL graded slot: CDC retraction batches + mergeable-HLL measure + two-state join)",
     "lakehouse_zonemap": "tpch_scalar_checks zm_* graded shape (date-clustered snapshot commit + footer-only stats build + two pruned range reads)",
 }
 
@@ -427,6 +428,20 @@ def main() -> None:
 
             timed(
                 "lakehouse_ivm_refresh",
+                lambda: q_events_daily_band_counts(
+                    spark, sf_dir, include_cdc=False
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+            # round-7: the full graded IVM shape — CDC retraction
+            # batches (+1/-1 op folds with phantom insert/retract),
+            # the mergeable-HLL approx-distinct measure, and the
+            # two-state join
+            timed(
+                "lakehouse_ivm_cdc",
                 lambda: q_events_daily_band_counts(spark, sf_dir)
                 .write.format("noop")
                 .mode("overwrite")

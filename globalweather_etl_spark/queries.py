@@ -1227,7 +1227,7 @@ def q_events_interval_join(spark, sf_dir):
     )
 
 
-def q_events_daily_band_counts(spark, sf_dir):
+def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
     """The reference's weather-band dashboard aggregate (the streaming
     job daily_weather_band_counts' semantics), computed by INCREMENTAL
     VIEW MAINTENANCE instead of a one-shot GROUP BY — round 6's graded
@@ -1259,7 +1259,12 @@ def q_events_daily_band_counts(spark, sf_dir):
     since some phantom (day, band) groups exist only while the
     phantoms do). min/max are not self-maintainable under deletes
     (operators/ivm.py docstring) and stay in a second, insert-only
-    state; the result joins the two states."""
+    state; the result joins the two states.
+
+    include_cdc=False is the bench's ROUND-STABLE form (one state, 4
+    plain insert folds, no HLL measure — the round-6 workload, so
+    cross-round perf ratios compare like with like); the graded
+    registry form is the full CDC + HLL shape."""
     import tempfile
 
     from globalweather_etl_spark.functions import weather_band
@@ -1282,6 +1287,37 @@ def q_events_daily_band_counts(spark, sf_dir):
         F.col("user_id"),
     )
     root = tempfile.mkdtemp(prefix="gw_ivm_")
+    if not include_cdc:
+        # round-stable bench form: ONE state, 4 plain insert folds
+        ia6 = IncrementalAggregate(
+            spark,
+            root + "/band_state",
+            group_cols=["window_start", "weather_band"],
+            measures=[
+                Measure("n_forecasts", "count"),
+                Measure("temp_sum", "sum", "temp"),
+                Measure("temp_avg", "avg", "temp"),
+                Measure("temp_min", "min", "temp"),
+                Measure("temp_max", "max", "temp"),
+            ],
+        )
+        for b in range(4):
+            ia6.apply_batch(
+                classified.filter(
+                    F.pmod(F.col("event_id"), F.lit(4)) == b
+                ).drop("event_id", "user_id"),
+                batch_id=b,
+            )
+        out6 = ia6.read()
+        return out6.select(
+            "window_start",
+            "weather_band",
+            "n_forecasts",
+            F.round(F.col("temp_sum"), 6).alias("temp_sum"),
+            F.col("temp_avg"),
+            F.round(F.col("temp_min"), 6).alias("temp_min"),
+            F.round(F.col("temp_max"), 6).alias("temp_max"),
+        )
     ia = IncrementalAggregate(
         spark,
         root + "/band_state",
