@@ -21,6 +21,11 @@ from globalweather_etl_spark.streaming.jobs import (
     run_incremental_dedup,
     run_incremental_neardedup,
 )
+from globalweather_etl_spark.streaming.snapshot_source import (
+    SnapshotStreamDataSource,
+    register_snapshot_stream,
+    snapshot_stream,
+)
 from globalweather_etl_spark.streaming.sources import (
     EVENTS_SCHEMA,
     events_stream_from_dir,
@@ -48,10 +53,13 @@ __all__ = [
     "enriched_country_counts",
     "events_stream_from_dir",
     "jsonl_stream_from_dir",
+    "register_snapshot_stream",
     "run_daily_event_metrics",
     "run_incremental_dedup",
     "run_incremental_neardedup",
     "running_user_totals",
+    "snapshot_stream",
+    "SnapshotStreamDataSource",
     "streaming_dedup",
     "session_stats",
     "sliding_stats",

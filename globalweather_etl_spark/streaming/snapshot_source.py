@@ -1,0 +1,233 @@
+"""Structured Streaming SOURCE over a SnapshotTable — the Delta-style
+``spark.readStream.table(...)`` capability, built on PySpark 4's
+Python Data Source API (pyspark.sql.datasource).
+
+Public background: every lakehouse exposes its table log as a
+streaming source — each micro-batch reads the files the commits since
+the last checkpointed offset ADDED, so a 100 TB table feeds a stream
+at O(new data) per batch with exactly-once delivery guaranteed by the
+engine's offset log. This module is that design over the repo's
+snapshot-table format: offsets ARE commit versions, a batch's
+partitions ARE the window's new data files, and the engine checkpoint
+replaces hand-rolled ``read_since`` + batch-stamp loops
+(``sources/snapshots.py:644`` stays the batch-side primitive; this is
+its streaming twin).
+
+Semantics (mirroring Delta's documented streaming-read contract):
+
+- The window's commits must be APPEND-mode — appends never remove
+  files, so the added rows are exactly the new files. The table's
+  FIRST commit (the bootstrap, whatever its mode) streams whole.
+- A non-append commit (merge / overwrite / delete / restore) in the
+  window fails the stream loudly — its changes are rewrites, not
+  appends. ``skipChangeCommits true`` (Delta's option, same name)
+  instead SKIPS those commits' data entirely and continues.
+- ``startingVersion N`` starts the stream after version N (default 0:
+  from the table's beginning).
+- Reads are Arrow-batched end-to-end: each partition is one data
+  file, opened with pyarrow and aligned column-by-column to the
+  stream's pinned schema (append-mode evolution null-fills columns a
+  file predates; columns added after the stream started are ignored
+  until restart, Delta's behavior).
+
+Driver-side manifest access uses plain-Python I/O, so the source
+supports LOCAL table roots (and file:// URIs); remote object stores
+would need the fsspec equivalent. Executor-side file reads are plain
+pyarrow — no JVM round-trips anywhere.
+
+Scale shape: latestOffset/partitions touch only manifest JSON
+(O(commits in window)); each micro-batch moves O(new files) bytes;
+nothing ever rescans the table. The Python worker boundary is
+Arrow-batch (RecordBatch) hand-off, not per-row pickling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "SnapshotStreamDataSource",
+    "register_snapshot_stream",
+    "snapshot_stream",
+]
+
+_MANIFEST_DIR = "_manifests"
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+def _local_root(path: str) -> str:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            "snapshot_stream reads manifests with plain-Python I/O and "
+            f"supports local table roots only, got {path!r}"
+        )
+    return path.rstrip("/")
+
+
+def _versions(root: str) -> list[int]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest(root: str, version: int) -> dict:
+    p = os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
+    with open(p, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One data file of one commit window (absolute local path)."""
+
+    path: str
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset = {"version": last-emitted commit}."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = _local_root(options["path"])
+        # Spark lowercases option keys
+        self.start_version = int(options.get("startingversion", 0))
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self.schema_json = schema.json()
+
+    # ------------------------------------------------------- offsets
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.root)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint is the offset log
+
+    # ---------------------------------------------------- partitions
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        prev_files: set[str] | None = None
+        prev_v: int | None = None
+        for v in _versions(self.root):
+            if v > hi:
+                break
+            m = _manifest(self.root, v)
+            files = set(m["files"])
+            if v > lo:
+                bootstrap = prev_v is None
+                if m.get("mode") == "append" or bootstrap:
+                    added = (
+                        files - prev_files if prev_files is not None
+                        else files
+                    )
+                    # manifest order is deterministic; sort for stable
+                    # partition identity across replays
+                    for rel in sorted(added):
+                        parts.append(
+                            _FilePartition(f"{self.root}/{rel}")
+                        )
+                elif self.skip_change_commits:
+                    pass  # Delta's skipChangeCommits: emit nothing
+                else:
+                    raise ValueError(
+                        f"snapshot_stream: version {v} is "
+                        f"{m.get('mode')!r}, not append — its changes "
+                        "are rewrites, not new rows. Set "
+                        "skipChangeCommits=true to skip such commits, "
+                        "or consume row-level changes via "
+                        "SnapshotTable.read_changes"
+                    )
+            prev_files, prev_v = files, v
+        return parts
+
+    # --------------------------------------------------------- reads
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(
+            StructType.fromJson(json.loads(self.schema_json))
+        )
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        cols = []
+        for field in want:
+            if field.name in tbl.column_names:
+                col = tbl.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            else:
+                # append-mode schema evolution: a file written before
+                # the column existed null-fills (read_since parity)
+                col = pa.nulls(n, type=field.type)
+            cols.append(col)
+        aligned = pa.table(cols, schema=want)
+        yield from aligned.to_batches()
+
+
+class SnapshotStreamDataSource(DataSource):
+    """readStream format over a SnapshotTable root (see module doc).
+
+    Usage::
+
+        spark.dataSource.register(SnapshotStreamDataSource)
+        df = (spark.readStream.format("snapshot_stream")
+              .option("path", "/data/tables/orders")
+              .load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self) -> StructType:
+        root = _local_root(self.options["path"])
+        vs = _versions(root)
+        if not vs:
+            raise ValueError(f"no commits yet at {root}")
+        return StructType.fromJson(
+            json.loads(_manifest(root, vs[-1])["schema"])
+        )
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        return SnapshotStreamReader(schema, dict(self.options))
+
+
+def register_snapshot_stream(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(SnapshotStreamDataSource)
+
+
+def snapshot_stream(spark, path: str, **options):
+    """Convenience: a streaming DataFrame over the table at ``path``."""
+    register_snapshot_stream(spark)
+    reader = spark.readStream.format("snapshot_stream").option(
+        "path", path
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
