@@ -39,6 +39,14 @@ Scale shape: latestOffset/partitions touch only manifest JSON
 (O(commits in window)); each micro-batch moves O(new files) bytes;
 nothing ever rescans the table. The Python worker boundary is
 Arrow-batch (RecordBatch) hand-off, not per-row pickling.
+
+Deliberately NO DataSourceStreamWriter sink: the Python writer API
+hands ``write()`` an Iterator[Row] — per-row Python, the exact slow
+path the repo bans from hot plans. The scalable snapshot SINK is
+``foreachBatch`` + ``SnapshotTable.write_batch`` (JVM parquet write,
+manifest batch stamps for exactly-once — streaming/jobs.py), which
+this source composes with (see tests/test_snapshot_source.py's
+stream→IVM fold).
 """
 
 from __future__ import annotations
