@@ -72,7 +72,8 @@ KEY_MAP = {
     "fuzzy_decontaminate": "docs_decontaminate (fuzzy_* graded columns' operator)",
     "bpe_tokenize": "test-only operator (operators/bpe.py; no SQL twin, see module docstring)",
     "bloom_screen": "docs_exact_dedup (bloom_seen_maybe graded column's operator)",
-    "docs_text_metrics": "docs_text_metrics (round-stable pre-LM/pre-entropy kernel)",
+    "docs_text_metrics": "docs_text_metrics (round-stable pre-LM/pre-entropy/pre-HTML kernel)",
+    "html_kernel": "docs_text_metrics (html_* graded columns' kernel: strip_html + md5 + visible ratio, one scan)",
     "char_entropy": "docs_text_metrics (char_entropy6 graded column, aggregate form)",
     "lm_perplexity": "docs_text_metrics (lm_* graded columns: bigram LM train + score)",
     "events_session_30m": "events_session_30m (round-stable pre-funnel/pre-paths form)",
@@ -116,10 +117,28 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {}
 
+    def release_caches() -> None:
+        # Leaked persists (curation stages, dedup indexes, IVM
+        # partials) otherwise accumulate ACROSS keys and reps:
+        # executor storage fills, GC pressure grows, and later keys
+        # measure memory churn instead of their own work (observed:
+        # pipeline_rebuild 4.5 s isolated vs ~8 s as a 3-rep median,
+        # docs_minhash_lsh 5.4 s isolated vs ~8.8 s in-suite, before
+        # this). Caches INSIDE one key's timed fn are untouched.
+        spark.catalog.clearCache()
+        # py4j converts the JavaMap to a dict-like view
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        # broadcast blocks are reclaimed by the ContextCleaner only
+        # after the driver-side references are GC'd — nudge it so 38
+        # keys x 3 reps of broadcast joins don't pile up in storage
+        spark.sparkContext._jvm.System.gc()
+
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
         samples.setdefault(name, []).append(time.perf_counter() - t0)
+        release_caches()
         return out
 
     def run_suite() -> None:
@@ -336,12 +355,35 @@ def main() -> None:
             timed(
                 "docs_text_metrics",
                 lambda: q_docs_text_metrics(
-                    spark, sf_dir, include_lm=False, include_entropy=False
+                    spark,
+                    sf_dir,
+                    include_lm=False,
+                    include_entropy=False,
+                    include_html=False,
                 )
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
             )
+
+            # round-7 signal: the HTML->text kernel under its own key
+            # (the graded columns ride docs_text_metrics' registry
+            # entry) — one strip_html pass + md5 + visible ratio over
+            # the synthesized page per doc, scan-stage
+            from globalweather_etl_spark.functions.html import (
+                strip_html,
+                visible_text_ratio,
+            )
+
+            def html_all():
+                d = load_table(spark, sf_dir, "documents")
+                d.select(
+                    "doc_id",
+                    F.md5(strip_html(F.col("text"))).alias("h"),
+                    visible_text_ratio(F.col("text")).alias("r"),
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("html_kernel", html_all)
 
             # round-5 signal: char entropy under its own key (the
             # graded column rides docs_text_metrics' registry entry);

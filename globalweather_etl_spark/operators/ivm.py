@@ -287,17 +287,31 @@ class IncrementalAggregate:
             batch_id, "ivm_batch_id", "ivm_max_batch_id"
         ):
             return {"skipped": batch_id}
-        bad_op = (
-            batch.filter(~F.col(op_col).isin(1, -1)).limit(1).collect()
+        # op validation RIDES the partial aggregate instead of its own
+        # full batch scan (round 7: the pre-check doubled every CDC
+        # fold's scan cost — and, being a plain filter, silently
+        # PASSED NULL ops, which the weighted sums would then drop;
+        # the count_if form catches NULL too)
+        bad_cond = F.col(op_col).isNull() | ~F.col(op_col).isin(1, -1)
+        pb = (
+            batch.groupBy(*self.group_cols)
+            .agg(
+                *self._partial_aggs_cdc(op_col),
+                F.count_if(bad_cond).alias("__bad_op"),
+                F.any_value(
+                    F.when(bad_cond, F.col(op_col).cast("string"))
+                ).alias("__bad_op_example"),
+            )
+            .persist()
         )
-        if bad_op:
+        bad = pb.filter(F.col("__bad_op") > 0).limit(1).collect()
+        if bad:
+            pb.unpersist()
             raise ValueError(
                 f"apply_batch_cdc: {op_col} must be +1 or -1, got "
-                f"{bad_op[0][op_col]!r}"
+                f"{bad[0]['__bad_op_example']!r}"
             )
-        p = batch.groupBy(*self.group_cols).agg(
-            *self._partial_aggs_cdc(op_col)
-        )
+        p = pb.drop("__bad_op", "__bad_op_example")
         head = self.table.latest_version()
         if head is not None:
             touched_old = self.table.read().join(
@@ -311,11 +325,13 @@ class IncrementalAggregate:
                 .agg(*self._merge_aggs())
             )
         # consumed by the guard AND the merge: persist so both see one
-        # evaluation (and the merge's own multi-consumption is cheap)
+        # evaluation (and the merge's own multi-consumption is cheap;
+        # the batch itself is NOT re-scanned — pb is cached)
         p = p.persist()
         neg = p.filter(F.col("__live") < 0).limit(1).collect()
         if neg:
             p.unpersist()
+            pb.unpersist()
             raise ValueError(
                 "apply_batch_cdc: group retracted below zero rows "
                 f"(e.g. {neg[0].asDict()}) — the change stream deleted "
@@ -336,6 +352,7 @@ class IncrementalAggregate:
             )
         finally:
             p.unpersist()
+            pb.unpersist()
 
     # -------------------------------------------------------------- read
     def read(self) -> DataFrame:

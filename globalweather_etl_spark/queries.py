@@ -1276,12 +1276,23 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
 
     events = load_table(spark, sf_dir, "events")
     temp = _fmod(F.col("value"), 120.0) - F.lit(10.0)
-    classified = events.select(
-        F.col("event_id"),
+    # every fold re-derives this shared projection; measured NOT to be
+    # worth caching — at bench scale the pruned parquet re-scan (OS
+    # page cache + whole-stage codegen over the scan) beats
+    # InMemoryTableScan dematerialization by ~2x per fold, so the
+    # folds deliberately re-read the source (profiled, round 7)
+    pre = events.select(
+        "event_id",
         # window(ts, '1 day').start == day-truncation in the UTC
         # session tz — plain group columns so the state table can
         # merge on them
         F.date_trunc("day", F.col("ts")).alias("window_start"),
+        "value",
+        "user_id",
+    )
+    classified = pre.select(
+        F.col("event_id"),
+        F.col("window_start"),
         weather_band(temp).alias("weather_band"),
         temp.alias("temp"),
         F.col("user_id"),
@@ -1355,10 +1366,10 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
     # occupies (real bands cover all (day, band) pairs at any sf), so
     # the retraction must DELETE those groups, not just zero them.
     ph_temp = _fmod(F.col("value") * 3.0 + 41.0, 120.0) - F.lit(10.0)
-    phantom = events.filter(
+    phantom = pre.filter(
         F.pmod(F.col("event_id"), F.lit(4)) == 3
     ).select(
-        F.date_trunc("day", F.col("ts")).alias("window_start"),
+        F.col("window_start"),
         F.concat(F.lit("PH-"), weather_band(ph_temp)).alias(
             "weather_band"
         ),
@@ -1617,7 +1628,11 @@ def q_docs_exact_dedup(spark, sf_dir):
 
 
 def q_docs_text_metrics(
-    spark, sf_dir, include_lm: bool = True, include_entropy: bool = True
+    spark,
+    sf_dir,
+    include_lm: bool = True,
+    include_entropy: bool = True,
+    include_html: bool = True,
 ):
     """The full per-document text-analysis kernel in one scan: token /
     char / punctuation counts, average word length, per-language
@@ -1736,11 +1751,33 @@ def q_docs_text_metrics(
         pii["EMAIL"].alias("pii_email"),
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
-        F.md5(strip_html(html_doc)).alias("html_clean_md5"),
-        F.round(visible_text_ratio(html_doc), 9).alias(
-            "html_visible_ratio"
-        ),
     )
+    if include_html:
+        # strip once, consume twice: the alias is referenced by both
+        # the md5 and the length, so CollapseProject keeps the
+        # projection boundary and the regex chain runs ONE time per
+        # row (inlining it into md5 + ratio doubled the key's cost)
+        hs = docs.select(
+            "doc_id",
+            strip_html(html_doc).alias("__hstr"),
+            F.length(html_doc).alias("__hlen"),
+        ).select(
+            "doc_id",
+            F.md5(F.col("__hstr")).alias("html_clean_md5"),
+            F.when(
+                F.col("__hlen").isNull() | (F.col("__hlen") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.length(F.col("__hstr")).cast("double")
+                    / F.col("__hlen"),
+                    9,
+                )
+            )
+            .alias("html_visible_ratio"),
+        )
+        base = base.join(hs, "doc_id")
     if include_entropy:
         # throughput form (codegen'd aggregates; ~3x the expression
         # form's speed at sf0.1 — docs/PERF.md round 5); empty docs

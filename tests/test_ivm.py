@@ -298,6 +298,14 @@ def test_cdc_bad_op_rejected(spark, cdc_agg):
     )
     with pytest.raises(ValueError, match="must be \\+1 or -1"):
         cdc_agg.apply_batch_cdc(df.withColumn("__op", F.lit(2)))
+    # a NULL op must ALSO fail loudly — the former pre-check was a
+    # plain filter whose NULL predicate silently passed NULL ops,
+    # which the op-weighted sums would then drop (round-7 fix: the
+    # guard rides the partial aggregate and counts NULLs as bad)
+    with pytest.raises(ValueError, match="must be \\+1 or -1"):
+        cdc_agg.apply_batch_cdc(
+            df.withColumn("__op", F.lit(None).cast("int"))
+        )
 
 
 def test_cdc_replay_skipped(spark, cdc_agg):
