@@ -62,8 +62,10 @@ KEY_MAP = {
     "emb_lsh_topk": "emb_lsh_topk",
     "emb_ivf_topk": "emb_ivf_topk",
     "emb_lsh_range_search": "emb_lsh_range_search",
-    "events_asof_last_signup": "events_asof_last_signup (all three as-of directions, one exchange chain)",
-    "docs_pack_by_budget": "docs_pack_by_budget",
+    "events_asof_last_signup": "events_asof_last_signup (round-stable r1 form: backward as-of only)",
+    "asof_directions": "events_asof_last_signup (FULL graded slot: all three as-of directions, one exchange chain)",
+    "docs_pack_by_budget": "docs_pack_by_budget (round-stable r1 form: pack_by_budget only)",
+    "pack_chunk_shard": "docs_pack_by_budget (FULL graded slot: packing + chunk fan-out + shard assignment + materialized sequences)",
     "media_features": "media_features",
     "docs_exact_dedup": "docs_exact_dedup (round-stable keeper-flag form)",
     "docs_web_kernel": "docs_exact_dedup (FULL graded slot: exact dedup + URL/PSL kernel + line/span/within dedup + domain caps + Bloom columns)",
@@ -192,8 +194,6 @@ def main() -> None:
                 "emb_lsh_topk",
                 "emb_ivf_topk",
                 "emb_lsh_range_search",
-                "events_asof_last_signup",
-                "docs_pack_by_budget",
                 "media_features",
             ):
                 timed(
@@ -203,6 +203,74 @@ def main() -> None:
                     .mode("overwrite")
                     .save(),
                 )
+
+            # Round-stable forms for two keys whose registry slot
+            # absorbed more graded work after round 1 (the discipline
+            # every grown slot follows — cross-round per-key ratios
+            # must compare like with like): the original keys time the
+            # r1 workloads, the *_full keys the full graded shapes.
+            from globalweather_etl_spark.functions.text import (
+                token_count,
+            )
+            from globalweather_etl_spark.operators.asof import (
+                asof_join,
+                asof_join_directions,
+            )
+            from globalweather_etl_spark.operators.packing import (
+                pack_by_budget,
+            )
+
+            def _asof_inputs():
+                ev = load_table(spark, sf_dir, "events")
+                clicks = ev.filter(
+                    F.col("event_type") == "click"
+                ).select("event_id", "user_id", "ts")
+                signups = ev.filter(
+                    F.col("event_type") == "signup"
+                ).select(
+                    "user_id",
+                    F.col("ts").alias("signup_ts"),
+                    F.col("value").alias("signup_value"),
+                )
+                return clicks, signups
+
+            def asof_r1():
+                clicks, signups = _asof_inputs()
+                asof_join(
+                    clicks, signups, ["user_id"], "ts", "signup_ts",
+                    ["signup_ts", "signup_value"],
+                ).write.format("noop").mode("overwrite").save()
+
+            def asof_full():
+                clicks, signups = _asof_inputs()
+                asof_join_directions(
+                    clicks, signups, ["user_id"], "ts", "signup_ts",
+                    ["signup_ts", "signup_value"],
+                    prefixes=("", "next_", "nearest_"),
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("events_asof_last_signup", asof_r1)
+            timed("asof_directions", asof_full)
+
+            timed(
+                "docs_pack_by_budget",
+                lambda: pack_by_budget(
+                    load_table(spark, sf_dir, "documents"),
+                    "doc_id",
+                    token_count(F.col("text")),
+                    budget=2048,
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            timed(
+                "pack_chunk_shard",
+                lambda: QUERIES["docs_pack_by_budget"](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
             # Keys with round-stable semantics for the two workloads
             # whose REGISTRY slot absorbed the full curation pipeline in
             # round 4 (the registry is capped at 50 graded slots, so new
