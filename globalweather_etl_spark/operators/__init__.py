@@ -140,6 +140,11 @@ from globalweather_etl_spark.operators.sampling import (
     weighted_sample_flag,
 )
 from globalweather_etl_spark.operators.scd import apply_scd2
+from globalweather_etl_spark.operators.sequence_match import (
+    compile_steps,
+    encode_sequences,
+    match_pattern,
+)
 from globalweather_etl_spark.operators.sessionize import sessionize
 from globalweather_etl_spark.operators.sharding import shard_manifest, write_shards
 from globalweather_etl_spark.operators.similarity import (
@@ -288,6 +293,9 @@ __all__ = [
     "weighted_sample_flag",
     "write_range_clustered",
     "zorder_key",
+    "compile_steps",
+    "encode_sequences",
+    "match_pattern",
     "sessionize",
     "shard_manifest",
     "write_shards",

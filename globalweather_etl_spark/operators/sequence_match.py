@@ -1,0 +1,146 @@
+"""Sequence pattern matching over event streams — the MATCH_RECOGNIZE
+/ Flink-CEP capability re-expressed as encode-then-regex.
+
+Public background: SQL:2016 MATCH_RECOGNIZE (Snowflake, Flink, Oracle)
+finds row sequences matching a PATTERN of named steps with regex
+quantifiers inside a partition ordered by time. The reference (a
+Snowflake ETL) has the feature available but unused; analytics users
+reach for it for funnels-with-order, fraud chains, and journey mining.
+
+Design (scale-first): the classic distributed reformulation is
+ENCODE each partition's ordered events as one character per event,
+then run an ordinary regular expression over the encoded string —
+pattern matching becomes a scan-stage `regexp_*` over a per-key
+string, and the only shuffle is the one groupBy(key) that builds the
+sequence. This is exact for patterns over event TYPES (the common
+case); per-event predicates beyond type would need row-pattern
+navigation (DEFINE clauses), which is out of scope and documented.
+
+- ``encode_sequences``: one hash aggregate; the per-key string is
+  built by sorting collected (order-cols, char) structs — the same
+  bounded-by-key-cardinality state shape as sessionize (a key's
+  events must fit an executor, the documented MATCH_RECOGNIZE
+  partition contract in every engine).
+- ``compile_steps``: a tiny step DSL ("view+", "click|view",
+  "purchase?") compiled to a regex in the Java∩RE2 subset — so the
+  whole operator has an exact DuckDB twin (string_agg ORDER BY +
+  regexp_* — graded in tpch_scalar_checks' seq_* rows).
+- ``match_pattern``: n_matches (non-overlapping, leftmost — both
+  engines' regexp count semantics), first_pos (1-based; via the
+  split-at-first-match prefix, identical cross-engine), and the first
+  matched substring.
+
+Scale shape at 100 TB: encode is ONE groupBy(key) whose value state
+is the key's own events (partition-bounded by contract); matching is
+pure scan-stage expressions over the encoded strings — no joins, no
+second shuffle, whole-stage codegen throughout.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["encode_sequences", "compile_steps", "match_pattern"]
+
+_QUANT = re.compile(r"^(.*?)([?+*]|\{\d+(,\d*)?\})?$")
+
+
+def encode_sequences(
+    df: DataFrame,
+    by_cols: list[str],
+    order_cols: list[str],
+    type_col: str,
+    alphabet: dict[str, str],
+) -> DataFrame:
+    """(by_cols..., seq, n_events): each key's events ordered by
+    ``order_cols`` and encoded one character per event via
+    ``alphabet`` (event-type -> single char). Types absent from the
+    alphabet encode as '.' DELIBERATELY NOT regex-quoted-out — pick
+    alphabet chars from [a-z0-9] and '.' can never be matched by them.
+
+    One hash aggregate: the (order..., char) structs are collected per
+    key and array_sort puts them in order (struct comparison is
+    field-by-field, so order_cols lead). DuckDB twin:
+    string_agg(ch, '' ORDER BY order_cols)."""
+    for t, c in alphabet.items():
+        if len(c) != 1 or not re.fullmatch(r"[a-z0-9]", c):
+            raise ValueError(
+                f"alphabet chars must be single [a-z0-9], got {t!r}->{c!r}"
+            )
+    if len(set(alphabet.values())) != len(alphabet):
+        raise ValueError("alphabet chars must be distinct")
+    ch = F.lit(".")
+    for t, c in alphabet.items():
+        ch = F.when(F.col(type_col) == t, F.lit(c)).otherwise(ch)
+    packed = F.struct(
+        *[F.col(c) for c in order_cols], ch.alias("__ch")
+    )
+    return df.groupBy(*by_cols).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(packed)),
+                lambda s: s["__ch"],
+            ),
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def compile_steps(steps: list[str], alphabet: dict[str, str]) -> str:
+    """Compile a MATCH_RECOGNIZE-style PATTERN step list to a regex in
+    the Java∩RE2 subset. Each step is an event type, optionally an
+    alternation ('click|view'), with an optional trailing quantifier
+    (?, +, *, {m}, {m,}, {m,n}): ``["view+", "click|view", "purchase?"]``
+    -> ``v+[cv]p?``."""
+    if not steps:
+        raise ValueError("empty pattern")
+    out = []
+    for step in steps:
+        m = _QUANT.fullmatch(step.strip())
+        name, quant = m.group(1), m.group(2) or ""
+        names = [n.strip() for n in name.split("|")]
+        try:
+            chars = [alphabet[n] for n in names]
+        except KeyError as e:
+            raise KeyError(
+                f"step {step!r}: type {e.args[0]!r} not in alphabet"
+            ) from None
+        atom = chars[0] if len(chars) == 1 else f"[{''.join(chars)}]"
+        out.append(atom + quant)
+    return "".join(out)
+
+
+def match_pattern(
+    seq_df: DataFrame,
+    pattern: str,
+    seq_col: str = "seq",
+    prefix: str = "match",
+) -> DataFrame:
+    """The input plus three scan-stage columns:
+    ``<prefix>_count`` (non-overlapping leftmost match count),
+    ``<prefix>_first_pos`` (1-based position of the first match, 0 if
+    none), ``<prefix>_first`` (the first matched substring, '' if
+    none). ``pattern`` must not match the empty string (a zero-width
+    match would make first_pos engine-dependent)."""
+    if re.fullmatch(pattern, ""):
+        raise ValueError(f"pattern {pattern!r} matches the empty string")
+    s = F.col(seq_col)
+    n = F.regexp_count(s, F.lit(pattern))
+    # the prefix BEFORE the first match: split with limit 2; when no
+    # match, split returns the whole string as element 0 — disambiguate
+    # via the count. Identical in DuckDB: regexp_split_to_array[1].
+    first_prefix = F.split(s, pattern, 2).getItem(0)
+    return seq_df.select(
+        "*",
+        n.cast("long").alias(f"{prefix}_count"),
+        F.when(n > 0, F.length(first_prefix) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias(f"{prefix}_first_pos"),
+        F.coalesce(
+            F.regexp_extract(s, pattern, 0), F.lit("")
+        ).alias(f"{prefix}_first"),
+    )

@@ -451,6 +451,26 @@ cfd AS (
     ON b.o_orderkey = n.o_orderkey),
 rs_app AS (
   SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 9 = 0),
+sq AS (
+  SELECT user_id,
+    string_agg(CASE event_type
+        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        WHEN 'error' THEN 'e' ELSE '.' END,
+      '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id),
+sqm AS (
+  SELECT user_id, length(seq) AS sl,
+    len(regexp_extract_all(seq, 'v+cp')) AS mc,
+    CASE WHEN len(regexp_extract_all(seq, 'v+cp')) > 0
+         THEN length(regexp_split_to_array(seq, 'v+cp')[1]) + 1
+         ELSE 0 END AS fp
+  FROM sq),
+sqa AS (
+  SELECT sum(sl) AS len_sum, sum(mc) AS total_matches,
+         count(*) FILTER (WHERE mc > 0) AS users_matched,
+         sum(fp) AS fp_sum
+  FROM sqm),
 zm_win AS (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE)
@@ -536,7 +556,11 @@ UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx
 UNION ALL SELECT 'mean_user_twap', mean_user_twap FROM twap
-UNION ALL SELECT 'n_twap_users', CAST(n_twap_users AS DOUBLE) FROM twap""",
+UNION ALL SELECT 'n_twap_users', CAST(n_twap_users AS DOUBLE) FROM twap
+UNION ALL SELECT 'seq_len_sum', CAST(len_sum AS DOUBLE) FROM sqa
+UNION ALL SELECT 'seq_total_matches', CAST(total_matches AS DOUBLE) FROM sqa
+UNION ALL SELECT 'seq_users_matched', CAST(users_matched AS DOUBLE) FROM sqa
+UNION ALL SELECT 'seq_first_pos_sum', CAST(fp_sum AS DOUBLE) FROM sqa""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -883,7 +883,47 @@ def q_tpch_scalar_checks(spark, sf_dir):
         time_weighted_avg,
     )
 
+    # Round 7: MATCH_RECOGNIZE-style sequence pattern matching
+    # (operators/sequence_match.py): every user's events encoded one
+    # char per event in (ts, event_id) order, the PATTERN
+    # view+ click purchase compiled to v+cp, and the corpus-level
+    # aggregates of the per-user match count / first position graded
+    # against a string_agg + regexp twin — a wrong char, order, count
+    # or position in ANY user's journey shifts a sum.
+    from globalweather_etl_spark.operators.sequence_match import (
+        compile_steps,
+        encode_sequences,
+        match_pattern,
+    )
+
     events = load_table(spark, sf_dir, "events")
+    seq_alphabet = {
+        "view": "v", "click": "c", "purchase": "p",
+        "signup": "s", "error": "e",
+    }
+    enc = encode_sequences(
+        events, ["user_id"], ["ts", "event_id"], "event_type",
+        seq_alphabet,
+    )
+    journeys = match_pattern(
+        enc,
+        compile_steps(["view+", "click", "purchase"], seq_alphabet),
+    )
+    seq = _unpivot_metrics(
+        journeys.agg(
+            F.sum(F.length("seq")).alias("ls"),
+            F.sum("match_count").alias("tm"),
+            F.count_if(F.col("match_count") > 0).alias("um"),
+            F.sum("match_first_pos").alias("fs"),
+        ),
+        [
+            ("seq_len_sum", "ls"),
+            ("seq_total_matches", "tm"),
+            ("seq_users_matched", "um"),
+            ("seq_first_pos_sum", "fs"),
+        ],
+    )
+
     twap = _unpivot_metrics(
         time_weighted_avg(events, ["user_id"], "ts", "value").agg(
             F.round(
@@ -909,6 +949,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(er)
         .unionAll(stats_mx)
         .unionAll(twap)
+        .unionAll(seq)
         .unionAll(lake)
         .unionAll(cf)
         .unionAll(rs)

@@ -305,7 +305,27 @@ def _round67_plans(spark, tmp_path):
             docs, "doc_id", "text", dim=64, hash_fn="md5"
         ),
         "qc_score": score_quality(docs, model, "text"),
+        "sequence_match": _seq_plan(spark),
     }
+
+
+def _seq_plan(spark):
+    from globalweather_etl_spark.operators.sequence_match import (
+        compile_steps,
+        encode_sequences,
+        match_pattern,
+    )
+    from globalweather_etl_spark.sources import load_table
+
+    al = {"view": "v", "click": "c", "purchase": "p",
+          "signup": "s", "error": "e"}
+    enc = encode_sequences(
+        load_table(spark, SF_DIR, "events"),
+        ["user_id"], ["ts", "event_id"], "event_type", al,
+    )
+    return match_pattern(
+        enc, compile_steps(["view+", "click", "purchase"], al)
+    )
 
 
 def test_round67_surfaces_no_scale_antipatterns(spark, tmp_path):
