@@ -15,6 +15,12 @@ from globalweather_etl_spark.functions.html import (
     strip_html,
     visible_text_ratio,
 )
+from globalweather_etl_spark.functions.semistructured import (
+    flatten_json_array,
+    json_array_size,
+    json_get,
+    parse_json,
+)
 from globalweather_etl_spark.functions.urls import (
     filter_domains,
     registered_domain,
@@ -24,6 +30,10 @@ from globalweather_etl_spark.functions.urls import (
 from globalweather_etl_spark.functions.weather import precip_type, weather_band
 
 __all__ = [
+    "flatten_json_array",
+    "json_array_size",
+    "json_get",
+    "parse_json",
     "strip_html",
     "visible_text_ratio",
     "date_parts",

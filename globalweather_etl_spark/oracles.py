@@ -471,6 +471,42 @@ sqa AS (
          count(*) FILTER (WHERE mc > 0) AS users_matched,
          sum(fp) AS fp_sum
   FROM sqm),
+jd AS (
+  SELECT '{"id": ' || o_orderkey || ', "cust": {"key": ' || o_custkey
+    || ', "seg": "' || substring(o_orderpriority, 1, 1)
+    || '"}, "tags": ["t' || (o_orderkey % 5) || '", "t'
+    || (o_orderkey % 3) || '"], "amounts": [' || (o_orderkey % 7)
+    || ', ' || (o_orderkey % 11) || ', ' || (o_orderkey % 13)
+    || ']}' AS jdoc
+  FROM orders),
+jsc AS (
+  SELECT
+    sum(CAST(json_extract_string(jdoc, '$.cust.key') AS BIGINT))
+      AS cust_key_sum,
+    count(*) FILTER (
+      WHERE json_extract_string(jdoc, '$.cust.seg') = '1') AS seg1,
+    count(*) FILTER (
+      WHERE json_extract_string(jdoc, '$.missing.deep') IS NULL)
+      AS miss_null
+  FROM jd),
+jtg AS (
+  SELECT count(*) AS tag_rows,
+         count(*) FILTER (WHERE tag = 't0') AS t0_rows,
+         count(DISTINCT tag) AS distinct_tags
+  FROM (SELECT unnest(CAST(json_extract(jdoc, '$.tags') AS VARCHAR[]))
+          AS tag
+        FROM jd)),
+jam AS (
+  SELECT sum(amt) AS amounts_sum
+  FROM (SELECT unnest(CAST(json_extract(jdoc, '$.amounts') AS BIGINT[]))
+          AS amt
+        FROM jd)),
+jom AS (
+  SELECT count(*) AS n
+  FROM (SELECT unnest(coalesce(
+          CAST(json_extract(jdoc, '$.nope') AS VARCHAR[]),
+          [NULL])) AS v
+        FROM jd)),
 zm_win AS (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE)
@@ -560,7 +596,15 @@ UNION ALL SELECT 'n_twap_users', CAST(n_twap_users AS DOUBLE) FROM twap
 UNION ALL SELECT 'seq_len_sum', CAST(len_sum AS DOUBLE) FROM sqa
 UNION ALL SELECT 'seq_total_matches', CAST(total_matches AS DOUBLE) FROM sqa
 UNION ALL SELECT 'seq_users_matched', CAST(users_matched AS DOUBLE) FROM sqa
-UNION ALL SELECT 'seq_first_pos_sum', CAST(fp_sum AS DOUBLE) FROM sqa""",
+UNION ALL SELECT 'seq_first_pos_sum', CAST(fp_sum AS DOUBLE) FROM sqa
+UNION ALL SELECT 'json_cust_key_sum', CAST(cust_key_sum AS DOUBLE) FROM jsc
+UNION ALL SELECT 'json_seg1_rows', CAST(seg1 AS DOUBLE) FROM jsc
+UNION ALL SELECT 'json_missing_null_rows', CAST(miss_null AS DOUBLE) FROM jsc
+UNION ALL SELECT 'json_tag_rows', CAST(tag_rows AS DOUBLE) FROM jtg
+UNION ALL SELECT 'json_tag_t0_rows', CAST(t0_rows AS DOUBLE) FROM jtg
+UNION ALL SELECT 'json_distinct_tags', CAST(distinct_tags AS DOUBLE) FROM jtg
+UNION ALL SELECT 'json_amounts_sum', CAST(amounts_sum AS DOUBLE) FROM jam
+UNION ALL SELECT 'json_outer_missing_rows', CAST(n AS DOUBLE) FROM jom""",
     "tpch_pivot_status": """
 SELECT o_orderpriority,
   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

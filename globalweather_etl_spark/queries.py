@@ -510,6 +510,15 @@ def q_tpch_scalar_checks(spark, sf_dir):
     commit's rows) and the Z-order box read (zb_*: a 2-D read_box
     over a Morton-clustered commit vs the plain two-predicate
     filter).
+
+    Round 7 also grades two new operator families here: seq_* —
+    MATCH_RECOGNIZE-style sequence pattern matching
+    (operators/sequence_match.py, encode-then-regex over per-user
+    event journeys) vs a string_agg + regexp twin; and json_* — the
+    semi-structured VARIANT family (functions/semistructured.py:
+    path navigation with NULL-on-missing, schema-on-read typed
+    parsing, LATERAL FLATTEN inner/outer, typed array elements) over
+    per-order synthesized nested JSON vs DuckDB's JSON kernel.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -924,6 +933,82 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 7: the SEMI-STRUCTURED (VARIANT) family
+    # (functions/semistructured.py): a nested JSON document is
+    # synthesized per order (the span-dedup/HTML synthesis pattern —
+    # the landing tables hold plain columns), then navigated with path
+    # expressions, typed-parsed (schema-on-read), LATERAL-FLATTENed
+    # over its embedded arrays (inner AND outer on a missing path),
+    # and aggregated; the oracle rebuilds the same documents and
+    # recomputes through DuckDB's JSON kernel.
+    from globalweather_etl_spark.functions.semistructured import (
+        flatten_json_array,
+        json_get,
+        parse_json,
+    )
+
+    k = F.col("o_orderkey")
+    jdoc = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.lit(', "cust": {"key": '), F.col("o_custkey").cast("string"),
+        F.lit(', "seg": "'),
+        F.substring(F.col("o_orderpriority"), 1, 1),
+        F.lit('"}, "tags": ["t'), (k % 5).cast("string"),
+        F.lit('", "t'), (k % 3).cast("string"),
+        F.lit('"], "amounts": ['), (k % 7).cast("string"),
+        F.lit(", "), (k % 11).cast("string"),
+        F.lit(", "), (k % 13).cast("string"), F.lit("]}"),
+    )
+    jorders = orders.select(jdoc.alias("jdoc"))
+    jscalars = _unpivot_metrics(
+        jorders.agg(
+            F.sum(
+                parse_json(
+                    F.col("jdoc"),
+                    "struct<cust: struct<key: bigint, seg: string>>",
+                )["cust"]["key"]
+            ).alias("cks"),
+            F.count_if(
+                json_get(F.col("jdoc"), "cust.seg") == "1"
+            ).alias("seg1"),
+            F.count_if(
+                json_get(F.col("jdoc"), "missing.deep").isNull()
+            ).alias("mn"),
+        ),
+        [
+            ("json_cust_key_sum", "cks"),
+            ("json_seg1_rows", "seg1"),
+            ("json_missing_null_rows", "mn"),
+        ],
+    )
+    jtags = _unpivot_metrics(
+        flatten_json_array(jorders, "jdoc", "tags").agg(
+            F.count(F.lit(1)).alias("tr"),
+            F.count_if(F.col("value") == "t0").alias("t0"),
+            F.countDistinct("value").alias("dt"),
+        ),
+        [
+            ("json_tag_rows", "tr"),
+            ("json_tag_t0_rows", "t0"),
+            ("json_distinct_tags", "dt"),
+        ],
+    )
+    jrest = _unpivot_metrics(
+        flatten_json_array(
+            jorders, "jdoc", "amounts", element_type="bigint",
+            out_col="amt",
+        ).agg(F.sum("amt").alias("s")),
+        [("json_amounts_sum", "s")],
+    ).unionAll(
+        _unpivot_metrics(
+            flatten_json_array(
+                jorders, "jdoc", "nope", outer=True
+            ).agg(F.count(F.lit(1)).alias("n")),
+            [("json_outer_missing_rows", "n")],
+        )
+    )
+    jfam = jscalars.unionAll(jtags).unionAll(jrest)
+
     twap = _unpivot_metrics(
         time_weighted_avg(events, ["user_id"], "ts", "value").agg(
             F.round(
@@ -950,6 +1035,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(stats_mx)
         .unionAll(twap)
         .unionAll(seq)
+        .unionAll(jfam)
         .unionAll(lake)
         .unionAll(cf)
         .unionAll(rs)
