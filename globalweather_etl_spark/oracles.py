@@ -576,6 +576,26 @@ UNION ALL SELECT 'read_since_rows', CAST(count(*) AS DOUBLE) FROM rs_app
 UNION ALL SELECT 'read_since_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM rs_app
+UNION ALL SELECT 'dv_mor_rows', CAST(count(*) AS DOUBLE) FROM lk_v2
+UNION ALL SELECT 'dv_mor_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v2
+UNION ALL SELECT 'dv_del_rows', CAST(count(*) AS DOUBLE) FROM lk_v3
+UNION ALL SELECT 'dv_del_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v3
+UNION ALL SELECT 'dv_purge_rows', CAST(count(*) AS DOUBLE) FROM lk_v3
+UNION ALL SELECT 'dv_purge_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v3
+UNION ALL SELECT 'salted_join_rows', CAST(count(*) AS DOUBLE)
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL SELECT 'salted_join_price_sum',
+  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL SELECT 'salted_join_segments',
+  CAST(count(DISTINCT c.c_mktsegment) AS DOUBLE)
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 UNION ALL SELECT 'zm_date_rows', CAST(count(*) AS DOUBLE) FROM zm_win
 UNION ALL SELECT 'zm_date_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)

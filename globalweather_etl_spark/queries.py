@@ -519,6 +519,15 @@ def q_tpch_scalar_checks(spark, sf_dir):
     path navigation with NULL-on-missing, schema-on-read typed
     parsing, LATERAL FLATTEN inner/outer, typed array elements) over
     per-order synthesized nested JSON vs DuckDB's JSON kernel.
+
+    Round 7 additionally grades the merge-on-read DELETION-VECTOR
+    path (dv_*: the same base through a merge-on-read MERGE, then
+    delete_where — no file rewritten, only (file, pos) vectors — then
+    purge_deletes materializing them away; each read-back must equal
+    the SAME relational lk_v2/lk_v3 states the copy-on-write family
+    is graded against) and the skew-salted join (sj_*: salted_join
+    must be a pure physical rewrite — row count, price sum, and
+    distinct join-payload values equal the plain join's).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -813,6 +822,75 @@ def q_tpch_scalar_checks(spark, sf_dir):
         [("read_since_rows", "n"), ("read_since_price_sum", "s")],
     )
 
+    # Round 7: the merge-on-read DELETION-VECTOR path graded against
+    # the SAME relational states the copy-on-write family uses (the
+    # two strategies are content-identical by contract,
+    # tests/test_deletion_vectors.py): a second snapshot table takes
+    # the same base, the same upsert as a merge-on-read MERGE (no
+    # file rewritten — matched rows become (file, pos) deletion
+    # vectors, updates append), then delete_where removes key%7==0
+    # WITHOUT rewriting a file, then purge_deletes materializes the
+    # DVs away; each state reads back against the lk_v2/lk_v3 twins.
+    dvt = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="gw_dv_") + "/orders_mor"
+    )
+    dvt.write(base.repartition(8, "o_orderkey"), mode="overwrite")
+    dvt.merge_into(
+        upsert_src, keys=["o_orderkey"], strategy="merge-on-read"
+    )
+    dv_mor = dsum(dvt.read())
+    dvt.delete_where("o_orderkey % 7 = 0")
+    dv_del = dsum(dvt.read())
+    dvt.purge_deletes()
+    dv_purge = dsum(dvt.read())
+    dv = (
+        _unpivot_metrics(
+            dv_mor, [("dv_mor_rows", "n"), ("dv_mor_price_sum", "s")]
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dv_del,
+                [("dv_del_rows", "n"), ("dv_del_price_sum", "s")],
+            )
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dv_purge,
+                [("dv_purge_rows", "n"), ("dv_purge_price_sum", "s")],
+            )
+        )
+    )
+
+    # Round 7: the skew-salted join graded against the plain join —
+    # salting must be a pure physical rewrite (S-way key spread),
+    # never changing the relational result
+    from globalweather_etl_spark.operators.skew import salted_join
+
+    sj = _unpivot_metrics(
+        salted_join(
+            orders.select("o_custkey", "o_totalprice"),
+            customer.select("c_custkey", "c_mktsegment").withColumnRenamed(
+                "c_custkey", "o_custkey"
+            ),
+            on="o_custkey",
+            salt=8,
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("s"),
+            F.countDistinct("c_mktsegment").alias("seg"),
+        ),
+        [
+            ("salted_join_rows", "n"),
+            ("salted_join_price_sum", "s"),
+            ("salted_join_segments", "seg"),
+        ],
+    )
+
     # Round 6: zone-map range reads — orders committed with a
     # date-clustered file layout, per-file min/max stats built from
     # parquet FOOTERS only (one distributed metadata pass, O(files)
@@ -1039,6 +1117,8 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(lake)
         .unionAll(cf)
         .unionAll(rs)
+        .unionAll(dv)
+        .unionAll(sj)
         .unionAll(zm)
         .unionAll(zb)
     )
