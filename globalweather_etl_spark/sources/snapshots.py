@@ -941,10 +941,12 @@ class SnapshotTable:
         ever rewritten, merge cost is O(matched ROWS + source), and
         reads of the affected files pay an anti-join until
         ``purge_deletes``/``compact``.  Both strategies produce
-        IDENTICAL table contents (test-pinned); pick merge-on-read for
-        frequent small upserts into huge files, copy-on-write for
-        read-hot tables.  ``dv_store_files`` bounds the merge-on-read
-        DV store's file count.
+        IDENTICAL table contents (test-pinned:
+        tests/test_deletion_vectors.py TestMergeStrategyParity; also
+        oracle-graded — tpch_scalar_checks dv_* rows); pick
+        merge-on-read for frequent small upserts into huge files,
+        copy-on-write for read-hot tables.  ``dv_store_files`` bounds
+        the merge-on-read DV store's file count.
 
         Returns {"version", "files_rewritten", "files_kept",
         "n_rows"} (merge-on-read adds "n_dv_deletes" and always has
