@@ -2473,7 +2473,15 @@ def _stats_methods():
         all_null = F.col(mn_c).isNull() & (
             F.col("null_count") == F.col("n_rows")
         )
-        is_prunable = (F.col(mn_c).isNotNull() & out_of_range) | all_null
+        # null-safe: a stats-missing row (NULL min/max AND NULL
+        # null_count — "footer stats unreadable, conservatively keep")
+        # makes all_null evaluate to SQL NULL, and ~NULL is NULL, so a
+        # bare filter(~is_prunable) would silently DROP the file from
+        # the candidate set. Coalesce to False: unknown stats == keep.
+        is_prunable = F.coalesce(
+            (F.col(mn_c).isNotNull() & out_of_range) | all_null,
+            F.lit(False),
+        )
         # collect whichever of prunable/candidates is SMALLER: a
         # selective predicate prunes nearly every file, and collecting
         # the prunable set would then pull almost the whole file list

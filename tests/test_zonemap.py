@@ -357,6 +357,72 @@ class TestLifecycle:
             cached = zm_table.files_for_range("k", lo, hi, version=v)
             assert cached == big.files_for_range("k", lo, hi, version=v)
 
+    def test_stats_missing_row_kept_by_candidate_collect(
+        self, spark, tmp_path
+    ):
+        """r7 advisory (high): a stats-missing sidecar row — NULL
+        min/max AND NULL null_count, the documented 'footer stats
+        unreadable, conservatively keep' state — made is_prunable
+        evaluate to SQL NULL, so the Spark-probe regime's
+        candidate-side collect (filter(~is_prunable)) silently PRUNED
+        the file whenever full coverage held and >50% of files pruned.
+        The prunable-side walk and the cached path kept it; the two
+        regimes disagreed. Pin: all three paths keep the file and
+        read_range stays row-exact."""
+        root = str(tmp_path) + "/zm_missing"
+        st = SnapshotTable(spark, root)
+        st.write_clustered(
+            spark.createDataFrame([Row(k=i) for i in range(64)]),
+            cluster_by=["k"],
+            n_files=8,
+        )
+        st.build_stats(cols=["k"])
+        v = st.latest_version()
+        zm = st._zm_path(v).toString()
+        side = spark.read.parquet(zm)
+        schema = side.schema
+        rows = side.collect()
+        # blind the file holding k=40 (bigint bounds are eps-widened,
+        # so select by range membership, not exact equality)
+        victim = next(
+            r["file"]
+            for r in rows
+            if r["min_num"] is not None
+            and r["min_num"] <= 40 <= r["max_num"]
+        )
+        blinded = [
+            (
+                r.asDict()
+                | {
+                    "min_num": None,
+                    "max_num": None,
+                    "min_str": None,
+                    "max_str": None,
+                    "null_count": None,
+                }
+                if r["file"] == victim
+                else r.asDict()
+            )
+            for r in rows
+        ]
+        spark.createDataFrame(
+            [Row(**d) for d in blinded], schema=schema
+        ).coalesce(1).write.mode("overwrite").parquet(zm)
+        # selective range: only 1 of 8 files truly matches, so
+        # prunable (6 known + victim's fate) > half → candidate-side
+        # collect path; full coverage holds (every file has a row)
+        probe = SnapshotTable(spark, root)
+        probe._ZM_CACHE_FILE_LIMIT = 0  # force Spark-probe regime
+        cached = SnapshotTable(spark, root)
+        got_probe = probe.files_for_range("k", 2, 3, version=v)
+        got_cached = cached.files_for_range("k", 2, 3, version=v)
+        assert victim in got_probe, "stats-missing file was pruned"
+        assert sorted(got_probe) == sorted(got_cached)
+        assert len(got_probe) == 2  # the true match + the blind file
+        assert sorted(
+            r["k"] for r in probe.read_range("k", 2, 3, version=v).collect()
+        ) == [2, 3]
+
     def test_probe_cache_is_lru_bounded(self, spark, tmp_path):
         """A handle probing many versions must not hold every
         version's sidecar rows forever — the per-handle cache is LRU
