@@ -298,8 +298,13 @@ class IncrementalAggregate:
             .agg(
                 *self._partial_aggs_cdc(op_col),
                 F.count_if(bad_cond).alias("__bad_op"),
+                # ignoreNulls: without it any_value may land on a
+                # row where bad_cond is false (the when() yields NULL)
+                # and report "got None" even when the offending op is
+                # a concrete non-null like 5 (r7 advisory)
                 F.any_value(
-                    F.when(bad_cond, F.col(op_col).cast("string"))
+                    F.when(bad_cond, F.col(op_col).cast("string")),
+                    True,
                 ).alias("__bad_op_example"),
             )
             .persist()

@@ -135,40 +135,79 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     # ---------------------------------------------------- partitions
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        """New-file partitions for the commit window (lo, hi].
+
+        Manifest I/O is O(commits in window): the baseline file set is
+        seeded from the SINGLE newest surviving manifest at or below
+        ``lo`` (not a walk from version 0 — the r7 advisory's
+        quadratic-over-stream-lifetime hazard), and the steady-state
+        case (this window starts where the last one ended) hits a
+        per-reader tail cache and opens no baseline manifest at all.
+
+        If NO manifest at or below ``lo`` survives, two cases split on
+        the first window manifest's ``parent`` stamp:
+
+        - parent is None — the table's genuine first commit: it
+          bootstraps whole (whatever its mode), Delta's behavior.
+        - parent is not None — history existed and ``vacuum()``
+          removed it. Diffing from an empty baseline would re-deliver
+          the entire table snapshot and silently break exactly-once,
+          so fail LOUDLY (Delta fails the same way when a stream's
+          startingVersion/offset has been vacuumed).
+        """
         lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        vs = _versions(self.root)  # one listdir; no manifest opens
+        window = [v for v in vs if lo < v <= hi]
+        if not window:
+            return []
+        cached = getattr(self, "_tail_cache", None)
+        if cached is not None and cached[0] == lo:
+            prev_files: set[str] = cached[1]
+            bootstrap_v: int | None = None
+        else:
+            base = max((v for v in vs if v <= lo), default=None)
+            if base is not None:
+                prev_files = set(_manifest(self.root, base)["files"])
+                bootstrap_v = None
+            else:
+                first_m = _manifest(self.root, window[0])
+                if first_m.get("parent") is not None:
+                    raise ValueError(
+                        "snapshot_stream: no manifest survives at or "
+                        f"below offset {lo} at {self.root} (earliest "
+                        f"is {window[0]}, whose parent is "
+                        f"{first_m['parent']}) — the stream's baseline "
+                        "was vacuumed. Re-delivering the table from an "
+                        "empty baseline would duplicate rows; restart "
+                        "the stream with a fresh checkpoint and a "
+                        "surviving startingVersion"
+                    )
+                prev_files = set()
+                bootstrap_v = window[0]
         parts: list[InputPartition] = []
-        prev_files: set[str] | None = None
-        prev_v: int | None = None
-        for v in _versions(self.root):
-            if v > hi:
-                break
+        for v in window:
             m = _manifest(self.root, v)
             files = set(m["files"])
-            if v > lo:
-                bootstrap = prev_v is None
-                if m.get("mode") == "append" or bootstrap:
-                    added = (
-                        files - prev_files if prev_files is not None
-                        else files
-                    )
-                    # manifest order is deterministic; sort for stable
-                    # partition identity across replays
-                    for rel in sorted(added):
-                        parts.append(
-                            _FilePartition(f"{self.root}/{rel}")
-                        )
-                elif self.skip_change_commits:
-                    pass  # Delta's skipChangeCommits: emit nothing
-                else:
-                    raise ValueError(
-                        f"snapshot_stream: version {v} is "
-                        f"{m.get('mode')!r}, not append — its changes "
-                        "are rewrites, not new rows. Set "
-                        "skipChangeCommits=true to skip such commits, "
-                        "or consume row-level changes via "
-                        "SnapshotTable.read_changes"
-                    )
-            prev_files, prev_v = files, v
+            if m.get("mode") == "append" or v == bootstrap_v:
+                # manifest order is deterministic; sort for stable
+                # partition identity across replays
+                for rel in sorted(files - prev_files):
+                    parts.append(_FilePartition(f"{self.root}/{rel}"))
+            elif self.skip_change_commits:
+                pass  # Delta's skipChangeCommits: emit nothing
+            else:
+                raise ValueError(
+                    f"snapshot_stream: version {v} is "
+                    f"{m.get('mode')!r}, not append — its changes "
+                    "are rewrites, not new rows. Set "
+                    "skipChangeCommits=true to skip such commits, "
+                    "or consume row-level changes via "
+                    "SnapshotTable.read_changes"
+                )
+            prev_files = files
+        self._tail_cache = (hi, prev_files)
         return parts
 
     # --------------------------------------------------------- reads

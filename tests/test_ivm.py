@@ -306,6 +306,14 @@ def test_cdc_bad_op_rejected(spark, cdc_agg):
         cdc_agg.apply_batch_cdc(
             df.withColumn("__op", F.lit(None).cast("int"))
         )
+    # the diagnostic names the ACTUAL bad value, not a NULL picked
+    # off a valid row (any_value without ignoreNulls — r7 advisory)
+    mixed = spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "a", 2.0, 5)],
+        "event_id long, event_type string, value double, __op int",
+    )
+    with pytest.raises(ValueError, match="got '5'"):
+        cdc_agg.apply_batch_cdc(mixed)
 
 
 def test_cdc_replay_skipped(spark, cdc_agg):

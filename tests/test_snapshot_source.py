@@ -200,6 +200,72 @@ def test_stream_feeds_ivm_exactly_once(spark, tmp_path):
     }
 
 
+def test_vacuumed_baseline_fails_loudly(spark, table, tmp_path):
+    """r7 advisory (medium): if vacuum() removed every manifest at or
+    below the checkpointed offset, the old reader treated the first
+    surviving version as a bootstrap and re-emitted the ENTIRE table
+    snapshot — silently duplicating rows. Pinned behavior: fail
+    loudly (Delta fails the same way when a stream's baseline version
+    is vacuumed); the genuine-first-commit bootstrap (parent None)
+    keeps working."""
+    out, ckpt = str(tmp_path / "o8"), str(tmp_path / "c8")
+    _drain(spark, table.path, out, ckpt)  # checkpoint at v2
+    assert spark.read.parquet(out).count() == 8
+    table.write(_df(spark, [(50, "x")]), mode="append")  # v3
+    table.write(_df(spark, [(51, "y")]), mode="append")  # v4
+    table.vacuum(keep_last=1, unreferenced_grace=0.0)  # only v4 stays
+    with pytest.raises(Exception, match="vacuum"):
+        _drain(spark, table.path, out, ckpt)
+    # nothing was emitted by the failed drain
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_partitions_manifest_io_is_o_window(spark, tmp_path, monkeypatch):
+    """r7 advisory (low) / VERDICT item 3: partitions() used to walk
+    every manifest from version 0 each micro-batch to seed the
+    baseline file set — O(total commits) per batch, quadratic manifest
+    I/O over a stream's lifetime. Pin the fixed shape: a cold window
+    opens (window + 1 baseline) manifests; the steady-state window
+    (starting where the last ended) hits the tail cache and opens
+    exactly (window) manifests, independent of history length."""
+    import globalweather_etl_spark.streaming.snapshot_source as ss
+
+    t = SnapshotTable(spark, str(tmp_path / "io_tbl"))
+    t.write(_df(spark, [(0, "a")]).coalesce(1), mode="overwrite")
+    for i in range(1, 12):
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    head = t.latest_version()
+
+    opens: list[int] = []
+    real = ss._manifest
+
+    def counting(root, version):
+        opens.append(version)
+        return real(root, version)
+
+    monkeypatch.setattr(ss, "_manifest", counting)
+    reader = ss.SnapshotStreamReader(
+        t.read().schema, {"path": t.path}
+    )
+    # cold window over the last 2 commits: 2 window manifests + 1
+    # baseline manifest, NOT a walk from version 0
+    parts = reader.partitions(
+        {"version": head - 2}, {"version": head}
+    )
+    assert len(parts) == 2
+    assert sorted(opens) == [head - 2, head - 1, head]
+    # steady state: next window starts at the cached tail — zero
+    # baseline reads, one manifest per window commit
+    t2 = SnapshotTable(spark, t.path)
+    t2.write(_df(spark, [(100, "z")]).coalesce(1), mode="append")
+    opens.clear()
+    parts = reader.partitions(
+        {"version": head}, {"version": head + 1}
+    )
+    assert len(parts) == 1
+    assert opens == [head + 1]
+
+
 def test_remote_scheme_rejected(spark):
     from globalweather_etl_spark.streaming.snapshot_source import (
         _local_root,

@@ -36,7 +36,90 @@ from globalweather_etl_spark.streaming.snapshot_source import (
 )
 
 
+def rehearse_partitions_flatness(n_commits: int = 5000) -> dict:
+    """Driver-only rehearsal (VERDICT r7 item 3): per-batch
+    partitions() wall must be flat in TOTAL history length, not just
+    window size. partitions() touches nothing but manifest JSON, so
+    the table is fabricated as bare manifests (no Spark, no data
+    files) — which lets history reach thousands of commits in
+    seconds. A steady-state 1-commit window is timed cold (baseline
+    manifest read) and warm (tail cache) at growing history lengths;
+    the old from-version-0 walk would scale linearly here."""
+    import os
+
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    from globalweather_etl_spark.streaming.snapshot_source import (
+        SnapshotStreamReader,
+        _MANIFEST_DIR,
+    )
+
+    root = tempfile.mkdtemp(prefix="ss_parts_") + "/t"
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(mdir)
+    schema = StructType([StructField("k", LongType())])
+    files: list[str] = []
+    out: dict = {
+        "rehearsal": "snapshot_stream_partitions",
+        # residual wall growth with history is manifest SIZE (each
+        # append manifest lists every live file, so parsing two
+        # manifests is O(table files)) plus one listdir — NOT manifest
+        # open count, which this rehearsal pins at window+1/window.
+        # The pre-fix walk opened O(history) manifests of O(files)
+        # entries each: quadratic where this is linear.
+        "points": [],
+    }
+    written = 0
+
+    def fabricate(upto: int) -> None:
+        nonlocal written
+        for v in range(written + 1, upto + 1):
+            files.append(f"data/c-{v:08x}/part-0.parquet")
+            m = {
+                "version": v,
+                "parent": v - 1 if v > 1 else None,
+                "mode": "append" if v > 1 else "overwrite",
+                "schema": schema.json(),
+                "files": list(files),
+                "n_rows": v,
+            }
+            with open(
+                os.path.join(mdir, f"v{v:08d}.json"), "w"
+            ) as f:
+                json.dump(m, f)
+        written = upto
+
+    for hist in (100, 1000, n_commits):
+        fabricate(hist)
+        reader = SnapshotStreamReader(schema, {"path": root})
+        t0 = time.perf_counter()
+        parts = reader.partitions(
+            {"version": hist - 1}, {"version": hist}
+        )
+        cold_ms = (time.perf_counter() - t0) * 1000
+        assert len(parts) == 1
+        fabricate(hist + 1)
+        t0 = time.perf_counter()
+        parts = reader.partitions(
+            {"version": hist}, {"version": hist + 1}
+        )
+        warm_ms = (time.perf_counter() - t0) * 1000
+        assert len(parts) == 1
+        out["points"].append(
+            {
+                "history_commits": hist,
+                "cold_window1_ms": round(cold_ms, 2),
+                "warm_window1_ms": round(warm_ms, 2),
+            }
+        )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--partitions-only":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+        print(json.dumps(rehearse_partitions_flatness(n)))
+        return
     n_commits = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     rows_per = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     spark = get_spark(
