@@ -82,7 +82,7 @@ KEY_MAP = {
     "session_paths": "events_session_30m (session_path/transition graded columns' operators + top-20 rollup)",
     "funnel_retention": "events_session_30m funnel columns + events_tumbling_daily retention columns",
     "lakehouse_ivm_refresh": "events_daily_band_counts (round-stable r6 form: 4 insert-only IVM folds into one state + finalize read-back)",
-    "lakehouse_ivm_cdc": "events_daily_band_counts (FULL graded slot: CDC retraction batches + mergeable-HLL measure + two-state join)",
+    "lakehouse_ivm_cdc": "events_daily_band_counts (FULL graded slot: CDC retraction batches + mergeable-HLL measure, one mixed-maintenance state — one commit per batch since round 8)",
     "lakehouse_zonemap": "tpch_scalar_checks zm_* graded shape (date-clustered snapshot commit + footer-only stats build + two pruned range reads)",
 }
 
@@ -546,10 +546,11 @@ def main() -> None:
                 .save(),
             )
 
-            # round-7: the full graded IVM shape — CDC retraction
-            # batches (+1/-1 op folds with phantom insert/retract),
-            # the mergeable-HLL approx-distinct measure, and the
-            # two-state join
+            # the full graded IVM shape — CDC retraction batches
+            # (+1/-1 op folds with phantom insert/retract) and the
+            # mergeable-HLL approx-distinct measure in ONE
+            # mixed-maintenance state (round 8: one commit per batch,
+            # array-register HLL)
             timed(
                 "lakehouse_ivm_cdc",
                 lambda: q_events_daily_band_counts(spark, sf_dir)

@@ -35,10 +35,12 @@ DELETE arm), so the state table never accumulates ghost groups.
 Plus approx_distinct: COUNT(DISTINCT x) is famously NOT
 self-maintainable exactly (the state would be the value set itself),
 but the portable-HLL register form (operators/sketches.py) IS — the
-measure keeps 2^6 per-group register columns whose merge is
-element-wise max, so the incremental estimate EXACTLY equals the
-from-scratch sketch over all data regardless of batch slicing, with
-the sketch's ~13%% standard error on the value itself.
+measure keeps 2^6 per-group registers in ONE array<int> column whose
+merge is element-wise max (a zip_with fold; round 8 moved off 64 flat
+columns, whose whole-stage codegen compiled ~2 s per distinct fold
+plan), so the incremental estimate EXACTLY equals the from-scratch
+sketch over all data regardless of batch slicing, with the sketch's
+~13%% standard error on the value itself.
 
 Scale shape per refresh:
   partial(batch)   one map-side-combinable hash aggregate, O(batch)
@@ -136,14 +138,16 @@ class IncrementalAggregate:
             elif m.kind == "min":
                 aggs.append(F.min(m.col).alias(f"__{m.name}_min"))
             elif m.kind == "approx_distinct":
-                aggs += _hll_partial_aggs(m)
+                pass  # registers ride the two-stage path in _partial
             else:
                 aggs.append(F.max(m.col).alias(f"__{m.name}_max"))
         return aggs
 
-    def _merge_aggs(self):
+    def _merge_aggs(self, include_hll: bool = True):
         aggs = [F.sum("__live").cast("long").alias("__live")]
         for m in self.measures:
+            if m.kind == "approx_distinct" and not include_hll:
+                continue
             if m.kind == "count":
                 aggs.append(
                     F.sum(f"__{m.name}_cnt").cast("long").alias(
@@ -165,17 +169,83 @@ class IncrementalAggregate:
             elif m.kind == "min":
                 aggs.append(F.min(f"__{m.name}_min").alias(f"__{m.name}_min"))
             elif m.kind == "approx_distinct":
-                # register merge = element-wise max (nulls lose)
-                aggs += [
-                    F.max(f"__{m.name}_r{i}").alias(f"__{m.name}_r{i}")
-                    for i in range(1 << _HLL_B)
-                ]
+                # element-wise register max across the (few) partial
+                # rows per group — a collect_list fold, NOT 64 agg
+                # columns: the array form keeps the generated code
+                # small (the 64-column form made every fold's
+                # whole-stage codegen compile for ~2 s, round 8).
+                # collect_list skips NULL arrays (the CDC slice's
+                # null-fill), and an all-NULL group folds to the empty
+                # sketch (all-zero registers).
+                c = f"__{m.name}_regs"
+                aggs.append(
+                    F.aggregate(
+                        F.collect_list(F.col(c)),
+                        _hll_zero_regs(),
+                        lambda acc, x: F.zip_with(
+                            acc, x, lambda a, b: F.greatest(a, b)
+                        ),
+                    ).alias(c)
+                )
             else:
                 aggs.append(F.max(f"__{m.name}_max").alias(f"__{m.name}_max"))
         return aggs
 
     def _partial(self, df: DataFrame) -> DataFrame:
-        return df.groupBy(*self.group_cols).agg(*self._partial_aggs())
+        """Partial state of one batch. approx_distinct measures make
+        this TWO aggregate stages: stage 1 groups by (group_cols,
+        bucket) taking max(rho) — map-side combinable, at most
+        64x|groups| cells — and stage 2 re-merges the other measures'
+        partials (they are mergeable by construction, the module's
+        core invariant) while assembling the 64 per-bucket maxima
+        into ONE array<int> register column. One extra tiny exchange
+        buys compact codegen everywhere downstream (state schema,
+        merges, unions): the flat 64-column form compiled ~2 s of
+        generated code per distinct fold plan (round 8)."""
+        hll = [m for m in self.measures if m.kind == "approx_distinct"]
+        if not hll:
+            return df.groupBy(*self.group_cols).agg(*self._partial_aggs())
+        if len(hll) == 1:
+            m = hll[0]
+            bucket, rho = _hll_bucket_rho(m)
+            s1 = (
+                df.select(
+                    "*", bucket.alias("__hb"), rho.alias("__hr")
+                )
+                .groupBy(*self.group_cols, "__hb")
+                .agg(*self._partial_aggs(), F.max("__hr").alias("__hr"))
+            )
+            s2 = s1.groupBy(*self.group_cols).agg(
+                *self._merge_aggs(include_hll=False),
+                _hll_map_agg(m),
+            )
+            return s2.select(
+                *[c for c in s2.columns if c != f"__{m.name}_map"],
+                _hll_map_to_regs(m),
+            )
+        # k distinct sketch columns: per-measure bucket stages joined
+        # back on the group keys (left join + zero-fill so groups
+        # whose sketch column is all-NULL are kept)
+        base = df.groupBy(*self.group_cols).agg(*self._partial_aggs())
+        for m in hll:
+            bucket, rho = _hll_bucket_rho(m)
+            h = (
+                df.select(
+                    *self.group_cols,
+                    bucket.alias("__hb"),
+                    rho.alias("__hr"),
+                )
+                .groupBy(*self.group_cols, "__hb")
+                .agg(F.max("__hr").alias("__hr"))
+                .groupBy(*self.group_cols)
+                .agg(_hll_map_agg(m))
+                .select(*self.group_cols, _hll_map_to_regs(m))
+            )
+            base = base.join(h, self.group_cols, "left").withColumn(
+                f"__{m.name}_regs",
+                F.coalesce(F.col(f"__{m.name}_regs"), _hll_zero_regs()),
+            )
+        return base
 
     def _partial_aggs_cdc(self, op_col: str):
         """Op-weighted partials: a -1 row subtracts exactly what its
@@ -241,13 +311,21 @@ class IncrementalAggregate:
         extra = (
             {"ivm_batch_id": batch_id} if batch_id is not None else None
         )
-        return self.table.merge_into(
-            p,
-            keys=self.group_cols,
-            manifest_extra=extra,
-            assume_unique_source=True,  # p is a groupBy output
-            rewrite_partitions=8,  # group states are narrow; bound files
-        )
+        # merge_into consumes its source ~3x (hit-file probe, matched
+        # rewrite, insert anti-join); persist so the batch scan +
+        # partial aggregate run ONCE, not per consumption (the partial
+        # itself is O(groups) rows — tiny to cache)
+        p = p.persist()
+        try:
+            return self.table.merge_into(
+                p,
+                keys=self.group_cols,
+                manifest_extra=extra,
+                assume_unique_source=True,  # p is a groupBy output
+                rewrite_partitions=8,  # group states are narrow; bound files
+            )
+        finally:
+            p.unpersist()
 
     def apply_batch_cdc(
         self,
@@ -359,6 +437,163 @@ class IncrementalAggregate:
             p.unpersist()
             pb.unpersist()
 
+    def apply_batch_mixed(
+        self,
+        inserts: DataFrame | None,
+        cdc: DataFrame | None = None,
+        batch_id: int | None = None,
+        op_col: str = "__op",
+    ) -> dict:
+        """Fold one micro-batch made of TWO slices in ONE commit:
+
+        - ``inserts``: append-only rows (never retracted) feeding ALL
+          measures — including min/max/approx_distinct, which are
+          self-maintainable only under append.
+        - ``cdc``: ±1 ``op_col`` change rows feeding ONLY the
+          retractable measures (count/sum/avg). The caller guarantees
+          a -1 row retracts a row previously added VIA THE CDC SLICE;
+          retracting an insert-slice row would silently strand its
+          min/max/HLL contribution, so the state keeps a hidden
+          cumulative ``__live_cdc`` net and fails LOUDLY if any
+          group's CDC net goes negative (the violation's signature).
+
+        This is the Flink-style "append main stream + retractable
+        side stream" split, and exactly the semantics of maintaining
+        two separate states (one CDC-capable, one insert-only) and
+        joining them — at HALF the commit count, which dominates
+        micro-batch refresh cost (one partial aggregate, one touched-
+        group merge, one commit per batch instead of two of each;
+        round-8 fix for the r7 bench's 21 s lakehouse_ivm_cdc key).
+        Groups retracted to zero net rows are deleted in the same
+        commit. A state maintained by mixed folds carries the extra
+        ``__live_cdc`` column; don't alternate with apply_batch /
+        apply_batch_cdc on the same state (the schema check in
+        merge_into fails loudly if you do)."""
+        if inserts is None and cdc is None:
+            raise ValueError("apply_batch_mixed: both slices are None")
+        if batch_id is not None and self.table._batch_seen(
+            batch_id, "ivm_batch_id", "ivm_max_batch_id"
+        ):
+            return {"skipped": batch_id}
+        # guard columns RIDE the partials through every merge stage so
+        # one post-merge collect validates ops AND cumulative nets —
+        # a pure-insert fold (cdc None) needs no guard job at all and
+        # costs exactly what apply_batch costs
+        guard_zero = [
+            F.lit(0).cast("long").alias("__bad_op"),
+            F.lit(None).cast("string").alias("__bad_op_example"),
+        ]
+        parts = []
+        if inserts is not None:
+            parts.append(
+                self._partial(inserts).select(
+                    "*",
+                    F.lit(0).cast("long").alias("__live_cdc"),
+                    *guard_zero,
+                )
+            )
+        if cdc is not None:
+            bad_cond = F.col(op_col).isNull() | ~F.col(op_col).isin(
+                1, -1
+            )
+            pc = cdc.groupBy(*self.group_cols).agg(
+                *self._partial_aggs_cdc(op_col),
+                F.count_if(bad_cond).cast("long").alias("__bad_op"),
+                F.any_value(
+                    F.when(bad_cond, F.col(op_col).cast("string")),
+                    True,
+                ).alias("__bad_op_example"),
+            )
+            pc = pc.withColumn("__live_cdc", F.col("__live"))
+            # null-fill the insert-only measure partials (min/max/HLL
+            # registers) the CDC slice does not maintain, typed from
+            # the insert partials' schema so the union is exact
+            want = self._partial(
+                (inserts if inserts is not None else cdc).limit(0)
+            ).select(
+                "*",
+                F.lit(0).cast("long").alias("__live_cdc"),
+                *guard_zero,
+            )
+            have = set(pc.columns)
+            pc = pc.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in want.schema.fields
+                ]
+            )
+            parts.append(pc)
+        p = parts[0]
+        for more in parts[1:]:
+            p = p.unionByName(more)
+        merge_aggs = self._merge_aggs() + [
+            F.sum("__live_cdc").cast("long").alias("__live_cdc"),
+            F.sum("__bad_op").cast("long").alias("__bad_op"),
+            F.any_value("__bad_op_example", True).alias(
+                "__bad_op_example"
+            ),
+        ]
+        if len(parts) > 1:
+            p = p.groupBy(*self.group_cols).agg(*merge_aggs)
+        head = self.table.latest_version()
+        if head is not None:
+            touched_old = self.table.read().join(
+                p.select(*self.group_cols).distinct(),
+                self.group_cols,
+                "left_semi",
+            ).select("*", *guard_zero)
+            p = (
+                touched_old.unionByName(p)
+                .groupBy(*self.group_cols)
+                .agg(*merge_aggs)
+            )
+        # persist in EVERY fold: the guard (CDC case) and merge_into's
+        # ~3 source consumptions otherwise re-run the batch scan +
+        # partial aggregate each time
+        p = p.persist()
+        if cdc is not None:
+            # one guard job validates everything the fold must refuse
+            bad = (
+                p.filter(
+                    (F.col("__bad_op") > 0)
+                    | (F.col("__live") < 0)
+                    | (F.col("__live_cdc") < 0)
+                )
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                p.unpersist()
+                row = bad[0].asDict()
+                if row["__bad_op"] > 0:
+                    raise ValueError(
+                        f"apply_batch_mixed: {op_col} must be +1 or "
+                        f"-1, got {row['__bad_op_example']!r}"
+                    )
+                raise ValueError(
+                    "apply_batch_mixed: group retracted below zero "
+                    f"{'CDC-slice ' if row['__live_cdc'] < 0 else ''}"
+                    f"rows (e.g. {row}) — the change stream deleted "
+                    "rows the CDC slice never inserted; nothing was "
+                    "committed"
+                )
+        extra = (
+            {"ivm_batch_id": batch_id} if batch_id is not None else None
+        )
+        try:
+            return self.table.merge_into(
+                p.drop("__bad_op", "__bad_op_example"),
+                keys=self.group_cols,
+                manifest_extra=extra,
+                assume_unique_source=True,
+                rewrite_partitions=8,
+                matched_delete_condition=F.col("__live") == 0,
+            )
+        finally:
+            p.unpersist()
+
     # -------------------------------------------------------------- read
     def read(self) -> DataFrame:
         """The finalized aggregate: (group_cols..., measure columns).
@@ -418,45 +653,75 @@ class IncrementalAggregate:
         return state.select(*cols)
 
 
-def _hll_partial_aggs(m: Measure):
-    """Per-group HLL registers as 2^b columns: register i's value is
-    max(rho) over rows hashing to bucket i (NULL if the bucket is
-    empty for the group). The sketches.py portable hash, inlined so
-    the columns are plain agg expressions."""
+def _hll_bucket_rho(m: Measure):
+    """(bucket, rho) expressions for one row of the sketch column —
+    the sketches.py portable hash, inlined so both are plain codegen
+    expressions. A NULL value yields a NULL bucket, which the
+    assembly drops (NULLs never count toward distincts)."""
     mreg = 1 << _HLL_B
     w = 60 - _HLL_B
     h = _md5_long(F.col(m.col).cast("string"))
-    bucket = h.bitwiseAND(F.lit(mreg - 1))
+    bucket = h.bitwiseAND(F.lit(mreg - 1)).cast("int")
     rho = F.least(
         F.lit(w + 1) - F.length(F.bin(F.shiftright(h, _HLL_B))),
         F.lit(40),
     )
-    return [
-        F.max(F.when(bucket == i, rho)).alias(f"__{m.name}_r{i}")
-        for i in range(mreg)
-    ]
+    return bucket, rho
+
+
+def _hll_zero_regs():
+    """The empty sketch: 2^b zero registers as one array<int>."""
+    mreg = 1 << _HLL_B
+    return F.expr(
+        f"transform(sequence(0, {mreg - 1}), i -> 0)"
+    )
+
+
+def _hll_map_agg(m: Measure):
+    """Aggregate (__hb, __hr) per-bucket maxima into a bucket->rho
+    MAP (bounded: at most 2^b entries per group reach the
+    collect_list); _hll_map_to_regs expands it to the array column in
+    a follow-up projection (an aggregate can't sit under a lambda)."""
+    return F.map_from_entries(
+        F.collect_list(
+            F.when(
+                F.col("__hb").isNotNull(),
+                F.struct(
+                    F.col("__hb"), F.col("__hr").cast("int")
+                ),
+            )
+        )
+    ).alias(f"__{m.name}_map")
+
+
+def _hll_map_to_regs(m: Measure):
+    """bucket->rho map -> the array<int> register column: positions
+    are buckets, empty buckets are 0."""
+    mreg = 1 << _HLL_B
+    mp = F.col(f"__{m.name}_map")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(mreg - 1)),
+        lambda i: F.coalesce(F.element_at(mp, i), F.lit(0)),
+    ).alias(f"__{m.name}_regs")
 
 
 def _hll_finalize(m: Measure):
-    """Registers -> rounded estimate (the sketches.py formula over the
-    column form; empty registers are NULL -> rho 0)."""
+    """Register array -> rounded estimate (the sketches.py formula;
+    empty registers are 0). Exact dyadic 2^-rho via integer shift
+    (sketches.py note: never pow); the left-fold starts at 0.0 so the
+    double-sum order matches the DuckDB oracle twin term-for-term."""
     from globalweather_etl_spark.operators.sketches import _alpha
 
     mreg = 1 << _HLL_B
-    sum_inv = None
-    n_empty = None
-    for i in range(mreg):
-        r = F.coalesce(F.col(f"__{m.name}_r{i}"), F.lit(0))
-        # exact dyadic 2^-rho via integer shift (sketches.py note:
-        # never pow); shiftleft's bit count must be an expression, so
-        # the SQL form
-        term = F.lit(1.0) / F.expr(
-            f"shiftleft(cast(1 as bigint),"
-            f" cast(coalesce(__{m.name}_r{i}, 0) as int))"
-        ).cast("double")
-        empt = F.when(r == 0, 1).otherwise(0)
-        sum_inv = term if sum_inv is None else sum_inv + term
-        n_empty = empt if n_empty is None else n_empty + empt
+    c = f"__{m.name}_regs"
+    sum_inv = F.expr(
+        f"aggregate(transform({c}, r -> 1.0d / cast("
+        "shiftleft(cast(1 as bigint), r) as double)), "
+        "cast(0.0 as double), (a, x) -> a + x)"
+    )
+    n_empty = F.expr(
+        f"aggregate({c}, 0, (a, r) -> a + if(r = 0, 1, 0))"
+    )
     raw = F.lit(_alpha(mreg) * mreg * mreg) / sum_inv
     return F.round(
         F.when(

@@ -1464,9 +1464,14 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
     equality now proves the retraction algebra (exact count/sum/avg
     subtraction AND deletion of groups whose live count reaches zero,
     since some phantom (day, band) groups exist only while the
-    phantoms do). min/max are not self-maintainable under deletes
-    (operators/ivm.py docstring) and stay in a second, insert-only
-    state; the result joins the two states.
+    phantoms do). min/max/approx_distinct are not self-maintainable
+    under deletes (operators/ivm.py docstring); since round 8 they
+    ride the SAME state as its insert-only column family — each batch
+    is one apply_batch_mixed fold whose append slice feeds all
+    measures and whose CDC slice feeds only the retractable ones, so
+    the whole refresh is one commit per batch (round 7 kept two state
+    tables and joined them: twice the commits, which dominated the
+    bench key).
 
     include_cdc=False is the bench's ROUND-STABLE form (one state, 4
     plain insert folds, no HLL measure — the round-6 workload, so
@@ -1536,6 +1541,14 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
             F.round(F.col("temp_min"), 6).alias("temp_min"),
             F.round(F.col("temp_max"), 6).alias("temp_max"),
         )
+    # ONE mixed-maintenance state (round 8): the retractable measures
+    # (count/sum/avg) fold the CDC slice op-weighted, the insert-only
+    # measures (min/max + the mergeable-HLL approx-distinct, whose
+    # incremental register-max folds must EXACTLY equal the
+    # from-scratch sketch whatever the batch slicing) fold the
+    # append slice — one partial aggregate, one merge, ONE commit per
+    # batch where round 7 kept two state tables (8 commits) and
+    # joined them; commit latency dominated the bench key
     ia = IncrementalAggregate(
         spark,
         root + "/band_state",
@@ -1544,19 +1557,8 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
             Measure("n_forecasts", "count"),
             Measure("temp_sum", "sum", "temp"),
             Measure("temp_avg", "avg", "temp"),
-        ],
-    )
-    mm = IncrementalAggregate(
-        spark,
-        root + "/band_minmax",
-        group_cols=["window_start", "weather_band"],
-        measures=[
             Measure("temp_min", "min", "temp"),
             Measure("temp_max", "max", "temp"),
-            # round 7: the mergeable-HLL approx-distinct measure —
-            # the incremental register-max folds must EXACTLY equal
-            # the from-scratch sketch over all events (the oracle's
-            # grouped portable-HLL twin), whatever the batch slicing
             Measure("n_users_hll", "approx_distinct", "user_id"),
         ],
     )
@@ -1584,19 +1586,11 @@ def q_events_daily_band_counts(spark, sf_dir, include_cdc: bool = True):
         F.col("user_id"),
     )
     _op = lambda df, o: df.withColumn("__op", F.lit(o))
-    ia.apply_batch(batches[0], batch_id=0)
-    ia.apply_batch(batches[1], batch_id=1)
-    ia.apply_batch_cdc(
-        _op(batches[2], 1).unionByName(_op(phantom, 1)), batch_id=2
-    )
-    ia.apply_batch_cdc(
-        _op(batches[3], 1).unionByName(_op(phantom, -1)), batch_id=3
-    )
-    for b in range(4):
-        mm.apply_batch(batches[b], batch_id=b)
-    out = ia.read().join(
-        mm.read(), ["window_start", "weather_band"]
-    )
+    ia.apply_batch_mixed(batches[0], batch_id=0)
+    ia.apply_batch_mixed(batches[1], batch_id=1)
+    ia.apply_batch_mixed(batches[2], cdc=_op(phantom, 1), batch_id=2)
+    ia.apply_batch_mixed(batches[3], cdc=_op(phantom, -1), batch_id=3)
+    out = ia.read()
     return out.select(
         "window_start",
         "weather_band",

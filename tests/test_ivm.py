@@ -404,3 +404,124 @@ def test_ivm_stream_replay_with_vacuum_racing(spark, tmp_path):
         state, ["event_type"], measures, ckpt,
     ).awaitTermination(120)
     assert _rows(ia.read()) == want
+
+
+# ------------------------------------------- round 8: mixed-slice folds
+
+MIXED_MEASURES = CDC_MEASURES + [
+    Measure("min_value", "min", "value"),
+    Measure("max_value", "max", "value"),
+    Measure("n_ids", "approx_distinct", "event_id"),
+]
+
+
+@pytest.fixture()
+def mixed_agg(spark, tmp_path):
+    return IncrementalAggregate(
+        spark, str(tmp_path / "ivm_mixed"), ["event_type"],
+        MIXED_MEASURES,
+    )
+
+
+def test_mixed_fold_equals_recompute_with_phantom_churn(
+    spark, mixed_agg
+):
+    """The graded-query shape on one state: append slices feed ALL
+    measures; a phantom CDC wave (inserted batch 1, retracted batch 2,
+    in groups no real row occupies) feeds only the retractable ones
+    and must leave NO trace — the final state equals the from-scratch
+    recompute over the real rows alone, min/max/HLL included."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    phantom = events.filter(F.col("event_id") % 3 == 0).withColumn(
+        "event_type", F.concat(F.lit("PH-"), F.col("event_type"))
+    )
+    slices = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    mixed_agg.apply_batch_mixed(slices[0], batch_id=0)
+    mixed_agg.apply_batch_mixed(
+        slices[1], cdc=_with_op(phantom, 1), batch_id=1
+    )
+    # mid-stream: phantom groups live in the retractable family with
+    # NULL min/max (no insert-slice rows ever touched them)
+    mid = {
+        r["event_type"]: (r["n_events"], r["min_value"])
+        for r in mixed_agg.read().collect()
+    }
+    assert any(k.startswith("PH-") for k in mid)
+    assert all(
+        v[1] is None for k, v in mid.items() if k.startswith("PH-")
+    )
+    mixed_agg.apply_batch_mixed(
+        slices[2], cdc=_with_op(phantom, -1), batch_id=2
+    )
+    assert _rows(mixed_agg.read()) == _rows(mixed_agg.recompute(events))
+    # phantom groups are DELETED, not zeroed
+    assert mixed_agg.table.read().filter(
+        F.col("event_type").startswith("PH-")
+    ).count() == 0
+
+
+def test_mixed_equals_two_state_composition(spark, tmp_path):
+    """One mixed state must produce exactly what the round-7 shape
+    (a CDC-capable state joined to an insert-only state) produced."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    phantom = events.limit(200).withColumn(
+        "event_type", F.concat(F.lit("X-"), F.col("event_type"))
+    )
+    one = IncrementalAggregate(
+        spark, str(tmp_path / "one"), ["event_type"], MIXED_MEASURES
+    )
+    one.apply_batch_mixed(events, cdc=_with_op(phantom, 1), batch_id=0)
+    one.apply_batch_mixed(None, cdc=_with_op(phantom, -1), batch_id=1)
+    r_cdc = IncrementalAggregate(
+        spark, str(tmp_path / "r_cdc"), ["event_type"], CDC_MEASURES
+    )
+    r_ins = IncrementalAggregate(
+        spark, str(tmp_path / "r_ins"), ["event_type"],
+        [m for m in MIXED_MEASURES if m not in CDC_MEASURES],
+    )
+    r_cdc.apply_batch_cdc(
+        _with_op(events, 1).unionByName(_with_op(phantom, 1)),
+        batch_id=0,
+    )
+    r_cdc.apply_batch_cdc(_with_op(phantom, -1), batch_id=1)
+    r_ins.apply_batch(events, batch_id=0)
+    joined = r_cdc.read().join(r_ins.read(), ["event_type"])
+    assert _rows(one.read().select(*joined.columns)) == _rows(joined)
+
+
+def test_mixed_retracting_insert_slice_rows_fails_loudly(
+    spark, mixed_agg
+):
+    """The contract: a -1 CDC row may only retract a row added via
+    the CDC slice. Retracting an insert-slice row would strand its
+    min/max/HLL contribution — detected by the cumulative CDC net
+    going negative, and nothing commits."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)],
+        "event_id long, event_type string, value double",
+    )
+    mixed_agg.apply_batch_mixed(df, batch_id=0)
+    head = mixed_agg.table.latest_version()
+    with pytest.raises(ValueError, match="CDC-slice"):
+        mixed_agg.apply_batch_mixed(
+            None, cdc=_with_op(df.limit(1), -1), batch_id=1
+        )
+    assert mixed_agg.table.latest_version() == head
+
+
+def test_mixed_replay_skipped_and_bad_op(spark, mixed_agg):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0)], "event_id long, event_type string, value double"
+    )
+    mixed_agg.apply_batch_mixed(df, batch_id=0)
+    before = _rows(mixed_agg.read())
+    assert mixed_agg.apply_batch_mixed(df, batch_id=0) == {"skipped": 0}
+    assert _rows(mixed_agg.read()) == before
+    with pytest.raises(ValueError, match="must be \\+1 or -1"):
+        mixed_agg.apply_batch_mixed(
+            None, cdc=df.withColumn("__op", F.lit(7)), batch_id=1
+        )
