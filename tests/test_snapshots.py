@@ -410,6 +410,70 @@ def test_read_changes_feeds_ivm_through_a_merge(spark, tmp_path):
         assert g[2] == pytest.approx(w[2], rel=1e-12)
 
 
+def test_read_changes_prunes_carried_files(spark, tmp_path):
+    """r8 (VERDICT item 4): the change feed's row-diff must touch only
+    files the window added/removed/rewrote — a file carried between
+    both manifests with no deletion vector holds bit-identical rows
+    (unique keys), so its keys can't reach the feed. Pin three things:
+    the scanned file set excludes carried files, the pruned feed
+    equals the full two-version diff, and a deletion vector on a
+    carried file pulls that file back into the diff."""
+    from globalweather_etl_spark.operators.table_diff import table_diff
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path) + "/prune")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "k long, v double"
+    )
+    st.write_clustered(base, cluster_by=["k"], n_files=8)
+    v1 = st.latest_version()
+    m1 = set(st._manifest(v1)["files"])
+    # merge touches ONLY the file(s) holding k in {2, 3}
+    st.merge_into(
+        spark.createDataFrame([(2, 999.0)], "k long, v double"),
+        keys=["k"],
+    )
+    head = st.latest_version()
+    chg = st.read_changes(v1, keys=["k"], version=head)
+    got = sorted(tuple(r) for r in chg.collect())
+    # equality with the unpruned twin
+    full = table_diff(st.read(v1), st.read(head), ["k"])
+    want_plus = full.filter(
+        F.col("diff_status").isin("inserted", "updated")
+    ).select("k", F.col("new_v").alias("v"), F.lit(1).alias("__op"))
+    want_minus = full.filter(
+        F.col("diff_status").isin("deleted", "updated")
+    ).select("k", F.col("old_v").alias("v"), F.lit(-1).alias("__op"))
+    assert got == sorted(
+        tuple(r) for r in want_plus.unionByName(want_minus).collect()
+    )
+    assert got == [(2, 2.0, -1), (2, 999.0, 1)]
+    # the diff's scan touched only the rewritten file + its
+    # replacement — none of the 7 carried files
+    carried = m1 & set(st._manifest(head)["files"])
+    assert len(carried) == 7
+    carried_names = {rel.split("/")[-1] for rel in carried}
+    scanned = {f.split("/")[-1] for f in chg.inputFiles()}
+    assert scanned, "the pruned diff still scans the touched files"
+    assert not (scanned & carried_names), (
+        "carried files must not enter the change-feed scan"
+    )
+    # a deletion vector on a carried file pulls it back in
+    st.delete_where(F.col("k") == 60)
+    head2 = st.latest_version()
+    chg2 = st.read_changes(v1, keys=["k"], version=head2)
+    got2 = sorted(tuple(r) for r in chg2.collect())
+    assert (60, 60.0, -1) in got2
+    dv_file_names = {
+        rel.split("/")[-1]
+        for rel in (st._manifest(head2).get("dvs") or {}).get(
+            "files", []
+        )
+    }
+    scanned2 = {f.split("/")[-1] for f in chg2.inputFiles()}
+    assert dv_file_names & scanned2, "DV'd carried file must be diffed"
+
+
 def test_write_audited_publishes_only_clean_data(spark, table):
     """Write-audit-publish: a failing expectations suite blocks the
     manifest; readers never see the staged files; a passing write

@@ -18,10 +18,11 @@ What this measures (the 100 TB claims under test):
   BIT-identical to the from-scratch GROUP BY over the net data —
   5M rows of DECIMAL partial arithmetic with ~100k op rows folded
   through, not the 60k-row graded scale.
-- **read_changes cost shape**: the op-tagged feed between two
-  versions reads BOTH pinned versions (row-level diff — documented as
-  the complement of read_since's O(new-files) append path); its wall
-  is reported so the trade is a number, not a claim.
+- **read_changes cost shape**: since round 8 the op-tagged feed
+  row-diffs ONLY the files the window touched (carried, DV-free files
+  hold identical rows under unique keys); the rehearsal reports the
+  scanned-file count against the table's file count AND times the
+  full two-version diff (the pre-round-8 shape) for comparison.
 
 Usage: python tools/rehearse_ivm_cdc.py [n] [n_batches] [n_cdc]
 Prints one JSON line; paste into docs/PERF.md.
@@ -167,16 +168,36 @@ def main() -> None:
     big = SnapshotTable(
         spark, tempfile.mkdtemp(prefix="ivm_cdc_t_") + "/t"
     )
-    v1 = big.write(rows(0, n).drop("value"), mode="overwrite")
+    big.write_clustered(
+        rows(0, n).drop("value"), cluster_by=["id"], n_files=32
+    )
+    v1 = big.latest_version()
     big.merge_into(
         rows(0, n // 100).drop("value").withColumn(
             "g", F.col("g") + 1
         ),
         keys=["id"],
     )
+    head = big.latest_version()
+    chg = big.read_changes(v1, keys=["id"], version=head)
     t0 = time.perf_counter()
-    n_changes = big.read_changes(v1, keys=["id"]).count()
+    n_changes = chg.count()
     changes_wall = round(time.perf_counter() - t0, 2)
+    # round 8: the feed diffs only the files the merge touched — on a
+    # clustered layout the 1%-of-ids merge hits a fraction of the 32
+    # files, and the scan set proves it (vs the full two-version
+    # row-diff, timed as the pre-round-8 shape)
+    files_scanned = len(set(chg.inputFiles()))
+    table_files = len(big._manifest(v1)["files"]) + len(
+        big._manifest(head)["files"]
+    )
+    from globalweather_etl_spark.operators.table_diff import table_diff
+
+    t0 = time.perf_counter()
+    table_diff(big.read(v1), big.read(head), ["id"]).filter(
+        F.col("diff_status") != "unchanged"
+    ).count()
+    fulldiff_wall = round(time.perf_counter() - t0, 2)
 
     print(
         json.dumps(
@@ -191,6 +212,9 @@ def main() -> None:
                 "phantom_groups_deleted": n_groups == GROUPS,
                 "read_changes_rows": n_changes,
                 "read_changes_wall_sec": changes_wall,
+                "read_changes_files_scanned": files_scanned,
+                "table_files_both_versions": table_files,
+                "read_changes_fulldiff_wall_sec": fulldiff_wall,
             }
         )
     )
