@@ -53,12 +53,28 @@ def encode_sequences(
     order_cols: list[str],
     type_col: str,
     alphabet: dict[str, str],
+    defines: dict[str, Column | str] | None = None,
 ) -> DataFrame:
     """(by_cols..., seq, n_events): each key's events ordered by
     ``order_cols`` and encoded one character per event via
     ``alphabet`` (event-type -> single char). Types absent from the
     alphabet encode as '.' DELIBERATELY NOT regex-quoted-out — pick
     alphabet chars from [a-z0-9] and '.' can never be matched by them.
+
+    ``defines`` is the DEFINE-lite clause (round 8, VERDICT item 6):
+    each entry names a SYNTHETIC pattern variable and gives the row
+    predicate (a Column or SQL string over the event's columns) that
+    makes a row encode as that variable's alphabet char — e.g.
+    ``{"bigbuy": F.col("amount") > 100}`` with ``"bigbuy": "b"`` in
+    the alphabet lets patterns like ``["view+", "bigbuy"]`` express
+    value conditions ("a purchase over 100 after views"). Defines are
+    checked FIRST, in dict order, before the plain type mapping —
+    char-per-event encoding forces one variable per row, so the first
+    satisfied define claims it (full MATCH_RECOGNIZE DEFINE lets one
+    row satisfy several variables via row-pattern navigation; that
+    remains out of scope and documented). Define names must have
+    alphabet chars and their predicates are ordinary scan-stage
+    expressions, so the DuckDB twin is the same CASE in string_agg.
 
     One hash aggregate: the (order..., char) structs are collected per
     key and array_sort puts them in order (struct comparison is
@@ -71,9 +87,24 @@ def encode_sequences(
             )
     if len(set(alphabet.values())) != len(alphabet):
         raise ValueError("alphabet chars must be distinct")
+    defines = defines or {}
+    for name in defines:
+        if name not in alphabet:
+            raise ValueError(
+                f"define {name!r} has no alphabet char — add it to "
+                "the alphabet like any pattern variable"
+            )
     ch = F.lit(".")
     for t, c in alphabet.items():
+        if t in defines:
+            continue  # synthetic variables never match as types
         ch = F.when(F.col(type_col) == t, F.lit(c)).otherwise(ch)
+    # later whens wrap (and beat) earlier ones, so apply defines in
+    # REVERSE dict order: the first define ends up outermost and wins
+    for name, pred in reversed(list(defines.items())):
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        ch = F.when(pred, F.lit(alphabet[name])).otherwise(ch)
     packed = F.struct(
         *[F.col(c) for c in order_cols], ch.alias("__ch")
     )

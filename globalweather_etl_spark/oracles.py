@@ -471,6 +471,27 @@ sqa AS (
          count(*) FILTER (WHERE mc > 0) AS users_matched,
          sum(fp) AS fp_sum
   FROM sqm),
+sqd AS (
+  SELECT user_id,
+    string_agg(CASE WHEN value > 80 THEN 'b'
+      ELSE CASE event_type
+        WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        WHEN 'error' THEN 'e' ELSE '.' END END,
+      '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id),
+sqdm AS (
+  SELECT user_id,
+    len(regexp_extract_all(seq, 'v+b')) AS mc,
+    CASE WHEN len(regexp_extract_all(seq, 'v+b')) > 0
+         THEN length(regexp_split_to_array(seq, 'v+b')[1]) + 1
+         ELSE 0 END AS fp
+  FROM sqd),
+sqda AS (
+  SELECT sum(mc) AS total_matches,
+         count(*) FILTER (WHERE mc > 0) AS users_matched,
+         sum(fp) AS fp_sum
+  FROM sqdm),
 jd AS (
   SELECT '{"id": ' || o_orderkey || ', "cust": {"key": ' || o_custkey
     || ', "seg": "' || substring(o_orderpriority, 1, 1)
@@ -617,6 +638,12 @@ UNION ALL SELECT 'seq_len_sum', CAST(len_sum AS DOUBLE) FROM sqa
 UNION ALL SELECT 'seq_total_matches', CAST(total_matches AS DOUBLE) FROM sqa
 UNION ALL SELECT 'seq_users_matched', CAST(users_matched AS DOUBLE) FROM sqa
 UNION ALL SELECT 'seq_first_pos_sum', CAST(fp_sum AS DOUBLE) FROM sqa
+UNION ALL SELECT 'seq_def_total_matches', CAST(total_matches AS DOUBLE)
+  FROM sqda
+UNION ALL SELECT 'seq_def_users_matched', CAST(users_matched AS DOUBLE)
+  FROM sqda
+UNION ALL SELECT 'seq_def_first_pos_sum', CAST(fp_sum AS DOUBLE)
+  FROM sqda
 UNION ALL SELECT 'json_cust_key_sum', CAST(cust_key_sum AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_seg1_rows', CAST(seg1 AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_missing_null_rows', CAST(miss_null AS DOUBLE) FROM jsc

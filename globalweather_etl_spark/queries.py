@@ -1010,6 +1010,35 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ("seq_first_pos_sum", "fs"),
         ],
     )
+    # Round 8 DEFINE-lite: the synthetic variable 'bigval' claims ANY
+    # event whose value exceeds 80 BEFORE the type mapping (the
+    # predicate-into-alphabet encoding — operators/sequence_match.py
+    # defines), so the pattern view+ bigval expresses a VALUE
+    # condition: "views, then a high-value event". Graded against the
+    # same string_agg twin with the predicate in its CASE.
+    seq_def_alphabet = {**seq_alphabet, "bigval": "b"}
+    enc_def = encode_sequences(
+        events, ["user_id"], ["ts", "event_id"], "event_type",
+        seq_def_alphabet, defines={"bigval": F.col("value") > 80},
+    )
+    def_journeys = match_pattern(
+        enc_def,
+        compile_steps(["view+", "bigval"], seq_def_alphabet),
+        prefix="dmatch",
+    )
+    seq_def = _unpivot_metrics(
+        def_journeys.agg(
+            F.sum("dmatch_count").alias("dm"),
+            F.count_if(F.col("dmatch_count") > 0).alias("du"),
+            F.sum("dmatch_first_pos").alias("df"),
+        ),
+        [
+            ("seq_def_total_matches", "dm"),
+            ("seq_def_users_matched", "du"),
+            ("seq_def_first_pos_sum", "df"),
+        ],
+    )
+    seq = seq.unionAll(seq_def)
 
     # Round 7: the SEMI-STRUCTURED (VARIANT) family
     # (functions/semistructured.py): a nested JSON document is

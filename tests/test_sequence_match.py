@@ -149,3 +149,64 @@ class TestMatch:
             for r in match_pattern(enc, pat).collect()
         }
         assert got == {1: 1, 2: 0}
+
+
+class TestDefines:
+    """DEFINE-lite (round 8): per-step VALUE predicates encoded into
+    the alphabet at encode time."""
+
+    def _valued(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (
+                    u,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    i,
+                    t,
+                    float(v),
+                )
+                for u, i, t, v in rows
+            ],
+            "user_id long, ts timestamp, event_id long,"
+            " event_type string, amount double",
+        )
+
+    def test_define_claims_rows_before_type_mapping(self, spark):
+        df = self._valued(
+            spark,
+            [(1, 0, "view", 10), (1, 1, "view", 5),
+             (1, 2, "purchase", 500),   # bigbuy, NOT p
+             (2, 0, "view", 10), (2, 1, "purchase", 50)],  # plain p
+        )
+        al = {**AL, "bigbuy": "b"}
+        enc = encode_sequences(
+            df, ["user_id"], ["ts", "event_id"], "event_type", al,
+            defines={"bigbuy": F.col("amount") > 100},
+        )
+        got = {r["user_id"]: r["seq"] for r in enc.collect()}
+        assert got == {1: "vvb", 2: "vp"}
+        pat = compile_steps(["view+", "bigbuy"], al)
+        assert pat == "v+b"
+        m = {
+            r["user_id"]: r["match_count"]
+            for r in match_pattern(enc, pat).collect()
+        }
+        assert m == {1: 1, 2: 0}
+
+    def test_first_define_wins_and_sql_string_predicates(self, spark):
+        df = self._valued(spark, [(1, 0, "view", 150)])
+        al = {**AL, "big": "b", "huge": "h"}
+        enc = encode_sequences(
+            df, ["user_id"], ["ts", "event_id"], "event_type", al,
+            defines={"big": "amount > 100", "huge": "amount > 10"},
+        )
+        # both predicates hold; the FIRST define in dict order claims
+        assert enc.collect()[0]["seq"] == "b"
+
+    def test_define_without_alphabet_char_is_loud(self, spark):
+        df = self._valued(spark, [(1, 0, "view", 1)])
+        with pytest.raises(ValueError, match="no alphabet char"):
+            encode_sequences(
+                df, ["user_id"], ["ts", "event_id"], "event_type", AL,
+                defines={"big": F.col("amount") > 100},
+            )
