@@ -647,6 +647,8 @@ UNION ALL SELECT 'seq_def_first_pos_sum', CAST(fp_sum AS DOUBLE)
 UNION ALL SELECT 'json_cust_key_sum', CAST(cust_key_sum AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_seg1_rows', CAST(seg1 AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_missing_null_rows', CAST(miss_null AS DOUBLE) FROM jsc
+UNION ALL SELECT 'jshred_cust_key_sum', CAST(cust_key_sum AS DOUBLE) FROM jsc
+UNION ALL SELECT 'jshred_seg1_rows', CAST(seg1 AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_tag_rows', CAST(tag_rows AS DOUBLE) FROM jtg
 UNION ALL SELECT 'json_tag_t0_rows', CAST(t0_rows AS DOUBLE) FROM jtg
 UNION ALL SELECT 'json_distinct_tags', CAST(distinct_tags AS DOUBLE) FROM jtg

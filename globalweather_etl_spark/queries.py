@@ -1114,7 +1114,38 @@ def q_tpch_scalar_checks(spark, sf_dir):
             [("json_outer_missing_rows", "n")],
         )
     )
-    jfam = jscalars.unionAll(jtags).unionAll(jrest)
+    # Round 8: VARIANT SHREDDING — the documents are written to
+    # parquet with the hot scalar paths materialized as typed columns
+    # (functions/semistructured.py shred_json: one merged from_json
+    # parse at write time), then the aggregate reads ONLY the shred
+    # columns back (the raw doc column never leaves disk —
+    # ReadSchema-pinned in tests/test_semistructured.py). The oracle
+    # recomputes the same numbers from the RAW documents, so a
+    # shredding bug (wrong path, wrong type, NULL handling) breaks
+    # hash equality with the unshredded twin values.
+    from globalweather_etl_spark.functions.semistructured import (
+        shred_json,
+    )
+
+    shred_dir = tempfile.mkdtemp(prefix="gw_shred_") + "/docs"
+    shred_json(
+        jorders,
+        "jdoc",
+        {"ck": ("cust.key", "bigint"), "seg": ("cust.seg", "string")},
+    ).write.parquet(shred_dir)
+    jshred = _unpivot_metrics(
+        spark.read.parquet(shred_dir)
+        .select("shred_ck", "shred_seg")
+        .agg(
+            F.sum("shred_ck").alias("cks"),
+            F.count_if(F.col("shred_seg") == "1").alias("seg1"),
+        ),
+        [
+            ("jshred_cust_key_sum", "cks"),
+            ("jshred_seg1_rows", "seg1"),
+        ],
+    )
+    jfam = jscalars.unionAll(jtags).unionAll(jrest).unionAll(jshred)
 
     twap = _unpivot_metrics(
         time_weighted_avg(events, ["user_id"], "ts", "value").agg(
