@@ -24,6 +24,15 @@ Semantics (mirroring Delta's documented streaming-read contract):
   instead SKIPS those commits' data entirely and continues.
 - ``startingVersion N`` starts the stream after version N (default 0:
   from the table's beginning).
+- ``maxCommitsPerTrigger K`` rate-limits catch-up (Delta's
+  maxFilesPerTrigger idea at commit granularity): each planned batch
+  absorbs at most K source commits. Note the engine runs Python data
+  sources under a single-batch fallback for Trigger.AvailableNow, so
+  with a cap one availableNow RUN drains at most K commits — loop
+  runs to drain deep history in bounded pieces (test-pinned). The
+  pacing cursor re-syncs from the engine's own planned/committed
+  batches after a restart, so replays stay exactly-once whatever the
+  pacing was.
 - Reads are Arrow-batched end-to-end: each partition is one data
   file, opened with pyarrow and aligned column-by-column to the
   stream's pinned schema (append-mode evolution null-fills columns a
@@ -120,7 +129,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
+        # rate limiting (Delta's maxFilesPerTrigger idea at commit
+        # granularity): cap how many source commits one micro-batch
+        # absorbs, so a stream catching up on deep history emits
+        # bounded batches instead of one giant one
+        mc = options.get("maxcommitspertrigger")
+        self.max_commits = int(mc) if mc is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError(
+                "maxCommitsPerTrigger must be >= 1, got "
+                f"{self.max_commits}"
+            )
         self.schema_json = schema.json()
+        self._last_offset: int | None = None
 
     # ------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
@@ -128,10 +149,34 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
-        return {"version": vs[-1] if vs else self.start_version}
+        head = vs[-1] if vs else self.start_version
+        if self.max_commits is None:
+            return {"version": head}
+        # advance at most max_commits COMMITS past the last offset this
+        # reader handed out (the engine calls latestOffset before each
+        # micro-batch; its checkpoint replays partitions(start, end)
+        # windows, which stay valid whatever the pacing was)
+        lo = (
+            self._last_offset
+            if self._last_offset is not None
+            else self.start_version
+        )
+        lo = max(lo, self.start_version)
+        window = [v for v in vs if lo < v <= head]
+        capped = window[: self.max_commits]
+        out = capped[-1] if capped else lo
+        self._last_offset = out
+        return {"version": out}
 
     def commit(self, end: dict) -> None:
-        pass  # the engine's checkpoint is the offset log
+        # the engine's checkpoint is the offset log; we only sync the
+        # rate-limit cursor so a restarted reader (fresh instance,
+        # _last_offset None) re-learns where pacing stands from the
+        # engine's own committed batches instead of re-pacing from
+        # startingVersion
+        v = int(end["version"])
+        if self._last_offset is None or v > self._last_offset:
+            self._last_offset = v
 
     # ---------------------------------------------------- partitions
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -156,6 +201,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
           startingVersion/offset has been vacuumed).
         """
         lo, hi = int(start["version"]), int(end["version"])
+        # sync the rate-limit cursor to every batch the engine plans
+        # (covers checkpoint replays on restart — see commit())
+        if self._last_offset is None or hi > self._last_offset:
+            self._last_offset = hi
         if hi <= lo:
             return []
         vs = _versions(self.root)  # one listdir; no manifest opens

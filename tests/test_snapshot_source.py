@@ -274,3 +274,39 @@ def test_remote_scheme_rejected(spark):
     with pytest.raises(ValueError, match="local table roots"):
         _local_root("s3://bucket/tbl")
     assert _local_root("file:///x/y/") == "/x/y"
+
+
+def test_max_commits_per_trigger_paces_catchup(spark, tmp_path):
+    """maxCommitsPerTrigger caps how many source commits one planned
+    batch absorbs. Under the engine's single-batch availableNow
+    fallback for Python sources that means one capped batch per RUN:
+    6 commits at cap 2 drain over 3 runs, exactly-once, and an
+    uncapped late run picks up whatever remains."""
+    t = SnapshotTable(spark, str(tmp_path / "paced"))
+    t.write(_df(spark, [(0, "v0")]).coalesce(1), mode="overwrite")
+    for i in range(1, 6):
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    out, ckpt = str(tmp_path / "o9"), str(tmp_path / "c9")
+    counts = []
+    for _ in range(3):
+        _drain(
+            spark, t.path, out, ckpt, maxCommitsPerTrigger="2"
+        )
+        counts.append(spark.read.parquet(out).count())
+    assert counts == [2, 4, 6]  # 2 commits (1 row each) per run
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(6))
+    # two more commits; an UNCAPPED run from the same checkpoint
+    # drains them both (pacing is an option, not table state)
+    t.write(_df(spark, [(10, "x")]).coalesce(1), mode="append")
+    t.write(_df(spark, [(11, "y")]).coalesce(1), mode="append")
+    _drain(spark, t.path, out, ckpt)
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_max_commits_per_trigger_validation(spark, table, tmp_path):
+    out, ckpt = str(tmp_path / "o10"), str(tmp_path / "c10")
+    with pytest.raises(Exception, match="maxCommitsPerTrigger"):
+        _drain(
+            spark, table.path, out, ckpt, maxCommitsPerTrigger="0"
+        )
