@@ -162,6 +162,73 @@ def main() -> None:
     )
     n_groups = agg.read().count()
 
+    # round 8: the MIXED-maintenance path at scale — one state whose
+    # append slices feed ALL measures (count/sum/avg/min/max/HLL) and
+    # whose CDC slices bounce 100k phantom rows through groups no real
+    # row occupies (+1 one fold, -1 the next). One commit per fold;
+    # the final state must equal the from-scratch recompute over the
+    # real rows alone, min/max/HLL included.
+    mixed_root = tempfile.mkdtemp(prefix="ivm_mixed_") + "/state"
+    mixed = IncrementalAggregate(
+        spark,
+        mixed_root,
+        group_cols=["g"],
+        measures=MEASURES
+        + [
+            Measure("mn", "min", "value"),
+            Measure("mx", "max", "value"),
+            Measure("uu", "approx_distinct", "id"),
+        ],
+    )
+    ph = rows(0, 100_000).select(
+        (F.col("g") + GROUPS).alias("g"),
+        (F.col("value") * 3.0).alias("value"),
+        "id",
+    )
+    third = n // 3
+    mixed_walls = []
+    for b, (lo_i, hi_i, cdc) in enumerate(
+        [
+            (0, third, None),
+            (third, 2 * third, ph.withColumn("__op", F.lit(1))),
+            (2 * third, n, ph.withColumn("__op", F.lit(-1))),
+        ]
+    ):
+        t0 = time.perf_counter()
+        mixed.apply_batch_mixed(
+            rows(lo_i, hi_i), cdc=cdc, batch_id=b
+        )
+        mixed_walls.append(round(time.perf_counter() - t0, 2))
+    mixed_inc = sorted(
+        tuple(r)
+        for r in mixed.read()
+        .select(
+            "g",
+            "n",
+            F.round("s", 6).alias("s"),
+            F.round("a", 9).alias("a"),
+            "mn",
+            "mx",
+            "uu",
+        )
+        .collect()
+    )
+    mixed_rec = sorted(
+        tuple(r)
+        for r in mixed.recompute(rows(0, n))
+        .select(
+            "g",
+            "n",
+            F.round("s", 6).alias("s"),
+            F.round("a", 9).alias("a"),
+            "mn",
+            "mx",
+            "uu",
+        )
+        .collect()
+    )
+    mixed_groups = mixed.read().count()
+
     # read_changes cost shape on a big table (the diff-based feed)
     from globalweather_etl_spark.sources.snapshots import SnapshotTable
 
@@ -210,6 +277,9 @@ def main() -> None:
                 "recompute_wall_sec": recompute_wall,
                 "state_bit_identical": inc == rec,
                 "phantom_groups_deleted": n_groups == GROUPS,
+                "mixed_fold_walls_sec": mixed_walls,
+                "mixed_bit_identical": mixed_inc == mixed_rec,
+                "mixed_phantom_groups_deleted": mixed_groups == GROUPS,
                 "read_changes_rows": n_changes,
                 "read_changes_wall_sec": changes_wall,
                 "read_changes_files_scanned": files_scanned,
