@@ -590,6 +590,16 @@ UNION ALL SELECT 'merge_tt_v1_price_sum',
 UNION ALL SELECT 'merge_bloom_lookup_price',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_v3, lk_k0 WHERE o_orderkey = k0
+UNION ALL SELECT 'clone_v1_rows', CAST(count(*) AS DOUBLE) FROM lk_base
+UNION ALL SELECT 'clone_v1_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_base
+UNION ALL SELECT 'clone_head_rows', CAST(count(*) + 1 AS DOUBLE)
+  FROM lk_base
+UNION ALL SELECT 'clone_head_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+    + CAST(10.0 AS DECIMAL(25,6)) AS DOUBLE), 4)
+  FROM lk_base
 UNION ALL SELECT 'changefeed_plus_rows', CAST(plus_rows AS DOUBLE) FROM cfd
 UNION ALL SELECT 'changefeed_minus_rows', CAST(minus_rows AS DOUBLE) FROM cfd
 UNION ALL SELECT 'changefeed_net_price_sum', net_price FROM cfd

@@ -784,6 +784,40 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 8: ZERO-COPY CLONE over the same committed history — the
+    # clone pins v1 (before both merges), so its read-back must equal
+    # the relational lk_base twin even though the SOURCE head has
+    # since rewritten and deleted those rows; a divergent append to
+    # the clone then proves isolation (the source's graded heads above
+    # are computed from the source AFTER this append exists on the
+    # clone). Hard links, zero data copied (clone_copied == 0 is
+    # asserted in tests; here the content equality is the grade).
+    cl = st.clone(
+        tempfile.mkdtemp(prefix="gw_clone_") + "/orders_clone",
+        version=v1,
+    )
+    cl.write(
+        spark.createDataFrame(
+            [(-1, 10.0, "X")],
+            "o_orderkey long, o_totalprice double, o_orderstatus string",
+        ),
+        mode="append",
+    )
+    lake = lake.unionAll(
+        _unpivot_metrics(
+            dsum(cl.read(1)),
+            [("clone_v1_rows", "n"), ("clone_v1_price_sum", "s")],
+        )
+    ).unionAll(
+        _unpivot_metrics(
+            dsum(cl.read()),
+            [
+                ("clone_head_rows", "n"),
+                ("clone_head_price_sum", "s"),
+            ],
+        )
+    )
+
     # Round 7: the CDC read surfaces over the SAME committed history.
     # read_changes(v1 -> head) op-tags every row the two merges
     # inserted/updated/deleted (+1 new side, -1 old side); the oracle
