@@ -122,11 +122,14 @@ def shred_json(
     each becomes column ``<prefix><name>``. All paths are merged into
     ONE nested struct schema and parsed with a single from_json —
     k shredded paths cost one Jackson parse, not k get_json_object
-    re-parses. Semantics match json_get + cast: missing paths and
-    malformed documents yield NULL (schema-on-read), so a query
-    rewritten onto shred columns is answer-identical to the raw
-    navigation (graded: the jshred_* rows recompute from the raw
-    documents in DuckDB). Arrays stay in the raw document —
+    re-parses. Semantics match json_get + TRY_CAST: missing paths,
+    malformed documents, AND type-malformed values (e.g. '' where a
+    bigint is declared — hypothesis-found) all yield NULL
+    (schema-on-read; a plain ANSI cast would error on the last), so a
+    query rewritten onto shred columns is answer-identical to the
+    tolerant raw navigation (graded: the jshred_* rows recompute from
+    the raw documents in DuckDB; property-tested in
+    tests/test_properties.py). Arrays stay in the raw document —
     FLATTEN-style fan-out reads ``col`` as before (``keep_doc``).
 
     The 100 TB payoff is scan shape: a shredded parquet read of one

@@ -316,3 +316,68 @@ def test_cms_never_underestimates(spark, vals, probe):
     true = vals.count(probe)
     assert row["cms_est"] >= true
     assert row["cms_est"] <= len(vals)  # bounded by stream mass
+
+
+# --------------------------- round 8: VARIANT shredding equivalence
+
+_JSON_SCALARS = st.one_of(
+    st.integers(-10**6, 10**6),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+        ),
+        max_size=8,
+    ),
+    st.none(),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.fixed_dictionaries(
+                {"a": st.fixed_dictionaries({"b": _JSON_SCALARS})}
+            ),
+            st.fixed_dictionaries({"n": _JSON_SCALARS}),
+            st.just({}),  # both paths missing
+            st.none(),  # NULL document
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_shred_equals_raw_navigation_property(spark, docs):
+    """shred_json must agree with json_get + TRY_CAST on ARBITRARY
+    documents: present / missing / null / wrong-branch paths, NULL
+    docs, and type-malformed values ('' where bigint is declared —
+    the case hypothesis found: a plain ANSI cast errors there, while
+    shredding's schema-on-read yields NULL)."""
+    import json as _json
+
+    from globalweather_etl_spark.functions.semistructured import (
+        json_get,
+        shred_json,
+    )
+
+    rows = [
+        (i, None if d is None else _json.dumps(d))
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "id long, j string")
+    shredded = shred_json(
+        df, "j", {"ab": ("a.b", "string"), "n": ("n", "bigint")}
+    )
+    got = {
+        r["id"]: (r["shred_ab"], r["shred_n"])
+        for r in shredded.collect()
+    }
+    want = {
+        r["id"]: (r["ab"], r["n"])
+        for r in df.select(
+            "id",
+            json_get("j", "a.b").alias("ab"),
+            json_get("j", "n").try_cast("bigint").alias("n"),
+        ).collect()
+    }
+    assert got == want
