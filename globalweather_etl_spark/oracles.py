@@ -600,6 +600,13 @@ UNION ALL SELECT 'clone_head_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
     + CAST(10.0 AS DECIMAL(25,6)) AS DOUBLE), 4)
   FROM lk_base
+UNION ALL SELECT 'rw_rows', CAST(count(*) + 1 AS DOUBLE) FROM lk_base
+UNION ALL SELECT 'rw_price_sum',
+  round(CAST(sum(CAST(
+      CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice * 2
+           ELSE o_totalprice END AS DECIMAL(25,6)))
+    + CAST(10.0 AS DECIMAL(25,6)) AS DOUBLE), 4)
+  FROM lk_base
 UNION ALL SELECT 'changefeed_plus_rows', CAST(plus_rows AS DOUBLE) FROM cfd
 UNION ALL SELECT 'changefeed_minus_rows', CAST(minus_rows AS DOUBLE) FROM cfd
 UNION ALL SELECT 'changefeed_net_price_sum', net_price FROM cfd

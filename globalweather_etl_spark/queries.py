@@ -810,11 +810,32 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     ).unionAll(
         _unpivot_metrics(
-            dsum(cl.read()),
+            dsum(cl.read()),  # pins the pre-replace head eagerly
             [
                 ("clone_head_rows", "n"),
                 ("clone_head_price_sum", "s"),
             ],
+        )
+    )
+
+    # Round 8: REPLACE WHERE (predicate-scoped atomic overwrite — the
+    # backfill primitive) on the clone: the o_orderkey%11==3 band is
+    # swapped for its doubled-price recomputation in one commit. The
+    # oracle recomputes the head relationally (band doubled, the rest
+    # + the clone's divergent append untouched), so a row written
+    # outside the band, a surviving old band row, or a dropped
+    # non-band row all hash-mismatch.
+    band = F.pmod(F.col("o_orderkey"), F.lit(11)) == 3
+    cl.replace_where(
+        cl.read(1)
+        .filter(band)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        band,
+    )
+    lake = lake.unionAll(
+        _unpivot_metrics(
+            dsum(cl.read()),
+            [("rw_rows", "n"), ("rw_price_sum", "s")],
         )
     )
 

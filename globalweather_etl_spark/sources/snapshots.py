@@ -855,6 +855,152 @@ class SnapshotTable:
             compare_cols,
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        condition,
+        rewrite_partitions: int | None = None,
+        max_retries: int = 5,
+        manifest_extra: dict | None = None,
+    ) -> dict:
+        """Predicate-scoped atomic overwrite — Delta's ``replaceWhere``
+        (the generalization of dynamic partition overwrite): in ONE
+        commit, delete every live row matching ``condition`` and
+        insert ``df``'s rows. The backfill primitive: recompute one
+        date band / region / experiment arm and swap it in atomically
+        while readers keep seeing the old version until publish.
+
+        Delta's safety contract is enforced: every incoming row must
+        satisfy ``condition`` (a row where it is false OR NULL fails
+        loudly BEFORE anything commits — otherwise a backfill could
+        silently write outside the band it claims to replace).
+
+        Copy-on-write file pruning like merge_into: one probe tags the
+        data files holding any matching live row (the predicate pushes
+        into the parquet scan, so footer min/max skip non-matching
+        files); ONLY those files rewrite (their non-matching survivors
+        keep their rows), everything else carries by reference, and
+        the new rows land as new files. Rewritten files shed their
+        deletion-vector entries; kept files keep theirs. A no-match,
+        empty-``df`` call commits nothing.
+
+        Returns {"version", "files_rewritten", "files_kept",
+        "n_replaced", "n_rows"}."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(
+                f"no commits yet at {self.path} — use write() to "
+                "create the table"
+            )
+        # rows where the predicate is false or NULL are OUTSIDE the
+        # replaced band: loud, per Delta's replaceWhere contract
+        outside = (
+            df.filter(~F.coalesce(condition, F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if outside:
+            raise ValueError(
+                "replace_where: an incoming row does not satisfy the "
+                f"replacement predicate (e.g. {outside[0].asDict()}) — "
+                "writing outside the replaced band would silently "
+                "corrupt data the predicate promised to keep"
+            )
+        keep_cond = ~F.coalesce(condition, F.lit(False))
+        for _ in range(max_retries):
+            base = self.latest_version()
+            target = self._next_version(base)
+            m = self._manifest(base)
+            cols = [
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(m["schema"])
+                ).fields
+            ]
+            if sorted(df.columns) != sorted(cols):
+                raise ValueError(
+                    f"replace_where columns {sorted(df.columns)} != "
+                    f"table columns {sorted(cols)}"
+                )
+            tgt = self._read_files(m["files"], m, with_pos=True)
+            hit_rel = sorted(
+                r["__dv_file"]
+                for r in tgt.filter(condition)
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            )
+            kept_rel = [f for f in m["files"] if f not in set(hit_rel)]
+            out_parts = [df.select(*cols)]
+            n_hit_rows = 0
+            if hit_rel:
+                hit_tgt = self._read_files(hit_rel, m)
+                n_hit_rows = hit_tgt.count()
+                out_parts.append(hit_tgt.filter(keep_cond))
+            rewrite = out_parts[0]
+            for p in out_parts[1:]:
+                rewrite = rewrite.unionByName(p)
+            if rewrite_partitions is not None:
+                rewrite = rewrite.coalesce(rewrite_partitions)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            new_files = self._list_commit_files(commit_dir)
+            n_written = (
+                self.spark.read.schema(rewrite.schema)
+                .parquet(commit_dir)
+                .count()
+            )
+            if not hit_rel and n_written == 0:
+                return {
+                    "version": base,
+                    "files_rewritten": 0,
+                    "files_kept": len(m["files"]),
+                    "n_replaced": 0,
+                    "n_rows": m["n_rows"],
+                }
+            pdv = m.get("dvs") or {"stores": [], "files": []}
+            rem_dv = [f for f in pdv["files"] if f in set(kept_rel)]
+            manifest = {
+                **{
+                    k: v
+                    for k, v in (manifest_extra or {}).items()
+                    if k
+                    not in (
+                        "version", "parent", "mode", "schema", "files",
+                        "n_rows", "max_batch_id", "ivm_max_batch_id",
+                        "dvs",
+                    )
+                },
+                **self._stamp_carry(base, manifest_extra or {}),
+                "version": target,
+                "parent": base,
+                "mode": "replace",
+                "schema": m["schema"],
+                "files": kept_rel + new_files,
+                "n_rows": m["n_rows"] - n_hit_rows + n_written,
+                **(
+                    {"dvs": {"stores": pdv["stores"], "files": rem_dv}}
+                    if rem_dv
+                    else {}
+                ),
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(target)
+            ):
+                return {
+                    "version": target,
+                    "files_rewritten": len(hit_rel),
+                    "files_kept": len(kept_rel),
+                    "n_replaced": n_hit_rows
+                    - (n_written - df.count()),
+                    "n_rows": manifest["n_rows"],
+                }
+        raise RuntimeError(
+            f"replace_where lost the commit race {max_retries} times"
+        )
+
     def delete_where(
         self,
         condition,

@@ -1136,3 +1136,94 @@ class TestClone:
         # a replayed fold of batch 7 against the CLONE is a stamped
         # no-op — refresh pipelines can repoint at clones safely
         assert cl._batch_seen(7, "batch_id", "max_batch_id")
+
+
+class TestReplaceWhere:
+    """Predicate-scoped atomic overwrite (round 8) — the backfill
+    primitive: delete the band, insert its recomputation, one commit."""
+
+    @pytest.fixture()
+    def banded(self, spark, tmp_path):
+        from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+        st = SnapshotTable(spark, str(tmp_path / "rw"))
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(40)],
+            "k long, band int, v double",
+        )
+        st.write_clustered(df, cluster_by=["band"], n_files=4)
+        return st
+
+    def test_replaces_band_atomically_and_prunes_files(
+        self, spark, banded
+    ):
+        v1 = banded.latest_version()
+        m1 = set(banded._manifest(v1)["files"])
+        newband = spark.createDataFrame(
+            [(100 + i, 2, 1000.0 + i) for i in range(3)],
+            "k long, band int, v double",
+        )
+        res = banded.replace_where(newband, F.col("band") == 2)
+        assert res["n_replaced"] == 10  # the old band-2 rows
+        got = sorted(
+            tuple(r)
+            for r in banded.read().filter("band = 2").collect()
+        )
+        assert got == [(100 + i, 2, 1000.0 + i) for i in range(3)]
+        assert banded.read().filter("band != 2").count() == 30
+        # band-clustered layout: only the band-2 file(s) rewrote
+        assert res["files_kept"] >= 2
+        assert set(banded._manifest(res["version"])["files"]) & m1
+        # time travel: the pre-replace version is untouched
+        assert banded.read(v1).filter("band = 2").count() == 10
+
+    def test_rows_outside_band_fail_loudly(self, spark, banded):
+        head = banded.latest_version()
+        bad = spark.createDataFrame(
+            [(100, 2, 1.0), (101, 3, 2.0)],
+            "k long, band int, v double",
+        )
+        with pytest.raises(ValueError, match="outside the replaced"):
+            banded.replace_where(bad, F.col("band") == 2)
+        # NULL predicate rows are OUTSIDE too
+        nullband = spark.createDataFrame(
+            [(100, None, 1.0)], "k long, band int, v double"
+        )
+        with pytest.raises(ValueError, match="outside the replaced"):
+            banded.replace_where(nullband, F.col("band") == 2)
+        assert banded.latest_version() == head  # nothing committed
+
+    def test_no_match_insert_and_noop(self, spark, banded):
+        # predicate matches nothing: the new band simply lands
+        res = banded.replace_where(
+            spark.createDataFrame(
+                [(200, 9, 9.0)], "k long, band int, v double"
+            ),
+            F.col("band") == 9,
+        )
+        assert res["files_rewritten"] == 0 and res["n_replaced"] == 0
+        assert banded.read().filter("band = 9").count() == 1
+        # empty df + no match: no version burned
+        head = banded.latest_version()
+        res2 = banded.replace_where(
+            banded.read().filter(F.lit(False)).select("k", "band", "v"),
+            F.col("band") == 77,
+        )
+        assert res2["version"] == head
+
+    def test_respects_deletion_vectors(self, spark, banded):
+        # a DV'd row in the replaced band must not resurrect
+        banded.delete_where((F.col("band") == 1) & (F.col("k") == 1))
+        res = banded.replace_where(
+            spark.createDataFrame(
+                [(300, 1, 3.0)], "k long, band int, v double"
+            ),
+            F.col("band") == 1,
+        )
+        assert res["n_replaced"] == 9  # 10 band-1 rows minus the DV'd one
+        ks = sorted(
+            r["k"] for r in banded.read().filter("band = 1").collect()
+        )
+        assert ks == [300]
+        # and the stream-facing mode is honest: not an append
+        assert banded._manifest(res["version"])["mode"] == "replace"
