@@ -516,14 +516,25 @@ class IncrementalAggregate:
                 *guard_zero,
             )
             have = set(pc.columns)
-            pc = pc.select(
-                *[
-                    F.col(f.name)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in want.schema.fields
-                ]
-            )
+            hll_cols = {
+                f"__{m.name}_regs"
+                for m in self.measures
+                if m.kind == "approx_distinct"
+            }
+
+            def _fill(f):
+                if f.name in have:
+                    return F.col(f.name)
+                if f.name in hll_cols:
+                    # the EMPTY sketch, not NULL: a pure-CDC first
+                    # commit would otherwise store NULL register
+                    # arrays, which finalize to NULL instead of the
+                    # empty sketch's 0 (merges are indifferent —
+                    # collect_list skips NULLs — but bootstraps aren't)
+                    return _hll_zero_regs().alias(f.name)
+                return F.lit(None).cast(f.dataType).alias(f.name)
+
+            pc = pc.select(*[_fill(f) for f in want.schema.fields])
             parts.append(pc)
         p = parts[0]
         for more in parts[1:]:

@@ -525,3 +525,24 @@ def test_mixed_replay_skipped_and_bad_op(spark, mixed_agg):
         mixed_agg.apply_batch_mixed(
             None, cdc=df.withColumn("__op", F.lit(7)), batch_id=1
         )
+
+
+def test_mixed_pure_cdc_bootstrap_yields_empty_sketch(spark, tmp_path):
+    """A mixed state whose FIRST commit is pure CDC must store the
+    empty sketch (estimate 0), not NULL register arrays (round-8
+    review find: the null-filled bootstrap finalized to NULL)."""
+    agg = IncrementalAggregate(
+        spark, str(tmp_path / "boot"), ["event_type"], MIXED_MEASURES
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 10.0)], "event_id long, event_type string, value double"
+    )
+    agg.apply_batch_mixed(None, cdc=_with_op(df, 1), batch_id=0)
+    row = agg.read().collect()[0]
+    assert row["n_events"] == 1
+    assert row["n_ids"] == 0.0  # empty sketch: no insert-slice rows
+    assert row["min_value"] is None
+    # a later insert fold folds into the zero registers normally
+    agg.apply_batch_mixed(df, batch_id=1)
+    row2 = agg.read().collect()[0]
+    assert row2["n_events"] == 2 and row2["n_ids"] > 0
