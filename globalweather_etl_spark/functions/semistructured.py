@@ -67,11 +67,12 @@ def json_array_size(col: Column | str, path: str | None = None) -> Column:
     return F.json_array_length(c)
 
 
-def _shred_ddl(paths: dict[str, tuple[str, str]]) -> str:
-    """Merge dotted scalar paths into ONE nested struct DDL so a
-    single from_json parse covers every shredded path."""
+def _shred_ddl(dotted_paths) -> str:
+    """Merge dotted scalar paths into ONE nested struct DDL (every
+    leaf typed string — see shred_json) so a single from_json parse
+    covers every shredded path."""
     tree: dict = {}
-    for name, (path, typ) in paths.items():
+    for path in dotted_paths:
         parts = path.split(".")
         node = tree
         for p in parts[:-1]:
@@ -88,12 +89,7 @@ def _shred_ddl(paths: dict[str, tuple[str, str]]) -> str:
                 f"shred path {path!r} conflicts: {leaf!r} is both a "
                 "leaf and a branch"
             )
-        if leaf in node and node[leaf] != typ:
-            raise ValueError(
-                f"shred path {path!r}: conflicting types "
-                f"{node[leaf]!r} vs {typ!r}"
-            )
-        node[leaf] = typ
+        node[leaf] = "string"
 
     def render(node: dict) -> str:
         fields = ", ".join(
@@ -122,14 +118,16 @@ def shred_json(
     each becomes column ``<prefix><name>``. All paths are merged into
     ONE nested struct schema and parsed with a single from_json —
     k shredded paths cost one Jackson parse, not k get_json_object
-    re-parses. Semantics match json_get + TRY_CAST: missing paths,
-    malformed documents, AND type-malformed values (e.g. '' where a
-    bigint is declared — hypothesis-found) all yield NULL
-    (schema-on-read; a plain ANSI cast would error on the last), so a
-    query rewritten onto shred columns is answer-identical to the
-    tolerant raw navigation (graded: the jshred_* rows recompute from
-    the raw documents in DuckDB; property-tested in
-    tests/test_properties.py). Arrays stay in the raw document —
+    re-parses. Semantics are EXACTLY json_get + TRY_CAST: leaves parse
+    as string and try_cast to the declared type, so quoted numbers
+    coerce ('"0"' under bigint -> 0 — from_json's typed leaves are
+    JSON-type-strict and would NULL it; hypothesis-found), while
+    missing paths, malformed documents, and type-malformed values
+    ('' under bigint — an ANSI cast would error) all yield NULL.
+    A query rewritten onto shred columns is therefore
+    answer-identical to the tolerant raw navigation (graded: the
+    jshred_* rows recompute from the raw documents in DuckDB;
+    property-tested in tests/test_properties.py). Arrays stay in the raw document —
     FLATTEN-style fan-out reads ``col`` as before (``keep_doc``).
 
     The 100 TB payoff is scan shape: a shredded parquet read of one
@@ -138,13 +136,21 @@ def shred_json(
     tests/test_semistructured.py)."""
     if not paths:
         raise ValueError("shred_json needs at least one path")
-    ddl = _shred_ddl(paths)
+    # parse every leaf as STRING and try_cast to the declared type:
+    # from_json's typed leaves are JSON-type-strict (a quoted number
+    # '"0"' under a bigint leaf parses to NULL — hypothesis-found),
+    # while navigation + TRY_CAST coerces lexical forms the way the
+    # reference engine's col:path::type does. String-then-try_cast
+    # makes shredding exactly equivalent to the tolerant navigation.
+    ddl = _shred_ddl([p for p, _t in paths.values()])
     parsed = F.from_json(F.col(col), ddl)
     out = []
-    for name, (path, _typ) in paths.items():
+    for name, (path, typ) in paths.items():
         c = parsed
         for part in path.split("."):
             c = c[part]
+        if typ.lower() != "string":
+            c = c.try_cast(typ)
         out.append(c.alias(f"{prefix}{name}"))
     keep = [c for c in df.columns if keep_doc or c != col]
     return df.select(*keep, *out)

@@ -322,12 +322,16 @@ def test_cms_never_underestimates(spark, vals, probe):
 
 _JSON_SCALARS = st.one_of(
     st.integers(-10**6, 10**6),
+    # includes purely-numeric strings like "0": a QUOTED number under
+    # a bigint leaf must coerce exactly like json_get + try_cast
+    # (the second falsifying example hypothesis found)
     st.text(
         alphabet=st.characters(
             whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
         ),
         max_size=8,
     ),
+    st.booleans(),
     st.none(),
 )
 

@@ -142,8 +142,8 @@ class TestShredding:
         )
 
         assert (
-            _shred_ddl({"k": ("a.b", "bigint"), "s": ("a.c", "string")})
-            == "struct<`a`: struct<`b`: bigint, `c`: string>>"
+            _shred_ddl(["a.b", "a.c"])
+            == "struct<`a`: struct<`b`: string, `c`: string>>"
         )
         # every shred column navigates the SAME merged from_json
         # expression (one schema string in the plan), so whole-stage
@@ -154,9 +154,15 @@ class TestShredding:
         assert plan.count("from_json") == len(self.PATHS)
         assert "get_json_object" not in plan
         with pytest.raises(ValueError, match="both a leaf and a branch"):
-            _shred_ddl({"x": ("a", "bigint"), "y": ("a.b", "string")})
-        with pytest.raises(ValueError, match="conflicting types"):
-            _shred_ddl({"x": ("a.b", "bigint"), "y": ("a.b", "string")})
+            _shred_ddl(["a", "a.b"])
+        # one path shredded under TWO types is legal (string leaf +
+        # per-column try_cast): the typed view coerces, the raw keeps
+        two = shred_json(
+            jdf.limit(1),
+            "j",
+            {"abn": ("a.b", "bigint"), "abs": ("a.b", "string")},
+        ).collect()[0]
+        assert (two["shred_abn"], two["shred_abs"]) == (7, "7")
 
     def test_parquet_read_prunes_to_shred_column(self, spark, jdf, tmp_path):
         from globalweather_etl_spark.functions.semistructured import (
