@@ -70,7 +70,10 @@ R1_BASELINE = {
     "events_asof_last_signup": 0.488,
     "docs_pack_by_budget": 0.8139,
 }
-ISOLATION_TRIGGER = 1.8
+# overridable for machinery tests (flag everything with a low value)
+ISOLATION_TRIGGER = float(
+    os.environ.get("SPARK_GRAFT_ISOLATION_TRIGGER", "1.8")
+)
 
 KEY_MAP = {
     "pipeline_rebuild": "pipeline_fact + all pipeline_dim_* (materialized CTAS form, DATE_KEY-partitioned fact write)",
