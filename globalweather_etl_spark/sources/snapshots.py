@@ -49,7 +49,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -611,6 +611,65 @@ class SnapshotTable:
                 f"clone lost a commit race at {dest_path!r}"
             )
         return dest
+
+    def write_shredded(
+        self,
+        df: DataFrame,
+        json_col: str,
+        paths: dict[str, tuple[str, str]],
+        mode: str = "overwrite",
+    ) -> int:
+        """Commit ``df`` with its JSON document column SHREDDED
+        (functions.semistructured.shred_json: hot scalar paths
+        materialized as typed columns by one merged parse) and the
+        shred map recorded in the manifest, so readers resolve path
+        access to the pruned columns without out-of-band knowledge —
+        see ``json_path``. The raw document column is kept (arrays /
+        un-shredded paths still navigate it)."""
+        from globalweather_etl_spark.functions.semistructured import (
+            shred_json,
+        )
+
+        return self.write(
+            shred_json(df, json_col, paths),
+            mode=mode,
+            manifest_extra={
+                "shred": {
+                    "col": json_col,
+                    "paths": {n: p for n, (p, _t) in paths.items()},
+                }
+            },
+        )
+
+    def json_path(
+        self, path: str, version: int | None = None
+    ) -> Column:
+        """Path access over this table's document column that RESOLVES
+        to the manifest-recorded shred column when one covers ``path``
+        (the read then never touches the raw document — column
+        pruning does the rest) and falls back to raw json_get
+        navigation otherwise. Use with ``read``::
+
+            t.read().select(t.json_path("cust.key"))
+        """
+        from globalweather_etl_spark.functions.semistructured import (
+            json_get,
+        )
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        shred = self._manifest(v).get("shred")
+        if shred:
+            for name, p in shred["paths"].items():
+                if p == path:
+                    return F.col(f"shred_{name}")
+            return json_get(F.col(shred["col"]), path)
+        raise ValueError(
+            f"version {v} at {self.path} was not written with "
+            "write_shredded (no document column recorded) — navigate "
+            "explicitly with functions.semistructured.json_get"
+        )
 
     # --------------------------------------------------------- reads
     def read_asof(self, ts: float) -> DataFrame:

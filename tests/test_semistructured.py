@@ -202,3 +202,41 @@ class TestShredding:
         by_id = {r["id"]: (r["ab"], r["tags"]) for r in got}
         assert by_id[1] == (7, '["x","y"]')
         assert by_id[3] == (None, None)
+
+
+class TestShreddedTable:
+    """write_shredded / json_path (round 8): the shred map rides the
+    manifest, so readers resolve paths without out-of-band knowledge."""
+
+    def test_manifest_resolution_and_pruned_scan(self, spark, jdf, tmp_path):
+        from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "shredtbl"))
+        t.write_shredded(
+            jdf, "j", {"ab": ("a.b", "bigint"), "n": ("n", "bigint")}
+        )
+        # shredded path -> the typed column; raw doc never scanned
+        q = t.read().select("id", t.json_path("a.b").alias("ab"))
+        got = {r["id"]: r["ab"] for r in q.collect()}
+        assert got == {1: 7, 2: None, 3: None, 4: None, 5: None}
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "shred_ab" in rs and "j:string" not in rs
+        # un-shredded path -> raw navigation fallback, same rows
+        tags = {
+            r["id"]: r["t"]
+            for r in t.read()
+            .select("id", t.json_path("tags").alias("t"))
+            .collect()
+        }
+        assert tags[1] == '["x","y"]' and tags[3] is None
+        # append preserves the map via stamp carry? appends carry
+        # manifest_extra only when re-supplied — the shred map is
+        # recorded per write_shredded commit; a plain append loses it
+        # and json_path says so loudly
+        t2 = SnapshotTable(spark, str(tmp_path / "noshred"))
+        t2.write(jdf, mode="overwrite")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="write_shredded"):
+            t2.json_path("a.b")
