@@ -44,11 +44,13 @@ from pyspark.sql import functions as F
 # Driver-recorded r1 per-key seconds (BENCH_r01.json, sf0.1) for the
 # keys that still exist under the same name — the ratio contract is
 # "within 2x of r1 at the same sf".  Keys whose 3-rep median lands
-# above ISOLATION_TRIGGER x their r1 number get ONE isolated re-run
-# (fresh pass of the suite timing only them) before recording: the r7
+# above ISOLATION_TRIGGER x their r1 number get TWO isolated re-runs
+# (fresh passes of the suite timing only them) and the MEDIAN of the
+# isolated walls is what publishes — symmetric in both directions, so
+# the board is not biased downward by min-taking (r9 advisory): the r7
 # board showed byte-identical code swinging ~2x with suite order /
 # host noise, and a single noisy median must not publish as a
-# regression when an isolated run contradicts it (VERDICT r7 item 1).
+# regression when isolated runs contradict it (VERDICT r7 item 1).
 R1_BASELINE = {
     "pipeline_rebuild": 5.0268,
     "dashboard_q1": 0.6018,
@@ -172,7 +174,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     retry_only: set[str] | None = None
-    retry_samples: dict[str, float] = {}
+    retry_samples: dict[str, list[float]] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -181,9 +183,7 @@ def main() -> None:
         if retry_only is None:
             samples.setdefault(name, []).append(wall)
         elif name in retry_only:
-            retry_samples[name] = min(
-                retry_samples.get(name, wall), wall
-            )
+            retry_samples.setdefault(name, []).append(wall)
         # storage-memory hygiene check (r7 suite-order mystery aid):
         # a key that returns with persisted RDDs still registered is
         # leaking cache into its successors — name it before clearing
@@ -726,26 +726,37 @@ def main() -> None:
             and v > ISOLATION_TRIGGER * R1_BASELINE[k]
         }
         if flagged:
-            # one extra suite pass timing ONLY the flagged keys
+            # extra suite passes timing ONLY the flagged keys
             # (isolated = after a full pass's caches are long cleared,
-            # with no other key's sampling interleaved); record the
-            # better of median and isolated run — an isolated number
-            # under the trigger proves the median was suite noise
+            # with no other key's sampling interleaved). Two passes
+            # because this host's single measurements oscillate ~2x
+            # (docs/PERF.md). The published number is the MEDIAN of
+            # the isolated walls — a symmetric estimator that replaces
+            # the contaminated in-suite median in whichever direction
+            # the isolated evidence points. (Earlier rounds published
+            # min(median, min-of-isolated), which re-measured only the
+            # slow side and so biased the board downward — advisory
+            # fix, round 9.) Both the in-suite medians and every
+            # isolated wall go to stderr so a reader can audit.
             print(
-                json.dumps({"isolated_rerun_keys": sorted(flagged)}),
+                json.dumps(
+                    {
+                        "isolated_rerun_keys": sorted(flagged),
+                        "in_suite_medians": {
+                            k: timings[k] for k in sorted(flagged)
+                        },
+                    }
+                ),
                 file=sys.stderr,
             )
             retry_only = flagged
-            # TWO isolated passes, min recorded per flagged key: this
-            # host's single measurements oscillate ~2x (docs/PERF.md),
-            # so one isolated sample can itself be the noisy one
             run_suite()
             run_suite()
             print(
                 json.dumps(
                     {
                         "isolated_rerun_walls": {
-                            k: round(v, 3)
+                            k: [round(w, 3) for w in v]
                             for k, v in retry_samples.items()
                         }
                     }
@@ -753,7 +764,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             for k, v in retry_samples.items():
-                timings[k] = min(timings[k], round(v, 3))
+                timings[k] = round(statistics.median(v), 3)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)

@@ -136,6 +136,22 @@ def shred_json(
     tests/test_semistructured.py)."""
     if not paths:
         raise ValueError("shred_json needs at least one path")
+    # a shred output name colliding with a surviving input column
+    # would produce a duplicate-named frame that only fails later
+    # with an ambiguity error (or silently feeds positional
+    # consumers the wrong column) — fail loudly up front instead
+    surviving = {c for c in df.columns if keep_doc or c != col}
+    collisions = sorted(
+        f"{prefix}{name}"
+        for name in paths
+        if f"{prefix}{name}" in surviving
+    )
+    if collisions:
+        raise ValueError(
+            "shred_json output column(s) collide with existing "
+            f"columns: {collisions} — rename via prefix or the "
+            "paths dict keys"
+        )
     # parse every leaf as STRING and try_cast to the declared type:
     # from_json's typed leaves are JSON-type-strict (a quoted number
     # '"0"' under a bigint leaf parses to NULL — hypothesis-found),

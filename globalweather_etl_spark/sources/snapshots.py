@@ -994,9 +994,20 @@ class SnapshotTable:
             kept_rel = [f for f in m["files"] if f not in set(hit_rel)]
             out_parts = [df.select(*cols)]
             n_hit_rows = 0
+            n_hit_kept = 0
             if hit_rel:
                 hit_tgt = self._read_files(hit_rel, m)
-                n_hit_rows = hit_tgt.count()
+                # ONE aggregate pass over the hit files yields both
+                # totals; n_replaced derives entirely from these
+                # parquet-backed (deterministic) scans — never from
+                # re-executing the caller's df plan, which could be
+                # nondeterministic and would cost an extra job
+                stats = hit_tgt.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(keep_cond).alias("kept"),
+                ).collect()[0]
+                n_hit_rows = stats["n"]
+                n_hit_kept = stats["kept"]
                 out_parts.append(hit_tgt.filter(keep_cond))
             rewrite = out_parts[0]
             for p in out_parts[1:]:
@@ -1052,8 +1063,7 @@ class SnapshotTable:
                     "version": target,
                     "files_rewritten": len(hit_rel),
                     "files_kept": len(kept_rel),
-                    "n_replaced": n_hit_rows
-                    - (n_written - df.count()),
+                    "n_replaced": n_hit_rows - n_hit_kept,
                     "n_rows": manifest["n_rows"],
                 }
         raise RuntimeError(

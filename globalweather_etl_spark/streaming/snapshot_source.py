@@ -155,7 +155,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # advance at most max_commits COMMITS past the last offset this
         # reader handed out (the engine calls latestOffset before each
         # micro-batch; its checkpoint replays partitions(start, end)
-        # windows, which stay valid whatever the pacing was)
+        # windows, which stay valid whatever the pacing was).
+        # The cap is BEST-EFFORT across engine retries: this call
+        # mutates the pacing cursor, so if the engine queries
+        # latestOffset again without running the planned batch, the
+        # next batch can absorb up to 2x max_commits. Correctness is
+        # unaffected (partitions() derives files from actual
+        # manifests) and both commit() and partitions() re-anchor the
+        # cursor to the engine's real progress — Delta's
+        # maxFilesPerTrigger carries the same caveat.
         lo = (
             self._last_offset
             if self._last_offset is not None
@@ -202,9 +210,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         """
         lo, hi = int(start["version"]), int(end["version"])
         # sync the rate-limit cursor to every batch the engine plans
-        # (covers checkpoint replays on restart — see commit())
-        if self._last_offset is None or hi > self._last_offset:
-            self._last_offset = hi
+        # (covers checkpoint replays on restart — see commit()); use
+        # max(lo, hi) so even a degenerate/replayed window re-anchors
+        # pacing at what the engine actually knows
+        planned = max(lo, hi)
+        if self._last_offset is None or planned > self._last_offset:
+            self._last_offset = planned
         if hi <= lo:
             return []
         vs = _versions(self.root)  # one listdir; no manifest opens

@@ -163,6 +163,24 @@ class TestShredding:
             {"abn": ("a.b", "bigint"), "abs": ("a.b", "string")},
         ).collect()[0]
         assert (two["shred_abn"], two["shred_abs"]) == (7, "7")
+        # an output name colliding with a surviving input column must
+        # fail up front — a duplicate-named frame only errors later
+        # (ambiguity) or silently misfeeds positional consumers
+        with pytest.raises(ValueError, match="collide"):
+            shred_json(
+                jdf.withColumn("shred_ab", F.lit(1)), "j", self.PATHS
+            )
+        # ...but reusing the DROPPED document column's name is fine:
+        # keep_doc=False removes "j" before the shreds are appended
+        reused = shred_json(
+            jdf.limit(1),
+            "j",
+            {"j": ("a.b", "bigint")},
+            prefix="",
+            keep_doc=False,
+        )
+        assert reused.columns.count("j") == 1
+        assert reused.collect()[0]["j"] == 7
 
     def test_parquet_read_prunes_to_shred_column(self, spark, jdf, tmp_path):
         from globalweather_etl_spark.functions.semistructured import (
