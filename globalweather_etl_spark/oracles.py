@@ -538,6 +538,20 @@ zb_box AS (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE)
     BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND o_custkey BETWEEN 100 AND 2000),
+-- incremental-OPTIMIZE head: z-ordered base (key%3=0) + two appends
+-- (key%3=1; key%3=2 excluding key%11=0), minus the merge-on-read
+-- delete (key%13=0), after optimize() folded the appends into the
+-- layout — physically reshuffled, relationally just this predicate
+oc_head AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_custkey, o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 3 = 2 AND o_orderkey % 11 = 0)
+    AND o_orderkey % 13 <> 0),
+oc_box AS (
+  SELECT * FROM oc_head
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
     AND o_custkey BETWEEN 100 AND 2000)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -646,6 +660,14 @@ UNION ALL SELECT 'zb_box_rows', CAST(count(*) AS DOUBLE) FROM zb_box
 UNION ALL SELECT 'zb_box_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM zb_box
+UNION ALL SELECT 'oc_rows', CAST(count(*) AS DOUBLE) FROM oc_head
+UNION ALL SELECT 'oc_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM oc_head
+UNION ALL SELECT 'oc_box_rows', CAST(count(*) AS DOUBLE) FROM oc_box
+UNION ALL SELECT 'oc_box_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM oc_box
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -1017,6 +1017,59 @@ def q_tpch_scalar_checks(spark, sf_dir):
         dsum(zbox), [("zb_box_rows", "n"), ("zb_box_price_sum", "s")]
     )
 
+    # Round 9: INCREMENTAL clustering maintenance
+    # (sources/snapshots.py optimize — the liquid-clustering /
+    # auto-OPTIMIZE idea) graded end-to-end: a z-ordered base commit,
+    # two plain appends landing OUTSIDE the layout, a merge-on-read
+    # delete, then optimize() folds only the unclustered files into
+    # the layout — the clustered base carries by reference, the
+    # deletions on rewritten files materialize away. The head is read
+    # back whole AND through a stats-pruned 2-D box, so a row lost or
+    # duplicated in the carried/rewritten split, a resurrected deleted
+    # row, or an over-pruned box read all hash-mismatch. The
+    # incrementality itself (files carried by reference, O(new data)
+    # rewrite, stamp lifecycle) is test-pinned in
+    # tests/test_optimize.py.
+    oct_ = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="gw_optimize_") + "/orders_oc"
+    )
+    oc_proj = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    oct_.write_zordered(
+        oc_proj.filter(F.col("o_orderkey") % 3 == 0),
+        zorder_by=["o_orderdate", "o_custkey"],
+        n_files=8,
+        mode="overwrite",
+    )
+    oct_.write(oc_proj.filter(F.col("o_orderkey") % 3 == 1))
+    oct_.write(
+        oc_proj.filter(
+            (F.col("o_orderkey") % 3 == 2)
+            & (F.col("o_orderkey") % 11 != 0)
+        )
+    )
+    oct_.delete_where(F.col("o_orderkey") % 13 == 0)
+    oct_.optimize(zorder_by=["o_orderdate", "o_custkey"])
+    oct_.build_stats(cols=["o_orderdate", "o_custkey"])
+    oc_box = oct_.read_box(
+        [
+            ("o_orderdate", _dt.date(1995, 1, 1), _dt.date(1996, 12, 31)),
+            ("o_custkey", 100, 2000),
+        ]
+    )
+    oc = _unpivot_metrics(
+        dsum(oct_.read()), [("oc_rows", "n"), ("oc_price_sum", "s")]
+    ).unionAll(
+        _unpivot_metrics(
+            dsum(oc_box),
+            [("oc_box_rows", "n"), ("oc_box_price_sum", "s")],
+        )
+    )
+
     # Late round 5: the time-weighted average over irregular series
     # (operators/resample.py time_weighted_avg — holding-duration
     # weights, DECIMAL-exact accumulators); graded as the exact-decimal
@@ -1236,6 +1289,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(sj)
         .unionAll(zm)
         .unionAll(zb)
+        .unionAll(oc)
     )
 
 

@@ -241,6 +241,15 @@ class SnapshotTable:
             ]
             if cands:
                 out[max_key] = max(cands)
+        # the CLUSTERING stamp (spec + which files are clustered, see
+        # optimize()) also rides every commit path: paths that rewrite
+        # or drop files don't edit the stamp — readers intersect its
+        # file list with the live listing, so a rewritten file simply
+        # falls out of the clustered set. write() drops the stamp on
+        # mode="overwrite" (the layout is gone with the files) and
+        # optimize()/write_clustered/write_zordered replace it.
+        if pm.get("clustering") is not None:
+            out["clustering"] = pm["clustering"]
         return out
 
     def _batch_seen(
@@ -310,6 +319,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         manifest_extra: dict | None = None,
+        _clustering: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
@@ -364,7 +374,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs",
+                        "dvs", "clustering",
                     )
                 },
                 **self._stamp_carry(parent, manifest_extra or {}),
@@ -376,6 +386,33 @@ class SnapshotTable:
                 "n_rows": base_rows + n_new,
                 **({"dvs": dv_carry} if dv_carry else {}),
             }
+            if mode == "overwrite" and _clustering is None:
+                # a full overwrite replaces every file; the parent's
+                # clustered layout is gone with them
+                manifest.pop("clustering", None)
+            if _clustering is not None:
+                # this commit's files ARE clustered (write_clustered /
+                # write_zordered wrote them through the layout
+                # shuffle). An append under the parent's own spec
+                # extends the clustered set; a spec change or an
+                # overwrite starts it over.
+                prev = manifest.get("clustering")
+                same = prev is not None and all(
+                    prev.get(k) == v for k, v in _clustering.items()
+                )
+                base_cl = (
+                    [
+                        f
+                        for f in prev["files"]
+                        if f in set(base_files)
+                    ]
+                    if (same and mode == "append")
+                    else []
+                )
+                manifest["clustering"] = {
+                    **_clustering,
+                    "files": base_cl + new_files,
+                }
             if self._write_json_atomic(
                 manifest, self._manifest_path(version)
             ):
@@ -1040,7 +1077,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs",
+                        "dvs", "clustering",
                     )
                 },
                 **self._stamp_carry(base, manifest_extra or {}),
@@ -1454,7 +1491,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs",
+                        "dvs", "clustering",
                     )
                 },
                 **self._stamp_carry(base, manifest_extra or {}),
@@ -1574,6 +1611,7 @@ class SnapshotTable:
                 not in (
                     "version", "parent", "mode", "schema", "files",
                     "n_rows", "max_batch_id", "ivm_max_batch_id", "dvs",
+                    "clustering",
                 )
             },
             **self._stamp_carry(base, manifest_extra or {}),
@@ -1670,7 +1708,11 @@ class SnapshotTable:
         clustered = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
             *cols
         )
-        return self.write(clustered, mode=mode)
+        return self.write(
+            clustered,
+            mode=mode,
+            _clustering={"kind": "range", "cols": list(cluster_by)},
+        )
 
     def write_zordered(
         self,
@@ -1698,6 +1740,31 @@ class SnapshotTable:
         bucketing is the documented trade: heavy skew concentrates
         buckets, degrading (never breaking) pruning — pre-transform
         skewed columns if needed."""
+        clustered = self._zorder_frame(df, zorder_by, n_files, bits)
+        return self.write(
+            clustered,
+            mode=mode,
+            _clustering={
+                "kind": "zorder",
+                "cols": list(zorder_by),
+                "bits": bits,
+            },
+        )
+
+    def _zorder_frame(
+        self,
+        df: DataFrame,
+        zorder_by: list[str],
+        n_files: int,
+        bits: int,
+    ) -> DataFrame:
+        """The Morton-clustered frame behind write_zordered and
+        optimize(): bucket each axis uniformly between ITS min/max in
+        ``df`` (one tiny pre-aggregate), interleave the bucket bits,
+        range-write on the interleaved key. Bounds come from the frame
+        being written, not the whole table — zone maps prune per FILE,
+        so each clustering pass's files prune well against their own
+        data whatever earlier passes looked like."""
         from globalweather_etl_spark.operators.layout import zorder_key
 
         if not zorder_by:
@@ -1745,13 +1812,191 @@ class SnapshotTable:
             )
             buckets.append(F.least(wb, F.lit(n_buckets)) - 1)
         z = zorder_key(buckets, bits)
-        clustered = (
+        return (
             df.withColumn("__z", z)
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        return self.write(clustered, mode=mode)
+
+    def _files_bytes(self, rels: list[str]) -> int:
+        total = 0
+        for rel in rels:
+            total += self._fs.getFileStatus(
+                self._p(f"{self.path}/{rel}")
+            ).getLen()
+        return total
+
+    def clustering_state(self, version: int | None = None) -> dict | None:
+        """The clustering stamp at ``version`` (head by default),
+        resolved against the LIVE file listing: the spec plus which
+        files are clustered and which are not (appends since the last
+        clustering pass, and files that merges/backfills rewrote
+        outside the layout shuffle). None when the table has never
+        been clustered or a plain overwrite erased the layout. This is
+        the maintenance dashboard behind ``optimize()``'s incremental
+        mode."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        m = self._manifest(v)
+        cl = m.get("clustering")
+        if cl is None:
+            return None
+        stamped = set(cl["files"])
+        clustered = [f for f in m["files"] if f in stamped]
+        unclustered = [f for f in m["files"] if f not in stamped]
+        spec = {k: val for k, val in cl.items() if k != "files"}
+        return {
+            **spec,
+            "clustered_files": clustered,
+            "unclustered_files": unclustered,
+            "clustered_fraction": (
+                len(clustered) / len(m["files"]) if m["files"] else 1.0
+            ),
+        }
+
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        target_file_bytes: int = 128 << 20,
+        bits: int = 8,
+        full: bool = False,
+        max_retries: int = 5,
+    ) -> dict:
+        """INCREMENTAL clustering maintenance — the liquid-clustering /
+        auto-OPTIMIZE idea: rewrite ONLY the files that are not yet in
+        the table's clustered layout (appends since the last pass, and
+        files that merges/backfills rewrote outside it), cluster them
+        among themselves, and carry every already-clustered file by
+        reference. ``compact(zorder_by=...)`` re-clusters the WHOLE
+        head — O(table) per call, impossible on a maintenance cadence
+        at 100 TB; this is O(new data since the last pass), so a table
+        ingesting all day clusters in minutes at any total size.
+
+        Mechanics: the manifest carries a ``clustering`` stamp (spec +
+        the clustered file set) through every commit path; files a
+        merge/backfill rewrites simply fall out of the set, so the
+        next pass re-clusters exactly them. Deletion vectors on the
+        rewritten files materialize away (their survivors are read
+        DV-applied); clustered files keep theirs. Already-clustered
+        files are NOT re-sorted against the new data — each pass's
+        files are clustered among themselves, which is exactly what
+        file-level zone-map pruning needs (per-file min/max stay
+        narrow); the trade vs a full re-sort is more files per key
+        range, reclaimable any time with ``full=True`` (or
+        ``compact``), which rewrites everything under the spec.
+
+        A spec change (different columns/kind/bits) or ``full=True``
+        triggers the full rewrite automatically. Returns {"version",
+        "full", "files_rewritten", "files_written", "files_carried"};
+        an already-fully-clustered head is a no-op that burns no
+        version."""
+        if (zorder_by is None) == (cluster_by is None):
+            raise ValueError(
+                "pass exactly one of zorder_by / cluster_by"
+            )
+        if target_file_bytes < 1:
+            raise ValueError("target_file_bytes must be positive")
+        spec = (
+            {"kind": "zorder", "cols": list(zorder_by), "bits": bits}
+            if zorder_by
+            else {"kind": "range", "cols": list(cluster_by)}
+        )
+
+        def _frame(df: DataFrame, n_out: int) -> DataFrame:
+            if spec["kind"] == "zorder":
+                return self._zorder_frame(
+                    df, spec["cols"], n_out, spec["bits"]
+                )
+            cols = [F.col(c) for c in spec["cols"]]
+            return df.repartitionByRange(
+                n_out, *cols
+            ).sortWithinPartitions(*cols)
+
+        if self.latest_version() is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self._manifest(base)
+            prev = m.get("clustering")
+            same_spec = prev is not None and all(
+                prev.get(k) == v for k, v in spec.items()
+            )
+            if full or not same_spec:
+                # first clustering, spec change, or explicit full:
+                # rewrite the whole head under the spec (same cost
+                # shape as compact); write() stamps the new layout
+                n_out = max(
+                    1,
+                    -(-self._files_bytes(m["files"]) // target_file_bytes),
+                )
+                v = self.write(
+                    _frame(self.read(base), n_out),
+                    mode="overwrite",
+                    _clustering=spec,
+                )
+                return {
+                    "version": v,
+                    "full": True,
+                    "files_rewritten": len(m["files"]),
+                    "files_written": len(self._manifest(v)["files"]),
+                    "files_carried": 0,
+                }
+            stamped = set(prev["files"])
+            live_cl = [f for f in m["files"] if f in stamped]
+            uncl = [f for f in m["files"] if f not in stamped]
+            if not uncl:
+                return {
+                    "version": base,
+                    "full": False,
+                    "files_rewritten": 0,
+                    "files_written": 0,
+                    "files_carried": len(live_cl),
+                }
+            target = self._next_version(base)
+            n_out = max(
+                1, -(-self._files_bytes(uncl) // target_file_bytes)
+            )
+            # DV-applied read of just the unclustered files: their
+            # deletions materialize away in the rewrite, like
+            # purge_deletes does for the files it touches
+            rewrite = _frame(self._read_files(uncl, m), n_out)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            new_files = self._list_commit_files(commit_dir)
+            pdv = m.get("dvs") or {"stores": [], "files": []}
+            rem_dv = [f for f in pdv["files"] if f in set(live_cl)]
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "optimize",
+                "schema": m["schema"],
+                "files": live_cl + new_files,
+                "n_rows": m["n_rows"],
+                "clustering": {**spec, "files": live_cl + new_files},
+                **(
+                    {"dvs": {"stores": pdv["stores"], "files": rem_dv}}
+                    if rem_dv
+                    else {}
+                ),
+            }
+            if self._write_json_atomic(
+                manifest, self._manifest_path(target)
+            ):
+                return {
+                    "version": target,
+                    "full": False,
+                    "files_rewritten": len(uncl),
+                    "files_written": len(new_files),
+                    "files_carried": len(live_cl),
+                }
+            # lost the commit race: recompute against the new head
+        raise RuntimeError(
+            f"optimize lost the commit race {max_retries} times"
+        )
 
     # -------------------------------------------------------- vacuum
     def vacuum(

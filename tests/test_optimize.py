@@ -1,0 +1,222 @@
+"""Incremental clustering maintenance (SnapshotTable.optimize).
+
+The reference has no table format (Snowflake auto-clusters its
+micro-partitions under ETL:23-136); this layer re-implements the
+public incremental-OPTIMIZE / liquid-clustering idea: rewrite only the
+files not yet in the table's clustered layout, carry every clustered
+file by reference. The tests pin the contract pieces:
+
+- content bit-identity: optimize never changes rows, only layout;
+- incrementality: already-clustered files are carried BY REFERENCE
+  (same relative paths in the manifest, bytes untouched on disk);
+- the clustering stamp survives every commit path, shrinks when a
+  merge rewrites a clustered file, and dies on plain overwrite;
+- deletion vectors on rewritten files materialize away, clustered
+  files keep theirs;
+- spec changes / full=True trigger the full rewrite; a fully
+  clustered head is a version-free no-op;
+- zone-map pruning works across clustered + incrementally-added
+  files after a pass.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(lo, hi):
+    return [
+        Row(
+            k=i,
+            d=dt.date(2024, 1, 1) + dt.timedelta(days=i % 200),
+            u=(i * 37) % 1000,
+            val=float(i) * 1.5,
+        )
+        for i in range(lo, hi)
+    ]
+
+
+def _content(st, version=None):
+    return sorted(tuple(r) for r in st.read(version).collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path) + "/t")
+    base = spark.createDataFrame(_rows(0, 400))
+    st.write_zordered(base, ["d", "u"], n_files=4, mode="overwrite")
+    return st
+
+
+class TestIncrementalOptimize:
+    def test_write_zordered_stamps_clustering(self, table):
+        cs = table.clustering_state()
+        assert cs["kind"] == "zorder" and cs["cols"] == ["d", "u"]
+        assert cs["unclustered_files"] == []
+        assert cs["clustered_fraction"] == 1.0
+
+    def test_appends_fall_outside_then_optimize_folds_them(
+        self, spark, table
+    ):
+        table.write(spark.createDataFrame(_rows(400, 500)))
+        table.write(spark.createDataFrame(_rows(500, 620)))
+        cs = table.clustering_state()
+        assert len(cs["unclustered_files"]) > 0
+        assert 0 < cs["clustered_fraction"] < 1.0
+        expected = _content(table)
+        before = set(cs["clustered_files"])
+
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res["full"] is False
+        assert res["files_rewritten"] == len(cs["unclustered_files"])
+        assert res["files_carried"] == len(before)
+        # clustered files carried BY REFERENCE: same rel paths live on
+        after = table.clustering_state()
+        assert before <= set(after["clustered_files"])
+        assert after["unclustered_files"] == []
+        # rows are bit-identical; only layout moved
+        assert _content(table) == expected
+        # live-row accounting unchanged
+        m = table._manifest(table.latest_version())
+        assert m["n_rows"] == len(expected)
+
+    def test_noop_when_fully_clustered(self, table):
+        head = table.latest_version()
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res == {
+            "version": head,
+            "full": False,
+            "files_rewritten": 0,
+            "files_written": 0,
+            "files_carried": len(
+                table.clustering_state()["clustered_files"]
+            ),
+        }
+        assert table.latest_version() == head  # no version burned
+
+    def test_spec_change_triggers_full_rewrite(self, spark, table):
+        table.write(spark.createDataFrame(_rows(400, 450)))
+        expected = _content(table)
+        res = table.optimize(cluster_by=["k"])
+        assert res["full"] is True and res["files_carried"] == 0
+        cs = table.clustering_state()
+        assert cs["kind"] == "range" and cs["cols"] == ["k"]
+        assert cs["clustered_fraction"] == 1.0
+        assert _content(table) == expected
+
+    def test_full_flag_rewrites_everything(self, spark, table):
+        table.write(spark.createDataFrame(_rows(400, 450)))
+        expected = _content(table)
+        res = table.optimize(zorder_by=["d", "u"], full=True)
+        assert res["full"] is True
+        assert _content(table) == expected
+        assert table.clustering_state()["clustered_fraction"] == 1.0
+
+    def test_merge_rewritten_file_reenters_unclustered(
+        self, spark, table
+    ):
+        # copy-on-write MERGE rewrites the files holding matched keys;
+        # those new files are outside the layout shuffle, so the stamp
+        # must show them unclustered and the next pass re-cluster them
+        src = spark.createDataFrame(
+            [Row(k=5, d=dt.date(2024, 1, 6), u=185, val=999.0)]
+        )
+        table.merge_into(src, keys=["k"])
+        cs = table.clustering_state()
+        assert len(cs["unclustered_files"]) > 0
+        expected = _content(table)
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res["full"] is False
+        assert res["files_rewritten"] == len(cs["unclustered_files"])
+        assert _content(table) == expected
+        assert (999.0,) in {
+            (r[0],)
+            for r in table.read().filter(F.col("k") == 5)
+            .select("val")
+            .collect()
+        }
+
+    def test_deletion_vectors_materialize_on_rewritten_files_only(
+        self, spark, table
+    ):
+        table.write(spark.createDataFrame(_rows(400, 500)))
+        # one delete landing in the unclustered appends, one in the
+        # clustered base
+        table.delete_where(F.col("k") == 450)
+        table.delete_where(F.col("k") == 7)
+        m = table._manifest(table.latest_version())
+        assert m["dvs"]["files"]
+        expected = _content(table)  # DV-applied view
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res["full"] is False
+        assert _content(table) == expected
+        m2 = table._manifest(table.latest_version())
+        # the clustered base keeps its DV entry; the rewritten appends
+        # shed theirs (survivors were written DV-applied)
+        kept = set(m2.get("dvs", {"files": []})["files"])
+        assert kept <= set(
+            table.clustering_state()["clustered_files"]
+        )
+        assert m2["n_rows"] == len(expected)
+
+    def test_plain_overwrite_erases_stamp(self, spark, table):
+        table.write(
+            spark.createDataFrame(_rows(0, 50)), mode="overwrite"
+        )
+        assert table.clustering_state() is None
+        # and a later optimize does the full rewrite
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res["full"] is True
+
+    def test_time_travel_unaffected(self, spark, table):
+        v0 = table.latest_version()
+        before = _content(table, v0)
+        table.write(spark.createDataFrame(_rows(400, 460)))
+        table.optimize(zorder_by=["d", "u"])
+        assert _content(table, v0) == before
+
+    def test_manifest_extra_cannot_spoof_stamp(self, spark, table):
+        table.write(
+            spark.createDataFrame(_rows(400, 420)),
+            manifest_extra={"clustering": {"kind": "fake"}},
+        )
+        cs = table.clustering_state()
+        assert cs["kind"] == "zorder"  # carried, not spoofed
+
+    def test_zone_map_pruning_spans_both_generations(
+        self, spark, table
+    ):
+        # appends + incremental pass, then stats: a narrow date range
+        # must (a) lose no rows and (b) open fewer files than the head
+        # holds — pruning works across old-pass and new-pass files
+        table.write(spark.createDataFrame(_rows(400, 620)))
+        table.optimize(zorder_by=["d", "u"])
+        table.build_stats(cols=["d", "u"])
+        lo, hi = dt.date(2024, 1, 10), dt.date(2024, 1, 20)
+        got = sorted(
+            tuple(r)
+            for r in table.read_range("d", lo, hi).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in table.read()
+            .filter((F.col("d") >= lo) & (F.col("d") <= hi))
+            .collect()
+        )
+        assert got == want
+        n_all = len(table._manifest(table.latest_version())["files"])
+        n_cand = len(table.files_for_range("d", lo, hi))
+        assert n_cand < n_all
+
+    def test_optimize_validation(self, table):
+        with pytest.raises(ValueError, match="exactly one"):
+            table.optimize()
+        with pytest.raises(ValueError, match="exactly one"):
+            table.optimize(zorder_by=["d"], cluster_by=["k"])
+        with pytest.raises(ValueError, match="positive"):
+            table.optimize(zorder_by=["d"], target_file_bytes=0)
