@@ -2228,6 +2228,15 @@ def _text_metrics_sql() -> str:
         f" AS pii_{kind.lower()}"
         for kind, pat in _PII_PATTERNS.items()
     )
+    # redaction twin: the SAME chain order as text.redact_pii (EMAIL
+    # first), global replace, md5 of the scrubbed text
+    redacted = "text"
+    for kind in ("EMAIL", "IP", "PHONE"):
+        redacted = (
+            f"regexp_replace({redacted}, '{_PII_PATTERNS[kind]}', "
+            f"'<{kind}>', 'g')"
+        )
+    redact_md5_sql = f"md5({redacted}) AS pii_redacted_md5"
     # HTML kernel twin (functions/html.py STRIP_HTML_SQL): the same
     # deterministic page wrapper as the Spark side, stripped with the
     # RE2 mirror of every pattern — byte-identity is the contract.
@@ -2335,6 +2344,7 @@ SELECT doc_id,
   CASE WHEN n_lines <= 0 THEN 0.0
        ELSE 1.0 - n_lines_distinct / n_lines END AS dup_line_frac,
   pii_email, pii_ip, pii_phone,
+  {redact_md5_sql},
   md5(hs.stripped) AS html_clean_md5,
   CASE WHEN hs.hlen = 0 THEN 0.0
        ELSE round(CAST(length(hs.stripped) AS DOUBLE) / hs.hlen, 9)

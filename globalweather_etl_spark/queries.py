@@ -2047,6 +2047,7 @@ def q_docs_text_metrics(
         dup_line_fraction,
         dup_word_fraction,
         pii_counts,
+        redact_pii,
         stopword_score,
     )
     from globalweather_etl_spark.operators.lm import (
@@ -2121,6 +2122,12 @@ def q_docs_text_metrics(
         pii["EMAIL"].alias("pii_email"),
         pii["IP"].alias("pii_ip"),
         pii["PHONE"].alias("pii_phone"),
+        # round 9: the redaction KERNEL graded, not just the counts —
+        # the md5 of the scrubbed text pins every replacement site and
+        # the EMAIL-before-IP/PHONE chain order (an email's digits must
+        # not be clipped by a later pattern) against DuckDB's
+        # regexp_replace(..., 'g') twin
+        F.md5(redact_pii(t)).alias("pii_redacted_md5"),
     )
     if include_html:
         # strip once, consume twice: the alias is referenced by both
