@@ -838,28 +838,52 @@ class SnapshotTable:
         append-mode evolution inside the window null-fill for files
         that predate them. Compose with per-version batch stamps for
         exactly-once downstream folds (version numbers are the natural
-        batch ids)."""
+        batch ids).
+
+        Maintenance commits that change NO rows — ``optimize`` and
+        ``purge`` (Delta's dataChange=false) — are transparent: the
+        added rows are collected per APPEND commit (each commit's
+        files minus its parent's), so an optimize that re-clusters an
+        appended file mid-window neither duplicates its rows (the
+        rewrite's output files are not append files) nor loses them
+        (the original file stays on disk until vacuum — the same
+        retention contract the streaming source documents)."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
-        base = self._manifest(since_version)  # loud if unknown/vacuumed
+        self._manifest(since_version)  # loud if unknown/vacuumed
         if v < since_version:
             raise ValueError(
                 f"version {v} precedes since_version {since_version}"
             )
+        new_files: list[str] = []
+        prev: dict | None = None
         for u in self.versions():
-            if since_version < u <= v:
-                mode = self._manifest(u)["mode"]
-                if mode != "append":
-                    raise ValueError(
-                        f"version {u} is {mode!r}, not append: the "
-                        "window's added rows are not its new files — "
-                        "use diff() for row-level CDC"
-                    )
+            if not (since_version < u <= v):
+                continue
+            m_u = self._manifest(u)
+            mode = m_u["mode"]
+            if mode == "append":
+                seen = set(
+                    (
+                        prev
+                        if prev is not None
+                        and prev["version"] == m_u["parent"]
+                        else self._manifest(m_u["parent"])
+                    )["files"]
+                )
+                new_files.extend(
+                    f for f in m_u["files"] if f not in seen
+                )
+            elif mode not in ("optimize", "purge"):
+                raise ValueError(
+                    f"version {u} is {mode!r}, not append: the "
+                    "window's added rows are not its new files — "
+                    "use diff() for row-level CDC"
+                )
+            prev = m_u
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        seen = set(base["files"])
-        new_files = [f for f in m["files"] if f not in seen]
         if not new_files:
             return self.spark.createDataFrame([], schema)
         paths = [f"{self.path}/{rel}" for rel in new_files]

@@ -255,6 +255,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # partition identity across replays
                 for rel in sorted(files - prev_files):
                     parts.append(_FilePartition(f"{self.root}/{rel}"))
+            elif m.get("mode") in ("optimize", "purge"):
+                # layout-maintenance commits change NO rows (Delta's
+                # dataChange=false): their new files carry rows the
+                # stream already delivered (or will deliver from the
+                # original append files, which stay on disk until
+                # vacuum) — always skip, never raise
+                pass
             elif self.skip_change_commits:
                 pass  # Delta's skipChangeCommits: emit nothing
             else:

@@ -213,6 +213,31 @@ class TestIncrementalOptimize:
         n_cand = len(table.files_for_range("d", lo, hi))
         assert n_cand < n_all
 
+    def test_read_since_transparent_to_maintenance(self, spark, table):
+        # optimize/purge change no rows (dataChange=false): an
+        # incremental consumer's window that contains them must return
+        # exactly the appended rows — not the re-clustered rewrites
+        # (duplicates), not nothing (lost appends)
+        base_v = table.latest_version()
+        table.write(spark.createDataFrame(_rows(400, 450)))
+        table.optimize(zorder_by=["d", "u"])
+        table.write(spark.createDataFrame(_rows(450, 480)))
+        got = sorted(
+            r["k"] for r in table.read_since(base_v).collect()
+        )
+        assert got == list(range(400, 480))
+        # purge inside the window is transparent too
+        table.delete_where(F.col("k") == 401)
+        with pytest.raises(ValueError, match="not append"):
+            table.read_since(base_v)  # the DV delete IS a change
+        v_del = table.latest_version()
+        table.purge_deletes()
+        table.write(spark.createDataFrame(_rows(480, 490)))
+        got = sorted(
+            r["k"] for r in table.read_since(v_del).collect()
+        )
+        assert got == list(range(480, 490))
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()

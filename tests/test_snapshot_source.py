@@ -310,3 +310,40 @@ def test_max_commits_per_trigger_validation(spark, table, tmp_path):
         _drain(
             spark, table.path, out, ckpt, maxCommitsPerTrigger="0"
         )
+
+
+def test_optimize_commits_are_transparent(spark, tmp_path):
+    """Layout maintenance (optimize/purge) is dataChange=false: the
+    stream must neither re-emit the re-clustered rows nor raise —
+    even WITHOUT skipChangeCommits — and appends around the
+    maintenance commit stream normally."""
+    t = SnapshotTable(spark, str(tmp_path / "opt_src"))
+    t.write_clustered(
+        _df(spark, [(i, f"v{i}") for i in range(6)]),
+        cluster_by=["k"],
+        n_files=2,
+        mode="overwrite",
+    )
+    out, ckpt = str(tmp_path / "o_opt"), str(tmp_path / "c_opt")
+    _drain(spark, t.path, out, ckpt)
+    assert spark.read.parquet(out).count() == 6  # bootstrap
+    t.write(_df(spark, [(10, "a"), (11, "b")]), mode="append")
+    t.optimize(cluster_by=["k"])  # folds the append into the layout
+    t.write(_df(spark, [(20, "c")]), mode="append")
+    _drain(spark, t.path, out, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == sorted(
+        [(i, f"v{i}") for i in range(6)]
+        + [(10, "a"), (11, "b"), (20, "c")]
+    )
+    # purge after a DV delete: the delete itself is a change commit
+    # (skipped under skipChangeCommits); the purge is silent
+    t.delete_where(F.col("k") == 10)
+    t.purge_deletes()
+    t.write(_df(spark, [(30, "d")]), mode="append")
+    _drain(spark, t.path, out, ckpt, skipChangeCommits="true")
+    ks = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    # the stream's copy of k=10 was delivered before the delete —
+    # Delta's documented skipChangeCommits trade; no duplicates, and
+    # nothing re-emitted by optimize or purge
+    assert ks == [0, 1, 2, 3, 4, 5, 10, 11, 20, 30]
