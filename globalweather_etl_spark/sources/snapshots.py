@@ -320,6 +320,7 @@ class SnapshotTable:
         mode: str = "append",
         manifest_extra: dict | None = None,
         _clustering: dict | None = None,
+        _mode_label: str | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
@@ -380,7 +381,12 @@ class SnapshotTable:
                 **self._stamp_carry(parent, manifest_extra or {}),
                 "version": version,
                 "parent": parent,
-                "mode": mode,
+                # _mode_label relabels the MANIFEST mode only (file
+                # accounting above still follows ``mode``): compact /
+                # optimize(full=True) are physically overwrites but
+                # change no rows, and incremental consumers key
+                # dataChange=false off this string
+                "mode": _mode_label or mode,
                 "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
@@ -1702,22 +1708,26 @@ class SnapshotTable:
                 self._p(f"{self.path}/{rel}")
             ).getLen()
         n_out = max(1, -(-total // target_file_bytes))
+        # compaction preserves every live row — the manifest carries
+        # mode "optimize" (dataChange=false) so incremental consumers
+        # (read_since, the snapshot stream) skip it instead of raising
         if zorder_by:
             return self.write_zordered(
                 self.read(head), zorder_by, n_files=n_out,
-                mode="overwrite",
+                mode="overwrite", _mode_label="optimize",
             )
         if cluster_by:
             return self.write_clustered(
                 self.read(head), cluster_by, n_files=n_out,
-                mode="overwrite",
+                mode="overwrite", _mode_label="optimize",
             )
         df = self.read(head).repartition(n_out)
-        return self.write(df, mode="overwrite")
+        return self.write(df, mode="overwrite", _mode_label="optimize")
 
     def write_clustered(
         self, df: DataFrame, cluster_by: list[str], n_files: int = 8,
         mode: str = "overwrite",
+        _mode_label: str | None = None,
     ) -> int:
         """Commit with a range-clustered file layout: rows are range-
         partitioned and sorted within files on ``cluster_by``, so each
@@ -1736,6 +1746,7 @@ class SnapshotTable:
             clustered,
             mode=mode,
             _clustering={"kind": "range", "cols": list(cluster_by)},
+            _mode_label=_mode_label,
         )
 
     def write_zordered(
@@ -1745,6 +1756,7 @@ class SnapshotTable:
         n_files: int = 8,
         bits: int = 8,
         mode: str = "overwrite",
+        _mode_label: str | None = None,
     ) -> int:
         """Commit with a Z-ORDER (Morton) clustered file layout — the
         multi-dimensional form of ``write_clustered`` (the public
@@ -1773,6 +1785,7 @@ class SnapshotTable:
                 "cols": list(zorder_by),
                 "bits": bits,
             },
+            _mode_label=_mode_label,
         )
 
     def _zorder_frame(
@@ -1960,6 +1973,7 @@ class SnapshotTable:
                     _frame(self.read(base), n_out),
                     mode="overwrite",
                     _clustering=spec,
+                    _mode_label="optimize",
                 )
                 return {
                     "version": v,

@@ -238,6 +238,21 @@ class TestIncrementalOptimize:
         )
         assert got == list(range(480, 490))
 
+    def test_compact_is_datachange_false(self, spark, table):
+        # compact (plain or re-clustering) preserves every live row:
+        # its manifest carries mode "optimize" so incremental windows
+        # pass straight through it
+        base_v = table.latest_version()
+        table.write(spark.createDataFrame(_rows(400, 420)))
+        v = table.compact(target_file_bytes=1 << 30)
+        assert table._manifest(v)["mode"] == "optimize"
+        got = sorted(
+            r["k"] for r in table.read_since(base_v).collect()
+        )
+        assert got == list(range(400, 420))
+        # the plain (hash-repartitioned) compact destroyed the layout
+        assert table.clustering_state() is None
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
