@@ -120,6 +120,7 @@ KEY_MAP = {
     "lakehouse_ivm_refresh": "events_daily_band_counts (round-stable r6 form: 4 insert-only IVM folds into one state + finalize read-back)",
     "lakehouse_ivm_cdc": "events_daily_band_counts (FULL graded slot: CDC retraction batches + mergeable-HLL measure, one mixed-maintenance state — one commit per batch since round 8)",
     "lakehouse_zonemap": "tpch_scalar_checks zm_* graded shape (date-clustered snapshot commit + footer-only stats build + two pruned range reads)",
+    "lakehouse_optimize": "tpch_scalar_checks oc_* graded shape (z-ordered base + 2 appends + MoR delete + incremental optimize + stats + pruned 2-D box read)",
     "snapshot_stream_drain": "streaming/snapshot_source.py (no SQL oracle by nature: offset/replay semantics; parity tests in tests/test_snapshot_source.py) — 8 commits, catch-up drain + one tail drain",
 }
 
@@ -656,6 +657,59 @@ def main() -> None:
                 ).mode("overwrite").save()
 
             timed("lakehouse_zonemap", zonemap_all)
+
+            # round-9: incremental clustering maintenance — the
+            # tpch_scalar_checks oc_* graded shape timed end-to-end:
+            # z-ordered base commit (key%3==0), two plain appends, a
+            # merge-on-read delete, optimize() folding only the
+            # unclustered files in (clustered base carried by
+            # reference), stats build, then the pruned 2-D box read
+            def optimize_all():
+                orders = load_table(spark, sf_dir, "orders")
+                ot = SnapshotTable(
+                    spark,
+                    tempfile.mkdtemp(prefix="bench_oc_", dir=base)
+                    + "/orders_oc",
+                )
+                proj = orders.select(
+                    "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias(
+                        "o_orderdate"
+                    ),
+                    "o_custkey",
+                    "o_totalprice",
+                )
+                ot.write_zordered(
+                    proj.filter(F.col("o_orderkey") % 3 == 0),
+                    zorder_by=["o_orderdate", "o_custkey"],
+                    n_files=8,
+                    mode="overwrite",
+                )
+                ot.write(proj.filter(F.col("o_orderkey") % 3 == 1))
+                ot.write(
+                    proj.filter(
+                        (F.col("o_orderkey") % 3 == 2)
+                        & (F.col("o_orderkey") % 11 != 0)
+                    )
+                )
+                ot.delete_where(F.col("o_orderkey") % 13 == 0)
+                res = ot.optimize(
+                    zorder_by=["o_orderdate", "o_custkey"]
+                )
+                assert res["full"] is False and res["files_carried"]
+                ot.build_stats(cols=["o_orderdate", "o_custkey"])
+                ot.read_box(
+                    [
+                        (
+                            "o_orderdate",
+                            _dt.date(1995, 1, 1),
+                            _dt.date(1996, 12, 31),
+                        ),
+                        ("o_custkey", 100, 2000),
+                    ]
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("lakehouse_optimize", optimize_all)
 
             # round-8: the PySpark-4 Python Data Source streaming path
             # (streaming/snapshot_source.py) — commit 8 event slices
