@@ -552,7 +552,19 @@ oc_head AS (
 oc_box AS (
   SELECT * FROM oc_head
   WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
-    AND o_custkey BETWEEN 100 AND 2000)
+    AND o_custkey BETWEEN 100 AND 2000),
+-- UNPIVOT twin: the pivoted priority x status count matrix melted
+-- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
+-- Spark's keep-nulls default; the coalesced counts have none)
+unpw AS (
+  SELECT o_orderpriority,
+    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+    count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+    count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY o_orderpriority),
+unpl AS (
+  SELECT * FROM unpw
+  UNPIVOT INCLUDE NULLS (n FOR status_col IN (n_f, n_o, n_p)))
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -578,6 +590,10 @@ UNION ALL SELECT 'max_price', CAST(max_price AS DOUBLE) FROM ga
 UNION ALL SELECT 'orders_via_constant_join', CAST(count(*) AS DOUBLE)
   FROM orders o
   CROSS JOIN (SELECT 1 AS SOURCE_KEY, 'Weather Source LLC' AS PROVIDER) s
+UNION ALL SELECT 'unpivot_rows', CAST(count(*) AS DOUBLE) FROM unpl
+UNION ALL SELECT 'unpivot_total_orders', CAST(sum(n) AS DOUBLE) FROM unpl
+UNION ALL SELECT 'unpivot_f_orders',
+  CAST(sum(CASE WHEN status_col = 'n_f' THEN n END) AS DOUBLE) FROM unpl
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc
@@ -710,7 +726,14 @@ SELECT o_orderpriority, o_orderstatus,
   CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
   CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
   count(*) AS n_orders, 'cube' AS grouping_form
-FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  count(*) AS n_orders, 'sets' AS grouping_form
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
     "tpch_distinct_agg": """
 SELECT o_orderpriority,
   count(DISTINCT l_suppkey) AS n_suppliers,

@@ -597,6 +597,44 @@ def q_tpch_scalar_checks(spark, sf_dir):
         [("orders_via_constant_join", "n_orders")],
     )
 
+    # Round 9: UNPIVOT (melt) — PIVOT's inverse graded as scalar rows.
+    # The priority x status count matrix reshapes long
+    # (DataFrame.unpivot, Spark's Expand node — one pass, no join);
+    # row count, grand total (must equal the order count: wide->long
+    # loses nothing), and the n_f-column slice (column identity rides
+    # the name column) against DuckDB's standard-syntax UNPIVOT.
+    wide_counts = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+    melted = wide_counts.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+    unp = _unpivot_metrics(
+        melted.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n").alias("total"),
+            F.sum(
+                F.when(F.col("status_col") == "n_f", F.col("n"))
+            ).alias("f_total"),
+        ),
+        [
+            ("unpivot_rows", "rows"),
+            ("unpivot_total_orders", "total"),
+            ("unpivot_f_orders", "f_total"),
+        ],
+    )
+
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
         table_diff,
@@ -1275,6 +1313,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(outer)
         .unionAll(global_agg)
         .unionAll(constant_join)
+        .unionAll(unp)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)
@@ -1320,7 +1359,14 @@ def q_tpch_rollup_counts(spark, sf_dir):
 
     Late round 5 unions in the CUBE form (the full grouping-set
     lattice — ROLLUP's rows plus the status-only marginals), tagged by
-    a grouping_form column so both expansions hash in one slot."""
+    a grouping_form column so both expansions hash in one slot.
+
+    Round 9 unions in the ARBITRARY form — GROUP BY GROUPING SETS
+    ((priority), (status), ()) — the two marginals plus the grand
+    total WITHOUT the detail level, a set neither ROLLUP nor CUBE can
+    express (both include the finest grain). Spark 4's
+    DataFrame.groupingSets plans it as the same single map-side
+    expanded aggregation."""
     orders = load_table(spark, sf_dir, "orders")
 
     def _agg(grouped, form):
@@ -1330,10 +1376,21 @@ def q_tpch_rollup_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         ).withColumn("grouping_form", F.lit(form))
 
-    return _agg(
-        orders.rollup("o_orderpriority", "o_orderstatus"), "rollup"
-    ).unionByName(
-        _agg(orders.cube("o_orderpriority", "o_orderstatus"), "cube")
+    return (
+        _agg(orders.rollup("o_orderpriority", "o_orderstatus"), "rollup")
+        .unionByName(
+            _agg(orders.cube("o_orderpriority", "o_orderstatus"), "cube")
+        )
+        .unionByName(
+            _agg(
+                orders.groupingSets(
+                    [["o_orderpriority"], ["o_orderstatus"], []],
+                    "o_orderpriority",
+                    "o_orderstatus",
+                ),
+                "sets",
+            )
+        )
     )
 
 
