@@ -253,6 +253,43 @@ class TestIncrementalOptimize:
         # the plain (hash-repartitioned) compact destroyed the layout
         assert table.clustering_state() is None
 
+    def test_optimize_commit_race_loser_retries(
+        self, spark, table, monkeypatch
+    ):
+        """A concurrent appender landing optimize's target version
+        MID-FLIGHT (between its read of the log and its publish) must
+        make it retry against the new head — clustering the racer's
+        files too, losing nothing."""
+        table.write(spark.createDataFrame(_rows(400, 420)))
+        head = table.latest_version()
+        racer = spark.createDataFrame(_rows(900, 910))
+        commit_dir = f"{table.path}/data/c-race{head}"
+        racer.write.mode("error").parquet(commit_dir)
+        real = table._write_json_atomic
+        state = {"raced": False}
+
+        def racing(obj, dest):
+            if not state["raced"] and obj.get("mode") == "optimize":
+                state["raced"] = True
+                rm = dict(table._manifest(head))
+                rm["version"] = head + 1
+                rm["parent"] = head
+                rm["mode"] = "append"
+                rm["files"] = rm["files"] + table._list_commit_files(
+                    commit_dir
+                )
+                rm["n_rows"] = rm["n_rows"] + 10
+                assert real(rm, table._manifest_path(head + 1))
+            return real(obj, dest)
+
+        monkeypatch.setattr(table, "_write_json_atomic", racing)
+        res = table.optimize(zorder_by=["d", "u"])
+        assert state["raced"]
+        assert res["version"] == head + 2  # retried past the racer
+        got = sorted(r["k"] for r in table.read().collect())
+        assert got == list(range(0, 420)) + list(range(900, 910))
+        assert table.clustering_state()["unclustered_files"] == []
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
