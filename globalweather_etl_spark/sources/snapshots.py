@@ -320,7 +320,6 @@ class SnapshotTable:
         mode: str = "append",
         manifest_extra: dict | None = None,
         _clustering: dict | None = None,
-        _mode_label: str | None = None,
     ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
@@ -381,12 +380,7 @@ class SnapshotTable:
                 **self._stamp_carry(parent, manifest_extra or {}),
                 "version": version,
                 "parent": parent,
-                # _mode_label relabels the MANIFEST mode only (file
-                # accounting above still follows ``mode``): compact /
-                # optimize(full=True) are physically overwrites but
-                # change no rows, and incremental consumers key
-                # dataChange=false off this string
-                "mode": _mode_label or mode,
+                "mode": mode,
                 "schema": schema_json,
                 "files": base_files + new_files,
                 "n_rows": base_rows + n_new,
@@ -1698,36 +1692,53 @@ class SnapshotTable:
             raise ValueError("target_file_bytes must be positive")
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
-        head = self.latest_version()
-        if head is None:
+        if self.latest_version() is None:
             raise ValueError(f"no commits yet at {self.path}")
-        m = self._manifest(head)
-        total = 0
-        for rel in m["files"]:
-            total += self._fs.getFileStatus(
-                self._p(f"{self.path}/{rel}")
-            ).getLen()
-        n_out = max(1, -(-total // target_file_bytes))
         # compaction preserves every live row — the manifest carries
         # mode "optimize" (dataChange=false) so incremental consumers
-        # (read_since, the snapshot stream) skip it instead of raising
-        if zorder_by:
-            return self.write_zordered(
-                self.read(head), zorder_by, n_files=n_out,
-                mode="overwrite", _mode_label="optimize",
+        # (read_since, the snapshot stream) skip it instead of raising.
+        # The clustered variants ARE optimize(full=True): same rewrite,
+        # same race-safe atomic publish (a mid-flight append makes the
+        # publish fail and the rewrite recompute — never drops rows)
+        if zorder_by or cluster_by:
+            return self.optimize(
+                zorder_by=zorder_by,
+                cluster_by=cluster_by,
+                target_file_bytes=target_file_bytes,
+                full=True,
+            )["version"]
+        for _ in range(5):
+            base = self.latest_version()
+            m = self._manifest(base)
+            n_out = max(
+                1,
+                -(-self._files_bytes(m["files"]) // target_file_bytes),
             )
-        if cluster_by:
-            return self.write_clustered(
-                self.read(head), cluster_by, n_files=n_out,
-                mode="overwrite", _mode_label="optimize",
-            )
-        df = self.read(head).repartition(n_out)
-        return self.write(df, mode="overwrite", _mode_label="optimize")
+            target = self._next_version(base)
+            rewrite = self._read_files(m["files"], m).repartition(n_out)
+            commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+            rewrite.write.mode("error").parquet(commit_dir)
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "optimize",
+                "schema": m["schema"],
+                "files": self._list_commit_files(commit_dir),
+                "n_rows": m["n_rows"],
+            }
+            # a hash-repartitioned rewrite destroys any clustered
+            # layout the parent carried
+            manifest.pop("clustering", None)
+            if self._write_json_atomic(
+                manifest, self._manifest_path(target)
+            ):
+                return target
+        raise RuntimeError("compact lost the commit race 5 times")
 
     def write_clustered(
         self, df: DataFrame, cluster_by: list[str], n_files: int = 8,
         mode: str = "overwrite",
-        _mode_label: str | None = None,
     ) -> int:
         """Commit with a range-clustered file layout: rows are range-
         partitioned and sorted within files on ``cluster_by``, so each
@@ -1746,7 +1757,6 @@ class SnapshotTable:
             clustered,
             mode=mode,
             _clustering={"kind": "range", "cols": list(cluster_by)},
-            _mode_label=_mode_label,
         )
 
     def write_zordered(
@@ -1756,7 +1766,6 @@ class SnapshotTable:
         n_files: int = 8,
         bits: int = 8,
         mode: str = "overwrite",
-        _mode_label: str | None = None,
     ) -> int:
         """Commit with a Z-ORDER (Morton) clustered file layout — the
         multi-dimensional form of ``write_clustered`` (the public
@@ -1785,7 +1794,6 @@ class SnapshotTable:
                 "cols": list(zorder_by),
                 "bits": bits,
             },
-            _mode_label=_mode_label,
         )
 
     def _zorder_frame(
@@ -1961,28 +1969,16 @@ class SnapshotTable:
             same_spec = prev is not None and all(
                 prev.get(k) == v for k, v in spec.items()
             )
-            if full or not same_spec:
-                # first clustering, spec change, or explicit full:
-                # rewrite the whole head under the spec (same cost
-                # shape as compact); write() stamps the new layout
-                n_out = max(
-                    1,
-                    -(-self._files_bytes(m["files"]) // target_file_bytes),
-                )
-                v = self.write(
-                    _frame(self.read(base), n_out),
-                    mode="overwrite",
-                    _clustering=spec,
-                    _mode_label="optimize",
-                )
-                return {
-                    "version": v,
-                    "full": True,
-                    "files_rewritten": len(m["files"]),
-                    "files_written": len(self._manifest(v)["files"]),
-                    "files_carried": 0,
-                }
-            stamped = set(prev["files"])
+            # full mode (explicit, first clustering, or spec change)
+            # is the incremental commit with NOTHING treated as
+            # already clustered — one code path, so the full rewrite
+            # shares the race-safe atomic publish below (a racer's
+            # mid-flight append makes the publish fail and the whole
+            # rewrite recompute against the new head; delegating to
+            # write(mode="overwrite") would instead silently drop the
+            # racer's rows on ITS retry)
+            is_full = full or not same_spec
+            stamped = set() if is_full else set(prev["files"])
             live_cl = [f for f in m["files"] if f in stamped]
             uncl = [f for f in m["files"] if f not in stamped]
             if not uncl:
@@ -1997,7 +1993,7 @@ class SnapshotTable:
             n_out = max(
                 1, -(-self._files_bytes(uncl) // target_file_bytes)
             )
-            # DV-applied read of just the unclustered files: their
+            # DV-applied read of just the files being rewritten: their
             # deletions materialize away in the rewrite, like
             # purge_deletes does for the files it touches
             rewrite = _frame(self._read_files(uncl, m), n_out)
@@ -2026,7 +2022,7 @@ class SnapshotTable:
             ):
                 return {
                     "version": target,
-                    "full": False,
+                    "full": is_full,
                     "files_rewritten": len(uncl),
                     "files_written": len(new_files),
                     "files_carried": len(live_cl),
