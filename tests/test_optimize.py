@@ -290,6 +290,45 @@ class TestIncrementalOptimize:
         assert got == list(range(0, 420)) + list(range(900, 910))
         assert table.clustering_state()["unclustered_files"] == []
 
+    def test_schema_evolution_through_optimize(self, spark, table):
+        # an append-evolved column null-fills for pre-evolution files;
+        # optimize rewrites the unclustered files under the HEAD
+        # schema (materializing the nulls physically) and must not
+        # disturb values either way
+        evolved = spark.createDataFrame(
+            [
+                Row(
+                    k=1000 + i,
+                    d=dt.date(2024, 3, 1),
+                    u=i,
+                    val=1.0,
+                    extra=f"x{i}",
+                )
+                for i in range(10)
+            ]
+        )
+        table.write(evolved)
+        expected = sorted(
+            tuple(r)
+            for r in table.read()
+            .select("k", "d", "u", "val", "extra")
+            .collect()
+        )
+        res = table.optimize(zorder_by=["d", "u"])
+        assert res["full"] is False
+        got = sorted(
+            tuple(r)
+            for r in table.read()
+            .select("k", "d", "u", "val", "extra")
+            .collect()
+        )
+        assert got == expected
+        assert {r[4] for r in got if r[0] >= 1000} == {
+            f"x{i}" for i in range(10)
+        }
+        # pre-evolution rows read NULL extra on both sides of the pass
+        assert all(r[4] is None for r in got if r[0] < 1000)
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
