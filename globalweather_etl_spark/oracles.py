@@ -564,7 +564,37 @@ unpw AS (
   FROM orders GROUP BY o_orderpriority),
 unpl AS (
   SELECT * FROM unpw
-  UNPIVOT INCLUDE NULLS (n FOR status_col IN (n_f, n_o, n_p)))
+  UNPIVOT INCLUDE NULLS (n FOR status_col IN (n_f, n_o, n_p))),
+-- higher-order array-function twin: identical left folds in double
+-- (list order is fixed, so no partial-agg ambiguity per vector);
+-- cross-document sums via the round(9) -> DECIMAL exact route
+hofd AS (
+  SELECT
+    round(list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE))),
+      (acc, x) -> acc + x * x), 9) AS sq,
+    len(list_filter(embedding, x -> x > 0)) AS pos,
+    round(list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+          * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))),
+      (acc, x) -> acc + x), 9) AS dotrev,
+    round(list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(embedding,
+          x -> least(greatest(CAST(x AS DOUBLE), -0.5), 0.5))),
+      (acc, x) -> acc + x), 9) AS clip
+  FROM embeddings),
+hof AS (
+  SELECT
+    round(CAST(sum(CAST(sq AS DECIMAL(25,9))) AS DOUBLE), 6) AS sq_sum,
+    sum(pos) AS pos_sum,
+    round(CAST(sum(CAST(dotrev AS DECIMAL(25,9))) AS DOUBLE), 6)
+      AS dot_sum,
+    round(CAST(sum(CAST(clip AS DECIMAL(25,9))) AS DOUBLE), 6)
+      AS clip_sum
+  FROM hofd)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -594,6 +624,10 @@ UNION ALL SELECT 'unpivot_rows', CAST(count(*) AS DOUBLE) FROM unpl
 UNION ALL SELECT 'unpivot_total_orders', CAST(sum(n) AS DOUBLE) FROM unpl
 UNION ALL SELECT 'unpivot_f_orders',
   CAST(sum(CASE WHEN status_col = 'n_f' THEN n END) AS DOUBLE) FROM unpl
+UNION ALL SELECT 'hof_sq_norm_sum', sq_sum FROM hof
+UNION ALL SELECT 'hof_pos_components', CAST(pos_sum AS DOUBLE) FROM hof
+UNION ALL SELECT 'hof_dot_rev_sum', dot_sum FROM hof
+UNION ALL SELECT 'hof_clip_sum', clip_sum FROM hof
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc

@@ -635,6 +635,66 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 9: higher-order ARRAY functions graded end-to-end —
+    # transform / filter / aggregate (fold) / zip_with / reverse over
+    # the embeddings table. Spark's lambda expressions stay inside
+    # whole-stage codegen (no UDFs); the DuckDB twin folds the same
+    # lists with list_transform/list_filter/list_reduce (index lambda
+    # for the reversal). Per-vector folds are ORDER-FIXED — arrays
+    # fold left, unlike row aggregation — so the double math is
+    # bit-identical cross-engine after the shared cast-to-double
+    # step; the cross-document reduction then goes through the
+    # round(9) -> DECIMAL(25,9) exact-sum route every double family
+    # here uses (partial-agg order independence).
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def _fold(arr, step):
+        return F.aggregate(arr, F.lit(0.0), step)
+
+    per_vec = emb_t.select(
+        F.round(_fold(ed, lambda acc, x: acc + x * x), 9).alias("sq"),
+        F.size(
+            F.filter(F.col("embedding"), lambda x: x > F.lit(0))
+        ).alias("pos"),
+        F.round(
+            _fold(
+                F.zip_with(ed, F.reverse(ed), lambda a, b: a * b),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("dotrev"),
+        F.round(
+            _fold(
+                F.transform(
+                    ed,
+                    lambda x: F.least(
+                        F.greatest(x, F.lit(-0.5)), F.lit(0.5)
+                    ),
+                ),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("clip"),
+    )
+    dsum9 = lambda c: F.round(  # noqa: E731 - local shorthand
+        F.sum(F.col(c).cast("decimal(25,9)")).cast("double"), 6
+    )
+    hof = _unpivot_metrics(
+        per_vec.agg(
+            dsum9("sq").alias("sq_sum"),
+            F.sum("pos").alias("pos_sum"),
+            dsum9("dotrev").alias("dot_sum"),
+            dsum9("clip").alias("clip_sum"),
+        ),
+        [
+            ("hof_sq_norm_sum", "sq_sum"),
+            ("hof_pos_components", "pos_sum"),
+            ("hof_dot_rev_sum", "dot_sum"),
+            ("hof_clip_sum", "clip_sum"),
+        ],
+    )
+
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
         table_diff,
@@ -1314,6 +1374,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(global_agg)
         .unionAll(constant_join)
         .unionAll(unp)
+        .unionAll(hof)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)
