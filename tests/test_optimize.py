@@ -329,6 +329,34 @@ class TestIncrementalOptimize:
         # pre-evolution rows read NULL extra on both sides of the pass
         assert all(r[4] is None for r in got if r[0] < 1000)
 
+    def test_incremental_stats_compose_with_optimize(
+        self, spark, table
+    ):
+        # the maintenance pair: optimize rewrites O(new data), then
+        # the incremental zone-map build computes stats for ONLY the
+        # pass's output files (carried files reuse the old sidecar) —
+        # per-commit maintenance stays O(changed files) end to end
+        table.build_stats(cols=["d", "u"])
+        table.write(spark.createDataFrame(_rows(400, 460)))
+        res = table.optimize(zorder_by=["d", "u"])
+        table.build_stats(cols=["d", "u"], incremental=True)
+        meta = table._read_json(
+            table._zm_meta_path(table.latest_version())
+        )
+        assert meta["n_computed_files"] == res["files_written"]
+        lo, hi = dt.date(2024, 1, 10), dt.date(2024, 1, 20)
+        got = sorted(
+            tuple(r)
+            for r in table.read_range("d", lo, hi).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in table.read()
+            .filter((F.col("d") >= lo) & (F.col("d") <= hi))
+            .collect()
+        )
+        assert got == want
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
