@@ -856,32 +856,41 @@ class SnapshotTable:
             raise ValueError(
                 f"version {v} precedes since_version {since_version}"
             )
+        # walk the PARENT CHAIN v -> since_version (the authoritative
+        # lineage — version numbers can have gaps from abandoned
+        # locks, and a vacuumed mid-window manifest must fail loudly
+        # here, never silently drop an append's rows)
+        chain: list[dict] = []
+        cur = v
+        while cur != since_version:
+            mc = self._manifest(cur)  # loud if vacuumed
+            if mc["parent"] is None or mc["parent"] < since_version:
+                raise ValueError(
+                    f"version {since_version} is not an ancestor of "
+                    f"{v} at {self.path}"
+                )
+            chain.append(mc)
+            cur = mc["parent"]
         new_files: list[str] = []
-        prev: dict | None = None
-        for u in self.versions():
-            if not (since_version < u <= v):
-                continue
-            m_u = self._manifest(u)
+        prev_files: set[str] | None = None  # parent's listing
+        for m_u in reversed(chain):
             mode = m_u["mode"]
             if mode == "append":
-                seen = set(
-                    (
-                        prev
-                        if prev is not None
-                        and prev["version"] == m_u["parent"]
-                        else self._manifest(m_u["parent"])
-                    )["files"]
+                seen = (
+                    prev_files
+                    if prev_files is not None
+                    else set(self._manifest(m_u["parent"])["files"])
                 )
                 new_files.extend(
                     f for f in m_u["files"] if f not in seen
                 )
             elif mode not in ("optimize", "purge"):
                 raise ValueError(
-                    f"version {u} is {mode!r}, not append: the "
-                    "window's added rows are not its new files — "
-                    "use diff() for row-level CDC"
+                    f"version {m_u['version']} is {mode!r}, not "
+                    "append: the window's added rows are not its new "
+                    "files — use diff() for row-level CDC"
                 )
-            prev = m_u
+            prev_files = set(m_u["files"])
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not new_files:

@@ -357,6 +357,24 @@ class TestIncrementalOptimize:
         )
         assert got == want
 
+    def test_read_since_loud_on_missing_mid_window_manifest(
+        self, spark, table
+    ):
+        # read_since walks the PARENT CHAIN, so a vacuumed (or
+        # manually removed) mid-window manifest must raise — silently
+        # skipping it would drop that append's rows from the feed
+        import os
+
+        base_v = table.latest_version()
+        table.write(spark.createDataFrame(_rows(400, 410)))
+        gone_v = table.latest_version()
+        table.write(spark.createDataFrame(_rows(410, 420)))
+        os.remove(
+            f"{table.path}/_manifests/v{gone_v:08d}.json"
+        )
+        with pytest.raises(ValueError):
+            table.read_since(base_v)
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
