@@ -2047,6 +2047,7 @@ class SnapshotTable:
         keep_last: int = 1,
         older_than: float | None = None,
         unreferenced_grace: float = 86400.0,
+        dry_run: bool = False,
     ) -> dict:
         """Drop manifests older than the last ``keep_last`` versions,
         then delete data files no kept manifest references.  Time
@@ -2067,7 +2068,14 @@ class SnapshotTable:
         files).  Only unreferenced files whose modification time is
         older than the grace window are reclaimed (the Delta/Iceberg
         tombstone-retention rule); pass 0.0 only when no writer can
-        possibly be in flight (tests, single-writer maintenance)."""
+        possibly be in flight (tests, single-writer maintenance).
+
+        ``dry_run=True`` computes the full reclamation plan and
+        DELETES NOTHING: the report gains ``dry_run: True`` plus the
+        exact manifest versions and table-relative file paths that a
+        real run with the same arguments would remove — the
+        look-before-you-leap step every irreversible retention
+        operation needs (Delta's VACUUM DRY RUN)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
@@ -2103,6 +2111,16 @@ class SnapshotTable:
                 and st.getModificationTime() <= mtime_horizon_ms
             ):
                 to_delete.append(st.getPath())
+        if dry_run:
+            return {
+                "dry_run": True,
+                "manifests_removed": len(drop),
+                "files_removed": len(to_delete),
+                "versions": sorted(drop),
+                "files": sorted(
+                    self._rel(p.toString()) for p in to_delete
+                ),
+            }
         for p in to_delete:
             if self._fs.delete(p, False):
                 removed_files += 1

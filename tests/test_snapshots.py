@@ -84,6 +84,25 @@ def test_vacuum_keeps_referenced_files(spark, table):
         table.read(2)
 
 
+def test_vacuum_dry_run_plans_without_deleting(spark, table):
+    table.write(_df(spark, [(1, "a")]))
+    table.write(_df(spark, [(9, "z")]), mode="overwrite")
+    plan = table.vacuum(
+        keep_last=1, unreferenced_grace=0.0, dry_run=True
+    )
+    assert plan["dry_run"] is True
+    assert plan["manifests_removed"] == 1 and plan["versions"] == [1]
+    assert plan["files_removed"] == len(plan["files"]) > 0
+    # NOTHING was deleted: v1 still time-travels
+    assert table.versions() == [1, 2]
+    assert sorted(r["k"] for r in table.read(1).collect()) == [1]
+    # the real run removes exactly what the plan named
+    rep = table.vacuum(keep_last=1, unreferenced_grace=0.0)
+    assert rep["manifests_removed"] == plan["manifests_removed"]
+    assert rep["files_removed"] == plan["files_removed"]
+    assert table.versions() == [2]
+
+
 def test_commit_race_loser_retries(spark, table):
     """Simulate a concurrent writer landing a manifest between another
     writer's read of the log and its publish: the atomic-rename loser
