@@ -26,6 +26,7 @@ def sessionize(
     ts_col: str,
     gap_seconds: float,
     session_col: str = "session_id",
+    with_session_start: bool = True,
 ) -> DataFrame:
     """All input columns + `<session_col>` (1-based ordinal per key,
     in time order) and `session_start` (the session's first event
@@ -37,6 +38,12 @@ def sessionize(
 
     Ties on (key, ts) stay in one session regardless of tiebreak
     order (delta 0 <= gap), so the ordering needs no further pinning.
+
+    ``with_session_start=False`` skips the second Window pass that
+    attaches `session_start`: the (key, session) grouping reuses the
+    key exchange (subset clustering) but still pays a full extra sort
+    — callers that aggregate per session anyway (min(ts) in their own
+    groupBy) get the ordinal for one exchange + one sort total.
     """
     w_seq = Window.partitionBy(key_col).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w_seq)
@@ -46,6 +53,8 @@ def sessionize(
     with_id = events.withColumn(
         session_col, F.sum(is_start).over(w_run)
     )
+    if not with_session_start:
+        return with_id
     w_sess = Window.partitionBy(key_col, session_col)
     return with_id.withColumn(
         "session_start", F.min(ts_col).over(w_sess)

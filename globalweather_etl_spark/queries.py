@@ -1576,7 +1576,12 @@ def q_events_session_30m(
     events = load_table(spark, sf_dir, "events")
     stats = session_stats(events, "30 minutes")
     ords = (
-        sessionize(events, "user_id", "ts", 30 * 60.0)
+        # the groupBy below derives session_start itself, so skip
+        # sessionize's second Window pass (one full sort saved)
+        sessionize(
+            events, "user_id", "ts", 30 * 60.0,
+            with_session_start=False,
+        )
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("session_start"))
         .select(
