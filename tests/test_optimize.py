@@ -375,6 +375,24 @@ class TestIncrementalOptimize:
         with pytest.raises(ValueError):
             table.read_since(base_v)
 
+    def test_clone_carries_clustering_stamp(
+        self, spark, table, tmp_path
+    ):
+        # zero-copy clone spreads the source manifest verbatim, so
+        # the clustering stamp (table-relative file list) stays valid
+        # — and an incremental pass on the CLONE folds only its own
+        # unclustered files, independently of the source
+        table.write(spark.createDataFrame(_rows(400, 420)))
+        dst = table.clone(str(tmp_path) + "/cl")
+        cs, cd = table.clustering_state(), dst.clustering_state()
+        assert cd["kind"] == "zorder" and cd["cols"] == ["d", "u"]
+        assert set(cd["clustered_files"]) == set(cs["clustered_files"])
+        res = dst.optimize(zorder_by=["d", "u"])
+        assert res["full"] is False and res["files_rewritten"] > 0
+        assert dst.clustering_state()["unclustered_files"] == []
+        # the source's state is untouched by the clone's maintenance
+        assert len(table.clustering_state()["unclustered_files"]) > 0
+
     def test_optimize_validation(self, table):
         with pytest.raises(ValueError, match="exactly one"):
             table.optimize()
