@@ -782,16 +782,18 @@ def main() -> None:
         if flagged:
             # extra suite passes timing ONLY the flagged keys
             # (isolated = after a full pass's caches are long cleared,
-            # with no other key's sampling interleaved). Two passes
+            # with no other key's sampling interleaved). THREE passes
             # because this host's single measurements oscillate ~2x
-            # (docs/PERF.md). The published number is the MEDIAN of
-            # the isolated walls — a symmetric estimator that replaces
-            # the contaminated in-suite median in whichever direction
-            # the isolated evidence points. (Earlier rounds published
-            # min(median, min-of-isolated), which re-measured only the
-            # slow side and so biased the board downward — advisory
-            # fix, round 9.) Both the in-suite medians and every
-            # isolated wall go to stderr so a reader can audit.
+            # (docs/PERF.md): the published number is the MEDIAN of
+            # the isolated walls, and a median of three is a true
+            # order statistic — one contaminated wall cannot move it
+            # (with two samples the median degenerates to their mean,
+            # so a single outlier shifted the board up to ~50% —
+            # advisory fix, round 10; the symmetric-median protocol
+            # itself was the round-9 advisory fix replacing the
+            # downward-biased min-taking). Both the in-suite medians
+            # and every isolated wall go to stderr so a reader can
+            # audit.
             print(
                 json.dumps(
                     {
@@ -804,6 +806,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             retry_only = flagged
+            run_suite()
             run_suite()
             run_suite()
             print(

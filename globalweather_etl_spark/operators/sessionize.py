@@ -29,8 +29,9 @@ def sessionize(
     with_session_start: bool = True,
 ) -> DataFrame:
     """All input columns + `<session_col>` (1-based ordinal per key,
-    in time order) and `session_start` (the session's first event
-    time). Events exactly `gap_seconds` apart CONTINUE the session —
+    in time order) and, unless ``with_session_start=False``,
+    `session_start` (the session's first event time). Events exactly
+    `gap_seconds` apart CONTINUE the session —
     Spark's session_window merges when next.start <= prev_end
     (prev_end = last + gap), so only a strictly larger gap starts a
     new one; this matches the gaps-and-islands oracle for

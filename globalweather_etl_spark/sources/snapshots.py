@@ -400,12 +400,9 @@ class SnapshotTable:
                 same = prev is not None and all(
                     prev.get(k) == v for k, v in _clustering.items()
                 )
+                base_set = set(base_files)
                 base_cl = (
-                    [
-                        f
-                        for f in prev["files"]
-                        if f in set(base_files)
-                    ]
+                    [f for f in prev["files"] if f in base_set]
                     if (same and mode == "append")
                     else []
                 )
@@ -2112,6 +2109,25 @@ class SnapshotTable:
             ):
                 to_delete.append(st.getPath())
         if dry_run:
+            # the real run also deletes each dropped version's publish
+            # lock and its idx-v*/stats-v* sidecar dirs — the preview
+            # must account for them or it under-reports reclamation
+            sidecars: list[str] = []
+            dropped_set = set(drop)
+            mdir_ = self._p(f"{self.path}/{_MANIFEST_DIR}")
+            for st in self._fs.listStatus(mdir_):
+                name = st.getPath().getName()
+                v = None
+                if name.startswith("idx-v"):
+                    v = int(name[5:13])
+                elif name.startswith("stats-v"):
+                    v = int(name[7:15])
+                if v in dropped_set:
+                    sidecars.append(self._rel(st.getPath().toString()))
+            for v in drop:
+                rel_lock = f"{_MANIFEST_DIR}/v{v:08d}.json.lock"
+                if self._fs.exists(self._p(f"{self.path}/{rel_lock}")):
+                    sidecars.append(rel_lock)
             return {
                 "dry_run": True,
                 "manifests_removed": len(drop),
@@ -2120,6 +2136,7 @@ class SnapshotTable:
                 "files": sorted(
                     self._rel(p.toString()) for p in to_delete
                 ),
+                "sidecars": sorted(sidecars),
             }
         for p in to_delete:
             if self._fs.delete(p, False):

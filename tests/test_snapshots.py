@@ -86,6 +86,7 @@ def test_vacuum_keeps_referenced_files(spark, table):
 
 def test_vacuum_dry_run_plans_without_deleting(spark, table):
     table.write(_df(spark, [(1, "a")]))
+    table.build_stats(cols=["k"])  # v1 sidecar the real run reclaims
     table.write(_df(spark, [(9, "z")]), mode="overwrite")
     plan = table.vacuum(
         keep_last=1, unreferenced_grace=0.0, dry_run=True
@@ -93,6 +94,10 @@ def test_vacuum_dry_run_plans_without_deleting(spark, table):
     assert plan["dry_run"] is True
     assert plan["manifests_removed"] == 1 and plan["versions"] == [1]
     assert plan["files_removed"] == len(plan["files"]) > 0
+    # the preview also names the dropped versions' sidecar/lock paths
+    # (the real run deletes them too — they must not be under-reported)
+    assert any("stats-v00000001" in s for s in plan["sidecars"])
+    assert not any("v00000002" in s for s in plan["sidecars"])
     # NOTHING was deleted: v1 still time-travels
     assert table.versions() == [1, 2]
     assert sorted(r["k"] for r in table.read(1).collect()) == [1]
