@@ -1575,69 +1575,57 @@ def q_events_session_30m(
 
     events = load_table(spark, sf_dir, "events")
     stats = session_stats(events, "30 minutes")
-    ords = (
-        # the groupBy below derives session_start itself, so skip
-        # sessionize's second Window pass (one full sort saved)
-        sessionize(
-            events, "user_id", "ts", 30 * 60.0,
-            with_session_start=False,
-        )
-        .groupBy("user_id", "session_id")
-        .agg(F.min("ts").alias("session_start"))
-        .select(
-            "user_id",
-            F.col("session_id").cast("long").alias("session_seq"),
-            "session_start",
-        )
-    )
     # Round 4 (late): the per-user funnel (operators/funnel.py,
     # greedy-earliest signup -> click -> purchase) rides along on every
     # session row — the oracle recomputes the greedy match with
     # chained earliest-after subqueries. include_funnel=False is the
     # bench's round-stable pre-funnel workload (same split as
     # q_docs_text_metrics' include_lm).
-    base_sessions = stats.join(ords, ["user_id", "session_start"], "inner")
     if include_paths:
-        # Round 5: the observed per-session journey
-        # (operators/paths.py — sessionize -> ordered event-type path,
-        # first 8 events, full-session distinct-type count); the
-        # oracle rebuilds it with ranked string_agg over the same
-        # gaps-and-islands CTE. include_paths=False keeps the bench's
-        # round-stable workload split.
-        from globalweather_etl_spark.operators.paths import session_paths
+        # Round 5 (paths) + late round 5 (transition counts), fused in
+        # round 10: the observed per-session journey (first-8-events
+        # '>'-path, full-session distinct-type count) and the distinct
+        # (src, dst) journey-step count — previously three independent
+        # sessionize passes (ords + session_paths +
+        # session_transitions, three (user_id, ts) Window sorts) —
+        # now ONE sessionize + ONE aggregate
+        # (operators/paths.py session_rollup: the sorted per-session
+        # event list yields paths AND transition bigrams as array
+        # expressions). The oracle still recomputes every column via
+        # the windowed SQL rewrite, so the fusion is hash-gated.
+        from globalweather_etl_spark.operators.paths import session_rollup
 
-        pp = session_paths(events, gap_seconds=30 * 60.0).select(
+        roll = session_rollup(events, gap_seconds=30 * 60.0).select(
             "user_id",
             F.col("session_id").alias("session_seq"),
+            "session_start",
             "session_path",
             "n_path_events",
             "n_event_types",
+            "n_distinct_transitions",
         )
-        base_sessions = base_sessions.join(
-            pp, ["user_id", "session_seq"], "inner"
+        base_sessions = stats.join(
+            roll, ["user_id", "session_start"], "inner"
         )
-        # Late round 5: the per-session slice of the Markov journey
-        # machinery (operators/paths.py session_transitions — lag
-        # bigrams with the '(start)'/'(end)' pseudo-states); the
-        # corpus-grain transition_matrix has its own DuckDB-parity
-        # test, this column gives the driver a per-session projection
-        # of the same step extraction.
-        from globalweather_etl_spark.operators.paths import (
-            session_transitions,
-        )
-
-        tr = (
-            session_transitions(events, gap_seconds=30 * 60.0)
-            .groupBy("user_id", "session_id")
-            .agg(
-                F.count_distinct("src", "dst")
-                .cast("long")
-                .alias("n_distinct_transitions")
+    else:
+        # the bench's round-stable pre-paths workload: ordinals only
+        # (the groupBy derives session_start itself, so skip
+        # sessionize's second Window pass — one full sort saved)
+        ords = (
+            sessionize(
+                events, "user_id", "ts", 30 * 60.0,
+                with_session_start=False,
             )
-            .withColumnRenamed("session_id", "session_seq")
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"))
+            .select(
+                "user_id",
+                F.col("session_id").cast("long").alias("session_seq"),
+                "session_start",
+            )
         )
-        base_sessions = base_sessions.join(
-            tr, ["user_id", "session_seq"], "inner"
+        base_sessions = stats.join(
+            ords, ["user_id", "session_start"], "inner"
         )
     if not include_funnel:
         return base_sessions

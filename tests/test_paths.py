@@ -302,3 +302,55 @@ JOIN singles sb ON sb.event_type = pairs.type_b"""
     ).fetchall()
     want = {(r[0], r[1]): (r[2], r[3], r[4]) for r in rows}
     assert got == want and len(got) >= 3
+
+
+def test_session_rollup_matches_composed_operators(spark):
+    """session_rollup's one-aggregate fusion must be column-for-column
+    equal to composing session_paths + session_transitions + the
+    ordinal groupBy over real events — the contract that lets the
+    graded session slot run ONE sessionize instead of three."""
+    import pyspark.sql.functions as F
+
+    from globalweather_etl_spark.operators.paths import (
+        session_rollup,
+        session_transitions,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    roll = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"],
+            r["session_path"],
+            r["n_path_events"],
+            r["n_event_types"],
+            r["n_distinct_transitions"],
+        )
+        for r in session_rollup(ev).collect()
+    }
+    paths = {
+        (r["user_id"], r["session_id"]): (
+            r["session_path"], r["n_path_events"], r["n_event_types"]
+        )
+        for r in session_paths(ev).collect()
+    }
+    trans = {
+        (r["user_id"], r["session_id"]): r["n"]
+        for r in session_transitions(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.count_distinct("src", "dst").cast("long").alias("n"))
+        .collect()
+    }
+    from globalweather_etl_spark.operators.sessionize import sessionize
+
+    starts = {
+        (r["user_id"], r["session_id"]): r["s"]
+        for r in sessionize(ev, "user_id", "ts", 1800.0)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"))
+        .collect()
+    }
+    assert set(roll) == set(paths) == set(trans) == set(starts)
+    for k, (s0, p, np_, nt, ndt) in roll.items():
+        assert s0 == starts[k], k
+        assert (p, np_, nt) == paths[k], k
+        assert ndt == trans[k], k
