@@ -492,6 +492,72 @@ sqda AS (
          count(*) FILTER (WHERE mc > 0) AS users_matched,
          sum(fp) AS fp_sum
   FROM sqdm),
+tm_flag AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER tmw IS NULL
+              OR ts - lag(ts) OVER tmw > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW tmw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tm_sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM tm_flag),
+tm_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      ORDER BY ts, event_id) AS rnk
+  FROM tm_sess),
+tm_trans AS (
+  SELECT coalesce(lag(event_type) OVER tmsw, '(start)') AS src,
+         event_type AS dst
+  FROM tm_ranked
+  WINDOW tmsw AS (PARTITION BY user_id, session_id ORDER BY rnk)
+  UNION ALL
+  SELECT event_type, '(end)' FROM tm_ranked
+  QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+                             ORDER BY rnk DESC) = 1),
+tm_counts AS (
+  SELECT src, dst, count(*) AS n FROM tm_trans GROUP BY src, dst),
+tm_mat AS (
+  SELECT src, dst, n,
+    round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src)
+      AS DOUBLE), 9) AS p
+  FROM tm_counts),
+tm AS (
+  SELECT count(*) AS cells, sum(n) AS steps,
+    round(CAST(sum(CAST(p AS DECIMAL(25,9))) AS DOUBLE), 6) AS psum,
+    max(CASE WHEN src = '(start)' THEN p END) AS pstart
+  FROM tm_mat),
+co_sets AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM tm_sess),
+co_n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS ns
+  FROM (SELECT DISTINCT user_id, session_id FROM tm_sess)),
+co_singles AS (
+  SELECT event_type AS t, count(*) AS n_t FROM co_sets
+  GROUP BY event_type),
+co_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM co_sets a JOIN co_sets b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+co_mat AS (
+  SELECT p.n_both,
+    round(p.n_both / co_n.ns, 9) AS support,
+    round((p.n_both / co_n.ns)
+      / ((na.n_t / co_n.ns) * (nb.n_t / co_n.ns)), 9) AS lift
+  FROM co_pairs p
+  CROSS JOIN co_n
+  JOIN co_singles na ON na.t = p.type_a
+  JOIN co_singles nb ON nb.t = p.type_b),
+co AS (
+  SELECT count(*) AS pairs, sum(n_both) AS nb,
+    round(CAST(sum(CAST(support AS DECIMAL(25,9))) AS DOUBLE), 6)
+      AS sup,
+    round(CAST(sum(CAST(lift AS DECIMAL(25,9))) AS DOUBLE), 6) AS lf
+  FROM co_mat),
 jd AS (
   SELECT '{"id": ' || o_orderkey || ', "cust": {"key": ' || o_custkey
     || ', "seg": "' || substring(o_orderpriority, 1, 1)
@@ -733,6 +799,14 @@ UNION ALL SELECT 'seq_def_users_matched', CAST(users_matched AS DOUBLE)
   FROM sqda
 UNION ALL SELECT 'seq_def_first_pos_sum', CAST(fp_sum AS DOUBLE)
   FROM sqda
+UNION ALL SELECT 'tm_cells', CAST(cells AS DOUBLE) FROM tm
+UNION ALL SELECT 'tm_steps', CAST(steps AS DOUBLE) FROM tm
+UNION ALL SELECT 'tm_p_sum', psum FROM tm
+UNION ALL SELECT 'tm_start_max_p', pstart FROM tm
+UNION ALL SELECT 'co_pairs', CAST(pairs AS DOUBLE) FROM co
+UNION ALL SELECT 'co_n_both_sum', CAST(nb AS DOUBLE) FROM co
+UNION ALL SELECT 'co_support_sum', sup FROM co
+UNION ALL SELECT 'co_lift_sum', lf FROM co
 UNION ALL SELECT 'json_cust_key_sum', CAST(cust_key_sum AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_seg1_rows', CAST(seg1 AS DOUBLE) FROM jsc
 UNION ALL SELECT 'json_missing_null_rows', CAST(miss_null AS DOUBLE) FROM jsc

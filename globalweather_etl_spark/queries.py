@@ -1246,6 +1246,62 @@ def q_tpch_scalar_checks(spark, sf_dir):
     )
     seq = seq.unionAll(seq_def)
 
+    # Round 10: the corpus-grain session rollups (operators/paths.py
+    # transition_matrix — the row-stochastic Markov matrix behind
+    # flow/Sankey views — and cooccurrence — session-level
+    # market-basket support/lift over event-type pairs), graded as
+    # scalar rows: matrix size, step total, the exact-decimal sum of
+    # the 9dp-rounded probabilities (any per-cell divergence shifts
+    # it), the max '(start)' entry probability, and the pair-table
+    # size / co-session total / support / lift sums. The oracle
+    # rebuilds both from the gaps-and-islands CTE + a session-set
+    # self-join. Both operators share ONE pre-sessionized frame (the
+    # round-10 sessionized= parameter), so the slot pays a single
+    # islands Window for the whole family.
+    from globalweather_etl_spark.operators.paths import (
+        cooccurrence,
+        transition_matrix,
+    )
+    from globalweather_etl_spark.operators.sessionize import sessionize
+
+    sess_ev = sessionize(
+        events, "user_id", "ts", 1800.0, with_session_start=False
+    )
+    dsum9c = lambda c: F.round(  # noqa: E731 - local shorthand
+        F.sum(F.col(c).cast("decimal(25,9)")).cast("double"), 6
+    )
+    tm = _unpivot_metrics(
+        transition_matrix(events, sessionized=sess_ev).agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n").alias("steps"),
+            dsum9c("p").alias("psum"),
+            F.max(
+                F.when(F.col("src") == "(start)", F.col("p"))
+            ).alias("pstart"),
+        ),
+        [
+            ("tm_cells", "cells"),
+            ("tm_steps", "steps"),
+            ("tm_p_sum", "psum"),
+            ("tm_start_max_p", "pstart"),
+        ],
+    )
+    co = _unpivot_metrics(
+        cooccurrence(events, sessionized=sess_ev).agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum("n_both").alias("nb"),
+            dsum9c("support").alias("sup"),
+            dsum9c("lift").alias("lf"),
+        ),
+        [
+            ("co_pairs", "pairs"),
+            ("co_n_both_sum", "nb"),
+            ("co_support_sum", "sup"),
+            ("co_lift_sum", "lf"),
+        ],
+    )
+    seq = seq.unionAll(tm).unionAll(co)
+
     # Round 7: the SEMI-STRUCTURED (VARIANT) family
     # (functions/semistructured.py): a nested JSON document is
     # synthesized per order (the span-dedup/HTML synthesis pattern —
