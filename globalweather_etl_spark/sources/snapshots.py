@@ -60,6 +60,170 @@ _DATA_DIR = "data"
 # deletion-vector store schema: one row per deleted (file, position)
 _DV_SCHEMA = "__dv_file string, __dv_pos long"
 
+# -------------------------------------------- manifest log encoding
+#
+# Round 10: manifests are DELTA-ENCODED with periodic checkpoints —
+# the fix for the O(table-files)-JSON-per-commit scaling wall. A
+# stored manifest is either
+#
+#   FULL ("checkpoint"): the complete file listing, exactly the
+#     self-contained form earlier rounds wrote, except the clustering
+#     stamp no longer repeats the file list — files are ordered
+#     clustered-first and the stamp stores only ``n_clustered`` (one
+#     copy of every path per manifest, the r9 two-list consistency
+#     hazard gone);
+#   DELTA ("delta": true): only ``adds``/``removes`` against the
+#     parent plus the verbatim small fields (schema, n_rows, dvs,
+#     batch stamps). The clustering stamp, when present, stores the
+#     spec plus ``adds_clustered`` — membership of carried files is
+#     derived from the parent.
+#
+# ``_manifest()`` resolves either form to the SAME in-memory dict the
+# rest of this module (and every test) always consumed, walking raw
+# parents back to the nearest full manifest (bounded by the
+# checkpoint interval) and caching every resolved version. Writers
+# keep building complete manifests; ``_publish_manifest`` delta-
+# encodes at the single choke point, falling back to a full write
+# whenever the delta would not round-trip bit-equivalently (order
+# drift, arbitrary clustering membership, delta bigger than full —
+# e.g. overwrite/compact/restore) or the parent chain has reached the
+# interval. Commit metadata cost is therefore O(new files) on the
+# append/merge/delete paths that dominate a live table, with one
+# O(table) checkpoint every ``checkpoint_interval`` commits — the
+# Delta-log checkpoint / Iceberg manifest-list idea, re-derived.
+# ``vacuum`` rewrites any kept delta whose parent it is about to drop
+# into its resolved full form first, so resolution chains never dangle.
+_CHECKPOINT_INTERVAL = 16
+
+
+def _spec_of(cl: dict) -> dict:
+    return {
+        k: v
+        for k, v in cl.items()
+        if k not in ("files", "n_clustered", "adds_clustered")
+    }
+
+
+def _full_storage_form(m: dict) -> dict:
+    """The self-contained stored form of a resolved manifest: files
+    ordered clustered-first, the clustering stamp carrying only the
+    spec + ``n_clustered`` (single copy of every path)."""
+    out = {k: v for k, v in m.items() if k != "_depth"}
+    cl = m.get("clustering")
+    if cl is not None:
+        clset = set(cl["files"])
+        first = [f for f in m["files"] if f in clset]
+        rest = [f for f in m["files"] if f not in clset]
+        out["files"] = first + rest
+        out["clustering"] = {**_spec_of(cl), "n_clustered": len(first)}
+    return out
+
+
+def _decode_manifest(raw: dict, pm: dict | None) -> dict:
+    """Resolve a stored manifest (full or delta) into the in-memory
+    form every consumer uses: complete ``files`` listing, clustering
+    stamp with an explicit live file list, ``_depth`` = distance to
+    the nearest full manifest (the encoder's checkpoint trigger).
+    ``pm`` is the RESOLVED parent (required iff ``raw`` is a delta).
+    Pure function — the streaming source resolves through it too,
+    with plain-Python I/O."""
+    if not raw.get("delta"):
+        out = dict(raw)
+        cl = out.get("clustering")
+        if cl is not None and "n_clustered" in cl:
+            out["clustering"] = {
+                **_spec_of(cl),
+                "files": out["files"][: cl["n_clustered"]],
+            }
+        out["_depth"] = 0
+        return out
+    if pm is None:
+        raise ValueError(
+            "delta manifest needs its parent to resolve "
+            f"(v{raw.get('version')} -> parent v{raw.get('parent')})"
+        )
+    removes = set(raw.get("removes", ()))
+    adds = list(raw.get("adds", ()))
+    files = [f for f in pm["files"] if f not in removes] + adds
+    out = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("delta", "adds", "removes", "clustering")
+    }
+    out["files"] = files
+    if "clustering" in raw:
+        cl = raw["clustering"]
+        if cl is not None:
+            spec = _spec_of(cl)
+            pcl = pm.get("clustering")
+            base = (
+                set(pcl["files"])
+                if pcl is not None and _spec_of(pcl) == spec
+                else set()
+            )
+            clset = base.intersection(files)
+            if cl.get("adds_clustered"):
+                clset.update(adds)
+            out["clustering"] = {
+                **spec,
+                "files": [f for f in files if f in clset],
+            }
+    out["_depth"] = pm.get("_depth", 0) + 1
+    return out
+
+
+def _encode_manifest(m: dict, pm: dict | None, interval: int) -> dict:
+    """Delta-encode resolved manifest ``m`` against its resolved
+    parent, or return the full storage form when a delta would not
+    round-trip (see the log-encoding note above) or the checkpoint
+    interval is due. Correct by construction: every branch that
+    cannot be proven to decode back to ``m`` falls back to full."""
+    full = _full_storage_form(m)
+    if pm is None or pm.get("_depth", 0) + 1 >= interval:
+        return full
+    pfiles = pm["files"]
+    mset = set(m["files"])
+    pset = set(pfiles)
+    removes = [f for f in pfiles if f not in mset]
+    adds = [f for f in m["files"] if f not in pset]
+    kept = [f for f in pfiles if f in mset]
+    # the decoder reconstructs kept-in-parent-order + adds; any other
+    # ordering (restore to an old listing) stores full
+    if m["files"] != kept + adds:
+        return full
+    # a delta that names most of the table (overwrite, compact, full
+    # re-cluster) is no smaller than the checkpoint it displaces
+    if len(removes) + len(adds) >= max(1, len(m["files"])):
+        return full
+    raw = {
+        k: v
+        for k, v in m.items()
+        if k not in ("files", "clustering", "_depth")
+    }
+    raw["delta"] = True
+    raw["adds"] = adds
+    raw["removes"] = removes
+    cl = m.get("clustering")
+    pcl = pm.get("clustering")
+    if cl is None:
+        if pcl is not None:
+            raw["clustering"] = None  # stamp explicitly dropped
+    else:
+        spec = _spec_of(cl)
+        base = (
+            {f for f in pcl["files"] if f in mset}
+            if pcl is not None and _spec_of(pcl) == spec
+            else set()
+        )
+        live_cl = {f for f in cl["files"] if f in mset}
+        if live_cl == base:
+            raw["clustering"] = {**spec, "adds_clustered": False}
+        elif live_cl == base.union(adds):
+            raw["clustering"] = {**spec, "adds_clustered": True}
+        else:
+            return full  # arbitrary membership: not delta-expressible
+    return raw
+
 
 @dataclass(frozen=True)
 class SnapshotInfo:
@@ -78,9 +242,19 @@ def _fs(spark: SparkSession, path: str):
 class SnapshotTable:
     """A versioned parquet table rooted at ``path`` (see module doc)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    ):
+        if checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
         self.spark = spark
         self.path = path.rstrip("/")
+        # max delta-chain length before a commit stores the full
+        # listing again (1 = every manifest full, the pre-r10 format)
+        self._checkpoint_interval = checkpoint_interval
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._fs.mkdirs(self._p(f"{self.path}/{_MANIFEST_DIR}"))
         self._fs.mkdirs(self._p(f"{self.path}/{_DATA_DIR}"))
@@ -186,12 +360,16 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        # manifests are immutable once published, so the parsed dict is
-        # cached per version (the py4j stream read + JSON parse is the
-        # dominant cost of log scans — e.g. the per-batch stamp check
-        # in write_batch/IVM reads EVERY manifest); vacuum drops the
-        # entries it deletes. The existence check stays uncached so a
-        # vacuumed version still errors correctly.
+        # manifests are immutable once published, so the RESOLVED dict
+        # is cached per version (the py4j stream read + JSON parse is
+        # the dominant cost of log scans — e.g. the per-batch stamp
+        # check in write_batch/IVM reads EVERY manifest); vacuum drops
+        # the entries it deletes. The existence check stays uncached so
+        # a vacuumed version still errors correctly. Delta-encoded
+        # manifests resolve by walking raw parents back to the nearest
+        # cached or full ancestor (bounded by the checkpoint interval)
+        # and decoding forward — every version on the walk lands in
+        # the cache, so a log scan stays O(manifests) total.
         cache = getattr(self, "_manifest_cache", None)
         if cache is None:
             cache = {}
@@ -202,11 +380,70 @@ class SnapshotTable:
             raise ValueError(
                 f"version {version} does not exist (have {self.versions()})"
             )
-        m = cache.get(version)
-        if m is None:
-            m = self._read_json(p)
-            cache[version] = m
-        return m
+        if version in cache:
+            return cache[version]
+        chain = []
+        v: int | None = version
+        pm: dict | None = None
+        while True:
+            raw = self._read_json(self._manifest_path(v))
+            chain.append(raw)
+            if not raw.get("delta"):
+                break
+            v = raw["parent"]
+            if v in cache:
+                pm = cache[v]
+                break
+            if not self._fs.exists(self._manifest_path(v)):
+                raise ValueError(
+                    f"version {version} cannot resolve: delta parent "
+                    f"v{v} is missing (vacuumed without checkpoint "
+                    "rewrite?)"
+                )
+        for raw in reversed(chain):
+            pm = _decode_manifest(raw, pm)
+            cache[raw["version"]] = pm
+        return cache[version]
+
+    def _rewrite_manifest_full(self, version: int) -> None:
+        """Replace ``version``'s stored manifest with its resolved
+        full form — vacuum's chain-preservation step. Content is
+        decode-equivalent (committed_at preserved; the publish lock
+        stays), but the swap itself is delete+rename, not atomic: only
+        vacuum calls this, under vacuum's existing single-maintainer
+        assumption for the versions it touches."""
+        resolved = self._manifest(version)
+        full = _full_storage_form(resolved)
+        dest = self._manifest_path(version)
+        tmp = self._p(
+            f"{self.path}/{_MANIFEST_DIR}/.ckpt-{uuid.uuid4().hex}.json"
+        )
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(
+                json.dumps(full, sort_keys=True).encode("utf-8")
+            )
+        finally:
+            out.close()
+        self._fs.delete(dest, False)
+        if not self._fs.rename(tmp, dest):
+            raise RuntimeError(
+                f"vacuum checkpoint rewrite failed for v{version}"
+            )
+        # the cached resolved dict is still content-correct, but its
+        # _depth is now 0 and descendants' depths shifted — drop all
+        # so the next reads recompute
+        self._manifest_cache = {}
+
+    def _publish_manifest(self, manifest: dict, version: int) -> bool:
+        """Encode (delta against the resolved parent where possible)
+        and atomically publish — the single choke point between the
+        complete in-memory manifests every commit path builds and the
+        checkpointed log format on disk."""
+        parent = manifest.get("parent")
+        pm = self._manifest(parent) if parent is not None else None
+        raw = _encode_manifest(manifest, pm, self._checkpoint_interval)
+        return self._write_json_atomic(raw, self._manifest_path(version))
 
     def _stamp_carry(self, parent: int | None, own: dict) -> dict:
         """Monotone HIGH-WATER batch stamps (max_batch_id /
@@ -410,9 +647,7 @@ class SnapshotTable:
                     **_clustering,
                     "files": base_cl + new_files,
                 }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(version)
-            ):
+            if self._publish_manifest(manifest, version):
                 return version
             # lost the race: re-read the log and retry on a new version
 
@@ -465,9 +700,7 @@ class SnapshotTable:
                 "n_rows": base_rows + n_new,
                 **({"dvs": dv_carry} if dv_carry else {}),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(version)
-            ):
+            if self._publish_manifest(manifest, version):
                 return version
 
     def restore(self, version: int) -> int:
@@ -489,9 +722,7 @@ class SnapshotTable:
                 # its row set — carry them or deleted rows resurrect
                 **({"dvs": m["dvs"]} if m.get("dvs") else {}),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(new_version)
-            ):
+            if self._publish_manifest(manifest, new_version):
                 return new_version
 
     def write_audited(
@@ -557,9 +788,7 @@ class SnapshotTable:
                 "n_rows": base_rows + n_new,
                 **({"dvs": dv_carry} if dv_carry else {}),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(version)
-            ):
+            if self._publish_manifest(manifest, version):
                 return version
 
     def clone(
@@ -638,9 +867,8 @@ class SnapshotTable:
             "clone_copied": copied,
             "committed_at": time.time(),
         }
-        if not dest._write_json_atomic(
-            manifest, dest._manifest_path(1)
-        ):
+        # parent None -> always stored as a full (checkpoint) manifest
+        if not dest._publish_manifest(manifest, 1):
             raise RuntimeError(
                 f"clone lost a commit race at {dest_path!r}"
             )
@@ -1123,9 +1351,7 @@ class SnapshotTable:
                     else {}
                 ),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return {
                     "version": target,
                     "files_rewritten": len(hit_rel),
@@ -1219,9 +1445,7 @@ class SnapshotTable:
                     "files": sorted(set(pdv["files"]) | set(affected)),
                 },
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return {
                     "version": target,
                     "n_deleted": n_del,
@@ -1268,9 +1492,7 @@ class SnapshotTable:
                 "files": clean + new_files,
                 "n_rows": m["n_rows"],
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return target
         raise RuntimeError(
             f"purge_deletes lost the commit race {max_retries} times"
@@ -1537,9 +1759,7 @@ class SnapshotTable:
                     else {}
                 ),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return {
                     "version": target,
                     "files_rewritten": len(hit_rel),
@@ -1657,7 +1877,7 @@ class SnapshotTable:
                 else {}
             ),
         }
-        if self._write_json_atomic(manifest, self._manifest_path(target)):
+        if self._publish_manifest(manifest, target):
             return {
                 "version": target,
                 "files_rewritten": 0,
@@ -1736,9 +1956,7 @@ class SnapshotTable:
             # a hash-repartitioned rewrite destroys any clustered
             # layout the parent carried
             manifest.pop("clustering", None)
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return target
         raise RuntimeError("compact lost the commit race 5 times")
 
@@ -1907,6 +2125,91 @@ class SnapshotTable:
             ),
         }
 
+    def clustering_overlap(
+        self, version: int | None = None, build_stats: bool = True
+    ) -> dict | None:
+        """Key-range overlap of the CLUSTERED file set — the signal
+        behind ``optimize(auto_full_threshold=...)``. Incremental
+        passes cluster each batch of new files among themselves, so
+        ranges from different passes stack over the same keys and a
+        point probe touches more files every pass; this measures that
+        read amplification directly from the zone-map sidecar's
+        per-file min/max (``build_stats=True`` refreshes the sidecar
+        incrementally first — O(files the newest sidecar doesn't
+        cover)).
+
+        Per clustering column: ``avg_depth`` = mean over clustered
+        files of how many clustered files' [min, max] ranges intersect
+        that file's (self included, so a perfectly disjoint layout
+        reads 1.0; K stacked passes read ~K), plus ``max_depth``.
+        Returns {cols, per_col: {col: {avg_depth, max_depth,
+        n_files, n_unknown}}, avg_depth (worst column)} or None when
+        the version carries no clustering stamp. Files without usable
+        stats are skipped and counted in ``n_unknown``.
+
+        Driver cost: one sidecar read + an O(F log F) sweep over the
+        clustered files' bounds — a maintenance-cadence operation,
+        not a hot path."""
+        import bisect
+
+        v = self.latest_version() if version is None else version
+        st = self.clustering_state(v)
+        if st is None:
+            return None
+        cols = list(st["cols"])
+        if build_stats:
+            self.build_stats(cols=cols, version=v, incremental=True)
+        clustered = set(st["clustered_files"])
+        rows = self.spark.read.parquet(
+            self._zm_path(v).toString()
+        ).collect()
+        per_col: dict[str, dict] = {}
+        for col in cols:
+            ivals = []
+            unknown = 0
+            for r in rows:
+                if r["column"] != col or r["file"] not in clustered:
+                    continue
+                kind_num = r["min_num"] is not None
+                lo = r["min_num"] if kind_num else r["min_str"]
+                hi = r["max_num"] if kind_num else r["max_str"]
+                if lo is None or hi is None:
+                    unknown += 1
+                    continue
+                ivals.append((lo, hi))
+            if not ivals:
+                per_col[col] = {
+                    "avg_depth": 1.0,
+                    "max_depth": 1,
+                    "n_files": 0,
+                    "n_unknown": unknown,
+                }
+                continue
+            mins = sorted(lo for lo, _ in ivals)
+            maxs = sorted(hi for _, hi in ivals)
+            n = len(ivals)
+            depths = [
+                # overlaps(i) = n - #files starting after hi_i
+                #                 - #files ending before lo_i
+                n
+                - (n - bisect.bisect_right(mins, hi))
+                - bisect.bisect_left(maxs, lo)
+                for lo, hi in ivals
+            ]
+            per_col[col] = {
+                "avg_depth": round(sum(depths) / n, 3),
+                "max_depth": max(depths),
+                "n_files": n,
+                "n_unknown": unknown,
+            }
+        return {
+            "cols": cols,
+            "per_col": per_col,
+            "avg_depth": max(
+                d["avg_depth"] for d in per_col.values()
+            ),
+        }
+
     def optimize(
         self,
         zorder_by: list[str] | None = None,
@@ -1914,6 +2217,7 @@ class SnapshotTable:
         target_file_bytes: int = 128 << 20,
         bits: int = 8,
         full: bool = False,
+        auto_full_threshold: float | None = None,
         max_retries: int = 5,
     ) -> dict:
         """INCREMENTAL clustering maintenance — the liquid-clustering /
@@ -1940,9 +2244,21 @@ class SnapshotTable:
         ``compact``), which rewrites everything under the spec.
 
         A spec change (different columns/kind/bits) or ``full=True``
-        triggers the full rewrite automatically. Returns {"version",
-        "full", "files_rewritten", "files_written", "files_carried"};
-        an already-fully-clustered head is a no-op that burns no
+        triggers the full rewrite automatically.
+        ``auto_full_threshold`` closes the loop on the incremental
+        trade: when set, the pass measures the clustered set's
+        key-range overlap first (``clustering_overlap`` — per-file
+        min/max from the zone-map sidecar, refreshed incrementally)
+        and escalates to the full rewrite once the average overlap
+        depth exceeds the threshold — i.e. once a point probe would
+        touch more than ~threshold files, consolidation pays for
+        itself. Databricks' auto-OPTIMIZE makes the same call from
+        the same signal; ~4-8 is a reasonable setting.
+
+        Returns {"version", "full", "files_rewritten",
+        "files_written", "files_carried"} (+"overlap_depth" and
+        "auto_full" when the threshold was given); an
+        already-fully-clustered head is a no-op that burns no
         version."""
         if (zorder_by is None) == (cluster_by is None):
             raise ValueError(
@@ -1984,6 +2300,22 @@ class SnapshotTable:
             # write(mode="overwrite") would instead silently drop the
             # racer's rows on ITS retry)
             is_full = full or not same_spec
+            overlap_depth = None
+            auto_full = False
+            if auto_full_threshold is not None and not is_full:
+                ov = self.clustering_overlap(version=base)
+                if ov is not None:
+                    overlap_depth = ov["avg_depth"]
+                    if overlap_depth > auto_full_threshold:
+                        is_full = auto_full = True
+            extra = (
+                {
+                    "overlap_depth": overlap_depth,
+                    "auto_full": auto_full,
+                }
+                if auto_full_threshold is not None
+                else {}
+            )
             stamped = set() if is_full else set(prev["files"])
             live_cl = [f for f in m["files"] if f in stamped]
             uncl = [f for f in m["files"] if f not in stamped]
@@ -1994,6 +2326,7 @@ class SnapshotTable:
                     "files_rewritten": 0,
                     "files_written": 0,
                     "files_carried": len(live_cl),
+                    **extra,
                 }
             target = self._next_version(base)
             n_out = max(
@@ -2023,15 +2356,14 @@ class SnapshotTable:
                     else {}
                 ),
             }
-            if self._write_json_atomic(
-                manifest, self._manifest_path(target)
-            ):
+            if self._publish_manifest(manifest, target):
                 return {
                     "version": target,
                     "full": is_full,
                     "files_rewritten": len(uncl),
                     "files_written": len(new_files),
                     "files_carried": len(live_cl),
+                    **extra,
                 }
             # lost the commit race: recompute against the new head
         raise RuntimeError(
@@ -2138,6 +2470,21 @@ class SnapshotTable:
                 ),
                 "sidecars": sorted(sidecars),
             }
+        # Before dropping any manifest, make every KEPT version
+        # self-resolvable: a kept delta whose parent is about to be
+        # dropped is rewritten in place as its resolved full form
+        # (same content after decode, original committed_at kept), so
+        # delta chains never dangle. Ascending order: a kept child of
+        # a kept-but-also-rewritten delta resolves through the already
+        # rewritten parent. The rewrite happens BEFORE any deletion —
+        # a crash mid-vacuum leaves extra full manifests, never a
+        # broken chain.
+        dropping = set(drop)
+        if dropping:
+            for v in sorted(keep):
+                raw = self._read_json(self._manifest_path(v))
+                if raw.get("delta") and raw["parent"] in dropping:
+                    self._rewrite_manifest_full(v)
         for p in to_delete:
             if self._fs.delete(p, False):
                 removed_files += 1

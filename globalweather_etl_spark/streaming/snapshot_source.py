@@ -105,10 +105,52 @@ def _versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _manifest(root: str, version: int) -> dict:
+# (root, version) -> resolved manifest. Manifests are immutable once
+# published; the cache bounds the delta-chain walks below (vacuum's
+# in-place checkpoint rewrite only ever swaps decode-equivalent
+# content, so a stale entry is still correct).
+_RESOLVED_CACHE: dict[tuple[str, int], dict] = {}
+_RESOLVED_CACHE_MAX = 256
+
+
+def _raw_manifest(root: str, version: int) -> dict:
     p = os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
     with open(p, "r", encoding="utf-8") as f:
         return json.load(f)
+
+
+def _manifest(root: str, version: int) -> dict:
+    """Resolve a (possibly delta-encoded) manifest with plain-Python
+    I/O — the same walk-to-checkpoint decode SnapshotTable._manifest
+    does JVM-side, sharing its pure decoder. O(checkpoint interval)
+    file opens worst case, O(1) with the cache warm."""
+    hit = _RESOLVED_CACHE.get((root, version))
+    if hit is not None:
+        return hit
+    # lazy import: executors never call this (partition planning is
+    # driver-side), and the sources package pulls pyspark.sql in
+    from globalweather_etl_spark.sources.snapshots import (
+        _decode_manifest,
+    )
+
+    chain = []
+    v = version
+    pm = None
+    while True:
+        raw = _raw_manifest(root, v)
+        chain.append(raw)
+        if not raw.get("delta"):
+            break
+        v = raw["parent"]
+        pm = _RESOLVED_CACHE.get((root, v))
+        if pm is not None:
+            break
+    for raw in reversed(chain):
+        pm = _decode_manifest(raw, pm)
+        if len(_RESOLVED_CACHE) >= _RESOLVED_CACHE_MAX:
+            _RESOLVED_CACHE.clear()
+        _RESOLVED_CACHE[(root, raw["version"])] = pm
+    return pm
 
 
 @dataclass

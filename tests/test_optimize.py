@@ -400,3 +400,67 @@ class TestIncrementalOptimize:
             table.optimize(zorder_by=["d"], cluster_by=["k"])
         with pytest.raises(ValueError, match="positive"):
             table.optimize(zorder_by=["d"], target_file_bytes=0)
+
+
+class TestAutoRecluster:
+    """clustering_overlap + optimize(auto_full_threshold=...): the
+    trigger that closes the incremental-clustering loop. Incremental
+    passes cluster each batch among themselves, so key ranges stack
+    across passes and point probes touch ~one file PER PASS; the
+    overlap metric must read that growth off the zone-map sidecar and
+    optimize must escalate to the full rewrite past the threshold."""
+
+    def _stack_passes(self, spark, table, n_passes):
+        for p in range(n_passes):
+            # every batch spans the SAME key range -> each incremental
+            # pass adds one more layer of overlapping files
+            table.write(
+                spark.createDataFrame(_rows(400 + p * 100, 500 + p * 100)),
+                mode="append",
+            )
+            res = table.optimize(zorder_by=["d", "u"])
+            assert res["full"] is False
+
+    def test_overlap_grows_with_stacked_passes(self, spark, table):
+        table.build_stats(cols=["d", "u"])
+        base_depth = table.clustering_overlap()["avg_depth"]
+        self._stack_passes(spark, table, 3)
+        ov = table.clustering_overlap()
+        assert set(ov["per_col"]) == {"d", "u"}
+        # the d column cycles i%200, so every pass's files cover the
+        # same date range: depth must grow materially over 3 passes
+        assert ov["avg_depth"] > base_depth + 1.5, (base_depth, ov)
+        assert ov["per_col"]["d"]["n_unknown"] == 0
+
+    def test_no_stamp_returns_none(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/plain")
+        st.write(spark.createDataFrame(_rows(0, 50)))
+        assert st.clustering_overlap() is None
+
+    def test_auto_full_escalates_past_threshold(self, spark, table):
+        self._stack_passes(spark, table, 3)
+        depth = table.clustering_overlap()["avg_depth"]
+        before = _content(table)
+        res = table.optimize(
+            zorder_by=["d", "u"],
+            auto_full_threshold=depth - 0.5,
+        )
+        assert res["auto_full"] is True and res["full"] is True
+        assert res["files_carried"] == 0  # consolidation rewrote all
+        assert res["overlap_depth"] == depth
+        assert _content(table) == before  # layout-only, rows identical
+        # consolidation collapsed the stacked layers
+        assert table.clustering_overlap()["avg_depth"] < depth
+
+    def test_auto_full_stays_incremental_below_threshold(
+        self, spark, table
+    ):
+        table.write(
+            spark.createDataFrame(_rows(400, 450)), mode="append"
+        )
+        res = table.optimize(
+            zorder_by=["d", "u"], auto_full_threshold=1e9
+        )
+        assert res["auto_full"] is False and res["full"] is False
+        assert res["files_carried"] > 0
+        assert res["overlap_depth"] is not None
