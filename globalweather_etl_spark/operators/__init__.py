@@ -37,6 +37,7 @@ from globalweather_etl_spark.operators.fuzzy_join import (
 )
 from globalweather_etl_spark.operators.paths import (
     cooccurrence,
+    session_rollup,
     session_transitions,
     transition_matrix,
 )
@@ -178,6 +179,7 @@ __all__ = [
     "IncrementalAggregate",
     "Measure",
     "session_paths",
+    "session_rollup",
     "top_paths",
     "apply_diff",
     "hashed_tfidf",

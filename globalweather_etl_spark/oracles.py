@@ -720,6 +720,10 @@ UNION ALL SELECT 'merge_tt_v1_price_sum',
 UNION ALL SELECT 'merge_bloom_lookup_price',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_v3, lk_k0 WHERE o_orderkey = k0
+UNION ALL SELECT 'lsql_tt_v1_rows', CAST(count(*) AS DOUBLE) FROM lk_base
+UNION ALL SELECT 'lsql_tt_v1_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_base
 UNION ALL SELECT 'clone_v1_rows', CAST(count(*) AS DOUBLE) FROM lk_base
 UNION ALL SELECT 'clone_v1_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)

@@ -803,6 +803,9 @@ def q_tpch_scalar_checks(spark, sf_dir):
     # manifests those commits published.
     import tempfile
 
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql,
+    )
     from globalweather_etl_spark.sources.snapshots import SnapshotTable
 
     snap_cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
@@ -864,6 +867,26 @@ def q_tpch_scalar_checks(spark, sf_dir):
                 [
                     ("merge_tt_v1_rows", "n"),
                     ("merge_tt_v1_price_sum", "s"),
+                ],
+            )
+        )
+        .unionAll(
+            # Round 10: the SAME pinned state read through the SQL
+            # surface (sources/lakehouse_sql.py — the reference's
+            # idiom is pure SQL; Snowflake's AT (OFFSET ...) is this
+            # VERSION AS OF). The statement path (parse -> time-travel
+            # view rewrite -> Catalyst) must land on the identical
+            # relational twin the Python read is graded against.
+            _unpivot_metrics(
+                lakehouse_sql(
+                    spark,
+                    f"SELECT count(*) AS n, round(cast(sum(cast("
+                    f"o_totalprice AS decimal(25,6))) AS double), 4)"
+                    f" AS s FROM '{st.path}' VERSION AS OF {v1}",
+                ),
+                [
+                    ("lsql_tt_v1_rows", "n"),
+                    ("lsql_tt_v1_price_sum", "s"),
                 ],
             )
         )

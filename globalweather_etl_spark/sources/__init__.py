@@ -10,6 +10,7 @@ from globalweather_etl_spark.sources.formats import (
     write_jsonl,
     write_orc,
 )
+from globalweather_etl_spark.sources.lakehouse_sql import lakehouse_sql
 from globalweather_etl_spark.sources.weather_from_events import (
     AS_OF_DATE,
     weather_staging_from_events,
@@ -21,6 +22,7 @@ __all__ = [
     "Catalog",
     "load_table",
     "constant_rows",
+    "lakehouse_sql",
     "corrupt_count",
     "drop_corrupt",
     "read_csv",

@@ -1,0 +1,280 @@
+"""SQL surface for the lakehouse verbs — the reference's idiom is pure
+SQL (sql/ETL_GlobalWeather_DB.sql:1-188 runs everything as statements;
+Snowflake supplies `AT (OFFSET ...)`, `CREATE TABLE ... CLONE`,
+`MERGE INTO` underneath), while `SnapshotTable` exposes the same
+capabilities as a Python API. This module is the thin dispatcher
+between them: a documented statement subset parses onto the existing
+table methods, and everything else passes through to ``spark.sql``
+untouched.
+
+Grammar (one statement per call; table paths are quoted strings —
+these tables live at filesystem roots, not in a metastore):
+
+  OPTIMIZE '<path>' [ZORDER BY (c1, c2, ...)] [CLUSTER BY (...)]
+      [FULL] [AUTO FULL THRESHOLD <x>]
+  VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
+  RESTORE '<path>' TO VERSION AS OF <v>
+  CREATE TABLE '<dest>' CLONE '<src>' [VERSION AS OF <v>]
+  DELETE FROM '<path>' WHERE <predicate>
+  MERGE INTO '<path>' [AS t] USING <view-or-(subquery)> [AS s]
+      ON <equi-conjunction>
+      [WHEN MATCHED THEN {UPDATE SET * | DELETE}]
+      [WHEN NOT MATCHED THEN INSERT *]
+  SELECT ... FROM '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF '<ts>']
+      [AS alias] ...
+
+Design notes:
+- MERGE supports the row-image form (UPDATE SET * / INSERT *), which
+  is what `SnapshotTable.merge_into` implements (the source row wins
+  whole) — column-level SET lists would need expression rewriting the
+  underlying method doesn't do, so they are a loud error, not a wrong
+  answer.
+- The ON clause must be a conjunction of `t.k = s.k` equalities
+  (any alias spelling); merge keys fall out of it. Theta-ON is
+  rejected loudly for the same reason Delta restricts pruning ones.
+- SELECT time travel rewrites the quoted path (+ optional AS OF) to a
+  registered temp view over `table.read(version)` /
+  `read_asof(timestamp)` and hands the rewritten text to Catalyst —
+  projection/filter semantics stay 100% Spark SQL; this module never
+  interprets the query itself.
+- Statements parse with anchored regexes over a whitespace-normalized
+  head; anything unrecognized that doesn't start with a lakehouse
+  verb falls through to ``spark.sql`` verbatim, so the dispatcher can
+  front an existing SQL workload.
+
+Parity with the Python API is test-pinned in
+tests/test_lakehouse_sql.py (every verb vs its direct method call).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+__all__ = ["lakehouse_sql"]
+
+_PATH = r"'(?P<path>[^']+)'"
+_WS = re.compile(r"\s+")
+
+_OPTIMIZE = re.compile(
+    rf"^OPTIMIZE {_PATH}"
+    r"(?: ZORDER BY \((?P<zorder>[^)]+)\))?"
+    r"(?: CLUSTER BY \((?P<cluster>[^)]+)\))?"
+    r"(?P<full> FULL)?"
+    r"(?: AUTO FULL THRESHOLD (?P<thr>[0-9.]+))?$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    rf"^VACUUM {_PATH}"
+    r"(?: RETAIN (?P<keep>\d+) VERSIONS)?"
+    r"(?P<dry> DRY RUN)?$",
+    re.IGNORECASE,
+)
+_RESTORE = re.compile(
+    rf"^RESTORE {_PATH} TO VERSION AS OF (?P<v>\d+)$", re.IGNORECASE
+)
+_CLONE = re.compile(
+    r"^CREATE TABLE '(?P<dest>[^']+)' CLONE '(?P<src>[^']+)'"
+    r"(?: VERSION AS OF (?P<v>\d+))?$",
+    re.IGNORECASE,
+)
+_DELETE = re.compile(
+    rf"^DELETE FROM {_PATH} WHERE (?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE = re.compile(
+    rf"^MERGE INTO {_PATH}(?: AS (?P<talias>\w+))?"
+    r" USING (?P<src>\([^)]+\)|[\w.]+)(?: AS (?P<salias>\w+))?"
+    r" ON (?P<on>.+?)"
+    r"(?P<clauses>(?: WHEN (?:NOT )?MATCHED THEN .+)?)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN = re.compile(
+    r"WHEN (?P<not>NOT )?MATCHED THEN "
+    r"(?P<action>UPDATE SET \*|INSERT \*|DELETE)",
+    re.IGNORECASE,
+)
+_TRAVEL = re.compile(
+    rf"{_PATH}(?: VERSION AS OF (?P<v>\d+)"
+    r"| TIMESTAMP AS OF '(?P<ts>[^']+)')?",
+)
+_ON_EQ = re.compile(r"^(?:\w+\.)?(?P<l>\w+)\s*=\s*(?:\w+\.)?(?P<r>\w+)$")
+
+
+def _to_unix(ts: str) -> float:
+    """TIMESTAMP AS OF operand -> unix seconds: either a bare number
+    or an ISO timestamp (naive reads as UTC — the manifest stamps are
+    wall-clock UTC seconds)."""
+    import datetime as _dt
+
+    try:
+        return float(ts)
+    except ValueError:
+        d = _dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return d.timestamp()
+
+
+def _keys_from_on(on: str) -> list[str]:
+    keys = []
+    for conj in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = _ON_EQ.match(conj.strip())
+        if not m or m.group("l") != m.group("r"):
+            raise ValueError(
+                "MERGE ON must be a conjunction of same-name "
+                f"equalities (t.k = s.k); cannot map {conj.strip()!r} "
+                "onto merge_into keys"
+            )
+        keys.append(m.group("l"))
+    return keys
+
+
+def lakehouse_sql(spark: SparkSession, statement: str):
+    """Execute one statement from the grammar above. Returns what the
+    matching Python call returns (a dict for OPTIMIZE/VACUUM/DELETE/
+    MERGE result summaries, an int version for RESTORE, a
+    SnapshotTable for CLONE, a DataFrame for SELECT / passthrough)."""
+    stmt = _WS.sub(" ", statement.strip()).rstrip(";").strip()
+
+    m = _OPTIMIZE.match(stmt)
+    if m:
+        t = SnapshotTable(spark, m.group("path"))
+        cols = m.group("zorder") or m.group("cluster")
+        if cols is None:
+            raise ValueError(
+                "OPTIMIZE needs ZORDER BY (...) or CLUSTER BY (...) — "
+                "plain file compaction is `compact()` "
+                "(SnapshotTable) / OPTIMIZE in a future grammar rev"
+            )
+        cols = [c.strip() for c in cols.split(",")]
+        kw = dict(
+            full=bool(m.group("full")),
+            auto_full_threshold=(
+                float(m.group("thr")) if m.group("thr") else None
+            ),
+        )
+        if m.group("zorder"):
+            return t.optimize(zorder_by=cols, **kw)
+        return t.optimize(cluster_by=cols, **kw)
+
+    m = _VACUUM.match(stmt)
+    if m:
+        t = SnapshotTable(spark, m.group("path"))
+        return t.vacuum(
+            keep_last=int(m.group("keep") or 1),
+            dry_run=bool(m.group("dry")),
+        )
+
+    m = _RESTORE.match(stmt)
+    if m:
+        return SnapshotTable(spark, m.group("path")).restore(
+            int(m.group("v"))
+        )
+
+    m = _CLONE.match(stmt)
+    if m:
+        return SnapshotTable(spark, m.group("src")).clone(
+            m.group("dest"),
+            version=int(m.group("v")) if m.group("v") else None,
+        )
+
+    m = _DELETE.match(stmt)
+    if m:
+        return SnapshotTable(spark, m.group("path")).delete_where(
+            m.group("pred")
+        )
+
+    m = _MERGE.match(stmt)
+    if m:
+        t = SnapshotTable(spark, m.group("path"))
+        src = m.group("src").strip()
+        source: DataFrame = (
+            spark.sql(f"SELECT * FROM {src} AS __merge_src")
+            if src.startswith("(")
+            else spark.table(src)
+        )
+        keys = _keys_from_on(m.group("on"))
+        when_matched, when_not_matched = "update", "insert"
+        clauses = m.group("clauses") or ""
+        if clauses.strip():
+            when_matched = when_not_matched = "ignore"
+            for part in re.split(r"(?i)\bWHEN\b", clauses):
+                part = part.strip()
+                if not part:
+                    continue
+                w = re.match(
+                    r"(?is)^(NOT )?MATCHED THEN (.+)$", part
+                )
+                if not w:
+                    raise ValueError(
+                        f"cannot parse MERGE clause {part!r}"
+                    )
+                action = _WS.sub(" ", w.group(2).strip()).upper()
+                if w.group(1):
+                    if action != "INSERT *":
+                        raise ValueError(
+                            "WHEN NOT MATCHED supports INSERT * only"
+                        )
+                    when_not_matched = "insert"
+                elif action == "DELETE":
+                    when_matched = "delete"
+                elif action == "UPDATE SET *":
+                    when_matched = "update"
+                else:
+                    raise ValueError(
+                        f"unsupported WHEN MATCHED action {action!r}"
+                        " — merge_into carries whole source rows "
+                        "(UPDATE SET * / DELETE)"
+                    )
+        return t.merge_into(
+            source,
+            keys=keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+
+    # SELECT (and anything else): rewrite quoted snapshot paths (+
+    # optional AS OF) to temp views over the pinned reads, then let
+    # Catalyst do the rest. Only strings that actually root a
+    # committed snapshot table rewrite — ordinary string literals
+    # ('foo' in a WHERE clause) pass through untouched (and are never
+    # side-effected: the root check runs before any table handle,
+    # whose constructor would mkdir).
+    def _is_table_root(path: str) -> bool:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/_manifests"
+        )
+        try:
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hp):
+                return False
+            for st in fs.listStatus(hp):
+                name = st.getPath().getName()
+                if name.startswith("v") and name.endswith(".json"):
+                    return True
+            return False
+        except Exception:
+            return False
+
+    def _sub(tm: re.Match) -> str:
+        if not _is_table_root(tm.group("path")):
+            return tm.group(0)
+        t = SnapshotTable(spark, tm.group("path"))
+        if tm.group("ts") is not None:
+            df = t.read_asof(_to_unix(tm.group("ts")))
+        else:
+            df = t.read(
+                int(tm.group("v")) if tm.group("v") else None
+            )
+        view = f"__snap_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TRAVEL.sub(_sub, stmt)
+    return spark.sql(rewritten)

@@ -1,0 +1,185 @@
+"""SQL surface for the lakehouse verbs (sources/lakehouse_sql.py):
+every statement form parity-tested against the direct Python call on
+identical twin tables, plus loud errors for the documented
+non-mappable shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalweather_etl_spark.sources.lakehouse_sql import lakehouse_sql
+from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+
+def _seed(spark, path, n=300):
+    t = SnapshotTable(spark, path)
+    t.write(
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        )
+        .repartition(4, "k"),
+        mode="overwrite",
+    )
+    return t
+
+
+def _content(t, version=None):
+    return sorted(tuple(r) for r in t.read(version).collect())
+
+
+def test_select_with_time_travel(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(300, 350).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        ),
+        mode="append",
+    )
+    head = lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM '{t.path}'"
+    ).collect()[0]["n"]
+    v1 = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{t.path}' VERSION AS OF 1",
+    ).collect()[0]["n"]
+    assert (head, v1) == (350, 300)
+    # the rewrite leaves the rest of the query to Catalyst
+    agg = lakehouse_sql(
+        spark,
+        f"SELECT g, count(*) AS n FROM '{t.path}' VERSION AS OF 1 "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    assert len(agg) == 9 and sum(r["n"] for r in agg) == 300
+
+
+def test_select_timestamp_as_of(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    stamp = t._manifest(1)["committed_at"]
+    t.write(
+        spark.range(300, 310).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        ),
+        mode="append",
+    )
+    n = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{t.path}' "
+        f"TIMESTAMP AS OF '{stamp}'",
+    ).collect()[0]["n"]
+    assert n == 300
+
+
+def test_merge_parity_with_python_api(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    twin = _seed(spark, str(tmp_path / "twin"))
+    src = spark.range(250, 320).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).alias("g"),
+        F.lit(-1.0).alias("val"),
+    )
+    src.createOrReplaceTempView("merge_src")
+    res = lakehouse_sql(
+        spark,
+        f"MERGE INTO '{t.path}' AS t USING merge_src AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    twin.merge_into(src, keys=["k"])
+    assert _content(t) == _content(twin)
+    assert res["version"] == 2
+
+
+def test_merge_delete_clause(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    twin = _seed(spark, str(tmp_path / "twin"))
+    spark.range(0, 40).select(F.col("id").alias("k")).join(
+        t.read(), "k"
+    ).createOrReplaceTempView("del_src")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO '{t.path}' USING del_src ON k = k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    twin.merge_into(
+        spark.table("del_src"),
+        keys=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert _content(t) == _content(twin)
+
+
+def test_merge_rejects_theta_on_and_column_sets(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.read().createOrReplaceTempView("src_v")
+    with pytest.raises(ValueError, match="conjunction"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO '{t.path}' USING src_v ON t.k > s.k",
+        )
+    with pytest.raises(ValueError, match="UPDATE SET"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO '{t.path}' USING src_v ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET val = 1",
+        )
+
+
+def test_delete_restore_vacuum_clone_optimize(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    twin = _seed(spark, str(tmp_path / "twin"))
+    lakehouse_sql(spark, f"DELETE FROM '{t.path}' WHERE k % 10 = 0")
+    twin.delete_where("k % 10 = 0")
+    assert _content(t) == _content(twin)
+
+    v = lakehouse_sql(
+        spark, f"RESTORE '{t.path}' TO VERSION AS OF 1"
+    )
+    assert v == 3 and len(_content(t)) == 300
+
+    res = lakehouse_sql(
+        spark,
+        f"OPTIMIZE '{t.path}' ZORDER BY (k, g) "
+        "AUTO FULL THRESHOLD 4.0",
+    )
+    assert res["version"] == 4 and "overlap_depth" in res
+
+    cl = lakehouse_sql(
+        spark,
+        f"CREATE TABLE '{tmp_path / 'c'}' CLONE '{t.path}' "
+        "VERSION AS OF 1",
+    )
+    assert _content(cl) == _content(t, 1)
+
+    plan = lakehouse_sql(
+        spark, f"VACUUM '{t.path}' RETAIN 1 VERSIONS DRY RUN"
+    )
+    assert plan["dry_run"] is True and plan["manifests_removed"] == 3
+    rep = lakehouse_sql(
+        spark, f"VACUUM '{t.path}' RETAIN 1 VERSIONS"
+    )
+    assert rep["manifests_removed"] == 3
+    assert t.versions() == [4]
+
+
+def test_passthrough_plain_sql(spark, tmp_path):
+    out = lakehouse_sql(spark, "SELECT 1 + 1 AS two").collect()
+    assert out[0]["two"] == 2
+
+
+def test_string_literals_are_not_table_paths(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=20)
+    out = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{t.path}' WHERE 'x' = 'x'",
+    ).collect()
+    assert out[0]["n"] == 20
