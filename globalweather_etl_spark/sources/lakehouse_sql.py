@@ -146,11 +146,15 @@ def lakehouse_sql(spark: SparkSession, statement: str):
         t = SnapshotTable(spark, m.group("path"))
         cols = m.group("zorder") or m.group("cluster")
         if cols is None:
-            raise ValueError(
-                "OPTIMIZE needs ZORDER BY (...) or CLUSTER BY (...) — "
-                "plain file compaction is `compact()` "
-                "(SnapshotTable) / OPTIMIZE in a future grammar rev"
-            )
+            # Delta's bare OPTIMIZE: plain file compaction (bin-pack
+            # rewrite, dataChange=false) — FULL / AUTO FULL make no
+            # sense without a clustering spec
+            if m.group("full") or m.group("thr"):
+                raise ValueError(
+                    "FULL / AUTO FULL THRESHOLD need ZORDER BY or "
+                    "CLUSTER BY"
+                )
+            return {"version": t.compact()}
         cols = [c.strip() for c in cols.split(",")]
         kw = dict(
             full=bool(m.group("full")),

@@ -183,3 +183,22 @@ def test_string_literals_are_not_table_paths(spark, tmp_path):
         f"SELECT count(*) AS n FROM '{t.path}' WHERE 'x' = 'x'",
     ).collect()
     assert out[0]["n"] == 20
+
+
+def test_bare_optimize_is_compaction(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(300, 330).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        ),
+        mode="append",
+    )
+    before = _content(t)
+    res = lakehouse_sql(spark, f"OPTIMIZE '{t.path}'")
+    assert res["version"] == 3
+    assert len(t._manifest(3)["files"]) < len(t._manifest(2)["files"])
+    assert _content(t) == before
+    with pytest.raises(ValueError, match="ZORDER BY or"):
+        lakehouse_sql(spark, f"OPTIMIZE '{t.path}' FULL")
