@@ -551,6 +551,22 @@ class SnapshotTable:
             out.append(self._rel(st.getPath().toString()))
         return sorted(out)
 
+    def _write_counted(self, df: DataFrame, commit_dir: str) -> int:
+        """Write ``df``'s data files and return the row count observed
+        DURING the write (pyspark Observation) — previously every
+        commit path re-read the just-written parquet to count rows, an
+        extra Spark job per commit that taxed exactly the surfaces
+        whose cost story is commit latency (IVM folds, streaming
+        micro-batches, merge chains) and was pure overhead at any
+        scale: the rows had just flowed through this very stage."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "error"
+        ).parquet(commit_dir)
+        return int(obs.get["n"])
+
     def write(
         self,
         df: DataFrame,
@@ -570,11 +586,8 @@ class SnapshotTable:
         commit_dir = (
             f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
         )
-        df.write.mode("error").parquet(commit_dir)
+        n_new = self._write_counted(df, commit_dir)
         new_files = self._list_commit_files(commit_dir)
-        n_new = (
-            self.spark.read.schema(df.schema).parquet(commit_dir).count()
-        )
         while True:
             parent = self.latest_version()
             version = self._next_version(parent)
@@ -664,11 +677,8 @@ class SnapshotTable:
         if self._batch_seen(batch_id):
             return None
         commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
-        df.write.mode("error").parquet(commit_dir)
+        n_new = self._write_counted(df, commit_dir)
         new_files = self._list_commit_files(commit_dir)
-        n_new = (
-            self.spark.read.schema(df.schema).parquet(commit_dir).count()
-        )
         while True:
             parent = self.latest_version()
             if self._batch_seen(batch_id):
@@ -1310,13 +1320,8 @@ class SnapshotTable:
             if rewrite_partitions is not None:
                 rewrite = rewrite.coalesce(rewrite_partitions)
             commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
-            rewrite.write.mode("error").parquet(commit_dir)
+            n_written = self._write_counted(rewrite, commit_dir)
             new_files = self._list_commit_files(commit_dir)
-            n_written = (
-                self.spark.read.schema(rewrite.schema)
-                .parquet(commit_dir)
-                .count()
-            )
             if not hit_rel and n_written == 0:
                 return {
                     "version": base,
@@ -1714,13 +1719,8 @@ class SnapshotTable:
                 # partition, and the NEXT merge pays per-file opens
                 rewrite = rewrite.coalesce(rewrite_partitions)
             commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
-            rewrite.write.mode("error").parquet(commit_dir)
+            n_written = self._write_counted(rewrite, commit_dir)
             new_files = self._list_commit_files(commit_dir)
-            n_written = (
-                self.spark.read.schema(rewrite.schema)
-                .parquet(commit_dir)
-                .count()
-            )
             if not hit_rel and n_written == 0:
                 # insert-mode merge that found nothing to insert: the
                 # table is unchanged — don't burn a version (the empty
@@ -1835,13 +1835,8 @@ class SnapshotTable:
             if rewrite_partitions is not None:
                 rewrite = rewrite.coalesce(rewrite_partitions)
             commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
-            rewrite.write.mode("error").parquet(commit_dir)
+            n_written = self._write_counted(rewrite, commit_dir)
             new_files = self._list_commit_files(commit_dir)
-            n_written = (
-                self.spark.read.schema(rewrite.schema)
-                .parquet(commit_dir)
-                .count()
-            )
         if n_matched == 0 and n_written == 0:
             # unreferenced empty dirs are vacuum's to reclaim
             return {
