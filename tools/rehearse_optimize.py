@@ -18,6 +18,13 @@ What this measures (the 100 TB claims under test):
   the honest comparison.
 - **Correctness at scale**: after the last pass the table's row count
   and a grouped checksum must equal the from-scratch expectation.
+- **The auto re-cluster loop closes (round 10)**: the overlap depth
+  (clustering_overlap — avg files whose key range covers a point) and
+  a one-week band's candidate-file count must GROW across stacked
+  incremental passes, and one optimize(auto_full_threshold=...) pass
+  must escalate on its own, collapse the depth, and bound the band
+  read back down — read amplification stays bounded across unbounded
+  maintenance passes.
 
 Usage: python tools/rehearse_optimize.py [n] [n_rounds] [append_n]
 Prints one JSON line; paste into docs/PERF.md.
@@ -72,6 +79,18 @@ def main() -> None:
     )
     seed_wall = round(time.perf_counter() - t0, 3)
 
+    import datetime as _dt
+
+    def week_candidates() -> int:
+        # read-amplification probe: how many files a one-week date
+        # band has to open on the current layout (stats refreshed
+        # incrementally inside clustering_overlap below)
+        return len(
+            st.files_for_range(
+                "d", _dt.date(2024, 3, 1), _dt.date(2024, 3, 7)
+            )
+        )
+
     rounds = []
     cursor = n
     for i in range(n_rounds):
@@ -81,6 +100,7 @@ def main() -> None:
         t0 = time.perf_counter()
         res = st.optimize(zorder_by=["d", "u"])
         wall = round(time.perf_counter() - t0, 3)
+        ov = st.clustering_overlap()
         rounds.append(
             {
                 "round": i,
@@ -89,11 +109,47 @@ def main() -> None:
                 "files_rewritten": res["files_rewritten"],
                 "files_carried": res["files_carried"],
                 "unclustered_before": len(cs["unclustered_files"]),
+                # each pass clusters its batch among itself, so ranges
+                # stack: depth and the week-band candidate count must
+                # GROW round over round — the signal the auto trigger
+                # below consumes
+                "overlap_avg_depth": ov["avg_depth"],
+                "week_band_candidate_files": week_candidates(),
             }
         )
         assert res["full"] is False
         assert res["files_rewritten"] == rounds[-1]["unclustered_before"]
         assert st.clustering_state()["clustered_fraction"] == 1.0
+    assert (
+        rounds[-1]["overlap_avg_depth"] > rounds[0]["overlap_avg_depth"]
+    ), rounds
+
+    # the auto trigger: one more append + optimize, now with the
+    # threshold BELOW the stacked depth — the pass must escalate to
+    # the full rewrite on its own, collapse the overlap, and bound the
+    # week-band read back down
+    st.write(synth(spark, cursor, cursor + append_n))
+    cursor += append_n
+    thr = rounds[-1]["overlap_avg_depth"] - 0.5
+    t0 = time.perf_counter()
+    auto_res = st.optimize(
+        zorder_by=["d", "u"], auto_full_threshold=thr
+    )
+    auto_wall = round(time.perf_counter() - t0, 3)
+    assert auto_res["auto_full"] is True and auto_res["full"] is True
+    ov_after = st.clustering_overlap()
+    auto = {
+        "threshold": round(thr, 3),
+        "depth_before": rounds[-1]["overlap_avg_depth"],
+        "depth_after": ov_after["avg_depth"],
+        "week_band_candidates_after": week_candidates(),
+        "auto_full_wall_s": auto_wall,
+    }
+    assert auto["depth_after"] < auto["depth_before"]
+    assert (
+        auto["week_band_candidates_after"]
+        <= rounds[-1]["week_band_candidate_files"]
+    )
 
     # the comparison point: what a NON-incremental maintenance pass
     # costs on the same head (re-sorts every row)
@@ -121,6 +177,7 @@ def main() -> None:
                 "append_n": append_n,
                 "seed_zorder_wall_s": seed_wall,
                 "rounds": rounds,
+                "auto_full_trigger": auto,
                 "full_recluster_wall_s": full_wall,
                 "checksum_ok": True,
             }
