@@ -183,3 +183,109 @@ def test_mutation_paths_resolve_identically_cold(spark, tmp_path):
         ) == sorted(
             (r["k"], r["v"]) for r in twin.read(v).collect()
         ), v
+
+
+# ---- property fuzz over the pure encode/decode pair (no Spark) ----
+
+from hypothesis import given, settings, strategies as st
+
+from globalweather_etl_spark.sources.snapshots import (
+    _decode_manifest,
+    _encode_manifest,
+)
+
+
+def _norm(m: dict) -> dict:
+    """Decode-equivalence normal form: _depth stripped; files AND the
+    clustering stamp compared as SETS (with counts pinned so a
+    duplicate-collapse can't hide) — list order is presentation: every
+    consumer reads the listing as a set, and the full storage form
+    deliberately reorders clustered-first."""
+    out = {k: v for k, v in m.items() if k != "_depth"}
+    out["files"] = (frozenset(m["files"]), len(m["files"]))
+    cl = out.get("clustering")
+    if cl is not None:
+        out["clustering"] = (
+            tuple(sorted((k, str(v)) for k, v in cl.items() if k != "files")),
+            # a carried stamp may reference dead paths; every consumer
+            # intersects with the live listing, so equivalence does too
+            frozenset(cl["files"]) & frozenset(m["files"]),
+        )
+    return out
+
+
+_paths = st.lists(
+    st.integers(0, 49).map(lambda i: f"data/c-x/f{i}.parquet"),
+    unique=True,
+    max_size=12,
+)
+
+
+@st.composite
+def _parent_and_child(draw):
+    pfiles = draw(_paths)
+    # parent: optionally clustered over an arbitrary subset
+    pcl = None
+    if draw(st.booleans()) and pfiles:
+        pcl = {
+            "kind": draw(st.sampled_from(["zorder", "range"])),
+            "cols": ["d"],
+            "files": draw(st.lists(st.sampled_from(pfiles), unique=True)),
+        }
+    pm = {
+        "version": 1,
+        "parent": None,
+        "mode": "overwrite",
+        "schema": "{}",
+        "files": pfiles,
+        "n_rows": len(pfiles),
+        "_depth": draw(st.integers(0, 20)),
+        **({"clustering": pcl} if pcl else {}),
+    }
+    # child: keep an arbitrary subsequence (parent order preserved or
+    # shuffled — shuffled must force full fallback), add new files
+    kept = [f for f in pfiles if draw(st.booleans())]
+    if draw(st.booleans()):
+        kept = list(reversed(kept))  # order break -> full fallback path
+    adds = [f"data/c-y/g{i}.parquet" for i in range(draw(st.integers(0, 4)))]
+    files = kept + adds
+    ccl = None
+    c = draw(st.integers(0, 3))
+    if c == 1 and pcl:  # carry parent stamp verbatim (may hold dead files)
+        ccl = pcl
+    elif c == 2 and files:  # fresh/extended stamp: arbitrary membership
+        ccl = {
+            "kind": draw(st.sampled_from(["zorder", "range"])),
+            "cols": ["d"],
+            "files": draw(st.lists(st.sampled_from(files), unique=True)),
+        }
+    m = {
+        "version": 2,
+        "parent": 1,
+        "mode": draw(st.sampled_from(["append", "merge", "optimize"])),
+        "schema": "{}",
+        "files": files,
+        "n_rows": len(files),
+        **({"clustering": ccl} if ccl else {}),
+        **({"dvs": {"stores": ["data/dv1"], "files": kept[:1]}}
+           if kept and draw(st.booleans()) else {}),
+    }
+    return pm, m
+
+
+@given(_parent_and_child())
+@settings(max_examples=300, deadline=None)
+def test_encode_decode_roundtrip(pc):
+    """For EVERY (parent, child) shape: decode(encode(m, pm), pm) must
+    be decode-equivalent to m — whether the encoder chose a delta or
+    fell back to the full form. This is the invariant the whole delta
+    log stands on; the encoder may fall back whenever it likes, but a
+    lossy delta is corruption."""
+    pm, m = pc
+    raw = _encode_manifest(m, pm, interval=16)
+    out = _decode_manifest(raw, pm)
+    assert _norm(out) == _norm(m), (raw, out, m)
+    # and a full re-encode of the decoded form is stable too
+    raw2 = _encode_manifest(out, pm, interval=1)  # force full
+    assert not raw2.get("delta")
+    assert _norm(_decode_manifest(raw2, None)) == _norm(m)
