@@ -33,13 +33,17 @@ Scale shape, stage by stage:
               (operators/similarity.py:51). The candidate table never
               shuffles; only (query, candidate, dist) survivors do.
 
-Accuracy is the PQ trade (quantization error, controlled by m and k)
-— scores have no exact cross-engine oracle BY CONSTRUCTION (trained
-float centroids, same reason the Lloyd refinement in kmeans.py is
+Accuracy is the PQ trade (quantization error, controlled by m and k).
+Lloyd-TRAINED codebooks have no exact cross-engine oracle (partition-
+order float means, same reason the refinement in kmeans.py is
 un-oracled), so tests pin: exact recovery when data lies ON a
 codebook, reconstruction-error monotonicity in k, recall against the
 exact brute-force ranking, cosine/L2 consistency, and determinism
-(hash-min seeding, no RNG).
+(hash-min seeding, no RNG). The PORTABLE path (train_pq(portable=True,
+iters=0) -> encode_pq(impl='expr') -> pq_topk(impl='expr')) IS
+cross-engine bit-exact — md5-sampled raw-copy codebooks plus
+order-fixed fold math — and is graded end-to-end against DuckDB as
+the pq_* rows of tpch_scalar_checks (queries.py).
 
 Codes are 0-based ints (ndarray indexing convention; ties in both
 assignment and ADC break toward the SMALLER code/candidate id —
@@ -55,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from globalweather_etl_spark.operators.partitioning import spread_for_compute
-from globalweather_etl_spark.operators.similarity import _as_double
+from globalweather_etl_spark.operators.similarity import _as_double, dot
 from globalweather_etl_spark.operators.vector_arrow import _stack
 
 __all__ = [
@@ -95,6 +99,38 @@ def _assign_codes_arrow(codebooks: np.ndarray):
     return _assign
 
 
+def _assign_codes_expr(codebooks: np.ndarray, vec) -> "F.Column":
+    """Expression-form encoder (the ORACLE path): vector -> array<int>
+    of m codes with every double op a sequential left fold, so DuckDB's
+      list_dot_product(c, c) - 2 * list_dot_product(x_s, c)
+    reproduces each candidate distance bit-for-bit (the ||x_s||^2 term
+    is constant per subspace and drops out of argmin, exactly as in
+    _assign_codes_arrow). The ||c||^2 literal folds left-to-right in
+    plain Python — IEEE doubles, identical to DuckDB's runtime fold.
+    argmin is array_min over (dist, code) structs: struct ordering
+    breaks ties toward the SMALLER code, matching both np.argmin's
+    first-occurrence rule and the oracle's ORDER BY dist, code.
+
+    O(m*k) fold expressions per row — fine for the bounded graded
+    corpus; the Arrow path above is the 100 TB scale path (parity
+    between the two is pinned in tests/test_pq.py)."""
+    m, k, dsub = codebooks.shape
+    codes = []
+    for s in range(m):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        cands = []
+        for j in range(k):
+            comp = [float(x) for x in codebooks[s, j]]
+            cc = 0.0
+            for x in comp:
+                cc = cc + x * x
+            carr = F.array(*[F.lit(x) for x in comp])
+            d = F.lit(cc) - F.lit(2.0) * dot(sub, carr)
+            cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        codes.append(F.array_min(F.array(*cands))["j"])
+    return F.array(*codes)
+
+
 def train_pq(
     embeddings: DataFrame,
     m: int = 8,
@@ -103,6 +139,7 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = False,
+    portable: bool = False,
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns the (m, k, d/m) ndarray
     (driver-resident, k*d doubles — kilobytes). Deterministic: seeds
@@ -114,7 +151,18 @@ def train_pq(
     normalize=True trains on L2-normalized vectors — the cosine
     regime: for unit vectors ||a-b||^2 = 2 - 2*cos(a,b), so L2 ADC
     ranks identically to cosine (pq_topk(metric='cosine') relies on
-    this)."""
+    this).
+
+    portable=True is the ORACLE seeding (the ivf_cosine_topk
+    convention): seeds are the k smallest md5-prefix hashes of the
+    stringified id, and code j is the j-th seed in ID order — so
+    DuckDB derives the identical codebook with
+    row_number() OVER (ORDER BY vec_id) over the same hash-min
+    sample. With iters=0 the codebooks are then raw subvector
+    copies of parquet doubles and every later stage can be
+    cross-engine bit-exact; Lloyd refinement (iters > 0) sums
+    floats in partition order and is deliberately NOT part of the
+    oracle surface (the kmeans.py argument)."""
     vec = _as_double(F.col(vec_col))
     if normalize:
         norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, y: acc + y * y))
@@ -128,12 +176,22 @@ def train_pq(
     dim = head[0]["d"]
     dsub = _split_dims(dim, m)
 
+    if portable:
+        from globalweather_etl_spark.operators.dedup import _md5_long
+
+        seed_key = _md5_long(F.col("cand_id").cast("string"))
+    else:
+        seed_key = F.xxhash64(F.col("cand_id").cast("string"))
     seeds = (
-        cand.orderBy(F.xxhash64(F.col("cand_id").cast("string")), "cand_id")
+        cand.orderBy(seed_key, "cand_id")
         .limit(k)
-        .select("cvec")
+        .select("cand_id", "cvec")
         .collect()
     )
+    if portable:
+        # code j = j-th seed in id order, mirroring the IVF oracle's
+        # row_number() OVER (ORDER BY vec_id) numbering
+        seeds = sorted(seeds, key=lambda r: r["cand_id"])
     if len(seeds) < k:
         raise ValueError(f"k={k} exceeds the {len(seeds)} input vectors")
     books = np.array(
@@ -174,15 +232,22 @@ def encode_pq(
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
     normalize: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """The input plus ``code_col`` (array<int>, m entries) — one
-    narrow Arrow map. normalize must match the training choice."""
+    narrow Arrow map. normalize must match the training choice.
+    impl='expr' encodes with the order-fixed expression argmin
+    (_assign_codes_expr) — the cross-engine-exact oracle path."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
     vec = _as_double(F.col(vec_col))
     if normalize:
         norm = F.sqrt(
             F.aggregate(vec, F.lit(0.0), lambda acc, y: acc + y * y)
         )
         vec = F.transform(_as_double(F.col(vec_col)), lambda x: x / norm)
+    if impl == "expr":
+        return df.withColumn(code_col, _assign_codes_expr(codebooks, vec))
     return df.withColumn(code_col, _assign_codes_arrow(codebooks)(vec))
 
 
@@ -216,6 +281,7 @@ def pq_topk(
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
     metric: str = "l2",
+    impl: str = "arrow",
 ) -> DataFrame:
     """ADC top-k: (query_id, cand_id, adc_dist[, adc_cos], rank) for
     every query vector, scored purely from candidate CODES.
@@ -223,10 +289,67 @@ def pq_topk(
     The bounded query set is collected into per-query (m x k) lookup
     tables (the broadcast-small-side assumption of cosine_topk);
     metric='cosine' requires codebooks trained with normalize=True
-    and query vectors are normalized here — adc_cos = 1 - d/2."""
+    and query vectors are normalized here — adc_cos = 1 - d/2.
+
+    impl='expr' (the ORACLE path, metric='l2' only) scores the
+    mathematically identical ADC objective through the reconstructed
+    vector:  ||q - w||^2 = q.q - 2 q.w + w.w  where w is the
+    concatenation of the chosen codebook entries (exact copies of
+    codebook doubles, no arithmetic). All three dot products are
+    sequential left folds and the codebook ships as a literal array,
+    so DuckDB's list_dot_product twin reproduces every distance
+    bit-for-bit. The LUT path above stays the scale path (codes-only
+    scoring, kilobyte tables); LUT-vs-expr value parity is pinned in
+    tests/test_pq.py."""
     if metric not in ("l2", "cosine"):
         raise ValueError(f"unknown metric: {metric!r}")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
     m, kc, dsub = codebooks.shape
+    if impl == "expr":
+        if metric != "l2":
+            raise ValueError("impl='expr' supports metric='l2' only")
+        cb_flat = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in codebooks[s, j]])
+                for s in range(m)
+                for j in range(kc)
+            ]
+        )
+        w_arr = F.flatten(
+            F.transform(
+                F.col(code_col),
+                lambda c, s: F.element_at(cb_flat, s * kc + c + F.lit(1)),
+            )
+        )
+        qry = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        )
+        cand = spread_for_compute(encoded).select(
+            F.col(id_col).alias("cand_id"), w_arr.alias("w")
+        )
+        scored = (
+            cand.crossJoin(F.broadcast(qry))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    dot(F.col("qvec"), F.col("qvec"))
+                    - F.lit(2.0) * dot(F.col("qvec"), F.col("w"))
+                    + dot(F.col("w"), F.col("w"))
+                ).alias("adc_dist"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "adc_dist", "rank")
+        )
     qrows = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     ).collect()

@@ -660,7 +660,58 @@ hof AS (
       AS dot_sum,
     round(CAST(sum(CAST(clip AS DECIMAL(25,9))) AS DOUBLE), 6)
       AS clip_sum
-  FROM hofd)
+  FROM hofd),
+-- PRODUCT-QUANTIZATION twin (round 10, operators/pq.py portable
+-- path): codebook = the 16 hash-min embedding vectors (code j = j-th
+-- seed in id order), per-subspace assignment by the SAME fold-exact
+-- distance form the Spark expression encoder uses (||c||^2 - 2 x.c,
+-- ties to the smaller code), ADC = q.q - 2 q.w + w.w over the
+-- reconstructed vector. Digests: md5-prefix BIGINT of the row string
+-- mod 2^31-1, exact-summed — order-independent and corpus-complete.
+pq_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pq_seeds AS (
+  SELECT vec_id, v FROM pq_e
+  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 16),
+pq_cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+           AS code, v
+  FROM pq_seeds),
+pq_subs AS (
+  SELECT cb.code, t.s, list_slice(cb.v, t.s*8 + 1, t.s*8 + 8) AS c
+  FROM pq_cb cb, range(8) t(s)),
+pq_esub AS (
+  SELECT e.vec_id, t.s, list_slice(e.v, t.s*8 + 1, t.s*8 + 8) AS x
+  FROM pq_e e, range(8) t(s)),
+pq_assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT es.vec_id, es.s, sb.code,
+      row_number() OVER (PARTITION BY es.vec_id, es.s
+        ORDER BY list_dot_product(sb.c, sb.c)
+                 - 2*list_dot_product(es.x, sb.c) ASC,
+                 sb.code ASC) AS rn
+    FROM pq_esub es JOIN pq_subs sb ON sb.s = es.s) WHERE rn = 1),
+pq_codes AS (
+  SELECT vec_id,
+    array_to_string(list(code ORDER BY s), '-') AS cs
+  FROM pq_assign GROUP BY vec_id),
+pq_recon AS (
+  SELECT a.vec_id, flatten(list(sb.c ORDER BY a.s)) AS w
+  FROM pq_assign a JOIN pq_subs sb ON sb.s = a.s AND sb.code = a.code
+  GROUP BY a.vec_id),
+pq_scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+    list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, r.w)
+      + list_dot_product(r.w, r.w) AS adc_dist
+  FROM pq_recon r
+  CROSS JOIN (SELECT vec_id, v FROM pq_e WHERE vec_id < 10) q
+  WHERE r.vec_id != q.vec_id),
+pq_top AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, cand_id) AS INTEGER) AS rank
+    FROM pq_scored) WHERE rank <= 5)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -694,6 +745,20 @@ UNION ALL SELECT 'hof_sq_norm_sum', sq_sum FROM hof
 UNION ALL SELECT 'hof_pos_components', CAST(pos_sum AS DOUBLE) FROM hof
 UNION ALL SELECT 'hof_dot_rev_sum', dot_sum FROM hof
 UNION ALL SELECT 'hof_clip_sum', clip_sum FROM hof
+UNION ALL SELECT 'pq_code_digest',
+  CAST(SUM(CAST('0x' || substring(md5(vec_id || ':' || cs), 1, 15)
+       AS BIGINT) % 2147483647) AS DOUBLE)
+  FROM pq_codes
+UNION ALL SELECT 'pq_encoded_rows', CAST(count(*) AS DOUBLE) FROM pq_codes
+UNION ALL SELECT 'pq_topk_digest',
+  CAST(SUM(CAST('0x' || substring(
+       md5(query_id || ':' || cand_id || ':' || rank), 1, 15)
+       AS BIGINT) % 2147483647) AS DOUBLE)
+  FROM pq_top
+UNION ALL SELECT 'pq_adc_dist_sum',
+  CAST(round(CAST(SUM(CAST(round(adc_dist, 9) AS DECIMAL(25,9)))
+       AS DOUBLE), 6) AS DOUBLE)
+  FROM pq_top
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc

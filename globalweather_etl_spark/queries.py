@@ -520,6 +520,12 @@ def q_tpch_scalar_checks(spark, sf_dir):
     parsing, LATERAL FLATTEN inner/outer, typed array elements) over
     per-order synthesized nested JSON vs DuckDB's JSON kernel.
 
+    Round 10 grades PRODUCT QUANTIZATION (operators/pq.py) here via
+    corpus-complete digests — see the pq_* block below for the
+    mechanism (portable codebooks, expression argmin encode,
+    exact-fold ADC top-k; any code flip or rank swap anywhere in the
+    corpus changes a digest).
+
     Round 7 additionally grades the merge-on-read DELETION-VECTOR
     path (dv_*: the same base through a merge-on-read MERGE, then
     delete_where — no file rewritten, only (file, pos) vectors — then
@@ -694,6 +700,69 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ("hof_clip_sum", "clip_sum"),
         ],
     )
+
+    # Round 10: PRODUCT QUANTIZATION graded end-to-end (operators/
+    # pq.py) through the portable path — md5-sampled raw-copy
+    # codebooks (train_pq(portable=True, iters=0): code j = j-th
+    # hash-min seed in id order), expression argmin encode
+    # (impl='expr': every candidate distance a sequential left fold,
+    # ties to the smaller code), and exact-fold ADC top-5 (||q-w||^2
+    # = q.q - 2 q.w + w.w over the reconstructed vector). Coverage is
+    # corpus-COMPLETE via order-independent digests: each row's
+    # md5-prefix hash of "id:code-string" (respectively
+    # "query:cand:rank") reduced mod 2^31-1 and exact-summed — any
+    # single code flip or rank swap anywhere in the corpus changes
+    # the sum; values stay < 2^53 so the BIGINT sum is exact in both
+    # engines and round-trips the double cast. adc distances take the
+    # round(9) -> DECIMAL exact-sum route every double family here
+    # uses. The Arrow LUT paths stay the 100 TB scale paths; their
+    # value parity with these graded forms is pinned in test_pq.py.
+    from globalweather_etl_spark.operators.dedup import _md5_long
+    from globalweather_etl_spark.operators.pq import (
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
+
+    _dig_p = F.lit(2147483647)
+    pq_books = train_pq(emb_t, m=8, k=16, iters=0, portable=True)
+    pq_enc = encode_pq(emb_t, pq_books, impl="expr")
+    pq_code_str = F.concat_ws(
+        "-", F.transform(F.col("pq_codes"), lambda c: c.cast("string"))
+    )
+    pq_codes_fam = _unpivot_metrics(
+        pq_enc.select(
+            F.concat_ws(
+                ":", F.col("vec_id").cast("string"), pq_code_str
+            ).alias("s")
+        ).agg(
+            F.sum(_md5_long(F.col("s")) % _dig_p).alias("cd"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        [("pq_code_digest", "cd"), ("pq_encoded_rows", "n")],
+    )
+    pq_top = pq_topk(
+        pq_enc, emb_t.filter(F.col("vec_id") < 10), pq_books, k=5,
+        impl="expr",
+    )
+    pq_topk_fam = _unpivot_metrics(
+        pq_top.select(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("cand_id").cast("string"),
+                F.col("rank").cast("string"),
+            ).alias("s"),
+            F.round(F.col("adc_dist"), 9).alias("d9"),
+        ).agg(
+            F.sum(_md5_long(F.col("s")) % _dig_p).alias("td"),
+            F.round(
+                F.sum(F.col("d9").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("ds"),
+        ),
+        [("pq_topk_digest", "td"), ("pq_adc_dist_sum", "ds")],
+    )
+    pqfam = pq_codes_fam.unionAll(pq_topk_fam)
 
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
@@ -1454,6 +1523,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(constant_join)
         .unionAll(unp)
         .unionAll(hof)
+        .unionAll(pqfam)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)

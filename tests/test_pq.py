@@ -180,3 +180,80 @@ def test_ivfpq_scores_are_cosine_like(spark):
         # quantization can push the estimate slightly past the cosine
         # range; it must stay near it
         assert -1.2 <= r["adc_cos"] <= 1.2
+
+
+# --- round 10: the portable / expression (oracle) path ---------------
+
+
+@pytest.fixture(scope="module")
+def portable_books(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return emb, train_pq(emb, m=8, k=16, iters=0, portable=True)
+
+
+def test_portable_seeds_are_id_ordered_raw_copies(spark, portable_books):
+    """portable codebooks are RAW subvector copies of input vectors
+    (no Lloyd arithmetic) with code j = j-th hash-min seed in id
+    order — the invariant the DuckDB twin's row_number() numbering
+    depends on."""
+    emb, books = portable_books
+    assert books.shape == (8, 16, 8)
+    by_vec = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    # every codebook column j must be an exact slice of SOME input
+    # vector, and the id of that vector must increase with j
+    ids = []
+    for j in range(16):
+        full = np.concatenate([books[s, j] for s in range(8)])
+        matches = [v for v, vec in by_vec.items() if np.array_equal(vec, full)]
+        assert matches, f"code {j} is not a raw copy of any input vector"
+        ids.append(min(matches))
+    assert ids == sorted(ids), "codebook indexing is not id-ordered"
+
+
+def test_encode_expr_matches_arrow(spark, portable_books):
+    """The order-fixed expression encoder and the Arrow scale path
+    assign identical codes on the real embeddings — the empirical
+    margin check behind grading the expr form while shipping the
+    Arrow form."""
+    emb, books = portable_books
+    a = {
+        r["vec_id"]: r["pq_codes"]
+        for r in encode_pq(emb, books, impl="arrow").collect()
+    }
+    e = {
+        r["vec_id"]: r["pq_codes"]
+        for r in encode_pq(emb, books, impl="expr").collect()
+    }
+    assert a == e
+
+
+def test_pq_topk_expr_matches_lut(spark, portable_books):
+    """impl='expr' (exact-fold ADC through the reconstruction) and the
+    LUT scale path compute the same objective: identical (query, cand,
+    rank) sets and distances equal to float tolerance."""
+    emb, books = portable_books
+    enc = encode_pq(emb, books, impl="expr")
+    q = emb.filter(F.col("vec_id") < 5)
+    lut = {
+        (r["query_id"], r["cand_id"]): (r["rank"], r["adc_dist"])
+        for r in pq_topk(enc, q, books, k=5, impl="arrow").collect()
+    }
+    ex = {
+        (r["query_id"], r["cand_id"]): (r["rank"], r["adc_dist"])
+        for r in pq_topk(enc, q, books, k=5, impl="expr").collect()
+    }
+    assert set(lut) == set(ex)
+    for key, (rank_l, d_l) in lut.items():
+        rank_e, d_e = ex[key]
+        assert rank_l == rank_e
+        assert abs(d_l - d_e) < 1e-9
+
+
+def test_pq_topk_expr_rejects_cosine(spark, portable_books):
+    emb, books = portable_books
+    enc = encode_pq(emb, books, impl="expr")
+    with pytest.raises(ValueError, match="l2"):
+        pq_topk(enc, emb.limit(1), books, metric="cosine", impl="expr")
