@@ -27,12 +27,16 @@ iteration anyway (centroids_t+1 is a global aggregate of
 assignment_t), so collecting k x dim doubles per step is the minimal
 possible barrier payload.
 
-Floating-point note: centroid components are partition-order-dependent
-double means, so clustering has no bit-exact cross-engine oracle (the
-same reason IVF's Lloyd refinement is outside the oracle surface —
-similarity.py docstring); tests pin behavior with separable fixtures,
-an objective-improvement check, and arrow-vs-expression assignment
-parity instead.
+Floating-point note: LLOYD-refined centroid components are
+partition-order-dependent double means, so trained clustering has no
+bit-exact cross-engine oracle (the same reason IVF's Lloyd refinement
+is outside the oracle surface — similarity.py docstring); tests pin
+behavior with separable fixtures, an objective-improvement check, and
+arrow-vs-expression assignment parity instead. ``portable_centroids``
+is the exception: md5-sampled, fold-normalized seeds with NO
+refinement — every component derivable bit-identically in DuckDB —
+which is what lets semdedup run under an exact oracle (the sd_* rows
+of tpch_scalar_checks).
 """
 
 from __future__ import annotations
@@ -55,7 +59,49 @@ from globalweather_etl_spark.operators.vector_arrow import (
     centroid_rows_to_matrix,
 )
 
-__all__ = ["fit_kmeans", "assign_clusters", "cluster_sizes"]
+__all__ = [
+    "fit_kmeans",
+    "assign_clusters",
+    "cluster_sizes",
+    "portable_centroids",
+]
+
+
+def portable_centroids(
+    embeddings: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-mode ``(cluster_id, centroid)`` table (the
+    ivf_cosine_topk portable convention): seeds are the n smallest
+    md5-prefix hashes of the stringified id, numbered 1..n in ID
+    order, L2-normalized by the sequential-fold norm — so DuckDB
+    derives every centroid component bit-identically with
+      [x / sqrt(list_dot_product(v, v)) FOR x IN v]
+    over the same hash-min sample. No Lloyd refinement, which is
+    exactly what keeps downstream assign_clusters / semdedup
+    similarities inside the exact cross-engine oracle surface."""
+    from globalweather_etl_spark.operators.dedup import _md5_long
+
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    return (
+        cand.orderBy(_md5_long(F.col("cand_id").cast("string")), "cand_id")
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(
+                Window.partitionBy(deliberate_single_partition()).orderBy(
+                    "cand_id"
+                )
+            )
+            .cast("int")
+            .alias("cluster_id"),
+            _normalize(F.col("cvec")).alias("centroid"),
+        )
+    )
 
 
 def fit_kmeans(

@@ -711,7 +711,46 @@ pq_top AS (
   SELECT * FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adc_dist ASC, cand_id) AS INTEGER) AS rank
-    FROM pq_scored) WHERE rank <= 5)
+    FROM pq_scored) WHERE rank <= 5),
+-- SEMDEDUP twin (round 10, operators/semdedup.py): portable
+-- centroids = the 8 hash-min vectors fold-normalized (kmeans.py
+-- portable_centroids), assignment = argmax dot with ties to the
+-- LARGER cluster_id (the Arrow argmax convention), sim = fold
+-- cosine to the chosen centroid, and i is pruned iff some
+-- farther-from-centroid (ties: lower-id) j in its cluster has
+-- cosine(i, j) >= 0.4.
+sd_seeds AS (
+  SELECT vec_id, v FROM pq_e
+  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+sd_cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+           AS cluster_id,
+    [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
+  FROM sd_seeds),
+sd_assign AS (
+  SELECT vec_id, v, cluster_id,
+    list_dot_product(v, c)
+      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
+      AS sim
+  FROM (
+    SELECT e.vec_id, e.v, c.cluster_id, c.c,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_dot_product(e.v, c.c) DESC, c.cluster_id DESC)
+        AS rn
+    FROM pq_e e CROSS JOIN sd_cent c) WHERE rn = 1),
+sd_dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM sd_assign a JOIN sd_assign b
+    ON b.cluster_id = a.cluster_id AND b.vec_id != a.vec_id
+  WHERE (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+    AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+sd AS (
+  SELECT a.vec_id, a.cluster_id, a.sim, (d.vec_id IS NULL) AS is_kept
+  FROM sd_assign a LEFT JOIN sd_dom d ON d.vec_id = a.vec_id)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -759,6 +798,18 @@ UNION ALL SELECT 'pq_adc_dist_sum',
   CAST(round(CAST(SUM(CAST(round(adc_dist, 9) AS DECIMAL(25,9)))
        AS DOUBLE), 6) AS DOUBLE)
   FROM pq_top
+UNION ALL SELECT 'sd_rows', CAST(count(*) AS DOUBLE) FROM sd
+UNION ALL SELECT 'sd_kept_rows',
+  CAST(count(*) FILTER (WHERE is_kept) AS DOUBLE) FROM sd
+UNION ALL SELECT 'sd_digest',
+  CAST(SUM(CAST('0x' || substring(md5(vec_id || ':' || cluster_id
+       || ':' || CAST(is_kept AS VARCHAR)), 1, 15) AS BIGINT)
+       % 2147483647) AS DOUBLE)
+  FROM sd
+UNION ALL SELECT 'sd_sim_sum',
+  CAST(round(CAST(SUM(CAST(round(sim, 9) AS DECIMAL(25,9)))
+       AS DOUBLE), 6) AS DOUBLE)
+  FROM sd
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc

@@ -764,6 +764,52 @@ def q_tpch_scalar_checks(spark, sf_dir):
     )
     pqfam = pq_codes_fam.unionAll(pq_topk_fam)
 
+    # Round 10: SEMDEDUP graded end-to-end (operators/semdedup.py,
+    # Abbas et al. 2023) under the same portable regime: centroids
+    # from kmeans.portable_centroids (md5-sampled, fold-normalized,
+    # NO Lloyd — every component DuckDB-derivable bit-exactly),
+    # eps=0.4 scaled to this synthetic corpus like the neardup slot.
+    # cluster_sim and the dominance cosines are sequential-fold
+    # expressions, so keep/prune decisions and sims mirror exactly;
+    # the digest covers every (vec_id, cluster_id, is_kept) triple
+    # corpus-wide. Assignment ties follow the Arrow argmax convention
+    # (larger cluster_id), mirrored by the twin's ORDER BY ... DESC.
+    from globalweather_etl_spark.operators.kmeans import (
+        portable_centroids,
+    )
+    from globalweather_etl_spark.operators.semdedup import semdedup
+
+    sd = semdedup(
+        emb_t, 8, eps=0.4,
+        centroids=portable_centroids(emb_t, 8),
+        keep="far_from_centroid",
+    )
+    sdfam = _unpivot_metrics(
+        sd.select(
+            F.concat_ws(
+                ":",
+                F.col("vec_id").cast("string"),
+                F.col("cluster_id").cast("string"),
+                F.col("is_kept").cast("string"),
+            ).alias("s"),
+            F.round(F.col("cluster_sim"), 9).alias("d9"),
+            F.col("is_kept"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("is_kept")).alias("kept"),
+            F.sum(_md5_long(F.col("s")) % _dig_p).alias("dg"),
+            F.round(
+                F.sum(F.col("d9").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("ss"),
+        ),
+        [
+            ("sd_rows", "n"),
+            ("sd_kept_rows", "kept"),
+            ("sd_digest", "dg"),
+            ("sd_sim_sum", "ss"),
+        ],
+    )
+
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
         table_diff,
@@ -1524,6 +1570,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(unp)
         .unionAll(hof)
         .unionAll(pqfam)
+        .unionAll(sdfam)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)

@@ -110,3 +110,35 @@ def test_cluster_balanced_cap_composition(spark):
     )
     for r in kept_per_cluster:
         assert r["count"] == min(10, sizes[r["cluster_id"]])
+
+
+def test_portable_centroids_are_normalized_id_ordered_seeds(spark):
+    """portable_centroids: md5-hash-min sample, numbered in id order,
+    components = fold-normalized copies of input vectors — the
+    invariants the DuckDB semdedup twin (sd_* rows) depends on."""
+    import numpy as np
+
+    from globalweather_etl_spark.operators.kmeans import portable_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        portable_centroids(emb, 8).collect(), key=lambda r: r["cluster_id"]
+    )
+    assert [r["cluster_id"] for r in rows] == list(range(1, 9))
+    by_vec = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    ids = []
+    for r in rows:
+        c = np.asarray(r["centroid"], dtype=np.float64)
+        assert abs(float(c @ c) - 1.0) < 1e-12  # unit norm
+        # must be a normalized copy of SOME input vector
+        matches = [
+            v
+            for v, vec in by_vec.items()
+            if np.allclose(vec / np.sqrt(vec @ vec), c, atol=1e-12)
+        ]
+        assert matches, "centroid is not a normalized input vector"
+        ids.append(min(matches))
+    assert ids == sorted(ids), "cluster numbering is not id-ordered"
