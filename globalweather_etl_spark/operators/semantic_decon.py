@@ -22,10 +22,13 @@ matrix, fall back to the bucketed cross-table form
 (`operators.similarity.lsh_range_pairs` over the union) — the trade
 is a shuffle for unbounded bench size.
 
-Float caveat: scores are double matmuls — no bit-exact cross-engine
-oracle (same reason as kmeans/PQ, see their docstrings); tests pin
-planted-paraphrase recall, clean-doc pass-through, threshold
-monotonicity, NumPy parity on the scores, and determinism.
+Float caveat: the Arrow scores are double matmuls — no bit-exact
+cross-engine oracle for THAT path (same reason as kmeans/PQ, see
+their docstrings); tests pin planted-paraphrase recall, clean-doc
+pass-through, threshold monotonicity, NumPy parity on the scores,
+and determinism. impl='expr' is the exception: sequential-fold
+cosines against a broadcast benchmark frame, bit-exact in DuckDB —
+graded as the sdc_* rows of tpch_scalar_checks.
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
     bench_vec_col: str | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """The corpus unchanged plus three columns: ``max_bench_cos`` (max
     cosine to any benchmark embedding), ``matched_bench_id`` (the
@@ -59,11 +63,63 @@ def semantic_decontaminate(
     (max_bench_cos >= eps). Zero-norm corpus vectors surface with a
     NULL score (the batch matmul yields NaN, which the Arrow return
     path maps to SQL NULL) and are never flagged or attributed —
-    matching the cosine semantics of the exact operators."""
+    matching the cosine semantics of the exact operators.
+
+    impl='expr' (the ORACLE path): scores every (corpus, bench) pair
+    with the sequential-fold cosine through a broadcast join and takes
+    the per-corpus-row max with a window — bit-exact in DuckDB
+    (list_dot_product twin). Two contract differences, both
+    documented: ties break on the SMALLER BENCH ID (deterministic
+    regardless of benchmark row order — the Arrow path's position rule
+    depends on it), and ``id_col`` must be unique per corpus row (the
+    window key). The Arrow matmul stays the scale path: the expr form
+    materializes corpus x bench pair rows, the matmul never does."""
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"eps must be in (0, 1], got {eps}")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
     bench_id_col = bench_id_col or id_col
     bench_vec_col = bench_vec_col or vec_col
+    if impl == "expr":
+        from pyspark.sql import Window
+
+        from globalweather_etl_spark.operators.similarity import (
+            cosine,
+            l2_norm,
+        )
+
+        bench2 = benchmark.select(
+            F.col(bench_id_col).alias("__bid"),
+            _as_double(F.col(bench_vec_col)).alias("__bvec"),
+        )
+        cvec = _as_double(F.col(vec_col))
+        score = F.when(l2_norm(cvec) == 0.0, F.lit(None).cast("double")).otherwise(
+            cosine(cvec, F.col("__bvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc_nulls_last("__cos"), F.asc("__bid")
+        )
+        return (
+            spread_for_compute(corpus)
+            .crossJoin(F.broadcast(bench2))
+            .withColumn("__cos", score)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn("max_bench_cos", F.col("__cos"))
+            .withColumn(
+                "matched_bench_id",
+                F.when(
+                    F.col("max_bench_cos").isNotNull()
+                    & ~F.isnan("max_bench_cos"),
+                    F.col("__bid"),
+                ),
+            )
+            .withColumn(
+                "is_semantic_contaminated",
+                F.coalesce(F.col("max_bench_cos") >= eps, F.lit(False)),
+            )
+            .drop("__bid", "__bvec", "__cos", "__rn")
+        )
     rows = benchmark.select(
         F.col(bench_id_col).alias("__bid"),
         _as_double(F.col(bench_vec_col)).alias("__bvec"),

@@ -750,7 +750,27 @@ sd_dom AS (
          * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
 sd AS (
   SELECT a.vec_id, a.cluster_id, a.sim, (d.vec_id IS NULL) AS is_kept
-  FROM sd_assign a LEFT JOIN sd_dom d ON d.vec_id = a.vec_id)
+  FROM sd_assign a LEFT JOIN sd_dom d ON d.vec_id = a.vec_id),
+-- SEMANTIC-DECONTAMINATION twin (round 10, operators/
+-- semantic_decon.py impl='expr'): benchmark = the vec_id % 7 = 0
+-- slice; per corpus row the max fold-cosine to any benchmark row
+-- (ties to the smaller bench id), NULL-guarded for zero-norm
+-- vectors, flagged at >= 0.4.
+sdc_b AS (SELECT vec_id AS bid, v FROM pq_e WHERE vec_id % 7 = 0),
+sdc_s AS (
+  SELECT c.vec_id, b.bid,
+    CASE WHEN sqrt(list_dot_product(c.v, c.v)) = 0 THEN NULL
+         ELSE list_dot_product(c.v, b.v)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(b.v, b.v))) END AS cos
+  FROM pq_e c CROSS JOIN sdc_b b),
+sdc AS (
+  SELECT vec_id, cos AS max_bench_cos,
+    CASE WHEN cos IS NOT NULL AND NOT isnan(cos) THEN bid END AS mbid,
+    coalesce(cos >= 0.4, FALSE) AS flag
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC NULLS LAST, bid ASC) AS rn FROM sdc_s)
+  WHERE rn = 1)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -810,6 +830,19 @@ UNION ALL SELECT 'sd_sim_sum',
   CAST(round(CAST(SUM(CAST(round(sim, 9) AS DECIMAL(25,9)))
        AS DOUBLE), 6) AS DOUBLE)
   FROM sd
+UNION ALL SELECT 'sdc_rows', CAST(count(*) AS DOUBLE) FROM sdc
+UNION ALL SELECT 'sdc_flagged_rows',
+  CAST(count(*) FILTER (WHERE flag) AS DOUBLE) FROM sdc
+UNION ALL SELECT 'sdc_digest',
+  CAST(SUM(CAST('0x' || substring(md5(vec_id || ':'
+       || coalesce(CAST(mbid AS VARCHAR), '-1') || ':'
+       || CAST(flag AS VARCHAR)), 1, 15) AS BIGINT)
+       % 2147483647) AS DOUBLE)
+  FROM sdc
+UNION ALL SELECT 'sdc_cos_sum',
+  CAST(round(CAST(SUM(CAST(round(max_bench_cos, 9) AS DECIMAL(25,9)))
+       AS DOUBLE), 6) AS DOUBLE)
+  FROM sdc
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc

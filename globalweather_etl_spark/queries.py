@@ -810,6 +810,51 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 10: SEMANTIC DECONTAMINATION graded end-to-end
+    # (operators/semantic_decon.py, impl='expr' — sequential-fold
+    # cosines vs a broadcast benchmark, per-row max by window). The
+    # benchmark is the deterministic vec_id % 7 == 0 slice (bounded,
+    # broadcast-sized); eps=0.4 scaled to this corpus like the
+    # neardup/semdedup slots. The digest covers every corpus row's
+    # (matched_bench_id, is_semantic_contaminated) attribution —
+    # matched ids coalesce to '-1' so a NULL attribution is still a
+    # distinct digest input in both engines (concat_ws drops NULLs).
+    from globalweather_etl_spark.operators.semantic_decon import (
+        semantic_decontaminate,
+    )
+
+    sdc = semantic_decontaminate(
+        emb_t, emb_t.filter(F.col("vec_id") % 7 == 0), eps=0.4,
+        impl="expr",
+    )
+    sdcfam = _unpivot_metrics(
+        sdc.select(
+            F.concat_ws(
+                ":",
+                F.col("vec_id").cast("string"),
+                F.coalesce(
+                    F.col("matched_bench_id").cast("string"), F.lit("-1")
+                ),
+                F.col("is_semantic_contaminated").cast("string"),
+            ).alias("s"),
+            F.round(F.col("max_bench_cos"), 9).alias("d9"),
+            F.col("is_semantic_contaminated").alias("fl"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("fl")).alias("flagged"),
+            F.sum(_md5_long(F.col("s")) % _dig_p).alias("dg"),
+            F.round(
+                F.sum(F.col("d9").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("cs"),
+        ),
+        [
+            ("sdc_rows", "n"),
+            ("sdc_flagged_rows", "flagged"),
+            ("sdc_digest", "dg"),
+            ("sdc_cos_sum", "cs"),
+        ],
+    )
+
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
         table_diff,
@@ -1571,6 +1616,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(hof)
         .unionAll(pqfam)
         .unionAll(sdfam)
+        .unionAll(sdcfam)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)

@@ -111,3 +111,36 @@ def test_real_embeddings_self_screen(spark):
         for r in out.filter("is_semantic_contaminated").collect()
     }
     assert {0, 1, 2, 3, 4} <= hits
+
+
+def test_expr_matches_arrow_on_real_embeddings(spark):
+    """impl='expr' (the graded fold-cosine path) and the Arrow matmul
+    scale path agree on the real embeddings: identical attributions
+    and flags, scores equal to float tolerance."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    cols = ["vec_id", "max_bench_cos", "matched_bench_id",
+            "is_semantic_contaminated"]
+    a = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(emb, bench, eps=0.4)
+        .select(*cols).collect()
+    }
+    e = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(emb, bench, eps=0.4, impl="expr")
+        .select(*cols).collect()
+    }
+    assert set(a) == set(e)
+    for v, ra in a.items():
+        re_ = e[v]
+        assert ra["matched_bench_id"] == re_["matched_bench_id"]
+        assert ra["is_semantic_contaminated"] == re_["is_semantic_contaminated"]
+        assert abs(ra["max_bench_cos"] - re_["max_bench_cos"]) < 1e-9
+
+
+def test_expr_rejects_unknown_impl(spark, planted):
+    corpus, bench = planted
+    with pytest.raises(ValueError, match="impl"):
+        semantic_decontaminate(corpus, bench, bench_id_col="bench_id",
+                               impl="nope")
