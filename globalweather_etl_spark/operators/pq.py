@@ -68,6 +68,7 @@ __all__ = [
     "decode_pq",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_encode_portable",
     "codebooks_to_df",
     "codebooks_from_df",
 ]
@@ -400,6 +401,74 @@ def pq_topk(
     return out
 
 
+def ivfpq_encode_portable(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Index-build half of the PORTABLE (oracle-mode) IVF-PQ pipeline;
+    returns ``(encoded, centroids, codebooks)`` where encoded carries
+    (id, list_id, pq_codes), centroids is the (cluster_id, centroid)
+    frame, and codebooks the (m, k_codes, d/m) ndarray over RESIDUALS.
+
+    Every value-producing step is order-fixed so DuckDB derives the
+    identical index: coarse centroids from kmeans.portable_centroids
+    (md5-sampled, fold-normalized, no Lloyd), coarse assignment an
+    EXPRESSION argmax of fold dots (ties to the larger list — the
+    Arrow argmax convention), residuals one zip_with subtraction, and
+    residual codebooks/codes through train_pq(portable=True,
+    iters=0) + encode_pq(impl='expr'). The Lloyd-trained Arrow
+    pipeline in ivfpq_topk stays the scale path; this is the graded
+    form behind the ivfpq_* rows of tpch_scalar_checks."""
+    from globalweather_etl_spark.operators.kmeans import portable_centroids
+    from globalweather_etl_spark.operators.similarity import _normalize
+
+    cand = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("cand_id"),
+        _normalize(_as_double(F.col(vec_col))).alias("nvec"),
+    )
+    cent = portable_centroids(embeddings, n_lists, id_col, vec_col)
+    crows = sorted(cent.collect(), key=lambda r: r["cluster_id"])
+    if len(crows) < n_lists:
+        raise ValueError(
+            f"n_lists={n_lists} exceeds the {len(crows)} input vectors"
+        )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.col("nvec"),
+                        F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                    ).alias("d"),
+                    F.lit(int(r["cluster_id"])).alias("l"),
+                )
+                for r in crows
+            ]
+        )
+    )["l"]
+    assigned = cand.withColumn("list_id", best)
+    cent2 = cent.select(
+        F.col("cluster_id").alias("list_id"), F.col("centroid").alias("__cent")
+    )
+    residuals = assigned.join(F.broadcast(cent2), "list_id").select(
+        "cand_id",
+        "list_id",
+        F.zip_with("nvec", "__cent", lambda a, b: a - b).alias("res"),
+    )
+    books = train_pq(
+        residuals, m=m, k=k_codes, iters=0, id_col="cand_id",
+        vec_col="res", portable=True,
+    )
+    encoded = encode_pq(residuals, books, vec_col="res", impl="expr").select(
+        "cand_id", "list_id", "pq_codes"
+    )
+    return encoded, cent, books
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -412,6 +481,7 @@ def ivfpq_topk(
     pq_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """IVF-PQ (the FAISS billion-scale recipe, Jégou 2011 §V): coarse
     spherical-k-means lists prune the search space, PQ over the
@@ -433,13 +503,89 @@ def ivfpq_topk(
     Returns (query_id, cand_id, adc_cos, rank) — rank by ADC score,
     ties to the smaller candidate id. Like pq_topk this is a
     candidate generator: exact rerank of the top-R survivors is one
-    join back to the raw vectors."""
+    join back to the raw vectors.
+
+    portable=True (the ORACLE path) swaps the whole pipeline for the
+    cross-engine-exact composition: index from ivfpq_encode_portable
+    (coarse_iters/pq_iters are ignored — no Lloyd by construction),
+    probes = the n_probe best centroids per query by fold dot (ties
+    to the SMALLER list, the numpy argsort first-occurrence rule the
+    Arrow path uses), and scoring the exact-fold residual ADC
+    1 - (u.u - 2 u.w + w.w)/2 where u = q_normalized - centroid and
+    w is the residual reconstruction from codes. Bit-exact in DuckDB
+    end to end."""
     from globalweather_etl_spark.operators.kmeans import fit_kmeans
     from globalweather_etl_spark.operators.similarity import _normalize
     from globalweather_etl_spark.operators.vector_arrow import (
         argmax_centroid_arrow,
         centroid_rows_to_matrix,
     )
+
+    if portable:
+        encoded, cent, books = ivfpq_encode_portable(
+            embeddings, n_lists=n_lists, m=m, k_codes=k_codes,
+            id_col=id_col, vec_col=vec_col,
+        )
+        mm, kc, dsub = books.shape
+        cent2 = cent.select(
+            F.col("cluster_id").alias("list_id"),
+            F.col("centroid").alias("__cent"),
+        )
+        qn = queries.select(
+            F.col(id_col).alias("query_id"),
+            _normalize(_as_double(F.col(vec_col))).alias("qn"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.desc("__d"), F.asc("list_id")
+        )
+        probes = (
+            qn.crossJoin(F.broadcast(cent2))
+            .withColumn("__d", dot(F.col("qn"), F.col("__cent")))
+            .withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") <= n_probe)
+            .select("query_id", "qn", "list_id", "__cent")
+        )
+        cb_flat = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in books[s, j]])
+                for s in range(mm)
+                for j in range(kc)
+            ]
+        )
+        w_arr = F.flatten(
+            F.transform(
+                F.col("pq_codes"),
+                lambda c, s: F.element_at(cb_flat, s * kc + c + F.lit(1)),
+            )
+        )
+        u = F.zip_with("qn", "__cent", lambda a, b: a - b)
+        scored = (
+            probes.join(encoded, "list_id")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("__u", u)
+            .withColumn("__w", w_arr)
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    F.lit(1.0)
+                    - (
+                        dot(F.col("__u"), F.col("__u"))
+                        - F.lit(2.0) * dot(F.col("__u"), F.col("__w"))
+                        + dot(F.col("__w"), F.col("__w"))
+                    )
+                    / F.lit(2.0)
+                ).alias("adc_cos"),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_cos"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "adc_cos", "rank")
+        )
 
     cand = spread_for_compute(embeddings).select(
         F.col(id_col).alias("cand_id"),

@@ -770,7 +770,83 @@ sdc AS (
     coalesce(cos >= 0.4, FALSE) AS flag
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY cos DESC NULLS LAST, bid ASC) AS rn FROM sdc_s)
-  WHERE rn = 1)
+  WHERE rn = 1),
+-- IVF-PQ twin (round 10, operators/pq.py portable composition):
+-- coarse centroids = sd_cent (the same 8 hash-min normalized
+-- seeds), assignment by fold dot with ties to the LARGER list,
+-- residual r = normalized vector minus its centroid, residual
+-- codebook = the 16 hash-min residuals (id-ordered), residual
+-- codes by the fold-exact argmin, probes = 3 best centroids per
+-- query (ties to the SMALLER list), score = 1-(u.u-2u.w+w.w)/2.
+iq_n AS (
+  SELECT vec_id, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS nv
+  FROM pq_e),
+iq_asg AS (
+  SELECT vec_id, nv, cluster_id AS list_id, c FROM (
+    SELECT n.vec_id, n.nv, c.cluster_id, c.c,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY list_dot_product(n.nv, c.c) DESC, c.cluster_id DESC)
+        AS rn
+    FROM iq_n n CROSS JOIN sd_cent c) WHERE rn = 1),
+iq_res AS (
+  SELECT vec_id, list_id,
+    list_transform(nv, (x, i) -> x - c[i]) AS r
+  FROM iq_asg),
+iq_rseeds AS (
+  SELECT vec_id, r FROM iq_res
+  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 16),
+iq_rcb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+           AS code, r
+  FROM iq_rseeds),
+iq_rsubs AS (
+  SELECT cb.code, t.s, list_slice(cb.r, t.s*8 + 1, t.s*8 + 8) AS c
+  FROM iq_rcb cb, range(8) t(s)),
+iq_xsubs AS (
+  SELECT iq_res.vec_id, t.s,
+    list_slice(iq_res.r, t.s*8 + 1, t.s*8 + 8) AS x
+  FROM iq_res, range(8) t(s)),
+iq_passign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT xs.vec_id, xs.s, sb.code,
+      row_number() OVER (PARTITION BY xs.vec_id, xs.s
+        ORDER BY list_dot_product(sb.c, sb.c)
+                 - 2*list_dot_product(xs.x, sb.c) ASC,
+                 sb.code ASC) AS rn
+    FROM iq_xsubs xs JOIN iq_rsubs sb ON sb.s = xs.s) WHERE rn = 1),
+iq_codes AS (
+  SELECT vec_id, array_to_string(list(code ORDER BY s), '-') AS cs
+  FROM iq_passign GROUP BY vec_id),
+iq_recon AS (
+  SELECT p.vec_id, flatten(list(sb.c ORDER BY p.s)) AS w
+  FROM iq_passign p
+  JOIN iq_rsubs sb ON sb.s = p.s AND sb.code = p.code
+  GROUP BY p.vec_id),
+iq_probe AS (
+  SELECT query_id, list_id,
+    list_transform(nv, (x, i) -> x - c[i]) AS u
+  FROM (
+    SELECT q.vec_id AS query_id, q.nv, c.cluster_id AS list_id, c.c,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.nv, c.c) DESC, c.cluster_id ASC)
+        AS rn
+    FROM iq_n q CROSS JOIN sd_cent c WHERE q.vec_id < 10)
+  WHERE rn <= 3),
+iq_scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    1 - (list_dot_product(p.u, p.u) - 2*list_dot_product(p.u, r.w)
+         + list_dot_product(r.w, r.w)) / 2 AS adc_cos
+  FROM iq_probe p
+  JOIN iq_asg a ON a.list_id = p.list_id
+  JOIN iq_recon r ON r.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id),
+iq_top AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_cos DESC, cand_id) AS INTEGER) AS rank
+    FROM iq_scored) WHERE rank <= 5)
 SELECT 'set_ops_customers' AS "check", CAST(count(*) AS DOUBLE) AS value FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
@@ -843,6 +919,20 @@ UNION ALL SELECT 'sdc_cos_sum',
   CAST(round(CAST(SUM(CAST(round(max_bench_cos, 9) AS DECIMAL(25,9)))
        AS DOUBLE), 6) AS DOUBLE)
   FROM sdc
+UNION ALL SELECT 'ivfpq_code_digest',
+  CAST(SUM(CAST('0x' || substring(md5(a.vec_id || ':' || a.list_id
+       || ':' || c.cs), 1, 15) AS BIGINT) % 2147483647) AS DOUBLE)
+  FROM iq_asg a JOIN iq_codes c ON c.vec_id = a.vec_id
+UNION ALL SELECT 'ivfpq_topk_digest',
+  CAST(SUM(CAST('0x' || substring(
+       md5(query_id || ':' || cand_id || ':' || rank), 1, 15)
+       AS BIGINT) % 2147483647) AS DOUBLE)
+  FROM iq_top
+UNION ALL SELECT 'ivfpq_adc_cos_sum',
+  CAST(round(CAST(SUM(CAST(round(adc_cos, 9) AS DECIMAL(25,9)))
+       AS DOUBLE), 6) AS DOUBLE)
+  FROM iq_top
+UNION ALL SELECT 'ivfpq_topk_rows', CAST(count(*) AS DOUBLE) FROM iq_top
 UNION ALL SELECT 'diff_inserted', CAST(n_inserted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_deleted', CAST(n_deleted AS DOUBLE) FROM cdc
 UNION ALL SELECT 'diff_updated', CAST(n_updated AS DOUBLE) FROM cdc

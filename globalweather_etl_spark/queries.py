@@ -855,6 +855,65 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 10: IVF-PQ graded end-to-end (the FAISS billion-scale
+    # recipe — coarse lists + PQ over residuals) through the portable
+    # composition (operators/pq.py ivfpq_encode_portable /
+    # ivfpq_topk(portable=True)): md5-sampled fold-normalized coarse
+    # centroids, expression argmax assignment, zip_with residuals,
+    # raw-copy residual codebooks, expression argmin codes, and
+    # exact-fold residual ADC 1-(u.u-2u.w+w.w)/2. The code digest
+    # covers every (id, list, codes) triple corpus-wide; the topk
+    # digest covers the ranked search result.
+    from globalweather_etl_spark.operators.pq import (
+        ivfpq_encode_portable,
+        ivfpq_topk,
+    )
+
+    iq_enc, _iq_cent, _iq_books = ivfpq_encode_portable(
+        emb_t, n_lists=8, m=8, k_codes=16
+    )
+    iq_code_str = F.concat_ws(
+        "-", F.transform(F.col("pq_codes"), lambda c: c.cast("string"))
+    )
+    iq_codes_fam = _unpivot_metrics(
+        iq_enc.select(
+            F.concat_ws(
+                ":",
+                F.col("cand_id").cast("string"),
+                F.col("list_id").cast("string"),
+                iq_code_str,
+            ).alias("s")
+        ).agg(F.sum(_md5_long(F.col("s")) % _dig_p).alias("dg")),
+        [("ivfpq_code_digest", "dg")],
+    )
+    iq_top = ivfpq_topk(
+        emb_t, emb_t.filter(F.col("vec_id") < 10), k=5, n_lists=8,
+        n_probe=3, m=8, k_codes=16, portable=True,
+    )
+    iq_topk_fam = _unpivot_metrics(
+        iq_top.select(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("cand_id").cast("string"),
+                F.col("rank").cast("string"),
+            ).alias("s"),
+            F.round(F.col("adc_cos"), 9).alias("d9"),
+        ).agg(
+            F.sum(_md5_long(F.col("s")) % _dig_p).alias("td"),
+            F.round(
+                F.sum(F.col("d9").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        [
+            ("ivfpq_topk_digest", "td"),
+            ("ivfpq_adc_cos_sum", "cs"),
+            ("ivfpq_topk_rows", "n"),
+        ],
+    )
+    iqfam = iq_codes_fam.unionAll(iq_topk_fam)
+
     from globalweather_etl_spark.operators.table_diff import (
         diff_summary,
         table_diff,
@@ -1617,6 +1676,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(pqfam)
         .unionAll(sdfam)
         .unionAll(sdcfam)
+        .unionAll(iqfam)
         .unionAll(cdc)
         .unionAll(fuzzy)
         .unionAll(er)

