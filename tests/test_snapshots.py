@@ -1251,3 +1251,88 @@ class TestReplaceWhere:
         assert ks == [300]
         # and the stream-facing mode is honest: not an append
         assert banded._manifest(res["version"])["mode"] == "replace"
+
+
+# --- round 10: commit races against the MUTATING verbs ---------------
+# The append race above pins write(); these pin that replace_where /
+# delete_where / merge_into RECOMPUTE against the new head when they
+# lose the publish race (serializable outcome), instead of committing
+# a plan derived from the stale base.
+
+
+def _race_in_append(table, spark, rows, on_mode):
+    """monkeypatch-able _write_json_atomic wrapper: the first time the
+    verb under test publishes (manifest mode == on_mode), land a
+    concurrent append of ``rows`` at that version first, so the verb
+    loses and must retry against the new head."""
+    head = table.latest_version()
+    commit_dir = f"{table.path}/data/c-race{head}"
+    _df(spark, rows).write.mode("error").parquet(commit_dir)
+    real = table._write_json_atomic
+    state = {"raced": False}
+
+    def racing(obj, dest):
+        if not state["raced"] and obj.get("mode") == on_mode:
+            state["raced"] = True
+            h = table.latest_version()
+            rm = dict(table._manifest(h))
+            rm["version"] = h + 1
+            rm["parent"] = h
+            rm["mode"] = "append"
+            rm["files"] = rm["files"] + table._list_commit_files(commit_dir)
+            rm["n_rows"] = rm["n_rows"] + len(rows)
+            rm.pop("clustering", None)
+            assert real(rm, table._manifest_path(h + 1))
+        return real(obj, dest)
+
+    return racing, state
+
+
+def test_replace_where_race_recomputes_against_new_head(
+    spark, table, monkeypatch
+):
+    """A racing append lands rows INSIDE the replaced band between
+    replace_where's read and its publish: the retry must replace them
+    too (serializable: the replace commits second, so the band holds
+    only the incoming rows)."""
+    table.write(_df(spark, [(1, "old"), (2, "old"), (50, "keep")]))
+    racing, state = _race_in_append(table, spark, [(3, "racer-in-band")],
+                                    on_mode="replace")
+    monkeypatch.setattr(table, "_write_json_atomic", racing)
+    res = table.replace_where(
+        _df(spark, [(1, "new"), (2, "new")]), "k < 10"
+    )
+    assert state["raced"]
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "new"), (2, "new"), (50, "keep")]
+    assert res["n_replaced"] == 3  # both olds AND the racer's in-band row
+
+
+def test_delete_where_race_deletes_racer_rows_too(spark, table, monkeypatch):
+    """A racing append lands matching rows mid-delete: the retried
+    delete must cover them (its deletion vectors are recomputed from
+    the NEW head's files)."""
+    table.write(_df(spark, [(1, "a"), (20, "b")]))
+    racing, state = _race_in_append(table, spark, [(2, "racer-matches")],
+                                    on_mode="delete")
+    monkeypatch.setattr(table, "_write_json_atomic", racing)
+    res = table.delete_where("k < 10")
+    assert state["raced"]
+    assert sorted(r["k"] for r in table.read().collect()) == [20]
+    assert res["n_deleted"] == 2
+
+
+def test_merge_race_does_not_double_insert(spark, table, monkeypatch):
+    """Write-skew guard: the merge's source inserts key 7; a racing
+    append lands key 7 first. The retried merge must re-classify 7 as
+    MATCHED (update, not insert) against the new head — exactly one
+    row for key 7, carrying the source's value."""
+    table.write(_df(spark, [(1, "a")]))
+    racing, state = _race_in_append(table, spark, [(7, "racer")],
+                                    on_mode="merge")
+    monkeypatch.setattr(table, "_write_json_atomic", racing)
+    table.merge_into(_df(spark, [(7, "from-merge")]), keys=["k"])
+    assert state["raced"]
+    sevens = [r["v"] for r in table.read().filter(F.col("k") == 7).collect()]
+    assert sevens == ["from-merge"], sevens
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 7]
