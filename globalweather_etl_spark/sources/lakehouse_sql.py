@@ -15,7 +15,11 @@ these tables live at filesystem roots, not in a metastore):
   VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
   RESTORE '<path>' TO VERSION AS OF <v>
   CREATE TABLE '<dest>' CLONE '<src>' [VERSION AS OF <v>]
+  DESCRIBE HISTORY '<path>'
   DELETE FROM '<path>' WHERE <predicate>
+  INSERT INTO '<path>' <select>
+  INSERT OVERWRITE '<path>' <select>
+  INSERT INTO '<path>' REPLACE WHERE <predicate> <select>
   MERGE INTO '<path>' [AS t] USING <view-or-(subquery)> [AS s]
       ON <equi-conjunction>
       [WHEN MATCHED THEN {UPDATE SET * | DELETE}]
@@ -86,6 +90,15 @@ _DELETE = re.compile(
     rf"^DELETE FROM {_PATH} WHERE (?P<pred>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_HISTORY = re.compile(
+    rf"^DESCRIBE HISTORY {_PATH}$", re.IGNORECASE
+)
+_INSERT = re.compile(
+    rf"^INSERT (?P<over>INTO|OVERWRITE) {_PATH}"
+    r"(?: REPLACE WHERE (?P<pred>.+?))?"
+    r" (?P<select>\(?SELECT .+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE = re.compile(
     rf"^MERGE INTO {_PATH}(?: AS (?P<talias>\w+))?"
     r" USING (?P<src>\([^)]+\)|[\w.]+)(?: AS (?P<salias>\w+))?"
@@ -132,6 +145,47 @@ def _keys_from_on(on: str) -> list[str]:
             )
         keys.append(m.group("l"))
     return keys
+
+
+def _travel_rewrite(spark: SparkSession, text: str) -> str:
+    """Rewrite every quoted snapshot-table path (+ optional AS OF) in
+    ``text`` to a temp view over the pinned read. Only strings that
+    actually root a committed snapshot table rewrite — ordinary string
+    literals pass through untouched (the root check runs before any
+    table handle, whose constructor would mkdir)."""
+
+    def _is_table_root(path: str) -> bool:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/_manifests"
+        )
+        try:
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hp):
+                return False
+            for st in fs.listStatus(hp):
+                name = st.getPath().getName()
+                if name.startswith("v") and name.endswith(".json"):
+                    return True
+            return False
+        except Exception:
+            return False
+
+    def _sub(tm: re.Match) -> str:
+        if not _is_table_root(tm.group("path")):
+            return tm.group(0)
+        t = SnapshotTable(spark, tm.group("path"))
+        if tm.group("ts") is not None:
+            df = t.read_asof(_to_unix(tm.group("ts")))
+        else:
+            df = t.read(
+                int(tm.group("v")) if tm.group("v") else None
+            )
+        view = f"__snap_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TRAVEL.sub(_sub, text)
 
 
 def lakehouse_sql(spark: SparkSession, statement: str):
@@ -187,11 +241,37 @@ def lakehouse_sql(spark: SparkSession, statement: str):
             version=int(m.group("v")) if m.group("v") else None,
         )
 
+    m = _HISTORY.match(stmt)
+    if m:
+        hist = SnapshotTable(spark, m.group("path")).history()
+        return spark.createDataFrame(
+            [(h.version, h.mode, h.n_files, h.n_rows) for h in hist],
+            "version int, mode string, n_files int, n_rows long",
+        )
+
     m = _DELETE.match(stmt)
     if m:
         return SnapshotTable(spark, m.group("path")).delete_where(
             m.group("pred")
         )
+
+    m = _INSERT.match(stmt)
+    if m:
+        t = SnapshotTable(spark, m.group("path"))
+        # the select body may itself read snapshot paths (incl. AS OF)
+        df = spark.sql(_travel_rewrite(spark, m.group("select")))
+        if m.group("pred") is not None:
+            if m.group("over").upper() == "OVERWRITE":
+                raise ValueError(
+                    "REPLACE WHERE composes with INSERT INTO only — "
+                    "INSERT OVERWRITE already replaces the whole table"
+                )
+            return t.replace_where(df, m.group("pred").strip())
+        mode = (
+            "overwrite" if m.group("over").upper() == "OVERWRITE"
+            else "append"
+        )
+        return {"version": t.write(df, mode=mode)}
 
     m = _MERGE.match(stmt)
     if m:
@@ -244,41 +324,6 @@ def lakehouse_sql(spark: SparkSession, statement: str):
 
     # SELECT (and anything else): rewrite quoted snapshot paths (+
     # optional AS OF) to temp views over the pinned reads, then let
-    # Catalyst do the rest. Only strings that actually root a
-    # committed snapshot table rewrite — ordinary string literals
-    # ('foo' in a WHERE clause) pass through untouched (and are never
-    # side-effected: the root check runs before any table handle,
-    # whose constructor would mkdir).
-    def _is_table_root(path: str) -> bool:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}/_manifests"
-        )
-        try:
-            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.exists(hp):
-                return False
-            for st in fs.listStatus(hp):
-                name = st.getPath().getName()
-                if name.startswith("v") and name.endswith(".json"):
-                    return True
-            return False
-        except Exception:
-            return False
-
-    def _sub(tm: re.Match) -> str:
-        if not _is_table_root(tm.group("path")):
-            return tm.group(0)
-        t = SnapshotTable(spark, tm.group("path"))
-        if tm.group("ts") is not None:
-            df = t.read_asof(_to_unix(tm.group("ts")))
-        else:
-            df = t.read(
-                int(tm.group("v")) if tm.group("v") else None
-            )
-        view = f"__snap_{uuid.uuid4().hex[:12]}"
-        df.createOrReplaceTempView(view)
-        return view
-
-    rewritten = _TRAVEL.sub(_sub, stmt)
-    return spark.sql(rewritten)
+    # Catalyst do the rest (_travel_rewrite documents the root check
+    # that keeps ordinary string literals untouched).
+    return spark.sql(_travel_rewrite(spark, stmt))

@@ -1288,6 +1288,21 @@ class SnapshotTable:
                     f"replace_where columns {sorted(df.columns)} != "
                     f"table columns {sorted(cols)}"
                 )
+            # types too, not just names: a mistyped frame would land
+            # parquet files whose physical types contradict the
+            # manifest schema every later read trusts (same loudness
+            # contract as append's _unify_schemas conflict error)
+            tbl_types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+            }
+            for f in df.schema.fields:
+                if f.dataType != tbl_types[f.name]:
+                    raise ValueError(
+                        f"replace_where type conflict on {f.name!r}: "
+                        f"incoming {f.dataType} vs table "
+                        f"{tbl_types[f.name]}"
+                    )
             tgt = self._read_files(m["files"], m, with_pos=True)
             hit_rel = sorted(
                 r["__dv_file"]

@@ -202,3 +202,110 @@ def test_bare_optimize_is_compaction(spark, tmp_path):
     assert _content(t) == before
     with pytest.raises(ValueError, match="ZORDER BY or"):
         lakehouse_sql(spark, f"OPTIMIZE '{t.path}' FULL")
+
+
+# --- round 10 second half: DESCRIBE HISTORY and the INSERT family ----
+
+
+def test_describe_history(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=20)
+    t.write(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        ),
+        mode="append",
+    )
+    rows = (
+        lakehouse_sql(spark, f"DESCRIBE HISTORY '{t.path}'")
+        .orderBy("version")
+        .collect()
+    )
+    hist = t.history()
+    assert [(r["version"], r["mode"], r["n_files"], r["n_rows"])
+            for r in rows] == [
+        (h.version, h.mode, h.n_files, h.n_rows) for h in hist
+    ]
+    assert rows[-1]["n_rows"] == 25
+
+
+def test_insert_into_appends(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=10)
+    res = lakehouse_sql(
+        spark,
+        f"INSERT INTO '{t.path}' "
+        "SELECT id AS k, id % 9 AS g, CAST(id * 2.5 AS DOUBLE) AS val FROM range(10, 13)",
+    )
+    assert res["version"] == 2
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(13))
+
+
+def test_insert_overwrite_replaces_table(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=10)
+    res = lakehouse_sql(
+        spark,
+        f"INSERT OVERWRITE '{t.path}' "
+        "SELECT id AS k, id % 9 AS g, CAST(id * 2.5 AS DOUBLE) AS val FROM range(100, 103)",
+    )
+    assert res["version"] == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [100, 101, 102]
+    # time travel still sees the pre-overwrite state
+    assert len(_content(t, version=1)) == 10
+
+
+def test_insert_replace_where_parity_with_python(spark, tmp_path):
+    sql_t = _seed(spark, str(tmp_path / "a"), n=30)
+    py_t = _seed(spark, str(tmp_path / "b"), n=30)
+    band = (
+        "SELECT id AS k, id % 9 AS g, CAST(id * 2.5 AS DOUBLE) AS val FROM range(0, 5)"
+    )
+    res = lakehouse_sql(
+        spark,
+        f"INSERT INTO '{sql_t.path}' REPLACE WHERE k < 10 {band}",
+    )
+    py_res = py_t.replace_where(spark.sql(band), "k < 10")
+    assert res["n_replaced"] == py_res["n_replaced"] == 10
+    assert _content(sql_t) == _content(py_t)
+
+
+def test_insert_select_can_time_travel_from_another_table(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=6)
+    src.write(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("g"),
+            (F.col("id") * 2.5).alias("val"),
+        ),
+        mode="append",
+    )
+    dst = _seed(spark, str(tmp_path / "dst"), n=0)
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO '{dst.path}' "
+        f"SELECT * FROM '{src.path}' VERSION AS OF 1",
+    )
+    assert sorted(r["k"] for r in dst.read().collect()) == list(range(6))
+
+
+def test_insert_overwrite_rejects_replace_where(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"), n=5)
+    with pytest.raises(ValueError, match="REPLACE WHERE"):
+        lakehouse_sql(
+            spark,
+            f"INSERT OVERWRITE '{t.path}' REPLACE WHERE k < 2 "
+            "SELECT id AS k, id % 9 AS g, CAST(id * 2.5 AS DOUBLE) AS val FROM range(2)",
+        )
+
+
+def test_insert_replace_where_rejects_type_conflict(spark, tmp_path):
+    """A SELECT whose column types drift from the table schema (here
+    DECIMAL where the table holds DOUBLE) must fail loudly instead of
+    landing files that contradict the manifest schema."""
+    t = _seed(spark, str(tmp_path / "t"), n=10)
+    with pytest.raises(ValueError, match="type conflict"):
+        lakehouse_sql(
+            spark,
+            f"INSERT INTO '{t.path}' REPLACE WHERE k < 5 "
+            "SELECT id AS k, id % 9 AS g, id * 2.5 AS val FROM range(5)",
+        )
