@@ -44,6 +44,7 @@ from globalweather_etl_spark.operators.paths import (
 from globalweather_etl_spark.operators.pq import (
     decode_pq,
     encode_pq,
+    ivfpq_encode_portable,
     ivfpq_topk,
     pq_topk,
     train_pq,
@@ -92,6 +93,7 @@ from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
     fit_kmeans,
+    portable_centroids,
 )
 from globalweather_etl_spark.operators.layout import (
     file_ranges,
@@ -255,6 +257,7 @@ __all__ = [
     "assign_clusters",
     "cluster_sizes",
     "fit_kmeans",
+    "portable_centroids",
     "funnel",
     "bucketed_quantile_threshold",
     "cap_per_group",
@@ -279,6 +282,7 @@ __all__ = [
     "decode_pq",
     "encode_pq",
     "ivfpq_topk",
+    "ivfpq_encode_portable",
     "pq_topk",
     "train_pq",
     "salted_join",
