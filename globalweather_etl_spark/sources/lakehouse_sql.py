@@ -16,6 +16,8 @@ these tables live at filesystem roots, not in a metastore):
   RESTORE '<path>' TO VERSION AS OF <v>
   CREATE TABLE '<dest>' CLONE '<src>' [VERSION AS OF <v>]
   DESCRIBE HISTORY '<path>'
+  ALTER TABLE '<path>' ADD COLUMN <name> <ddl-type>
+  ALTER TABLE '<path>' DROP COLUMN <name>
   DELETE FROM '<path>' WHERE <predicate>
   INSERT INTO '<path>' <select>
   INSERT OVERWRITE '<path>' <select>
@@ -92,6 +94,12 @@ _DELETE = re.compile(
 )
 _HISTORY = re.compile(
     rf"^DESCRIBE HISTORY {_PATH}$", re.IGNORECASE
+)
+_ALTER = re.compile(
+    rf"^ALTER TABLE {_PATH} "
+    r"(?:ADD COLUMN (?P<add>\w+) (?P<type>.+)"
+    r"|DROP COLUMN (?P<drop>\w+))$",
+    re.IGNORECASE,
 )
 _INSERT = re.compile(
     rf"^INSERT (?P<over>INTO|OVERWRITE) {_PATH}"
@@ -248,6 +256,15 @@ def lakehouse_sql(spark: SparkSession, statement: str):
             [(h.version, h.mode, h.n_files, h.n_rows) for h in hist],
             "version int, mode string, n_files int, n_rows long",
         )
+
+    m = _ALTER.match(stmt)
+    if m:
+        t = SnapshotTable(spark, m.group("path"))
+        if m.group("add"):
+            return {
+                "version": t.add_column(m.group("add"), m.group("type"))
+            }
+        return {"version": t.drop_column(m.group("drop"))}
 
     m = _DELETE.match(stmt)
     if m:

@@ -487,7 +487,31 @@ class SnapshotTable:
         # optimize()/write_clustered/write_zordered replace it.
         if pm.get("clustering") is not None:
             out["clustering"] = pm["clustering"]
+        # DROPPED-COLUMN tombstones ride every commit too: without
+        # Iceberg-style field ids, re-adding a dropped name would
+        # resurrect stale values from files that still physically
+        # carry the column — the tombstone makes add_column/appends
+        # refuse the name loudly instead (write() clears the set on
+        # mode="overwrite", where every old file is replaced).
+        if pm.get("dropped_columns"):
+            out["dropped_columns"] = pm["dropped_columns"]
         return out
+
+    def _guard_dropped(self, pm: dict, df: DataFrame) -> None:
+        """Refuse an append whose frame carries a DROPPED column name:
+        old files still hold the column physically, so unioning the
+        name back into the schema would resurrect stale values (no
+        field-id column mapping in this format — see drop_column)."""
+        tomb = [
+            c for c in df.columns
+            if c in (pm.get("dropped_columns") or [])
+        ]
+        if tomb:
+            raise ValueError(
+                f"columns {tomb} were dropped from this table; "
+                "appending them would resurrect stale values from old "
+                "files — use fresh names (see drop_column)"
+            )
 
     def _batch_seen(
         self,
@@ -608,6 +632,7 @@ class SnapshotTable:
                     # columns), and columns the new frame omits are
                     # kept, never silently dropped. Same-name type
                     # conflicts fail the commit loudly.
+                    self._guard_dropped(pm, df)
                     schema_json = _unify_schemas(
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
@@ -624,7 +649,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs", "clustering",
+                        "dvs", "clustering", "dropped_columns",
                     )
                 },
                 **self._stamp_carry(parent, manifest_extra or {}),
@@ -640,6 +665,10 @@ class SnapshotTable:
                 # a full overwrite replaces every file; the parent's
                 # clustered layout is gone with them
                 manifest.pop("clustering", None)
+            if mode == "overwrite":
+                # every old file is replaced, so dropped-name
+                # resurrection is impossible: clear the tombstones
+                manifest.pop("dropped_columns", None)
             if _clustering is not None:
                 # this commit's files ARE clustered (write_clustered /
                 # write_zordered wrote them through the layout
@@ -694,6 +723,7 @@ class SnapshotTable:
                 base_files = pm["files"] if mode == "append" else []
                 base_rows = pm["n_rows"] if mode == "append" else 0
                 if mode == "append":
+                    self._guard_dropped(pm, df)
                     schema_json = _unify_schemas(
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
@@ -734,6 +764,88 @@ class SnapshotTable:
             }
             if self._publish_manifest(manifest, new_version):
                 return new_version
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """METADATA-ONLY schema evolution: commit a new version whose
+        schema carries one more (nullable) column; no data file is
+        touched — reads null-fill it for every existing file (the
+        explicit read schema in _read_files), exactly as append-time
+        evolution already does. ``dtype`` is a DDL type string
+        ('bigint', 'array<double>', ...).
+
+        Re-adding a previously DROPPED name is refused: without
+        field-id column mapping, old files still physically carry the
+        column, and reads would resurrect its stale values."""
+        if self.latest_version() is None:
+            raise ValueError("no commits yet — write() creates the table")
+        new_field = StructType.fromDDL(f"{name} {dtype}").fields[0]
+        while True:
+            base = self.latest_version()
+            target = self._next_version(base)
+            m = self._manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            if name in (m.get("dropped_columns") or []):
+                raise ValueError(
+                    f"column {name!r} was previously dropped; old data "
+                    "files still carry it physically, so re-adding the "
+                    "name would resurrect stale values — use a fresh "
+                    "name (no field-id column mapping in this format)"
+                )
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "alter",
+                "schema": StructType(
+                    list(schema.fields) + [new_field]
+                ).json(),
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                **({"dvs": m["dvs"]} if m.get("dvs") else {}),
+            }
+            if self._publish_manifest(manifest, target):
+                return target
+
+    def drop_column(self, name: str) -> int:
+        """METADATA-ONLY column drop: commit a new version whose schema
+        omits ``name``; no data file is rewritten — the explicit read
+        schema simply stops selecting the column (parquet column
+        pruning, so dropped bytes are never even scanned). Time travel
+        to pre-drop versions still sees it. The name lands in the
+        carried ``dropped_columns`` tombstone set, which blocks
+        re-adding it (see add_column) and appending frames that still
+        carry it."""
+        if self.latest_version() is None:
+            raise ValueError("no commits yet — write() creates the table")
+        while True:
+            base = self.latest_version()
+            target = self._next_version(base)
+            m = self._manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name!r}")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            dropped = sorted(
+                set(m.get("dropped_columns") or []) | {name}
+            )
+            manifest = {
+                **self._stamp_carry(base, {}),
+                "version": target,
+                "parent": base,
+                "mode": "alter",
+                "schema": StructType(
+                    [f for f in schema.fields if f.name != name]
+                ).json(),
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "dropped_columns": dropped,
+                **({"dvs": m["dvs"]} if m.get("dvs") else {}),
+            }
+            if self._publish_manifest(manifest, target):
+                return target
 
     def write_audited(
         self, df: DataFrame, suite, mode: str = "append"
@@ -783,6 +895,7 @@ class SnapshotTable:
                     # omitting a parent column must not drop it from
                     # the manifest schema (the audited path previously
                     # recorded df.schema verbatim — silent column loss)
+                    self._guard_dropped(pm, df)
                     schema_json = _unify_schemas(
                         StructType.fromJson(json.loads(pm["schema"])),
                         df.schema,
@@ -1355,7 +1468,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs", "clustering",
+                        "dvs", "clustering", "dropped_columns",
                     )
                 },
                 **self._stamp_carry(base, manifest_extra or {}),
@@ -1758,7 +1871,7 @@ class SnapshotTable:
                     not in (
                         "version", "parent", "mode", "schema", "files",
                         "n_rows", "max_batch_id", "ivm_max_batch_id",
-                        "dvs", "clustering",
+                        "dvs", "clustering", "dropped_columns",
                     )
                 },
                 **self._stamp_carry(base, manifest_extra or {}),
@@ -1871,7 +1984,7 @@ class SnapshotTable:
                 not in (
                     "version", "parent", "mode", "schema", "files",
                     "n_rows", "max_batch_id", "ivm_max_batch_id", "dvs",
-                    "clustering",
+                    "clustering", "dropped_columns",
                 )
             },
             **self._stamp_carry(base, manifest_extra or {}),

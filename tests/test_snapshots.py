@@ -1336,3 +1336,78 @@ def test_merge_race_does_not_double_insert(spark, table, monkeypatch):
     sevens = [r["v"] for r in table.read().filter(F.col("k") == 7).collect()]
     assert sevens == ["from-merge"], sevens
     assert sorted(r["k"] for r in table.read().collect()) == [1, 7]
+
+
+# --- round 10 second half: metadata-only ALTER (add/drop column) -----
+
+
+def test_add_column_is_metadata_only_and_null_fills(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    files_before = list(table._manifest(1)["files"])
+    v = table.add_column("score", "double")
+    assert v == 2
+    m = table._manifest(2)
+    assert m["files"] == files_before  # no data movement
+    assert m["mode"] == "alter"
+    rows = {r["k"]: r["score"] for r in table.read().collect()}
+    assert rows == {1: None, 2: None}
+    # appends can now fill it; old rows stay NULL
+    table.write(
+        spark.createDataFrame([(3, "c", 1.5)], "k long, v string, score double"),
+        mode="append",
+    )
+    rows = {r["k"]: r["score"] for r in table.read().collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("score", "double")
+
+
+def test_drop_column_prunes_and_time_travel_keeps_it(spark, table):
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    v = table.drop_column("v")
+    assert v == 2
+    assert table.read().columns == ["k"]
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+    # the pre-drop version still reads the column (time travel)
+    old = {r["k"]: r["v"] for r in table.read(1).collect()}
+    assert old == {1: "a", 2: "b"}
+    with pytest.raises(ValueError, match="no such column"):
+        table.drop_column("v")
+    with pytest.raises(ValueError, match="only column"):
+        table.drop_column("k")
+
+
+def test_dropped_name_cannot_resurrect(spark, table):
+    """The tombstone blocks re-adding a dropped name (old files still
+    carry it physically) on every append-shaped path, carries through
+    later commits, and clears on a full overwrite."""
+    table.write(_df(spark, [(1, "a")]))
+    table.drop_column("v")
+    with pytest.raises(ValueError, match="previously dropped"):
+        table.add_column("v", "string")
+    with pytest.raises(ValueError, match="resurrect"):
+        table.write(_df(spark, [(9, "z")]), mode="append")
+    # tombstone rides unrelated commits (carried by _stamp_carry)
+    table.write(
+        spark.createDataFrame([(5,)], "k long"), mode="append"
+    )
+    with pytest.raises(ValueError, match="previously dropped"):
+        table.add_column("v", "string")
+    # a full overwrite replaces every file: the name is safe again
+    table.write(_df(spark, [(7, "fresh")]), mode="overwrite")
+    assert {r["v"] for r in table.read().collect()} == {"fresh"}
+
+
+def test_alter_sql_verbs(spark, tmp_path):
+    from globalweather_etl_spark.sources.lakehouse_sql import lakehouse_sql
+
+    t = SnapshotTable(spark, str(tmp_path / "alter_sql"))
+    t.write(_df(spark, [(1, "a")]))
+    res = lakehouse_sql(
+        spark, f"ALTER TABLE '{t.path}' ADD COLUMN w array<double>"
+    )
+    assert res["version"] == 2
+    assert dict(t.read().dtypes)["w"] == "array<double>"
+    res = lakehouse_sql(spark, f"ALTER TABLE '{t.path}' DROP COLUMN w")
+    assert res["version"] == 3
+    assert "w" not in t.read().columns
