@@ -1188,8 +1188,9 @@ class SnapshotTable:
         exactly-once downstream folds (version numbers are the natural
         batch ids).
 
-        Maintenance commits that change NO rows — ``optimize`` and
-        ``purge`` (Delta's dataChange=false) — are transparent: the
+        Maintenance commits that change NO rows — ``optimize``,
+        ``purge``, and ``alter`` (Delta's dataChange=false) — are
+        transparent: the
         added rows are collected per APPEND commit (each commit's
         files minus its parent's), so an optimize that re-clusters an
         appended file mid-window neither duplicates its rows (the
@@ -1232,7 +1233,7 @@ class SnapshotTable:
                 new_files.extend(
                     f for f in m_u["files"] if f not in seen
                 )
-            elif mode not in ("optimize", "purge"):
+            elif mode not in ("optimize", "purge", "alter"):
                 raise ValueError(
                     f"version {m_u['version']} is {mode!r}, not "
                     "append: the window's added rows are not its new "

@@ -297,12 +297,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # partition identity across replays
                 for rel in sorted(files - prev_files):
                     parts.append(_FilePartition(f"{self.root}/{rel}"))
-            elif m.get("mode") in ("optimize", "purge"):
-                # layout-maintenance commits change NO rows (Delta's
-                # dataChange=false): their new files carry rows the
-                # stream already delivered (or will deliver from the
-                # original append files, which stay on disk until
-                # vacuum) — always skip, never raise
+            elif m.get("mode") in ("optimize", "purge", "alter"):
+                # maintenance commits change NO rows (Delta's
+                # dataChange=false): optimize/purge rewrite layout
+                # (their new files carry rows the stream already
+                # delivered, or will deliver from the original append
+                # files, which stay on disk until vacuum) and alter
+                # changes schema metadata only — always skip, never
+                # raise
                 pass
             elif self.skip_change_commits:
                 pass  # Delta's skipChangeCommits: emit nothing

@@ -1411,3 +1411,22 @@ def test_alter_sql_verbs(spark, tmp_path):
     res = lakehouse_sql(spark, f"ALTER TABLE '{t.path}' DROP COLUMN w")
     assert res["version"] == 3
     assert "w" not in t.read().columns
+
+
+def test_read_since_is_transparent_across_alter(spark, table):
+    """An ALTER commit inside an incremental window changes no rows:
+    read_since must pass through it (like optimize/purge), applying
+    the window-end schema to the window's appended files."""
+    base_v = table.write(_df(spark, [(1, "a")]))
+    table.write(_df(spark, [(2, "b")]), mode="append")
+    table.add_column("score", "double")
+    table.write(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "k long, v string, score double"
+        ),
+        mode="append",
+    )
+    got = sorted(
+        (r["k"], r["score"]) for r in table.read_since(base_v).collect()
+    )
+    assert got == [(2, None), (3, 0.5)]
