@@ -2480,6 +2480,12 @@ class SnapshotTable:
                     else {}
                 ),
             }
+            if not live_cl:
+                # a full rewrite replaced every live file under the
+                # head schema: dropped-name resurrection is physically
+                # impossible now — clear the tombstones (the same
+                # argument write(mode="overwrite") uses)
+                manifest.pop("dropped_columns", None)
             if self._publish_manifest(manifest, target):
                 return {
                     "version": target,

@@ -1430,3 +1430,36 @@ def test_read_since_is_transparent_across_alter(spark, table):
         (r["k"], r["score"]) for r in table.read_since(base_v).collect()
     )
     assert got == [(2, None), (3, 0.5)]
+
+
+def test_full_optimize_purges_dropped_column_and_clears_tombstone(
+    spark, table
+):
+    """A FULL rewrite replaces every live file under the head schema,
+    so the dropped column's bytes are physically gone and its name is
+    safe to reuse — the tombstone clears, like overwrite."""
+    table.write(_df(spark, [(1, "a"), (2, "b")]))
+    table.drop_column("v")
+    table.optimize(cluster_by=["k"], full=True)
+    m = table._manifest(table.latest_version())
+    assert "dropped_columns" not in m
+    # physically gone: DuckDB sees only k in the rewritten files
+    files = [f"{table.path}/{r}" for r in m["files"]]
+    cols = [
+        c[0]
+        for c in duckdb.connect()
+        .execute(f"DESCRIBE SELECT * FROM read_parquet({files!r})")
+        .fetchall()
+    ]
+    assert cols == ["k"]
+    # and the name is reusable again
+    v = table.add_column("v", "string")
+    assert table._manifest(v)["mode"] == "alter"
+    # incremental optimize (files carried) must NOT clear tombstones
+    table.drop_column("v")
+    table.write(
+        spark.createDataFrame([(9,)], "k long"), mode="append"
+    )
+    table.optimize(cluster_by=["k"])  # incremental: carries old files
+    m2 = table._manifest(table.latest_version())
+    assert m2.get("dropped_columns") == ["v"]
