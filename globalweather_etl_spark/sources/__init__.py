@@ -1,6 +1,14 @@
 from globalweather_etl_spark.sources.registry import Catalog, load_table
 from globalweather_etl_spark.sources.constant import constant_rows
-from globalweather_etl_spark.sources.snapshots import SnapshotInfo, SnapshotTable
+from globalweather_etl_spark.sources.snapshots import (
+    ConcurrentTransactionError,
+    SnapshotInfo,
+    SnapshotTable,
+)
+from globalweather_etl_spark.sources.catalog import (
+    SnapshotCatalog,
+    Transaction,
+)
 from globalweather_etl_spark.sources.formats import (
     corrupt_count,
     drop_corrupt,
@@ -19,6 +27,9 @@ from globalweather_etl_spark.sources.weather_from_events import (
 __all__ = [
     "SnapshotInfo",
     "SnapshotTable",
+    "SnapshotCatalog",
+    "Transaction",
+    "ConcurrentTransactionError",
     "Catalog",
     "load_table",
     "constant_rows",

@@ -1,0 +1,403 @@
+"""Multi-table ATOMIC transactions over SnapshotTables — a minimal
+two-phase-commit catalog.
+
+Why this exists: the reference's ELT run rebuilds a fact table AND the
+dimensions it joins to in one script (sql/ETL_GlobalWeather_DB.sql:
+23-136 — five dims, then FACT_WEATHER built FROM them).  On Snowflake
+that script runs inside one session and readers see the rebuild
+transactionally; on a plain object store / HDFS, per-table atomic
+commits (sources/snapshots.py) still leave a window where a dashboard
+joins the NEW fact against an OLD dimension — the classic multi-table
+publish anomaly.  Single-table formats punt on this (Delta and Iceberg
+tables are each their own log; cross-table atomicity needs a catalog —
+the public design of Nessie / Iceberg REST catalog / Hive ACID, which
+this module re-derives from first principles, no external services).
+
+Design — the transaction DECISION is one atomic file:
+
+- A ``Catalog`` roots a directory of SnapshotTables (one subdirectory
+  per table) plus a transaction log ``_txns/`` of decision records.
+- ``begin()`` opens a ``Transaction``; ``txn.write(name, df, mode)``
+  stages frames (lazily — nothing executes until commit).
+- ``commit()`` runs two phases:
+    1. STAGE: every table's data files are written first (the slow,
+       size-proportional half — no manifests yet, so totally
+       invisible); then each table publishes a manifest carrying
+       ``txn: {id, log}`` — PENDING state.  Pending manifests are
+       invisible to every read path and BLOCK other commits on that
+       table (``ConcurrentTransactionError``) — the coarse per-table
+       lock that makes the protocol serializable.
+    2. DECIDE: one ``_txns/<id>.json`` record with
+       ``status: committed`` is published by exclusive-create — the
+       single atomic point.  The instant it exists, every staged
+       manifest becomes visible everywhere; if it never appears, none
+       of them ever do.  All-or-nothing with no coordinator process.
+- Abort (explicit, crash, or force via ``Catalog.abort(txn_id)``)
+  claims the SAME record path with ``status: aborted`` — commit and
+  abort race through one exclusive-create arbitration, so exactly one
+  decision ever exists — then sweeps the staged manifests (delete
+  manifest, keep its version lock so the number stays burned, delete
+  the staged data files).  The swept log has a version-number gap,
+  exactly the shape a crashed single-table writer already leaves.
+
+Crash matrix (all recoverable, none corrupting):
+  - crash during STAGE: some tables hold pending manifests, decision
+    record absent → readers unaffected; those tables refuse commits
+    until ``Catalog.abort(txn_id)`` sweeps them.
+  - crash between STAGE and DECIDE: same.
+  - crash after DECIDE: committed; staged manifests are live state.
+  - abort racing commit: one wins the record; the loser reads the
+    decision and either sweeps (commit lost) or no-ops (abort lost).
+
+Scale shape (100 TB): the decision record is O(tables-in-txn) bytes;
+per-table costs are unchanged (data files + one manifest each — the
+O(new data) commit contract of snapshots.py); readers pay one cached
+JSON existence check per txn-staged manifest, and only until the
+decision lands (committed is terminal and cached).  The pending window
+other writers can collide with covers only manifest publishes — all
+data-file writing happens before any table is locked.
+
+``snapshot()`` additionally gives REPEATABLE cross-table reads: a
+{table: version} pin taken with a verify loop over the decision log,
+so the pinned set can never straddle a transaction's tables.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import (
+    ConcurrentTransactionError,
+    SnapshotTable,
+    _fs,
+)
+
+__all__ = ["SnapshotCatalog", "Transaction", "ConcurrentTransactionError"]
+
+_TXN_DIR = "_txns"
+_NAME_RE = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+class SnapshotCatalog:
+    """A directory of SnapshotTables sharing one transaction log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._fs, self._hroot, self._jvm = _fs(spark, self.root)
+        self._fs.mkdirs(self._p(f"{self.root}/{_TXN_DIR}"))
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def _p(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    # ------------------------------------------------------- tables
+    def table(self, name: str) -> SnapshotTable:
+        """The named table (created on first touch), rooted at
+        ``<root>/<name>``."""
+        if not _NAME_RE.match(name or ""):
+            raise ValueError(
+                f"invalid table name {name!r} (letters, digits, _.- only)"
+            )
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(
+                self.spark, f"{self.root}/{name}"
+            )
+        return self._tables[name]
+
+    def tables(self) -> list[str]:
+        """Names of every table under the catalog root (a table is a
+        directory with a ``_manifests`` log)."""
+        out = []
+        for st in self._fs.listStatus(self._p(self.root)):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name == _TXN_DIR:
+                continue
+            if self._fs.exists(
+                self._p(f"{self.root}/{name}/_manifests")
+            ):
+                out.append(name)
+        return sorted(out)
+
+    # ----------------------------------------------- decision log
+    def _txn_log_path(self) -> str:
+        return f"{self.root}/{_TXN_DIR}"
+
+    def _rec_path(self, txn_id: str):
+        return self._p(f"{self._txn_log_path()}/{txn_id}.json")
+
+    def txn_status(self, txn_id: str) -> str:
+        """'committed' / 'aborted' / 'pending' (no decision yet)."""
+        p = self._rec_path(txn_id)
+        if not self._fs.exists(p):
+            return "pending"
+        stream = self._fs.open(p)
+        try:
+            text = self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text).get("status", "pending")
+
+    def _write_decision(self, txn_id: str, record: dict) -> bool:
+        """Publish the transaction's decision record by the same
+        lock-then-rename arbitration snapshots.py uses for version
+        manifests: the exclusive-create of ``<id>.json.lock`` is the
+        single atomic arbiter, so of a racing commit and force-abort
+        exactly ONE decision is ever recorded.  Returns False to the
+        loser (record already claimed or published)."""
+        dest = self._rec_path(txn_id)
+        if self._fs.exists(dest):
+            return False
+        tmp = self._p(
+            f"{self._txn_log_path()}/.tmp-{uuid.uuid4().hex}.json"
+        )
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(
+                json.dumps(
+                    {**record, "decided_at": time.time()}, sort_keys=True
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
+        lock = self._p(dest.toString() + ".lock")
+        try:
+            self._fs.create(lock, False).close()
+        except Exception:
+            self._fs.delete(tmp, False)
+            if self._fs.exists(lock) or self._fs.exists(dest):
+                return False
+            raise
+        ok = self._fs.rename(tmp, dest)
+        if not ok:
+            self._fs.delete(tmp, False)
+        return ok
+
+    # ------------------------------------------------ transactions
+    def begin(self) -> "Transaction":
+        return Transaction(self)
+
+    def abort(self, txn_id: str, reason: str = "force-abort") -> str:
+        """Force-abort a (presumably abandoned) transaction: claim the
+        decision record with ``aborted``, then sweep any staged
+        pending manifests off the catalog's tables.  Returns the final
+        status — 'committed' means the abort LOST the race and nothing
+        was touched.  Safe to call repeatedly."""
+        self._write_decision(
+            txn_id, {"txn": txn_id, "status": "aborted", "reason": reason}
+        )
+        status = self.txn_status(txn_id)
+        if status == "committed":
+            return "committed"
+        for name in self.tables():
+            self._sweep_head(self.table(name), txn_id)
+        return "aborted"
+
+    def _sweep_head(self, t: SnapshotTable, txn_id: str) -> None:
+        """Remove table ``t``'s head manifest if it is staged by
+        ``txn_id``: manifest first (readers of the raw log stop
+        resolving it), then its exclusive data files; the version lock
+        stays so the number remains burned (the crashed-writer shape
+        snapshots.py already allocates past)."""
+        v = t.latest_version()
+        if v is None:
+            return
+        try:
+            m = t._manifest(v)
+        except ValueError:
+            return  # already swept by a concurrent abort
+        tx = m.get("txn")
+        if not tx or tx["id"] != txn_id:
+            return
+        parent_files: set[str] = set()
+        if m.get("parent") is not None:
+            parent_files = set(t._manifest(m["parent"])["files"])
+        t._fs.delete(t._manifest_path(v), False)
+        t._manifest_cache = {}
+        for rel in m["files"]:
+            if rel not in parent_files:
+                t._fs.delete(t._p(f"{t.path}/{rel}"), False)
+
+    # ---------------------------------------- consistent snapshots
+    def _txn_marker(self) -> tuple:
+        """A cheap fingerprint of the decision log: the set of decided
+        transaction ids.  Changes iff some transaction decides."""
+        out = []
+        for st in self._fs.listStatus(self._p(self._txn_log_path())):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                out.append(name)
+        return tuple(sorted(out))
+
+    def snapshot(
+        self, names: list[str] | None = None, max_tries: int = 8
+    ) -> dict[str, int | None]:
+        """A {table: version} pin of the committed heads that is
+        CONSISTENT with respect to multi-table transactions: the pins
+        are re-taken until no transaction decided while they were
+        being read, so the set can never mix one table's pre-txn state
+        with another's post-txn state.  (Independent single-table
+        writers are their own atomic units and need no coordination.)
+        Read with ``table(name).read(version=pin[name])``."""
+        names = self.tables() if names is None else list(names)
+        for _ in range(max_tries):
+            before = self._txn_marker()
+            pins = {
+                n: self.table(n).latest_visible_version() for n in names
+            }
+            if self._txn_marker() == before:
+                return pins
+        raise RuntimeError(
+            "could not pin a consistent snapshot in "
+            f"{max_tries} tries (transaction commit storm?)"
+        )
+
+
+class Transaction:
+    """One atomic unit of staged writes across a Catalog's tables.
+    Stage with ``write()`` (lazy — frames execute at commit), then
+    ``commit()`` or ``abort()``.  Single-shot: a decided transaction
+    refuses further use."""
+
+    def __init__(self, catalog: SnapshotCatalog):
+        self.catalog = catalog
+        self.id = uuid.uuid4().hex
+        self.state = "open"
+        # name -> (df, mode); one staged write per table per txn —
+        # the pending head-lock means a second could not publish
+        self._staged: dict[str, tuple[DataFrame, str]] = {}
+
+    def _guard_open(self) -> None:
+        if self.state != "open":
+            raise RuntimeError(
+                f"transaction {self.id} is {self.state}, not open"
+            )
+
+    def write(
+        self, name: str, df: DataFrame, mode: str = "append"
+    ) -> "Transaction":
+        """Stage ``df`` as table ``name``'s part of this transaction
+        ('append' or 'overwrite' — the CTAS full-rebuild shape)."""
+        self._guard_open()
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+        if name in self._staged:
+            raise ValueError(
+                f"table {name!r} already staged in transaction "
+                f"{self.id} — compose the frames and stage once"
+            )
+        self.catalog.table(name)  # validates the name eagerly
+        self._staged[name] = (df, mode)
+        return self
+
+    def commit(self) -> dict[str, int]:
+        """Run the two-phase publish; returns {table: version} of the
+        now-visible commits.  Raises ConcurrentTransactionError if a
+        table's head is held by another pending transaction or this
+        transaction was force-aborted mid-flight — in either case
+        nothing of this transaction remains visible."""
+        self._guard_open()
+        if not self._staged:
+            self.catalog._write_decision(
+                self.id, {"txn": self.id, "status": "committed",
+                          "tables": {}}
+            )
+            self.state = "committed"
+            return {}
+        txn_field = {
+            "txn": {"id": self.id, "log": self.catalog._txn_log_path()}
+        }
+        # phase 1a — stage every table's data files (slow, no locks
+        # taken, nothing visible, nothing blocked)
+        staged: dict[str, tuple[list[str], int, object, str]] = {}
+        for name, (df, mode) in self._staged.items():
+            t = self.catalog.table(name)
+            files, n_new = t._stage_files(df)
+            staged[name] = (files, n_new, df.schema, mode)
+        # phase 1b — publish pending manifests (metadata-only window)
+        published: dict[str, int] = {}
+        try:
+            for name, (files, n_new, schema, mode) in staged.items():
+                t = self.catalog.table(name)
+                published[name] = t._commit_new_files(
+                    files, n_new, schema, mode, manifest_extra=txn_field
+                )
+        except BaseException:
+            self._undo(published, staged)
+            self.state = "aborted"
+            self.catalog._write_decision(
+                self.id,
+                {"txn": self.id, "status": "aborted",
+                 "reason": "stage failure"},
+            )
+            raise
+        # phase 2 — the atomic decision
+        won = self.catalog._write_decision(
+            self.id,
+            {"txn": self.id, "status": "committed", "tables": published},
+        )
+        if not won and self.catalog.txn_status(self.id) != "committed":
+            # a force-abort beat us to the record: honor it
+            self._undo(published, staged)
+            self.state = "aborted"
+            raise ConcurrentTransactionError(
+                f"transaction {self.id} was force-aborted before its "
+                "commit decision"
+            )
+        self.state = "committed"
+        return published
+
+    def abort(self) -> None:
+        """Record the abort decision and discard anything staged.  A
+        transaction that lost its commit race is already aborted;
+        calling again is a no-op."""
+        if self.state == "aborted":
+            return
+        self._guard_open()
+        self.catalog._write_decision(
+            self.id,
+            {"txn": self.id, "status": "aborted", "reason": "abort()"},
+        )
+        # nothing published yet in the lazy path; sweep defensively in
+        # case a partial commit() escaped (e.g. KeyboardInterrupt)
+        for name in self._staged:
+            self.catalog._sweep_head(self.catalog.table(name), self.id)
+        self.state = "aborted"
+
+    def _undo(
+        self,
+        published: dict[str, int],
+        staged: dict[str, tuple[list[str], int, object, str]],
+    ) -> None:
+        """Roll back a failed commit: sweep published pending
+        manifests, then delete every staged-but-unreferenced data
+        file (by its commit directory)."""
+        for name in published:
+            self.catalog._sweep_head(self.catalog.table(name), self.id)
+        for name, (files, _, _, _) in staged.items():
+            if name in published:
+                continue  # swept above, files included
+            t = self.catalog.table(name)
+            dirs = {rel.rsplit("/", 1)[0] for rel in files}
+            for d in dirs:
+                t._fs.delete(t._p(f"{t.path}/{d}"), True)
+
+    # context-manager sugar: commit on clean exit, abort on exception
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None and self.state == "open":
+            self.commit()
+        elif self.state == "open":
+            self.abort()
+        return False

@@ -53,7 +53,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["SnapshotTable", "SnapshotInfo"]
+__all__ = ["SnapshotTable", "SnapshotInfo", "ConcurrentTransactionError"]
+
+
+class ConcurrentTransactionError(RuntimeError):
+    """A commit found the table head occupied by another transaction's
+    PENDING (staged, not yet decided) version.  Pending versions block
+    further commits on the same table — the coarse per-table lock that
+    makes multi-table transactions serializable (sources/catalog.py).
+    Retry after the transaction commits, or force-abort an abandoned
+    one with ``Catalog.abort(txn_id)``."""
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -342,8 +351,98 @@ class SnapshotTable:
 
     def _next_version(self, parent: int | None) -> int:
         """The next version number to claim given the published head:
-        one past the max of the head and every outstanding lock."""
+        one past the max of the head and every outstanding lock.
+
+        Every commit path funnels through here with the head it is
+        about to build on, so this is also the single choke point for
+        the transaction head-lock: building on a PENDING staged
+        version would fork history if the transaction later aborted
+        (the abort deletes the staged manifest), so a pending head
+        refuses all other commits until its transaction decides."""
+        if parent is not None:
+            try:
+                m = self._manifest(parent)
+            except ValueError as e:
+                # the head vanished between listing and read — a
+                # transaction abort swept it mid-flight; the caller's
+                # state is stale, not broken
+                raise ConcurrentTransactionError(
+                    f"head v{parent} of {self.path} disappeared "
+                    "(transaction abort in flight) — retry the commit"
+                ) from e
+            t = m.get("txn")
+            if t is not None and not self._txn_is_committed(t):
+                raise ConcurrentTransactionError(
+                    f"head v{parent} of {self.path} is staged by "
+                    f"pending transaction {t['id']} — retry after it "
+                    "commits, or Catalog.abort() it"
+                )
         return max([parent or 0, *self._locked_versions()]) + 1
+
+    # ----------------------------------- transaction visibility
+    def _txn_is_committed(self, t: dict) -> bool:
+        """True iff transaction ``t`` ({'id', 'log'}) has a committed
+        decision record.  Committed is terminal, so positives are
+        cached; a pending/aborted answer is re-checked every call (the
+        record may land at any moment)."""
+        done = getattr(self, "_txn_done", None)
+        if done is None:
+            done = set()
+            self._txn_done = done
+        key = (t["log"], t["id"])
+        if key in done:
+            return True
+        p = self._p(f"{t['log']}/{t['id']}.json")
+        if not self._fs.exists(p):
+            return False
+        try:
+            rec = self._read_json(p)
+        except Exception:
+            return False  # half-written record: not decided yet
+        if rec.get("status") == "committed":
+            done.add(key)
+            return True
+        return False
+
+    def _visible(self, m: dict) -> bool:
+        """A manifest is readable state unless it is staged by a
+        transaction that has not committed (pending manifests only
+        ever exist at the head — see _next_version — and an abort
+        deletes them, so invisibility is always transient)."""
+        t = m.get("txn")
+        return t is None or self._txn_is_committed(t)
+
+    def latest_visible_version(self) -> int | None:
+        """The newest version a reader may see: the head, stepping
+        past any pending transaction-staged manifests (at most one in
+        practice — pending heads block further commits)."""
+        v = self.latest_version()
+        while v is not None:
+            try:
+                m = self._manifest(v)
+            except ValueError:
+                # swept by a racing abort — re-list from scratch
+                return self.latest_visible_version()
+            if self._visible(m):
+                return v
+            v = m.get("parent")
+        return None
+
+    def _read_version(self, version: int | None) -> int | None:
+        """Resolve a read's version argument: None pins the latest
+        VISIBLE head; an explicit version must itself be visible —
+        reading another transaction's staged files would leak an
+        uncommitted state."""
+        if version is None:
+            return self.latest_visible_version()
+        m = self._manifest(version)
+        if not self._visible(m):
+            raise ValueError(
+                f"version {version} of {self.path} is staged by "
+                f"pending transaction {m['txn']['id']} and not "
+                "readable until it commits"
+            )
+        return version
 
     # ------------------------------------------------------- the log
     def versions(self) -> list[int]:
@@ -497,13 +596,15 @@ class SnapshotTable:
             out["dropped_columns"] = pm["dropped_columns"]
         return out
 
-    def _guard_dropped(self, pm: dict, df: DataFrame) -> None:
+    def _guard_dropped(self, pm: dict, df) -> None:
         """Refuse an append whose frame carries a DROPPED column name:
         old files still hold the column physically, so unioning the
         name back into the schema would resurrect stale values (no
-        field-id column mapping in this format — see drop_column)."""
+        field-id column mapping in this format — see drop_column).
+        ``df`` is a DataFrame or a plain list of column names."""
+        cols = df if isinstance(df, list) else df.columns
         tomb = [
-            c for c in df.columns
+            c for c in cols
             if c in (pm.get("dropped_columns") or [])
         ]
         if tomb:
@@ -522,7 +623,10 @@ class SnapshotTable:
         """Replay check: O(1) against the head's high-water mark when
         present, falling back to the full-log scan for histories whose
         commits predate stamp carrying."""
-        head = self.latest_version()
+        # visible head: a pending transaction's stamps must not gate
+        # replays — if the txn aborts, its manifest (and stamps)
+        # vanish, and a batch skipped against them would be lost
+        head = self.latest_visible_version()
         if head is None:
             return False
         hm = self._manifest(head)
@@ -530,16 +634,20 @@ class SnapshotTable:
         if mx is not None:
             return batch_id <= mx
         return any(
-            self._manifest(v).get(own_key) == batch_id
-            for v in self.versions()
+            m.get(own_key) == batch_id
+            for m in (self._manifest(v) for v in self.versions())
+            if self._visible(m)
         )
 
     def history(self) -> list[SnapshotInfo]:
+        """Committed history — versions staged by a still-pending
+        transaction are not yet table state and are omitted."""
         return [
             SnapshotInfo(
                 m["version"], m["mode"], len(m["files"]), m["n_rows"]
             )
             for m in (self._manifest(v) for v in self.versions())
+            if self._visible(m)
         ]
 
     # ------------------------------------------------------- commits
@@ -607,15 +715,38 @@ class SnapshotTable:
         see merge_into."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append/overwrite, got {mode!r}")
-        commit_dir = (
-            f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
+        new_files, n_new = self._stage_files(df)
+        return self._commit_new_files(
+            new_files, n_new, df.schema, mode, manifest_extra, _clustering
         )
+
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write ``df``'s data files into a fresh commit directory —
+        invisible until a manifest references them — returning the
+        root-relative paths and the observed row count.  The slow half
+        of a commit, split out so multi-table transactions can stage
+        every table's data BEFORE entering the short metadata-only
+        publish window (sources/catalog.py)."""
+        commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex}"
         n_new = self._write_counted(df, commit_dir)
-        new_files = self._list_commit_files(commit_dir)
+        return self._list_commit_files(commit_dir), n_new
+
+    def _commit_new_files(
+        self,
+        new_files: list[str],
+        n_new: int,
+        schema: StructType,
+        mode: str,
+        manifest_extra: dict | None = None,
+        _clustering: dict | None = None,
+    ) -> int:
+        """Publish already-staged files as a new version — write()'s
+        manifest-construction/retry loop over the output of
+        _stage_files."""
         while True:
             parent = self.latest_version()
             version = self._next_version(parent)
-            schema_json = df.schema.json()
+            schema_json = schema.json()
             dv_carry = None
             if parent is None:
                 base_files: list[str] = []
@@ -632,10 +763,10 @@ class SnapshotTable:
                     # columns), and columns the new frame omits are
                     # kept, never silently dropped. Same-name type
                     # conflicts fail the commit loudly.
-                    self._guard_dropped(pm, df)
+                    self._guard_dropped(pm, schema.fieldNames())
                     schema_json = _unify_schemas(
                         StructType.fromJson(json.loads(pm["schema"])),
-                        df.schema,
+                        schema,
                     ).json()
                     # appends keep every parent file, so the parent's
                     # deletion vectors carry — dropping them would
@@ -942,7 +1073,7 @@ class SnapshotTable:
         import os
         import shutil
 
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(v)
@@ -1041,7 +1172,7 @@ class SnapshotTable:
             json_get,
         )
 
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         shred = self._manifest(v).get("shred")
@@ -1064,8 +1195,14 @@ class SnapshotTable:
         Raises if the table has no commit at or before ``ts``."""
         best = None
         for v in self.versions():
-            at = self._manifest(v).get("committed_at")
-            if at is not None and at <= ts and (best is None or v > best):
+            m = self._manifest(v)
+            at = m.get("committed_at")
+            if (
+                at is not None
+                and at <= ts
+                and self._visible(m)
+                and (best is None or v > best)
+            ):
                 best = v
         if best is None:
             raise ValueError(
@@ -1078,10 +1215,9 @@ class SnapshotTable:
         version by default), with the version's DELETION VECTORS
         applied (merge-on-read — see delete_where).  Empty tables read
         as an empty frame with the manifest schema."""
+        version = self._read_version(version)
         if version is None:
-            version = self.latest_version()
-            if version is None:
-                raise ValueError(f"no commits yet at {self.path}")
+            raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(version)
         return self._read_files(m["files"], m)
 
@@ -1197,7 +1333,7 @@ class SnapshotTable:
         rewrite's output files are not append files) nor loses them
         (the original file stays on disk until vacuum — the same
         retention contract the streaming source documents)."""
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         self._manifest(since_version)  # loud if unknown/vacuumed
@@ -1281,7 +1417,7 @@ class SnapshotTable:
             table_diff,
         )
 
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m_old = self._manifest(since_version)
@@ -2229,7 +2365,7 @@ class SnapshotTable:
         been clustered or a plain overwrite erased the layout. This is
         the maintenance dashboard behind ``optimize()``'s incremental
         mode."""
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(v)
@@ -2276,7 +2412,7 @@ class SnapshotTable:
         not a hot path."""
         import bisect
 
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         st = self.clustering_state(v)
         if st is None:
             return None
@@ -2756,7 +2892,7 @@ def _index_methods():
             _word_mask,
         )
 
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(v)
@@ -2836,7 +2972,7 @@ def _index_methods():
         column. Small indexes probe driver-side from a one-time cache
         (no Spark job); large ones run one pushdown-pruned Spark
         filter over the sidecar."""
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         cache = getattr(self, "_idx_cache", None)
@@ -2918,7 +3054,7 @@ def _index_methods():
         back to a full filtered scan when no index exists. False
         positives cost an extra file open, never a wrong row — the
         exact filter always applies."""
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         files = self.files_for_key(key_col, value, v)
         try:
             rng = self.files_for_range(key_col, value, value, v)
@@ -3209,7 +3345,7 @@ def _stats_methods():
         columns, or none built yet)."""
         if method not in ("footer", "scan"):
             raise ValueError(f"method must be footer/scan, got {method!r}")
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         m = self._manifest(v)
@@ -3478,7 +3614,7 @@ def _stats_methods():
     def _zm_bounds(self, col, lo, hi, version):
         """Resolve (version, meta) and encode predicate bounds with the
         canonical codec; returns None if no sidecar for the version."""
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         if v is None:
             raise ValueError(f"no commits yet at {self.path}")
         mp = self._zm_meta_path(v)
@@ -3652,7 +3788,7 @@ def _stats_methods():
         exact filter always applies."""
         if lo is None and hi is None:
             raise ValueError("need at least one bound")
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         pred = F.lit(True)
         if lo is not None:
             pred = pred & (F.col(col) >= F.lit(lo))
@@ -3681,7 +3817,7 @@ def _stats_methods():
         filter always applies."""
         if not predicates:
             raise ValueError("need at least one predicate")
-        v = self.latest_version() if version is None else version
+        v = self._read_version(version)
         pred = F.lit(True)
         cand: set[str] | None = None
         for col, lo, hi in predicates:

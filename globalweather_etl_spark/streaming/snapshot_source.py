@@ -153,6 +153,48 @@ def _manifest(root: str, version: int) -> dict:
     return pm
 
 
+# transaction visibility (sources/catalog.py): committed is terminal,
+# so positive answers are cached; pending re-checks every call
+_TXN_DONE: set[tuple[str, str]] = set()
+
+
+def _txn_committed(t: dict) -> bool:
+    key = (t["log"], t["id"])
+    if key in _TXN_DONE:
+        return True
+    p = os.path.join(_local_root(t["log"]), f"{t['id']}.json")
+    if not os.path.isfile(p):
+        return False
+    try:
+        with open(p, "r", encoding="utf-8") as f:
+            rec = json.load(f)
+    except Exception:
+        return False  # half-written decision: not decided yet
+    if rec.get("status") == "committed":
+        _TXN_DONE.add(key)
+        return True
+    return False
+
+
+def _visible_head(root: str, vs: list[int]) -> int | None:
+    """The newest version a stream may emit: steps past manifests
+    staged by a pending multi-table transaction (at most one at the
+    head in practice — pending heads block further commits), and past
+    entries a racing abort deleted between listdir and open.  An
+    uncommitted staged version must never enter a batch window: if its
+    transaction aborted, the manifest (and its files) vanish and the
+    emitted rows would be rows that never committed."""
+    for v in reversed(vs):
+        try:
+            m = _manifest(root, v)
+        except FileNotFoundError:
+            continue  # swept by a concurrent transaction abort
+        t = m.get("txn")
+        if t is None or _txn_committed(t):
+            return v
+    return None
+
+
 @dataclass
 class _FilePartition(InputPartition):
     """One data file of one commit window (absolute local path)."""
@@ -191,7 +233,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
-        head = vs[-1] if vs else self.start_version
+        head = _visible_head(self.root, vs)
+        if head is None:
+            head = self.start_version
         if self.max_commits is None:
             return {"version": head}
         # advance at most max_commits COMMITS past the last offset this
@@ -364,11 +408,11 @@ class SnapshotStreamDataSource(DataSource):
 
     def schema(self) -> StructType:
         root = _local_root(self.options["path"])
-        vs = _versions(root)
-        if not vs:
+        head = _visible_head(root, _versions(root))
+        if head is None:
             raise ValueError(f"no commits yet at {root}")
         return StructType.fromJson(
-            json.loads(_manifest(root, vs[-1])["schema"])
+            json.loads(_manifest(root, head)["schema"])
         )
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:

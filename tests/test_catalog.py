@@ -1,0 +1,265 @@
+"""Multi-table atomic transactions (sources/catalog.py).
+
+The contract under test is the one the reference's ELT shape needs
+(sql/ETL_GlobalWeather_DB.sql:23-136 rebuilds five dims + the fact
+that joins them in one script): a reader NEVER sees the new fact with
+an old dimension — either every staged table moved or none did.
+
+Pinned pieces:
+- all-or-nothing visibility across tables (the decision record is the
+  single atomic point);
+- pending manifests are invisible to every read surface (read,
+  read(version), history, read_asof, read_since, latest head) and
+  BLOCK other commits (ConcurrentTransactionError) until decided;
+- crash recovery: a transaction that staged but never decided is
+  invisible and force-abortable; the sweep burns the version numbers
+  (the crashed-single-writer shape) and later commits proceed;
+- commit/force-abort arbitration: exactly one decision ever wins;
+- consistent cross-table snapshot pins;
+- empty/abort/reuse lifecycle edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from globalweather_etl_spark.sources.catalog import (
+    ConcurrentTransactionError,
+    SnapshotCatalog,
+)
+
+
+def _df(spark, n, tag="a"):
+    return spark.createDataFrame(
+        [Row(k=i, tag=tag, val=float(i)) for i in range(n)]
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path) + "/wh")
+
+
+class TestCommit:
+    def test_two_tables_commit_atomically(self, spark, cat):
+        cat.table("fact").write(_df(spark, 4, "old"), mode="overwrite")
+        cat.table("dim").write(_df(spark, 2, "old"), mode="overwrite")
+        txn = cat.begin()
+        txn.write("fact", _df(spark, 8, "new"), mode="overwrite")
+        txn.write("dim", _df(spark, 3, "new"), mode="overwrite")
+        versions = txn.commit()
+        assert txn.state == "committed"
+        assert set(versions) == {"fact", "dim"}
+        assert cat.table("fact").read().count() == 8
+        assert cat.table("dim").read().count() == 3
+        # committed manifests are ordinary history
+        assert [
+            i.version for i in cat.table("fact").history()
+        ][-1] == versions["fact"]
+
+    def test_commit_creates_tables_on_first_touch(self, spark, cat):
+        txn = cat.begin()
+        txn.write("brand_new", _df(spark, 5))
+        v = txn.commit()["brand_new"]
+        assert cat.table("brand_new").read(v).count() == 5
+        assert "brand_new" in cat.tables()
+
+    def test_empty_commit_is_a_decision_only(self, cat):
+        txn = cat.begin()
+        assert txn.commit() == {}
+        assert cat.txn_status(txn.id) == "committed"
+
+    def test_decided_txn_refuses_reuse(self, spark, cat):
+        txn = cat.begin()
+        txn.commit()
+        with pytest.raises(RuntimeError, match="committed"):
+            txn.write("t", _df(spark, 1))
+        with pytest.raises(RuntimeError, match="committed"):
+            txn.commit()
+
+    def test_double_stage_same_table_refused(self, spark, cat):
+        txn = cat.begin()
+        txn.write("t", _df(spark, 1))
+        with pytest.raises(ValueError, match="already staged"):
+            txn.write("t", _df(spark, 1))
+
+    def test_append_mode_composes_with_existing_rows(self, spark, cat):
+        cat.table("t").write(_df(spark, 4, "base"), mode="overwrite")
+        with cat.begin() as txn:
+            txn.write("t", _df(spark, 3, "more"), mode="append")
+        assert cat.table("t").read().count() == 7
+
+    def test_context_manager_aborts_on_exception(self, spark, cat):
+        cat.table("t").write(_df(spark, 2), mode="overwrite")
+        with pytest.raises(RuntimeError, match="boom"):
+            with cat.begin() as txn:
+                txn.write("t", _df(spark, 9), mode="overwrite")
+                raise RuntimeError("boom")
+        assert txn.state == "aborted"
+        assert cat.table("t").read().count() == 2
+
+
+class TestPendingInvisibility:
+    """Simulate the mid-transaction state: staged manifests published,
+    decision record absent (a crash between STAGE and DECIDE)."""
+
+    def _stage_pending(self, spark, cat, txn_id="deadbeef"):
+        t = cat.table("t")
+        files, n = t._stage_files(_df(spark, 6, "pending"))
+        v = t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "txn": {"id": txn_id, "log": cat._txn_log_path()}
+            },
+        )
+        return t, v
+
+    def test_pending_head_invisible_to_reads(self, spark, cat):
+        cat.table("t").write(_df(spark, 4, "base"), mode="overwrite")
+        t, v = self._stage_pending(spark, cat)
+        assert t.latest_version() == v  # raw log has it
+        assert t.latest_visible_version() == v - 1
+        assert t.read().count() == 4  # not 10
+        assert [i.version for i in t.history()] == [v - 1]
+        with pytest.raises(ValueError, match="pending transaction"):
+            t.read(version=v)
+
+    def test_pending_head_blocks_other_commits(self, spark, cat):
+        cat.table("t").write(_df(spark, 4), mode="overwrite")
+        t, _ = self._stage_pending(spark, cat)
+        with pytest.raises(ConcurrentTransactionError, match="pending"):
+            t.write(_df(spark, 1))
+        with pytest.raises(ConcurrentTransactionError):
+            t.delete_where("k = 0")
+
+    def test_decision_record_flips_visibility_everywhere(
+        self, spark, cat
+    ):
+        cat.table("t").write(_df(spark, 4, "base"), mode="overwrite")
+        t, v = self._stage_pending(spark, cat, txn_id="feedface")
+        assert t.read().count() == 4
+        assert cat._write_decision(
+            "feedface", {"txn": "feedface", "status": "committed"}
+        )
+        assert t.latest_visible_version() == v
+        assert t.read().count() == 10
+        # and commits are unblocked, building on the txn version
+        v2 = t.write(_df(spark, 1, "after"))
+        assert v2 == v + 1
+        assert t.read().count() == 11
+
+    def test_force_abort_sweeps_and_unblocks(self, spark, cat):
+        cat.table("t").write(_df(spark, 4, "base"), mode="overwrite")
+        t, v = self._stage_pending(spark, cat, txn_id="cafebabe")
+        staged_files = set(t._manifest(v)["files"]) - set(
+            t._manifest(v - 1)["files"]
+        )
+        assert cat.abort("cafebabe") == "aborted"
+        # manifest gone, version burned (lock remains), gap in the log
+        assert t.latest_version() == v - 1
+        assert v in t._locked_versions()
+        for rel in staged_files:
+            assert not t._fs.exists(t._p(f"{t.path}/{rel}"))
+        # next commit allocates PAST the burned number
+        v2 = t.write(_df(spark, 1, "after"))
+        assert v2 == v + 1
+        assert t.read().count() == 5
+
+    def test_abort_is_idempotent_and_loses_to_commit(self, spark, cat):
+        cat.table("t").write(_df(spark, 2), mode="overwrite")
+        _, _ = self._stage_pending(spark, cat, txn_id="aa11")
+        assert cat.abort("aa11") == "aborted"
+        assert cat.abort("aa11") == "aborted"
+        # a committed txn cannot be aborted afterwards
+        t2, v2 = self._stage_pending(spark, cat, txn_id="bb22")
+        cat._write_decision("bb22", {"txn": "bb22", "status": "committed"})
+        assert cat.abort("bb22") == "committed"
+        assert t2.read().count() == 2 + 6
+
+    def test_read_asof_skips_pending(self, spark, cat):
+        import time as _time
+
+        cat.table("t").write(_df(spark, 4), mode="overwrite")
+        t, _ = self._stage_pending(spark, cat)
+        assert t.read_asof(_time.time() + 3600).count() == 4
+
+    def test_read_since_ignores_pending_head(self, spark, cat):
+        t = cat.table("t")
+        v0 = t.write(_df(spark, 4, "base"), mode="overwrite")
+        self._stage_pending(spark, cat)
+        # no VISIBLE commits after v0
+        assert t.read_since(v0).count() == 0
+
+    def test_streaming_batch_stamps_ignore_pending(self, spark, cat):
+        """A pending manifest's high-water batch stamp must not gate a
+        replay: if the txn aborts, skipping against it loses data."""
+        t = cat.table("t")
+        t.write_batch(_df(spark, 2), batch_id=0)
+        files, n = t._stage_files(_df(spark, 1))
+        t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "txn": {"id": "zz99", "log": cat._txn_log_path()},
+                "batch_id": 7,
+            },
+        )
+        assert not t._batch_seen(7)  # pending stamp does not count
+        cat.abort("zz99")
+        assert t.write_batch(_df(spark, 3), batch_id=7) is not None
+        assert t.read().count() == 5
+
+
+class TestStreamingVisibility:
+    def test_stream_head_skips_pending_until_decision(self, spark, cat):
+        """The streaming source plans batch windows by plain-file I/O;
+        its head must apply the same transaction visibility as the
+        JVM-side readers — an uncommitted staged commit in a batch
+        would emit rows that may never commit."""
+        from globalweather_etl_spark.streaming.snapshot_source import (
+            _local_root,
+            _versions,
+            _visible_head,
+        )
+
+        t = cat.table("t")
+        v1 = t.write(_df(spark, 4), mode="overwrite")
+        files, n = t._stage_files(_df(spark, 2))
+        v2 = t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "txn": {"id": "str1", "log": cat._txn_log_path()}
+            },
+        )
+        root = _local_root(t.path)
+        assert _visible_head(root, _versions(root)) == v1
+        cat._write_decision("str1", {"txn": "str1", "status": "committed"})
+        assert _visible_head(root, _versions(root)) == v2
+
+
+class TestSnapshotPins:
+    def test_snapshot_pins_committed_heads(self, spark, cat):
+        cat.table("a").write(_df(spark, 1), mode="overwrite")
+        cat.table("b").write(_df(spark, 2), mode="overwrite")
+        with cat.begin() as txn:
+            txn.write("a", _df(spark, 5), mode="overwrite")
+            txn.write("b", _df(spark, 6), mode="overwrite")
+        pins = cat.snapshot()
+        assert cat.table("a").read(pins["a"]).count() == 5
+        assert cat.table("b").read(pins["b"]).count() == 6
+
+    def test_snapshot_excludes_pending(self, spark, cat):
+        t = cat.table("a")
+        v0 = t.write(_df(spark, 1), mode="overwrite")
+        files, n = t._stage_files(_df(spark, 9))
+        t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "txn": {"id": "pend1", "log": cat._txn_log_path()}
+            },
+        )
+        assert cat.snapshot(["a"]) == {"a": v0}
+
+    def test_invalid_table_name_rejected(self, cat):
+        with pytest.raises(ValueError, match="invalid table name"):
+            cat.table("../escape")
