@@ -579,3 +579,80 @@ def materialize(
         observed_expectations=observed_exp,
         key_strategy=wh.key_strategy,
     )
+
+
+def materialize_transactional(
+    wh: WeatherWarehouse,
+    catalog,
+    fact_files_per_date: int = 8,
+    prefix: str = "",
+) -> tuple[WeatherWarehouse, dict[str, int]]:
+    """The full-rebuild publish as ONE multi-table ATOMIC transaction
+    (sources/catalog.py): all ten tables — staging, 5 dims, the fact,
+    3 normalized — become visible at a single instant, or not at all.
+
+    This is the semantics the reference's script actually has on
+    Snowflake (one session runs ETL:17-136; readers see the rebuild
+    transactionally) and plain ``materialize()`` cannot give on an
+    object store: between its per-table overwrites, a dashboard can
+    join the NEW fact against an OLD dimension.  Here a concurrent
+    ``catalog.table("fact_weather_day").read()`` (or a
+    ``catalog.snapshot()`` pin) sees either the whole previous rebuild
+    or the whole new one.
+
+    Shape: staging is staged EAGERLY (``Transaction.write_eager`` —
+    data files written now, still unpublished) and every downstream
+    layer derives from the staged files, the same pipeline-breaker
+    discipline as ``materialize()``; the dims/normalized/fact then
+    stage concurrently at commit (``parallelism``).  The fact is
+    repartitioned to ``fact_files_per_date`` buckets per date before
+    staging (file-count control; date pruning at scale comes from the
+    snapshot table's zone-map/clustering maintenance rather than hive
+    partition directories).  Returns the warehouse re-read from the
+    committed snapshot versions plus the {table: version} map."""
+    spark = wh.staging.sparkSession
+    txn = catalog.begin()
+    staging = txn.write_eager(
+        f"{prefix}stg_forecast_day", wh.staging, mode="overwrite"
+    )
+    rebuilt = build_warehouse(
+        spark, staging, wh.as_of_date, key_strategy=wh.key_strategy
+    )
+    layers = {
+        "dim_date": rebuilt.dim_date,
+        "dim_location": rebuilt.dim_location,
+        "dim_weather_band": rebuilt.dim_weather_band,
+        "dim_precipitation_type": rebuilt.dim_precipitation_type,
+        "dim_source": rebuilt.dim_source,
+        "normalized_location": rebuilt.normalized_location,
+        "normalized_date": rebuilt.normalized_date,
+        "normalized_weather_day": rebuilt.normalized_weather_day,
+        "fact_weather_day": rebuilt.fact.repartition(
+            F.col("DATE_KEY"),
+            F.pmod(F.xxhash64("LOCATION_KEY"), F.lit(fact_files_per_date)),
+        ),
+    }
+    for name, df in layers.items():
+        txn.write(f"{prefix}{name}", df, mode="overwrite")
+    versions = txn.commit(parallelism=len(layers))
+
+    def _read(name: str) -> DataFrame:
+        return catalog.table(f"{prefix}{name}").read(
+            versions[f"{prefix}{name}"]
+        )
+
+    out = WeatherWarehouse(
+        as_of_date=wh.as_of_date,
+        staging=_read("stg_forecast_day"),
+        dim_date=_read("dim_date"),
+        dim_location=_read("dim_location"),
+        dim_weather_band=_read("dim_weather_band"),
+        dim_precipitation_type=_read("dim_precipitation_type"),
+        dim_source=_read("dim_source"),
+        fact=_read("fact_weather_day"),
+        normalized_location=_read("normalized_location"),
+        normalized_date=_read("normalized_date"),
+        normalized_weather_day=_read("normalized_weather_day"),
+        key_strategy=wh.key_strategy,
+    )
+    return out, versions

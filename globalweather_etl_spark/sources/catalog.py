@@ -272,9 +272,10 @@ class Transaction:
         self.catalog = catalog
         self.id = uuid.uuid4().hex
         self.state = "open"
-        # name -> (df, mode); one staged write per table per txn —
-        # the pending head-lock means a second could not publish
-        self._staged: dict[str, tuple[DataFrame, str]] = {}
+        # name -> {"df", "mode"} (lazy) or {"mode", "files", "n",
+        # "schema"} (eagerly staged); one staged write per table per
+        # txn — the pending head-lock means a second could not publish
+        self._staged: dict[str, dict] = {}
 
     def _guard_open(self) -> None:
         if self.state != "open":
@@ -282,11 +283,7 @@ class Transaction:
                 f"transaction {self.id} is {self.state}, not open"
             )
 
-    def write(
-        self, name: str, df: DataFrame, mode: str = "append"
-    ) -> "Transaction":
-        """Stage ``df`` as table ``name``'s part of this transaction
-        ('append' or 'overwrite' — the CTAS full-rebuild shape)."""
+    def _guard_stage(self, name: str, mode: str) -> None:
         self._guard_open()
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append/overwrite, got {mode!r}")
@@ -296,15 +293,83 @@ class Transaction:
                 f"{self.id} — compose the frames and stage once"
             )
         self.catalog.table(name)  # validates the name eagerly
-        self._staged[name] = (df, mode)
+
+    def write(
+        self, name: str, df: DataFrame, mode: str = "append"
+    ) -> "Transaction":
+        """Stage ``df`` as table ``name``'s part of this transaction
+        ('append' or 'overwrite' — the CTAS full-rebuild shape).
+        Lazy: the frame executes at commit()."""
+        self._guard_stage(name, mode)
+        self._staged[name] = {"df": df, "mode": mode}
         return self
 
-    def commit(self) -> dict[str, int]:
+    def write_eager(
+        self, name: str, df: DataFrame, mode: str = "overwrite"
+    ) -> DataFrame:
+        """Stage ``df``'s data files NOW (still invisible — no manifest
+        exists until commit) and return a DataFrame reading them back.
+
+        This is the transactional pipeline-breaker: a multi-statement
+        ELT derives downstream tables FROM an upstream one (the
+        reference's dims all read materialized staging, ETL:23-136);
+        deriving from the lazy plan would re-execute the upstream
+        lineage once per consumer.  Reading the staged files gives the
+        materialization without publishing anything."""
+        self._guard_stage(name, mode)
+        t = self.catalog.table(name)
+        files, n_new = t._stage_files(df)
+        self._staged[name] = {
+            "mode": mode, "files": files, "n": n_new, "schema": df.schema,
+        }
+        if not files:  # empty frame can write zero part files
+            return self.catalog.spark.createDataFrame([], df.schema)
+        return self.catalog.spark.read.schema(df.schema).parquet(
+            *[f"{t.path}/{rel}" for rel in files]
+        )
+
+    def _stage_all(self, parallelism: int) -> None:
+        """Phase 1a: run every still-lazy frame's data-file write (the
+        slow, size-proportional half — no locks taken, nothing
+        visible).  With ``parallelism > 1`` independent tables' write
+        jobs are submitted concurrently — Spark's scheduler interleaves
+        them, exactly the concurrent-CTAS shape plans/pipeline.py uses
+        for the dims; on a cluster serializing them just stacks driver
+        round-trips."""
+        lazy = [
+            (name, p) for name, p in self._staged.items() if "files" not in p
+        ]
+        if not lazy:
+            return
+
+        def _one(name: str, p: dict) -> None:
+            t = self.catalog.table(name)
+            files, n_new = t._stage_files(p["df"])
+            p.update(files=files, n=n_new, schema=p["df"].schema)
+
+        # tables are created serially first: Catalog.table() caches
+        for name, _ in lazy:
+            self.catalog.table(name)
+        if parallelism > 1 and len(lazy) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(parallelism, len(lazy))
+            ) as pool:
+                futs = [pool.submit(_one, name, p) for name, p in lazy]
+                for f in futs:
+                    f.result()
+        else:
+            for name, p in lazy:
+                _one(name, p)
+
+    def commit(self, parallelism: int = 1) -> dict[str, int]:
         """Run the two-phase publish; returns {table: version} of the
         now-visible commits.  Raises ConcurrentTransactionError if a
         table's head is held by another pending transaction or this
         transaction was force-aborted mid-flight — in either case
-        nothing of this transaction remains visible."""
+        nothing of this transaction remains visible.  ``parallelism``
+        stages independent tables' data files concurrently."""
         self._guard_open()
         if not self._staged:
             self.catalog._write_decision(
@@ -316,23 +381,19 @@ class Transaction:
         txn_field = {
             "txn": {"id": self.id, "log": self.catalog._txn_log_path()}
         }
-        # phase 1a — stage every table's data files (slow, no locks
-        # taken, nothing visible, nothing blocked)
-        staged: dict[str, tuple[list[str], int, object, str]] = {}
-        for name, (df, mode) in self._staged.items():
-            t = self.catalog.table(name)
-            files, n_new = t._stage_files(df)
-            staged[name] = (files, n_new, df.schema, mode)
-        # phase 1b — publish pending manifests (metadata-only window)
         published: dict[str, int] = {}
         try:
-            for name, (files, n_new, schema, mode) in staged.items():
+            self._stage_all(parallelism)
+            # phase 1b — publish pending manifests (metadata-only
+            # window; this is the only span other writers collide with)
+            for name, p in self._staged.items():
                 t = self.catalog.table(name)
                 published[name] = t._commit_new_files(
-                    files, n_new, schema, mode, manifest_extra=txn_field
+                    p["files"], p["n"], p["schema"], p["mode"],
+                    manifest_extra=txn_field,
                 )
         except BaseException:
-            self._undo(published, staged)
+            self._undo(published)
             self.state = "aborted"
             self.catalog._write_decision(
                 self.id,
@@ -347,7 +408,7 @@ class Transaction:
         )
         if not won and self.catalog.txn_status(self.id) != "committed":
             # a force-abort beat us to the record: honor it
-            self._undo(published, staged)
+            self._undo(published)
             self.state = "aborted"
             raise ConcurrentTransactionError(
                 f"transaction {self.id} was force-aborted before its "
@@ -367,27 +428,25 @@ class Transaction:
             self.id,
             {"txn": self.id, "status": "aborted", "reason": "abort()"},
         )
-        # nothing published yet in the lazy path; sweep defensively in
-        # case a partial commit() escaped (e.g. KeyboardInterrupt)
+        # nothing is published in the lazy path; sweep defensively in
+        # case a partial commit() escaped (e.g. KeyboardInterrupt),
+        # then drop any eagerly-staged (never-referenced) data files
         for name in self._staged:
             self.catalog._sweep_head(self.catalog.table(name), self.id)
+        self._undo({})
         self.state = "aborted"
 
-    def _undo(
-        self,
-        published: dict[str, int],
-        staged: dict[str, tuple[list[str], int, object, str]],
-    ) -> None:
-        """Roll back a failed commit: sweep published pending
-        manifests, then delete every staged-but-unreferenced data
-        file (by its commit directory)."""
+    def _undo(self, published: dict[str, int]) -> None:
+        """Roll back: sweep published pending manifests (which deletes
+        their files), then delete staged-but-never-published data
+        files by their commit directories."""
         for name in published:
             self.catalog._sweep_head(self.catalog.table(name), self.id)
-        for name, (files, _, _, _) in staged.items():
-            if name in published:
-                continue  # swept above, files included
+        for name, p in self._staged.items():
+            if name in published or "files" not in p:
+                continue
             t = self.catalog.table(name)
-            dirs = {rel.rsplit("/", 1)[0] for rel in files}
+            dirs = {rel.rsplit("/", 1)[0] for rel in p["files"]}
             for d in dirs:
                 t._fs.delete(t._p(f"{t.path}/{d}"), True)
 

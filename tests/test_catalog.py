@@ -210,6 +210,116 @@ class TestPendingInvisibility:
         assert t.read().count() == 5
 
 
+class TestEagerStaging:
+    def test_write_eager_reads_back_before_commit(self, spark, cat):
+        txn = cat.begin()
+        staged = txn.write_eager("stg", _df(spark, 7), mode="overwrite")
+        assert staged.count() == 7  # readable pipeline-breaker
+        # ...but the table itself has no visible state yet
+        assert cat.table("stg").latest_visible_version() is None
+        versions = txn.commit()
+        assert cat.table("stg").read(versions["stg"]).count() == 7
+
+    def test_downstream_derivation_from_staged_files(self, spark, cat):
+        """The ELT shape: a dim derived FROM eagerly-staged staging,
+        both published in one atomic decision."""
+        txn = cat.begin()
+        staged = txn.write_eager("stg", _df(spark, 10), mode="overwrite")
+        dim = staged.select("tag").distinct()
+        txn.write("dim", dim, mode="overwrite")
+        versions = txn.commit(parallelism=4)
+        assert cat.table("dim").read(versions["dim"]).count() == 1
+        assert cat.table("stg").read().count() == 10
+
+    def test_abort_discards_eagerly_staged_files(self, spark, cat):
+        txn = cat.begin()
+        txn.write_eager("stg", _df(spark, 5), mode="overwrite")
+        t = cat.table("stg")
+        dirs = [
+            st.getPath().getName()
+            for st in t._fs.listStatus(t._p(f"{t.path}/data"))
+        ]
+        assert dirs  # files staged on disk
+        txn.abort()
+        dirs_after = [
+            st.getPath().getName()
+            for st in t._fs.listStatus(t._p(f"{t.path}/data"))
+        ]
+        assert dirs_after == []
+        assert cat.txn_status(txn.id) == "aborted"
+
+    def test_failed_stage_rolls_everything_back(self, spark, cat):
+        """A frame that fails at stage time aborts the whole
+        transaction: already-staged tables keep nothing."""
+        cat.table("a").write(_df(spark, 2), mode="overwrite")
+        bad = _df(spark, 3).selectExpr(
+            "k", "assert_true(k < 1) as boom", "val"
+        )
+        txn = cat.begin()
+        txn.write("a", _df(spark, 9), mode="overwrite")
+        txn.write("b", bad, mode="overwrite")
+        with pytest.raises(Exception):
+            txn.commit(parallelism=2)
+        assert txn.state == "aborted"
+        assert cat.table("a").read().count() == 2  # untouched
+        assert cat.txn_status(txn.id) == "aborted"
+
+
+class TestTransactionalMaterialize:
+    def test_elt_publish_is_atomic_and_correct(self, spark, cat):
+        from globalweather_etl_spark.plans import (
+            build_warehouse,
+            materialize_transactional,
+        )
+        from globalweather_etl_spark.sources import (
+            AS_OF_DATE,
+            load_table,
+            weather_staging_from_events,
+        )
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        wh = build_warehouse(
+            spark, weather_staging_from_events(events), AS_OF_DATE
+        )
+        out, versions = materialize_transactional(wh, cat)
+        assert len(versions) == 10
+        # one decision committed all ten tables
+        recs = {v for v in versions.values()}
+        assert out.validate()["null_fk_count"] == 0
+        assert out.fact.count() == wh.fact.count()
+        # every table reads back at its committed version
+        for name, v in versions.items():
+            assert cat.table(name).read(v).columns
+        # a consistent pin sees the whole rebuild
+        pins = cat.snapshot(list(versions))
+        assert pins == versions
+
+    def test_rebuild_twice_keeps_time_travel(self, spark, cat):
+        from globalweather_etl_spark.plans import (
+            build_warehouse,
+            materialize_transactional,
+        )
+        from globalweather_etl_spark.sources import (
+            AS_OF_DATE,
+            load_table,
+            weather_staging_from_events,
+        )
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        staging = weather_staging_from_events(events)
+        wh = build_warehouse(spark, staging, AS_OF_DATE)
+        _, v1 = materialize_transactional(wh, cat)
+        wh2 = build_warehouse(
+            spark, staging.limit(100), AS_OF_DATE
+        )
+        out2, v2 = materialize_transactional(wh2, cat)
+        fact = cat.table("fact_weather_day")
+        assert fact.read(v2["fact_weather_day"]).count() == out2.fact.count()
+        # the previous rebuild is still time-travelable
+        old = fact.read(v1["fact_weather_day"]).count()
+        assert old > out2.fact.count()
+
+
 class TestStreamingVisibility:
     def test_stream_head_skips_pending_until_decision(self, spark, cat):
         """The streaming source plans batch windows by plain-file I/O;
