@@ -18,7 +18,10 @@ from globalweather_etl_spark.sources.formats import (
     write_jsonl,
     write_orc,
 )
-from globalweather_etl_spark.sources.lakehouse_sql import lakehouse_sql
+from globalweather_etl_spark.sources.lakehouse_sql import (
+    lakehouse_sql,
+    lakehouse_sql_txn,
+)
 from globalweather_etl_spark.sources.weather_from_events import (
     AS_OF_DATE,
     weather_staging_from_events,
@@ -34,6 +37,7 @@ __all__ = [
     "load_table",
     "constant_rows",
     "lakehouse_sql",
+    "lakehouse_sql_txn",
     "corrupt_count",
     "drop_corrupt",
     "read_csv",

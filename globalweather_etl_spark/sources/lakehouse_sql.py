@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from globalweather_etl_spark.sources.snapshots import SnapshotTable
 
-__all__ = ["lakehouse_sql"]
+__all__ = ["lakehouse_sql", "lakehouse_sql_txn"]
 
 _PATH = r"'(?P<path>[^']+)'"
 _WS = re.compile(r"\s+")
@@ -344,3 +344,64 @@ def lakehouse_sql(spark: SparkSession, statement: str):
     # Catalyst do the rest (_travel_rewrite documents the root check
     # that keeps ordinary string literals untouched).
     return spark.sql(_travel_rewrite(spark, stmt))
+
+
+def lakehouse_sql_txn(
+    spark: SparkSession,
+    catalog,
+    statements: list[str],
+    parallelism: int = 1,
+) -> dict[str, int]:
+    """Execute a list of INSERT statements as ONE atomic multi-table
+    transaction (sources/catalog.py) — the SQL spelling of the
+    reference's transactional ELT session (the whole of ETL:17-136
+    runs as one Snowflake session; readers see the rebuild all at
+    once).
+
+    Unlike ``lakehouse_sql``, table references here are CATALOG TABLE
+    NAMES (quoted, resolved under ``catalog.root``), because the
+    atomic unit is the catalog's decision log::
+
+        lakehouse_sql_txn(spark, cat, [
+            "INSERT OVERWRITE 'dim_date' SELECT ...",
+            "INSERT OVERWRITE 'fact_weather_day' SELECT ...",
+        ], parallelism=2)
+
+    Only INSERT INTO (append) / INSERT OVERWRITE (full rebuild) are
+    transactional — they stage files and publish nothing until the
+    decision.  REPLACE WHERE / MERGE / DELETE rewrite or tombstone
+    EXISTING files and would need the pending-state read surface to
+    stack on itself; they stay single-table verbs (each is already
+    atomic on its own table).  Select bodies may read snapshot paths
+    with VERSION/TIMESTAMP AS OF, same as lakehouse_sql.
+
+    Returns the committed {table-name: version} map; on any error the
+    transaction aborts and nothing is visible."""
+    txn = catalog.begin()
+    try:
+        for statement in statements:
+            stmt = _WS.sub(" ", statement.strip()).rstrip(";").strip()
+            m = _INSERT.match(stmt)
+            if not m:
+                raise ValueError(
+                    f"not transactional: {stmt[:60]!r} — only INSERT "
+                    "INTO / INSERT OVERWRITE compose into a "
+                    "multi-table transaction (see docstring)"
+                )
+            if m.group("pred") is not None:
+                raise ValueError(
+                    "REPLACE WHERE is a single-table verb — it "
+                    "rewrites existing files and is already atomic "
+                    "on its own table"
+                )
+            df = spark.sql(_travel_rewrite(spark, m.group("select")))
+            mode = (
+                "overwrite" if m.group("over").upper() == "OVERWRITE"
+                else "append"
+            )
+            txn.write(m.group("path"), df, mode=mode)
+    except BaseException:
+        if txn.state == "open":
+            txn.abort()
+        raise
+    return txn.commit(parallelism=parallelism)

@@ -309,3 +309,69 @@ def test_insert_replace_where_rejects_type_conflict(spark, tmp_path):
             f"INSERT INTO '{t.path}' REPLACE WHERE k < 5 "
             "SELECT id AS k, id % 9 AS g, id * 2.5 AS val FROM range(5)",
         )
+
+
+# ------------------------------- transactional statement lists
+
+
+def test_txn_statement_list_commits_atomically(spark, tmp_path):
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_txn,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    versions = lakehouse_sql_txn(spark, cat, [
+        "INSERT OVERWRITE 'dim' SELECT id AS k, id % 3 AS g FROM range(9)",
+        "INSERT OVERWRITE 'fact' "
+        "SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v FROM range(20)",
+    ], parallelism=2)
+    assert set(versions) == {"dim", "fact"}
+    assert cat.table("dim").read(versions["dim"]).count() == 9
+    assert cat.table("fact").read(versions["fact"]).count() == 20
+    # append composes too, and the select may time-travel
+    versions2 = lakehouse_sql_txn(spark, cat, [
+        f"INSERT INTO 'fact' SELECT * FROM '{cat.root}/fact' "
+        f"VERSION AS OF {versions['fact']}",
+    ])
+    assert cat.table("fact").read(versions2["fact"]).count() == 40
+
+
+def test_txn_statement_list_rejects_non_insert(spark, tmp_path):
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_txn,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.table("t").write(
+        spark.range(3).selectExpr("id AS k"), mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="not transactional"):
+        lakehouse_sql_txn(spark, cat, ["DELETE FROM 't' WHERE k = 1"])
+    with pytest.raises(ValueError, match="single-table verb"):
+        lakehouse_sql_txn(spark, cat, [
+            "INSERT INTO 't' REPLACE WHERE k < 1 SELECT 5 AS k",
+        ])
+    # nothing leaked: table unchanged, no pending head
+    assert cat.table("t").read().count() == 3
+    assert cat.table("t").latest_version() == 1
+
+
+def test_txn_statement_failure_aborts_all(spark, tmp_path):
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_txn,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.table("a").write(
+        spark.range(2).selectExpr("id AS k"), mode="overwrite"
+    )
+    with pytest.raises(Exception):
+        lakehouse_sql_txn(spark, cat, [
+            "INSERT OVERWRITE 'a' SELECT id AS k FROM range(50)",
+            "INSERT OVERWRITE 'b' SELECT assert_true(id < 1) AS boom "
+            "FROM range(5)",
+        ])
+    assert cat.table("a").read().count() == 2  # untouched
