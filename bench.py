@@ -163,6 +163,7 @@ KEY_MAP = {
     "lakehouse_ivm_cdc": "events_daily_band_counts (FULL graded slot: CDC retraction batches + mergeable-HLL measure, one mixed-maintenance state — one commit per batch since round 8)",
     "lakehouse_zonemap": "tpch_scalar_checks zm_* graded shape (date-clustered snapshot commit + footer-only stats build + two pruned range reads)",
     "lakehouse_optimize": "tpch_scalar_checks oc_* graded shape (z-ordered base + 2 appends + MoR delete + incremental optimize + stats + pruned 2-D box read)",
+    "lakehouse_txn": "sources/catalog.py multi-table atomic transactions (no SQL oracle by nature: cross-table publish semantics; atomicity/crash tests in tests/test_catalog.py) — seed txn + parallel rebuild txn + consistent pin + cross-table join read",
     "snapshot_stream_drain": "streaming/snapshot_source.py (no SQL oracle by nature: offset/replay semantics; parity tests in tests/test_snapshot_source.py) — 8 commits, catch-up drain + one tail drain",
 }
 
@@ -825,6 +826,59 @@ def main() -> None:
                 ).write.format("noop").mode("overwrite").save()
 
             timed("lakehouse_optimize", optimize_all)
+
+            # round-10: multi-table atomic transactions — a 3-table
+            # warehouse published twice (seed + full rebuild) through
+            # the catalog's two-phase commit, then a consistent
+            # cross-table pin and a join read over the pinned
+            # versions. Times the whole transactional publish story:
+            # parallel staging, the metadata-only pending window, the
+            # decision record, and pin resolution.
+            def txn_publish():
+                from globalweather_etl_spark.sources.catalog import (
+                    SnapshotCatalog,
+                )
+
+                cat = SnapshotCatalog(
+                    spark,
+                    tempfile.mkdtemp(prefix="bench_txn_", dir=base)
+                    + "/wh",
+                )
+                orders = load_table(spark, sf_dir, "orders")
+                fact = orders.select(
+                    "o_orderkey",
+                    "o_custkey",
+                    F.col("o_orderdate").cast("date").alias(
+                        "o_orderdate"
+                    ),
+                    "o_totalprice",
+                )
+                dim_cust = load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey", "c_mktsegment"
+                )
+                dim_nation = load_table(spark, sf_dir, "nation")
+                for _ in range(2):  # seed, then the steady-state rebuild
+                    txn = cat.begin()
+                    txn.write("fact_orders", fact, mode="overwrite")
+                    txn.write("dim_customer", dim_cust, mode="overwrite")
+                    txn.write("dim_nation", dim_nation, mode="overwrite")
+                    txn.commit(parallelism=3)
+                pins = cat.snapshot()
+                joined = (
+                    cat.table("fact_orders")
+                    .read(pins["fact_orders"])
+                    .join(
+                        F.broadcast(
+                            cat.table("dim_customer").read(
+                                pins["dim_customer"]
+                            )
+                        ),
+                        F.col("o_custkey") == F.col("c_custkey"),
+                    )
+                )
+                joined.write.format("noop").mode("overwrite").save()
+
+            timed("lakehouse_txn", txn_publish)
 
             # round-8: the PySpark-4 Python Data Source streaming path
             # (streaming/snapshot_source.py) — commit 8 event slices
