@@ -261,6 +261,69 @@ class SnapshotCatalog:
             f"{max_tries} tries (transaction commit storm?)"
         )
 
+    def vacuum(self, keep_last: int = 1, **kw) -> dict:
+        """Run SnapshotTable.vacuum on every table (which also folds
+        committed transaction tags into plain commit stamps), then GC
+        decision records no stored manifest references any more.
+        Returns per-table vacuum reports plus 'decisions_removed'."""
+        reports = {
+            name: self.table(name).vacuum(keep_last=keep_last, **kw)
+            for name in self.tables()
+        }
+        reports["decisions_removed"] = self.gc_decisions()
+        return reports
+
+    def gc_decisions(self, min_age: float = 86400.0) -> int:
+        """Delete decision records referenced by NO stored manifest of
+        any catalog table and older than ``min_age`` seconds.
+
+        A COMMITTED record is load-bearing while any manifest still
+        carries its txn tag (visibility consults it), so only records
+        every table has either swept (aborted) or tag-stripped
+        (vacuum folds committed tags away) are candidates.  ``min_age``
+        guards long-lived readers that resolved a manifest before the
+        strip and would re-check the record later — set it beyond the
+        longest-lived reader process, the same contract as vacuum's
+        ``unreferenced_grace``."""
+        referenced: set[str] = set()
+        for name in self.tables():
+            t = self.table(name)
+            for v in t.versions():
+                tx = t._manifest(v).get("txn")
+                if tx is not None:
+                    referenced.add(tx["id"])
+        removed = 0
+        horizon_ms = (time.time() - min_age) * 1000.0
+        tdir = self._p(self._txn_log_path())
+        for st in self._fs.listStatus(tdir):
+            name = st.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            txn_id = name[:-5]
+            if txn_id in referenced:
+                continue
+            if st.getModificationTime() > horizon_ms:
+                continue
+            if self._fs.delete(st.getPath(), False):
+                removed += 1
+            self._fs.delete(
+                self._p(f"{self._txn_log_path()}/{name}.lock"), False
+            )
+        return removed
+
+    def snapshot_asof(
+        self, ts: float, names: list[str] | None = None
+    ) -> dict[str, int]:
+        """A {table: version} pin AS OF wall-clock ``ts`` that is
+        consistent with respect to multi-table transactions: every
+        version of one transaction carries the SAME effective commit
+        instant (the decision stamp — SnapshotTable.version_asof), so
+        the pinned set is on one side of every transaction, never
+        straddling it.  Historical counterpart of snapshot(); no
+        verify loop needed because history is immutable."""
+        names = self.tables() if names is None else list(names)
+        return {n: self.table(n).version_asof(ts) for n in names}
+
 
 class Transaction:
     """One atomic unit of staged writes across a Catalog's tables.

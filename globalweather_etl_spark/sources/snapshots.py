@@ -380,29 +380,54 @@ class SnapshotTable:
         return max([parent or 0, *self._locked_versions()]) + 1
 
     # ----------------------------------- transaction visibility
-    def _txn_is_committed(self, t: dict) -> bool:
-        """True iff transaction ``t`` ({'id', 'log'}) has a committed
-        decision record.  Committed is terminal, so positives are
-        cached; a pending/aborted answer is re-checked every call (the
-        record may land at any moment)."""
-        done = getattr(self, "_txn_done", None)
-        if done is None:
-            done = set()
-            self._txn_done = done
+    def _txn_decision(self, t: dict) -> dict | None:
+        """The decision record of transaction ``t`` ({'id', 'log'}),
+        or None while pending.  Committed records are immutable and
+        load-bearing (they are what makes the staged versions
+        visible), so they are cached; pending/aborted answers are
+        re-checked every call (the record may land or change to a
+        sweep at any moment)."""
+        cache = getattr(self, "_txn_rec", None)
+        if cache is None:
+            cache = {}
+            self._txn_rec = cache
         key = (t["log"], t["id"])
-        if key in done:
-            return True
+        if key in cache:
+            return cache[key]
         p = self._p(f"{t['log']}/{t['id']}.json")
         if not self._fs.exists(p):
-            return False
+            return None
         try:
             rec = self._read_json(p)
         except Exception:
-            return False  # half-written record: not decided yet
+            return None  # half-written record: not decided yet
         if rec.get("status") == "committed":
-            done.add(key)
-            return True
-        return False
+            cache[key] = rec
+        return rec
+
+    def _txn_is_committed(self, t: dict) -> bool:
+        rec = self._txn_decision(t)
+        return rec is not None and rec.get("status") == "committed"
+
+    def _effective_commit_ts(self, m: dict) -> float | None:
+        """The wall-clock instant ``m`` became VISIBLE: its own
+        publish stamp for plain commits, the transaction DECISION
+        stamp for txn-staged ones.  Using the per-table manifest stamp
+        for a txn commit would re-open exactly the torn window the
+        transaction closed — two tables of one transaction publish
+        their manifests milliseconds apart, and an AS OF read between
+        those stamps would pin the new state of one and the old state
+        of the other.  The decision stamp is shared by every table of
+        the transaction, so time travel can never straddle it.
+        (Monotone within a table: the decision lands after the staged
+        manifest's publish, and the pending head blocks any later
+        commit until then.)"""
+        t = m.get("txn")
+        if t is not None:
+            rec = self._txn_decision(t)
+            if rec is not None and rec.get("decided_at") is not None:
+                return rec["decided_at"]
+        return m.get("committed_at")
 
     def _visible(self, m: dict) -> bool:
         """A manifest is readable state unless it is staged by a
@@ -512,26 +537,27 @@ class SnapshotTable:
         vacuum calls this, under vacuum's existing single-maintainer
         assumption for the versions it touches."""
         resolved = self._manifest(version)
-        full = _full_storage_form(resolved)
+        self._swap_stored(_full_storage_form(resolved), version)
+
+    def _swap_stored(self, raw: dict, version: int) -> None:
+        """Replace ``version``'s STORED manifest with ``raw`` via
+        write-temp + delete + rename (not atomic — callers run under
+        vacuum's single-maintainer assumption), then drop the resolve
+        cache (content or depth may have shifted)."""
         dest = self._manifest_path(version)
         tmp = self._p(
             f"{self.path}/{_MANIFEST_DIR}/.ckpt-{uuid.uuid4().hex}.json"
         )
         out = self._fs.create(tmp, False)
         try:
-            out.write(
-                json.dumps(full, sort_keys=True).encode("utf-8")
-            )
+            out.write(json.dumps(raw, sort_keys=True).encode("utf-8"))
         finally:
             out.close()
         self._fs.delete(dest, False)
         if not self._fs.rename(tmp, dest):
             raise RuntimeError(
-                f"vacuum checkpoint rewrite failed for v{version}"
+                f"vacuum manifest rewrite failed for v{version}"
             )
-        # the cached resolved dict is still content-correct, but its
-        # _depth is now 0 and descendants' depths shifted — drop all
-        # so the next reads recompute
         self._manifest_cache = {}
 
     def _publish_manifest(self, manifest: dict, version: int) -> bool:
@@ -1188,27 +1214,33 @@ class SnapshotTable:
         )
 
     # --------------------------------------------------------- reads
-    def read_asof(self, ts: float) -> DataFrame:
-        """Time travel by WALL CLOCK: the newest version whose commit
-        stamp is <= ``ts`` (unix seconds) — the SQL `AS OF TIMESTAMP`
-        form, resolved against the manifest log's committed_at stamps.
-        Raises if the table has no commit at or before ``ts``."""
+    def version_asof(self, ts: float) -> int:
+        """The newest VISIBLE version whose effective commit instant
+        is <= ``ts`` (unix seconds).  Transaction-staged versions
+        resolve by their DECISION stamp — shared across every table of
+        the transaction — so cross-table AS OF reads can never
+        straddle a transaction (see _effective_commit_ts).  Raises if
+        the table has no commit at or before ``ts``."""
         best = None
         for v in self.versions():
             m = self._manifest(v)
-            at = m.get("committed_at")
-            if (
-                at is not None
-                and at <= ts
-                and self._visible(m)
-                and (best is None or v > best)
-            ):
+            if not self._visible(m):
+                continue
+            at = self._effective_commit_ts(m)
+            if at is not None and at <= ts and (best is None or v > best):
                 best = v
         if best is None:
             raise ValueError(
                 f"no commit at or before ts={ts} at {self.path}"
             )
-        return self.read(best)
+        return best
+
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by WALL CLOCK: the newest version whose
+        effective commit instant is <= ``ts`` — the SQL `AS OF
+        TIMESTAMP` form (see version_asof for transaction
+        semantics)."""
+        return self.read(self.version_asof(ts))
 
     def read(self, version: int | None = None) -> DataFrame:
         """DataFrame over the pinned manifest's exact file list (latest
@@ -2678,7 +2710,9 @@ class SnapshotTable:
         if older_than is not None:
             horizon = time.time() - older_than
             for v in vs:
-                at = self._manifest(v).get("committed_at")
+                # effective instant: txn versions became visible at
+                # their DECISION stamp, which is what readers pin by
+                at = self._effective_commit_ts(self._manifest(v))
                 if at is not None and at > horizon:
                     keep.add(v)
         drop = [v for v in vs if v not in keep]
@@ -2751,6 +2785,26 @@ class SnapshotTable:
                 raw = self._read_json(self._manifest_path(v))
                 if raw.get("delta") and raw["parent"] in dropping:
                     self._rewrite_manifest_full(v)
+        # Fold COMMITTED transaction tags away on kept manifests:
+        # visibility then no longer consults the decision record — the
+        # committed_at stamp is replaced by the decision stamp, so AS
+        # OF semantics are bit-identical — which is what makes the
+        # catalog's decision log garbage-collectable at all (an
+        # unstripped committed record is load-bearing forever: delete
+        # it and its staged versions would turn invisible).  Pending
+        # tags are left untouched — they ARE the pending state.
+        for v in sorted(keep):
+            raw = self._read_json(self._manifest_path(v))
+            t = raw.get("txn")
+            if t is None:
+                continue
+            rec = self._txn_decision(t)
+            if rec is None or rec.get("status") != "committed":
+                continue
+            raw.pop("txn")
+            if rec.get("decided_at") is not None:
+                raw["committed_at"] = rec["decided_at"]
+            self._swap_stored(raw, v)
         for p in to_delete:
             if self._fs.delete(p, False):
                 removed_files += 1

@@ -347,6 +347,82 @@ class TestStreamingVisibility:
         assert _visible_head(root, _versions(root)) == v2
 
 
+class TestDecisionLifecycle:
+    def test_asof_uses_the_decision_stamp(self, spark, cat):
+        """Both tables of one transaction must resolve AS OF reads by
+        the SAME instant (the decision), not their per-table manifest
+        stamps — otherwise an AS OF between the two publishes pins the
+        torn view the transaction exists to prevent."""
+        cat.table("a").write(_df(spark, 1, "old"), mode="overwrite")
+        cat.table("b").write(_df(spark, 2, "old"), mode="overwrite")
+        with cat.begin() as txn:
+            txn.write("a", _df(spark, 5, "new"), mode="overwrite")
+            txn.write("b", _df(spark, 6, "new"), mode="overwrite")
+        ta, tb = cat.table("a"), cat.table("b")
+        va, vb = ta.latest_visible_version(), tb.latest_visible_version()
+        rec_ts = None
+        for t, v in ((ta, va), (tb, vb)):
+            m = t._manifest(v)
+            eff = t._effective_commit_ts(m)
+            assert eff is not None and eff >= m["committed_at"]
+            rec_ts = eff if rec_ts is None else rec_ts
+            assert eff == rec_ts  # same decision instant for both
+        # an AS OF between a's publish stamp and the decision pins the
+        # OLD state of both tables (the decision had not happened yet)
+        mid = ta._manifest(va)["committed_at"]
+        if mid < rec_ts:
+            pins = cat.snapshot_asof(mid, ["a", "b"])
+            assert pins == {"a": va - 1, "b": vb - 1}
+        pins_now = cat.snapshot_asof(rec_ts, ["a", "b"])
+        assert pins_now == {"a": va, "b": vb}
+
+    def test_vacuum_strips_committed_tags_and_gc_removes_records(
+        self, spark, cat
+    ):
+        with cat.begin() as txn:
+            txn.write("t", _df(spark, 4), mode="overwrite")
+        t = cat.table("t")
+        v = t.latest_visible_version()
+        assert t._manifest(v).get("txn") is not None
+        eff_before = t._effective_commit_ts(t._manifest(v))
+        rep = cat.vacuum(keep_last=10, unreferenced_grace=0.0)
+        # tag folded away; AS OF instant preserved bit-identically
+        m = t._manifest(v)
+        assert m.get("txn") is None
+        assert m["committed_at"] == eff_before
+        assert t.read(v).count() == 4
+        # the decision record is now unreferenced -> GC-able
+        assert cat.gc_decisions(min_age=0.0) == 1
+        assert t.read(v).count() == 4  # still visible without it
+        assert t.version_asof(eff_before) == v
+
+    def test_gc_keeps_referenced_and_young_records(self, spark, cat):
+        with cat.begin() as txn:
+            txn.write("t", _df(spark, 3), mode="overwrite")
+        # no vacuum -> tag still on the manifest -> record is
+        # load-bearing and must survive even with min_age=0
+        assert cat.gc_decisions(min_age=0.0) == 0
+        assert cat.table("t").read().count() == 3
+        cat.table("t").vacuum(keep_last=10, unreferenced_grace=0.0)
+        # stripped now, but a young record survives the age guard
+        assert cat.gc_decisions(min_age=3600.0) == 0
+        assert cat.gc_decisions(min_age=0.0) == 1
+
+    def test_aborted_decision_gc(self, spark, cat):
+        t = cat.table("t")
+        t.write(_df(spark, 2), mode="overwrite")
+        files, n = t._stage_files(_df(spark, 1))
+        t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "txn": {"id": "gone1", "log": cat._txn_log_path()}
+            },
+        )
+        cat.abort("gone1")
+        assert cat.gc_decisions(min_age=0.0) == 1
+        assert cat.txn_status("gone1") == "pending"  # record gone
+
+
 class TestSnapshotPins:
     def test_snapshot_pins_committed_heads(self, spark, cat):
         cat.table("a").write(_df(spark, 1), mode="overwrite")
