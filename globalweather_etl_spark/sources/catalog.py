@@ -219,12 +219,20 @@ class SnapshotCatalog:
         if not tx or tx["id"] != txn_id:
             return
         parent_files: set[str] = set()
+        parent_stores: set[str] = set()
         if m.get("parent") is not None:
-            parent_files = set(t._manifest(m["parent"])["files"])
+            pm = t._manifest(m["parent"])
+            parent_files = set(pm["files"])
+            parent_stores = set((pm.get("dvs") or {}).get("stores", []))
         t._fs.delete(t._manifest_path(v), False)
         t._manifest_cache = {}
         for rel in m["files"]:
             if rel not in parent_files:
+                t._fs.delete(t._p(f"{t.path}/{rel}"), False)
+        # deletion-vector stores this version introduced (a staged
+        # delete_where/merge-on-read) go with it
+        for rel in (m.get("dvs") or {}).get("stores", []):
+            if rel not in parent_stores:
                 t._fs.delete(t._p(f"{t.path}/{rel}"), False)
 
     # ---------------------------------------- consistent snapshots
@@ -367,6 +375,50 @@ class Transaction:
         self._staged[name] = {"df": df, "mode": mode}
         return self
 
+    # --------------------------- staged rewrite verbs (ops)
+    #
+    # MERGE / DELETE / REPLACE WHERE compose into a transaction too —
+    # each runs its existing single-table path at commit time with the
+    # txn tag, publishing a PENDING version that the decision record
+    # flips together with everything else.  Honest trade vs plain
+    # writes: an op's compute (probe + rewrite) happens INSIDE the
+    # publish phase while its table's head lock is held, because a
+    # rewrite must be computed against the exact base it locks — so a
+    # transaction of ops holds per-table pending windows for the
+    # rewrite duration, where plain writes hold them only for a
+    # manifest publish.  Cross-table all-or-nothing is identical.
+
+    def replace_where(
+        self, name: str, df: DataFrame, condition, **kw
+    ) -> "Transaction":
+        """Stage a predicate-scoped atomic overwrite of ``name`` (see
+        SnapshotTable.replace_where) as part of this transaction."""
+        self._guard_stage(name, "append")
+        self._staged[name] = {
+            "op": "replace_where", "args": (df, condition), "kw": kw,
+        }
+        return self
+
+    def delete_where(self, name: str, condition, **kw) -> "Transaction":
+        """Stage a merge-on-read delete on ``name`` (see
+        SnapshotTable.delete_where) as part of this transaction."""
+        self._guard_stage(name, "append")
+        self._staged[name] = {
+            "op": "delete_where", "args": (condition,), "kw": kw,
+        }
+        return self
+
+    def merge_into(
+        self, name: str, source: DataFrame, keys: list[str], **kw
+    ) -> "Transaction":
+        """Stage a MERGE into ``name`` (see SnapshotTable.merge_into)
+        as part of this transaction."""
+        self._guard_stage(name, "append")
+        self._staged[name] = {
+            "op": "merge_into", "args": (source, keys), "kw": kw,
+        }
+        return self
+
     def write_eager(
         self, name: str, df: DataFrame, mode: str = "overwrite"
     ) -> DataFrame:
@@ -400,7 +452,7 @@ class Transaction:
         for the dims; on a cluster serializing them just stacks driver
         round-trips."""
         lazy = [
-            (name, p) for name, p in self._staged.items() if "files" not in p
+            (name, p) for name, p in self._staged.items() if "df" in p
         ]
         if not lazy:
             return
@@ -447,9 +499,23 @@ class Transaction:
         published: dict[str, int] = {}
         try:
             self._stage_all(parallelism)
+            # staged rewrite verbs run first (their compute holds
+            # their own table's pending window — see the ops note),
+            # so the plain writes' metadata-only publishes stay last
+            # and the cross-table pending span stays short
+            for name, p in self._staged.items():
+                if "op" not in p:
+                    continue
+                t = self.catalog.table(name)
+                res = getattr(t, p["op"])(
+                    *p["args"], manifest_extra=txn_field, **p["kw"]
+                )
+                published[name] = res["version"]
             # phase 1b — publish pending manifests (metadata-only
             # window; this is the only span other writers collide with)
             for name, p in self._staged.items():
+                if "op" in p:
+                    continue
                 t = self.catalog.table(name)
                 published[name] = t._commit_new_files(
                     p["files"], p["n"], p["schema"], p["mode"],

@@ -196,6 +196,47 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
     return _TRAVEL.sub(_sub, text)
 
 
+def _parse_merge(spark: SparkSession, m) -> tuple:
+    """Shared MERGE clause parsing: (source_df, keys, when_matched,
+    when_not_matched) from a _MERGE regex match."""
+    src = m.group("src").strip()
+    source: DataFrame = (
+        spark.sql(f"SELECT * FROM {src} AS __merge_src")
+        if src.startswith("(")
+        else spark.table(src)
+    )
+    keys = _keys_from_on(m.group("on"))
+    when_matched, when_not_matched = "update", "insert"
+    clauses = m.group("clauses") or ""
+    if clauses.strip():
+        when_matched = when_not_matched = "ignore"
+        for part in re.split(r"(?i)\bWHEN\b", clauses):
+            part = part.strip()
+            if not part:
+                continue
+            w = re.match(r"(?is)^(NOT )?MATCHED THEN (.+)$", part)
+            if not w:
+                raise ValueError(f"cannot parse MERGE clause {part!r}")
+            action = _WS.sub(" ", w.group(2).strip()).upper()
+            if w.group(1):
+                if action != "INSERT *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports INSERT * only"
+                    )
+                when_not_matched = "insert"
+            elif action == "DELETE":
+                when_matched = "delete"
+            elif action == "UPDATE SET *":
+                when_matched = "update"
+            else:
+                raise ValueError(
+                    f"unsupported WHEN MATCHED action {action!r}"
+                    " — merge_into carries whole source rows "
+                    "(UPDATE SET * / DELETE)"
+                )
+    return source, keys, when_matched, when_not_matched
+
+
 def lakehouse_sql(spark: SparkSession, statement: str):
     """Execute one statement from the grammar above. Returns what the
     matching Python call returns (a dict for OPTIMIZE/VACUUM/DELETE/
@@ -293,45 +334,9 @@ def lakehouse_sql(spark: SparkSession, statement: str):
     m = _MERGE.match(stmt)
     if m:
         t = SnapshotTable(spark, m.group("path"))
-        src = m.group("src").strip()
-        source: DataFrame = (
-            spark.sql(f"SELECT * FROM {src} AS __merge_src")
-            if src.startswith("(")
-            else spark.table(src)
+        source, keys, when_matched, when_not_matched = _parse_merge(
+            spark, m
         )
-        keys = _keys_from_on(m.group("on"))
-        when_matched, when_not_matched = "update", "insert"
-        clauses = m.group("clauses") or ""
-        if clauses.strip():
-            when_matched = when_not_matched = "ignore"
-            for part in re.split(r"(?i)\bWHEN\b", clauses):
-                part = part.strip()
-                if not part:
-                    continue
-                w = re.match(
-                    r"(?is)^(NOT )?MATCHED THEN (.+)$", part
-                )
-                if not w:
-                    raise ValueError(
-                        f"cannot parse MERGE clause {part!r}"
-                    )
-                action = _WS.sub(" ", w.group(2).strip()).upper()
-                if w.group(1):
-                    if action != "INSERT *":
-                        raise ValueError(
-                            "WHEN NOT MATCHED supports INSERT * only"
-                        )
-                    when_not_matched = "insert"
-                elif action == "DELETE":
-                    when_matched = "delete"
-                elif action == "UPDATE SET *":
-                    when_matched = "update"
-                else:
-                    raise ValueError(
-                        f"unsupported WHEN MATCHED action {action!r}"
-                        " — merge_into carries whole source rows "
-                        "(UPDATE SET * / DELETE)"
-                    )
         return t.merge_into(
             source,
             keys=keys,
@@ -367,13 +372,14 @@ def lakehouse_sql_txn(
             "INSERT OVERWRITE 'fact_weather_day' SELECT ...",
         ], parallelism=2)
 
-    Only INSERT INTO (append) / INSERT OVERWRITE (full rebuild) are
-    transactional — they stage files and publish nothing until the
-    decision.  REPLACE WHERE / MERGE / DELETE rewrite or tombstone
-    EXISTING files and would need the pending-state read surface to
-    stack on itself; they stay single-table verbs (each is already
-    atomic on its own table).  Select bodies may read snapshot paths
-    with VERSION/TIMESTAMP AS OF, same as lakehouse_sql.
+    The full mutating verb set composes: INSERT INTO (append) / INSERT
+    OVERWRITE (full rebuild) stage files and publish nothing until the
+    decision; INSERT INTO ... REPLACE WHERE / MERGE INTO / DELETE FROM
+    run as staged rewrite verbs (their compute holds their own table's
+    pending window — Transaction's ops note documents the trade).  At
+    most one statement per table per transaction.  Select bodies may
+    read snapshot paths with VERSION/TIMESTAMP AS OF, same as
+    lakehouse_sql.
 
     Returns the committed {table-name: version} map; on any error the
     transaction aborts and nothing is visible."""
@@ -382,24 +388,44 @@ def lakehouse_sql_txn(
         for statement in statements:
             stmt = _WS.sub(" ", statement.strip()).rstrip(";").strip()
             m = _INSERT.match(stmt)
-            if not m:
-                raise ValueError(
-                    f"not transactional: {stmt[:60]!r} — only INSERT "
-                    "INTO / INSERT OVERWRITE compose into a "
-                    "multi-table transaction (see docstring)"
+            if m:
+                df = spark.sql(_travel_rewrite(spark, m.group("select")))
+                if m.group("pred") is not None:
+                    if m.group("over").upper() == "OVERWRITE":
+                        raise ValueError(
+                            "REPLACE WHERE composes with INSERT INTO "
+                            "only — INSERT OVERWRITE already replaces "
+                            "the whole table"
+                        )
+                    txn.replace_where(
+                        m.group("path"), df, m.group("pred").strip()
+                    )
+                else:
+                    mode = (
+                        "overwrite"
+                        if m.group("over").upper() == "OVERWRITE"
+                        else "append"
+                    )
+                    txn.write(m.group("path"), df, mode=mode)
+                continue
+            m = _DELETE.match(stmt)
+            if m:
+                txn.delete_where(m.group("path"), m.group("pred"))
+                continue
+            m = _MERGE.match(stmt)
+            if m:
+                source, keys, wm, wnm = _parse_merge(spark, m)
+                txn.merge_into(
+                    m.group("path"), source, keys,
+                    when_matched=wm, when_not_matched=wnm,
                 )
-            if m.group("pred") is not None:
-                raise ValueError(
-                    "REPLACE WHERE is a single-table verb — it "
-                    "rewrites existing files and is already atomic "
-                    "on its own table"
-                )
-            df = spark.sql(_travel_rewrite(spark, m.group("select")))
-            mode = (
-                "overwrite" if m.group("over").upper() == "OVERWRITE"
-                else "append"
+                continue
+            raise ValueError(
+                f"not transactional: {stmt[:60]!r} — INSERT INTO/"
+                "OVERWRITE [REPLACE WHERE], MERGE INTO and DELETE "
+                "FROM compose into a multi-table transaction (see "
+                "docstring)"
             )
-            txn.write(m.group("path"), df, mode=mode)
     except BaseException:
         if txn.state == "open":
             txn.abort()

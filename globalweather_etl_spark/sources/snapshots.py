@@ -1670,6 +1670,7 @@ class SnapshotTable:
         condition,
         store_files: int = 1,
         max_retries: int = 5,
+        manifest_extra: dict | None = None,
     ) -> dict:
         """MERGE-ON-READ delete: remove rows matching ``condition`` (a
         Column or SQL string) WITHOUT rewriting any data file — the
@@ -1735,6 +1736,16 @@ class SnapshotTable:
                 )
             pdv = m.get("dvs") or {"stores": [], "files": []}
             manifest = {
+                **{
+                    k: v
+                    for k, v in (manifest_extra or {}).items()
+                    if k
+                    not in (
+                        "version", "parent", "mode", "schema", "files",
+                        "n_rows", "max_batch_id", "ivm_max_batch_id",
+                        "dvs", "clustering", "dropped_columns",
+                    )
+                },
                 **self._stamp_carry(base, {}),
                 "version": target,
                 "parent": base,

@@ -347,6 +347,79 @@ class TestStreamingVisibility:
         assert _visible_head(root, _versions(root)) == v2
 
 
+class TestStagedRewriteVerbs:
+    def test_merge_delete_write_commit_together(self, spark, cat):
+        cat.table("t1").write(_df(spark, 10, "base"), mode="overwrite")
+        cat.table("t2").write(_df(spark, 10, "base"), mode="overwrite")
+        src = spark.createDataFrame(
+            [Row(k=i, tag="merged", val=float(i) * 10) for i in (1, 2, 99)]
+        )
+        txn = cat.begin()
+        txn.merge_into("t1", src, keys=["k"])
+        txn.delete_where("t2", "k >= 5")
+        txn.write("t3", _df(spark, 4), mode="overwrite")
+        versions = txn.commit()
+        assert set(versions) == {"t1", "t2", "t3"}
+        t1 = cat.table("t1").read()
+        assert t1.count() == 11  # 10 + inserted k=99
+        assert t1.filter("tag = 'merged'").count() == 3
+        assert cat.table("t2").read().count() == 5
+        assert cat.table("t3").read().count() == 4
+
+    def test_verbs_invisible_until_decision_and_abortable(
+        self, spark, cat
+    ):
+        """A staged delete's DV commit must be invisible while pending
+        and fully swept (manifest + DV store) on abort."""
+        t = cat.table("t")
+        t.write(_df(spark, 8), mode="overwrite")
+        txn = cat.begin()
+        txn.delete_where("t", "k < 4")
+        # drive commit() up to the decision by hand: run the op with
+        # the txn tag, then force-abort before the decision record
+        t2 = cat.table("t")
+        res = t2.delete_where(
+            "k < 4",
+            manifest_extra={
+                "txn": {"id": txn.id, "log": cat._txn_log_path()}
+            },
+        )
+        assert res["n_deleted"] == 4
+        assert t2.read().count() == 8  # pending: delete invisible
+        stores = (
+            t2._manifest(res["version"]).get("dvs") or {}
+        ).get("stores", [])
+        assert stores
+        assert cat.abort(txn.id) == "aborted"
+        assert t2.read().count() == 8
+        for rel in stores:
+            assert not t2._fs.exists(t2._p(f"{t2.path}/{rel}"))
+
+    def test_noop_delete_in_txn_is_harmless(self, spark, cat):
+        cat.table("a").write(_df(spark, 3), mode="overwrite")
+        cat.table("b").write(_df(spark, 3), mode="overwrite")
+        txn = cat.begin()
+        txn.delete_where("a", "k > 100")  # matches nothing
+        txn.write("b", _df(spark, 2), mode="append")
+        versions = txn.commit()
+        assert cat.table("a").read().count() == 3
+        assert cat.table("b").read().count() == 5
+        # the no-op delete pinned the base version, not a new one
+        assert versions["a"] == 1
+
+    def test_replace_where_in_txn(self, spark, cat):
+        cat.table("t").write(_df(spark, 10, "old"), mode="overwrite")
+        repl = spark.createDataFrame(
+            [Row(k=i, tag="new", val=0.0) for i in range(3)]
+        )
+        with cat.begin() as txn:
+            txn.replace_where("t", repl, "k < 3")
+            txn.write("other", _df(spark, 1), mode="overwrite")
+        t = cat.table("t").read()
+        assert t.count() == 10
+        assert t.filter("tag = 'new'").count() == 3
+
+
 class TestDecisionLifecycle:
     def test_asof_uses_the_decision_stamp(self, spark, cat):
         """Both tables of one transaction must resolve AS OF reads by

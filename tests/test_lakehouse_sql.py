@@ -337,7 +337,10 @@ def test_txn_statement_list_commits_atomically(spark, tmp_path):
     assert cat.table("fact").read(versions2["fact"]).count() == 40
 
 
-def test_txn_statement_list_rejects_non_insert(spark, tmp_path):
+def test_txn_full_verb_set_composes(spark, tmp_path):
+    """DELETE FROM, MERGE INTO, and INSERT ... REPLACE WHERE run as
+    staged rewrite verbs inside one transaction; an unknown verb still
+    rejects loudly and leaks nothing."""
     from globalweather_etl_spark.sources.catalog import SnapshotCatalog
     from globalweather_etl_spark.sources.lakehouse_sql import (
         lakehouse_sql_txn,
@@ -345,17 +348,39 @@ def test_txn_statement_list_rejects_non_insert(spark, tmp_path):
 
     cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
     cat.table("t").write(
-        spark.range(3).selectExpr("id AS k"), mode="overwrite"
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"),
+        mode="overwrite",
     )
+    cat.table("u").write(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v"),
+        mode="overwrite",
+    )
+    spark.range(3).selectExpr(
+        "id AS k", "id * 100 AS v"
+    ).createOrReplaceTempView("merge_src")
+    versions = lakehouse_sql_txn(spark, cat, [
+        "DELETE FROM 't' WHERE k >= 5",
+        "MERGE INTO 'u' USING merge_src AS s ON u.k = s.k",
+    ])
+    assert cat.table("t").read(versions["t"]).count() == 5
+    u = cat.table("u").read(versions["u"])
+    assert u.count() == 10
+    assert u.filter("v >= 100").count() == 2  # k=1,2 updated (k=0: v=0)
+    # replace-where composes under INSERT INTO
+    versions2 = lakehouse_sql_txn(spark, cat, [
+        "INSERT INTO 't' REPLACE WHERE k < 2 "
+        "SELECT id AS k, CAST(999 AS BIGINT) AS v FROM range(2)",
+    ])
+    t = cat.table("t").read(versions2["t"])
+    assert t.filter("v = 999").count() == 2
+    # unknown verbs still reject, atomically
     with pytest.raises(ValueError, match="not transactional"):
-        lakehouse_sql_txn(spark, cat, ["DELETE FROM 't' WHERE k = 1"])
-    with pytest.raises(ValueError, match="single-table verb"):
+        lakehouse_sql_txn(spark, cat, ["OPTIMIZE 't'"])
+    assert cat.table("t").read().count() == 5
+    with pytest.raises(ValueError, match="REPLACE WHERE composes"):
         lakehouse_sql_txn(spark, cat, [
-            "INSERT INTO 't' REPLACE WHERE k < 1 SELECT 5 AS k",
+            "INSERT OVERWRITE 't' REPLACE WHERE k < 1 SELECT 5 AS k",
         ])
-    # nothing leaked: table unchanged, no pending head
-    assert cat.table("t").read().count() == 3
-    assert cat.table("t").latest_version() == 1
 
 
 def test_txn_statement_failure_aborts_all(spark, tmp_path):
