@@ -903,7 +903,10 @@ class SnapshotTable:
     def restore(self, version: int) -> int:
         """Roll the head back to ``version``'s exact file listing as a
         NEW commit — O(1), no data movement, history preserved."""
-        m = self._manifest(version)
+        # _read_version refuses a pending transaction-staged version:
+        # restoring TO uncommitted state would republish files whose
+        # transaction may abort (and sweep them) underneath the restore
+        m = self._manifest(self._read_version(version))
         while True:
             parent = self.latest_version()
             new_version = self._next_version(parent)

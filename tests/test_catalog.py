@@ -177,6 +177,12 @@ class TestPendingInvisibility:
         assert cat.abort("bb22") == "committed"
         assert t2.read().count() == 2 + 6
 
+    def test_restore_to_pending_refused(self, spark, cat):
+        cat.table("t").write(_df(spark, 4), mode="overwrite")
+        t, v = self._stage_pending(spark, cat)
+        with pytest.raises(ValueError, match="pending transaction"):
+            t.restore(v)
+
     def test_read_asof_skips_pending(self, spark, cat):
         import time as _time
 
