@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
                         "curate: corpus curation over documents; "
                         "snapshot: audited commit of documents into a "
                         "versioned table + history/diff report")
+    p.add_argument("--transactional", action="store_true",
+                   help="etl: publish the rebuild as ONE multi-table "
+                        "transaction into a SnapshotCatalog at --out — "
+                        "readers see all ten tables flip at once "
+                        "(sources/catalog.py)")
     p.add_argument("--benchmark-mod", type=int, default=None,
                    help="curate: decontaminate against the doc_id %% N "
                         "== 0 slice (default: no decontamination)")
@@ -71,7 +76,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     out_dir = args.out or tempfile.mkdtemp(prefix="gw_warehouse_")
     staging = weather_staging_from_events(load_table(spark, args.sf_dir, "events"))
-    wh = materialize(build_warehouse(spark, staging, AS_OF_DATE), out_dir)
+    versions = None
+    if args.transactional:
+        from globalweather_etl_spark.plans import (
+            materialize_transactional,
+        )
+        from globalweather_etl_spark.sources.catalog import (
+            SnapshotCatalog,
+        )
+
+        wh, versions = materialize_transactional(
+            build_warehouse(spark, staging, AS_OF_DATE),
+            SnapshotCatalog(spark, out_dir),
+        )
+    else:
+        wh = materialize(
+            build_warehouse(spark, staging, AS_OF_DATE), out_dir
+        )
     validation = wh.validate()
 
     dashboards = {
@@ -88,10 +109,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.json:
         print(json.dumps(
             {"warehouse": out_dir, "validation": validation,
+             **({"versions": versions} if versions else {}),
              "dashboards": results},
             default=str))
     else:
         print(f"warehouse written to {out_dir}")
+        if versions:
+            print(f"transactional versions: {versions}")
         print(f"validation: {validation}")
         for name, rows in results.items():
             print(f"\n{name} ({len(rows)} rows, first {args.top}):")
