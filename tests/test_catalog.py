@@ -426,6 +426,82 @@ class TestStagedRewriteVerbs:
         assert t.filter("tag = 'new'").count() == 3
 
 
+class TestConcurrentTransactions:
+    def test_racing_transactions_serialize_per_table(self, spark, cat):
+        """Two live transactions overlapping on one table: the loser
+        hits the pending head-lock and can retry as a fresh txn after
+        the winner decides — no torn or lost state either way."""
+        cat.table("shared").write(_df(spark, 2, "base"), mode="overwrite")
+        a, b = cat.begin(), cat.begin()
+        a.write("shared", _df(spark, 5, "from_a"), mode="append")
+        b.write("shared", _df(spark, 7, "from_b"), mode="append")
+        # deterministic interleaving: A publishes its pending manifest
+        # (phase 1b) but has not decided yet
+        t = cat.table("shared")
+        pa = a._staged["shared"]
+        files, n = t._stage_files(pa["df"])
+        t._commit_new_files(
+            files, n, pa["df"].schema, pa["mode"],
+            manifest_extra={"txn": {"id": a.id,
+                                    "log": cat._txn_log_path()}},
+        )
+        with pytest.raises(ConcurrentTransactionError):
+            b.commit()
+        assert b.state == "aborted"
+        # A decides; a fresh transaction lands B's rows on top
+        assert cat._write_decision(
+            a.id, {"txn": a.id, "status": "committed"}
+        )
+        with cat.begin() as b2:
+            b2.write("shared", _df(spark, 7, "from_b"), mode="append")
+        assert cat.table("shared").read().count() == 2 + 5 + 7
+
+    def test_threaded_commit_storm_stays_consistent(self, spark, cat):
+        """3 writer threads x 3 transactional rebuilds of the same two
+        tables, retrying on head-lock collisions: every decided
+        transaction leaves both tables on the SAME stamp, and the two
+        heads carry one stamp at the end."""
+        import threading
+
+        cat.table("x").write(_df(spark, 2, "seed"), mode="overwrite")
+        cat.table("y").write(_df(spark, 2, "seed"), mode="overwrite")
+        errors: list[Exception] = []
+
+        def _worker(wid: int) -> None:
+            for i in range(3):
+                stamp = f"w{wid}_i{i}"
+                for _ in range(60):  # retry budget per rebuild
+                    txn = cat.begin()
+                    try:
+                        txn.write("x", _df(spark, 3, stamp),
+                                  mode="overwrite")
+                        txn.write("y", _df(spark, 4, stamp),
+                                  mode="overwrite")
+                        txn.commit()
+                        break
+                    except ConcurrentTransactionError:
+                        continue  # lost a head-lock race: new txn
+                    except Exception as e:  # pragma: no cover
+                        errors.append(e)
+                        return
+                else:  # pragma: no cover
+                    errors.append(RuntimeError(f"{stamp} starved"))
+                    return
+
+        threads = [
+            threading.Thread(target=_worker, args=(w,)) for w in range(3)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert errors == []
+        x = cat.table("x").read().select("tag").distinct().collect()
+        y = cat.table("y").read().select("tag").distinct().collect()
+        assert len(x) == 1 and len(y) == 1
+        assert x[0]["tag"] == y[0]["tag"]  # one decision owns both heads
+
+
 class TestDecisionLifecycle:
     def test_asof_uses_the_decision_stamp(self, spark, cat):
         """Both tables of one transaction must resolve AS OF reads by
