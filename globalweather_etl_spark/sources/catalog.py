@@ -100,7 +100,9 @@ class SnapshotCatalog:
     def table(self, name: str) -> SnapshotTable:
         """The named table (created on first touch), rooted at
         ``<root>/<name>``."""
-        if not _NAME_RE.match(name or ""):
+        # the set() also rejects "." / ".." — dot-only names resolve
+        # to the catalog root or its parent, a path escape
+        if not _NAME_RE.match(name or "") or not set(name) - {"."}:
             raise ValueError(
                 f"invalid table name {name!r} (letters, digits, _.- only)"
             )
@@ -242,7 +244,10 @@ class SnapshotCatalog:
         out = []
         for st in self._fs.listStatus(self._p(self._txn_log_path())):
             name = st.getPath().getName()
-            if name.endswith(".json"):
+            # skip in-flight temp files — a half-written record is not
+            # a decision, and counting one would only force spurious
+            # snapshot() retries
+            if name.endswith(".json") and not name.startswith("."):
                 out.append(name)
         return tuple(sorted(out))
 

@@ -602,5 +602,6 @@ class TestSnapshotPins:
         assert cat.snapshot(["a"]) == {"a": v0}
 
     def test_invalid_table_name_rejected(self, cat):
-        with pytest.raises(ValueError, match="invalid table name"):
-            cat.table("../escape")
+        for bad in ("../escape", "..", ".", "a/b", ""):
+            with pytest.raises(ValueError, match="invalid table name"):
+                cat.table(bad)
