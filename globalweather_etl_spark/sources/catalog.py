@@ -188,6 +188,30 @@ class SnapshotCatalog:
     def begin(self) -> "Transaction":
         return Transaction(self)
 
+    def history(self) -> list[dict]:
+        """The decision log, oldest first: one entry per decided
+        transaction ({txn, status, decided_at, tables?, reason?}) —
+        catalog-level DESCRIBE HISTORY.  Records vacuumed away by
+        gc_decisions no longer appear (their manifests carry plain
+        commit stamps by then)."""
+        out = []
+        for st in self._fs.listStatus(self._p(self._txn_log_path())):
+            name = st.getPath().getName()
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            stream = self._fs.open(st.getPath())
+            try:
+                text = self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            try:
+                out.append(json.loads(text))
+            except ValueError:
+                continue  # half-written record: not decided yet
+        return sorted(out, key=lambda r: r.get("decided_at") or 0.0)
+
     def abort(self, txn_id: str, reason: str = "force-abort") -> str:
         """Force-abort a (presumably abandoned) transaction: claim the
         decision record with ``aborted``, then sweep any staged
@@ -274,6 +298,43 @@ class SnapshotCatalog:
             f"{max_tries} tries (transaction commit storm?)"
         )
 
+    def write_batch(
+        self,
+        writes: dict[str, DataFrame],
+        batch_id: int,
+        mode: str = "append",
+        parallelism: int = 1,
+    ) -> dict[str, int] | None:
+        """Exactly-once MULTI-TABLE commit for streaming foreachBatch
+        sinks: all of ``writes`` {table: frame} land under one
+        transaction stamped with ``batch_id``, so a replayed
+        micro-batch after a checkpoint recovery can never land its
+        rows twice on ANY of the tables — the cross-table extension of
+        SnapshotTable.write_batch (single-table formats cannot give
+        this: with one log per table, a crash between two sinks leaves
+        batch N applied to one table and not the other; here the
+        decision record makes the pair indivisible)::
+
+            q = (stream.writeStream.foreachBatch(
+                    lambda df, bid: cat.write_batch(
+                        {"events": df,
+                         "daily": daily_rollup(df)}, bid))
+                 .start())
+
+        Returns the {table: version} map, or None for a replay.
+        Because the stamps commit atomically with the decision, a
+        batch is stamped on either ALL target tables or none — the
+        replay check on any one of them is complete.  Corollary (same
+        as the single-table contract): one catalog sink pairs with ONE
+        writing stream/checkpoint, with a stable table set."""
+        if any(self.table(n)._batch_seen(batch_id) for n in writes):
+            return None
+        txn = self.begin()
+        txn._extra = {"batch_id": batch_id}
+        for name, df in writes.items():
+            txn.write(name, df, mode=mode)
+        return txn.commit(parallelism=parallelism)
+
     def vacuum(self, keep_last: int = 1, **kw) -> dict:
         """Run SnapshotTable.vacuum on every table (which also folds
         committed transaction tags into plain commit stamps), then GC
@@ -352,6 +413,9 @@ class Transaction:
         # "schema"} (eagerly staged); one staged write per table per
         # txn — the pending head-lock means a second could not publish
         self._staged: dict[str, dict] = {}
+        # extra manifest fields stamped on EVERY table of this txn
+        # (write_batch sets batch_id here for exactly-once streaming)
+        self._extra: dict = {}
 
     def _guard_open(self) -> None:
         if self.state != "open":
@@ -483,13 +547,15 @@ class Transaction:
             for name, p in lazy:
                 _one(name, p)
 
-    def commit(self, parallelism: int = 1) -> dict[str, int]:
+    def commit(self, parallelism: int = 1) -> dict[str, int] | None:
         """Run the two-phase publish; returns {table: version} of the
-        now-visible commits.  Raises ConcurrentTransactionError if a
-        table's head is held by another pending transaction or this
-        transaction was force-aborted mid-flight — in either case
-        nothing of this transaction remains visible.  ``parallelism``
-        stages independent tables' data files concurrently."""
+        now-visible commits, or None when a batch-stamped transaction
+        detects a replay (write_batch).  Raises
+        ConcurrentTransactionError if a table's head is held by
+        another pending transaction or this transaction was
+        force-aborted mid-flight — in either case nothing of this
+        transaction remains visible.  ``parallelism`` stages
+        independent tables' data files concurrently."""
         self._guard_open()
         if not self._staged:
             self.catalog._write_decision(
@@ -499,7 +565,8 @@ class Transaction:
             self.state = "committed"
             return {}
         txn_field = {
-            "txn": {"id": self.id, "log": self.catalog._txn_log_path()}
+            **self._extra,
+            "txn": {"id": self.id, "log": self.catalog._txn_log_path()},
         }
         published: dict[str, int] = {}
         try:
@@ -535,6 +602,24 @@ class Transaction:
                  "reason": "stage failure"},
             )
             raise
+        # streaming replay re-check, mirroring write_batch's inside-
+        # the-loop check: every staged head is now locked by US, so if
+        # the batch stamp appears on a VISIBLE head (a racing replay
+        # decided between our entry check and here), backing out now
+        # is race-free — and if it does not, nothing can stamp it
+        # before our decision lands
+        bid = self._extra.get("batch_id")
+        if bid is not None and any(
+            self.catalog.table(n)._batch_seen(bid) for n in self._staged
+        ):
+            self._undo(published)
+            self.state = "aborted"
+            self.catalog._write_decision(
+                self.id,
+                {"txn": self.id, "status": "aborted",
+                 "reason": f"batch {bid} replay"},
+            )
+            return None
         # phase 2 — the atomic decision
         won = self.catalog._write_decision(
             self.id,

@@ -426,6 +426,101 @@ class TestStagedRewriteVerbs:
         assert t.filter("tag = 'new'").count() == 3
 
 
+class TestMultiTableStreamingSink:
+    def test_write_batch_applies_once_across_tables(self, spark, cat):
+        """The cross-table exactly-once contract: a replayed batch id
+        is skipped for ALL tables, never a subset."""
+        v0 = cat.write_batch(
+            {"events": _df(spark, 4, "b0"), "daily": _df(spark, 2, "b0")},
+            batch_id=0,
+        )
+        assert set(v0) == {"events", "daily"}
+        v1 = cat.write_batch(
+            {"events": _df(spark, 3, "b1"), "daily": _df(spark, 1, "b1")},
+            batch_id=1,
+        )
+        assert v1 is not None
+        # replay of batch 1 (checkpoint recovery): nothing lands
+        assert cat.write_batch(
+            {"events": _df(spark, 3, "b1"), "daily": _df(spark, 1, "b1")},
+            batch_id=1,
+        ) is None
+        assert cat.table("events").read().count() == 7
+        assert cat.table("daily").read().count() == 3
+        # stamps are atomic with the decision: both heads carry the
+        # same high-water mark
+        for name in ("events", "daily"):
+            t = cat.table(name)
+            assert t._manifest(
+                t.latest_visible_version()
+            )["max_batch_id"] == 1
+
+    def test_crashed_batch_replays_exactly_once(self, spark, cat):
+        """Crash between stage and decision: the pending stamps must
+        NOT gate the replay (they may never commit); after a force-
+        abort the replay lands exactly once."""
+        cat.write_batch({"t": _df(spark, 2, "seed")}, batch_id=0)
+        # simulate the crash: pending manifest stamped batch_id=1,
+        # decision never written
+        t = cat.table("t")
+        files, n = t._stage_files(_df(spark, 5, "b1"))
+        t._commit_new_files(
+            files, n, _df(spark, 1).schema, "append",
+            manifest_extra={
+                "batch_id": 1,
+                "txn": {"id": "crashed", "log": cat._txn_log_path()},
+            },
+        )
+        # replay arrives; the old attempt still pends -> head-locked
+        with pytest.raises(ConcurrentTransactionError):
+            cat.write_batch({"t": _df(spark, 5, "b1")}, batch_id=1)
+        cat.abort("crashed")
+        out = cat.write_batch({"t": _df(spark, 5, "b1")}, batch_id=1)
+        assert out is not None
+        assert cat.table("t").read().count() == 7  # once, not twice
+
+    def test_foreachbatch_end_to_end(self, spark, cat, tmp_path):
+        """Drive the real Structured Streaming path: a rate-limited
+        file stream fanned into two tables through one catalog sink,
+        then replay the whole stream on a FRESH checkpoint into the
+        same tables — the second run must be fully absorbed by the
+        batch stamps ... which (by design, high-water marks) means it
+        must be skipped via the same-checkpoint restart instead."""
+        src = str(tmp_path / "src")
+        spark.range(20).selectExpr(
+            "id AS k", "id % 4 AS g"
+        ).write.json(src)
+        ckpt = str(tmp_path / "ckpt")
+
+        def sink(df, bid):
+            cat.write_batch(
+                {"raw": df, "by_g": df.groupBy("g").count()},
+                bid,
+                mode="append",
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema("k long, g long").json(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        raw1 = cat.table("raw").read().count()
+        assert raw1 == 20
+        # restart on the SAME checkpoint: engine replays nothing new,
+        # and even if it re-runs the last batch, the stamps hold
+        run()
+        assert cat.table("raw").read().count() == 20
+        assert cat.table("by_g").read().groupBy().sum(
+            "count"
+        ).collect()[0][0] == 20
+
+
 class TestConcurrentTransactions:
     def test_racing_transactions_serialize_per_table(self, spark, cat):
         """Two live transactions overlapping on one table: the loser
