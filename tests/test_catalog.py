@@ -696,6 +696,16 @@ class TestSnapshotPins:
         )
         assert cat.snapshot(["a"]) == {"a": v0}
 
+    def test_catalog_history_lists_decisions(self, spark, cat):
+        with cat.begin() as txn:
+            txn.write("a", _df(spark, 1), mode="overwrite")
+        t2 = cat.begin()
+        t2.abort()
+        hist = cat.history()
+        assert [h["status"] for h in hist] == ["committed", "aborted"]
+        assert hist[0]["tables"] == {"a": 1}
+        assert all("decided_at" in h for h in hist)
+
     def test_invalid_table_name_rejected(self, cat):
         for bad in ("../escape", "..", ".", "a/b", ""):
             with pytest.raises(ValueError, match="invalid table name"):
