@@ -619,6 +619,26 @@ oc_box AS (
   SELECT * FROM oc_head
   WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
     AND o_custkey BETWEEN 100 AND 2000),
+-- multi-table transaction twin (tx_* rows): the final state the
+-- three transactions publish, derived straight from the base tables —
+-- seed (even orderkeys / even custkeys), append (odd keys not %5),
+-- then one decision pairing a fact delete (%7) with a dim MERGE
+-- (%3 customers updated +1000 or inserted; merge carries the source
+-- row whole, so the final dim is untouched-seed UNION source)
+tx_fact AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE (o_orderkey % 2 = 0
+         OR (o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0))
+    AND o_orderkey % 7 <> 0),
+tx_dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 1000.0, c_mktsegment FROM customer
+  WHERE c_custkey % 3 = 0),
+tx_join AS (
+  SELECT f.o_totalprice
+  FROM tx_fact f JOIN tx_dim d ON f.o_custkey = d.c_custkey),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1027,6 +1047,18 @@ UNION ALL SELECT 'oc_box_rows', CAST(count(*) AS DOUBLE) FROM oc_box
 UNION ALL SELECT 'oc_box_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM oc_box
+UNION ALL SELECT 'tx_fact_rows', CAST(count(*) AS DOUBLE) FROM tx_fact
+UNION ALL SELECT 'tx_fact_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM tx_fact
+UNION ALL SELECT 'tx_dim_rows', CAST(count(*) AS DOUBLE) FROM tx_dim
+UNION ALL SELECT 'tx_dim_acct_sum',
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM tx_dim
+UNION ALL SELECT 'tx_join_rows', CAST(count(*) AS DOUBLE) FROM tx_join
+UNION ALL SELECT 'tx_join_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM tx_join
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -1666,6 +1666,86 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 10: multi-table ATOMIC transactions (sources/catalog.py)
+    # graded end-to-end through the data they publish: a catalog in a
+    # temp dir, a seed transaction (fact slice + dim slice), an append
+    # transaction, then ONE rewrite transaction pairing a
+    # merge-on-read delete on the fact with a MERGE on the dim under a
+    # single decision. The committed heads are read back whole plus
+    # through a cross-table broadcast join, so a lost append, a
+    # resurrected deleted row, a misapplied merge, or a torn fact/dim
+    # pair all hash-mismatch vs DuckDB computing the same final state
+    # straight from the base tables. The pending-window semantics
+    # themselves (invisibility, head-locks, crash/race recovery) are
+    # not SQL-expressible and are test-pinned in tests/test_catalog.py;
+    # what IS expressible — the published state — is graded here.
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+
+    txc = SnapshotCatalog(
+        spark, tempfile.mkdtemp(prefix="gw_txn_") + "/wh"
+    )
+    tx_proj = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    cust_proj = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    with txc.begin() as t1:
+        t1.write(
+            "fact",
+            tx_proj.filter(F.col("o_orderkey") % 2 == 0),
+            mode="overwrite",
+        )
+        t1.write(
+            "dim",
+            cust_proj.filter(F.col("c_custkey") % 2 == 0),
+            mode="overwrite",
+        )
+    with txc.begin() as t2:
+        t2.write(
+            "fact",
+            tx_proj.filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("o_orderkey") % 5 != 0)
+            ),
+            mode="append",
+        )
+    merge_src = cust_proj.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    with txc.begin() as t3:
+        t3.delete_where("fact", "o_orderkey % 7 = 0")
+        t3.merge_into("dim", merge_src, keys=["c_custkey"])
+    tx_fact = txc.table("fact").read()
+    tx_dim = txc.table("dim").read()
+    tx_join = tx_fact.join(
+        F.broadcast(tx_dim),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    dim_agg = tx_dim.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("s"),
+    )
+    tx = (
+        _unpivot_metrics(
+            dsum(tx_fact),
+            [("tx_fact_rows", "n"), ("tx_fact_price_sum", "s")],
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dim_agg,
+                [("tx_dim_rows", "n"), ("tx_dim_acct_sum", "s")],
+            )
+        )
+        .unionAll(
+            _unpivot_metrics(
+                dsum(tx_join),
+                [("tx_join_rows", "n"), ("tx_join_price_sum", "s")],
+            )
+        )
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -1692,6 +1772,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(zm)
         .unionAll(zb)
         .unionAll(oc)
+        .unionAll(tx)
     )
 
 
