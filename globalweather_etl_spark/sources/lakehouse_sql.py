@@ -11,6 +11,7 @@ Grammar (one statement per call; table paths are quoted strings —
 these tables live at filesystem roots, not in a metastore):
 
   OPTIMIZE '<path>' [ZORDER BY (c1, c2, ...)] [CLUSTER BY (...)]
+      [USING MORTON|HILBERT]
       [FULL] [AUTO FULL THRESHOLD <x>]
   VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
   RESTORE '<path>' TO VERSION AS OF <v>
@@ -70,6 +71,7 @@ _OPTIMIZE = re.compile(
     rf"^OPTIMIZE {_PATH}"
     r"(?: ZORDER BY \((?P<zorder>[^)]+)\))?"
     r"(?: CLUSTER BY \((?P<cluster>[^)]+)\))?"
+    r"(?: USING (?P<curve>MORTON|HILBERT))?"
     r"(?P<full> FULL)?"
     r"(?: AUTO FULL THRESHOLD (?P<thr>[0-9.]+))?$",
     re.IGNORECASE,
@@ -266,7 +268,11 @@ def lakehouse_sql(spark: SparkSession, statement: str):
             ),
         )
         if m.group("zorder"):
+            if m.group("curve"):
+                kw["curve"] = m.group("curve").lower()
             return t.optimize(zorder_by=cols, **kw)
+        if m.group("curve"):
+            raise ValueError("USING <curve> needs ZORDER BY")
         return t.optimize(cluster_by=cols, **kw)
 
     m = _VACUUM.match(stmt)

@@ -113,6 +113,23 @@ def _spec_of(cl: dict) -> dict:
     }
 
 
+def _spec_matches(prev: dict, spec: dict) -> bool:
+    """Clustering-spec equality with defaults NORMALIZED: a stamp
+    without a ``curve`` field is Morton (every pre-Hilbert stamp), so
+    a morton request on an old table is 'same spec' while either
+    direction of a morton<->hilbert change is a spec change (a subset
+    check would miss hilbert->morton)."""
+
+    def norm(s: dict) -> dict:
+        return {
+            k: v
+            for k, v in _spec_of(s).items()
+            if not (k == "curve" and v == "morton")
+        }
+
+    return norm(prev) == norm(spec)
+
+
 def _full_storage_form(m: dict) -> dict:
     """The self-contained stored form of a resolved manifest: files
     ordered clustered-first, the clustering stamp carrying only the
@@ -833,8 +850,8 @@ class SnapshotTable:
                 # extends the clustered set; a spec change or an
                 # overwrite starts it over.
                 prev = manifest.get("clustering")
-                same = prev is not None and all(
-                    prev.get(k) == v for k, v in _clustering.items()
+                same = prev is not None and _spec_matches(
+                    prev, _clustering
                 )
                 base_set = set(base_files)
                 base_cl = (
@@ -2296,6 +2313,7 @@ class SnapshotTable:
         n_files: int = 8,
         bits: int = 8,
         mode: str = "overwrite",
+        curve: str = "morton",
     ) -> int:
         """Commit with a Z-ORDER (Morton) clustered file layout — the
         multi-dimensional form of ``write_clustered`` (the public
@@ -2314,8 +2332,18 @@ class SnapshotTable:
         incorrectly — zone maps treat them by null_count). Uniform
         bucketing is the documented trade: heavy skew concentrates
         buckets, degrading (never breaking) pruning — pre-transform
-        skewed columns if needed."""
-        clustered = self._zorder_frame(df, zorder_by, n_files, bits)
+        skewed columns if needed.
+
+        ``curve="hilbert"`` (2-D only, bits a multiple of 4) swaps the
+        Morton interleave for the Hilbert-curve distance
+        (`operators.layout.hilbert_key` — the locality upgrade behind
+        liquid clustering's default: consecutive curve positions are
+        always adjacent cells, so box reads touch fewer files). The
+        clustering stamp records the curve; changing it is a spec
+        change and re-clusters on the next optimize()."""
+        clustered = self._zorder_frame(
+            df, zorder_by, n_files, bits, curve
+        )
         return self.write(
             clustered,
             mode=mode,
@@ -2323,6 +2351,7 @@ class SnapshotTable:
                 "kind": "zorder",
                 "cols": list(zorder_by),
                 "bits": bits,
+                **({"curve": curve} if curve != "morton" else {}),
             },
         )
 
@@ -2332,6 +2361,7 @@ class SnapshotTable:
         zorder_by: list[str],
         n_files: int,
         bits: int,
+        curve: str = "morton",
     ) -> DataFrame:
         """The Morton-clustered frame behind write_zordered and
         optimize(): bucket each axis uniformly between ITS min/max in
@@ -2340,8 +2370,13 @@ class SnapshotTable:
         being written, not the whole table — zone maps prune per FILE,
         so each clustering pass's files prune well against their own
         data whatever earlier passes looked like."""
-        from globalweather_etl_spark.operators.layout import zorder_key
+        from globalweather_etl_spark.operators.layout import (
+            hilbert_key,
+            zorder_key,
+        )
 
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"curve must be morton/hilbert, got {curve!r}")
         if not zorder_by:
             raise ValueError("zorder_by needs at least one column")
         if len(zorder_by) * bits > 63:
@@ -2386,7 +2421,11 @@ class SnapshotTable:
                 e, F.lit(float(mn)), F.lit(float(mx)), F.lit(n_buckets)
             )
             buckets.append(F.least(wb, F.lit(n_buckets)) - 1)
-        z = zorder_key(buckets, bits)
+        z = (
+            hilbert_key(buckets, bits)
+            if curve == "hilbert"
+            else zorder_key(buckets, bits)
+        )
         return (
             df.withColumn("__z", z)
             .repartitionByRange(n_files, F.col("__z"))
@@ -2525,6 +2564,7 @@ class SnapshotTable:
         full: bool = False,
         auto_full_threshold: float | None = None,
         max_retries: int = 5,
+        curve: str = "morton",
     ) -> dict:
         """INCREMENTAL clustering maintenance — the liquid-clustering /
         auto-OPTIMIZE idea: rewrite ONLY the files that are not yet in
@@ -2573,7 +2613,12 @@ class SnapshotTable:
         if target_file_bytes < 1:
             raise ValueError("target_file_bytes must be positive")
         spec = (
-            {"kind": "zorder", "cols": list(zorder_by), "bits": bits}
+            {
+                "kind": "zorder",
+                "cols": list(zorder_by),
+                "bits": bits,
+                **({"curve": curve} if curve != "morton" else {}),
+            }
             if zorder_by
             else {"kind": "range", "cols": list(cluster_by)}
         )
@@ -2581,7 +2626,8 @@ class SnapshotTable:
         def _frame(df: DataFrame, n_out: int) -> DataFrame:
             if spec["kind"] == "zorder":
                 return self._zorder_frame(
-                    df, spec["cols"], n_out, spec["bits"]
+                    df, spec["cols"], n_out, spec["bits"],
+                    spec.get("curve", "morton"),
                 )
             cols = [F.col(c) for c in spec["cols"]]
             return df.repartitionByRange(
@@ -2594,9 +2640,7 @@ class SnapshotTable:
             base = self.latest_version()
             m = self._manifest(base)
             prev = m.get("clustering")
-            same_spec = prev is not None and all(
-                prev.get(k) == v for k, v in spec.items()
-            )
+            same_spec = prev is not None and _spec_matches(prev, spec)
             # full mode (explicit, first clustering, or spec change)
             # is the incremental commit with NOTHING treated as
             # already clustered — one code path, so the full rewrite

@@ -400,3 +400,26 @@ def test_txn_statement_failure_aborts_all(spark, tmp_path):
             "FROM range(5)",
         ])
     assert cat.table("a").read().count() == 2  # untouched
+
+
+def test_optimize_using_hilbert(spark, tmp_path):
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "h"))
+    t.write(
+        spark.range(500).selectExpr(
+            "id AS k", "CAST(id % 37 AS DOUBLE) AS u"
+        ),
+        mode="overwrite",
+    )
+    res = lakehouse_sql(
+        spark,
+        f"OPTIMIZE '{t.path}' ZORDER BY (k, u) USING HILBERT FULL",
+    )
+    assert res["full"] is True
+    assert t.clustering_state()["curve"] == "hilbert"
+    assert t.read().count() == 500
+    with pytest.raises(ValueError, match="USING"):
+        lakehouse_sql(
+            spark, f"OPTIMIZE '{t.path}' CLUSTER BY (k) USING HILBERT"
+        )

@@ -3,6 +3,7 @@ round-trip, pruning effectiveness vs a random layout."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.operators.layout import (
@@ -138,3 +139,144 @@ def test_zorder_clustering_prunes_2d_boxes(spark, tmp_path):
         .count()
     )
     assert got == 64
+
+
+# ------------------------------------------------ Hilbert curve
+
+
+def test_hilbert_automaton_matches_reference_exhaustively():
+    """The 4-state automaton (and its chunked LUT) must reproduce the
+    classic rotate/reflect xy2d EXACTLY — exhaustive at 8 bits
+    (65,536 cells), sampled at 16."""
+    import random
+
+    from globalweather_etl_spark.operators.layout import (
+        _hilbert_lut,
+        hilbert_xy2d,
+    )
+
+    states, lut = _hilbert_lut()
+    assert len(states) == 4 and len(lut) == 1024
+
+    def lut_xy2d(bits, x, y):
+        si, d = 0, 0
+        for c in range(bits // 4):
+            byte = 0
+            for j in range(4):
+                level = bits - 1 - (4 * c + j)
+                byte |= ((x >> level) & 1) << (7 - 2 * j)
+                byte |= ((y >> level) & 1) << (6 - 2 * j)
+            enc = lut[si * 256 + byte]
+            d = (d << 8) | (enc >> 2)
+            si = enc & 3
+        return d
+
+    assert all(
+        lut_xy2d(8, x, y) == hilbert_xy2d(8, x, y)
+        for x in range(256)
+        for y in range(256)
+    )
+    rng = random.Random(7)
+    for _ in range(500):
+        x, y = rng.randrange(1 << 16), rng.randrange(1 << 16)
+        assert lut_xy2d(16, x, y) == hilbert_xy2d(16, x, y)
+
+
+def test_hilbert_key_expression_matches_reference(spark):
+    """The Spark expression (element_at LUT chunks) equals the pure
+    reference on a deterministic sample, at both bit widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.layout import (
+        hilbert_key,
+        hilbert_xy2d,
+    )
+
+    rng = random.Random(13)
+    for bits in (8, 16):
+        pts = [
+            (rng.randrange(1 << bits), rng.randrange(1 << bits))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = df.select(
+            "x", "y",
+            hilbert_key([F.col("x"), F.col("y")], bits=bits).alias("h"),
+        ).collect()
+        for r in rows:
+            assert r["h"] == hilbert_xy2d(bits, r["x"], r["y"])
+
+
+def test_hilbert_key_validates_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.layout import hilbert_key
+
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_key([F.col("x")], bits=8)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        hilbert_key([F.col("x"), F.col("y")], bits=6)
+    with pytest.raises(ValueError, match="exceeds"):
+        hilbert_key([F.col("x"), F.col("y")], bits=32)
+
+
+def test_hilbert_locality_beats_or_matches_morton(spark, tmp_path):
+    """The reason to exist: over aligned boxes on a 64x64 grid
+    clustered into 16 files, the Hilbert layout's touched-file count
+    must be <= Morton's in aggregate (its curve ranges are contiguous
+    where Morton jumps)."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.layout import (
+        hilbert_key,
+        zorder_key,
+    )
+
+    # bits=8 for hilbert (multiple of 4); 64x64 grid fits either way
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    write_range_clustered(
+        grid.withColumn(
+            "k", hilbert_key([F.col("x"), F.col("y")], bits=8)
+        ),
+        hpath, ["k"], num_files=16,
+    )
+    write_range_clustered(
+        grid.withColumn(
+            "k", zorder_key([F.col("x"), F.col("y")], bits=8)
+        ),
+        zpath, ["k"], num_files=16,
+    )
+
+    from globalweather_etl_spark.operators.layout import hilbert_xy2d
+
+    def zorder_ref(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    total_h = total_z = 0
+    for bx in range(0, 64, 16):
+        for by in range(0, 64, 16):
+            cells = [
+                (x, y)
+                for x in range(bx, bx + 16)
+                for y in range(by, by + 16)
+            ]
+            hvals = [hilbert_xy2d(8, x, y) for x, y in cells]
+            zvals = [zorder_ref(x, y) for x, y in cells]
+            total_h += len(
+                files_for_range(hpath, "k", min(hvals), max(hvals))
+            )
+            total_z += len(
+                files_for_range(zpath, "k", min(zvals), max(zvals))
+            )
+    assert total_h <= total_z
+    assert total_h <= 16 * 4  # each 16x16 box touches a file sliver

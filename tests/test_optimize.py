@@ -464,3 +464,82 @@ class TestAutoRecluster:
         assert res["auto_full"] is False and res["full"] is False
         assert res["files_carried"] > 0
         assert res["overlap_depth"] is not None
+
+
+class TestHilbertCurve:
+    def test_hilbert_layout_content_identical(self, spark, tmp_path):
+        """curve='hilbert' changes LAYOUT only: same rows, zone-map
+        box reads lose nothing."""
+        st = SnapshotTable(spark, str(tmp_path) + "/h")
+        base = spark.createDataFrame(_rows(0, 400))
+        st.write_zordered(
+            base, ["d", "u"], n_files=4, mode="overwrite",
+            curve="hilbert",
+        )
+        assert _content(st) == sorted(
+            tuple(r) for r in base.collect()
+        )
+        cs = st.clustering_state()
+        assert cs["kind"] == "zorder" and cs["unclustered_files"] == []
+        st.build_stats(cols=["d", "u"])
+        import datetime as dt
+
+        box = st.read_box(
+            [
+                ("d", dt.date(2024, 2, 1), dt.date(2024, 3, 1)),
+                ("u", 100, 500),
+            ]
+        )
+        expect = st.read().filter(
+            (F.col("d") >= "2024-02-01") & (F.col("d") <= "2024-03-01")
+            & (F.col("u") >= 100) & (F.col("u") <= 500)
+        )
+        assert sorted(map(tuple, box.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+
+    def test_curve_change_is_a_spec_change(self, spark, tmp_path):
+        """morton -> hilbert AND hilbert -> morton both trigger the
+        full rewrite (the normalized comparison catches the direction
+        a subset check would miss)."""
+        st = SnapshotTable(spark, str(tmp_path) + "/c")
+        st.write_zordered(
+            spark.createDataFrame(_rows(0, 200)), ["u", "val"],
+            n_files=2, mode="overwrite",
+        )
+        res = st.optimize(
+            zorder_by=["u", "val"], curve="hilbert"
+        )
+        assert res["full"] is True
+        # same curve again: fully clustered no-op
+        res2 = st.optimize(zorder_by=["u", "val"], curve="hilbert")
+        assert res2["files_rewritten"] == 0
+        # back to morton: full again
+        res3 = st.optimize(zorder_by=["u", "val"])
+        assert res3["full"] is True
+
+    def test_hilbert_incremental_optimize(self, spark, tmp_path):
+        st = SnapshotTable(spark, str(tmp_path) + "/i")
+        st.write_zordered(
+            spark.createDataFrame(_rows(0, 300)), ["u", "val"],
+            n_files=3, mode="overwrite", curve="hilbert",
+        )
+        st.write(spark.createDataFrame(_rows(300, 360)))
+        res = st.optimize(
+            zorder_by=["u", "val"], curve="hilbert"
+        )
+        assert res["full"] is False and res["files_carried"] == 3
+        assert _content(st) == sorted(
+            tuple(r)
+            for r in spark.createDataFrame(_rows(0, 360)).collect()
+        )
+
+    def test_hilbert_requires_two_columns(self, spark, tmp_path):
+        import pytest
+
+        st = SnapshotTable(spark, str(tmp_path) + "/e")
+        with pytest.raises(ValueError, match="2-D"):
+            st.write_zordered(
+                spark.createDataFrame(_rows(0, 10)),
+                ["d", "u", "val"], mode="overwrite", curve="hilbert",
+            )
