@@ -14,6 +14,10 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.anomaly import (
+    array_median,
+    rolling_anomalies,
+)
 from globalweather_etl_spark.operators.asof import asof_join
 from globalweather_etl_spark.operators.bloom import (
     bloom_build,
@@ -174,6 +178,8 @@ from globalweather_etl_spark.operators.quality_classifier import (
 )
 
 __all__ = [
+    "array_median",
+    "rolling_anomalies",
     "QualityModel",
     "hashed_features",
     "score_quality",

@@ -296,8 +296,18 @@ SELECT event_id, user_id, ts, value,
     AS USER_SECOND_VALUE,
   round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 9)
-    AS VALUE_7ROW_MEDIAN
-FROM events""",
+    AS VALUE_7ROW_MEDIAN,
+  round(mad(value) OVER w7, 9) AS VALUE_7ROW_MAD,
+  CASE WHEN mad(value) OVER w7 > 0 THEN
+    round(0.6745 * (value - median(value) OVER w7)
+          / mad(value) OVER w7, 9) END AS VALUE_ROBUST_Z7,
+  CASE WHEN mad(value) OVER w7 > 0 THEN
+    abs(round(0.6745 * (value - median(value) OVER w7)
+              / mad(value) OVER w7, 9)) > 3.5
+  ELSE value <> median(value) OVER w7 END AS VALUE_ANOM7
+FROM events
+WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "tpch_surrogate_key": """
 SELECT CAST(row_number() OVER (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
     AS SEGMENT_KEY,

@@ -343,6 +343,18 @@ def q_tpch_events_window_suite(spark, sf_dir):
     path; the DuckDB twin is json_extract_string). All three ratio
     columns round to 9dp on both engines."""
     events = load_table(spark, sf_dir, "events")
+    # Round 10: the robust rolling anomaly family
+    # (operators/anomaly.py — median/MAD modified z-score, Iglewicz &
+    # Hoaglin) graded over the same trailing 7-ROW frame the
+    # sum/median already use; DuckDB's median()/mad() window
+    # aggregates are the bit-identical twin.
+    from globalweather_etl_spark.operators.anomaly import (
+        rolling_anomalies,
+    )
+
+    events = rolling_anomalies(
+        events, "value", ["ts", "event_id"], ["user_id"], window_rows=7
+    )
     # The parquet writer may mark ts as TIMESTAMP or TIMESTAMP_NTZ
     # (isAdjustedToUTC flag); unix_micros only accepts TIMESTAMP, and
     # with the session timezone pinned to UTC the cast is value-identical
@@ -388,6 +400,9 @@ def q_tpch_events_window_suite(spark, sf_dir):
         _windowed_median(
             F.col("value"), w_seq.rowsBetween(-6, 0)
         ).alias("VALUE_7ROW_MEDIAN"),
+        F.col("VALUE_ROLL_MAD").alias("VALUE_7ROW_MAD"),
+        F.col("VALUE_ROBUST_Z").alias("VALUE_ROBUST_Z7"),
+        F.col("VALUE_IS_ANOMALY").alias("VALUE_ANOM7"),
     )
 
 
