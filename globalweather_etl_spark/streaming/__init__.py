@@ -33,6 +33,7 @@ from globalweather_etl_spark.streaming.sources import (
 )
 from globalweather_etl_spark.streaming.stateful import (
     running_user_totals,
+    streaming_anomalies,
     streaming_dedup,
 )
 from globalweather_etl_spark.streaming.windows import (
@@ -58,6 +59,7 @@ __all__ = [
     "run_incremental_dedup",
     "run_incremental_neardedup",
     "running_user_totals",
+    "streaming_anomalies",
     "snapshot_stream",
     "SnapshotStreamDataSource",
     "streaming_dedup",

@@ -75,3 +75,118 @@ def streaming_dedup(
     if within is None:
         return events.dropDuplicates(keys)
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(keys)
+
+
+# ------------------------------------------- rolling anomaly state
+#
+# Streaming twin of operators/anomaly.py (rolling median/MAD modified
+# z-score): per-key state is ONLY the trailing window_rows-1 values —
+# bounded however long the stream runs, the applyInPandasWithState
+# contract at its best. Events are assumed in (ts, event_id) order per
+# key across micro-batches (the file/commit sources here replay in
+# order; out-of-order feeds need an upstream watermark+sort stage).
+# Values are processed in arrival order inside each batch after a
+# (ts, event_id) sort, so any prefix of the stream emits EXACTLY the
+# batch operator's rows for that prefix (parity test-pinned).
+
+_ANOM_OUT_SCHEMA = (
+    "user_id long, event_id long, value double, roll_med double, "
+    "roll_mad double, robust_z double, is_anomaly boolean"
+)
+_ANOM_STATE_SCHEMA = "vals array<double>"
+
+
+def _round9_half_up(x: float) -> float:
+    """Spark's F.round semantics on doubles (BigDecimal HALF_UP over
+    the shortest decimal repr) — Python's round() is half-even and
+    would diverge on exact ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+    )
+
+
+def _py_median(svals: list[float]) -> float:
+    """operators.anomaly.array_median, mirrored: middle element (odd)
+    or mean of the two middles (even)."""
+    n = len(svals)
+    if n % 2 == 1:
+        return svals[(n + 1) // 2 - 1]
+    return (svals[n // 2 - 1] + svals[n // 2]) / 2.0
+
+
+def make_anomaly_fn(window_rows: int = 7, threshold: float = 3.5):
+    """The applyInPandasWithState function for streaming_anomalies —
+    exposed so tests can drive it directly."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tail: list[float] = (
+            list(state.get[0]) if state.exists else []
+        )
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "event_id", "value", "roll_med", "roll_mad",
+                "robust_z", "is_anomaly",
+            )
+        }
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                win = sorted(tail[-(window_rows - 1):] + [v])
+                med = _py_median(win)
+                mad = _py_median(sorted(abs(x - med) for x in win))
+                if mad > 0:
+                    z = _round9_half_up(0.6745 * (v - med) / mad)
+                    flag = abs(z) > threshold
+                else:
+                    z = None
+                    flag = v != med
+                out["event_id"].append(int(eid))
+                out["value"].append(v)
+                out["roll_med"].append(_round9_half_up(med))
+                out["roll_mad"].append(_round9_half_up(mad))
+                out["robust_z"].append(z)
+                out["is_anomaly"].append(bool(flag))
+                tail = (tail + [v])[-(window_rows - 1):]
+        state.update((tail,))
+        n = len(out["event_id"])
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]] * n, dtype="Int64"),
+                "event_id": pd.array(out["event_id"], dtype="Int64"),
+                "value": pd.array(out["value"], dtype="Float64"),
+                "roll_med": pd.array(out["roll_med"], dtype="Float64"),
+                "roll_mad": pd.array(out["roll_mad"], dtype="Float64"),
+                "robust_z": pd.array(out["robust_z"], dtype="Float64"),
+                "is_anomaly": pd.array(
+                    out["is_anomaly"], dtype="boolean"
+                ),
+            }
+        )
+
+    return fn
+
+
+def streaming_anomalies(
+    events: DataFrame, window_rows: int = 7, threshold: float = 3.5
+) -> DataFrame:
+    """Per-event robust anomaly flags over an unbounded stream with
+    O(window_rows) state per key — the streaming twin of
+    operators.anomaly.rolling_anomalies (append mode: each event's
+    row is final the moment it is processed)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_anomaly_fn(window_rows, threshold),
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

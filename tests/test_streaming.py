@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from globalweather_etl_spark.sources import load_table
@@ -688,3 +689,60 @@ def test_incremental_neardedup_replay_after_state_append(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "out" / "_checkpoints"))
     run()
     assert kept() == [1, 2]
+
+
+def test_streaming_anomalies_equal_batch(spark, tmp_path):
+    """Streaming rolling-MAD anomaly flags == the batch operator on
+    the same prefix, with state carried across 4 time-ordered
+    micro-batches and only O(window) values per key in the store."""
+    from globalweather_etl_spark.operators.anomaly import (
+        rolling_anomalies,
+    )
+    from globalweather_etl_spark.streaming.stateful import (
+        streaming_anomalies,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # land as 4 SEQUENTIAL time slices (mtime order == ts order), so
+    # per-key arrival order across micro-batches matches (ts,
+    # event_id) — the operator's documented in-order contract
+    sliced = events.withColumn(
+        "__slice",
+        F.ntile(4).over(Window.orderBy("ts", "event_id")),
+    )
+    land = str(tmp_path / "anom_landing")
+    for s in range(1, 5):
+        sliced.filter(F.col("__slice") == s).drop(
+            "__slice"
+        ).coalesce(1).write.mode("append").parquet(land)
+    stream = events_stream_from_dir(
+        spark, land, max_files_per_trigger=1
+    )
+    got = _drain(
+        spark,
+        streaming_anomalies(stream, window_rows=7),
+        "t_anom",
+        mode="append",
+    )
+    want = rolling_anomalies(
+        events, "value", ["ts", "event_id"], ["user_id"], window_rows=7
+    ).select(
+        "user_id", "event_id",
+        F.col("VALUE_ROLL_MED").alias("roll_med"),
+        F.col("VALUE_ROLL_MAD").alias("roll_mad"),
+        F.col("VALUE_ROBUST_Z").alias("robust_z"),
+        F.col("VALUE_IS_ANOMALY").alias("is_anomaly"),
+    )
+    assert got.count() == events.count()
+    gm = {
+        (r["user_id"], r["event_id"]): r
+        for r in got.collect()
+    }
+    for w in want.collect():
+        g = gm[(w["user_id"], w["event_id"])]
+        assert g["roll_med"] == w["roll_med"]
+        assert g["roll_mad"] == w["roll_mad"]
+        assert g["robust_z"] == w["robust_z"]
+        assert g["is_anomaly"] == w["is_anomaly"]
