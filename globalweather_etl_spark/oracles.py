@@ -649,6 +649,49 @@ tx_dim AS (
 tx_join AS (
   SELECT f.o_totalprice
   FROM tx_fact f JOIN tx_dim d ON f.o_custkey = d.c_custkey),
+-- TPC-H Q3/Q5/Q10 twins (deterministic k-boundary tiebreaks added
+-- in BOTH engines: Q3 by (o_orderdate, l_orderkey), Q10 by c_custkey)
+q3_top AS (
+  SELECT l_orderkey, o_orderdate,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)))
+      AS q3rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate
+  ORDER BY q3rev DESC, o_orderdate, l_orderkey
+  LIMIT 10),
+q5_nations AS (
+  SELECT n_name,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)))
+      AS q5rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+    AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1994-01-01'
+    AND o_orderdate < TIMESTAMP '1995-01-01'
+  GROUP BY n_name),
+q10_top AS (
+  SELECT c_custkey,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)))
+      AS q10rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1993-10-01'
+    AND o_orderdate < TIMESTAMP '1994-01-01'
+  GROUP BY c_custkey
+  ORDER BY q10rev DESC, c_custkey
+  LIMIT 20),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1069,6 +1112,21 @@ UNION ALL SELECT 'tx_join_rows', CAST(count(*) AS DOUBLE) FROM tx_join
 UNION ALL SELECT 'tx_join_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM tx_join
+UNION ALL SELECT 'q3_rows', CAST(count(*) AS DOUBLE) FROM q3_top
+UNION ALL SELECT 'q3_rev_sum',
+  round(CAST(sum(q3rev) AS DOUBLE), 4) FROM q3_top
+UNION ALL SELECT 'q3_orderkey_sum',
+  CAST(sum(l_orderkey) AS DOUBLE) FROM q3_top
+UNION ALL SELECT 'q5_nations', CAST(count(*) AS DOUBLE) FROM q5_nations
+UNION ALL SELECT 'q5_rev_sum',
+  round(CAST(sum(q5rev) AS DOUBLE), 4) FROM q5_nations
+UNION ALL SELECT 'q5_max_rev',
+  round(CAST(max(q5rev) AS DOUBLE), 4) FROM q5_nations
+UNION ALL SELECT 'q10_rows', CAST(count(*) AS DOUBLE) FROM q10_top
+UNION ALL SELECT 'q10_rev_sum',
+  round(CAST(sum(q10rev) AS DOUBLE), 4) FROM q10_top
+UNION ALL SELECT 'q10_custkey_sum',
+  CAST(sum(c_custkey) AS DOUBLE) FROM q10_top
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -1761,6 +1761,142 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 10: canonical TPC-H join-query coverage beyond Q1 —
+    # Q3 (shipping-priority top-k), Q5 (local-supplier volume, the
+    # 6-way join with the c_nationkey = s_nationkey locality
+    # correlation), Q10 (returned-item top customers) — graded as
+    # exact scalar families: row counts, DECIMAL-exact revenue sums,
+    # and key-sum digests that pin the top-k SELECTION itself (any
+    # wrong member shifts the key sum). Ties at the k-boundary are
+    # broken deterministically (documented extra tiebreak columns in
+    # both engines). Broadcast dimension chain, shuffle only for
+    # lineitem⋈orders — the star-join shape tpch_star_join_revenue
+    # already plan-pins.
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(25,10)")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_t = load_table(spark, sf_dir, "nation")
+    region_t = load_table(spark, sf_dir, "region")
+    q3_top = (
+        li.join(
+            orders.filter(
+                F.col("o_orderdate")
+                < F.lit("1995-03-15").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("q3rev"))
+        .orderBy(
+            F.desc("q3rev"), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+    q3 = _unpivot_metrics(
+        q3_top.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("q3rev").cast("double"), 4).alias("s"),
+            F.sum("l_orderkey").cast("double").alias("ks"),
+        ),
+        [
+            ("q3_rows", "n"),
+            ("q3_rev_sum", "s"),
+            ("q3_orderkey_sum", "ks"),
+        ],
+    )
+    q5_nations = (
+        li.join(
+            orders.filter(
+                (
+                    F.col("o_orderdate")
+                    >= F.lit("1994-01-01").cast("timestamp")
+                )
+                & (
+                    F.col("o_orderdate")
+                    < F.lit("1995-01-01").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation_t),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region_t.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("q5rev"))
+    )
+    q5 = _unpivot_metrics(
+        q5_nations.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("q5rev").cast("double"), 4).alias("s"),
+            F.round(F.max("q5rev").cast("double"), 4).alias("mx"),
+        ),
+        [
+            ("q5_nations", "n"),
+            ("q5_rev_sum", "s"),
+            ("q5_max_rev", "mx"),
+        ],
+    )
+    q10_top = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (
+                    F.col("o_orderdate")
+                    >= F.lit("1993-10-01").cast("timestamp")
+                )
+                & (
+                    F.col("o_orderdate")
+                    < F.lit("1994-01-01").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.sum(rev).alias("q10rev"))
+        .orderBy(F.desc("q10rev"), F.col("c_custkey"))
+        .limit(20)
+    )
+    q10 = _unpivot_metrics(
+        q10_top.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("q10rev").cast("double"), 4).alias("s"),
+            F.sum("c_custkey").cast("double").alias("ks"),
+        ),
+        [
+            ("q10_rows", "n"),
+            ("q10_rev_sum", "s"),
+            ("q10_custkey_sum", "ks"),
+        ],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -1788,6 +1924,9 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(zb)
         .unionAll(oc)
         .unionAll(tx)
+        .unionAll(q3)
+        .unionAll(q5)
+        .unionAll(q10)
     )
 
 
