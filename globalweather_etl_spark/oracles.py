@@ -692,6 +692,29 @@ q10_top AS (
   GROUP BY c_custkey
   ORDER BY q10rev DESC, c_custkey
   LIMIT 20),
+q14_m AS (
+  SELECT p_type,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'),
+q18_big AS (
+  SELECT lq.l_orderkey, lq.oqty, c_custkey
+  FROM (SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(25,10))) AS oqty
+        FROM lineitem GROUP BY l_orderkey HAVING oqty > 150) lq
+  JOIN orders ON lq.l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey),
+q19_m AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))
+    AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1127,6 +1150,19 @@ UNION ALL SELECT 'q10_rev_sum',
   round(CAST(sum(q10rev) AS DOUBLE), 4) FROM q10_top
 UNION ALL SELECT 'q10_custkey_sum',
   CAST(sum(c_custkey) AS DOUBLE) FROM q10_top
+UNION ALL SELECT 'q14_rows', CAST(count(*) AS DOUBLE) FROM q14_m
+UNION ALL SELECT 'q14_promo_ratio',
+  round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev
+                        ELSE CAST(0 AS DECIMAL(25,10)) END) AS DOUBLE)
+        / CAST(sum(rev) AS DOUBLE), 9) FROM q14_m
+UNION ALL SELECT 'q18_rows', CAST(count(*) AS DOUBLE) FROM q18_big
+UNION ALL SELECT 'q18_qty_sum',
+  round(CAST(sum(oqty) AS DOUBLE), 4) FROM q18_big
+UNION ALL SELECT 'q18_custkey_sum',
+  CAST(sum(c_custkey) AS DOUBLE) FROM q18_big
+UNION ALL SELECT 'q19_rows', CAST(count(*) AS DOUBLE) FROM q19_m
+UNION ALL SELECT 'q19_rev_sum',
+  round(CAST(sum(rev) AS DOUBLE), 4) FROM q19_m
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

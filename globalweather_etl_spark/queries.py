@@ -1897,6 +1897,90 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Q14-shape (promo revenue ratio; 'ECONOMY' stands in for the
+    # PROMO% class — this part table types parts as ECONOMY/SMALL/...,
+    # same conditional-ratio-over-join computation), Q18 (large-volume
+    # customers: HAVING on a per-order quantity rollup, semi-joined
+    # back through orders⋈customer), and Q19-shape (the disjunctive
+    # brand x size x quantity band predicate — OR-of-ANDs partially
+    # pushed to the scans, the classic pushdown stress).
+    part_t = load_table(spark, sf_dir, "part")
+    q14_m = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).join(
+        F.broadcast(part_t), F.col("l_partkey") == F.col("p_partkey")
+    )
+    q14 = _unpivot_metrics(
+        q14_m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                        F.lit(0).cast("decimal(25,10)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                9,
+            ).alias("r"),
+        ),
+        [("q14_rows", "n"), ("q14_promo_ratio", "r")],
+    )
+    q18_big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,10)")).alias(
+                "oqty"
+            )
+        )
+        .filter(F.col("oqty") > 150)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    q18 = _unpivot_metrics(
+        q18_big.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("oqty").cast("double"), 4).alias("qs"),
+            F.sum("c_custkey").cast("double").alias("ks"),
+        ),
+        [
+            ("q18_rows", "n"),
+            ("q18_qty_sum", "qs"),
+            ("q18_custkey_sum", "ks"),
+        ],
+    )
+    q19_pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    q19_m = li.join(
+        F.broadcast(part_t), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(q19_pred)
+    q19 = _unpivot_metrics(
+        q19_m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(rev).cast("double"), 4).alias("s"),
+        ),
+        [("q19_rows", "n"), ("q19_rev_sum", "s")],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -1927,6 +2011,9 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(q3)
         .unionAll(q5)
         .unionAll(q10)
+        .unionAll(q14)
+        .unionAll(q18)
+        .unionAll(q19)
     )
 
 
