@@ -715,6 +715,43 @@ q19_m AS (
          AND l_quantity BETWEEN 10 AND 20)
      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
          AND l_quantity BETWEEN 20 AND 30)),
+q15_rev AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10)))
+      AS srev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+q15_top AS (
+  SELECT * FROM q15_rev
+  WHERE srev = (SELECT max(srev) FROM q15_rev)),
+q16_groups AS (
+  SELECT p_brand, p_type, p_size,
+    count(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY p_brand, p_type, p_size),
+q17_avg AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE)
+      / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey),
+q17_m AS (
+  SELECT l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN q17_avg USING (l_partkey)
+  WHERE p_brand = 'Brand#23' AND p_size <= 10
+    AND l_quantity < 0.2 * avg_qty),
+q22_m AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_acctbal > (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,10))) AS DOUBLE)
+        / count(*)
+      FROM customer WHERE c_acctbal > 0)
+    AND c_custkey NOT IN (SELECT o_custkey FROM orders)),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1163,6 +1200,22 @@ UNION ALL SELECT 'q18_custkey_sum',
 UNION ALL SELECT 'q19_rows', CAST(count(*) AS DOUBLE) FROM q19_m
 UNION ALL SELECT 'q19_rev_sum',
   round(CAST(sum(rev) AS DOUBLE), 4) FROM q19_m
+UNION ALL SELECT 'q15_rows', CAST(count(*) AS DOUBLE) FROM q15_top
+UNION ALL SELECT 'q15_top_rev',
+  round(CAST(max(srev) AS DOUBLE), 4) FROM q15_top
+UNION ALL SELECT 'q15_suppkey_sum',
+  CAST(sum(l_suppkey) AS DOUBLE) FROM q15_top
+UNION ALL SELECT 'q16_groups', CAST(count(*) AS DOUBLE) FROM q16_groups
+UNION ALL SELECT 'q16_supp_sum',
+  CAST(sum(nsupp) AS DOUBLE) FROM q16_groups
+UNION ALL SELECT 'q17_rows', CAST(count(*) AS DOUBLE) FROM q17_m
+UNION ALL SELECT 'q17_avg_yearly',
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE)
+        / 7.0, 4) FROM q17_m
+UNION ALL SELECT 'q22_rows', CAST(count(*) AS DOUBLE) FROM q22_m
+UNION ALL SELECT 'q22_acctbal_sum',
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4)
+  FROM q22_m
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -1981,6 +1981,132 @@ def q_tpch_scalar_checks(spark, sf_dir):
         [("q19_rows", "n"), ("q19_rev_sum", "s")],
     )
 
+    # Q15 (top supplier by quarterly revenue: a revenue view joined to
+    # its own global max — ties kept), Q16-shape (distinct-supplier
+    # counts per part group with a NOT IN exclusion list; negative
+    # acctbal stands in for the complaints filter), Q17 (the classic
+    # correlated scalar subquery — rows under 20% of their part's
+    # average quantity — decorrelated into a grouped join), Q22-shape
+    # (customers above the positive-balance average with NO orders:
+    # scalar subquery + anti-join). Averages run the DECIMAL
+    # sum/count route so thresholds are bit-identical cross-engine.
+    q15_rev = (
+        li.filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1996-04-01").cast("timestamp")
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("srev"))
+    )
+    q15_top = q15_rev.join(
+        F.broadcast(q15_rev.agg(F.max("srev").alias("mx"))),
+        F.col("srev") == F.col("mx"),
+    )
+    q15 = _unpivot_metrics(
+        q15_top.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("srev").cast("double"), 4).alias("mr"),
+            F.sum("l_suppkey").cast("double").alias("ks"),
+        ),
+        [
+            ("q15_rows", "n"),
+            ("q15_top_rev", "mr"),
+            ("q15_suppkey_sum", "ks"),
+        ],
+    )
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    q16_groups = (
+        li.join(
+            bad_supp,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part_t),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+    )
+    q16 = _unpivot_metrics(
+        q16_groups.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nsupp").cast("double").alias("ss"),
+        ),
+        [("q16_groups", "n"), ("q16_supp_sum", "ss")],
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    q17_m = (
+        li.join(
+            F.broadcast(
+                part_t.filter(
+                    (F.col("p_brand") == "Brand#23")
+                    & (F.col("p_size") <= 10)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    )
+    q17 = _unpivot_metrics(
+        q17_m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(25,10)")
+                ).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("s"),
+        ),
+        [("q17_rows", "n"), ("q17_avg_yearly", "s")],
+    )
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("cav")
+    )
+    q22_m = (
+        customer.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("cav"))
+        .join(
+            orders.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    q22 = _unpivot_metrics(
+        q22_m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("c_acctbal").cast("decimal(25,10)")
+                ).cast("double"),
+                4,
+            ).alias("s"),
+        ),
+        [("q22_rows", "n"), ("q22_acctbal_sum", "s")],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -2014,6 +2140,10 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(q14)
         .unionAll(q18)
         .unionAll(q19)
+        .unionAll(q15)
+        .unionAll(q16)
+        .unionAll(q17)
+        .unionAll(q22)
     )
 
 
