@@ -128,6 +128,25 @@ class SnapshotCatalog:
                 out.append(name)
         return sorted(out)
 
+    def register_views(
+        self, prefix: str = "", snapshot: dict[str, int] | None = None
+    ) -> dict[str, int | None]:
+        """Register every catalog table as a Spark temp view
+        ``<prefix><name>`` so plain ``spark.sql`` can query the
+        warehouse — pinned at a CONSISTENT snapshot (a fresh
+        ``snapshot()`` by default, or pass one), so a multi-statement
+        SQL session can never observe half a transaction even while
+        rebuilds race past it.  Returns the pinned versions;
+        re-register to move to newer state."""
+        pins = self.snapshot() if snapshot is None else dict(snapshot)
+        for name, v in pins.items():
+            if v is None:
+                continue
+            self.table(name).read(v).createOrReplaceTempView(
+                f"{prefix}{name}"
+            )
+        return pins
+
     # ----------------------------------------------- decision log
     def _txn_log_path(self) -> str:
         return f"{self.root}/{_TXN_DIR}"

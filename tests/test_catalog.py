@@ -696,6 +696,28 @@ class TestSnapshotPins:
         )
         assert cat.snapshot(["a"]) == {"a": v0}
 
+    def test_register_views_pins_consistent_sql_surface(
+        self, spark, cat
+    ):
+        with cat.begin() as txn:
+            txn.write("facts", _df(spark, 6), mode="overwrite")
+            txn.write("dims", _df(spark, 2), mode="overwrite")
+        pins = cat.register_views(prefix="wh_")
+        assert spark.sql("SELECT count(*) AS n FROM wh_facts").collect()[
+            0
+        ]["n"] == 6
+        # new transaction lands; the registered views stay pinned
+        with cat.begin() as txn:
+            txn.write("facts", _df(spark, 9), mode="overwrite")
+        assert spark.sql("SELECT count(*) AS n FROM wh_facts").collect()[
+            0
+        ]["n"] == 6
+        pins2 = cat.register_views(prefix="wh_")
+        assert pins2["facts"] == pins["facts"] + 1
+        assert spark.sql("SELECT count(*) AS n FROM wh_facts").collect()[
+            0
+        ]["n"] == 9
+
     def test_catalog_history_lists_decisions(self, spark, cat):
         with cat.begin() as txn:
             txn.write("a", _df(spark, 1), mode="overwrite")
