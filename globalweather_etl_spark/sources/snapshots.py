@@ -2216,6 +2216,7 @@ class SnapshotTable:
         target_file_bytes: int = 128 << 20,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        curve: str = "morton",
     ) -> int:
         """Rewrite the head's files into ~target-sized ones as a NEW
         overwrite commit — the versioned twin of
@@ -2255,6 +2256,7 @@ class SnapshotTable:
                 cluster_by=cluster_by,
                 target_file_bytes=target_file_bytes,
                 full=True,
+                curve=curve,
             )["version"]
         for _ in range(5):
             base = self.latest_version()
