@@ -752,6 +752,70 @@ q22_m AS (
         / count(*)
       FROM customer WHERE c_acctbal > 0)
     AND c_custkey NOT IN (SELECT o_custkey FROM orders)),
+-- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
+-- iteration per series step, all series advancing in lockstep; depth
+-- = longest series). A list_reduce lambda twin exists in
+-- tests/test_timeseries.py and is bit-exact at unit scale, but
+-- DuckDB's grouped vectorized lambda execution was observed to
+-- mis-evaluate a handful of long folds at sf0.1 (different users
+-- flip depending on batch composition), so the graded oracle uses
+-- the recursion: plain scalar arithmetic per step, no lambdas.
+-- Every constant is CAST to DOUBLE (bare 0.5/0.0 literals are
+-- DECIMAL and would divert the arithmetic).
+tse AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn
+  FROM events),
+tsm AS (
+  SELECT user_id, count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(*)
+      AS m
+  FROM events GROUP BY user_id),
+tsrec AS (
+  SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS pos,
+    CAST(0.0 AS DOUBLE) AS neg, 0 AS alarms,
+    CAST(NULL AS DOUBLE) AS ewma
+  FROM tsm
+  UNION ALL
+  SELECT r.user_id, r.rn + 1,
+    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+           r.pos + e.value - t.m - CAST(0.5 AS DOUBLE))
+         > CAST(5.0 AS DOUBLE)
+      THEN CAST(0.0 AS DOUBLE)
+      ELSE greatest(CAST(0.0 AS DOUBLE),
+           r.pos + e.value - t.m - CAST(0.5 AS DOUBLE)) END,
+    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+           r.neg + t.m - e.value - CAST(0.5 AS DOUBLE))
+         > CAST(5.0 AS DOUBLE)
+      THEN CAST(0.0 AS DOUBLE)
+      ELSE greatest(CAST(0.0 AS DOUBLE),
+           r.neg + t.m - e.value - CAST(0.5 AS DOUBLE)) END,
+    r.alarms
+      + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+          r.pos + e.value - t.m - CAST(0.5 AS DOUBLE))
+          > CAST(5.0 AS DOUBLE) THEN 1 ELSE 0 END
+      + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+          r.neg + t.m - e.value - CAST(0.5 AS DOUBLE))
+          > CAST(5.0 AS DOUBLE) THEN 1 ELSE 0 END,
+    CASE WHEN r.ewma IS NULL THEN e.value
+      ELSE CAST(0.3 AS DOUBLE) * e.value
+         + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma END
+  FROM tsrec r
+  JOIN tse e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+  JOIN tsm t ON t.user_id = r.user_id),
+tsff AS (
+  SELECT r.user_id, r.ewma AS ewma_raw,
+    {'alarms': r.alarms, 'pos': r.pos, 'neg': r.neg} AS cus
+  FROM tsrec r JOIN tsm t ON t.user_id = r.user_id AND r.rn = t.n),
+tsr AS (
+  SELECT CAST(count(*) AS DOUBLE) AS users,
+    CAST(sum(CAST(cus.alarms AS BIGINT)) AS DOUBLE) AS alarms,
+    CAST(sum(CAST(round(ewma_raw, 9) AS DECIMAL(25,9))) AS DOUBLE)
+      AS ewma_sum,
+    CAST(sum(CAST(round(cus.pos, 9) AS DECIMAL(25,9))) AS DOUBLE)
+      AS cpos_sum
+  FROM tsff),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1216,6 +1280,10 @@ UNION ALL SELECT 'q22_rows', CAST(count(*) AS DOUBLE) FROM q22_m
 UNION ALL SELECT 'q22_acctbal_sum',
   round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4)
   FROM q22_m
+UNION ALL SELECT 'ts_users', users FROM tsr
+UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
+UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr
+UNION ALL SELECT 'ts_cpos_sum', cpos_sum FROM tsr
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -2107,6 +2107,38 @@ def q_tpch_scalar_checks(spark, sf_dir):
         [("q22_rows", "n"), ("q22_acctbal_sum", "s")],
     )
 
+    # Round 10: per-series sequential monitoring (operators/
+    # timeseries.py — EWMA + CUSUM as order-fixed F.aggregate folds;
+    # DuckDB's list_reduce is the bit-identical twin). Corpus rollups
+    # are order-independent: alarm counts sum exactly, and the
+    # 9dp-rounded per-user doubles ride the DECIMAL exact route.
+    from globalweather_etl_spark.operators.timeseries import (
+        series_monitor,
+    )
+
+    sm = series_monitor(
+        events, "value", ["ts", "event_id"], ["user_id"],
+        alpha=0.3, slack_k=0.5, threshold_h=5.0,
+    )
+    tsf = _unpivot_metrics(
+        sm.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("cusum_alarms").cast("double").alias("alarms"),
+            F.sum(F.col("ewma").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("ewma_sum"),
+            F.sum(F.col("cusum_pos").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("cpos_sum"),
+        ),
+        [
+            ("ts_users", "users"),
+            ("ts_alarm_sum", "alarms"),
+            ("ts_ewma_sum", "ewma_sum"),
+            ("ts_cpos_sum", "cpos_sum"),
+        ],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -2144,6 +2176,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(q16)
         .unionAll(q17)
         .unionAll(q22)
+        .unionAll(tsf)
     )
 
 

@@ -1,0 +1,160 @@
+"""EWMA + CUSUM series monitoring (operators/timeseries.py): hand-
+computed folds, the bit-identical DuckDB list_reduce twin (zero-state
+prepended as the fold seed), and alarm/reset behavior on a drifting
+series."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from globalweather_etl_spark.operators.timeseries import series_monitor
+
+
+def _df(spark, series: dict[str, list[float]]):
+    rows = [
+        Row(user_id=u, seq=i, value=float(v))
+        for u, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_ewma_hand_computed(spark):
+    out = series_monitor(
+        _df(spark, {"u": [10.0, 20.0, 30.0]}),
+        "value", ["seq"], ["user_id"], alpha=0.5,
+    ).collect()[0]
+    # s = 10 -> 0.5*20+0.5*10 = 15 -> 0.5*30+0.5*15 = 22.5
+    assert out["ewma"] == 22.5
+    assert out["n"] == 3
+    assert out["mean"] == 20.0
+
+
+def test_cusum_drift_alarms_and_resets(spark):
+    # mean ~ 0 for the flat prefix; the +3 drift accumulates past
+    # h=5 (k=0.5), alarms, resets, accumulates again
+    vals = [0.0, 0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0]
+    out = series_monitor(
+        _df(spark, {"u": vals}), "value", ["seq"], ["user_id"],
+        slack_k=0.5, threshold_h=5.0,
+    ).collect()[0]
+    assert out["cusum_alarms"] >= 1
+    # a flat series never alarms
+    flat = series_monitor(
+        _df(spark, {"u": [7.0] * 12}), "value", ["seq"], ["user_id"],
+    ).collect()[0]
+    assert flat["cusum_alarms"] == 0
+    assert flat["cusum_pos"] == 0.0 and flat["cusum_neg"] == 0.0
+    assert flat["ewma"] == 7.0
+
+
+def test_duckdb_twin_bit_identical(spark):
+    import random
+
+    rng = random.Random(11)
+    series = {
+        f"u{i}": [
+            round(rng.gauss(20.0, 5.0), 6)
+            for _ in range(rng.randint(3, 60))
+        ]
+        for i in range(12)
+    }
+    # salt drift into a few series
+    for i in (2, 5):
+        series[f"u{i}"] = series[f"u{i}"] + [
+            40.0 + j for j in range(10)
+        ]
+    got = {
+        r["user_id"]: r
+        for r in series_monitor(
+            _df(spark, series), "value", ["seq"], ["user_id"],
+            alpha=0.3, slack_k=0.5, threshold_h=5.0,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id VARCHAR, seq INT, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [
+            [u, i, v]
+            for u, vs in series.items()
+            for i, v in enumerate(vs)
+        ],
+    )
+    want = con.execute(
+        """
+        WITH g AS (
+          SELECT user_id, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+              / count(*) AS mean_raw,
+            list(value ORDER BY seq) AS vals
+          FROM t GROUP BY user_id),
+        f AS (
+          SELECT user_id, n, mean_raw,
+            list_reduce(vals,
+              (s, v) -> 0.3 * v + (1.0 - 0.3) * s) AS ewma_raw,
+            list_reduce(
+              -- three DuckDB lambda gotchas engineered around here:
+              -- (1) a bare 0.0 literal is DECIMAL(2,1) and would
+              -- coerce the whole state struct (silent per-step
+              -- rounding), so every zero is CAST AS DOUBLE;
+              -- (2) list_reduce updates the accumulator struct
+              -- FIELD BY FIELD in declaration order, so a later
+              -- field reads earlier fields' NEW values — 'alarms'
+              -- must be declared FIRST, before the pos/neg resets
+              -- overwrite the state it inspects;
+              -- (3) an outer-column capture inside a list_reduce
+              -- lambda mis-binds across rows under grouped
+              -- vectorized execution, so the per-series mean rides
+              -- INSIDE the elements ('mm') — list_transform
+              -- captures are fine and build the carriers
+              list_prepend(
+                {'alarms': 0, 'pos': CAST(0.0 AS DOUBLE),
+                 'neg': CAST(0.0 AS DOUBLE), 'mm': mean_raw},
+                list_transform(vals,
+                  v -> {'alarms': 0, 'pos': v,
+                        'neg': CAST(0.0 AS DOUBLE),
+                        'mm': mean_raw})),
+              (s, e) -> {
+                'alarms': s.alarms
+                  + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                      s.pos + e.pos - e.mm - 0.5) > 5.0
+                    THEN 1 ELSE 0 END
+                  + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                      s.neg + e.mm - e.pos - 0.5) > 5.0
+                    THEN 1 ELSE 0 END,
+                'pos': CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                         s.pos + e.pos - e.mm - 0.5) > 5.0
+                       THEN CAST(0.0 AS DOUBLE)
+                       ELSE greatest(CAST(0.0 AS DOUBLE),
+                         s.pos + e.pos - e.mm - 0.5) END,
+                'neg': CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                         s.neg + e.mm - e.pos - 0.5) > 5.0
+                       THEN CAST(0.0 AS DOUBLE)
+                       ELSE greatest(CAST(0.0 AS DOUBLE),
+                         s.neg + e.mm - e.pos - 0.5) END,
+                'mm': e.mm}) AS cus
+          FROM g)
+        SELECT user_id, n, round(mean_raw, 9) AS mean,
+          round(ewma_raw, 9) AS ewma,
+          round(cus.pos, 9) AS cusum_pos,
+          round(cus.neg, 9) AS cusum_neg,
+          CAST(cus.alarms AS BIGINT) AS cusum_alarms
+        FROM f
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    drifted_alarms = 0
+    for u, n, mean, ewma, cp, cn, al in want:
+        g = got[u]
+        assert g["n"] == n
+        assert g["mean"] == mean
+        assert g["ewma"] == ewma
+        assert g["cusum_pos"] == cp
+        assert g["cusum_neg"] == cn
+        assert g["cusum_alarms"] == al
+        if u in ("u2", "u5"):
+            drifted_alarms += al
+    assert drifted_alarms >= 2  # the salted drifts are detected
