@@ -14,6 +14,7 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.timeseries import series_monitor
 from globalweather_etl_spark.operators.anomaly import (
     array_median,
     rolling_anomalies,
@@ -179,6 +180,7 @@ from globalweather_etl_spark.operators.quality_classifier import (
 
 __all__ = [
     "array_median",
+    "series_monitor",
     "rolling_anomalies",
     "QualityModel",
     "hashed_features",
