@@ -48,6 +48,18 @@ of an undersized filter), and FUZZY MinHash-LSH benchmark
 decontamination (docs_decontaminate fuzzy_* columns vs a full
 signature/band/candidate/containment SQL twin).
 
+Round 10 grades six more families the same way: tx_* (multi-table
+ATOMIC transactions — three transactions publish fact+dim state whose
+final content a DuckDB twin derives from the base tables), the TPC-H
+join-query families q3/q5/q10/q14/q15/q16/q17/q18/q19/q22 (counts,
+DECIMAL-exact revenue sums, top-k key-sum digests with deterministic
+boundary tiebreaks), ts_* (EWMA + CUSUM sequential monitoring —
+order-fixed F.aggregate folds vs a recursive-CTE DuckDB fold), and
+the rolling-MAD anomaly columns of tpch_events_window_suite
+(VALUE_7ROW_MAD / VALUE_ROBUST_Z7 / VALUE_ANOM7 vs DuckDB's
+median()/mad() window aggregates). tpch_scalar_checks carries 150
+graded rows.
+
 Round 5 grades five more families in the same slots (SURVEY.md §8
 "Round-5 expansion"): the declarative expectations engine
 (pipeline_validation exp__* metric/verdict rows — ten constraints
