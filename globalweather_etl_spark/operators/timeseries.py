@@ -21,6 +21,12 @@ the portable-oracle recipe the PQ/SemDeDup/HOF families established.
   textbook tabular form.  ``target`` defaults to the series' own mean
   (computed DECIMAL-exact in the same aggregation so the fold's
   constant is bit-identical cross-engine).
+- HOLT (double exponential smoothing — Holt 1957, the level+trend
+  forecaster): level_t = alpha*x_t + (1-alpha)*(level+trend);
+  trend_t = beta*(level_t - level) + (1-beta)*trend; the one-step
+  forecast is level + trend.  Seeded level = x_0, trend = 0 (the
+  common convention; a few steps of beta-smoothing wash the seed
+  out).
 
 Scale (100 TB): per-series state is one array held only inside the
 aggregation buffer of its group — a billion short series parallelize
@@ -56,6 +62,7 @@ def series_monitor(
     alpha: float = 0.3,
     slack_k: float = 0.5,
     threshold_h: float = 5.0,
+    beta: float = 0.1,
 ) -> DataFrame:
     """One row per series key with:
 
@@ -64,6 +71,9 @@ def series_monitor(
       ewma           final EWMA level (9dp)
       cusum_pos/neg  final one-sided CUSUM statistics (9dp)
       cusum_alarms   threshold crossings (with reset) on either side
+      holt_level     final Holt level (9dp)
+      holt_trend     final Holt trend (9dp)
+      holt_forecast  one-step-ahead forecast level + trend (9dp)
 
     ``slack_k`` and ``threshold_h`` are in VALUE units (the usual
     presentation scales by sigma; pass k = 0.5*sigma etc. if a scaled
@@ -128,6 +138,29 @@ def series_monitor(
             ).alias("alarms"),
         ),
     )
+    b = F.lit(float(beta))
+    nl = lambda s, v: a * v + (F.lit(1.0) - a) * (  # noqa: E731
+        s["level"] + s["trend"]
+    )
+    holt = F.aggregate(
+        F.col("__vals"),
+        F.struct(
+            F.lit(None).cast("double").alias("level"),
+            zero.alias("trend"),
+        ),
+        lambda s, v: F.when(
+            s["level"].isNull(),
+            F.struct(v.alias("level"), zero.alias("trend")),
+        ).otherwise(
+            F.struct(
+                nl(s, v).alias("level"),
+                (
+                    b * (nl(s, v) - s["level"])
+                    + (F.lit(1.0) - b) * s["trend"]
+                ).alias("trend"),
+            )
+        ),
+    )
     return agg.select(
         *key_cols,
         "n",
@@ -136,4 +169,9 @@ def series_monitor(
         F.round(cusum["pos"], 9).alias("cusum_pos"),
         F.round(cusum["neg"], 9).alias("cusum_neg"),
         cusum["alarms"].alias("cusum_alarms"),
+        F.round(holt["level"], 9).alias("holt_level"),
+        F.round(holt["trend"], 9).alias("holt_trend"),
+        F.round(holt["level"] + holt["trend"], 9).alias(
+            "holt_forecast"
+        ),
     )

@@ -775,7 +775,8 @@ tsm AS (
 tsrec AS (
   SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS pos,
     CAST(0.0 AS DOUBLE) AS neg, 0 AS alarms,
-    CAST(NULL AS DOUBLE) AS ewma
+    CAST(NULL AS DOUBLE) AS ewma,
+    CAST(NULL AS DOUBLE) AS hl, CAST(0.0 AS DOUBLE) AS ht
   FROM tsm
   UNION ALL
   SELECT r.user_id, r.rn + 1,
@@ -800,12 +801,22 @@ tsrec AS (
           > CAST(5.0 AS DOUBLE) THEN 1 ELSE 0 END,
     CASE WHEN r.ewma IS NULL THEN e.value
       ELSE CAST(0.3 AS DOUBLE) * e.value
-         + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma END
+         + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma END,
+    CASE WHEN r.hl IS NULL THEN e.value
+      ELSE CAST(0.3 AS DOUBLE) * e.value
+         + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+           * (r.hl + r.ht) END,
+    CASE WHEN r.hl IS NULL THEN CAST(0.0 AS DOUBLE)
+      ELSE CAST(0.1 AS DOUBLE)
+         * ((CAST(0.3 AS DOUBLE) * e.value
+            + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+              * (r.hl + r.ht)) - r.hl)
+         + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * r.ht END
   FROM tsrec r
   JOIN tse e ON e.user_id = r.user_id AND e.rn = r.rn + 1
   JOIN tsm t ON t.user_id = r.user_id),
 tsff AS (
-  SELECT r.user_id, r.ewma AS ewma_raw,
+  SELECT r.user_id, r.ewma AS ewma_raw, r.hl, r.ht,
     {'alarms': r.alarms, 'pos': r.pos, 'neg': r.neg} AS cus
   FROM tsrec r JOIN tsm t ON t.user_id = r.user_id AND r.rn = t.n),
 tsr AS (
@@ -814,7 +825,11 @@ tsr AS (
     CAST(sum(CAST(round(ewma_raw, 9) AS DECIMAL(25,9))) AS DOUBLE)
       AS ewma_sum,
     CAST(sum(CAST(round(cus.pos, 9) AS DECIMAL(25,9))) AS DOUBLE)
-      AS cpos_sum
+      AS cpos_sum,
+    CAST(sum(CAST(round(hl, 9) AS DECIMAL(25,9))) AS DOUBLE)
+      AS holt_level_sum,
+    CAST(sum(CAST(round(ht, 9) AS DECIMAL(25,9))) AS DOUBLE)
+      AS holt_trend_sum
   FROM tsff),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
@@ -1284,6 +1299,8 @@ UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr
 UNION ALL SELECT 'ts_cpos_sum', cpos_sum FROM tsr
+UNION ALL SELECT 'ts_holt_level_sum', holt_level_sum FROM tsr
+UNION ALL SELECT 'ts_holt_trend_sum', holt_trend_sum FROM tsr
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

@@ -2130,12 +2130,20 @@ def q_tpch_scalar_checks(spark, sf_dir):
             F.sum(F.col("cusum_pos").cast("decimal(25,9)"))
             .cast("double")
             .alias("cpos_sum"),
+            F.sum(F.col("holt_level").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("holt_level_sum"),
+            F.sum(F.col("holt_trend").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("holt_trend_sum"),
         ),
         [
             ("ts_users", "users"),
             ("ts_alarm_sum", "alarms"),
             ("ts_ewma_sum", "ewma_sum"),
             ("ts_cpos_sum", "cpos_sum"),
+            ("ts_holt_level_sum", "holt_level_sum"),
+            ("ts_holt_trend_sum", "holt_trend_sum"),
         ],
     )
 

@@ -158,3 +158,91 @@ def test_duckdb_twin_bit_identical(spark):
         if u in ("u2", "u5"):
             drifted_alarms += al
     assert drifted_alarms >= 2  # the salted drifts are detected
+
+
+def test_holt_hand_computed(spark):
+    """alpha=0.5, beta=0.5 over [10, 20, 30]:
+    seed (10, 0); step2: l=0.5*20+0.5*10=15, t=0.5*5+0.5*0=2.5;
+    step3: l=0.5*30+0.5*17.5=23.75, t=0.5*8.75+0.5*2.5=5.625."""
+    out = series_monitor(
+        _df(spark, {"u": [10.0, 20.0, 30.0]}),
+        "value", ["seq"], ["user_id"], alpha=0.5, beta=0.5,
+    ).collect()[0]
+    assert out["holt_level"] == 23.75
+    assert out["holt_trend"] == 5.625
+    assert out["holt_forecast"] == 29.375
+    # a clean linear ramp converges to trend ~ slope, forecast ahead
+    ramp = series_monitor(
+        _df(spark, {"u": [float(i) for i in range(60)]}),
+        "value", ["seq"], ["user_id"], alpha=0.5, beta=0.5,
+    ).collect()[0]
+    assert ramp["holt_trend"] == pytest.approx(1.0, abs=1e-6)
+    assert ramp["holt_forecast"] == pytest.approx(60.0, abs=1e-3)
+
+
+def test_holt_duckdb_recursive_twin(spark):
+    """The graded-oracle shape: a recursive CTE advancing every
+    series one step per iteration reproduces the Spark fold
+    bit-for-bit (constants CAST to DOUBLE — bare literals are
+    DECIMAL in DuckDB)."""
+    import random
+
+    rng = random.Random(3)
+    series = {
+        f"u{i}": [
+            round(rng.gauss(10.0, 3.0) + 0.2 * j, 6)
+            for j in range(rng.randint(2, 40))
+        ]
+        for i in range(8)
+    }
+    got = {
+        r["user_id"]: r
+        for r in series_monitor(
+            _df(spark, series), "value", ["seq"], ["user_id"],
+            alpha=0.3, beta=0.1,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id VARCHAR, seq INT, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [[u, i, v] for u, vs in series.items() for i, v in enumerate(vs)],
+    )
+    want = con.execute(
+        """
+        WITH RECURSIVE e AS (
+          SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY seq)
+              AS rn
+          FROM t),
+        nn AS (SELECT user_id, count(*) AS n FROM t GROUP BY user_id),
+        rec AS (
+          SELECT user_id, 0 AS rn, CAST(NULL AS DOUBLE) AS l,
+                 CAST(0.0 AS DOUBLE) AS tr
+          FROM nn
+          UNION ALL
+          SELECT r.user_id, r.rn + 1,
+            CASE WHEN r.l IS NULL THEN e.value
+              ELSE CAST(0.3 AS DOUBLE) * e.value
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.l + r.tr) END,
+            CASE WHEN r.l IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(0.1 AS DOUBLE)
+                 * ((CAST(0.3 AS DOUBLE) * e.value
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                      * (r.l + r.tr)) - r.l)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                   * r.tr END
+          FROM rec r
+          JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT r.user_id, round(r.l, 9), round(r.tr, 9),
+               round(r.l + r.tr, 9)
+        FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for u, l, tr, fc in want:
+        g = got[u]
+        assert g["holt_level"] == l
+        assert g["holt_trend"] == tr
+        assert g["holt_forecast"] == fc
