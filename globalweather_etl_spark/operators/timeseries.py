@@ -30,10 +30,24 @@ the portable-oracle recipe the PQ/SemDeDup/HOF families established.
 
 Scale (100 TB): per-series state is one array held only inside the
 aggregation buffer of its group — a billion short series parallelize
-across the groupBy exchange; a single pathological series is bounded
-by the group's row count (use windowed pre-aggregation upstream for
-multi-year tick data).  The collected array is the honest trade for
-recursion; everything else stays in codegen.
+across the groupBy exchange.  A single pathological series is the
+one unbounded-per-group shape: ``series_monitor`` therefore carries a
+loud ``max_series_rows`` guard (the fold refuses a series past the
+limit instead of silently courting an executor OOM), and
+``series_monitor_big`` is the scale path — EWMA and Holt steps are
+AFFINE in the running state, so segment partials compose exactly
+(two-level fold: per-segment affine maps, then an O(n_segments) fold
+of the maps), bounding executor memory at O(segment_rows) per group
+however long the series.  CUSUM's alarm-reset nonlinearity does not
+compose; past the guard it belongs to the streaming twin
+(streaming/stateful.py streaming_series_monitor, O(1) state per key,
+explicit target) — a data-dependent reset has no segment summary.
+
+The segmented fold is NOT bit-identical to the sequential one (the
+composed affine application rounds differently than m individual
+steps); both recursions are contractions (spectral radius < 1 for
+0 < alpha, beta < 1), so the difference decays exponentially — the
+parity test pins agreement to 1e-9 before the output rounding.
 """
 
 from __future__ import annotations
@@ -41,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_monitor"]
+__all__ = ["series_monitor", "series_monitor_big"]
 
 
 def _ordered_vals(value: Column, order_cols: list[str]) -> Column:
@@ -63,6 +77,8 @@ def series_monitor(
     slack_k: float = 0.5,
     threshold_h: float = 5.0,
     beta: float = 0.1,
+    target: float | None = None,
+    max_series_rows: int = 20_000_000,
 ) -> DataFrame:
     """One row per series key with:
 
@@ -78,7 +94,17 @@ def series_monitor(
     ``slack_k`` and ``threshold_h`` are in VALUE units (the usual
     presentation scales by sigma; pass k = 0.5*sigma etc. if a scaled
     rule is wanted — keeping raw units keeps the fold free of a
-    second pass)."""
+    second pass).
+
+    ``target`` fixes the CUSUM reference explicitly (process-control
+    style); default None keeps the series' own DECIMAL-exact mean.
+    ``max_series_rows`` is the loud memory guard: the fold holds each
+    whole series in one aggregation buffer, so a series longer than
+    the limit raises at execution instead of silently courting an
+    executor OOM — route such series to ``series_monitor_big`` (no
+    CUSUM) or the streaming twin."""
+    if max_series_rows < 1:
+        raise ValueError("max_series_rows must be >= 1")
     x = F.col(value_col).cast("double")
     vals = _ordered_vals(x, order_cols)
     # the raw mean column is named __mean, NOT mean: the output
@@ -97,6 +123,31 @@ def series_monitor(
         mean,
         vals.alias("__vals"),
     )
+    # loud guard BEFORE the folds: a series past the limit fails with
+    # an actionable message (the collect itself already happened —
+    # declarative plans cannot pre-empt their own aggregation — but
+    # the common failure mode is a fold-time buffer blowup on an
+    # array that did fit, and a wrong-tool series must never produce
+    # silent output)
+    agg = agg.withColumn(
+        "__vals",
+        F.when(F.col("n") <= F.lit(int(max_series_rows)), F.col("__vals"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "series_monitor: series exceeds max_series_rows="
+                        f"{int(max_series_rows)} (got "
+                    ),
+                    F.col("n").cast("string"),
+                    F.lit(
+                        " rows) — use series_monitor_big or the "
+                        "streaming twin for unbounded series"
+                    ),
+                )
+            )
+        ),
+    )
     a = F.lit(float(alpha))
     ewma = F.aggregate(
         F.col("__vals"),
@@ -108,7 +159,9 @@ def series_monitor(
     k = F.lit(float(slack_k))
     h = F.lit(float(threshold_h))
     zero = F.lit(0.0)
-    target = F.col("__mean")
+    target = (
+        F.col("__mean") if target is None else F.lit(float(target))
+    )
     # state struct: (pos, neg, alarms); alarm resets the crossed side
     cusum = F.aggregate(
         F.col("__vals"),
@@ -174,4 +227,187 @@ def series_monitor(
         F.round(holt["level"] + holt["trend"], 9).alias(
             "holt_forecast"
         ),
+    )
+
+
+def series_monitor_big(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    key_cols: list[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    segment_rows: int = 262_144,
+) -> DataFrame:
+    """EWMA + Holt for UNBOUNDED series length: executor memory is
+    O(``segment_rows``) per group however long a series grows.
+
+    Both recursions are affine in the running state —
+
+      EWMA   s' = (1-a)*s + a*v
+      HOLT   [l';t'] = M [l;t] + c*v,  M = [[1-a,1-a],[-ab,1-ab]],
+             c = [a; ab]
+
+    — so a SEGMENT of m values summarizes to one affine map
+    (s -> A*s + B, resp. x -> P*x + q) built by the same in-codegen
+    fold, and the series result is the O(n/segment_rows) ordered fold
+    of those maps.  Two-level plan: a row_number window on (key,
+    order) assigns segment ids, an EXPLICIT repartition on (key,
+    segment) spreads one series' segments across tasks — without it
+    the window's hash(key) partitioning would satisfy the grouping
+    and the whole series' collect buffers would sit in ONE task,
+    exactly the OOM this operator exists to avoid (caught by the 10M
+    rehearsal) — then groupBy(key, segment) builds per-segment
+    partials and groupBy(key) folds the partial array (that last
+    exchange moves only n/segment_rows partial rows).  Segment 0
+    additionally folds the SEEDED recursion (s0 = x0, trend0 = 0) so
+    the seed convention matches ``series_monitor`` exactly.
+
+    No CUSUM here: its alarm-reset is a data-dependent nonlinearity
+    with no fixed-size segment summary — use ``series_monitor`` under
+    the guard, or streaming_series_monitor (O(1) state, explicit
+    target) for unbounded monitoring.
+
+    Not bit-identical to ``series_monitor`` (composed affine maps
+    round differently than step-by-step folds); both recursions are
+    contractions, so disagreement decays exponentially — parity is
+    test-pinned to 1e-9 pre-rounding.  Cite: reference has no
+    time-series surface; this extends the engine's ts_* family."""
+    if segment_rows < 2:
+        raise ValueError("segment_rows must be >= 2")
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    rows = df.select(
+        *key_cols,
+        x.alias("__v"),
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(segment_rows)))
+        .cast("long")
+        .alias("__seg"),
+        *[F.col(c) for c in order_cols],
+    ).repartition(*key_cols, "__seg")
+    a = float(alpha)
+    b = float(beta)
+    one_a = F.lit(1.0 - a)
+    al = F.lit(a)
+    ab = F.lit(a * b)
+    one_ab = F.lit(1.0 - a * b)
+    vals = _ordered_vals(F.col("__v"), order_cols)
+    # per-segment: affine EWMA map (A,B), affine Holt map (P,q), plus
+    # the seeded folds segment 0 consumes
+    ew_map = F.aggregate(
+        vals,
+        F.struct(F.lit(1.0).alias("A"), F.lit(0.0).alias("B")),
+        lambda s, v: F.struct(
+            (s["A"] * one_a).alias("A"),
+            (al * v + one_a * s["B"]).alias("B"),
+        ),
+    )
+    holt_map = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(1.0).alias("p11"), F.lit(0.0).alias("p12"),
+            F.lit(0.0).alias("p21"), F.lit(1.0).alias("p22"),
+            F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"),
+        ),
+        lambda s, v: F.struct(
+            (one_a * (s["p11"] + s["p21"])).alias("p11"),
+            (one_a * (s["p12"] + s["p22"])).alias("p12"),
+            (-ab * s["p11"] + one_ab * s["p21"]).alias("p21"),
+            (-ab * s["p12"] + one_ab * s["p22"]).alias("p22"),
+            (one_a * (s["q1"] + s["q2"]) + al * v).alias("q1"),
+            (-ab * s["q1"] + one_ab * s["q2"] + ab * v).alias("q2"),
+        ),
+    )
+    ew_seed = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda s, v: F.when(s.isNull(), v).otherwise(
+            al * v + one_a * s
+        ),
+    )
+    nl = lambda s, v: al * v + one_a * (  # noqa: E731
+        s["level"] + s["trend"]
+    )
+    bl = F.lit(b)
+    holt_seed = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(None).cast("double").alias("level"),
+            F.lit(0.0).alias("trend"),
+        ),
+        lambda s, v: F.when(
+            s["level"].isNull(),
+            F.struct(v.alias("level"), F.lit(0.0).alias("trend")),
+        ).otherwise(
+            F.struct(
+                nl(s, v).alias("level"),
+                (
+                    bl * (nl(s, v) - s["level"])
+                    + (F.lit(1.0) - bl) * s["trend"]
+                ).alias("trend"),
+            )
+        ),
+    )
+    seg = rows.groupBy(*key_cols, "__seg").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(25,10)")).alias("__sum"),
+        ew_map.alias("__ew"),
+        holt_map.alias("__hm"),
+        ew_seed.alias("__ews"),
+        holt_seed.alias("__hs"),
+    )
+    part = F.struct(
+        F.col("__seg").alias("seg"),
+        F.col("__ew").alias("ew"),
+        F.col("__hm").alias("hm"),
+        F.col("__ews").alias("ews"),
+        F.col("__hs").alias("hs"),
+    )
+    per_key = seg.groupBy(*key_cols).agg(
+        F.sum("__n").alias("n"),
+        (F.sum("__sum").cast("double") / F.sum("__n")).alias("__mean"),
+        F.array_sort(F.collect_list(part)).alias("__parts"),
+    )
+    # ordered fold of the segment maps: segment 0 contributes its
+    # SEEDED results, every later segment applies its affine map
+    fold = F.aggregate(
+        F.col("__parts"),
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("double").alias("l"),
+            F.lit(None).cast("double").alias("t"),
+        ),
+        lambda st, p: F.when(
+            st["s"].isNull(),
+            F.struct(
+                p["ews"].alias("s"),
+                p["hs"]["level"].alias("l"),
+                p["hs"]["trend"].alias("t"),
+            ),
+        ).otherwise(
+            F.struct(
+                (p["ew"]["A"] * st["s"] + p["ew"]["B"]).alias("s"),
+                (
+                    p["hm"]["p11"] * st["l"]
+                    + p["hm"]["p12"] * st["t"]
+                    + p["hm"]["q1"]
+                ).alias("l"),
+                (
+                    p["hm"]["p21"] * st["l"]
+                    + p["hm"]["p22"] * st["t"]
+                    + p["hm"]["q2"]
+                ).alias("t"),
+            )
+        ),
+    )
+    return per_key.select(
+        *key_cols,
+        "n",
+        F.round("__mean", 9).alias("mean"),
+        F.round(fold["s"], 9).alias("ewma"),
+        F.round(fold["l"], 9).alias("holt_level"),
+        F.round(fold["t"], 9).alias("holt_trend"),
+        F.round(fold["l"] + fold["t"], 9).alias("holt_forecast"),
     )

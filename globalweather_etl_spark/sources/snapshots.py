@@ -45,6 +45,7 @@ same caveat every manifest-log format documents publicly.
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -103,6 +104,67 @@ _DV_SCHEMA = "__dv_file string, __dv_pos long"
 # ``vacuum`` rewrites any kept delta whose parent it is about to drop
 # into its resolved full form first, so resolution chains never dangle.
 _CHECKPOINT_INTERVAL = 16
+
+# Round 11: checkpoint FILE LISTINGS go columnar past this size — the
+# last O(table-files) metadata cost. A full (checkpoint) manifest with
+# >= this many files stores its listing as a parquet SIDECAR
+# (`files-v<NNN>-<uuid>.parquet`, single `path` column, row order
+# authoritative: clustered-first then decode order) and the JSON keeps
+# only `files_ext` (the sidecar name) + `n_files`. Parquet dictionary
+# + snappy make a million-file listing ~tens of MB instead of GBs of
+# JSON, pyarrow decodes it vectorized instead of `json.loads`, and
+# the sidecar is plain parquet Spark itself can read (the Delta-style
+# "checkpoint as data" property). Deltas stay JSON — they are small by
+# construction. Below the threshold the inline JSON form is unchanged,
+# so small tables (and the existing on-disk format) stay byte-stable.
+_FILES_EXT_MIN = 512
+
+
+def _files_to_parquet_bytes(files: list[str]) -> bytes:
+    """Serialize a file listing as a single-column parquet blob
+    (row order preserved — it encodes clustered-first + decode
+    order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    sink = pa.BufferOutputStream()
+    papq.write_table(
+        pa.table({"path": pa.array(files, type=pa.string())}),
+        sink,
+        compression="snappy",
+    )
+    return sink.getvalue().to_pybytes()
+
+
+def _paths_column(table) -> list[str]:
+    # to_numpy(...).tolist() materializes python strings ~5x faster
+    # than Table.to_pylist() — measured 0.07 s vs 0.36 s at 500k rows
+    return (
+        table.column("path").to_numpy(zero_copy_only=False).tolist()
+    )
+
+
+def _files_from_parquet_bytes(data: bytes) -> list[str]:
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    return _paths_column(papq.read_table(pa.BufferReader(bytes(data))))
+
+
+def _inline_files_local(raw: dict, manifest_dir: str) -> dict:
+    """Plain-Python (local filesystem) form of sidecar inlining — the
+    streaming source's path (it reads manifests without a JVM)."""
+    ext = raw.get("files_ext")
+    if not ext:
+        return raw
+    import pyarrow.parquet as papq
+
+    files = _paths_column(papq.read_table(os.path.join(manifest_dir, ext)))
+    out = {
+        k: v for k, v in raw.items() if k not in ("files_ext", "n_files")
+    }
+    out["files"] = files
+    return out
 
 
 def _spec_of(cl: dict) -> dict:
@@ -273,6 +335,7 @@ class SnapshotTable:
         spark: SparkSession,
         path: str,
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+        files_ext_threshold: int = _FILES_EXT_MIN,
     ):
         if checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1")
@@ -281,6 +344,9 @@ class SnapshotTable:
         # max delta-chain length before a commit stores the full
         # listing again (1 = every manifest full, the pre-r10 format)
         self._checkpoint_interval = checkpoint_interval
+        # full manifests with >= this many files store their listing
+        # as a parquet sidecar (see the _FILES_EXT_MIN note above)
+        self._files_ext_min = files_ext_threshold
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._fs.mkdirs(self._p(f"{self.path}/{_MANIFEST_DIR}"))
         self._fs.mkdirs(self._p(f"{self.path}/{_DATA_DIR}"))
@@ -292,7 +358,26 @@ class SnapshotTable:
     def _manifest_path(self, version: int):
         return self._p(f"{self.path}/{_MANIFEST_DIR}/v{version:08d}.json")
 
+    def _local_of(self, hpath) -> str | None:
+        """The plain-local path of ``hpath`` when this table lives on
+        the local filesystem, else None.  Metadata reads/writes through
+        py4j stream shims pay a per-byte bridge cost that dwarfs the
+        I/O itself at checkpoint sizes; on file: roots plain Python
+        I/O is strictly faster and semantically identical."""
+        if not self._qualified_root().startswith("file:"):
+            return None
+        s = hpath if isinstance(hpath, str) else hpath.toString()
+        if s.startswith("file:"):
+            s = s[5:]
+            while s.startswith("//"):
+                s = s[1:]
+        return s if s.startswith("/") else None
+
     def _read_json(self, hpath) -> dict:
+        lp = self._local_of(hpath)
+        if lp is not None:
+            with open(lp, "r", encoding="utf-8") as f:
+                return json.load(f)
         # py4j can't fill a Python-side byte buffer in place; let the
         # JVM drain the stream (commons-io ships with Spark).
         stream = self._fs.open(hpath)
@@ -303,6 +388,77 @@ class SnapshotTable:
         finally:
             stream.close()
         return json.loads(text)
+
+    def _read_bytes(self, hpath) -> bytes:
+        lp = self._local_of(hpath)
+        if lp is not None:
+            with open(lp, "rb") as f:
+                return f.read()
+        stream = self._fs.open(hpath)
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def _write_bytes(self, data: bytes, dest) -> None:
+        lp = self._local_of(dest)
+        if lp is not None:
+            # exclusive create matches fs.create(dest, False); sidecar
+            # names are uuid-unique so collisions are impossible, but
+            # keep the same contract
+            with open(lp, "xb") as f:
+                f.write(data)
+            return
+        out = self._fs.create(dest, False)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+
+    # ------------------------------- columnar checkpoint sidecars
+    def _externalize_files(self, raw: dict, version: int):
+        """Move a big full manifest's inline ``files`` listing into a
+        parquet sidecar (see the _FILES_EXT_MIN note).  Returns the
+        JSON form (referencing the sidecar by name) plus the sidecar
+        hadoop Path so a lost commit race can clean it up; returns
+        ``(raw, None)`` unchanged for deltas and small listings."""
+        files = raw.get("files")
+        if (
+            raw.get("delta")
+            or files is None
+            or len(files) < self._files_ext_min
+        ):
+            return raw, None
+        # uuid suffix: two racing committers of the same version must
+        # not collide on the sidecar name (the JSON references the
+        # winner's by name; the loser deletes its own)
+        name = f"files-v{version:08d}-{uuid.uuid4().hex}.parquet"
+        side = self._p(f"{self.path}/{_MANIFEST_DIR}/{name}")
+        self._write_bytes(_files_to_parquet_bytes(files), side)
+        out = {k: v for k, v in raw.items() if k != "files"}
+        out["files_ext"] = name
+        out["n_files"] = len(files)
+        return out, side
+
+    def _inline_files(self, raw: dict) -> dict:
+        """Resolve a stored manifest's ``files_ext`` parquet sidecar
+        back to the inline ``files`` form every decoder consumes."""
+        ext = raw.get("files_ext")
+        if not ext:
+            return raw
+        data = self._read_bytes(
+            self._p(f"{self.path}/{_MANIFEST_DIR}/{ext}")
+        )
+        out = {
+            k: v
+            for k, v in raw.items()
+            if k not in ("files_ext", "n_files")
+        }
+        out["files"] = _files_from_parquet_bytes(data)
+        return out
 
     def _write_json_atomic(self, obj: dict, dest) -> bool:
         """Write to a hidden temp file, claim the destination with an
@@ -527,7 +683,7 @@ class SnapshotTable:
         v: int | None = version
         pm: dict | None = None
         while True:
-            raw = self._read_json(self._manifest_path(v))
+            raw = self._inline_files(self._read_json(self._manifest_path(v)))
             chain.append(raw)
             if not raw.get("delta"):
                 break
@@ -561,6 +717,7 @@ class SnapshotTable:
         write-temp + delete + rename (not atomic — callers run under
         vacuum's single-maintainer assumption), then drop the resolve
         cache (content or depth may have shifted)."""
+        raw, _ = self._externalize_files(raw, version)
         dest = self._manifest_path(version)
         tmp = self._p(
             f"{self.path}/{_MANIFEST_DIR}/.ckpt-{uuid.uuid4().hex}.json"
@@ -585,7 +742,12 @@ class SnapshotTable:
         parent = manifest.get("parent")
         pm = self._manifest(parent) if parent is not None else None
         raw = _encode_manifest(manifest, pm, self._checkpoint_interval)
-        return self._write_json_atomic(raw, self._manifest_path(version))
+        raw, side = self._externalize_files(raw, version)
+        ok = self._write_json_atomic(raw, self._manifest_path(version))
+        if not ok and side is not None:
+            # lost the commit race — this writer's sidecar is orphaned
+            self._fs.delete(side, False)
+        return ok
 
     def _stamp_carry(self, parent: int | None, own: dict) -> dict:
         """Monotone HIGH-WATER batch stamps (max_batch_id /
@@ -2814,6 +2976,8 @@ class SnapshotTable:
                     v = int(name[5:13])
                 elif name.startswith("stats-v"):
                     v = int(name[7:15])
+                elif name.startswith("files-v"):
+                    v = int(name[7:15])
                 if v in dropped_set:
                     sidecars.append(self._rel(st.getPath().toString()))
             for v in drop:
@@ -2893,6 +3057,22 @@ class SnapshotTable:
                 v = int(name[7:15])
                 if v in dropped:
                     self._fs.delete(st.getPath(), True)
+            elif name.startswith("files-v"):
+                # parquet checkpoint listing sidecars: dropped with
+                # their manifest; also sweep orphans from crashed
+                # writers (version published by another committer —
+                # the live manifest references a different sidecar
+                # name, or none)
+                v = int(name[7:15])
+                if v in dropped:
+                    self._fs.delete(st.getPath(), False)
+                elif v in set(keep):
+                    try:
+                        live = self._read_json(self._manifest_path(v))
+                    except Exception:
+                        continue
+                    if live.get("files_ext") != name:
+                        self._fs.delete(st.getPath(), False)
         if dropped and hasattr(self, "_idx_cache"):
             for key in [k for k in self._idx_cache if k[0] in dropped]:
                 self._idx_cache.pop(key, None)

@@ -116,7 +116,17 @@ _RESOLVED_CACHE_MAX = 256
 def _raw_manifest(root: str, version: int) -> dict:
     p = os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
     with open(p, "r", encoding="utf-8") as f:
-        return json.load(f)
+        raw = json.load(f)
+    if raw.get("files_ext"):
+        # big checkpoint listings live in a parquet sidecar (round
+        # 11, see snapshots.py _FILES_EXT_MIN) — inline with the same
+        # plain-local I/O this module already assumes
+        from globalweather_etl_spark.sources.snapshots import (
+            _inline_files_local,
+        )
+
+        raw = _inline_files_local(raw, os.path.join(root, _MANIFEST_DIR))
+    return raw
 
 
 def _manifest(root: str, version: int) -> dict:

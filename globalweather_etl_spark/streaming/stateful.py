@@ -174,6 +174,142 @@ def make_anomaly_fn(window_rows: int = 7, threshold: float = 3.5):
     return fn
 
 
+# --------------------------------------- sequential monitor state
+#
+# Streaming twin of operators/timeseries.py series_monitor for
+# UNBOUNDED series: per-key state is SEVEN scalars (n, ewma, cusum
+# pos/neg/alarms, holt level/trend) — O(1) forever, the shape the
+# batch fold cannot give a single 10^8-row series.  CUSUM needs an
+# EXPLICIT target here: the batch default (the series' own mean) is a
+# two-pass statistic a stream can never know; fixing the reference is
+# also the textbook process-control usage.  Float arithmetic mirrors
+# the batch fold step-for-step (same operation order), so any prefix
+# of an in-order stream lands on the batch operator's unrounded state
+# bit-for-bit; outputs round at 9dp like the batch twin.
+
+_MON_OUT_SCHEMA = (
+    "user_id long, n long, ewma double, cusum_pos double, "
+    "cusum_neg double, cusum_alarms long, holt_level double, "
+    "holt_trend double, holt_forecast double"
+)
+_MON_STATE_SCHEMA = (
+    "n long, ewma double, pos double, neg double, alarms long, "
+    "level double, trend double"
+)
+
+
+def make_series_monitor_fn(
+    target: float,
+    alpha: float = 0.3,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    beta: float = 0.1,
+):
+    """The applyInPandasWithState function for
+    streaming_series_monitor — exposed so tests can drive it."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, pos, neg, alarms, level, trend = state.get
+        else:
+            n, s, pos, neg, alarms, level, trend = (
+                0, None, 0.0, 0.0, 0, None, 0.0,
+            )
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                n += 1
+                # EWMA / Holt: identical step order to the batch fold
+                if s is None:
+                    s = v
+                    level, trend = v, 0.0
+                else:
+                    s = alpha * v + (1.0 - alpha) * s
+                    new_level = alpha * v + (1.0 - alpha) * (
+                        level + trend
+                    )
+                    trend = (
+                        beta * (new_level - level)
+                        + (1.0 - beta) * trend
+                    )
+                    level = new_level
+                # CUSUM with alarm reset, explicit target
+                cp = max(0.0, pos + v - target - slack_k)
+                cn = max(0.0, neg + target - v - slack_k)
+                if cp > threshold_h:
+                    alarms += 1
+                    cp = 0.0
+                if cn > threshold_h:
+                    alarms += 1
+                    cn = 0.0
+                pos, neg = cp, cn
+        state.update((n, s, pos, neg, alarms, level, trend))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n": pd.array([n], dtype="Int64"),
+                "ewma": pd.array(
+                    [None if s is None else _round9_half_up(s)],
+                    dtype="Float64",
+                ),
+                "cusum_pos": pd.array(
+                    [_round9_half_up(pos)], dtype="Float64"
+                ),
+                "cusum_neg": pd.array(
+                    [_round9_half_up(neg)], dtype="Float64"
+                ),
+                "cusum_alarms": pd.array([alarms], dtype="Int64"),
+                "holt_level": pd.array(
+                    [None if level is None else _round9_half_up(level)],
+                    dtype="Float64",
+                ),
+                "holt_trend": pd.array(
+                    [None if level is None else _round9_half_up(trend)],
+                    dtype="Float64",
+                ),
+                "holt_forecast": pd.array(
+                    [
+                        None
+                        if level is None
+                        else _round9_half_up(level + trend)
+                    ],
+                    dtype="Float64",
+                ),
+            }
+        )
+
+    return fn
+
+
+def streaming_series_monitor(
+    events: DataFrame,
+    target: float,
+    alpha: float = 0.3,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Running EWMA/CUSUM/Holt per user over an unbounded stream with
+    O(1) state per key (update mode: one row per key per touched
+    micro-batch).  Batch parity: after draining any in-order prefix,
+    the latest row per key equals series_monitor(prefix,
+    target=target) on that prefix (test-pinned)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_series_monitor_fn(
+            target, alpha, slack_k, threshold_h, beta
+        ),
+        outputStructType=_MON_OUT_SCHEMA,
+        stateStructType=_MON_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_anomalies(
     events: DataFrame, window_rows: int = 7, threshold: float = 3.5
 ) -> DataFrame:

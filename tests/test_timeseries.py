@@ -246,3 +246,149 @@ def test_holt_duckdb_recursive_twin(spark):
         assert g["holt_level"] == l
         assert g["holt_trend"] == tr
         assert g["holt_forecast"] == fc
+
+
+def test_max_series_rows_guard_raises_loudly(spark):
+    from py4j.protocol import Py4JJavaError
+
+    df = _df(spark, {"u": [float(i) for i in range(10)]})
+    with pytest.raises(Exception) as ei:
+        series_monitor(
+            df, "value", ["seq"], ["user_id"], max_series_rows=5
+        ).collect()
+    assert "max_series_rows" in str(ei.value)
+    # at the limit it still runs
+    out = series_monitor(
+        df, "value", ["seq"], ["user_id"], max_series_rows=10
+    ).collect()
+    assert out[0]["n"] == 10
+
+
+def test_explicit_cusum_target(spark):
+    # with target fixed at 0, a +3 drift alarms immediately while the
+    # mean-target form needs the drift to clear the series' own mean
+    vals = [3.0] * 6
+    out = series_monitor(
+        _df(spark, {"u": vals}), "value", ["seq"], ["user_id"],
+        target=0.0, slack_k=0.5, threshold_h=5.0,
+    ).collect()[0]
+    assert out["cusum_alarms"] >= 1
+    # mean-target on the same flat series never alarms
+    base = series_monitor(
+        _df(spark, {"u": vals}), "value", ["seq"], ["user_id"],
+        slack_k=0.5, threshold_h=5.0,
+    ).collect()[0]
+    assert base["cusum_alarms"] == 0
+    # mean is still reported either way
+    assert out["mean"] == base["mean"] == 3.0
+
+
+def test_series_monitor_big_parity(spark):
+    """Segmented two-level fold == sequential fold to 1e-9 (the maps
+    compose exactly in real arithmetic; float disagreement decays —
+    contraction)."""
+    import random
+
+    from globalweather_etl_spark.operators.timeseries import (
+        series_monitor_big,
+    )
+
+    rng = random.Random(23)
+    series = {
+        f"u{i}": [
+            round(rng.gauss(50.0, 10.0), 6)
+            for _ in range(rng.randint(1, 80))
+        ]
+        for i in range(12)
+    }
+    df = _df(spark, series)
+    base = {
+        r["user_id"]: r
+        for r in series_monitor(
+            df, "value", ["seq"], ["user_id"], alpha=0.3, beta=0.1
+        ).collect()
+    }
+    # segment_rows=7 forces many segments per series
+    big = {
+        r["user_id"]: r
+        for r in series_monitor_big(
+            df, "value", ["seq"], ["user_id"], alpha=0.3, beta=0.1,
+            segment_rows=7,
+        ).collect()
+    }
+    assert set(base) == set(big)
+    for u in base:
+        assert big[u]["n"] == base[u]["n"]
+        assert big[u]["mean"] == base[u]["mean"]
+        for c in ("ewma", "holt_level", "holt_trend", "holt_forecast"):
+            assert big[u][c] == pytest.approx(base[u][c], abs=2e-9), (
+                u, c, big[u][c], base[u][c],
+            )
+
+
+def test_series_monitor_big_single_exchange(spark):
+    """Three exchanges, each bounded: window hash(key), the explicit
+    (key, segment) spread (the memory-bound guarantee), and the final
+    partials-only groupBy(key)."""
+    from globalweather_etl_spark.operators.timeseries import (
+        series_monitor_big,
+    )
+
+    df = _df(spark, {"u": [1.0, 2.0, 3.0], "v": [4.0, 5.0]})
+    plan = (
+        series_monitor_big(df, "value", ["seq"], ["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3, plan
+    assert "hashpartitioning" in plan.lower(), plan
+
+
+def test_streaming_series_monitor_fn_parity(spark):
+    """Driving the stateful function across 3 'micro-batches' lands on
+    the batch operator's result for the same prefix, bit-for-bit at
+    the 9dp output rounding."""
+    import pandas as pd
+
+    from globalweather_etl_spark.streaming.stateful import (
+        make_series_monitor_fn,
+    )
+
+    vals = [3.0, 7.5, 1.25, 9.0, 2.0, 8.0, 0.5, 6.0, 4.0, 10.0]
+    batch = series_monitor(
+        _df(spark, {"u": vals}), "value", ["seq"], ["user_id"],
+        target=5.0, slack_k=0.5, threshold_h=4.0,
+    ).collect()[0]
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    fn = make_series_monitor_fn(
+        target=5.0, slack_k=0.5, threshold_h=4.0
+    )
+    st = FakeState()
+    out = None
+    for lo, hi in ((0, 3), (3, 7), (7, 10)):
+        pdf = pd.DataFrame(
+            {
+                "ts": range(lo, hi),
+                "event_id": range(lo, hi),
+                "value": vals[lo:hi],
+            }
+        )
+        out = list(fn((1,), [pdf], st))[-1]
+    row = out.iloc[0]
+    assert int(row["n"]) == batch["n"]
+    assert float(row["ewma"]) == batch["ewma"]
+    assert float(row["cusum_pos"]) == batch["cusum_pos"]
+    assert float(row["cusum_neg"]) == batch["cusum_neg"]
+    assert int(row["cusum_alarms"]) == batch["cusum_alarms"]
+    assert float(row["holt_level"]) == batch["holt_level"]
+    assert float(row["holt_trend"]) == batch["holt_trend"]
+    assert float(row["holt_forecast"]) == batch["holt_forecast"]
