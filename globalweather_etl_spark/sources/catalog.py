@@ -466,15 +466,16 @@ class Transaction:
     # --------------------------- staged rewrite verbs (ops)
     #
     # MERGE / DELETE / REPLACE WHERE compose into a transaction too —
-    # each runs its existing single-table path at commit time with the
-    # txn tag, publishing a PENDING version that the decision record
-    # flips together with everything else.  Honest trade vs plain
-    # writes: an op's compute (probe + rewrite) happens INSIDE the
-    # publish phase while its table's head lock is held, because a
-    # rewrite must be computed against the exact base it locks — so a
-    # transaction of ops holds per-table pending windows for the
-    # rewrite duration, where plain writes hold them only for a
-    # manifest publish.  Cross-table all-or-nothing is identical.
+    # each runs its single-table compute at commit time in
+    # defer_publish mode (round 11): the probe + rewrite runs while NO
+    # table of this transaction is pending, the prepared manifests
+    # then publish back-to-back (metadata-only span, the same window
+    # plain writes hold), and the decision flips them together.  A
+    # racing plain writer therefore commits freely during a long
+    # staged rewrite's compute; if it moves an op's head between
+    # compute and publish, that op alone recomputes (validate-at-
+    # decision — the optimistic-retry contract the single-table verbs
+    # always had).  Cross-table all-or-nothing is unchanged.
 
     def replace_where(
         self, name: str, df: DataFrame, condition, **kw
@@ -590,20 +591,46 @@ class Transaction:
         published: dict[str, int] = {}
         try:
             self._stage_all(parallelism)
-            # staged rewrite verbs run first (their compute holds
-            # their own table's pending window — see the ops note),
-            # so the plain writes' metadata-only publishes stay last
-            # and the cross-table pending span stays short
+            # staged rewrite verbs COMPUTE first without publishing
+            # (defer_publish — round 11): every op's probe + rewrite
+            # runs while no table of this transaction is pending, so
+            # racing plain writers stay unblocked for the whole slow
+            # half; only the back-to-back manifest publishes below
+            # open pending windows (metadata-only span, like plain
+            # writes).  If a racing commit moves an op's head between
+            # its compute and its publish, that op alone recomputes
+            # through its normal self-publishing path (the optimistic
+            # retry the single-table verbs always had).
+            prepared: dict[str, dict] = {}
             for name, p in self._staged.items():
                 if "op" not in p:
                     continue
                 t = self.catalog.table(name)
+                prepared[name] = getattr(t, p["op"])(
+                    *p["args"], manifest_extra=txn_field,
+                    defer_publish=True, **p["kw"]
+                )
+            # phase 1b — publish pending manifests (metadata-only
+            # window; this is the only span other writers collide with)
+            for name, prep in prepared.items():
+                t = self.catalog.table(name)
+                if not prep.get("prepared"):
+                    # no-op shape (nothing matched) or bootstrap write:
+                    # already resolved to a version, nothing pending
+                    published[name] = prep["version"]
+                    continue
+                if t._publish_manifest(prep["manifest"], prep["target"]):
+                    published[name] = prep["target"]
+                    continue
+                # a racing commit landed during our compute — the
+                # desired concurrency; recompute this op against the
+                # new head (its first attempt's staged files are
+                # unreferenced, vacuum's to reclaim)
+                p = self._staged[name]
                 res = getattr(t, p["op"])(
                     *p["args"], manifest_extra=txn_field, **p["kw"]
                 )
                 published[name] = res["version"]
-            # phase 1b — publish pending manifests (metadata-only
-            # window; this is the only span other writers collide with)
             for name, p in self._staged.items():
                 if "op" in p:
                     continue

@@ -42,9 +42,24 @@ NANO_TS_COLS: dict[str, list[str]] = {
 }
 
 
+# (session, parquet path) -> resolved DataFrame.  spark.read.parquet
+# re-reads footers for schema resolution on EVERY call — a metadata
+# job a metastore-backed engine would answer from its catalog cache.
+# Landing-zone tables are immutable inputs, so the resolved relation
+# is safely reusable per session (the value keeps the session ref so
+# an id() collision after GC can never resurrect a dead session's
+# plan).  Bounded: oldest entry evicted past 64.
+_RELATION_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one landing-zone table. Aside from the nanos-timestamp repair
     above, no schema munging — pushdown/pruning reach the scan untouched.
+
+    Resolved relations are memoized per (session, path) — the
+    landing zone is immutable input data, and re-resolving parquet
+    footers per query is pure fixed cost (the catalog-cache behavior
+    every metastore engine has).
 
     Session confs: get_spark() already sets both required confs at
     session construction, so this function normally mutates nothing.
@@ -57,13 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) parquet reads arrive as longs instead of erroring,
     and a caller-chosen timezone is overridden with the UTC the oracle
     semantics are defined in."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ck = (id(spark), path)
+    hit = _RELATION_CACHE.get(ck)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     for key, want in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
         if spark.conf.get(key, None) != want:
             spark.conf.set(key, want)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, []):
         # Physical type varies per dataset (NANOS -> read as long under
         # the legacy conf; MICROS -> read as timestamp already), so only
@@ -79,6 +99,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    while len(_RELATION_CACHE) >= 64:
+        _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
+    _RELATION_CACHE[ck] = (spark, df)
     return df
 
 

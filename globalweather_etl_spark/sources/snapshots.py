@@ -1690,6 +1690,7 @@ class SnapshotTable:
         rewrite_partitions: int | None = None,
         max_retries: int = 5,
         manifest_extra: dict | None = None,
+        defer_publish: bool = False,
     ) -> dict:
         """Predicate-scoped atomic overwrite — Delta's ``replaceWhere``
         (the generalization of dynamic partition overwrite): in ONE
@@ -1713,7 +1714,17 @@ class SnapshotTable:
         empty-``df`` call commits nothing.
 
         Returns {"version", "files_rewritten", "files_kept",
-        "n_replaced", "n_rows"}."""
+        "n_replaced", "n_rows"}.
+
+        ``defer_publish=True`` (the multi-table transaction's lock-
+        window shrink, sources/catalog.py): run ONE compute attempt
+        against the current head and return
+        {"prepared": True, "manifest", "target", "result"} WITHOUT
+        publishing — the caller publishes all its tables' manifests
+        back-to-back (metadata-only span) and falls back to the
+        normal self-publishing call if a racing commit moved the head
+        in between.  No-op shapes return their normal result dict
+        (no "prepared" key)."""
         if isinstance(condition, str):
             condition = F.expr(condition)
         head = self.latest_version()
@@ -1835,14 +1846,22 @@ class SnapshotTable:
                     else {}
                 ),
             }
-            if self._publish_manifest(manifest, target):
+            result = {
+                "version": target,
+                "files_rewritten": len(hit_rel),
+                "files_kept": len(kept_rel),
+                "n_replaced": n_hit_rows - n_hit_kept,
+                "n_rows": manifest["n_rows"],
+            }
+            if defer_publish:
                 return {
-                    "version": target,
-                    "files_rewritten": len(hit_rel),
-                    "files_kept": len(kept_rel),
-                    "n_replaced": n_hit_rows - n_hit_kept,
-                    "n_rows": manifest["n_rows"],
+                    "prepared": True,
+                    "manifest": manifest,
+                    "target": target,
+                    "result": result,
                 }
+            if self._publish_manifest(manifest, target):
+                return result
         raise RuntimeError(
             f"replace_where lost the commit race {max_retries} times"
         )
@@ -1853,6 +1872,7 @@ class SnapshotTable:
         store_files: int = 1,
         max_retries: int = 5,
         manifest_extra: dict | None = None,
+        defer_publish: bool = False,
     ) -> dict:
         """MERGE-ON-READ delete: remove rows matching ``condition`` (a
         Column or SQL string) WITHOUT rewriting any data file — the
@@ -1878,7 +1898,9 @@ class SnapshotTable:
         (deletes are usually tiny; raise it for billion-row sweeps).
 
         Returns {"version", "n_deleted", "files_affected"}; a delete
-        matching nothing commits nothing."""
+        matching nothing commits nothing.  ``defer_publish`` as in
+        ``replace_where`` (compute one attempt, return the prepared
+        manifest unpublished)."""
         if isinstance(condition, str):
             condition = F.expr(condition)
         if store_files < 1:
@@ -1940,12 +1962,20 @@ class SnapshotTable:
                     "files": sorted(set(pdv["files"]) | set(affected)),
                 },
             }
-            if self._publish_manifest(manifest, target):
+            result = {
+                "version": target,
+                "n_deleted": n_del,
+                "files_affected": len(affected),
+            }
+            if defer_publish:
                 return {
-                    "version": target,
-                    "n_deleted": n_del,
-                    "files_affected": len(affected),
+                    "prepared": True,
+                    "manifest": manifest,
+                    "target": target,
+                    "result": result,
                 }
+            if self._publish_manifest(manifest, target):
+                return result
             # lost the race: the matched positions may be stale against
             # the new head — recompute everything
         raise RuntimeError(
@@ -2006,6 +2036,7 @@ class SnapshotTable:
         matched_delete_condition=None,
         strategy: str = "copy-on-write",
         dv_store_files: int = 1,
+        defer_publish: bool = False,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -2064,7 +2095,11 @@ class SnapshotTable:
         Returns {"version", "files_rewritten", "files_kept",
         "n_rows"} (merge-on-read adds "n_dv_deletes" and always has
         files_rewritten=0); a merge with nothing to do commits nothing
-        and returns the current head."""
+        and returns the current head.  ``defer_publish`` as in
+        ``replace_where`` (compute one attempt, return the prepared
+        manifest unpublished; the empty-table bootstrap still
+        publishes immediately — its publish is already metadata-only
+        after staging)."""
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"bad when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
@@ -2144,6 +2179,7 @@ class SnapshotTable:
                     when_matched, when_not_matched,
                     matched_delete_condition, rewrite_partitions,
                     dv_store_files, manifest_extra, tgt,
+                    defer_publish=defer_publish,
                 )
                 if result is not None:
                     return result
@@ -2249,13 +2285,21 @@ class SnapshotTable:
                     else {}
                 ),
             }
-            if self._publish_manifest(manifest, target):
+            result = {
+                "version": target,
+                "files_rewritten": len(hit_rel),
+                "files_kept": len(kept_rel),
+                "n_rows": manifest["n_rows"],
+            }
+            if defer_publish:
                 return {
-                    "version": target,
-                    "files_rewritten": len(hit_rel),
-                    "files_kept": len(kept_rel),
-                    "n_rows": manifest["n_rows"],
+                    "prepared": True,
+                    "manifest": manifest,
+                    "target": target,
+                    "result": result,
                 }
+            if self._publish_manifest(manifest, target):
+                return result
             # lost the race: a concurrent commit changed the head — the
             # pruning decisions are stale, recompute everything
         raise RuntimeError(
@@ -2266,6 +2310,7 @@ class SnapshotTable:
         self, base, target, m, pdv, src, src_keys, keys,
         when_matched, when_not_matched, matched_delete_condition,
         rewrite_partitions, dv_store_files, manifest_extra, tgt,
+        defer_publish: bool = False,
     ) -> dict | None:
         """One merge-on-read attempt against head ``base`` (see
         merge_into): matched target rows become deletion-vector
@@ -2362,14 +2407,22 @@ class SnapshotTable:
                 else {}
             ),
         }
-        if self._publish_manifest(manifest, target):
+        result = {
+            "version": target,
+            "files_rewritten": 0,
+            "files_kept": len(m["files"]),
+            "n_rows": manifest["n_rows"],
+            "n_dv_deletes": n_matched,
+        }
+        if defer_publish:
             return {
-                "version": target,
-                "files_rewritten": 0,
-                "files_kept": len(m["files"]),
-                "n_rows": manifest["n_rows"],
-                "n_dv_deletes": n_matched,
+                "prepared": True,
+                "manifest": manifest,
+                "target": target,
+                "result": result,
             }
+        if self._publish_manifest(manifest, target):
+            return result
         return None
 
     # --------------------------------------------- layout maintenance

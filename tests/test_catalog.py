@@ -732,3 +732,136 @@ class TestSnapshotPins:
         for bad in ("../escape", "..", ".", "a/b", ""):
             with pytest.raises(ValueError, match="invalid table name"):
                 cat.table(bad)
+
+
+class TestDeferredRewritePublish:
+    """Round 11: staged rewrite verbs compute BEFORE any pending
+    manifest publishes — the lock window a long merge used to hold is
+    now metadata-only (validate-at-decision)."""
+
+    def test_plain_writer_succeeds_during_staged_rewrite_compute(
+        self, spark, cat
+    ):
+        """The verdict's Done criterion: while a transaction's merge
+        is computing, a racing plain writer on the SAME table commits
+        without ConcurrentTransactionError, and the txn's merge then
+        recomputes against the new head (both effects land)."""
+        t = cat.table("t")
+        t.write(_df(spark, 10, "base"), mode="overwrite")
+        src = spark.createDataFrame(
+            [Row(k=i, tag="merged", val=1.0) for i in range(3)]
+        )
+        txn = cat.begin()
+        txn.merge_into("t", src, ["k"])
+
+        # simulate the race deterministically: run the compute half
+        # (defer_publish) exactly like commit() does, then let a plain
+        # writer land, then drive the publish half
+        txn_field = {
+            "txn": {"id": txn.id, "log": cat._txn_log_path()}
+        }
+        prep = t.merge_into(
+            src, ["k"], manifest_extra=txn_field, defer_publish=True
+        )
+        assert prep.get("prepared")
+        # during the compute phase nothing is pending: the plain
+        # writer commits freely — THE point of the deferred publish
+        racer = cat.table("t")
+        v_racer = racer.write(
+            spark.createDataFrame(
+                [Row(k=100 + i, tag="racer", val=0.0) for i in range(2)]
+            ),
+            mode="append",
+        )
+        assert racer.read().count() == 12  # visible immediately
+        # the prepared publish now fails (head moved) ...
+        assert not t._publish_manifest(prep["manifest"], prep["target"])
+        # ... and the normal self-publishing path recovers, exactly
+        # like Transaction.commit()'s fallback
+        res = t.merge_into(src, ["k"], manifest_extra=txn_field)
+        assert res["version"] > v_racer
+        cat._write_decision(
+            txn.id,
+            {"txn": txn.id, "status": "committed",
+             "tables": {"t": res["version"]}},
+        )
+        out = cat.table("t").read()
+        assert out.count() == 12
+        assert out.filter("tag = 'merged'").count() == 3
+        assert out.filter("tag = 'racer'").count() == 2
+
+    def test_commit_end_to_end_with_mid_compute_racer(self, spark, cat):
+        """Full commit() drive: a spy on _publish_manifest injects a
+        racing append after the op's compute finished but before its
+        publish — commit() must succeed and keep both effects."""
+        t = cat.table("t")
+        t.write(_df(spark, 10, "base"), mode="overwrite")
+        src = spark.createDataFrame(
+            [Row(k=i, tag="merged", val=1.0) for i in range(3)]
+        )
+        fired = {"n": 0}
+        orig = type(t)._publish_manifest
+
+        def spy(self, manifest, version):
+            # first publish attempt of the txn-tagged merge: sneak a
+            # plain append in first (separate table object = separate
+            # caches, like a second process)
+            if (
+                manifest.get("txn") is not None
+                and fired["n"] == 0
+            ):
+                fired["n"] = 1
+                racer = SnapshotCatalog(
+                    self.spark, self.path.rsplit("/", 1)[0]
+                ).table(self.path.rsplit("/", 1)[1])
+                racer.write(
+                    self.spark.createDataFrame(
+                        [Row(k=200 + i, tag="racer", val=0.0)
+                         for i in range(2)]
+                    ),
+                    mode="append",
+                )
+            return orig(self, manifest, version)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(type(t), "_publish_manifest", spy):
+            txn = cat.begin()
+            txn.merge_into("t", src, ["k"])
+            versions = txn.commit()
+        assert txn.state == "committed"
+        out = cat.table("t").read(versions["t"])
+        assert out.count() == 12
+        assert out.filter("tag = 'merged'").count() == 3
+        assert out.filter("tag = 'racer'").count() == 2
+
+    def test_all_three_verbs_defer(self, spark, cat):
+        """replace_where / delete_where / merge_into (CoW and MoR)
+        defer_publish forms all round-trip through publish."""
+        for verb, args, kw in (
+            ("replace_where",
+             (lambda s: (spark.createDataFrame(
+                 [Row(k=i, tag="r", val=0.0) for i in range(2)]
+             ), "k < 2"))(None), {}),
+            ("delete_where", ("k >= 8",), {}),
+            ("merge_into",
+             (spark.createDataFrame([Row(k=0, tag="m", val=9.9)]),
+              ["k"]), {}),
+            ("merge_into",
+             (spark.createDataFrame([Row(k=1, tag="m2", val=8.8)]),
+              ["k"]), {"strategy": "merge-on-read"}),
+        ):
+            name = f"t_{verb}_{len(kw)}"
+            t = cat.table(name)
+            t.write(_df(spark, 10, "base"), mode="overwrite")
+            prep = getattr(t, verb)(*args, defer_publish=True, **kw)
+            assert prep.get("prepared"), (verb, prep)
+            assert t.latest_version() == 1  # nothing published yet
+            assert t._publish_manifest(prep["manifest"], prep["target"])
+            assert t.latest_version() == prep["target"]
+            assert prep["result"]["version"] == prep["target"]
+        # and the no-op shape returns a plain result
+        t = cat.table("t_noop")
+        t.write(_df(spark, 3, "base"), mode="overwrite")
+        res = t.delete_where("k > 99", defer_publish=True)
+        assert "prepared" not in res and res["version"] == 1
