@@ -752,6 +752,164 @@ q22_m AS (
         / count(*)
       FROM customer WHERE c_acctbal > 0)
     AND c_custkey NOT IN (SELECT o_custkey FROM orders)),
+-- Round 11: derived-column TPC-H families (Q2/Q4/Q7/Q8/Q9/Q11/Q12/
+-- Q13/Q20/Q21). The md5-prefix hash recipe synthesizes commit/
+-- receipt dates, shipmode, and a partsupp table IDENTICALLY to the
+-- Spark side (operators/dedup._md5_long); costs stay integer cents.
+lid AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_discount, ship_d,
+         ship_d + CAST(h % 60 - 30 AS INTEGER) AS l_commitdate,
+         ship_d + CAST(h % 28 + 1 AS INTEGER) AS l_receiptdate,
+         (['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR'])
+           [CAST(h % 7 + 1 AS INTEGER)] AS l_shipmode
+  FROM (SELECT *, CAST(l_shipdate AS DATE) AS ship_d,
+          CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM lineitem)),
+psd AS (
+  SELECT ps_partkey, ps_suppkey,
+         h % 99999 + 1 AS ps_cents, h % 9999 + 1 AS ps_availqty
+  FROM (SELECT ps_partkey, ps_suppkey,
+          CAST('0x' || substring(md5(CAST(ps_partkey AS VARCHAR)
+            || ':' || CAST(ps_suppkey AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                l_suppkey AS ps_suppkey FROM lineitem))),
+supn AS (
+  SELECT s_suppkey, s_acctbal, n_name AS supp_nation,
+         n_regionkey AS s_regionkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+custn AS (
+  SELECT c_custkey, n_name AS cust_nation,
+         n_regionkey AS c_regionkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+q4_g AS (
+  SELECT o_orderpriority, count(*) AS cnt
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+    AND o_orderdate < TIMESTAMP '1995-10-01'
+    AND EXISTS (SELECT 1 FROM lid
+                WHERE l_orderkey = o_orderkey
+                  AND l_commitdate < l_receiptdate)
+  GROUP BY o_orderpriority),
+q12_g AS (
+  SELECT l_shipmode,
+    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END) AS high,
+    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 0 ELSE 1 END) AS low
+  FROM lid JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipmode IN ('MAIL','SHIP')
+    AND l_commitdate < l_receiptdate
+    AND ship_d < l_commitdate
+    AND l_receiptdate >= DATE '1996-01-01'
+    AND l_receiptdate < DATE '1997-01-01'
+  GROUP BY l_shipmode),
+q7_g AS (
+  SELECT supp_nation, cust_nation, year(ship_d) AS l_year,
+    sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(25,10))) AS vol
+  FROM lid
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supn ON l_suppkey = s_suppkey
+  JOIN custn ON o_custkey = c_custkey
+  WHERE ship_d >= DATE '1995-01-01' AND ship_d < DATE '1997-01-01'
+    AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+      OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+  GROUP BY supp_nation, cust_nation, l_year),
+q8_g AS (
+  SELECT year(o_orderdate) AS o_year,
+    sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        ELSE CAST(0 AS DECIMAL(25,10)) END) AS nat_rev,
+    sum(rev) AS all_rev
+  FROM (SELECT o_orderdate, supp_nation,
+          CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(25,10)) AS rev
+        FROM lid
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN custn ON o_custkey = custn.c_custkey
+        JOIN region ON custn.c_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        JOIN supn ON l_suppkey = s_suppkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+  GROUP BY o_year),
+q9_g AS (
+  SELECT supp_nation, year(o_orderdate) AS o_year,
+    sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(25,10))) AS grev,
+    sum(ps_cents * CAST(l_quantity AS BIGINT)) AS gcost
+  FROM lid
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  JOIN psd ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supn ON l_suppkey = s_suppkey
+  GROUP BY supp_nation, o_year),
+q11_ps AS (
+  SELECT ps_partkey, ps_cents * ps_availqty AS val
+  FROM psd JOIN supn ON ps_suppkey = s_suppkey
+  WHERE supp_nation = 'NATION_5'),
+q11_g AS (
+  SELECT ps_partkey, sum(val) AS pval
+  FROM q11_ps GROUP BY ps_partkey
+  HAVING sum(val) * 2000 > (SELECT sum(val) FROM q11_ps)),
+q13_counts AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN
+    (SELECT o_custkey, o_orderkey FROM orders
+     WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+           1, 15) AS BIGINT) % 20 <> 0) o
+  ON c_custkey = o_custkey
+  GROUP BY c_custkey),
+q13_g AS (
+  SELECT c_count, count(*) AS custdist
+  FROM q13_counts GROUP BY c_count),
+q20_ship AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lid
+  WHERE ship_d >= DATE '1995-01-01' AND ship_d < DATE '1996-01-01'
+  GROUP BY l_partkey, l_suppkey),
+q20_g AS (
+  SELECT DISTINCT ps_suppkey
+  FROM psd
+  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+  JOIN q20_ship ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_availqty * 2 > qty
+    AND ps_suppkey IN (SELECT s_suppkey FROM supn
+                       WHERE supp_nation = 'NATION_7')),
+q21_per AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS nsupp,
+    count(DISTINCT CASE WHEN l_receiptdate > l_commitdate
+          THEN l_suppkey END) AS nlate
+  FROM lid JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey),
+q21_g AS (
+  SELECT l_suppkey, count(*) AS numwait
+  FROM (SELECT DISTINCT lid.l_orderkey, l_suppkey
+        FROM lid JOIN q21_per ON lid.l_orderkey = q21_per.l_orderkey
+        WHERE l_receiptdate > l_commitdate
+          AND nsupp > 1 AND nlate = 1)
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supn
+                      WHERE supp_nation = 'NATION_9')
+  GROUP BY l_suppkey),
+q2_cand AS (
+  SELECT ps_partkey, ps_suppkey, ps_cents, s_acctbal
+  FROM psd
+  JOIN supn ON ps_suppkey = s_suppkey
+  JOIN region ON s_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN part ON ps_partkey = p_partkey
+    AND p_size = 3 AND p_type = 'STANDARD'),
+q2_min AS (
+  SELECT ps_partkey AS pk, min(ps_cents) AS mincents
+  FROM q2_cand GROUP BY ps_partkey),
+q2_m AS (
+  SELECT c.* , mincents FROM q2_cand c
+  JOIN q2_min ON c.ps_partkey = pk AND c.ps_cents = mincents),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1295,6 +1453,61 @@ UNION ALL SELECT 'q22_rows', CAST(count(*) AS DOUBLE) FROM q22_m
 UNION ALL SELECT 'q22_acctbal_sum',
   round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4)
   FROM q22_m
+UNION ALL SELECT 'q4_groups', CAST(count(*) AS DOUBLE) FROM q4_g
+UNION ALL SELECT 'q4_order_count', CAST(sum(cnt) AS DOUBLE) FROM q4_g
+UNION ALL SELECT 'q4_digest', CAST(sum(
+  CAST('0x' || substring(md5(o_orderpriority || ':'
+    || CAST(cnt AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM q4_g
+UNION ALL SELECT 'q12_modes', CAST(count(*) AS DOUBLE) FROM q12_g
+UNION ALL SELECT 'q12_high_sum', CAST(sum(high) AS DOUBLE) FROM q12_g
+UNION ALL SELECT 'q12_low_sum', CAST(sum(low) AS DOUBLE) FROM q12_g
+UNION ALL SELECT 'q7_groups', CAST(count(*) AS DOUBLE) FROM q7_g
+UNION ALL SELECT 'q7_rev_sum', round(CAST(sum(vol) AS DOUBLE), 4)
+  FROM q7_g
+UNION ALL SELECT 'q7_digest', CAST(sum(
+  CAST('0x' || substring(md5(supp_nation || ':' || cust_nation
+    || ':' || CAST(l_year AS VARCHAR)), 1, 15) AS BIGINT)
+  % 2147483647) AS DOUBLE) FROM q7_g
+UNION ALL SELECT 'q8_years', CAST(count(*) AS DOUBLE) FROM q8_g
+UNION ALL SELECT 'q8_share_sum', round(sum(
+  CAST(nat_rev AS DOUBLE) / CAST(all_rev AS DOUBLE)), 9) FROM q8_g
+UNION ALL SELECT 'q9_groups', CAST(count(*) AS DOUBLE) FROM q9_g
+UNION ALL SELECT 'q9_rev_sum', round(CAST(sum(grev) AS DOUBLE), 4)
+  FROM q9_g
+UNION ALL SELECT 'q9_cost_cents_sum', CAST(sum(gcost) AS DOUBLE)
+  FROM q9_g
+UNION ALL SELECT 'q9_digest', CAST(sum(
+  CAST('0x' || substring(md5(supp_nation || ':'
+    || CAST(o_year AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM q9_g
+UNION ALL SELECT 'q11_parts', CAST(count(*) AS DOUBLE) FROM q11_g
+UNION ALL SELECT 'q11_value_cents_sum', CAST(sum(pval) AS DOUBLE)
+  FROM q11_g
+UNION ALL SELECT 'q11_partkey_sum', CAST(sum(ps_partkey) AS DOUBLE)
+  FROM q11_g
+UNION ALL SELECT 'q13_groups', CAST(count(*) AS DOUBLE) FROM q13_g
+UNION ALL SELECT 'q13_customers', CAST(sum(custdist) AS DOUBLE)
+  FROM q13_g
+UNION ALL SELECT 'q13_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(c_count AS VARCHAR) || ':'
+    || CAST(custdist AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM q13_g
+UNION ALL SELECT 'q20_suppliers', CAST(count(*) AS DOUBLE) FROM q20_g
+UNION ALL SELECT 'q20_suppkey_sum', CAST(sum(ps_suppkey) AS DOUBLE)
+  FROM q20_g
+UNION ALL SELECT 'q21_suppliers', CAST(count(*) AS DOUBLE) FROM q21_g
+UNION ALL SELECT 'q21_numwait_sum', CAST(sum(numwait) AS DOUBLE)
+  FROM q21_g
+UNION ALL SELECT 'q21_suppkey_sum', CAST(sum(l_suppkey) AS DOUBLE)
+  FROM q21_g
+UNION ALL SELECT 'q2_rows', CAST(count(*) AS DOUBLE) FROM q2_m
+UNION ALL SELECT 'q2_suppkey_sum', CAST(sum(ps_suppkey) AS DOUBLE)
+  FROM q2_m
+UNION ALL SELECT 'q2_acctbal_sum', round(CAST(sum(
+  CAST(s_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4) FROM q2_m
+UNION ALL SELECT 'q2_mincents_sum', CAST(sum(mincents) AS DOUBLE)
+  FROM q2_m
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

@@ -2147,6 +2147,552 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 11: the TPC-H shapes previously blocked on columns the
+    # synthetic testdata does not carry (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/
+    # Q20/Q21 — partsupp, commit/receipt dates, shipmode, comment
+    # flags), graded on DETERMINISTICALLY DERIVED columns: the
+    # md5-prefix recipe (operators/dedup._md5_long == DuckDB
+    # CAST('0x'||substring(md5(x),1,15) AS BIGINT)) synthesizes
+    # l_commitdate / l_receiptdate / l_shipmode per lineitem and a
+    # partsupp table (supplycost in integer CENTS + availqty) from
+    # the distinct (partkey, suppkey) pairs — IDENTICALLY in both
+    # engines, so every derived predicate and threshold is exact
+    # cross-engine: revenue sums ride the DECIMAL route, cost sums
+    # stay in the integer-cents domain, and fraction thresholds
+    # (Q11, Q20) compare as integer inequalities.  Cite: TPC-H spec
+    # query definitions; reference surface has no TPC-H, this extends
+    # the engine's analytic coverage to the full expressible set.
+    from globalweather_etl_spark.operators.dedup import (
+        _md5_long as _h,
+    )
+
+    _modes = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+    li_d = (
+        li.withColumn("ship_d", F.col("l_shipdate").cast("date"))
+        .withColumn(
+            "__h",
+            _h(
+                F.concat_ws(
+                    ":", F.col("l_orderkey"), F.col("l_linenumber")
+                )
+            ),
+        )
+        .withColumn(
+            "l_commitdate",
+            F.date_add(
+                F.col("ship_d"), (F.col("__h") % 60 - 30).cast("int")
+            ),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.date_add(
+                F.col("ship_d"), (F.col("__h") % 28 + 1).cast("int")
+            ),
+        )
+        .withColumn(
+            "l_shipmode",
+            F.element_at(
+                F.array(*[F.lit(m) for m in _modes]),
+                (F.col("__h") % 7 + 1).cast("int"),
+            ),
+        )
+    )
+    psd = (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "__h",
+            _h(
+                F.concat_ws(
+                    ":", F.col("ps_partkey"), F.col("ps_suppkey")
+                )
+            ),
+        )
+        .withColumn("ps_cents", F.col("__h") % 99999 + 1)
+        .withColumn("ps_availqty", F.col("__h") % 9999 + 1)
+    )
+    sup_n = supplier.join(
+        F.broadcast(nation_t),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "s_suppkey", "s_acctbal",
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("s_regionkey"),
+    )
+    cust_n = customer.join(
+        F.broadcast(nation_t),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "c_custkey",
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+
+    # Q4: priority checking — orders in 1995-Q3 with at least one
+    # late line (commit < receipt), counted per priority (EXISTS ->
+    # left-semi)
+    q4_g = (
+        orders.filter(
+            (
+                F.col("o_orderdate")
+                >= F.lit("1995-07-01").cast("timestamp")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.lit("1995-10-01").cast("timestamp")
+            )
+        )
+        .join(
+            li_d.filter(
+                F.col("l_commitdate") < F.col("l_receiptdate")
+            ).select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q4 = _unpivot_metrics(
+        q4_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("cnt").cast("double").alias("s"),
+            F.sum(
+                _h(F.concat_ws(":", "o_orderpriority", "cnt"))
+                % _dig_p
+            )
+            .cast("double")
+            .alias("d"),
+        ),
+        [
+            ("q4_groups", "g"),
+            ("q4_order_count", "s"),
+            ("q4_digest", "d"),
+        ],
+    )
+
+    # Q12: shipmode priority split over the derived mode + dates
+    q12_g = (
+        li_d.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("ship_d") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin(
+                        "1-URGENT", "2-HIGH"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("high"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin(
+                        "1-URGENT", "2-HIGH"
+                    ),
+                    0,
+                ).otherwise(1)
+            ).alias("low"),
+        )
+    )
+    q12 = _unpivot_metrics(
+        q12_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("high").cast("double").alias("h"),
+            F.sum("low").cast("double").alias("lo"),
+        ),
+        [
+            ("q12_modes", "g"),
+            ("q12_high_sum", "h"),
+            ("q12_low_sum", "lo"),
+        ],
+    )
+
+    # Q7: volume shipping between two nations by ship-year (no
+    # derived columns needed — the gap was coverage, not data)
+    q7_g = (
+        li_d.filter(
+            (F.col("ship_d") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("ship_d") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup_n),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("ship_d").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("vol"))
+    )
+    q7 = _unpivot_metrics(
+        q7_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.round(F.sum("vol").cast("double"), 4).alias("s"),
+            F.sum(
+                _h(
+                    F.concat_ws(
+                        ":", "supp_nation", "cust_nation", "l_year"
+                    )
+                )
+                % _dig_p
+            )
+            .cast("double")
+            .alias("d"),
+        ),
+        [
+            ("q7_groups", "g"),
+            ("q7_rev_sum", "s"),
+            ("q7_digest", "d"),
+        ],
+    )
+
+    # Q8: national market share inside a customer region for one
+    # part class, per order-year (share = exact DECIMAL sums, then
+    # one double division per year — <= 2 years, order-free)
+    q8_g = (
+        li_d.join(
+            F.broadcast(part_t.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (
+                    F.col("o_orderdate")
+                    >= F.lit("1995-01-01").cast("timestamp")
+                )
+                & (
+                    F.col("o_orderdate")
+                    < F.lit("1997-01-01").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust_n.join(
+                F.broadcast(
+                    region_t.filter(F.col("r_name") == "EUROPE")
+                ),
+                F.col("c_regionkey") == F.col("r_regionkey"),
+                "left_semi",
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(sup_n),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", rev
+                ).otherwise(F.lit(0).cast("decimal(25,10)"))
+            ).alias("nat_rev"),
+            F.sum(rev).alias("all_rev"),
+        )
+    )
+    q8 = _unpivot_metrics(
+        q8_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.round(
+                F.sum(
+                    F.col("nat_rev").cast("double")
+                    / F.col("all_rev").cast("double")
+                ),
+                9,
+            ).alias("sh"),
+        ),
+        [("q8_years", "g"), ("q8_share_sum", "sh")],
+    )
+
+    # Q9: product-type profit by supplier nation x order-year; cost
+    # stays in the exact integer-cents domain (derived supplycost x
+    # integral quantity)
+    q9_g = (
+        li_d.join(
+            F.broadcast(
+                part_t.filter(F.col("p_name").like("%red%"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            psd.select("ps_partkey", "ps_suppkey", "ps_cents"),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup_n),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.sum(rev).alias("grev"),
+            F.sum(
+                F.col("ps_cents") * F.col("l_quantity").cast("long")
+            ).alias("gcost"),
+        )
+    )
+    q9 = _unpivot_metrics(
+        q9_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.round(F.sum("grev").cast("double"), 4).alias("r"),
+            F.sum("gcost").cast("double").alias("c"),
+            F.sum(
+                _h(F.concat_ws(":", "supp_nation", "o_year")) % _dig_p
+            )
+            .cast("double")
+            .alias("d"),
+        ),
+        [
+            ("q9_groups", "g"),
+            ("q9_rev_sum", "r"),
+            ("q9_cost_cents_sum", "c"),
+            ("q9_digest", "d"),
+        ],
+    )
+
+    # Q11: important stock — per-part value share over one nation's
+    # derived partsupp; the 1/2000 fraction threshold compares as an
+    # integer inequality (pval * 2000 > total), exact cross-engine
+    ps_n = psd.join(
+        F.broadcast(
+            sup_n.filter(F.col("supp_nation") == "NATION_5").select(
+                "s_suppkey"
+            )
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).withColumn(
+        "val", F.col("ps_cents") * F.col("ps_availqty")
+    )
+    q11_g = (
+        ps_n.groupBy("ps_partkey")
+        .agg(F.sum("val").alias("pval"))
+        .join(F.broadcast(ps_n.agg(F.sum("val").alias("tot"))))
+        .filter(F.col("pval") * 2000 > F.col("tot"))
+    )
+    q11 = _unpivot_metrics(
+        q11_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("pval").cast("double").alias("v"),
+            F.sum("ps_partkey").cast("double").alias("k"),
+        ),
+        [
+            ("q11_parts", "g"),
+            ("q11_value_cents_sum", "v"),
+            ("q11_partkey_sum", "k"),
+        ],
+    )
+
+    # Q13: customer order-count distribution, excluding a derived
+    # 1-in-20 "special comment" order class (md5(o_orderkey) % 20)
+    q13_counts = (
+        customer.join(
+            orders.filter(
+                _h(F.col("o_orderkey").cast("string")) % 20 != 0
+            ).select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    q13_g = q13_counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+    q13 = _unpivot_metrics(
+        q13_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("custdist").cast("double").alias("s"),
+            F.sum(
+                _h(F.concat_ws(":", "c_count", "custdist")) % _dig_p
+            )
+            .cast("double")
+            .alias("d"),
+        ),
+        [
+            ("q13_groups", "g"),
+            ("q13_customers", "s"),
+            ("q13_digest", "d"),
+        ],
+    )
+
+    # Q20: potential part promotion — suppliers whose derived
+    # availqty exceeds half the 1995 shipped quantity of that
+    # (part, supplier); the half threshold is 2*availqty > qty
+    q20_ship = (
+        li_d.filter(
+            (F.col("ship_d") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("ship_d") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    q20_g = (
+        psd.join(
+            F.broadcast(
+                part_t.filter(F.col("p_name").like("small%")).select(
+                    "p_partkey"
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            q20_ship,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(
+                sup_n.filter(
+                    F.col("supp_nation") == "NATION_7"
+                ).select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
+    q20 = _unpivot_metrics(
+        q20_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("ps_suppkey").cast("double").alias("k"),
+        ),
+        [("q20_suppliers", "g"), ("q20_suppkey_sum", "k")],
+    )
+
+    # Q21: suppliers who kept F-status multi-supplier orders waiting
+    # (the sole late supplier of each such order), counted per
+    # supplier in one nation
+    q21_per = (
+        li_d.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(
+                F.when(
+                    F.col("l_receiptdate") > F.col("l_commitdate"),
+                    F.col("l_suppkey"),
+                )
+            ).alias("nlate"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .select("l_orderkey")
+    )
+    q21_g = (
+        li_d.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+        .join(q21_per, "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(
+                sup_n.filter(
+                    F.col("supp_nation") == "NATION_9"
+                ).select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    q21 = _unpivot_metrics(
+        q21_g.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("numwait").cast("double").alias("w"),
+            F.sum("l_suppkey").cast("double").alias("k"),
+        ),
+        [
+            ("q21_suppliers", "g"),
+            ("q21_numwait_sum", "w"),
+            ("q21_suppkey_sum", "k"),
+        ],
+    )
+
+    # Q2: minimum-cost supplier per part within a region over the
+    # derived partsupp (min in the integer-cents domain — tie rows
+    # all kept, like the spec's correlated min)
+    q2_cand = (
+        psd.join(
+            F.broadcast(
+                sup_n.join(
+                    F.broadcast(
+                        region_t.filter(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("s_regionkey") == F.col("r_regionkey"),
+                    "left_semi",
+                ).select("s_suppkey", "s_acctbal")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                part_t.filter(
+                    (F.col("p_size") == 3)
+                    & (F.col("p_type") == "STANDARD")
+                ).select("p_partkey")
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+    )
+    q2_m = q2_cand.join(
+        q2_cand.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+            F.min("ps_cents").alias("mincents")
+        ),
+        (F.col("ps_partkey") == F.col("__pk"))
+        & (F.col("ps_cents") == F.col("mincents")),
+    )
+    q2 = _unpivot_metrics(
+        q2_m.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("ps_suppkey").cast("double").alias("k"),
+            F.round(
+                F.sum(
+                    F.col("s_acctbal").cast("decimal(25,10)")
+                ).cast("double"),
+                4,
+            ).alias("a"),
+            F.sum("mincents").cast("double").alias("mc"),
+        ),
+        [
+            ("q2_rows", "g"),
+            ("q2_suppkey_sum", "k"),
+            ("q2_acctbal_sum", "a"),
+            ("q2_mincents_sum", "mc"),
+        ],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -2185,6 +2731,16 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(q17)
         .unionAll(q22)
         .unionAll(tsf)
+        .unionAll(q4)
+        .unionAll(q12)
+        .unionAll(q7)
+        .unionAll(q8)
+        .unionAll(q9)
+        .unionAll(q11)
+        .unionAll(q13)
+        .unionAll(q20)
+        .unionAll(q21)
+        .unionAll(q2)
     )
 
 
