@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_monitor", "series_monitor_big"]
+__all__ = ["series_monitor", "series_monitor_big", "holt_winters"]
 
 
 def _ordered_vals(value: Column, order_cols: list[str]) -> Column:
@@ -410,4 +410,154 @@ def series_monitor_big(
         F.round(fold["l"], 9).alias("holt_level"),
         F.round(fold["t"], 9).alias("holt_trend"),
         F.round(fold["l"] + fold["t"], 9).alias("holt_forecast"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    key_cols: list[str],
+    m: int = 4,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    max_series_rows: int = 20_000_000,
+) -> DataFrame:
+    """HOLT-WINTERS additive seasonal smoothing (the triple-smoothing
+    completion of the EWMA/Holt family; Winters 1960) — per series:
+
+      level_t = a*(x_t - s_{t-m}) + (1-a)*(level + trend)
+      trend_t = b*(level_t - level) + (1-b)*trend
+      s_t     = g*(x_t - level_t) + (1-g)*s_{t-m}
+
+    Seed convention (the common simple one, applied identically in
+    the DuckDB recursive-CTE twin): the first ``m`` values warm up —
+    level = their LEFT-FOLD mean ((((0+x_0)+x_1)+...)/m, order-fixed
+    so it is bit-identical cross-engine), trend = 0, seasonal_i =
+    x_i - level; smoothing starts at t = m.  A series shorter than
+    ``m`` emits NULL level/trend/forecast (n is still reported).
+
+    Output per series key: n, hw_level, hw_trend, hw_season_next
+    (the seasonal component the NEXT step would consume),
+    hw_forecast = level + trend + season_next — all 9dp.
+
+    Engine shape: the same one-exchange ordered-array fold as
+    series_monitor (recursion is not window-expressible); seasonal
+    state is an m-length array updated in place per step, all in
+    whole-stage codegen — no UDF.  Same ``max_series_rows`` loud
+    guard; unbounded series belong to the segmented/streaming twins
+    (EWMA/Holt compose affinely; the seasonal recursion would need
+    an m x m matrix composition — not implemented, guard instead)."""
+    if m < 2:
+        raise ValueError("m (season length) must be >= 2")
+    if max_series_rows < 1:
+        raise ValueError("max_series_rows must be >= 1")
+    x = F.col(value_col).cast("double")
+    vals = _ordered_vals(x, order_cols)
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"), vals.alias("__vals")
+    )
+    agg = agg.withColumn(
+        "__vals",
+        F.when(
+            F.col("n") <= F.lit(int(max_series_rows)), F.col("__vals")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "holt_winters: series exceeds max_series_rows="
+                        f"{int(max_series_rows)} (got "
+                    ),
+                    F.col("n").cast("string"),
+                    F.lit(" rows)"),
+                )
+            )
+        ),
+    )
+    al = F.lit(float(alpha))
+    bt = F.lit(float(beta))
+    gm = F.lit(float(gamma))
+    mm = F.lit(int(m))
+    empty = F.array().cast("array<double>")
+
+    def _step(s, v):
+        w2 = F.concat(s["warm"], F.array(v))
+        lvl0 = F.aggregate(
+            w2, F.lit(0.0), lambda a, b: a + b
+        ) / F.lit(float(m))
+        seas0 = F.transform(w2, lambda e: e - lvl0)
+        pos = ((s["cnt"] - mm) % mm).cast("int")
+        s_old = F.element_at(s["seas"], pos + F.lit(1))
+        nl = al * (v - s_old) + (F.lit(1.0) - al) * (
+            s["lvl"] + s["tr"]
+        )
+        ntr = bt * (nl - s["lvl"]) + (F.lit(1.0) - bt) * s["tr"]
+        snew = gm * (v - nl) + (F.lit(1.0) - gm) * s_old
+        seas2 = F.transform(
+            s["seas"],
+            lambda e, i: F.when(i == pos, snew).otherwise(e),
+        )
+        cnt2 = (s["cnt"] + F.lit(1)).alias("cnt")
+        return (
+            F.when(
+                s["cnt"] < mm - F.lit(1),
+                F.struct(
+                    cnt2,
+                    w2.alias("warm"),
+                    F.lit(None).cast("double").alias("lvl"),
+                    F.lit(0.0).alias("tr"),
+                    empty.alias("seas"),
+                ),
+            )
+            .when(
+                s["cnt"] == mm - F.lit(1),
+                F.struct(
+                    cnt2,
+                    empty.alias("warm"),
+                    lvl0.alias("lvl"),
+                    F.lit(0.0).alias("tr"),
+                    seas0.alias("seas"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    cnt2,
+                    s["warm"].alias("warm"),
+                    nl.alias("lvl"),
+                    ntr.alias("tr"),
+                    seas2.alias("seas"),
+                )
+            )
+        )
+
+    hw = F.aggregate(
+        F.col("__vals"),
+        F.struct(
+            F.lit(0).cast("int").alias("cnt"),
+            empty.alias("warm"),
+            F.lit(None).cast("double").alias("lvl"),
+            F.lit(0.0).alias("tr"),
+            empty.alias("seas"),
+        ),
+        _step,
+    )
+    out = agg.select(*key_cols, "n", hw.alias("__hw"))
+    s_next = F.element_at(
+        F.col("__hw")["seas"],
+        ((F.col("n") - mm) % mm).cast("int") + F.lit(1),
+    )
+    has = F.col("__hw")["lvl"].isNotNull()
+    return out.select(
+        *key_cols,
+        "n",
+        F.round(F.col("__hw")["lvl"], 9).alias("hw_level"),
+        F.when(has, F.round(F.col("__hw")["tr"], 9)).alias("hw_trend"),
+        F.when(has, F.round(s_next, 9)).alias("hw_season_next"),
+        F.when(
+            has,
+            F.round(
+                F.col("__hw")["lvl"] + F.col("__hw")["tr"] + s_next, 9
+            ),
+        ).alias("hw_forecast"),
     )

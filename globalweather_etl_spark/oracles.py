@@ -989,6 +989,101 @@ tsr AS (
     CAST(sum(CAST(round(ht, 9) AS DECIMAL(25,9))) AS DOUBLE)
       AS holt_trend_sum
   FROM tsff),
+-- Round 11: Holt-Winters additive (m=4) twin — same recursive-fold
+-- recipe; the Spark side's m-length seasonal ARRAY becomes four
+-- scalar columns here (identical arithmetic per step: left-fold
+-- seed mean over the first four values, then the triple recursion;
+-- a series shorter than m keeps NULL level).
+hwrec AS (
+  SELECT user_id, 0 AS rn,
+    CAST(NULL AS DOUBLE) AS w0, CAST(NULL AS DOUBLE) AS w1,
+    CAST(NULL AS DOUBLE) AS w2,
+    CAST(NULL AS DOUBLE) AS lvl, CAST(0.0 AS DOUBLE) AS tr,
+    CAST(NULL AS DOUBLE) AS s0, CAST(NULL AS DOUBLE) AS s1,
+    CAST(NULL AS DOUBLE) AS s2, CAST(NULL AS DOUBLE) AS s3
+  FROM tsm
+  UNION ALL
+  SELECT r.user_id, r.rn + 1,
+    CASE WHEN r.rn = 0 THEN e.value ELSE r.w0 END,
+    CASE WHEN r.rn = 1 THEN e.value ELSE r.w1 END,
+    CASE WHEN r.rn = 2 THEN e.value ELSE r.w2 END,
+    CASE WHEN r.rn < 3 THEN CAST(NULL AS DOUBLE)
+      WHEN r.rn = 3 THEN
+        ((((CAST(0.0 AS DOUBLE) + r.w0) + r.w1) + r.w2) + e.value)
+          / CAST(4.0 AS DOUBLE)
+      ELSE CAST(0.3 AS DOUBLE) * (e.value
+             - CASE (r.rn - 4) % 4 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1
+               WHEN 2 THEN r.s2 ELSE r.s3 END)
+           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+             * (r.lvl + r.tr) END,
+    CASE WHEN r.rn <= 3 THEN CAST(0.0 AS DOUBLE)
+      ELSE CAST(0.1 AS DOUBLE)
+           * ((CAST(0.3 AS DOUBLE) * (e.value
+                - CASE (r.rn - 4) % 4 WHEN 0 THEN r.s0
+                  WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 ELSE r.s3 END)
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                 * (r.lvl + r.tr)) - r.lvl)
+           + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * r.tr END,
+    CASE WHEN r.rn < 3 THEN CAST(NULL AS DOUBLE)
+      WHEN r.rn = 3 THEN r.w0 -
+        ((((CAST(0.0 AS DOUBLE) + r.w0) + r.w1) + r.w2) + e.value)
+          / CAST(4.0 AS DOUBLE)
+      WHEN (r.rn - 4) % 4 = 0 THEN
+        CAST(0.2 AS DOUBLE) * (e.value
+          - (CAST(0.3 AS DOUBLE) * (e.value - r.s0)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+               * (r.lvl + r.tr)))
+        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.s0
+      ELSE r.s0 END,
+    CASE WHEN r.rn < 3 THEN CAST(NULL AS DOUBLE)
+      WHEN r.rn = 3 THEN r.w1 -
+        ((((CAST(0.0 AS DOUBLE) + r.w0) + r.w1) + r.w2) + e.value)
+          / CAST(4.0 AS DOUBLE)
+      WHEN (r.rn - 4) % 4 = 1 THEN
+        CAST(0.2 AS DOUBLE) * (e.value
+          - (CAST(0.3 AS DOUBLE) * (e.value - r.s1)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+               * (r.lvl + r.tr)))
+        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.s1
+      ELSE r.s1 END,
+    CASE WHEN r.rn < 3 THEN CAST(NULL AS DOUBLE)
+      WHEN r.rn = 3 THEN r.w2 -
+        ((((CAST(0.0 AS DOUBLE) + r.w0) + r.w1) + r.w2) + e.value)
+          / CAST(4.0 AS DOUBLE)
+      WHEN (r.rn - 4) % 4 = 2 THEN
+        CAST(0.2 AS DOUBLE) * (e.value
+          - (CAST(0.3 AS DOUBLE) * (e.value - r.s2)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+               * (r.lvl + r.tr)))
+        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.s2
+      ELSE r.s2 END,
+    CASE WHEN r.rn < 3 THEN CAST(NULL AS DOUBLE)
+      WHEN r.rn = 3 THEN e.value -
+        ((((CAST(0.0 AS DOUBLE) + r.w0) + r.w1) + r.w2) + e.value)
+          / CAST(4.0 AS DOUBLE)
+      WHEN (r.rn - 4) % 4 = 3 THEN
+        CAST(0.2 AS DOUBLE) * (e.value
+          - (CAST(0.3 AS DOUBLE) * (e.value - r.s3)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+               * (r.lvl + r.tr)))
+        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.s3
+      ELSE r.s3 END
+  FROM hwrec r
+  JOIN tse e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+  JOIN tsm t ON t.user_id = r.user_id),
+hwff AS (
+  SELECT r.user_id, round(r.lvl, 9) AS l9, round(r.tr, 9) AS t9,
+    round(r.lvl + r.tr
+      + CASE (t.n - 4) % 4 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1
+        WHEN 2 THEN r.s2 ELSE r.s3 END, 9) AS f9
+  FROM hwrec r JOIN tsm t ON t.user_id = r.user_id AND r.rn = t.n
+  WHERE r.lvl IS NOT NULL),
+hwr AS (
+  SELECT CAST(count(*) AS DOUBLE) AS users,
+    CAST(sum(CAST(l9 AS DECIMAL(25,9))) AS DOUBLE) AS lsum,
+    CAST(sum(CAST(t9 AS DECIMAL(25,9))) AS DOUBLE) AS tsum,
+    CAST(sum(CAST(f9 AS DECIMAL(25,9))) AS DOUBLE) AS fsum
+  FROM hwff),
 -- UNPIVOT twin: the pivoted priority x status count matrix melted
 -- long with the standard-syntax UNPIVOT (INCLUDE NULLS to match
 -- Spark's keep-nulls default; the coalesced counts have none)
@@ -1514,6 +1609,10 @@ UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr
 UNION ALL SELECT 'ts_cpos_sum', cpos_sum FROM tsr
 UNION ALL SELECT 'ts_holt_level_sum', holt_level_sum FROM tsr
 UNION ALL SELECT 'ts_holt_trend_sum', holt_trend_sum FROM tsr
+UNION ALL SELECT 'ts_hw_users', users FROM hwr
+UNION ALL SELECT 'ts_hw_level_sum', lsum FROM hwr
+UNION ALL SELECT 'ts_hw_trend_sum', tsum FROM hwr
+UNION ALL SELECT 'ts_hw_forecast_sum', fsum FROM hwr
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

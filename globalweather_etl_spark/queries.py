@@ -2158,6 +2158,41 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 11: HOLT-WINTERS additive seasonal smoothing (m=4) — the
+    # triple-smoothing completion of the family; same recursive-CTE
+    # oracle recipe (scalar-column seasonal state in SQL, array state
+    # in the Spark fold — identical arithmetic per step, left-fold
+    # seed mean). Per-user 9dp values ride the DECIMAL sum route.
+    from globalweather_etl_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    hwm = holt_winters(
+        events, "value", ["ts", "event_id"], ["user_id"],
+        m=4, alpha=0.3, beta=0.1, gamma=0.2,
+    )
+    hwf = _unpivot_metrics(
+        hwm.agg(
+            F.count_if(F.col("hw_level").isNotNull()).alias("users"),
+            F.sum(F.col("hw_level").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("lsum"),
+            F.sum(F.col("hw_trend").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("tsum"),
+            F.sum(F.col("hw_forecast").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("fsum"),
+        ),
+        [
+            ("ts_hw_users", "users"),
+            ("ts_hw_level_sum", "lsum"),
+            ("ts_hw_trend_sum", "tsum"),
+            ("ts_hw_forecast_sum", "fsum"),
+        ],
+    )
+    tsf = tsf.unionAll(hwf)
+
     # Round 11: the TPC-H shapes previously blocked on columns the
     # synthetic testdata does not carry (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/
     # Q20/Q21 — partsupp, commit/receipt dates, shipmode, comment

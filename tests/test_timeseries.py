@@ -392,3 +392,60 @@ def test_streaming_series_monitor_fn_parity(spark):
     assert float(row["holt_level"]) == batch["holt_level"]
     assert float(row["holt_trend"]) == batch["holt_trend"]
     assert float(row["holt_forecast"]) == batch["holt_forecast"]
+
+
+def test_holt_winters_hand_computed(spark):
+    """Fold == the Python reference recursion, including the
+    left-fold seed mean and the rotating seasonal index."""
+    from globalweather_etl_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    vals = [10.0, 14.0, 8.0, 12.0, 11.0, 15.5, 7.25, 13.0, 12.5]
+    df = _df(spark, {"u": vals})
+    row = holt_winters(
+        df, "value", ["seq"], ["user_id"],
+        m=4, alpha=0.3, beta=0.1, gamma=0.2,
+    ).collect()[0]
+    m, a, b, g = 4, 0.3, 0.1, 0.2
+    acc = 0.0
+    for v in vals[:m]:
+        acc = acc + v
+    lvl, tr = acc / 4.0, 0.0
+    seas = [vals[i] - lvl for i in range(m)]
+    for t in range(m, len(vals)):
+        pos = (t - m) % m
+        so = seas[pos]
+        nl = a * (vals[t] - so) + (1 - a) * (lvl + tr)
+        seas[pos] = g * (vals[t] - nl) + (1 - g) * so
+        tr = b * (nl - lvl) + (1 - b) * tr
+        lvl = nl
+    pn = (len(vals) - m) % m
+    assert row["hw_level"] == round(lvl, 9)
+    assert row["hw_trend"] == round(tr, 9)
+    assert row["hw_season_next"] == round(seas[pn], 9)
+    assert row["hw_forecast"] == round(lvl + tr + seas[pn], 9)
+    assert row["n"] == len(vals)
+
+
+def test_holt_winters_short_series_and_seasonal_recovery(spark):
+    from globalweather_etl_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    # shorter than m -> NULL level/forecast, n still reported
+    short = holt_winters(
+        _df(spark, {"u": [5.0, 6.0, 7.0]}), "value", ["seq"],
+        ["user_id"], m=4,
+    ).collect()[0]
+    assert short["n"] == 3 and short["hw_level"] is None
+    assert short["hw_forecast"] is None
+    # a pure period-4 signal: trend ~ 0, forecast tracks the cycle
+    cyc = [10.0, 20.0, 30.0, 40.0] * 8
+    row = holt_winters(
+        _df(spark, {"u": cyc}), "value", ["seq"], ["user_id"],
+        m=4, alpha=0.3, beta=0.1, gamma=0.2,
+    ).collect()[0]
+    assert abs(row["hw_trend"]) < 1e-9
+    # next value in the cycle is 10 (position 0)
+    assert abs(row["hw_forecast"] - 10.0) < 1e-6
