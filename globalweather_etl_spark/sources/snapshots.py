@@ -2037,6 +2037,7 @@ class SnapshotTable:
         strategy: str = "copy-on-write",
         dv_store_files: int = 1,
         defer_publish: bool = False,
+        schema_evolution: bool = False,
     ) -> dict:
         """Delta-style MERGE with file-level copy-on-write pruning:
         apply ``source`` to the table head by key and commit the result
@@ -2099,7 +2100,18 @@ class SnapshotTable:
         ``replace_where`` (compute one attempt, return the prepared
         manifest unpublished; the empty-table bootstrap still
         publishes immediately — its publish is already metadata-only
-        after staging)."""
+        after staging).
+
+        ``schema_evolution=True`` (Delta's MERGE ``withSchemaEvolution``,
+        round 11): the source may carry ADDITIONAL columns — the
+        manifest schema evolves union-by-name exactly like append
+        (added columns read as NULL from untouched files; same-name
+        type conflicts fail loudly; dropped-column tombstones cannot
+        resurrect).  The source must still carry every existing table
+        column: our matched semantics replace the whole row with the
+        one source row, and with multiple matched target rows there
+        is no deterministic value to keep for an omitted column — a
+        loud error beats a silent arbitrary pick."""
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"bad when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
@@ -2160,12 +2172,32 @@ class SnapshotTable:
                 f.name
                 for f in StructType.fromJson(json.loads(m["schema"])).fields
             ]
-            if sorted(source.columns) != sorted(cols):
-                raise ValueError(
-                    f"source columns {sorted(source.columns)} != table "
-                    f"columns {sorted(cols)}"
+            if schema_evolution:
+                missing = [c for c in cols if c not in source.columns]
+                if missing:
+                    raise ValueError(
+                        "schema_evolution merge source must still "
+                        "carry every existing table column; missing "
+                        f"{missing} (matched rows are replaced whole — "
+                        "there is no deterministic fill for an omitted "
+                        "column)"
+                    )
+                self._guard_dropped(m, source.schema.fieldNames())
+                evolved = _unify_schemas(
+                    StructType.fromJson(json.loads(m["schema"])),
+                    source.schema,
                 )
-            src = source.select(*cols)
+                out_schema_json = evolved.json()
+                sel_cols = [f.name for f in evolved.fields]
+            else:
+                if sorted(source.columns) != sorted(cols):
+                    raise ValueError(
+                        f"source columns {sorted(source.columns)} != table "
+                        f"columns {sorted(cols)}"
+                    )
+                out_schema_json = m["schema"]
+                sel_cols = cols
+            src = source.select(*sel_cols)
             src_keys = src.select(*keys).distinct()
             pdv = m.get("dvs") or {"stores": [], "files": []}
             # live target rows with (file, position) identity attached
@@ -2180,6 +2212,7 @@ class SnapshotTable:
                     matched_delete_condition, rewrite_partitions,
                     dv_store_files, manifest_extra, tgt,
                     defer_publish=defer_publish,
+                    schema_json=out_schema_json,
                 )
                 if result is not None:
                     return result
@@ -2212,7 +2245,14 @@ class SnapshotTable:
                         matched_src = matched_src.filter(
                             ~matched_delete_condition
                         )
-                    out_parts.append(survivors.unionByName(matched_src))
+                    # under schema evolution, survivors (old schema)
+                    # null-fill the source's added columns
+                    out_parts.append(
+                        survivors.unionByName(
+                            matched_src,
+                            allowMissingColumns=schema_evolution,
+                        )
+                    )
                 elif when_matched == "delete":
                     out_parts.append(survivors)
                 else:  # ignore: keep the files as they are
@@ -2237,7 +2277,23 @@ class SnapshotTable:
 
             rewrite = out_parts[0]
             for p in out_parts[1:]:
-                rewrite = rewrite.unionByName(p)
+                rewrite = rewrite.unionByName(
+                    p, allowMissingColumns=schema_evolution
+                )
+            if schema_evolution:
+                # pin the commit's file schema to the evolved order
+                # (a hit_tgt-first union would otherwise write files
+                # whose column set depends on which parts ran; an
+                # ignore-only rewrite never saw an evolved part at
+                # all — null-fill before ordering)
+                have = set(rewrite.columns)
+                for fld in evolved.fields:
+                    if fld.name not in have:
+                        rewrite = rewrite.withColumn(
+                            fld.name,
+                            F.lit(None).cast(fld.dataType),
+                        )
+                rewrite = rewrite.select(*sel_cols)
             if rewrite_partitions is not None:
                 # bound the commit's file count — merges whose touched
                 # state is small (IVM group states, dimension tables)
@@ -2276,7 +2332,7 @@ class SnapshotTable:
                 "version": target,
                 "parent": base,
                 "mode": "merge",
-                "schema": m["schema"],
+                "schema": out_schema_json,
                 "files": kept_rel + new_files,
                 "n_rows": m["n_rows"] - n_hit_rows + n_written,
                 **(
@@ -2311,6 +2367,7 @@ class SnapshotTable:
         when_matched, when_not_matched, matched_delete_condition,
         rewrite_partitions, dv_store_files, manifest_extra, tgt,
         defer_publish: bool = False,
+        schema_json: str | None = None,
     ) -> dict | None:
         """One merge-on-read attempt against head ``base`` (see
         merge_into): matched target rows become deletion-vector
@@ -2398,7 +2455,7 @@ class SnapshotTable:
             "version": target,
             "parent": base,
             "mode": "merge",
-            "schema": m["schema"],
+            "schema": schema_json or m["schema"],
             "files": m["files"] + new_files,
             "n_rows": m["n_rows"] - n_matched + n_written,
             **(

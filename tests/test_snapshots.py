@@ -1463,3 +1463,96 @@ def test_full_optimize_purges_dropped_column_and_clears_tombstone(
     table.optimize(cluster_by=["k"])  # incremental: carries old files
     m2 = table._manifest(table.latest_version())
     assert m2.get("dropped_columns") == ["v"]
+
+
+# ------------------------- MERGE schema evolution (round 11)
+
+
+class TestMergeSchemaEvolution:
+    def _seed(self, spark, tmp_path, name):
+        t = SnapshotTable(spark, str(tmp_path / name))
+        t.write(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+            ),
+            mode="overwrite",
+        )
+        return t
+
+    def _src(self, spark):
+        return spark.createDataFrame(
+            [(2, "B", 9.5), (4, "D", 4.5)],
+            "k long, v string, score double",
+        )
+
+    def test_cow_merge_evolves_schema(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path, "cow")
+        res = t.merge_into(
+            self._src(spark), ["k"], schema_evolution=True
+        )
+        out = {r["k"]: r for r in t.read().collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert t.read().columns == ["k", "v", "score"]
+        # untouched rows null-fill; matched row updated whole
+        assert out[1]["score"] is None and out[1]["v"] == "a"
+        assert out[2]["v"] == "B" and out[2]["score"] == 9.5
+        assert out[4]["score"] == 4.5
+        # time travel keeps the old schema
+        assert t.read(1).columns == ["k", "v"]
+        assert res["version"] == 2
+
+    def test_mor_merge_evolution_parity(self, spark, tmp_path):
+        cow = self._seed(spark, tmp_path, "c2")
+        mor = self._seed(spark, tmp_path, "m2")
+        cow.merge_into(
+            self._src(spark), ["k"], schema_evolution=True
+        )
+        mor.merge_into(
+            self._src(spark), ["k"],
+            schema_evolution=True, strategy="merge-on-read",
+        )
+        a = sorted(map(str, cow.read().select("k", "v", "score").collect()))
+        b = sorted(map(str, mor.read().select("k", "v", "score").collect()))
+        assert a == b
+
+    def test_evolution_guards(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path, "g")
+        # omitting an existing column is loud even with evolution on
+        with pytest.raises(ValueError, match="missing"):
+            t.merge_into(
+                spark.createDataFrame([(2, 1.0)], "k long, score double"),
+                ["k"],
+                schema_evolution=True,
+            )
+        # same-name type conflict is loud
+        with pytest.raises(ValueError, match="type conflict"):
+            t.merge_into(
+                spark.createDataFrame([(2, 5)], "k long, v long"),
+                ["k"],
+                schema_evolution=True,
+            )
+        # and without the flag, extra columns stay a loud error
+        with pytest.raises(ValueError, match="columns"):
+            t.merge_into(self._src(spark), ["k"])
+
+    def test_followup_merge_and_append_compose(self, spark, tmp_path):
+        """After an evolving merge, plain merges/appends on the
+        evolved schema keep working and older files still null-fill."""
+        t = self._seed(spark, tmp_path, "f")
+        t.merge_into(self._src(spark), ["k"], schema_evolution=True)
+        t.merge_into(
+            spark.createDataFrame(
+                [(1, "a2", 1.25)], "k long, v string, score double"
+            ),
+            ["k"],
+        )
+        t.write(
+            spark.createDataFrame(
+                [(9, "z", 0.5)], "k long, v string, score double"
+            ),
+            mode="append",
+        )
+        out = {r["k"]: r for r in t.read().collect()}
+        assert out[1]["v"] == "a2" and out[1]["score"] == 1.25
+        assert out[3]["score"] is None
+        assert out[9]["score"] == 0.5
