@@ -19,6 +19,8 @@ these tables live at filesystem roots, not in a metastore):
   DESCRIBE HISTORY '<path>'
   ALTER TABLE '<path>' ADD COLUMN <name> <ddl-type>
   ALTER TABLE '<path>' DROP COLUMN <name>
+  ALTER TABLE '<path>' CREATE TAG <name> [VERSION AS OF <v>]
+  ALTER TABLE '<path>' DROP TAG <name>
   DELETE FROM '<path>' WHERE <predicate>
   INSERT INTO '<path>' <select>
   INSERT OVERWRITE '<path>' <select>
@@ -27,8 +29,8 @@ these tables live at filesystem roots, not in a metastore):
       ON <equi-conjunction>
       [WHEN MATCHED THEN {UPDATE SET * | DELETE}]
       [WHEN NOT MATCHED THEN INSERT *]
-  SELECT ... FROM '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF '<ts>']
-      [AS alias] ...
+  SELECT ... FROM '<path>' [VERSION AS OF <v> | VERSION AS OF '<tag>'
+      | TIMESTAMP AS OF '<ts>'] [AS alias] ...
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -100,7 +102,10 @@ _HISTORY = re.compile(
 _ALTER = re.compile(
     rf"^ALTER TABLE {_PATH} "
     r"(?:ADD COLUMN (?P<add>\w+) (?P<type>.+)"
-    r"|DROP COLUMN (?P<drop>\w+))$",
+    r"|DROP COLUMN (?P<drop>\w+)"
+    r"|CREATE TAG (?P<ctag>[A-Za-z0-9][\w.\-]*)"
+    r"(?: VERSION AS OF (?P<ctagv>\d+))?"
+    r"|DROP TAG (?P<dtag>[A-Za-z0-9][\w.\-]*))$",
     re.IGNORECASE,
 )
 _INSERT = re.compile(
@@ -122,7 +127,7 @@ _WHEN = re.compile(
     re.IGNORECASE,
 )
 _TRAVEL = re.compile(
-    rf"{_PATH}(?: VERSION AS OF (?P<v>\d+)"
+    rf"{_PATH}(?: VERSION AS OF (?:(?P<v>\d+)|'(?P<vtag>[^']+)')"
     r"| TIMESTAMP AS OF '(?P<ts>[^']+)')?",
 )
 _ON_EQ = re.compile(r"^(?:\w+\.)?(?P<l>\w+)\s*=\s*(?:\w+\.)?(?P<r>\w+)$")
@@ -187,6 +192,9 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
         t = SnapshotTable(spark, tm.group("path"))
         if tm.group("ts") is not None:
             df = t.read_asof(_to_unix(tm.group("ts")))
+        elif tm.group("vtag") is not None:
+            # VERSION AS OF 'name' — a named tag (Iceberg's spelling)
+            df = t.read_tag(tm.group("vtag"))
         else:
             df = t.read(
                 int(tm.group("v")) if tm.group("v") else None
@@ -311,6 +319,17 @@ def lakehouse_sql(spark: SparkSession, statement: str):
             return {
                 "version": t.add_column(m.group("add"), m.group("type"))
             }
+        if m.group("ctag"):
+            return {
+                "tag": m.group("ctag"),
+                "version": t.create_tag(
+                    m.group("ctag"),
+                    int(m.group("ctagv")) if m.group("ctagv") else None,
+                ),
+            }
+        if m.group("dtag"):
+            t.delete_tag(m.group("dtag"))
+            return {"tag": m.group("dtag"), "dropped": True}
         return {"version": t.drop_column(m.group("drop"))}
 
     m = _DELETE.match(stmt)

