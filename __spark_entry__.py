@@ -60,6 +60,17 @@ the rolling-MAD anomaly columns of tpch_events_window_suite
 median()/mad() window aggregates). tpch_scalar_checks carries 150
 graded rows.
 
+Round 11 completes TPC-H: q2/q4/q7/q8/q9/q11/q12/q13/q20/q21 graded
+on DERIVED columns (the portable md5-prefix recipe synthesizes
+commit/receipt dates + shipmode per lineitem and a partsupp table —
+supplycost in integer cents, availqty — identically in both engines;
+thresholds compare in the integer domain, revenue on the DECIMAL
+route), adds ts_hw_* (Holt-Winters additive seasonal smoothing vs a
+recursive-CTE twin carrying the m=4 seasonal state as scalar
+columns), and drives the graded tx_* append transaction through the
+BEGIN/COMMIT SQL script surface (lakehouse_sql_script).
+tpch_scalar_checks carries 186 graded rows.
+
 Round 5 grades five more families in the same slots (SURVEY.md §8
 "Round-5 expansion"): the declarative expectations engine
 (pipeline_validation exp__* metric/verdict rows — ten constraints

@@ -264,15 +264,45 @@ def _decode_manifest(raw: dict, pm: dict | None) -> dict:
     return out
 
 
-def _encode_manifest(m: dict, pm: dict | None, interval: int) -> dict:
+def _encode_manifest(
+    m: dict,
+    pm: dict | None,
+    interval: int,
+    delta_hint: tuple[list[str], list[str]] | None = None,
+) -> dict:
     """Delta-encode resolved manifest ``m`` against its resolved
     parent, or return the full storage form when a delta would not
     round-trip (see the log-encoding note above) or the checkpoint
     interval is due. Correct by construction: every branch that
-    cannot be proven to decode back to ``m`` falls back to full."""
+    cannot be proven to decode back to ``m`` falls back to full.
+
+    ``delta_hint`` = (adds, removes) from a commit path that KNOWS its
+    diff (append built the listing as parent-files + new-files one
+    line earlier): skips the O(table-files) set diff below — the last
+    O(table) driver CPU on the hot ingest path — after O(1) guards
+    (no clustering on either side, counts consistent). A hinted
+    encode is decode-identical to the diffed one (test-pinned)."""
     full = _full_storage_form(m)
     if pm is None or pm.get("_depth", 0) + 1 >= interval:
         return full
+    if (
+        delta_hint is not None
+        and m.get("clustering") is None
+        and pm.get("clustering") is None
+        and len(m["files"])
+        == len(pm["files"]) - len(delta_hint[1]) + len(delta_hint[0])
+        and len(delta_hint[0]) + len(delta_hint[1])
+        < max(1, len(m["files"]))
+    ):
+        raw = {
+            k: v
+            for k, v in m.items()
+            if k not in ("files", "clustering", "_depth")
+        }
+        raw["delta"] = True
+        raw["adds"] = list(delta_hint[0])
+        raw["removes"] = list(delta_hint[1])
+        return raw
     pfiles = pm["files"]
     mset = set(m["files"])
     pset = set(pfiles)
@@ -814,14 +844,21 @@ class SnapshotTable:
             )
         self._manifest_cache = {}
 
-    def _publish_manifest(self, manifest: dict, version: int) -> bool:
+    def _publish_manifest(
+        self,
+        manifest: dict,
+        version: int,
+        delta_hint: tuple[list[str], list[str]] | None = None,
+    ) -> bool:
         """Encode (delta against the resolved parent where possible)
         and atomically publish — the single choke point between the
         complete in-memory manifests every commit path builds and the
         checkpointed log format on disk."""
         parent = manifest.get("parent")
         pm = self._manifest(parent) if parent is not None else None
-        raw = _encode_manifest(manifest, pm, self._checkpoint_interval)
+        raw = _encode_manifest(
+            manifest, pm, self._checkpoint_interval, delta_hint
+        )
         raw, side = self._externalize_files(raw, version)
         ok = self._write_json_atomic(raw, self._manifest_path(version))
         if not ok and side is not None:
@@ -1105,7 +1142,15 @@ class SnapshotTable:
                     **_clustering,
                     "files": base_cl + new_files,
                 }
-            if self._publish_manifest(manifest, version):
+            # append built the listing as parent-files + new-files, so
+            # its diff is known without the O(table) set comparison
+            # (the hint is guarded + ignored when clustering is live)
+            hint = (
+                (new_files, [])
+                if mode == "append" and parent is not None
+                else None
+            )
+            if self._publish_manifest(manifest, version, hint):
                 return version
             # lost the race: re-read the log and retry on a new version
 

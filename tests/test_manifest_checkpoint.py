@@ -430,3 +430,41 @@ def test_streaming_source_resolves_sidecars(spark, tmp_path):
     m = ss._manifest(root, 3)
     assert m["files"] == t._manifest(3)["files"]
     assert len(m["files"]) == 3
+
+
+def test_delta_hint_encodes_identically(spark, tmp_path):
+    """The append path's delta hint (adds known by construction) must
+    produce EXACTLY the raw form the O(n) set diff produces — and the
+    real append path still round-trips through a cold reader."""
+    from globalweather_etl_spark.sources.snapshots import (
+        _decode_manifest,
+        _encode_manifest,
+    )
+
+    pm = {
+        "version": 1, "parent": None, "mode": "overwrite",
+        "schema": "{}", "files": ["data/a", "data/b"], "n_rows": 2,
+        "_depth": 0,
+    }
+    m = {
+        "version": 2, "parent": 1, "mode": "append", "schema": "{}",
+        "files": ["data/a", "data/b", "data/c"], "n_rows": 3,
+    }
+    plain = _encode_manifest(m, pm, interval=16)
+    hinted = _encode_manifest(
+        m, pm, interval=16, delta_hint=(["data/c"], [])
+    )
+    assert hinted == plain and hinted.get("delta")
+    assert _decode_manifest(hinted, pm)["files"] == m["files"]
+    # a WRONG hint (count mismatch) falls back to the verified diff
+    bad = _encode_manifest(
+        m, pm, interval=16, delta_hint=(["data/c", "data/x"], [])
+    )
+    assert bad == plain
+    # end-to-end: appends still resolve cold
+    t = SnapshotTable(spark, str(tmp_path / "h"), checkpoint_interval=8)
+    for i in range(5):
+        t.write(_df(spark, [(i, "x")]).coalesce(1), mode="append")
+    cold = SnapshotTable(spark, t.path, checkpoint_interval=8)
+    assert sorted(r["k"] for r in cold.read().collect()) == list(range(5))
+    assert _raw(t, 4).get("delta")

@@ -78,7 +78,11 @@ def run(spark, n_files: int, externalize: bool) -> dict:
         "n_rows": m1["n_rows"] + 1000,
     }
     t0 = time.perf_counter()
-    assert t._publish_manifest(m2, 2)
+    # the append path's delta hint (adds known by construction) —
+    # skips the O(table-files) set diff the encoder otherwise runs
+    assert t._publish_manifest(
+        m2, 2, delta_hint=(["data/part-new-0001.snappy.parquet"], [])
+    )
     delta_wall = time.perf_counter() - t0
     delta_bytes = os.path.getsize(os.path.join(mdir, "v00000002.json"))
 
