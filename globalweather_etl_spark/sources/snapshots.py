@@ -660,13 +660,16 @@ class SnapshotTable:
             v = m.get("parent")
         return None
 
-    def _read_version(self, version: int | None) -> int | None:
+    def _read_version(self, version: int | str | None) -> int | None:
         """Resolve a read's version argument: None pins the latest
-        VISIBLE head; an explicit version must itself be visible —
-        reading another transaction's staged files would leak an
-        uncommitted state."""
+        VISIBLE head; a STRING names a tag (so read/clone/restore and
+        every path through here accept `version="release-1"`); an
+        explicit version must itself be visible — reading another
+        transaction's staged files would leak an uncommitted state."""
         if version is None:
             return self.latest_visible_version()
+        if isinstance(version, str):
+            version = self.tag_version(version)
         m = self._manifest(version)
         if not self._visible(m):
             raise ValueError(
@@ -751,6 +754,20 @@ class SnapshotTable:
 
     def read_tag(self, name: str) -> DataFrame:
         return self.read(self.tag_version(name))
+
+    def quick_count(self, version: int | str | None = None) -> int:
+        """METADATA-ONLY row count — `SELECT count(*)` answered from
+        the manifest without opening a single data file (the Delta
+        metadata-query idea).  Exact by construction: every commit
+        path maintains ``n_rows`` transactionally with the listing
+        (appends add, merges net, deletion vectors subtract at
+        delete_where time), and the equality vs a full scan is
+        test-pinned across the whole verb set.  Accepts a version or
+        a tag name like every read."""
+        v = self._read_version(version)
+        if v is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        return int(self._manifest(v)["n_rows"])
 
     # ------------------------------------------------------- the log
     def versions(self) -> list[int]:

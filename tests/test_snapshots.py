@@ -1622,3 +1622,29 @@ class TestTags:
             spark, f"ALTER TABLE '{table.path}' DROP TAG rel-A"
         )
         assert table.tags() == {}
+
+    def test_tag_resolves_everywhere_and_quick_count(
+        self, spark, table, tmp_path
+    ):
+        """A tag name works anywhere a version does (read/clone/
+        restore), and quick_count answers from metadata across the
+        whole verb set."""
+        table.write(_df(spark, [(i, "a") for i in range(10)]))
+        table.create_tag("v1-tag")
+        table.write(_df(spark, [(10, "b")]), mode="append")
+        assert table.quick_count() == 11 == table.read().count()
+        assert table.quick_count("v1-tag") == 10
+        # clone at a tag
+        c = table.clone(str(tmp_path / "clone_at_tag"), version="v1-tag")
+        assert c.read().count() == 10
+        # restore to a tag
+        table.restore("v1-tag")
+        assert table.quick_count() == 10
+        # metadata count stays exact through merge + MoR delete
+        table.merge_into(
+            spark.createDataFrame([(99, "n")], "k long, v string"),
+            ["k"],
+        )
+        assert table.quick_count() == 11 == table.read().count()
+        table.delete_where("k < 3")
+        assert table.quick_count() == 8 == table.read().count()
