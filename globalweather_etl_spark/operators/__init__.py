@@ -14,7 +14,11 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from globalweather_etl_spark.operators.timeseries import series_monitor
+from globalweather_etl_spark.operators.timeseries import (
+    holt_winters,
+    series_monitor,
+    series_monitor_big,
+)
 from globalweather_etl_spark.operators.anomaly import (
     array_median,
     rolling_anomalies,
@@ -180,7 +184,9 @@ from globalweather_etl_spark.operators.quality_classifier import (
 
 __all__ = [
     "array_median",
+    "holt_winters",
     "series_monitor",
+    "series_monitor_big",
     "rolling_anomalies",
     "QualityModel",
     "hashed_features",

@@ -20,6 +20,7 @@ from globalweather_etl_spark.sources.formats import (
 )
 from globalweather_etl_spark.sources.lakehouse_sql import (
     lakehouse_sql,
+    lakehouse_sql_script,
     lakehouse_sql_txn,
 )
 from globalweather_etl_spark.sources.weather_from_events import (
@@ -37,6 +38,7 @@ __all__ = [
     "load_table",
     "constant_rows",
     "lakehouse_sql",
+    "lakehouse_sql_script",
     "lakehouse_sql_txn",
     "corrupt_count",
     "drop_corrupt",
