@@ -14,6 +14,10 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.geo import (
+    haversine_km,
+    planar_radius_join,
+)
 from globalweather_etl_spark.operators.timeseries import (
     holt_winters,
     series_monitor,
@@ -184,7 +188,9 @@ from globalweather_etl_spark.operators.quality_classifier import (
 
 __all__ = [
     "array_median",
+    "haversine_km",
     "holt_winters",
+    "planar_radius_join",
     "series_monitor",
     "series_monitor_big",
     "rolling_anomalies",

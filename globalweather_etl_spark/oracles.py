@@ -910,6 +910,29 @@ q2_min AS (
 q2_m AS (
   SELECT c.* , mincents FROM q2_cand c
   JOIN q2_min ON c.ps_partkey = pk AND c.ps_cents = mincents),
+-- spatial proximity join twin: BRUTE-FORCE cross join + the exact
+-- integer radius predicate — equality with the Spark side's
+-- grid-cell-blocked plan proves the blocking is lossless
+geo_a AS (
+  SELECT c_custkey AS a_id,
+    CAST('0x' || substring(md5('glat:' || CAST(c_custkey AS VARCHAR)),
+      1, 15) AS BIGINT) % 180000000 AS ax,
+    CAST('0x' || substring(md5('glon:' || CAST(c_custkey AS VARCHAR)),
+      1, 15) AS BIGINT) % 360000000 AS ay
+  FROM customer),
+geo_b AS (
+  SELECT s_suppkey AS b_id,
+    CAST('0x' || substring(md5('slat:' || CAST(s_suppkey AS VARCHAR)),
+      1, 15) AS BIGINT) % 180000000 AS bx,
+    CAST('0x' || substring(md5('slon:' || CAST(s_suppkey AS VARCHAR)),
+      1, 15) AS BIGINT) % 360000000 AS "by"
+  FROM supplier),
+geo_m AS (
+  SELECT a_id, b_id,
+    (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by") AS dist2
+  FROM geo_a CROSS JOIN geo_b
+  WHERE (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by")
+    <= CAST(6000000 AS BIGINT) * 6000000),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1603,6 +1626,13 @@ UNION ALL SELECT 'q2_acctbal_sum', round(CAST(sum(
   CAST(s_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4) FROM q2_m
 UNION ALL SELECT 'q2_mincents_sum', CAST(sum(mincents) AS DOUBLE)
   FROM q2_m
+UNION ALL SELECT 'geo_pairs', CAST(count(*) AS DOUBLE) FROM geo_m
+UNION ALL SELECT 'geo_dist2_digest',
+  CAST(sum(dist2 % 2147483647) AS DOUBLE) FROM geo_m
+UNION ALL SELECT 'geo_pair_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM geo_m
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

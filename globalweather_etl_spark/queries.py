@@ -2739,6 +2739,61 @@ def q_tpch_scalar_checks(spark, sf_dir):
         ],
     )
 
+    # Round 11: SPATIAL proximity join (operators/geo.py
+    # planar_radius_join — grid-cell blocking + 3x3 neighborhood
+    # explode + exact integer-domain verify). Points derive from md5
+    # coordinates (microdegree plane), the radius predicate compares
+    # in exact bigint arithmetic, and the ORACLE computes the same
+    # pairs by BRUTE-FORCE cross join — the hash equality proves the
+    # blocking is lossless. Digests ride mod-P sums (dist2 can
+    # exceed 2^53 summed raw).
+    from globalweather_etl_spark.operators.geo import (
+        planar_radius_join,
+    )
+
+    geo_a = customer.select(
+        F.col("c_custkey").alias("a_id"),
+        (
+            _h(F.concat_ws("", F.lit("glat:"), F.col("c_custkey")))
+            % F.lit(180_000_000)
+        ).alias("ax"),
+        (
+            _h(F.concat_ws("", F.lit("glon:"), F.col("c_custkey")))
+            % F.lit(360_000_000)
+        ).alias("ay"),
+    )
+    geo_b = supplier.select(
+        F.col("s_suppkey").alias("b_id"),
+        (
+            _h(F.concat_ws("", F.lit("slat:"), F.col("s_suppkey")))
+            % F.lit(180_000_000)
+        ).alias("bx"),
+        (
+            _h(F.concat_ws("", F.lit("slon:"), F.col("s_suppkey")))
+            % F.lit(360_000_000)
+        ).alias("by"),
+    )
+    geo_pairs = planar_radius_join(
+        geo_a, geo_b, radius=6_000_000,
+        left_cols=("ax", "ay"), right_cols=("bx", "by"),
+    )
+    geo = _unpivot_metrics(
+        geo_pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("dist2") % _dig_p).cast("double").alias("d2"),
+            F.sum(
+                _h(F.concat_ws(":", "a_id", "b_id")) % _dig_p
+            )
+            .cast("double")
+            .alias("pd"),
+        ),
+        [
+            ("geo_pairs", "n"),
+            ("geo_dist2_digest", "d2"),
+            ("geo_pair_digest", "pd"),
+        ],
+    )
+
     return (
         set_ops.unionAll(set_ops_all)
         .unionAll(outer)
@@ -2787,6 +2842,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
         .unionAll(q20)
         .unionAll(q21)
         .unionAll(q2)
+        .unionAll(geo)
     )
 
 
