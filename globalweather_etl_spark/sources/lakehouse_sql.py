@@ -31,6 +31,8 @@ these tables live at filesystem roots, not in a metastore):
       [WHEN NOT MATCHED THEN INSERT *]
   SELECT ... FROM '<path>' [VERSION AS OF <v> | VERSION AS OF '<tag>'
       | TIMESTAMP AS OF '<ts>'] [AS alias] ...
+  SELECT ... FROM CHANGES('<path>', <since>[, <to>], KEY (k1, ...))
+      — the op-tagged CDC feed (read_changes) as a table function
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -130,6 +132,15 @@ _TRAVEL = re.compile(
     rf"{_PATH}(?: VERSION AS OF (?:(?P<v>\d+)|'(?P<vtag>[^']+)')"
     r"| TIMESTAMP AS OF '(?P<ts>[^']+)')?",
 )
+# CHANGES('<path>', <since>[, <to>], KEY (k1, k2)) — the op-tagged
+# CDC feed (SnapshotTable.read_changes) as a table function; KEY
+# names the diff key (this feed derives changes by keyed diff — it
+# is not a stored change log)
+_CHANGES = re.compile(
+    r"CHANGES\(\s*'(?P<path>[^']+)'\s*,\s*(?P<lo>\d+)"
+    r"(?:\s*,\s*(?P<hi>\d+))?\s*,\s*KEY\s*\((?P<keys>[^)]+)\)\s*\)",
+    re.IGNORECASE,
+)
 _ON_EQ = re.compile(r"^(?:\w+\.)?(?P<l>\w+)\s*=\s*(?:\w+\.)?(?P<r>\w+)$")
 
 
@@ -185,6 +196,19 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
             return False
         except Exception:
             return False
+
+    def _sub_changes(tm: re.Match) -> str:
+        t = SnapshotTable(spark, tm.group("path"))
+        df = t.read_changes(
+            int(tm.group("lo")),
+            [k.strip() for k in tm.group("keys").split(",")],
+            version=int(tm.group("hi")) if tm.group("hi") else None,
+        )
+        view = f"__chg_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    text = _CHANGES.sub(_sub_changes, text)
 
     def _sub(tm: re.Match) -> str:
         if not _is_table_root(tm.group("path")):

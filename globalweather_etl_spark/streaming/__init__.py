@@ -35,6 +35,8 @@ from globalweather_etl_spark.streaming.stateful import (
     running_user_totals,
     streaming_anomalies,
     streaming_dedup,
+    streaming_holt_winters,
+    streaming_series_monitor,
 )
 from globalweather_etl_spark.streaming.windows import (
     session_stats,
@@ -60,6 +62,8 @@ __all__ = [
     "run_incremental_neardedup",
     "running_user_totals",
     "streaming_anomalies",
+    "streaming_holt_winters",
+    "streaming_series_monitor",
     "snapshot_stream",
     "SnapshotStreamDataSource",
     "streaming_dedup",

@@ -310,6 +310,113 @@ def streaming_series_monitor(
     )
 
 
+# ---------------------------------------- Holt-Winters state
+#
+# Streaming twin of operators/timeseries.py holt_winters: per-key
+# state is (count, <m warmup values, level, trend, m seasonal
+# components) — O(m) forever. Arithmetic mirrors the batch fold step
+# for step (left-fold seed mean over the first m values, rotating
+# seasonal index), so any in-order prefix lands on the batch
+# operator's 9dp outputs bit-for-bit (test-pinned).
+
+_HW_OUT_SCHEMA = (
+    "user_id long, n long, hw_level double, hw_trend double, "
+    "hw_forecast double"
+)
+_HW_STATE_SCHEMA = (
+    "cnt long, warm array<double>, lvl double, tr double, "
+    "seas array<double>"
+)
+
+
+def make_holt_winters_fn(
+    m: int = 4,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+):
+    """The applyInPandasWithState function for
+    streaming_holt_winters — exposed so tests can drive it."""
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cnt, warm, lvl, tr, seas = state.get
+            warm = list(warm or [])
+            seas = list(seas or [])
+        else:
+            cnt, warm, lvl, tr, seas = 0, [], None, 0.0, []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                if cnt < m - 1:
+                    warm.append(v)
+                elif cnt == m - 1:
+                    warm.append(v)
+                    acc = 0.0
+                    for w in warm:  # left fold, like F.aggregate
+                        acc = acc + w
+                    lvl = acc / float(m)
+                    seas = [w - lvl for w in warm]
+                    warm = []
+                    tr = 0.0
+                else:
+                    pos = (cnt - m) % m
+                    s_old = seas[pos]
+                    nl = alpha * (v - s_old) + (1.0 - alpha) * (
+                        lvl + tr
+                    )
+                    ntr = beta * (nl - lvl) + (1.0 - beta) * tr
+                    seas[pos] = gamma * (v - nl) + (1.0 - gamma) * s_old
+                    lvl, tr = nl, ntr
+                cnt += 1
+        state.update((cnt, warm, lvl, tr, seas))
+        if lvl is None:
+            l9 = t9 = f9 = None
+        else:
+            s_next = seas[(cnt - m) % m]
+            l9 = _round9_half_up(lvl)
+            t9 = _round9_half_up(tr)
+            f9 = _round9_half_up(lvl + tr + s_next)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n": pd.array([cnt], dtype="Int64"),
+                "hw_level": pd.array([l9], dtype="Float64"),
+                "hw_trend": pd.array([t9], dtype="Float64"),
+                "hw_forecast": pd.array([f9], dtype="Float64"),
+            }
+        )
+
+    return fn
+
+
+def streaming_holt_winters(
+    events: DataFrame,
+    m: int = 4,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Running Holt-Winters per user over an unbounded stream with
+    O(m) state per key (update mode).  Batch parity: after draining
+    any in-order prefix, the latest row per key equals
+    holt_winters(prefix) on that prefix (test-pinned)."""
+    if m < 2:
+        raise ValueError("m (season length) must be >= 2")
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_holt_winters_fn(m, alpha, beta, gamma),
+        outputStructType=_HW_OUT_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_anomalies(
     events: DataFrame, window_rows: int = 7, threshold: float = 3.5
 ) -> DataFrame:

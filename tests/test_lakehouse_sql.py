@@ -501,3 +501,36 @@ def test_script_bracket_is_mandatory(spark, tmp_path):
             spark, cat,
             "BEGIN; INSERT OVERWRITE 't' SELECT 1 AS k;",
         )
+
+
+def test_changes_table_function(spark, tmp_path):
+    from globalweather_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql,
+    )
+    from globalweather_etl_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, v double"
+        ),
+        mode="overwrite",
+    )
+    t.merge_into(
+        spark.createDataFrame([(2, 99.0), (7, 7.0)], "k long, v double"),
+        ["k"],
+    )
+    rows = lakehouse_sql(
+        spark,
+        f"SELECT __op, k, v FROM CHANGES('{t.path}', 1, 2, KEY (k)) "
+        "ORDER BY k, __op",
+    ).collect()
+    got = [(r["__op"], r["k"], r["v"]) for r in rows]
+    # update of k=2: -1 old side, +1 new side; insert of k=7: +1
+    assert got == [(-1, 2, 2.0), (1, 2, 99.0), (1, 7, 7.0)]
+    # composes with aggregation and a plain snapshot read in one text
+    agg = lakehouse_sql(
+        spark,
+        f"SELECT sum(__op) AS net FROM CHANGES('{t.path}', 1, 2, KEY (k))",
+    ).collect()[0]["net"]
+    assert agg == 1  # one net new row

@@ -449,3 +449,48 @@ def test_holt_winters_short_series_and_seasonal_recovery(spark):
     assert abs(row["hw_trend"]) < 1e-9
     # next value in the cycle is 10 (position 0)
     assert abs(row["hw_forecast"] - 10.0) < 1e-6
+
+
+def test_streaming_holt_winters_fn_parity(spark):
+    """Driving the stateful HW function across micro-batches lands on
+    the batch fold's 9dp outputs bit-for-bit for each prefix that
+    crosses the seed boundary."""
+    import pandas as pd
+
+    from globalweather_etl_spark.operators.timeseries import (
+        holt_winters,
+    )
+    from globalweather_etl_spark.streaming.stateful import (
+        make_holt_winters_fn,
+    )
+
+    vals = [10.0, 14.0, 8.0, 12.0, 11.0, 15.5, 7.25, 13.0, 12.5, 9.0]
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    fn = make_holt_winters_fn(m=4, alpha=0.3, beta=0.1, gamma=0.2)
+    st = FakeState()
+    cuts = [(0, 2), (2, 5), (5, 7), (7, 10)]
+    for lo, hi in cuts:
+        pdf = pd.DataFrame(
+            {"ts": range(lo, hi), "event_id": range(lo, hi),
+             "value": vals[lo:hi]}
+        )
+        out = list(fn((1,), [pdf], st))[-1].iloc[0]
+        batch = holt_winters(
+            _df(spark, {"u": vals[:hi]}), "value", ["seq"],
+            ["user_id"], m=4, alpha=0.3, beta=0.1, gamma=0.2,
+        ).collect()[0]
+        assert int(out["n"]) == batch["n"] == hi
+        if batch["hw_level"] is None:
+            assert pd.isna(out["hw_level"])
+        else:
+            assert float(out["hw_level"]) == batch["hw_level"], hi
+            assert float(out["hw_trend"]) == batch["hw_trend"], hi
+            assert float(out["hw_forecast"]) == batch["hw_forecast"], hi
