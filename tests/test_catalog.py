@@ -802,7 +802,7 @@ class TestDeferredRewritePublish:
         fired = {"n": 0}
         orig = type(t)._publish_manifest
 
-        def spy(self, manifest, version):
+        def spy(self, manifest, version, delta_hint=None):
             # first publish attempt of the txn-tagged merge: sneak a
             # plain append in first (separate table object = separate
             # caches, like a second process)
@@ -821,7 +821,7 @@ class TestDeferredRewritePublish:
                     ),
                     mode="append",
                 )
-            return orig(self, manifest, version)
+            return orig(self, manifest, version, delta_hint)
 
         import unittest.mock as mock
 
