@@ -16,6 +16,7 @@ from globalweather_etl_spark.operators.dedup import (
 )
 from globalweather_etl_spark.operators.geo import (
     haversine_km,
+    planar_knn_join,
     planar_radius_join,
 )
 from globalweather_etl_spark.operators.timeseries import (
@@ -190,6 +191,7 @@ __all__ = [
     "array_median",
     "haversine_km",
     "holt_winters",
+    "planar_knn_join",
     "planar_radius_join",
     "series_monitor",
     "series_monitor_big",

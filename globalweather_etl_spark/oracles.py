@@ -933,6 +933,18 @@ geo_m AS (
   FROM geo_a CROSS JOIN geo_b
   WHERE (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by")
     <= CAST(6000000 AS BIGINT) * 6000000),
+geo_knn AS (
+  SELECT a_id, b_id, dist2, knn_rank FROM (
+    SELECT a_id, b_id, dist2,
+      row_number() OVER (PARTITION BY a_id
+        ORDER BY dist2, bx, "by", b_id) AS knn_rank
+    FROM (
+      SELECT a_id, b_id, bx, "by",
+        (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by") AS dist2
+      FROM geo_a CROSS JOIN geo_b
+      WHERE (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by")
+        <= CAST(20000000 AS BIGINT) * 20000000))
+  WHERE knn_rank <= 3),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1633,6 +1645,13 @@ UNION ALL SELECT 'geo_pair_digest', CAST(sum(
   CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
     || CAST(b_id AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
   AS DOUBLE) FROM geo_m
+UNION ALL SELECT 'geo_knn_rows', CAST(count(*) AS DOUBLE) FROM geo_knn
+UNION ALL SELECT 'geo_knn_rank_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR) || ':' || CAST(knn_rank AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM geo_knn
+UNION ALL SELECT 'geo_knn_dist2_digest',
+  CAST(sum(dist2 % 2147483647) AS DOUBLE) FROM geo_knn
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

@@ -2793,6 +2793,41 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ("geo_pair_digest", "pd"),
         ],
     )
+    # ... and the radius-bounded kNN form (k=3): rank per left point
+    # by exact (dist2, bx, by, b_id) — deterministic, so the chosen
+    # NEIGHBOR SET and its ranks hash cross-engine
+    from globalweather_etl_spark.operators.geo import planar_knn_join
+
+    knn = planar_knn_join(
+        geo_a, geo_b, k=3, max_radius=20_000_000, left_id="a_id",
+        left_cols=("ax", "ay"), right_cols=("bx", "by"),
+        right_id="b_id",
+    )
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            knn.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    _h(
+                        F.concat_ws(
+                            ":", "a_id", "b_id", "knn_rank"
+                        )
+                    )
+                    % _dig_p
+                )
+                .cast("double")
+                .alias("rd"),
+                F.sum(F.col("dist2") % _dig_p)
+                .cast("double")
+                .alias("d2"),
+            ),
+            [
+                ("geo_knn_rows", "n"),
+                ("geo_knn_rank_digest", "rd"),
+                ("geo_knn_dist2_digest", "d2"),
+            ],
+        )
+    )
 
     return (
         set_ops.unionAll(set_ops_all)

@@ -121,3 +121,42 @@ def test_haversine_vs_python_math(spark):
         assert r["km"] == pytest.approx(
             ref(r["lat1"], r["lon1"], r["lat2"], r["lon2"]), abs=1e-9
         )
+
+
+def test_knn_hand_computed_and_bounded(spark):
+    from globalweather_etl_spark.operators.geo import planar_knn_join
+
+    a = _pts(spark, [(0, 0)])
+    b = spark.createDataFrame(
+        [
+            Row(bid=0, bx=1, by=0),    # dist2 1
+            Row(bid=1, bx=0, by=2),    # dist2 4
+            Row(bid=2, bx=2, by=2),    # dist2 8
+            Row(bid=3, bx=0, by=3),    # dist2 9 (cut by k)
+            Row(bid=4, bx=50, by=50),  # outside max_radius
+        ]
+    )
+    out = planar_knn_join(
+        a, b, k=3, max_radius=10, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"), right_id="bid",
+    ).collect()
+    got = sorted((r["knn_rank"], r["bid"], r["dist2"]) for r in out)
+    assert got == [(1, 0, 1), (2, 1, 4), (3, 2, 8)]
+
+
+def test_knn_tie_determinism(spark):
+    """Equal distances rank by (bx, by, right_id) — stable across
+    runs and engines."""
+    from globalweather_etl_spark.operators.geo import planar_knn_join
+
+    a = _pts(spark, [(0, 0)])
+    b = spark.createDataFrame(
+        [Row(bid=9, bx=0, by=5), Row(bid=1, bx=5, by=0),
+         Row(bid=5, bx=0, by=-5)]
+    )  # all dist2 = 25
+    out = planar_knn_join(
+        a, b, k=3, max_radius=5, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"), right_id="bid",
+    ).collect()
+    ranked = [r["bid"] for r in sorted(out, key=lambda r: r["knn_rank"])]
+    assert ranked == [5, 9, 1]  # by (bx, by): (0,-5) < (0,5) < (5,0)
