@@ -746,3 +746,40 @@ def test_streaming_anomalies_equal_batch(spark, tmp_path):
         assert g["roll_mad"] == w["roll_mad"]
         assert g["robust_z"] == w["robust_z"]
         assert g["is_anomaly"] == w["is_anomaly"]
+
+
+def test_stream_static_spatial_join_equals_batch(
+    spark, landing, batch_events
+):
+    """Stream-static SPATIAL enrichment (round 11): planar_radius_join
+    with a streaming left side is a plain explode + equi-join +
+    filter, so it streams stateless-ly — the drained pairs must equal
+    the batch run exactly (exact integer distances)."""
+    from globalweather_etl_spark.operators.geo import planar_radius_join
+
+    # static right side: a handful of "poi" points on a small plane
+    pois = spark.createDataFrame(
+        [(i, (i * 37) % 100, (i * 61) % 100) for i in range(12)],
+        "poi_id long, px long, py long",
+    )
+
+    def pts(df):
+        return df.select(
+            "event_id",
+            (F.col("event_id") % 100).alias("ex"),
+            (F.col("event_id") * 7 % 100).alias("ey"),
+        )
+
+    def run(src):
+        return planar_radius_join(
+            pts(src), pois, radius=9,
+            left_cols=("ex", "ey"), right_cols=("px", "py"),
+        )
+
+    stream = events_stream_from_dir(spark, landing)
+    got = _drain(spark, run(stream), "t_geo", mode="append")
+    want = run(batch_events)
+    assert want.count() > 0  # non-degenerate
+    assert _rows(got, "event_id", "poi_id") == _rows(
+        want, "event_id", "poi_id"
+    )
