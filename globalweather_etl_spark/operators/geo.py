@@ -69,6 +69,18 @@ def planar_radius_join(
     groups for fatter candidate lists."""
     if radius <= 0:
         raise ValueError("radius must be a positive integer")
+    if set(left_cols) & set(right_cols):
+        # The verify predicate references the coordinate columns by
+        # bare name across the joined frame; a shared name is a
+        # guaranteed ambiguous-reference AnalysisException. Fail with
+        # an actionable message instead (the ('x','y')/('x','y')
+        # defaults are deliberately unusable TOGETHER — rename one
+        # side, e.g. right.withColumnRenamed('x', 'rx')).
+        raise ValueError(
+            "left_cols and right_cols must be disjoint column names "
+            f"(got {left_cols} vs {right_cols}); rename one side "
+            "before joining"
+        )
     cell = int(cell if cell is not None else radius)
     if cell < radius:
         raise ValueError(

@@ -173,12 +173,30 @@ def _keys_from_on(on: str) -> list[str]:
     return keys
 
 
-def _travel_rewrite(spark: SparkSession, text: str) -> str:
+def _sql_with_travel(spark: SparkSession, text: str) -> DataFrame:
+    """Run ``text`` through the travel rewrite, execute it, then drop
+    the per-query temp views the rewrite registered.  Dropping after
+    ``spark.sql`` is safe: temp views resolve EAGERLY at analysis
+    time, so the returned DataFrame's plan no longer references the
+    catalog entry — without the drop, every CHANGES()/AS OF query
+    would leak one uuid view into the session catalog forever."""
+    views: list[str] = []
+    df = spark.sql(_travel_rewrite(spark, text, views))
+    for v in views:
+        spark.catalog.dropTempView(v)
+    return df
+
+
+def _travel_rewrite(
+    spark: SparkSession, text: str, views: list[str] | None = None
+) -> str:
     """Rewrite every quoted snapshot-table path (+ optional AS OF) in
     ``text`` to a temp view over the pinned read. Only strings that
     actually root a committed snapshot table rewrite — ordinary string
     literals pass through untouched (the root check runs before any
-    table handle, whose constructor would mkdir)."""
+    table handle, whose constructor would mkdir).  Created view names
+    are appended to ``views`` (if given) so the caller can drop them
+    after execution."""
 
     def _is_table_root(path: str) -> bool:
         jvm = spark._jvm
@@ -198,6 +216,14 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
             return False
 
     def _sub_changes(tm: re.Match) -> str:
+        # same root guard as the travel rewrite: a typo'd path must
+        # fail LOUDLY here, not let the SnapshotTable constructor
+        # mkdir _manifests/_data at the bogus location first
+        if not _is_table_root(tm.group("path")):
+            raise ValueError(
+                f"CHANGES(): {tm.group('path')!r} is not a snapshot "
+                "table root (no committed _manifests)"
+            )
         t = SnapshotTable(spark, tm.group("path"))
         df = t.read_changes(
             int(tm.group("lo")),
@@ -206,6 +232,8 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
         )
         view = f"__chg_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
+        if views is not None:
+            views.append(view)
         return view
 
     text = _CHANGES.sub(_sub_changes, text)
@@ -225,6 +253,8 @@ def _travel_rewrite(spark: SparkSession, text: str) -> str:
             )
         view = f"__snap_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
+        if views is not None:
+            views.append(view)
         return view
 
     return _TRAVEL.sub(_sub, text)
@@ -366,7 +396,7 @@ def lakehouse_sql(spark: SparkSession, statement: str):
     if m:
         t = SnapshotTable(spark, m.group("path"))
         # the select body may itself read snapshot paths (incl. AS OF)
-        df = spark.sql(_travel_rewrite(spark, m.group("select")))
+        df = _sql_with_travel(spark, m.group("select"))
         if m.group("pred") is not None:
             if m.group("over").upper() == "OVERWRITE":
                 raise ValueError(
@@ -397,7 +427,7 @@ def lakehouse_sql(spark: SparkSession, statement: str):
     # optional AS OF) to temp views over the pinned reads, then let
     # Catalyst do the rest (_travel_rewrite documents the root check
     # that keeps ordinary string literals untouched).
-    return spark.sql(_travel_rewrite(spark, stmt))
+    return _sql_with_travel(spark, stmt)
 
 
 def lakehouse_sql_txn(
@@ -438,7 +468,7 @@ def lakehouse_sql_txn(
             stmt = _WS.sub(" ", statement.strip()).rstrip(";").strip()
             m = _INSERT.match(stmt)
             if m:
-                df = spark.sql(_travel_rewrite(spark, m.group("select")))
+                df = _sql_with_travel(spark, m.group("select"))
                 if m.group("pred") is not None:
                     if m.group("over").upper() == "OVERWRITE":
                         raise ValueError(

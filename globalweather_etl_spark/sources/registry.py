@@ -52,14 +52,19 @@ NANO_TS_COLS: dict[str, list[str]] = {
 _RELATION_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Read one landing-zone table. Aside from the nanos-timestamp repair
     above, no schema munging — pushdown/pruning reach the scan untouched.
 
     Resolved relations are memoized per (session, path) — the
     landing zone is immutable input data, and re-resolving parquet
     footers per query is pure fixed cost (the catalog-cache behavior
-    every metastore engine has).
+    every metastore engine has).  STALENESS: the memo assumes the
+    path is never rewritten after first load; if a landing path IS
+    mutated (new files, schema change), pass ``refresh=True`` to
+    drop the cached relation and re-resolve footers.
 
     Session confs: get_spark() already sets both required confs at
     session construction, so this function normally mutates nothing.
@@ -74,15 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     semantics are defined in."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ck = (id(spark), path)
-    hit = _RELATION_CACHE.get(ck)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    # Re-pin the required confs on EVERY call (cache hit included): the
+    # cached plan is lazy, so a foreign session that flipped timeZone /
+    # nanosAsLong between calls would otherwise execute the hit under
+    # the wrong confs. A matching conf.get is a cheap local check.
     for key, want in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
     ):
         if spark.conf.get(key, None) != want:
             spark.conf.set(key, want)
+    if refresh:
+        _RELATION_CACHE.pop(ck, None)
+    else:
+        hit = _RELATION_CACHE.get(ck)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, []):
         # Physical type varies per dataset (NANOS -> read as long under

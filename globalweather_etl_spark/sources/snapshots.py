@@ -711,18 +711,21 @@ class SnapshotTable:
             raise ValueError(f"no commits yet at {self.path}")
         rec = {"name": name, "version": v, "created_at": time.time()}
         dest = self._tag_path(name)
-        try:
-            self._write_bytes(
-                json.dumps(rec, sort_keys=True).encode("utf-8"), dest
+        # temp + exclusive-create lock + rename (_write_json_atomic):
+        # a tag file is either absent or COMPLETE — a crash mid-write
+        # can never leave a truncated tag-<name>.json that poisons
+        # tags()/tag_version and blocks recreation. The lock doubles
+        # as race arbitration, so a name can't be claimed twice.
+        if not self._write_json_atomic(rec, dest):
+            pinned = (
+                f" (pinned v{self._read_json(dest)['version']})"
+                if self._fs.exists(dest)
+                else ""
             )
-        except Exception:
-            if self._fs.exists(dest):
-                raise ValueError(
-                    f"tag {name!r} already exists (pinned v"
-                    f"{self._read_json(dest)['version']}) — tags are "
-                    "immutable; delete_tag first to move it"
-                ) from None
-            raise
+            raise ValueError(
+                f"tag {name!r} already exists{pinned} — tags are "
+                "immutable; delete_tag first to move it"
+            )
         return v
 
     def tags(self) -> dict[str, int]:
@@ -751,6 +754,12 @@ class SnapshotTable:
                 f"no tag {name!r} (have {sorted(self.tags())})"
             )
         self._fs.delete(p, False)
+        # drop the creation lock too, or the name could never be
+        # reclaimed (manifest locks persist by design; tag locks live
+        # exactly as long as their tag)
+        lock = self._p(p.toString() + ".lock")
+        if self._fs.exists(lock):
+            self._fs.delete(lock, False)
 
     def read_tag(self, name: str) -> DataFrame:
         return self.read(self.tag_version(name))

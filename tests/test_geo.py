@@ -66,10 +66,30 @@ def test_lossless_vs_brute_force(spark):
 
 def test_guards(spark):
     a = _pts(spark, [(0, 0)])
+    b = _pts(spark, [(0, 0)], xc="bx", yc="by")
     with pytest.raises(ValueError, match="radius"):
-        planar_radius_join(a, a, radius=0)
+        planar_radius_join(
+            a, b, radius=0, right_cols=("bx", "by")
+        )
     with pytest.raises(ValueError, match="cell"):
-        planar_radius_join(a, a, radius=10, cell=5)
+        planar_radius_join(
+            a, b, radius=10, cell=5, right_cols=("bx", "by")
+        )
+
+
+def test_overlapping_coordinate_names_rejected(spark):
+    """Same coordinate column name on both sides would be a cryptic
+    ambiguous-reference AnalysisException at verify time — the
+    operator must reject it up front with an actionable message
+    (notably the ('x','y')/('x','y') DEFAULTS, which are unusable
+    together)."""
+    a = _pts(spark, [(0, 0)])
+    with pytest.raises(ValueError, match="disjoint"):
+        planar_radius_join(a, a, radius=5)  # both sides default x,y
+    with pytest.raises(ValueError, match="disjoint"):
+        planar_radius_join(
+            a, a, radius=5, left_cols=("x", "y"), right_cols=("x", "ry")
+        )
 
 
 def test_no_cartesian_in_plan(spark):

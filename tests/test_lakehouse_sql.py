@@ -534,3 +534,48 @@ def test_changes_table_function(spark, tmp_path):
         f"SELECT sum(__op) AS net FROM CHANGES('{t.path}', 1, 2, KEY (k))",
     ).collect()[0]["net"]
     assert agg == 1  # one net new row
+
+
+def test_changes_bad_path_is_loud_and_makes_no_dirs(spark, tmp_path):
+    """A typo'd CHANGES() path must raise a 'not a table root' error
+    WITHOUT first mkdir-ing _manifests/_data at the bogus location
+    (the SnapshotTable constructor would)."""
+    import os
+
+    bogus = str(tmp_path / "no_such_table")
+    with pytest.raises(ValueError, match="not a snapshot table root"):
+        lakehouse_sql(
+            spark,
+            f"SELECT * FROM CHANGES('{bogus}', 1, 2, KEY (k))",
+        )
+    assert not os.path.exists(bogus)
+
+
+def test_travel_temp_views_are_dropped(spark, tmp_path):
+    """Each AS OF / CHANGES() query registers uuid temp views for the
+    rewrite; they must be dropped after execution — otherwise every
+    query leaks one view into the session catalog forever."""
+    t = _seed(spark, str(tmp_path / "t"), n=20)
+    t.merge_into(
+        spark.createDataFrame([(2, 1, 9.0)], "k long, g long, val double"),
+        ["k"],
+    )
+
+    def _leaked():
+        return [
+            v.name
+            for v in spark.catalog.listTables()
+            if v.name.startswith("__snap_") or v.name.startswith("__chg_")
+        ]
+
+    before = _leaked()
+    df = lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM '{t.path}' VERSION AS OF 1"
+    )
+    assert df.collect()[0]["n"] == 20  # dropped view still executes
+    rows = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM CHANGES('{t.path}', 1, 2, KEY (k))",
+    ).collect()
+    assert rows[0]["n"] == 2
+    assert _leaked() == before

@@ -1583,6 +1583,31 @@ class TestTags:
         with pytest.raises(ValueError, match="bad tag name"):
             table.create_tag("../escape")
 
+    def test_tag_recreate_after_delete_and_atomic_publish(
+        self, spark, table
+    ):
+        """create_tag publishes via temp + lock + rename: the tag file
+        is either absent or complete, and delete_tag releases the
+        creation lock so the same name is reclaimable (delete +
+        create is the explicit spelling of a move)."""
+        table.write(_df(spark, [(1, "a")]))
+        table.write(_df(spark, [(2, "b")]), mode="append")
+        assert table.create_tag("rc", version=1) == 1
+        table.delete_tag("rc")
+        # reclaim works and the new pin wins (lock was released)
+        assert table.create_tag("rc", version=2) == 2
+        assert table.tag_version("rc") == 2
+        # no stray temp files left behind in the manifest dir
+        import os
+
+        mdir = os.path.join(str(table.path), "_manifests")
+        assert not [
+            n for n in os.listdir(mdir) if n.startswith(".tmp-")
+        ]
+        # immutability survives the new write path
+        with pytest.raises(ValueError, match="already exists"):
+            table.create_tag("rc")
+
     def test_vacuum_keeps_tagged_versions(self, spark, table):
         for i in range(6):
             table.write(_df(spark, [(i, "x")]), mode="append")
