@@ -166,6 +166,7 @@ KEY_MAP = {
     "lakehouse_txn": "sources/catalog.py multi-table atomic transactions (no SQL oracle by nature: cross-table publish semantics; atomicity/crash tests in tests/test_catalog.py) — seed txn + parallel rebuild txn + consistent pin + cross-table join read",
     "snapshot_stream_drain": "streaming/snapshot_source.py (no SQL oracle by nature: offset/replay semantics; parity tests in tests/test_snapshot_source.py) — 8 commits, catch-up drain + one tail drain",
     "geo_join": "tpch_scalar_checks geo_*/geo_knn_* graded shapes (grid-blocked radius join + radius-bounded kNN over md5-derived microdegree points; round 11)",
+    "geo_sphere_knn": "tpch_scalar_checks geo_sph_*/geo_knnc_* graded shapes (spherical radius join in km via over-approximate planar window + haversine verify; expanding-ring COMPLETE kNN; round 12 — new key, not in the r1 board)",
 }
 
 
@@ -945,6 +946,75 @@ def main() -> None:
                 ).write.format("noop").mode("overwrite").save()
 
             timed("geo_join", geo_join)
+
+            # round-12: the spherical + complete-kNN graded shapes
+            # (geo_sph_* / geo_knnc_*) — md5-derived lat/lon doubles
+            # in the +/-60 band for the haversine radius join, and
+            # the expanding-ring escalation over the same microdegree
+            # points the bounded form uses
+            def geo_sphere_knn():
+                from globalweather_etl_spark.operators.dedup import (
+                    _md5_long,
+                )
+                from globalweather_etl_spark.operators.geo import (
+                    planar_knn_join_complete,
+                    sphere_radius_join_km,
+                )
+
+                cust = load_table(spark, sf_dir, "customer")
+                supp = load_table(spark, sf_dir, "supplier")
+
+                def _deg(col, tag, mod, off):
+                    return (
+                        _md5_long(F.concat_ws("", F.lit(tag), col))
+                        % F.lit(mod)
+                    ) / F.lit(1_000_000.0) - F.lit(off)
+
+                sa = cust.select(
+                    F.col("c_custkey").alias("a_id"),
+                    _deg(F.col("c_custkey"), "sphlat:", 120_000_000, 60.0).alias("alat"),
+                    _deg(F.col("c_custkey"), "sphlon:", 360_000_000, 180.0).alias("alon"),
+                )
+                sb = supp.select(
+                    F.col("s_suppkey").alias("b_id"),
+                    _deg(F.col("s_suppkey"), "sphlat:s", 120_000_000, 60.0).alias("blat"),
+                    _deg(F.col("s_suppkey"), "sphlon:s", 360_000_000, 180.0).alias("blon"),
+                )
+                sphere_radius_join_km(
+                    sa, sb, radius_km=1200.0, left_id="a_id",
+                    right_id="b_id", left_cols=("alat", "alon"),
+                    right_cols=("blat", "blon"), max_abs_lat=60.0,
+                ).write.format("noop").mode("overwrite").save()
+
+                ga = cust.select(
+                    F.col("c_custkey").alias("a_id"),
+                    (
+                        _md5_long(F.concat_ws("", F.lit("glat:"), F.col("c_custkey")))
+                        % F.lit(180_000_000)
+                    ).alias("ax"),
+                    (
+                        _md5_long(F.concat_ws("", F.lit("glon:"), F.col("c_custkey")))
+                        % F.lit(360_000_000)
+                    ).alias("ay"),
+                )
+                gb = supp.select(
+                    F.col("s_suppkey").alias("b_id"),
+                    (
+                        _md5_long(F.concat_ws("", F.lit("slat:"), F.col("s_suppkey")))
+                        % F.lit(180_000_000)
+                    ).alias("bx"),
+                    (
+                        _md5_long(F.concat_ws("", F.lit("slon:"), F.col("s_suppkey")))
+                        % F.lit(360_000_000)
+                    ).alias("by"),
+                )
+                planar_knn_join_complete(
+                    ga, gb, k=3, initial_radius=4_000_000,
+                    left_id="a_id", left_cols=("ax", "ay"),
+                    right_cols=("bx", "by"), right_id="b_id",
+                ).write.format("noop").mode("overwrite").save()
+
+            timed("geo_sphere_knn", geo_sphere_knn)
 
             # round-8: the PySpark-4 Python Data Source streaming path
             # (streaming/snapshot_source.py) — commit 8 event slices

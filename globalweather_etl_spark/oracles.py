@@ -945,6 +945,67 @@ geo_knn AS (
       WHERE (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by")
         <= CAST(20000000 AS BIGINT) * 20000000))
   WHERE knn_rank <= 3),
+-- round 12: UNBOUNDED kNN twin — row_number over ALL pairs with NO
+-- radius bound; equality with Spark's expanding-ring escalation
+-- proves the escalation returns the true k nearest for every point
+geo_knnc AS (
+  SELECT a_id, b_id, dist2, knn_rank FROM (
+    SELECT a_id, b_id, dist2,
+      row_number() OVER (PARTITION BY a_id
+        ORDER BY dist2, bx, "by", b_id) AS knn_rank
+    FROM (
+      SELECT a_id, b_id, bx, "by",
+        (ax - bx) * (ax - bx) + (ay - "by") * (ay - "by") AS dist2
+      FROM geo_a CROSS JOIN geo_b))
+  WHERE knn_rank <= 3),
+-- round 12: spherical radius join twin — brute-force cross join with
+-- the haversine mirrored term-for-term from the Spark expression
+-- (every constant CAST to DOUBLE; the filter and digest compare the
+-- 1e-6-km DECIMAL rounding so last-ulp libm drift cannot flip them)
+sph_a AS (
+  SELECT c_custkey AS a_id,
+    CAST(CAST('0x' || substring(md5('sphlat:'
+        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 120000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+      - CAST(60.0 AS DOUBLE) AS alat,
+    CAST(CAST('0x' || substring(md5('sphlon:'
+        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 360000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+      - CAST(180.0 AS DOUBLE) AS alon
+  FROM customer),
+sph_b AS (
+  SELECT s_suppkey AS b_id,
+    CAST(CAST('0x' || substring(md5('sphlat:s'
+        || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 120000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+      - CAST(60.0 AS DOUBLE) AS blat,
+    CAST(CAST('0x' || substring(md5('sphlon:s'
+        || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 360000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+      - CAST(180.0 AS DOUBLE) AS blon
+  FROM supplier),
+sph_km AS (
+  SELECT a_id, b_id,
+    (CAST(2.0 AS DOUBLE) * CAST(6371.0088 AS DOUBLE)) * asin(sqrt(
+      sin((blat - alat) * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+      * sin((blat - alat) * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+      + cos(alat * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)))
+        * cos(blat * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)))
+        * sin((blon - alon) * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+        * sin((blon - alon) * (CAST(3.141592653589793 AS DOUBLE)
+          / CAST(180.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+    )) AS km
+  FROM sph_a CROSS JOIN sph_b),
+sph_m AS (
+  SELECT a_id, b_id, CAST(round(km, 6) AS DECIMAL(15,6)) AS km_r6
+  FROM sph_km
+  WHERE CAST(round(km, 6) AS DECIMAL(15,6))
+    <= CAST(1200.0 AS DOUBLE)),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1652,6 +1713,26 @@ UNION ALL SELECT 'geo_knn_rank_digest', CAST(sum(
     1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM geo_knn
 UNION ALL SELECT 'geo_knn_dist2_digest',
   CAST(sum(dist2 % 2147483647) AS DOUBLE) FROM geo_knn
+UNION ALL SELECT 'geo_knnc_rows', CAST(count(*) AS DOUBLE)
+  FROM geo_knnc
+UNION ALL SELECT 'geo_knnc_rank_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR) || ':' || CAST(knn_rank AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM geo_knnc
+UNION ALL SELECT 'geo_knnc_dist2_digest',
+  CAST(sum(dist2 % 2147483647) AS DOUBLE) FROM geo_knnc
+UNION ALL SELECT 'geo_sph_pairs', CAST(count(*) AS DOUBLE) FROM sph_m
+UNION ALL SELECT 'geo_sph_km_digest', CAST(sum(km_r6) AS DOUBLE)
+  FROM sph_m
+UNION ALL SELECT 'geo_sph_pair_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM sph_m
+UNION ALL SELECT 'geo_sql_pairs', CAST(count(*) AS DOUBLE)
+  FROM geo_m WHERE dist2 <= CAST(5000000 AS BIGINT) * 5000000
+UNION ALL SELECT 'geo_sql_dist2_digest',
+  CAST(sum(dist2 % 2147483647) AS DOUBLE)
+  FROM geo_m WHERE dist2 <= CAST(5000000 AS BIGINT) * 5000000
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

@@ -33,6 +33,16 @@ these tables live at filesystem roots, not in a metastore):
       | TIMESTAMP AS OF '<ts>'] [AS alias] ...
   SELECT ... FROM CHANGES('<path>', <since>[, <to>], KEY (k1, ...))
       — the op-tagged CDC feed (read_changes) as a table function
+  SELECT ... FROM GEO_RADIUS_JOIN(<tbl> (lx, ly), <tbl> (rx, ry),
+      RADIUS <n> [, CELL <n>])
+      — spatial radius join (operators/geo.planar_radius_join) as a
+      table function; <tbl> is a bare view/catalog identifier or a
+      quoted snapshot-table path
+  SELECT ... FROM GEO_KNN_JOIN(<tbl> <id> (lx, ly), <tbl> <id>
+      (rx, ry), K <k>, RADIUS <r> [, COMPLETE] [, CELL <n>])
+      — radius-bounded kNN join; with COMPLETE, RADIUS is the
+      expanding-ring escalation's initial radius and every left point
+      gets its true k nearest (planar_knn_join_complete)
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -144,6 +154,40 @@ _CHANGES = re.compile(
 _ON_EQ = re.compile(r"^(?:\w+\.)?(?P<l>\w+)\s*=\s*(?:\w+\.)?(?P<r>\w+)$")
 
 
+def _geo_tbl(prefix: str) -> str:
+    """One GEO join table operand: a quoted snapshot-table path or a
+    bare view/catalog identifier."""
+    return rf"(?:'(?P<{prefix}path>[^']+)'|(?P<{prefix}name>[\w.]+))"
+
+
+# GEO_RADIUS_JOIN(left (lx, ly), right (rx, ry), RADIUS n [, CELL n])
+# — operators/geo.planar_radius_join as a SQL table function; the
+# spatial family's SQL spelling (every other operator family has one)
+_GEO_RJ = re.compile(
+    rf"GEO_RADIUS_JOIN\(\s*{_geo_tbl('l')}\s*"
+    r"\(\s*(?P<lx>\w+)\s*,\s*(?P<ly>\w+)\s*\)\s*,\s*"
+    rf"{_geo_tbl('r')}\s*"
+    r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
+    r"RADIUS\s+(?P<radius>\d+)"
+    r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+# GEO_KNN_JOIN(left lid (lx, ly), right rid (rx, ry), K k, RADIUS r
+#              [, COMPLETE] [, CELL n])
+# — bounded kNN (planar_knn_join); with COMPLETE the RADIUS operand
+# becomes the escalation's initial radius (planar_knn_join_complete)
+_GEO_KNN = re.compile(
+    rf"GEO_KNN_JOIN\(\s*{_geo_tbl('l')}\s+(?P<lid>\w+)\s*"
+    r"\(\s*(?P<lx>\w+)\s*,\s*(?P<ly>\w+)\s*\)\s*,\s*"
+    rf"{_geo_tbl('r')}\s+(?P<rid>\w+)\s*"
+    r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
+    r"K\s+(?P<k>\d+)\s*,\s*RADIUS\s+(?P<radius>\d+)"
+    r"(?P<complete>\s*,\s*COMPLETE)?"
+    r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
+
 def _to_unix(ts: str) -> float:
     """TIMESTAMP AS OF operand -> unix seconds: either a bare number
     or an ISO timestamp (naive reads as UTC — the manifest stamps are
@@ -237,6 +281,71 @@ def _travel_rewrite(
         return view
 
     text = _CHANGES.sub(_sub_changes, text)
+
+    def _geo_side(tm: re.Match, prefix: str) -> DataFrame:
+        name = tm.group(f"{prefix}name")
+        if name is not None:
+            return spark.table(name)
+        path = tm.group(f"{prefix}path")
+        if not _is_table_root(path):
+            raise ValueError(
+                f"GEO join: {path!r} is not a snapshot table root "
+                "(no committed _manifests)"
+            )
+        return SnapshotTable(spark, path).read()
+
+    def _geo_view(df: DataFrame) -> str:
+        view = f"__geo_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        if views is not None:
+            views.append(view)
+        return view
+
+    def _sub_geo_rj(tm: re.Match) -> str:
+        from globalweather_etl_spark.operators.geo import (
+            planar_radius_join,
+        )
+
+        return _geo_view(
+            planar_radius_join(
+                _geo_side(tm, "l"),
+                _geo_side(tm, "r"),
+                int(tm.group("radius")),
+                left_cols=(tm.group("lx"), tm.group("ly")),
+                right_cols=(tm.group("rx"), tm.group("ry")),
+                cell=int(tm.group("cell")) if tm.group("cell") else None,
+            )
+        )
+
+    def _sub_geo_knn(tm: re.Match) -> str:
+        from globalweather_etl_spark.operators.geo import (
+            planar_knn_join,
+            planar_knn_join_complete,
+        )
+
+        common = dict(
+            left_cols=(tm.group("lx"), tm.group("ly")),
+            right_cols=(tm.group("rx"), tm.group("ry")),
+            cell=int(tm.group("cell")) if tm.group("cell") else None,
+            right_id=tm.group("rid"),
+        )
+        left = _geo_side(tm, "l")
+        right = _geo_side(tm, "r")
+        k = int(tm.group("k"))
+        radius = int(tm.group("radius"))
+        lid = tm.group("lid")
+        if tm.group("complete"):
+            df = planar_knn_join_complete(
+                left, right, k, radius, lid, **common
+            )
+        else:
+            df = planar_knn_join(left, right, k, radius, lid, **common)
+        return _geo_view(df)
+
+    # GEO substitutions must run BEFORE the travel rewrite: _TRAVEL
+    # matches any quoted path, including one inside GEO_*(...) args
+    text = _GEO_KNN.sub(_sub_geo_knn, text)
+    text = _GEO_RJ.sub(_sub_geo_rj, text)
 
     def _sub(tm: re.Match) -> str:
         if not _is_table_root(tm.group("path")):

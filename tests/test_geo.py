@@ -180,3 +180,202 @@ def test_knn_tie_determinism(spark):
     ).collect()
     ranked = [r["bid"] for r in sorted(out, key=lambda r: r["knn_rank"])]
     assert ranked == [5, 9, 1]  # by (bx, by): (0,-5) < (0,5) < (5,0)
+
+
+# ------------------------- expanding-ring (unbounded) kNN (round 12)
+
+
+def _brute_knn(A, B, k):
+    """Python reference: true kNN with the operator's tie order
+    (dist2, bx, by, bid)."""
+    out = []
+    for i, (ax, ay) in enumerate(A):
+        cand = sorted(
+            ((bx - ax) ** 2 + (by - ay) ** 2, bx, by, j)
+            for j, (bx, by) in enumerate(B)
+        )
+        for rank, (d2, bx, by, j) in enumerate(cand[:k], start=1):
+            out.append((i, j, d2, rank))
+    return sorted(out)
+
+
+def test_knn_complete_escalates_past_small_first_ring(spark):
+    """Fixture where the first ring finds NOTHING for some points:
+    the escalation must still return the true kNN for every left
+    point (this is exactly what the radius-bounded form cannot do)."""
+    from globalweather_etl_spark.operators.geo import (
+        planar_knn_join_complete,
+    )
+
+    rng = random.Random(11)
+    # two dense blobs + far-flung loners => first rings succeed for
+    # blob points and fail for loners
+    A = (
+        [(rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(20)]
+        + [(100_000, 100_000), (-80_000, 70_000)]
+    )
+    B = (
+        [(rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(15)]
+        + [(90_000, 90_000)]
+    )
+    a = _pts(spark, A)
+    b = _pts(spark, B, xc="bx", yc="by").withColumnRenamed("id", "bid")
+    got = planar_knn_join_complete(
+        a, b, k=3, initial_radius=10, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"), right_id="bid",
+    ).collect()
+    assert sorted(
+        (r["id"], r["bid"], r["dist2"], r["knn_rank"]) for r in got
+    ) == _brute_knn(A, B, 3)
+
+
+def test_knn_complete_fewer_right_rows_than_k(spark):
+    """Right side smaller than k: every left point gets ALL right
+    rows ranked (the only legitimate < k outcome)."""
+    from globalweather_etl_spark.operators.geo import (
+        planar_knn_join_complete,
+    )
+
+    A = [(0, 0), (1_000_000, -2_000_000)]
+    B = [(5, 5), (70_000, 70_000)]
+    a = _pts(spark, A)
+    b = _pts(spark, B, xc="bx", yc="by").withColumnRenamed("id", "bid")
+    got = planar_knn_join_complete(
+        a, b, k=5, initial_radius=3, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"), right_id="bid",
+    ).collect()
+    assert sorted(
+        (r["id"], r["bid"], r["dist2"], r["knn_rank"]) for r in got
+    ) == _brute_knn(A, B, 5)
+    assert len(got) == 4  # 2 left x 2 available rights
+
+
+def test_knn_complete_empty_right(spark):
+    from globalweather_etl_spark.operators.geo import (
+        planar_knn_join_complete,
+    )
+
+    a = _pts(spark, [(0, 0)])
+    b = _pts(spark, [], xc="bx", yc="by").withColumnRenamed(
+        "id", "bid"
+    ) if False else spark.createDataFrame(
+        [], "bid long, bx long, by long"
+    )
+    out = planar_knn_join_complete(
+        a, b, k=2, initial_radius=4, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"), right_id="bid",
+    )
+    assert out.count() == 0
+    assert "knn_rank" in out.columns
+
+
+# ------------------------- spherical radius join in km (round 12)
+
+
+def _ref_km(la1, lo1, la2, lo2):
+    p1, p2 = math.radians(la1), math.radians(la2)
+    dphi = math.radians(la2 - la1)
+    dlmb = math.radians(lo2 - lo1)
+    a = (
+        math.sin(dphi / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(dlmb / 2) ** 2
+    )
+    return 2.0 * 6371.0088 * math.asin(math.sqrt(a))
+
+
+def test_sphere_join_vs_brute_force(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_radius_join_km,
+    )
+
+    rng = random.Random(19)
+    A = [
+        (rng.uniform(-59, 59), rng.uniform(-179.99, 179.99))
+        for _ in range(80)
+    ]
+    B = [
+        (rng.uniform(-59, 59), rng.uniform(-179.99, 179.99))
+        for _ in range(60)
+    ]
+    R = 800.0
+    expect = sorted(
+        (i, j)
+        for i, (la, lo) in enumerate(A)
+        for j, (lb, lg) in enumerate(B)
+        if round(_ref_km(la, lo, lb, lg), 6) <= R
+    )
+    assert expect  # non-degenerate
+    a = spark.createDataFrame(
+        [Row(id=i, lat=la, lon=lo) for i, (la, lo) in enumerate(A)]
+    )
+    b = spark.createDataFrame(
+        [Row(bid=j, blat=la, blon=lo) for j, (la, lo) in enumerate(B)]
+    )
+    out = sphere_radius_join_km(
+        a, b, radius_km=R, left_id="id", right_id="bid",
+        left_cols=("lat", "lon"), right_cols=("blat", "blon"),
+        max_abs_lat=60.0,
+    ).collect()
+    assert sorted((r["id"], r["bid"]) for r in out) == expect
+    # exact distances match the reference to float tolerance
+    amap, bmap = dict(enumerate(A)), dict(enumerate(B))
+    for r in out:
+        la, lo = amap[r["id"]]
+        lb, lg = bmap[r["bid"]]
+        assert r["sphere_km"] == pytest.approx(
+            _ref_km(la, lo, lb, lg), abs=1e-9
+        )
+
+
+def test_sphere_join_antimeridian_wrap(spark):
+    """Points 0.02 degrees of longitude apart ACROSS +/-180 are a
+    couple of km apart and must pair; the same points treated
+    planar-naively are ~360 degrees apart and would be lost."""
+    from globalweather_etl_spark.operators.geo import (
+        sphere_radius_join_km,
+    )
+
+    a = spark.createDataFrame([Row(id=0, lat=10.0, lon=-179.99)])
+    b = spark.createDataFrame(
+        [Row(bid=0, blat=10.0, blon=179.99),
+         Row(bid=1, blat=10.0, blon=170.0)]
+    )
+    out = sphere_radius_join_km(
+        a, b, radius_km=50.0, left_id="id", right_id="bid",
+        left_cols=("lat", "lon"), right_cols=("blat", "blon"),
+        max_abs_lat=30.0,
+    ).collect()
+    assert [(r["id"], r["bid"]) for r in out] == [(0, 0)]
+    assert out[0]["sphere_km"] == pytest.approx(
+        _ref_km(10.0, -179.99, 10.0, 179.99), abs=1e-9
+    )
+    # and no duplicate pair via the shifted copy
+    assert len(out) == 1
+
+
+def test_sphere_join_lat_cap_guard_and_param_guards(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_radius_join_km,
+    )
+    from pyspark.errors import SparkRuntimeException
+
+    a = spark.createDataFrame([Row(id=0, lat=85.0, lon=0.0)])
+    b = spark.createDataFrame([Row(bid=0, blat=0.0, blon=0.0)])
+    j = sphere_radius_join_km(
+        a, b, radius_km=10.0, left_id="id", right_id="bid",
+        left_cols=("lat", "lon"), right_cols=("blat", "blon"),
+        max_abs_lat=80.0,
+    )
+    with pytest.raises(SparkRuntimeException, match="max_abs_lat"):
+        j.collect()
+    with pytest.raises(ValueError, match="radius_km must be positive"):
+        sphere_radius_join_km(
+            a, b, radius_km=0, left_id="id", right_id="bid",
+            right_cols=("blat", "blon"),
+        )
+    with pytest.raises(ValueError, match="unbounded"):
+        sphere_radius_join_km(
+            a, b, radius_km=5000.0, left_id="id", right_id="bid",
+            left_cols=("lat", "lon"), right_cols=("blat", "blon"),
+            max_abs_lat=89.9999,
+        )

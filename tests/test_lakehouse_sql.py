@@ -579,3 +579,111 @@ def test_travel_temp_views_are_dropped(spark, tmp_path):
     ).collect()
     assert rows[0]["n"] == 2
     assert _leaked() == before
+
+
+def test_geo_sql_table_functions_parity(spark, tmp_path):
+    """GEO_RADIUS_JOIN / GEO_KNN_JOIN parity vs the DataFrame forms,
+    over both operand spellings (temp view and quoted snapshot
+    path)."""
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.geo import (
+        planar_knn_join,
+        planar_knn_join_complete,
+        planar_radius_join,
+    )
+
+    a = spark.createDataFrame(
+        [Row(id=i, x=i * 7 % 50, y=i * 13 % 50) for i in range(40)]
+    )
+    b = spark.createDataFrame(
+        [Row(bid=j, bx=j * 11 % 50, by=j * 3 % 50) for j in range(30)]
+    )
+    a.createOrReplaceTempView("geo_l")
+    b.createOrReplaceTempView("geo_r")
+
+    want = sorted(
+        (r["id"], r["bid"], r["dist2"])
+        for r in planar_radius_join(
+            a, b, 9, left_cols=("x", "y"), right_cols=("bx", "by")
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["bid"], r["dist2"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT * FROM GEO_RADIUS_JOIN(geo_l (x, y), "
+            "geo_r (bx, by), RADIUS 9)",
+        ).collect()
+    )
+    assert got == want and want
+
+    # bounded kNN + projection/aggregation composing over the result
+    want_k = sorted(
+        (r["id"], r["bid"], r["knn_rank"])
+        for r in planar_knn_join(
+            a, b, 2, 15, "id",
+            left_cols=("x", "y"), right_cols=("bx", "by"),
+            right_id="bid",
+        ).collect()
+    )
+    got_k = sorted(
+        (r["id"], r["bid"], r["knn_rank"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT id, bid, knn_rank FROM GEO_KNN_JOIN("
+            "geo_l id (x, y), geo_r bid (bx, by), K 2, RADIUS 15)",
+        ).collect()
+    )
+    assert got_k == want_k and want_k
+
+    # COMPLETE spelling == the expanding-ring operator
+    want_c = sorted(
+        (r["id"], r["bid"], r["knn_rank"])
+        for r in planar_knn_join_complete(
+            a, b, 2, 1, "id",
+            left_cols=("x", "y"), right_cols=("bx", "by"),
+            right_id="bid",
+        ).collect()
+    )
+    got_c = sorted(
+        (r["id"], r["bid"], r["knn_rank"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT id, bid, knn_rank FROM GEO_KNN_JOIN("
+            "geo_l id (x, y), geo_r bid (bx, by), K 2, RADIUS 1, "
+            "COMPLETE)",
+        ).collect()
+    )
+    assert got_c == want_c and len(want_c) == 40 * 2
+
+    # quoted snapshot-path operand + loud non-root error
+    t = SnapshotTable(spark, str(tmp_path / "geo_t"))
+    t.write(b, mode="overwrite")
+    got_p = sorted(
+        (r["id"], r["bid"], r["dist2"])
+        for r in lakehouse_sql(
+            spark,
+            f"SELECT * FROM GEO_RADIUS_JOIN(geo_l (x, y), "
+            f"'{t.path}' (bx, by), RADIUS 9)",
+        ).collect()
+    )
+    assert got_p == want
+    import os
+
+    bogus = str(tmp_path / "nope")
+    with pytest.raises(ValueError, match="not a snapshot table root"):
+        lakehouse_sql(
+            spark,
+            f"SELECT * FROM GEO_RADIUS_JOIN(geo_l (x, y), "
+            f"'{bogus}' (bx, by), RADIUS 9)",
+        )
+    assert not os.path.exists(bogus)
+    # no leaked __geo_ views
+    assert not [
+        v.name
+        for v in spark.catalog.listTables()
+        if v.name.startswith("__geo_")
+    ]
+    spark.catalog.dropTempView("geo_l")
+    spark.catalog.dropTempView("geo_r")
