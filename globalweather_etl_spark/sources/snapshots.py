@@ -123,6 +123,130 @@ _TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.\-]*$")
 # so small tables (and the existing on-disk format) stay byte-stable.
 _FILES_EXT_MIN = 512
 
+# Round 12: checkpoint listings go from one flat sidecar to a MANIFEST
+# TREE past this size (Iceberg's manifest-list -> manifest shape). The
+# listing is sliced into contiguous GROUP sidecars of
+# ``_FILES_TREE_GROUP`` paths (slice order preserves the authoritative
+# clustered-first + decode order), and the top-level `files-v*.parquet`
+# becomes a MANIFEST LIST: one row per group (name + size) plus one row
+# per (group, column) carrying min/max bounds aggregated from the
+# newest zone-map stats sidecar — per-file bounds are immutable facts
+# about immutable files, so stamps from ANY stats version are valid;
+# files the stats don't cover just leave their group unprunable
+# (full_cover=false). A range read then resolves O(groups-touched)
+# metadata: read the list (one row per ~2048 files), drop the groups
+# whose stamped bound excludes the predicate, decode only the
+# survivors, and replay the delta chain's adds/removes on top — the
+# cold single-partition read stops decoding the full O(table-files)
+# listing. Flat sidecars remain the stored form between
+# _FILES_EXT_MIN and _FILES_TREE_MIN (small tables stay byte-stable),
+# and every old on-disk form still decodes.
+_FILES_TREE_MIN = 65536
+_FILES_TREE_GROUP = 2048
+
+
+def _tree_group_name(list_name: str, i: int) -> str:
+    """Group sidecar names derive from the list name so vacuum's
+    referenced-or-orphan logic needs no parquet read: group i of
+    `files-v*-<uuid>.parquet` is `files-v*-<uuid>-g<i>.parquet`."""
+    return f"{list_name[: -len('.parquet')]}-g{i:05d}.parquet"
+
+
+def _tree_list_bytes(
+    groups: list[tuple[str, int]],
+    stamps: dict[tuple[int, str], dict],
+) -> bytes:
+    """Serialize the manifest list: one base row per group (column
+    NULL) in ord order + one stamp row per (group, column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cols = {
+        "ord": [], "group": [], "n_files": [], "column": [],
+        "kind": [], "min_num": [], "max_num": [], "min_str": [],
+        "max_str": [], "n_cov": [],
+    }
+
+    def _row(ord_, group, n_files, column, kind, mn, mx, ms, xs, nc):
+        cols["ord"].append(ord_)
+        cols["group"].append(group)
+        cols["n_files"].append(n_files)
+        cols["column"].append(column)
+        cols["kind"].append(kind)
+        cols["min_num"].append(mn)
+        cols["max_num"].append(mx)
+        cols["min_str"].append(ms)
+        cols["max_str"].append(xs)
+        cols["n_cov"].append(nc)
+
+    for i, (name, n) in enumerate(groups):
+        _row(i, name, n, None, None, None, None, None, None, None)
+    for (gi, col), st in sorted(stamps.items()):
+        name, n = groups[gi]
+        _row(
+            gi, name, n, col, st["kind"], st.get("min_num"),
+            st.get("max_num"), st.get("min_str"), st.get("max_str"),
+            st["n_cov"],
+        )
+    table = pa.table(
+        {
+            "ord": pa.array(cols["ord"], type=pa.int64()),
+            "group": pa.array(cols["group"], type=pa.string()),
+            "n_files": pa.array(cols["n_files"], type=pa.int64()),
+            "column": pa.array(cols["column"], type=pa.string()),
+            "kind": pa.array(cols["kind"], type=pa.string()),
+            "min_num": pa.array(cols["min_num"], type=pa.float64()),
+            "max_num": pa.array(cols["max_num"], type=pa.float64()),
+            "min_str": pa.array(cols["min_str"], type=pa.string()),
+            "max_str": pa.array(cols["max_str"], type=pa.string()),
+            "n_cov": pa.array(cols["n_cov"], type=pa.int64()),
+        }
+    )
+    sink = pa.BufferOutputStream()
+    papq.write_table(table, sink, compression="snappy")
+    return sink.getvalue().to_pybytes()
+
+
+def _tree_decode_list(data: bytes):
+    """Manifest-list bytes -> (ordered [(group, n_files)],
+    {(ord, column): stamp dict})."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(pa.BufferReader(bytes(data)))
+    rows = t.to_pylist()
+    base = sorted(
+        ((r["ord"], r["group"], r["n_files"]) for r in rows
+         if r["column"] is None)
+    )
+    stamps = {
+        (r["ord"], r["column"]): r for r in rows if r["column"] is not None
+    }
+    return [(g, n) for _, g, n in base], stamps
+
+
+def _tree_inline(raw: dict, read_parquet_bytes) -> dict:
+    """Resolve a TREE-checkpointed manifest to the inline ``files``
+    form: read the manifest list, then every group, concatenated in
+    ord order. ``read_parquet_bytes(name) -> bytes`` abstracts the
+    filesystem (JVM-backed and plain-local callers share this)."""
+    groups, _ = _tree_decode_list(read_parquet_bytes(raw["files_ext"]))
+    files: list[str] = []
+    for name, _n in groups:
+        files.extend(_files_from_parquet_bytes(read_parquet_bytes(name)))
+    if len(files) != raw["n_files"]:
+        raise ValueError(
+            f"manifest tree corrupt: groups held {len(files)} paths, "
+            f"manifest says {raw['n_files']}"
+        )
+    out = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("files_ext", "n_files", "files_tree")
+    }
+    out["files"] = files
+    return out
+
 
 def _files_to_parquet_bytes(files: list[str]) -> bytes:
     """Serialize a file listing as a single-column parquet blob
@@ -161,6 +285,13 @@ def _inline_files_local(raw: dict, manifest_dir: str) -> dict:
     ext = raw.get("files_ext")
     if not ext:
         return raw
+
+    def _rd(name: str) -> bytes:
+        with open(os.path.join(manifest_dir, name), "rb") as f:
+            return f.read()
+
+    if raw.get("files_tree"):
+        return _tree_inline(raw, _rd)
     import pyarrow.parquet as papq
 
     files = _paths_column(papq.read_table(os.path.join(manifest_dir, ext)))
@@ -370,9 +501,13 @@ class SnapshotTable:
         path: str,
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
         files_ext_threshold: int = _FILES_EXT_MIN,
+        files_tree_threshold: int = _FILES_TREE_MIN,
+        files_tree_group: int = _FILES_TREE_GROUP,
     ):
         if checkpoint_interval < 1:
             raise ValueError("checkpoint_interval must be >= 1")
+        if files_tree_group < 1:
+            raise ValueError("files_tree_group must be >= 1")
         self.spark = spark
         self.path = path.rstrip("/")
         # max delta-chain length before a commit stores the full
@@ -381,6 +516,11 @@ class SnapshotTable:
         # full manifests with >= this many files store their listing
         # as a parquet sidecar (see the _FILES_EXT_MIN note above)
         self._files_ext_min = files_ext_threshold
+        # ... and past this size the sidecar becomes a manifest TREE
+        # of `files_tree_group`-path group sidecars under a stamped
+        # manifest list (see the _FILES_TREE_MIN note above)
+        self._files_tree_min = files_tree_threshold
+        self._files_tree_group = files_tree_group
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._fs.mkdirs(self._p(f"{self.path}/{_MANIFEST_DIR}"))
         self._fs.mkdirs(self._p(f"{self.path}/{_DATA_DIR}"))
@@ -455,34 +595,147 @@ class SnapshotTable:
     # ------------------------------- columnar checkpoint sidecars
     def _externalize_files(self, raw: dict, version: int):
         """Move a big full manifest's inline ``files`` listing into a
-        parquet sidecar (see the _FILES_EXT_MIN note).  Returns the
-        JSON form (referencing the sidecar by name) plus the sidecar
-        hadoop Path so a lost commit race can clean it up; returns
-        ``(raw, None)`` unchanged for deltas and small listings."""
+        parquet sidecar — flat past ``_files_ext_min``, a manifest
+        TREE past ``_files_tree_min`` (see the _FILES_TREE_MIN note).
+        Returns the JSON form (referencing the sidecar(s) by name)
+        plus the list of sidecar hadoop Paths so a lost commit race
+        can clean them up; returns ``(raw, [])`` unchanged for deltas
+        and small listings."""
         files = raw.get("files")
         if (
             raw.get("delta")
             or files is None
             or len(files) < self._files_ext_min
         ):
-            return raw, None
+            return raw, []
         # uuid suffix: two racing committers of the same version must
         # not collide on the sidecar name (the JSON references the
         # winner's by name; the loser deletes its own)
         name = f"files-v{version:08d}-{uuid.uuid4().hex}.parquet"
-        side = self._p(f"{self.path}/{_MANIFEST_DIR}/{name}")
-        self._write_bytes(_files_to_parquet_bytes(files), side)
         out = {k: v for k, v in raw.items() if k != "files"}
         out["files_ext"] = name
         out["n_files"] = len(files)
-        return out, side
+        if len(files) < self._files_tree_min:
+            side = self._p(f"{self.path}/{_MANIFEST_DIR}/{name}")
+            self._write_bytes(_files_to_parquet_bytes(files), side)
+            return out, [side]
+        g = self._files_tree_group
+        slices = [files[i:i + g] for i in range(0, len(files), g)]
+        sides = []
+        groups = []
+        for i, sl in enumerate(slices):
+            gname = _tree_group_name(name, i)
+            gp = self._p(f"{self.path}/{_MANIFEST_DIR}/{gname}")
+            self._write_bytes(_files_to_parquet_bytes(sl), gp)
+            sides.append(gp)
+            groups.append((gname, len(sl)))
+        stamps = self._group_stamps(slices)
+        lp = self._p(f"{self.path}/{_MANIFEST_DIR}/{name}")
+        self._write_bytes(_tree_list_bytes(groups, stamps), lp)
+        sides.append(lp)
+        out["files_tree"] = True
+        return out, sides
+
+    def _group_stamps(
+        self, slices: list[list[str]]
+    ) -> dict[tuple[int, str], dict]:
+        """Per-(group, column) min/max bounds for the manifest list,
+        aggregated from the newest zone-map stats sidecar. Any stats
+        snapshot is valid: per-file bounds describe immutable file
+        content, and a file the snapshot doesn't cover just leaves
+        its group with n_cov < n_files (never prunable). Returns {}
+        when no stats exist — the tree still stores and decodes, it
+        just can't prune."""
+        # newest stats sidecar of ANY version: per-file bounds are
+        # immutable facts about immutable files, so a stats row is
+        # valid whichever version computed it — prefer newest for
+        # coverage of recent files; uncovered files just leave their
+        # group with n_cov < n_files (kept, never mispruned)
+        best = None
+        mdir = self._p(f"{self.path}/{_MANIFEST_DIR}")
+        for st in self._fs.listStatus(mdir):
+            n = st.getPath().getName()
+            if n.startswith("stats-v") and n.endswith(".parquet"):
+                v = int(n[7:15])
+                if best is None or v > best:
+                    best = v
+        if best is None:
+            return {}
+        meta = self._read_json(self._zm_meta_path(best))
+        kinds = meta.get("kinds", {})
+        tbl = self._read_sidecar_table(self._zm_path(best))
+        if tbl is None or tbl.num_rows == 0:
+            return {}
+        pdf = tbl.to_pandas()
+        gid = {f: i for i, sl in enumerate(slices) for f in sl}
+        pdf["__g"] = pdf["file"].map(gid)
+        pdf = pdf[pdf["__g"].notna()]
+        if pdf.empty:
+            return {}
+        bounded = pdf["min_num"].notna() | pdf["min_str"].notna()
+        all_null = (
+            pdf["null_count"].notna()
+            & (pdf["null_count"] == pdf["n_rows"])
+        )
+        pdf = pdf[bounded | all_null]
+        stamps: dict[tuple[int, str], dict] = {}
+        for (g, col), sub in pdf.groupby(["__g", "column"]):
+            kind = kinds.get(col)
+            if kind is None:
+                continue
+            st = {"kind": kind, "n_cov": int(len(sub))}
+            b = sub[sub["min_num"].notna() | sub["min_str"].notna()]
+            if len(b):
+                if kind == "num":
+                    st["min_num"] = float(b["min_num"].min())
+                    st["max_num"] = float(b["max_num"].max())
+                else:
+                    st["min_str"] = str(b["min_str"].min())
+                    st["max_str"] = str(b["max_str"].max())
+            # no bounded row: every covered file is all-NULL — the
+            # NULL bounds mean "prunable for any range" iff n_cov
+            # covers the whole group (checked at probe time)
+            stamps[(int(g), col)] = st
+        return stamps
+
+    def _read_sidecar_table(self, hpath):
+        """A parquet sidecar (single file OR Spark-written directory
+        of part files) as one pyarrow Table, via _read_bytes so the
+        plain-local fast path applies."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        if not self._fs.exists(hpath):
+            return None
+        if self._fs.getFileStatus(hpath).isDirectory():
+            parts = []
+            for st in self._fs.listStatus(hpath):
+                n = st.getPath().getName()
+                if n.endswith(".parquet") and not n.startswith("_"):
+                    parts.append(
+                        papq.read_table(
+                            pa.BufferReader(self._read_bytes(st.getPath()))
+                        )
+                    )
+            if not parts:
+                return None
+            return pa.concat_tables(parts)
+        return papq.read_table(pa.BufferReader(self._read_bytes(hpath)))
 
     def _inline_files(self, raw: dict) -> dict:
         """Resolve a stored manifest's ``files_ext`` parquet sidecar
-        back to the inline ``files`` form every decoder consumes."""
+        (flat or tree) back to the inline ``files`` form every decoder
+        consumes."""
         ext = raw.get("files_ext")
         if not ext:
             return raw
+        if raw.get("files_tree"):
+            return _tree_inline(
+                raw,
+                lambda n: self._read_bytes(
+                    self._p(f"{self.path}/{_MANIFEST_DIR}/{n}")
+                ),
+            )
         data = self._read_bytes(
             self._p(f"{self.path}/{_MANIFEST_DIR}/{ext}")
         )
@@ -493,6 +746,137 @@ class SnapshotTable:
         }
         out["files"] = _files_from_parquet_bytes(data)
         return out
+
+    def _raw_manifest(self, version: int) -> dict:
+        """One version's STORED JSON without inlining the file listing
+        — O(1) metadata (schema, dvs, n_rows, delta fields) for
+        consumers that never touch ``files``. Cached like _manifest;
+        vacuum's swaps clear both caches."""
+        cache = getattr(self, "_raw_manifest_cache", None)
+        if cache is None:
+            cache = {}
+            self._raw_manifest_cache = cache
+        p = self._manifest_path(version)
+        # existence stays UNCACHED (like _manifest): a transaction
+        # abort deletes staged manifests, and a vacuumed version must
+        # error, not serve a stale raw
+        if not self._fs.exists(p):
+            cache.pop(version, None)
+            raise ValueError(
+                f"version {version} does not exist (have {self.versions()})"
+            )
+        hit = cache.get(version)
+        if hit is not None:
+            return hit
+        raw = self._read_json(p)
+        cache[version] = raw
+        return raw
+
+    def _files_pruned(
+        self, version: int, col: str, kind: str, lo_e, hi_e
+    ) -> tuple[list[str], int] | None:
+        """GROUP-PRUNED candidate listing for a range probe on
+        ``col``: walk the raw delta chain to its full checkpoint, and
+        if that checkpoint is a manifest TREE, decode only the groups
+        whose stamped [min, max] can intersect [lo_e, hi_e] (encoded
+        bounds; either side None = unbounded), then replay the chain's
+        removes/adds. Conservative group-keeping mirrors the per-file
+        zone-map rules: no stamp row, stamp kind mismatch, or
+        n_cov < n_files keeps the group; a stamp with NULL bounds and
+        full cover is an all-NULL group — prunable for any range.
+        Returns (ordered candidate files, total table file count at
+        ``version``) — order is exactly _decode_manifest's
+        (kept-parent-order + adds) restricted to surviving groups —
+        or None when the chain doesn't bottom out in a stamped tree
+        (caller falls back to the full listing). Metadata cost:
+        O(chain + groups-touched), never O(table-files)."""
+        chain: list[dict] = []
+        v = version
+        while True:
+            raw = self._raw_manifest(v)
+            if not raw.get("delta"):
+                base = raw
+                break
+            chain.append(raw)
+            v = raw["parent"]
+        if not base.get("files_tree"):
+            return None
+        groups, stamps = _tree_decode_list(
+            self._read_bytes(
+                self._p(
+                    f"{self.path}/{_MANIFEST_DIR}/{base['files_ext']}"
+                )
+            )
+        )
+        files: list[str] = []
+        for i, (gname, g_n) in enumerate(groups):
+            st = stamps.get((i, col))
+            if (
+                st is not None
+                and st["kind"] == kind
+                and st["n_cov"] == g_n
+            ):
+                mn = st["min_num"] if kind == "num" else st["min_str"]
+                mx = st["max_num"] if kind == "num" else st["max_str"]
+                if mn is None:
+                    continue  # all-NULL group: no range matches NULL
+                if (hi_e is not None and mn > hi_e) or (
+                    lo_e is not None and mx < lo_e
+                ):
+                    continue
+            files.extend(
+                _files_from_parquet_bytes(
+                    self._read_bytes(
+                        self._p(f"{self.path}/{_MANIFEST_DIR}/{gname}")
+                    )
+                )
+            )
+        n_total = base["n_files"]
+        for raw in reversed(chain):
+            removes = set(raw.get("removes", ()))
+            adds = list(raw.get("adds", ()))
+            if removes:
+                files = [f for f in files if f not in removes]
+            files.extend(adds)  # new files: always candidates
+            n_total += len(adds) - len(removes)
+        return files, n_total
+
+    def _restamp_tree(self, version: int) -> bool:
+        """Recompute the manifest-list stamps of ``version``'s chain
+        BASE checkpoint from the newest stats — build_stats calls this
+        so fresh stats prune the EXISTING head, not just future
+        checkpoints. Group sidecars are untouched (membership is
+        immutable); only the list parquet is rewritten, via
+        temp + delete + rename under the same single-maintainer
+        assumption as vacuum's _swap_stored (build_stats is a
+        maintenance verb). Returns False when the chain's base is not
+        a tree."""
+        v = version
+        while True:
+            raw = self._raw_manifest(v)
+            if not raw.get("delta"):
+                break
+            v = raw["parent"]
+        if not raw.get("files_tree"):
+            return False
+        mdir = f"{self.path}/{_MANIFEST_DIR}"
+        lp = self._p(f"{mdir}/{raw['files_ext']}")
+        groups, _old = _tree_decode_list(self._read_bytes(lp))
+        slices = [
+            _files_from_parquet_bytes(
+                self._read_bytes(self._p(f"{mdir}/{g}"))
+            )
+            for g, _n in groups
+        ]
+        stamps = self._group_stamps(slices)
+        tmp = self._p(f"{mdir}/.tmp-{uuid.uuid4().hex}.parquet")
+        self._write_bytes(_tree_list_bytes(groups, stamps), tmp)
+        self._fs.delete(lp, False)
+        if not self._fs.rename(tmp, lp):
+            raise RuntimeError(
+                f"manifest-list restamp failed for v{v} at {self.path}"
+            )
+        return True
 
     def _write_json_atomic(self, obj: dict, dest) -> bool:
         """Write to a hidden temp file, claim the destination with an
@@ -651,7 +1035,10 @@ class SnapshotTable:
         v = self.latest_version()
         while v is not None:
             try:
-                m = self._manifest(v)
+                # raw manifest: visibility needs only the txn tag +
+                # parent pointer — head resolution must not force an
+                # O(table-files) listing decode
+                m = self._raw_manifest(v)
             except ValueError:
                 # swept by a racing abort — re-list from scratch
                 return self.latest_visible_version()
@@ -670,7 +1057,9 @@ class SnapshotTable:
             return self.latest_visible_version()
         if isinstance(version, str):
             version = self.tag_version(version)
-        m = self._manifest(version)
+        # raw manifest: the visibility check reads only the txn tag —
+        # a cold pruned read must not inline the full listing here
+        m = self._raw_manifest(version)
         if not self._visible(m):
             raise ValueError(
                 f"version {version} of {self.path} is staged by "
@@ -869,6 +1258,7 @@ class SnapshotTable:
                 f"vacuum manifest rewrite failed for v{version}"
             )
         self._manifest_cache = {}
+        self._raw_manifest_cache = {}
 
     def _publish_manifest(
         self,
@@ -885,11 +1275,13 @@ class SnapshotTable:
         raw = _encode_manifest(
             manifest, pm, self._checkpoint_interval, delta_hint
         )
-        raw, side = self._externalize_files(raw, version)
+        raw, sides = self._externalize_files(raw, version)
         ok = self._write_json_atomic(raw, self._manifest_path(version))
-        if not ok and side is not None:
-            # lost the commit race — this writer's sidecar is orphaned
-            self._fs.delete(side, False)
+        if not ok:
+            # lost the commit race — this writer's sidecars (flat, or
+            # the tree's groups + list) are orphaned
+            for side in sides:
+                self._fs.delete(side, False)
         return ok
 
     def _stamp_carry(self, parent: int | None, own: dict) -> dict:
@@ -3310,6 +3702,8 @@ class SnapshotTable:
             )
             if hasattr(self, "_manifest_cache"):
                 self._manifest_cache.pop(v, None)
+            if hasattr(self, "_raw_manifest_cache"):
+                self._raw_manifest_cache.pop(v, None)
         # dropped versions' Bloom-index and zone-map sidecars (parquet
         # dir + meta json) go with their manifests (and out of the
         # probe caches)
@@ -3326,11 +3720,13 @@ class SnapshotTable:
                 if v in dropped:
                     self._fs.delete(st.getPath(), True)
             elif name.startswith("files-v"):
-                # parquet checkpoint listing sidecars: dropped with
-                # their manifest; also sweep orphans from crashed
-                # writers (version published by another committer —
-                # the live manifest references a different sidecar
-                # name, or none)
+                # parquet checkpoint listing sidecars (flat lists,
+                # tree manifest lists AND tree group files — group
+                # names derive from their list name, `<list>-gNNNNN`):
+                # dropped with their manifest; also sweep orphans from
+                # crashed writers (version published by another
+                # committer — the live manifest references a different
+                # sidecar name, or none)
                 v = int(name[7:15])
                 if v in dropped:
                     self._fs.delete(st.getPath(), False)
@@ -3339,7 +3735,14 @@ class SnapshotTable:
                         live = self._read_json(self._manifest_path(v))
                     except Exception:
                         continue
-                    if live.get("files_ext") != name:
+                    ext = live.get("files_ext")
+                    referenced_side = ext is not None and (
+                        name == ext
+                        or name.startswith(
+                            ext[: -len(".parquet")] + "-g"
+                        )
+                    )
+                    if not referenced_side:
                         self._fs.delete(st.getPath(), False)
         if dropped and hasattr(self, "_idx_cache"):
             for key in [k for k in self._idx_cache if k[0] in dropped]:
@@ -3630,10 +4033,10 @@ def _index_methods():
         pred = F.col(key_col).cast("string") == F.lit(str(value))
         if files is None:
             return self.read(v).filter(pred)
-        m = self._manifest(v)
         # _read_files applies the version's deletion vectors — a
-        # DV-deleted row must not reappear in a point lookup
-        return self._read_files(files, m).filter(pred)
+        # DV-deleted row must not reappear in a point lookup (raw
+        # manifest: schema + dvs suffice)
+        return self._read_files(files, self._raw_manifest(v)).filter(pred)
 
     SnapshotTable._index_path = _index_path
     SnapshotTable._index_meta_path = _index_meta_path
@@ -4167,6 +4570,10 @@ def _stats_methods():
             out.close()
         if hasattr(self, "_zm_cache"):
             self._zm_cache.pop(v, None)
+        # fresh stats can tighten the manifest tree's group stamps —
+        # restamp the version's manifest list so pruning benefits
+        # apply to the EXISTING head, not just future checkpoints
+        self._restamp_tree(v)
         return {"files": meta["n_stat_files"], "rows": meta["n_rows"]}
 
     _ZM_CACHE_FILE_LIMIT = 50_000
@@ -4185,8 +4592,11 @@ def _stats_methods():
         meta = self._read_json(mp)
         if col not in meta["kinds"]:
             return None
-        m = self._manifest(v)
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        # raw manifest: schema without inlining the file listing —
+        # bound checks must not force an O(table-files) decode
+        schema = StructType.fromJson(
+            json.loads(self._raw_manifest(v)["schema"])
+        )
         dt = {f.name: f.dataType for f in schema.fields}[col]
         for b in (lo, hi):
             if b is not None:
@@ -4227,7 +4637,7 @@ def _stats_methods():
         kind = meta["kinds"][col]
         lo_e = lo_n if kind == "num" else lo_s
         hi_e = hi_n if kind == "num" else hi_s
-        return v, meta, kind, lo_e, hi_e, m
+        return v, meta, kind, lo_e, hi_e
 
     def files_for_range(
         self,
@@ -4248,7 +4658,16 @@ def _stats_methods():
         r = self._zm_bounds(col, lo, hi, version)
         if r is None:
             return None
-        v, meta, kind, lo_e, hi_e, m = r
+        v, meta, kind, lo_e, hi_e = r
+        # manifest-tree fast path: decode only the groups the manifest
+        # list's stamps cannot rule out — O(groups-touched) metadata;
+        # falls back to the full listing on non-tree checkpoints
+        pruned = self._files_pruned(v, col, kind, lo_e, hi_e)
+        if pruned is None:
+            m = self._manifest(v)
+            listing, n_total = m["files"], len(m["files"])
+        else:
+            listing, n_total = pruned
         mn_c = "min_num" if kind == "num" else "min_str"
         mx_c = "max_num" if kind == "num" else "max_str"
         # instance lookup (falls back to the class attr): a per-handle
@@ -4288,7 +4707,7 @@ def _stats_methods():
                     lo_e is not None and row[mx_c] < lo_e
                 ):
                     prunable.add(row["file"])
-            return [f for f in m["files"] if f not in prunable]
+            return [f for f in listing if f not in prunable]
         sidecar = self.spark.read.parquet(
             self._zm_path(v).toString()
         ).filter(F.col("column") == col)
@@ -4320,7 +4739,7 @@ def _stats_methods():
             F.count(F.lit(1)).alias("n"),
             F.count_if(is_prunable).alias("np"),
         ).collect()[0]
-        full_cover = int(counts["n"]) == len(m["files"])
+        full_cover = int(counts["n"]) == n_total
         if full_cover and int(counts["np"]) * 2 > int(counts["n"]):
             cand = {
                 r["file"]
@@ -4328,12 +4747,12 @@ def _stats_methods():
                 .select("file")
                 .collect()
             }
-            return [f for f in m["files"] if f in cand]
+            return [f for f in listing if f in cand]
         prunable = {
             r["file"]
             for r in sidecar.filter(is_prunable).select("file").collect()
         }
-        return [f for f in m["files"] if f not in prunable]
+        return [f for f in listing if f not in prunable]
 
     def read_range(
         self,
@@ -4359,9 +4778,10 @@ def _stats_methods():
         files = self.files_for_range(col, lo, hi, v)
         if files is None:
             return self.read(v).filter(pred)
-        m = self._manifest(v)
-        # deletion vectors apply to pruned reads too (_read_files)
-        return self._read_files(files, m).filter(pred)
+        # deletion vectors apply to pruned reads too (_read_files,
+        # which needs only schema + dvs — the raw manifest, so a
+        # tree-pruned read never inlines the full listing)
+        return self._read_files(files, self._raw_manifest(v)).filter(pred)
 
     def read_box(
         self,
@@ -4381,6 +4801,7 @@ def _stats_methods():
             raise ValueError("need at least one predicate")
         v = self._read_version(version)
         pred = F.lit(True)
+        ordered: list[str] | None = None
         cand: set[str] | None = None
         for col, lo, hi in predicates:
             if lo is None and hi is None:
@@ -4391,15 +4812,18 @@ def _stats_methods():
                 pred = pred & (F.col(col) <= F.lit(hi))
             files = self.files_for_range(col, lo, hi, v)
             if files is not None:
-                cand = (
-                    set(files) if cand is None else cand & set(files)
-                )
+                if cand is None:
+                    # each candidate list is in manifest order, so the
+                    # first one orders the intersection — no full
+                    # listing decode on a tree-pruned probe
+                    ordered, cand = files, set(files)
+                else:
+                    cand &= set(files)
         if cand is None:
             return self.read(v).filter(pred)
-        m = self._manifest(v)
-        keep = [f for f in m["files"] if f in cand]
+        keep = [f for f in ordered if f in cand]
         # deletion vectors apply to pruned reads too (_read_files)
-        return self._read_files(keep, m).filter(pred)
+        return self._read_files(keep, self._raw_manifest(v)).filter(pred)
 
     SnapshotTable._zm_path = _zm_path
     SnapshotTable._zm_meta_path = _zm_meta_path
