@@ -783,3 +783,63 @@ def test_stream_static_spatial_join_equals_batch(
     assert _rows(got, "event_id", "poi_id") == _rows(
         want, "event_id", "poi_id"
     )
+
+
+def test_running_totals_transform_with_state_parity(
+    spark, landing, batch_events
+):
+    """The transformWithState twin (streaming/tws.py) matches both the
+    applyInPandasWithState form and the batch aggregate — one twin
+    migrated behind the same semantics, per the Spark-4 evaluation."""
+    from globalweather_etl_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState needs the protobuf package "
+            "(absent in this container; env-gated like the "
+            "multimodal codecs)"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream_from_dir(
+            spark, landing, max_files_per_trigger=1
+        )
+        q = drain_to_memory(
+            running_user_totals_tws(stream),
+            "t_totals_tws",
+            output_mode="update",
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    emitted = spark.table("t_totals_tws")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value"), "n_events"
+            ).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    got_rows = {r["user_id"]: r for r in final.collect()}
+    assert len(got_rows) == want.count()
+    for w in want.collect():
+        g = got_rows[w["user_id"]]
+        assert g["n_events"] == w["n_events"]
+        assert g["total_value"] == pytest.approx(
+            w["total_value"], rel=1e-9
+        )
