@@ -17,7 +17,9 @@ from globalweather_etl_spark.operators.dedup import (
 from globalweather_etl_spark.operators.geo import (
     haversine_km,
     planar_knn_join,
+    planar_knn_join_complete,
     planar_radius_join,
+    sphere_radius_join_km,
 )
 from globalweather_etl_spark.operators.timeseries import (
     holt_winters,
@@ -192,7 +194,9 @@ __all__ = [
     "haversine_km",
     "holt_winters",
     "planar_knn_join",
+    "planar_knn_join_complete",
     "planar_radius_join",
+    "sphere_radius_join_km",
     "series_monitor",
     "series_monitor_big",
     "rolling_anomalies",

@@ -43,6 +43,10 @@ these tables live at filesystem roots, not in a metastore):
       — radius-bounded kNN join; with COMPLETE, RADIUS is the
       expanding-ring escalation's initial radius and every left point
       gets its true k nearest (planar_knn_join_complete)
+  SELECT ... FROM GEO_SPHERE_JOIN(<tbl> <id> (lat, lon), <tbl> <id>
+      (rlat, rlon), KM <r> [, MAXLAT <d>])
+      — great-circle radius join in km (sphere_radius_join_km);
+      MAXLAT caps |latitude| to keep the longitude window finite
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -170,6 +174,20 @@ _GEO_RJ = re.compile(
     r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
     r"RADIUS\s+(?P<radius>\d+)"
     r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+# GEO_SPHERE_JOIN(left lid (lat, lon), right rid (rlat, rlon),
+#                 KM r [, MAXLAT d])
+# — great-circle radius join in km (sphere_radius_join_km); MAXLAT is
+# the |latitude| cap that keeps the longitude window finite (default
+# 80, the operator's own default)
+_GEO_SPH = re.compile(
+    rf"GEO_SPHERE_JOIN\(\s*{_geo_tbl('l')}\s+(?P<lid>\w+)\s*"
+    r"\(\s*(?P<lx>\w+)\s*,\s*(?P<ly>\w+)\s*\)\s*,\s*"
+    rf"{_geo_tbl('r')}\s+(?P<rid>\w+)\s*"
+    r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
+    r"KM\s+(?P<km>\d+(?:\.\d+)?)"
+    r"(?:\s*,\s*MAXLAT\s+(?P<maxlat>\d+(?:\.\d+)?))?\s*\)",
     re.IGNORECASE,
 )
 # GEO_KNN_JOIN(left lid (lx, ly), right rid (rx, ry), K k, RADIUS r
@@ -342,8 +360,30 @@ def _travel_rewrite(
             df = planar_knn_join(left, right, k, radius, lid, **common)
         return _geo_view(df)
 
+    def _sub_geo_sph(tm: re.Match) -> str:
+        from globalweather_etl_spark.operators.geo import (
+            sphere_radius_join_km,
+        )
+
+        kwargs = {}
+        if tm.group("maxlat"):
+            kwargs["max_abs_lat"] = float(tm.group("maxlat"))
+        return _geo_view(
+            sphere_radius_join_km(
+                _geo_side(tm, "l"),
+                _geo_side(tm, "r"),
+                float(tm.group("km")),
+                left_id=tm.group("lid"),
+                right_id=tm.group("rid"),
+                left_cols=(tm.group("lx"), tm.group("ly")),
+                right_cols=(tm.group("rx"), tm.group("ry")),
+                **kwargs,
+            )
+        )
+
     # GEO substitutions must run BEFORE the travel rewrite: _TRAVEL
     # matches any quoted path, including one inside GEO_*(...) args
+    text = _GEO_SPH.sub(_sub_geo_sph, text)
     text = _GEO_KNN.sub(_sub_geo_knn, text)
     text = _GEO_RJ.sub(_sub_geo_rj, text)
 

@@ -687,3 +687,50 @@ def test_geo_sql_table_functions_parity(spark, tmp_path):
     ]
     spark.catalog.dropTempView("geo_l")
     spark.catalog.dropTempView("geo_r")
+
+
+def test_geo_sphere_sql_parity(spark):
+    """GEO_SPHERE_JOIN parity vs the DataFrame form, including the
+    MAXLAT operand."""
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.geo import (
+        sphere_radius_join_km,
+    )
+
+    import random as _random
+
+    rng = _random.Random(5)
+    a = spark.createDataFrame(
+        [
+            Row(id=i, lat=rng.uniform(-50, 50), lon=rng.uniform(-180, 180))
+            for i in range(30)
+        ]
+    )
+    b = spark.createDataFrame(
+        [
+            Row(bid=j, blat=rng.uniform(-50, 50),
+                blon=rng.uniform(-180, 180))
+            for j in range(25)
+        ]
+    )
+    a.createOrReplaceTempView("sph_l")
+    b.createOrReplaceTempView("sph_r")
+    want = sorted(
+        (r["id"], r["bid"], float(r["sphere_km_r6"]))
+        for r in sphere_radius_join_km(
+            a, b, 2500.0, "id", "bid",
+            ("lat", "lon"), ("blat", "blon"), max_abs_lat=55.0,
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["bid"], float(r["sphere_km_r6"]))
+        for r in lakehouse_sql(
+            spark,
+            "SELECT * FROM GEO_SPHERE_JOIN(sph_l id (lat, lon), "
+            "sph_r bid (blat, blon), KM 2500.0, MAXLAT 55.0)",
+        ).collect()
+    )
+    assert got == want and want
+    spark.catalog.dropTempView("sph_l")
+    spark.catalog.dropTempView("sph_r")
