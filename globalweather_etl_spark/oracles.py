@@ -1085,6 +1085,39 @@ tsr AS (
     CAST(sum(CAST(round(ht, 9) AS DECIMAL(25,9))) AS DOUBLE)
       AS holt_trend_sum
   FROM tsff),
+-- Round 12: CLAMPED CUSUM (no alarm reset) twin — the prefix-sum
+-- identity s_t = S_t - min(0, min_{j<=t} S_j) as two window passes,
+-- in EXACT DECIMAL(25,6) arithmetic with an explicit target so the
+-- values are independent of each engine's window summation order
+-- (DuckDB's segment trees add in a different order than Spark's
+-- running frames; floats would drift in the last ulp)
+tscc1 AS (
+  SELECT user_id, ts, event_id,
+    sum(CAST(value AS DECIMAL(25,6)) - CAST(60.0 AS DECIMAL(25,6))
+        - CAST(0.5 AS DECIMAL(25,6))) OVER wcc AS sp,
+    sum(CAST(60.0 AS DECIMAL(25,6)) - CAST(value AS DECIMAL(25,6))
+        - CAST(0.5 AS DECIMAL(25,6))) OVER wcc AS sn
+  FROM events
+  WINDOW wcc AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tscc2 AS (
+  SELECT user_id, ts, event_id,
+    sp - LEAST(CAST(0 AS DECIMAL(25,6)), min(sp) OVER wcc2) AS cp,
+    sn - LEAST(CAST(0 AS DECIMAL(25,6)), min(sn) OVER wcc2) AS cn
+  FROM tscc1
+  WINDOW wcc2 AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tscc_last AS (
+  SELECT user_id, cp, cn FROM (
+    SELECT user_id, cp, cn, row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn FROM tscc2)
+  WHERE rn = 1),
+tscc_exc AS (
+  SELECT user_id,
+    sum(CASE WHEN cp > CAST(5.0 AS DECIMAL(25,6)) THEN 1 ELSE 0 END
+      + CASE WHEN cn > CAST(5.0 AS DECIMAL(25,6)) THEN 1 ELSE 0 END)
+      AS exc
+  FROM tscc2 GROUP BY user_id),
 -- Round 11: Holt-Winters additive (m=4) twin — same recursive-fold
 -- recipe; the Spark side's m-length seasonal ARRAY becomes four
 -- scalar columns here (identical arithmetic per step: left-fold
@@ -1743,6 +1776,14 @@ UNION ALL SELECT 'ts_hw_users', users FROM hwr
 UNION ALL SELECT 'ts_hw_level_sum', lsum FROM hwr
 UNION ALL SELECT 'ts_hw_trend_sum', tsum FROM hwr
 UNION ALL SELECT 'ts_hw_forecast_sum', fsum FROM hwr
+UNION ALL SELECT 'ts_cc_users', CAST(count(*) AS DOUBLE)
+  FROM tscc_last
+UNION ALL SELECT 'ts_cc_exceed_sum', CAST(sum(exc) AS DOUBLE)
+  FROM tscc_exc
+UNION ALL SELECT 'ts_cc_pos_sum', CAST(sum(
+  CAST(round(cp, 9) AS DECIMAL(25,9))) AS DOUBLE) FROM tscc_last
+UNION ALL SELECT 'ts_cc_neg_sum', CAST(sum(
+  CAST(round(cn, 9) AS DECIMAL(25,9))) AS DOUBLE) FROM tscc_last
 UNION ALL SELECT 'corr_qty_price', corr_qty_price FROM mx
 UNION ALL SELECT 'slope_price_on_qty', slope_price_on_qty FROM mx
 UNION ALL SELECT 'cov_pop_qty_price', cov_pop_qty_price FROM mx

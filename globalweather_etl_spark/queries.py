@@ -2193,6 +2193,43 @@ def q_tpch_scalar_checks(spark, sf_dir):
     )
     tsf = tsf.unionAll(hwf)
 
+    # Round 12: CLAMPED CUSUM (no alarm reset) — the unbounded batch
+    # member of the family via the prefix-sum identity
+    # s_t = S_t - min(0, min_{j<=t} S_j), two window passes over one
+    # sort. Graded in the DECIMAL(25,6) domain with an explicit
+    # target: decimal window sums are EXACT, so the values are
+    # independent of each engine's window summation order (DuckDB
+    # segment trees vs Spark running frames — floats would drift in
+    # the last ulp and eventually flip a 9dp rounding).
+    from globalweather_etl_spark.operators.timeseries import (
+        cusum_clamped,
+    )
+
+    cc = cusum_clamped(
+        events, "value", ["ts", "event_id"], ["user_id"],
+        target=60.0, slack_k=0.5, threshold_h=5.0,
+        cast_to="decimal(25,6)",
+    )
+    ccf = _unpivot_metrics(
+        cc.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("exceedances").cast("double").alias("exc"),
+            F.sum(F.col("cusum_pos").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("cpos"),
+            F.sum(F.col("cusum_neg").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("cneg"),
+        ),
+        [
+            ("ts_cc_users", "users"),
+            ("ts_cc_exceed_sum", "exc"),
+            ("ts_cc_pos_sum", "cpos"),
+            ("ts_cc_neg_sum", "cneg"),
+        ],
+    )
+    tsf = tsf.unionAll(ccf)
+
     # Round 11: the TPC-H shapes previously blocked on columns the
     # synthetic testdata does not carry (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/
     # Q20/Q21 — partsupp, commit/receipt dates, shipmode, comment

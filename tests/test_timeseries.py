@@ -494,3 +494,109 @@ def test_streaming_holt_winters_fn_parity(spark):
             assert float(out["hw_level"]) == batch["hw_level"], hi
             assert float(out["hw_trend"]) == batch["hw_trend"], hi
             assert float(out["hw_forecast"]) == batch["hw_forecast"], hi
+
+
+# ------------------- clamped CUSUM, unbounded batch path (round 12)
+
+
+def _py_cusum_clamped(vals, target, k, h):
+    """Sequential reference: the textbook clamp, NO alarm reset."""
+    cp = cn = 0.0
+    exc = 0
+    for v in vals:
+        cp = max(0.0, cp + v - target - k)
+        cn = max(0.0, cn + target - v - k)
+        exc += (1 if cp > h else 0) + (1 if cn > h else 0)
+    return cp, cn, exc
+
+
+def test_cusum_clamped_vs_sequential_reference(spark):
+    """The prefix-sum identity equals the sequential clamped fold —
+    exactly in decimal arithmetic, to float tolerance in double."""
+    import random
+
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.timeseries import (
+        cusum_clamped,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    series = {}
+    for u in range(6):
+        vals = [round(rng.uniform(40, 80), 3) for _ in range(50)]
+        series[u] = vals
+        rows += [
+            Row(user_id=u, ts=i, event_id=i, value=float(v))
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows)
+    for cast_to in ("double", "decimal(25,6)"):
+        got = {
+            r["user_id"]: r
+            for r in cusum_clamped(
+                df, "value", ["ts", "event_id"], ["user_id"],
+                target=60.0, slack_k=0.5, threshold_h=5.0,
+                cast_to=cast_to,
+            ).collect()
+        }
+        assert len(got) == 6
+        for u, vals in series.items():
+            cp, cn, exc = _py_cusum_clamped(vals, 60.0, 0.5, 5.0)
+            g = got[u]
+            assert g["n"] == 50
+            assert float(g["cusum_pos"]) == pytest.approx(cp, abs=1e-9)
+            assert float(g["cusum_neg"]) == pytest.approx(cn, abs=1e-9)
+            assert g["exceedances"] == exc, (u, cast_to)
+
+
+def test_cusum_clamped_mean_target_and_guards(spark):
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.timeseries import (
+        cusum_clamped,
+    )
+
+    df = spark.createDataFrame(
+        [Row(user_id=0, ts=i, event_id=i, value=float(v))
+         for i, v in enumerate([1.0, 2.0, 3.0, 10.0])]
+    )
+    # target=None -> per-key DECIMAL-exact mean (4.0 here)
+    r = cusum_clamped(
+        df, "value", ["ts", "event_id"], ["user_id"],
+        slack_k=0.0, threshold_h=100.0,
+    ).collect()[0]
+    cp, cn, exc = _py_cusum_clamped([1.0, 2.0, 3.0, 10.0], 4.0, 0.0, 100.0)
+    assert float(r["cusum_pos"]) == pytest.approx(cp, abs=1e-9)
+    assert float(r["cusum_neg"]) == pytest.approx(cn, abs=1e-9)
+    # decimal domain demands an explicit target
+    with pytest.raises(ValueError, match="explicit target"):
+        cusum_clamped(
+            df, "value", ["ts", "event_id"], ["user_id"],
+            cast_to="decimal(25,6)",
+        )
+
+
+def test_cusum_clamped_plan_is_windowed_not_buffered(spark):
+    """The scale contract: no collect_list / per-series array buffers
+    — two window passes and an aggregate."""
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.timeseries import (
+        cusum_clamped,
+    )
+
+    df = spark.createDataFrame(
+        [Row(user_id=0, ts=0, event_id=0, value=1.0)]
+    )
+    plan = (
+        cusum_clamped(
+            df, "value", ["ts", "event_id"], ["user_id"], target=0.0
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
+    assert "Window" in plan
