@@ -429,6 +429,16 @@ lk_v2 AS (
   SELECT * FROM lk_base b
   WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM lk_src)),
 lk_v3 AS (SELECT * FROM lk_v2 WHERE o_orderkey % 7 != 0),
+-- round 12: ANSI column-level UPDATE SET twin — matched keys
+-- (every even orderkey) bump price by (orderkey % 100); the Spark
+-- side runs merge_into_set with t.o_totalprice + s.bump
+lk_v4 AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN o_totalprice + CAST(o_orderkey % 100 AS DOUBLE)
+      ELSE o_totalprice END AS o_totalprice,
+    o_orderstatus
+  FROM lk_v3),
 lk_k0 AS (
   SELECT min(o_orderkey) AS k0 FROM lk_src
   WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0),
@@ -1550,6 +1560,11 @@ UNION ALL SELECT 'merge_tt_v1_rows', CAST(count(*) AS DOUBLE) FROM lk_base
 UNION ALL SELECT 'merge_tt_v1_price_sum',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_base
+UNION ALL SELECT 'merge_set_v4_rows', CAST(count(*) AS DOUBLE)
+  FROM lk_v4
+UNION ALL SELECT 'merge_set_v4_price_sum',
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
+  FROM lk_v4
 UNION ALL SELECT 'merge_bloom_lookup_price',
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4)
   FROM lk_v3, lk_k0 WHERE o_orderkey = k0

@@ -1058,7 +1058,7 @@ def q_tpch_scalar_checks(spark, sf_dir):
     )
     m2 = st.merge_into(upsert_src, keys=["o_orderkey"])
     del_src = st.read().filter(F.col("o_orderkey") % 7 == 0)
-    st.merge_into(
+    m3 = st.merge_into(
         del_src,
         keys=["o_orderkey"],
         when_matched="delete",
@@ -1139,6 +1139,35 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
 
+    # Round 12: ANSI column-level UPDATE SET (merge_into_set) — a
+    # matched-only SET merge bumps prices by an expression over BOTH
+    # sides (t.o_totalprice + s.bump). Runs AFTER every v3-pinned row
+    # above was constructed (their reads pinned their manifests at
+    # call time); the oracle twin applies the same expression via a
+    # LEFT JOIN over the v3 relational state.
+    set_src = (
+        orders.select("o_orderkey")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "bump", (F.col("o_orderkey") % 100).cast("double")
+        )
+    )
+    m4 = st.merge_into_set(
+        set_src,
+        ["o_orderkey"],
+        {"o_totalprice": "t.o_totalprice + s.bump"},
+        when_not_matched="ignore",
+    )
+    lake = lake.unionAll(
+        _unpivot_metrics(
+            dsum(st.read(m4["version"])),
+            [
+                ("merge_set_v4_rows", "n"),
+                ("merge_set_v4_price_sum", "s"),
+            ],
+        )
+    )
+
     # Round 8: ZERO-COPY CLONE over the same committed history — the
     # clone pins v1 (before both merges), so its read-back must equal
     # the relational lk_base twin even though the SOURCE head has
@@ -1203,7 +1232,11 @@ def q_tpch_scalar_checks(spark, sf_dir):
     # append-only fast path: one append commit on top, and the
     # incremental read must return EXACTLY the appended rows (it reads
     # only the window's new files — O(new data), no diff, no scan).
-    chg = st.read_changes(v1, keys=["o_orderkey"])
+    # pinned to v3: the round-12 SET merge (v4) has its own graded
+    # state row; this feed grades exactly the two-merge window
+    chg = st.read_changes(
+        v1, keys=["o_orderkey"], version=m3["version"]
+    )
     cf = _unpivot_metrics(
         chg.agg(
             F.count_if(F.col("__op") == 1).alias("p"),

@@ -27,8 +27,12 @@ these tables live at filesystem roots, not in a metastore):
   INSERT INTO '<path>' REPLACE WHERE <predicate> <select>
   MERGE INTO '<path>' [AS t] USING <view-or-(subquery)> [AS s]
       ON <equi-conjunction>
-      [WHEN MATCHED THEN {UPDATE SET * | DELETE}]
+      [WHEN MATCHED THEN {UPDATE SET * | UPDATE SET col = <expr>
+          [, col = <expr> ...] | DELETE}]
       [WHEN NOT MATCHED THEN INSERT *]
+      — the column-level SET list (expressions over t.* and s.*)
+      dispatches to merge_into_set: a pre-join builds the row image
+      merge_into applies; target keys must be unique
   SELECT ... FROM '<path>' [VERSION AS OF <v> | VERSION AS OF '<tag>'
       | TIMESTAMP AS OF '<ts>'] [AS alias] ...
   SELECT ... FROM CHANGES('<path>', <since>[, <to>], KEY (k1, ...))
@@ -409,9 +413,40 @@ def _travel_rewrite(
     return _TRAVEL.sub(_sub, text)
 
 
+def _split_assignments(text: str) -> dict[str, str]:
+    """``a = expr, b = expr`` -> {col: expr}, splitting on TOP-LEVEL
+    commas only (expressions may contain commas inside parens, e.g.
+    greatest(t.a, s.b))."""
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        m = re.match(r"(?s)^\s*(?:t\.)?(\w+)\s*=\s*(.+?)\s*$", p)
+        if not m:
+            raise ValueError(f"cannot parse SET assignment {p!r}")
+        if m.group(1) in out:
+            raise ValueError(f"column {m.group(1)!r} SET twice")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
 def _parse_merge(spark: SparkSession, m) -> tuple:
     """Shared MERGE clause parsing: (source_df, keys, when_matched,
-    when_not_matched) from a _MERGE regex match."""
+    when_not_matched, set_exprs) from a _MERGE regex match —
+    set_exprs is None for the row-image forms, a {col: sql-expr}
+    dict for a column-level ``UPDATE SET a = ...`` list (dispatched
+    to merge_into_set)."""
     src = m.group("src").strip()
     source: DataFrame = (
         spark.sql(f"SELECT * FROM {src} AS __merge_src")
@@ -420,6 +455,7 @@ def _parse_merge(spark: SparkSession, m) -> tuple:
     )
     keys = _keys_from_on(m.group("on"))
     when_matched, when_not_matched = "update", "insert"
+    set_exprs: dict[str, str] | None = None
     clauses = m.group("clauses") or ""
     if clauses.strip():
         when_matched = when_not_matched = "ignore"
@@ -430,7 +466,8 @@ def _parse_merge(spark: SparkSession, m) -> tuple:
             w = re.match(r"(?is)^(NOT )?MATCHED THEN (.+)$", part)
             if not w:
                 raise ValueError(f"cannot parse MERGE clause {part!r}")
-            action = _WS.sub(" ", w.group(2).strip()).upper()
+            body = _WS.sub(" ", w.group(2).strip())
+            action = body.upper()
             if w.group(1):
                 if action != "INSERT *":
                     raise ValueError(
@@ -441,13 +478,19 @@ def _parse_merge(spark: SparkSession, m) -> tuple:
                 when_matched = "delete"
             elif action == "UPDATE SET *":
                 when_matched = "update"
+            elif action.startswith("UPDATE SET "):
+                # column-level SET list (ANSI): expressions over t./s.
+                when_matched = "update"
+                set_exprs = _split_assignments(
+                    body[len("UPDATE SET "):]
+                )
             else:
                 raise ValueError(
                     f"unsupported WHEN MATCHED action {action!r}"
-                    " — merge_into carries whole source rows "
-                    "(UPDATE SET * / DELETE)"
+                    " — UPDATE SET * / UPDATE SET col = expr, ... / "
+                    "DELETE"
                 )
-    return source, keys, when_matched, when_not_matched
+    return source, keys, when_matched, when_not_matched, set_exprs
 
 
 def lakehouse_sql(spark: SparkSession, statement: str):
@@ -562,9 +605,16 @@ def lakehouse_sql(spark: SparkSession, statement: str):
     m = _MERGE.match(stmt)
     if m:
         t = SnapshotTable(spark, m.group("path"))
-        source, keys, when_matched, when_not_matched = _parse_merge(
-            spark, m
+        source, keys, when_matched, when_not_matched, set_exprs = (
+            _parse_merge(spark, m)
         )
+        if set_exprs is not None:
+            return t.merge_into_set(
+                source,
+                keys=keys,
+                set_exprs=set_exprs,
+                when_not_matched=when_not_matched,
+            )
         return t.merge_into(
             source,
             keys=keys,
@@ -642,7 +692,15 @@ def lakehouse_sql_txn(
                 continue
             m = _MERGE.match(stmt)
             if m:
-                source, keys, wm, wnm = _parse_merge(spark, m)
+                source, keys, wm, wnm, sx = _parse_merge(spark, m)
+                if sx is not None:
+                    raise ValueError(
+                        "column-level UPDATE SET is not available "
+                        "inside a transaction: its pre-join reads the "
+                        "head at call time, which a deferred-publish "
+                        "window cannot pin — use UPDATE SET * or run "
+                        "it as a standalone MERGE"
+                    )
                 txn.merge_into(
                     m.group("path"), source, keys,
                     when_matched=wm, when_not_matched=wnm,

@@ -2566,6 +2566,99 @@ class SnapshotTable:
             f"purge_deletes lost the commit race {max_retries} times"
         )
 
+    def merge_into_set(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        set_exprs: dict,
+        **merge_kwargs,
+    ) -> dict:
+        """ANSI column-level MERGE: ``WHEN MATCHED THEN UPDATE SET
+        col = <expr over t.* and s.*>`` — the form plain ``merge_into``
+        deliberately rejects (its matched semantics replace the whole
+        row). Implemented as a PRE-JOIN that builds the row-image
+        source merge_into already handles: source LEFT JOIN head
+        (aliases ``s`` and ``t``), each table column projected as the
+        SET expression when matched (columns not in ``set_exprs`` keep
+        ``t``'s value) and as ``s``'s value when not matched (ANSI
+        INSERT *). All of merge_into's machinery — file-level
+        copy-on-write pruning, merge-on-read, retries, deferred
+        publish — applies unchanged via ``merge_kwargs``.
+
+        ``set_exprs`` maps column name -> SQL string or Column; the
+        expressions may reference both sides (``t.balance +
+        s.delta``). Two contracts inherited from the keyed-table
+        model: target keys must be unique (duplicate target keys
+        would fan the pre-join out and trip merge_into's unique-source
+        guard loudly — ANSI's multi-row UPDATE per key has no
+        deterministic row-image), and the SET computation reads the
+        head AT CALL TIME — under a concurrent-commit race the retry
+        re-applies the computed row image against the new head (same
+        contract as the staged-rewrite verbs), it does not recompute
+        the expressions.
+
+        Scale: one extra key-equi join against the head (prunable,
+        AQE-planned) before the normal merge; no collects."""
+        bad = [c for c in set_exprs if c in keys]
+        if bad:
+            raise ValueError(
+                f"SET on merge key(s) {bad} — keys identify the row "
+                "and cannot be reassigned"
+            )
+        head = self.read()
+        cols = head.columns
+        unknown = [c for c in set_exprs if c not in cols]
+        if unknown:
+            raise ValueError(
+                f"SET on unknown column(s) {unknown} (table has {cols})"
+            )
+        ignore_inserts = (
+            merge_kwargs.get("when_not_matched") == "ignore"
+        )
+        if not ignore_inserts:
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    "WHEN NOT MATCHED INSERT * needs every table "
+                    f"column on the source; missing {missing} — pass "
+                    "when_not_matched='ignore' for a matched-only "
+                    "SET merge (source then needs only keys + the "
+                    "columns the expressions read)"
+                )
+        s = source.alias("s")
+        t = head.withColumn("__m", F.lit(1)).alias("t")
+        # plain (null-unsafe) equality, matching merge_into's own
+        # key join — a NULL-keyed source row is "not matched" in both
+        joined = s.join(
+            t,
+            [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys],
+            "left",
+        )
+        matched = F.col("t.__m").isNotNull()
+        if ignore_inserts:
+            # matched-only: project the SET image directly — the
+            # insert branch must not even be ANALYZED (the source may
+            # legitimately lack non-SET table columns)
+            joined = joined.filter(matched)
+        out_cols = []
+        for c in cols:
+            e = set_exprs.get(c)
+            if e is None:
+                upd = F.col(f"t.{c}")
+            elif isinstance(e, str):
+                upd = F.expr(e)
+            else:
+                upd = e
+            out_cols.append(
+                upd.alias(c)
+                if ignore_inserts
+                else F.when(matched, upd)
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
+        effective = joined.select(*out_cols)
+        return self.merge_into(effective, keys, **merge_kwargs)
+
     def merge_into(
         self,
         source: DataFrame,

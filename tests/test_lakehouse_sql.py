@@ -118,7 +118,7 @@ def test_merge_delete_clause(spark, tmp_path):
     assert _content(t) == _content(twin)
 
 
-def test_merge_rejects_theta_on_and_column_sets(spark, tmp_path):
+def test_merge_rejects_theta_on_and_bad_actions(spark, tmp_path):
     t = _seed(spark, str(tmp_path / "t"))
     t.read().createOrReplaceTempView("src_v")
     with pytest.raises(ValueError, match="conjunction"):
@@ -126,11 +126,19 @@ def test_merge_rejects_theta_on_and_column_sets(spark, tmp_path):
             spark,
             f"MERGE INTO '{t.path}' USING src_v ON t.k > s.k",
         )
-    with pytest.raises(ValueError, match="UPDATE SET"):
+    # column-level SET lists are SUPPORTED since round 12
+    # (merge_into_set); a malformed assignment still fails loudly
+    with pytest.raises(ValueError, match="assignment"):
         lakehouse_sql(
             spark,
             f"MERGE INTO '{t.path}' USING src_v ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET val = 1",
+            "WHEN MATCHED THEN UPDATE SET val ++ 1",
+        )
+    with pytest.raises(ValueError, match="unsupported WHEN MATCHED"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO '{t.path}' USING src_v ON t.k = s.k "
+            "WHEN MATCHED THEN TRUNCATE",
         )
 
 
@@ -734,3 +742,81 @@ def test_geo_sphere_sql_parity(spark):
     assert got == want and want
     spark.catalog.dropTempView("sph_l")
     spark.catalog.dropTempView("sph_r")
+
+
+def test_merge_column_level_set(spark, tmp_path):
+    """ANSI column-level UPDATE SET: expressions over t.* and s.*,
+    matched-only and insert forms, SQL vs Python parity, and the
+    loud guards."""
+    from pyspark.sql import Row
+
+    def seed(name):
+        t = SnapshotTable(spark, str(tmp_path / name))
+        t.write(
+            spark.createDataFrame(
+                [Row(k=i, bal=float(100 * i), tag="old") for i in range(6)]
+            ).repartition(2),
+            mode="overwrite",
+        )
+        return t
+
+    src = spark.createDataFrame(
+        [Row(k=2, delta=5.0), Row(k=4, delta=-7.0), Row(k=99, delta=1.0)]
+    )
+    # matched-only (source lacks bal/tag): t.bal grows by s.delta,
+    # tag is stamped; unmatched source key 99 is ignored
+    t1 = seed("m1")
+    r = t1.merge_into_set(
+        src, ["k"],
+        {"bal": "t.bal + s.delta", "tag": "'bumped'"},
+        when_not_matched="ignore",
+    )
+    assert r["version"] == 2
+    got = {
+        r2["k"]: (r2["bal"], r2["tag"]) for r2 in t1.read().collect()
+    }
+    assert got[2] == (205.0, "bumped") and got[4] == (393.0, "bumped")
+    assert got[0] == (0.0, "old") and len(got) == 6
+
+    # SQL spelling parity (greatest() exercises the paren-aware
+    # assignment splitter)
+    t2 = seed("m2")
+    src.createOrReplaceTempView("set_src")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO '{t2.path}' AS t USING set_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET bal = greatest(t.bal + s.delta, "
+        "0.0), tag = 'bumped'",
+    )
+    assert {
+        r2["k"]: (r2["bal"], r2["tag"]) for r2 in t2.read().collect()
+    } == got
+
+    # insert form needs full source columns; with them, unmatched
+    # rows insert s.* verbatim
+    t3 = seed("m3")
+    full = spark.createDataFrame(
+        [Row(k=2, bal=1.0, tag="s"), Row(k=99, bal=9.0, tag="new")]
+    )
+    t3.merge_into_set(full, ["k"], {"bal": "t.bal + s.bal"})
+    got3 = {
+        r2["k"]: (r2["bal"], r2["tag"]) for r2 in t3.read().collect()
+    }
+    assert got3[2] == (201.0, "old")  # tag not in SET -> t's value
+    assert got3[99] == (9.0, "new")
+    assert len(got3) == 7
+
+    # guards
+    with pytest.raises(ValueError, match="keys identify the row"):
+        t3.merge_into_set(full, ["k"], {"k": "s.k + 1"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t3.merge_into_set(full, ["k"], {"nope": "1"})
+    with pytest.raises(ValueError, match="needs every table column"):
+        t3.merge_into_set(src, ["k"], {"bal": "t.bal + s.delta"})
+    with pytest.raises(ValueError, match="SET twice"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO '{t3.path}' USING set_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET bal = 1, bal = 2",
+        )
+    spark.catalog.dropTempView("set_src")
