@@ -2860,7 +2860,47 @@ qcf AS (
   FROM qcg),
 qcs AS (
   SELECT doc_id, CAST(sum(({_QC_W_SQL})[j + 1]) AS BIGINT) AS wsum
-  FROM qcf GROUP BY doc_id)
+  FROM qcf GROUP BY doc_id),
+-- round 12: DSIR importance resampling twin — whitespace unigrams +
+-- bigrams, md5 60-bit buckets mod 2048, Laplace-smoothed log ratio
+-- rounded to 9dp into DECIMAL(20,9) (the single ln() is the only
+-- transcendental; decimal sums make the per-doc scores independent
+-- of either engine's aggregation order)
+dst AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents),
+dsg AS (
+  SELECT doc_id, tk[i] AS g
+  FROM dst, unnest(generate_series(1, len(tk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM dst, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+dsb AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 2048 AS b
+  FROM dsg),
+dstc AS (
+  SELECT b, count(*) AS tc FROM dsb WHERE doc_id % 7 = 0 GROUP BY b),
+dsrc AS (
+  SELECT b, count(*) AS rc FROM dsb WHERE doc_id % 7 != 0 GROUP BY b),
+dstot AS (SELECT
+    (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) FROM dstc) AS tt,
+    (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) FROM dsrc) AS rr),
+dsw AS (
+  SELECT r.b, CAST(round(ln(
+      ((CAST(coalesce(t.tc, 0) AS DOUBLE) + 1.0) * (rr + 2048.0))
+      / ((CAST(r.rc AS DOUBLE) + 1.0) * (tt + 2048.0))), 9)
+    AS DECIMAL(20,9)) AS w
+  FROM dsrc r LEFT JOIN dstc t ON r.b = t.b CROSS JOIN dstot),
+dssc AS (
+  SELECT doc_id, count(*) AS dsir_n_grams,
+    CAST(sum(w) AS DOUBLE) AS dsir_logw
+  FROM dsb JOIN dsw USING (b)
+  WHERE doc_id % 7 != 0
+  GROUP BY doc_id),
+dssel AS (
+  SELECT doc_id, CASE WHEN row_number() OVER
+      (ORDER BY dsir_logw DESC, doc_id) <= 50 THEN 1 ELSE 0 END AS sel
+  FROM dssc)
 SELECT d.doc_id,
   CASE WHEN b < 'cccd' THEN 'train'
        WHEN b < 'e666' THEN 'val'
@@ -2878,7 +2918,10 @@ SELECT d.doc_id,
   u.up_copies AS up_copies,
   CAST({_QC_BIAS_MICRO} + coalesce(s.wsum, 0) AS DOUBLE) / 1000000.0
     AS qc_score6,
-  ({_QC_BIAS_MICRO} + coalesce(s.wsum, 0)) > 0 AS qc_keep
+  ({_QC_BIAS_MICRO} + coalesce(s.wsum, 0)) > 0 AS qc_keep,
+  coalesce(ds.dsir_n_grams, 0) AS dsir_n_grams,
+  coalesce(ds.dsir_logw, 0.0) AS dsir_logw,
+  CAST(coalesce(dse.sel, 0) AS INTEGER) AS dsir_top50
 FROM (SELECT doc_id, n_chars,
         substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) AS b
       FROM documents) d
@@ -2887,6 +2930,8 @@ JOIN mixed m ON m.doc_id = d.doc_id
 JOIN qual q ON q.doc_id = d.doc_id
 JOIN ups u ON u.doc_id = d.doc_id
 LEFT JOIN qcs s ON s.doc_id = d.doc_id
+LEFT JOIN dssc ds ON ds.doc_id = d.doc_id
+LEFT JOIN dssel dse ON dse.doc_id = d.doc_id
 CROSS JOIN qth""",
     # The oracle's plain windowed cumsum equals the engine's two-pass
     # distributed prefix sum over the same total order. The chunk CTE

@@ -4678,6 +4678,48 @@ def q_docs_sample_split(spark, sf_dir):
             "up_copies", F.coalesce("up_copies", F.lit(0).cast("long"))
         )
         .join(qc, "doc_id")
+        .join(_dsir_cols(docs), "doc_id", "left")
+        .withColumn(
+            "dsir_n_grams",
+            F.coalesce("dsir_n_grams", F.lit(0).cast("long")),
+        )
+        .withColumn("dsir_logw", F.coalesce("dsir_logw", F.lit(0.0)))
+        .withColumn(
+            "dsir_top50",
+            F.coalesce("dsir_top50", F.lit(0)).cast("int"),
+        )
+    )
+
+
+def _dsir_cols(docs):
+    """Round 12: DSIR importance resampling (operators/dsir.py) —
+    target corpus = doc_id % 7 == 0, raw = the rest; per raw doc its
+    gram count, exact-DECIMAL importance log-weight (cast double) and
+    deterministic top-50 selection flag (TakeOrderedAndProject +
+    broadcast semi flag — the scale-safe top-k, never a global
+    window). The oracle recomputes grams -> md5 buckets -> smoothed
+    log ratios -> decimal sums from scratch."""
+    from globalweather_etl_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_score,
+    )
+
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    raw = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "text"
+    )
+    ratios = dsir_log_ratios(target, raw, "text", buckets=2048)
+    scored = dsir_score(raw, ratios, "text", "doc_id", buckets=2048)
+    top = (
+        scored.orderBy(F.col("dsir_logw").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.lit(1).alias("__sel"))
+    )
+    return scored.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").alias("dsir_n_grams"),
+        "dsir_logw",
+        F.coalesce("__sel", F.lit(0)).alias("dsir_top50"),
     )
 
 

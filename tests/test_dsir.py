@@ -1,0 +1,99 @@
+"""DSIR importance resampling (operators/dsir.py): hand-computed
+ratios/scores vs a pure-Python reference, smoothing semantics, and
+the no-UDF plan contract."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from globalweather_etl_spark.operators.dsir import (
+    dsir_log_ratios,
+    dsir_score,
+)
+
+B = 64
+
+
+def _bucket(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % B
+
+
+def _grams(text: str) -> list[str]:
+    toks = text.strip().split()
+    return toks + [
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    ]
+
+
+def _py_ratios(target_texts, raw_texts):
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for t in target_texts:
+        for g in _grams(t):
+            tc[_bucket(g)] = tc.get(_bucket(g), 0) + 1
+    for t in raw_texts:
+        for g in _grams(t):
+            rc[_bucket(g)] = rc.get(_bucket(g), 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    return {
+        b: round(
+            math.log(
+                ((tc.get(b, 0) + 1.0) * (R + B))
+                / ((c + 1.0) * (T + B))
+            ),
+            9,
+        )
+        for b, c in rc.items()
+    }
+
+
+def test_dsir_matches_python_reference(spark):
+    target = [
+        "the quick brown fox jumps",
+        "the lazy dog sleeps all day",
+        "quick brown foxes are quick",
+    ]
+    raw = [
+        "stock prices fell sharply today",
+        "the quick brown fox returned",
+        "buy cheap pills online now",
+        "the dog and the fox",
+    ]
+    tdf = spark.createDataFrame([Row(text=t) for t in target])
+    rdf = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(raw)]
+    )
+    ratios = dsir_log_ratios(tdf, rdf, "text", buckets=B)
+    got_w = {r["__b"]: float(r["w"]) for r in ratios.collect()}
+    want_w = _py_ratios(target, raw)
+    assert got_w == pytest.approx(want_w, abs=1e-9)
+    assert set(got_w) == set(want_w)
+
+    scored = dsir_score(rdf, ratios, "text", "doc_id", buckets=B)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    for i, t in enumerate(raw):
+        gs = _grams(t)
+        want = sum(want_w[_bucket(g)] for g in gs)
+        assert got[i]["n_grams"] == len(gs)
+        assert got[i]["dsir_logw"] == pytest.approx(want, abs=1e-6)
+    # the target-like raw doc must outscore the spammy one
+    assert got[1]["dsir_logw"] > got[2]["dsir_logw"]
+
+
+def test_dsir_guards_and_plan(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_log_ratios(df, df, "text", buckets=1)
+    ratios = dsir_log_ratios(df, df, "text", buckets=B)
+    plan = (
+        dsir_score(df, ratios, "text", "doc_id", buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
