@@ -754,3 +754,107 @@ def test_tree_restamp_updates_existing_head(spark, tmp_path):
     assert sorted(
         r["k"] for r in t.read_range("k", 15, 15, 4).collect()
     ) == [15]
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_tree_fuzz_matches_inline_twin(spark, tmp_path, seed):
+    """Format fuzz for the manifest tree: a random verb sequence
+    (append / overwrite / delete_where / merge / restore / vacuum /
+    build_stats) drives a TREE-stored table and an INLINE-stored twin
+    in lockstep; after every step the two must agree on content, and
+    cold reopen + range probes must agree with the inline twin's
+    full listing. Any tree encode/decode/prune divergence localizes
+    immediately."""
+    import random as _random
+
+    from pyspark.sql import Row
+
+    rng = _random.Random(seed)
+    tree = _tree_table(
+        spark, tmp_path, name=f"fz{seed}", group=3, interval=3
+    )
+    flat = SnapshotTable(
+        spark,
+        str(tmp_path / f"fzref{seed}"),
+        checkpoint_interval=3,
+        files_ext_threshold=10**9,
+    )
+    nxt = 0
+
+    def fresh(n):
+        nonlocal nxt
+        rows = [
+            Row(k=nxt + i, v=float((nxt + i) % 97)) for i in range(n)
+        ]
+        nxt += n
+        return spark.createDataFrame(rows).coalesce(2)
+
+    def content(t):
+        return sorted(tuple(r) for r in t.read().collect())
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "append", "overwrite", "delete", "merge",
+             "restore", "vacuum", "stats"]
+        )
+        if op == "append":
+            df = fresh(rng.randrange(1, 6))
+            tree.write(df, mode="append")
+            flat.write(df, mode="append")
+        elif op == "overwrite":
+            df = fresh(rng.randrange(2, 7))
+            tree.write(df, mode="overwrite")
+            flat.write(df, mode="overwrite")
+        elif op == "delete":
+            if tree.latest_version() is None:
+                continue
+            m = rng.randrange(2, 5)
+            tree.delete_where(f"k % {m} = 0")
+            flat.delete_where(f"k % {m} = 0")
+        elif op == "merge":
+            if tree.latest_version() is None:
+                continue
+            src = fresh(3)
+            tree.merge_into(src, ["k"])
+            flat.merge_into(src, ["k"])
+        elif op == "restore":
+            vs = tree.versions()
+            if len(vs) < 2:
+                continue
+            v = rng.choice(vs[:-1])
+            if v not in flat.versions():
+                continue
+            tree.restore(v)
+            flat.restore(v)
+        elif op == "vacuum":
+            if tree.latest_version() is None:
+                continue
+            tree.vacuum(keep_last=3, unreferenced_grace=0.0)
+            flat.vacuum(keep_last=3, unreferenced_grace=0.0)
+        elif op == "stats":
+            if tree.latest_version() is None:
+                continue
+            tree.build_stats(cols=["k"], method="scan")
+            flat.build_stats(cols=["k"], method="scan")
+        if tree.latest_version() is None:
+            continue
+        assert content(tree) == content(flat), (seed, step, op)
+    # cold reopen: the tree decodes back to the same content, and a
+    # pruned range probe equals the flat twin's candidate SCAN result
+    cold = _tree_table(
+        spark, tmp_path, name=f"fz{seed}", group=3, interval=3
+    )
+    assert content(cold) == content(flat)
+    if cold._fs.exists(cold._zm_meta_path(cold.latest_version())):
+        lo = rng.randrange(0, nxt)
+        got = sorted(
+            r["k"]
+            for r in cold.read_range("k", lo, lo + 9).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in flat.read().filter(
+                (F.col("k") >= lo) & (F.col("k") <= lo + 9)
+            ).collect()
+        )
+        assert got == want, (seed, lo)
