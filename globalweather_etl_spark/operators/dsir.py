@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from globalweather_etl_spark.functions.text import tokens, word_shingles
 from globalweather_etl_spark.operators.dedup import _md5_long
 
-__all__ = ["dsir_grams", "dsir_log_ratios", "dsir_score"]
+__all__ = [
+    "dsir_grams",
+    "dsir_log_ratios",
+    "dsir_score",
+    "dsir_score_expr",
+]
 
 
 def dsir_grams(text: Column) -> Column:
@@ -125,4 +130,39 @@ def dsir_score(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("w").cast("double").alias("dsir_logw"),
         )
+    )
+
+
+def dsir_score_expr(
+    ratios: DataFrame,
+    text: Column,
+    buckets: int,
+    default_w: float = 0.0,
+) -> Column:
+    """Per-row importance log-weight as ONE column expression — no
+    explode, no shuffle, STATELESS, so it scores STREAMING documents
+    (readStream.withColumn(...)) and batch scans alike.
+
+    The B-row ratio table collects to the driver (bounded by
+    ``buckets`` — the PQ-codebook pattern) and becomes a dense
+    literal array indexed by bucket id; Catalyst constant-folds it to
+    one array literal (the qc_frozen weight-array pattern at 128;
+    2048 folds the same way). The row's grams fold in DOUBLE —
+    ``dsir_score`` remains the exact-DECIMAL graded route; this is
+    the scan/streaming convenience, parity-pinned to 1e-9 in tests.
+    ``default_w`` fills buckets absent from the ratio table (never
+    hit when scoring the corpus the ratios were built against; for a
+    foreign corpus pass the smoothed default
+    log((R + B) / (T + B)))."""
+    rows = ratios.collect()
+    dense = [float(default_w)] * buckets
+    for r in rows:
+        dense[int(r["__b"])] = float(r["w"])
+    arr = F.array(*[F.lit(w) for w in dense])
+    grams = dsir_grams(text)
+    return F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(arr, (_md5_long(g) % F.lit(buckets) + 1).cast("int")),
     )

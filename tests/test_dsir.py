@@ -97,3 +97,88 @@ def test_dsir_guards_and_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_score_expr_matches_exact_route(spark):
+    """The scan-stage expression scorer equals the exact-DECIMAL
+    groupBy route to float tolerance — batch AND through a stream."""
+    from globalweather_etl_spark.operators.dsir import dsir_score_expr
+
+    target = spark.createDataFrame(
+        [Row(text="alpha beta gamma"), Row(text="alpha alpha beta")]
+    )
+    raw = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                ["alpha beta", "delta epsilon zeta", "beta gamma alpha"]
+            )
+        ]
+    )
+    ratios = dsir_log_ratios(target, raw, "text", buckets=B)
+    exact = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_score(raw, ratios, "text", "doc_id", buckets=B)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+
+    expr = dsir_score_expr(ratios, F.col("text"), buckets=B)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in raw.select("doc_id", expr.alias("s")).collect()
+    }
+    for k, v in exact.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_dsir_score_expr_streams(spark, tmp_path):
+    """Stateless per-row scoring works unchanged on a stream (the
+    streaming curation scorer) — drained scores equal the batch."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.dsir import dsir_score_expr
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                ["the quick fox", "spam spam spam", "the lazy dog",
+                 "quick dog fox the"]
+            )
+        ]
+    )
+    landing = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(landing)
+    batch = spark.read.parquet(landing)
+    ratios = dsir_log_ratios(
+        batch.filter(F.col("doc_id") % 2 == 0),
+        batch,
+        "text",
+        buckets=B,
+    )
+    expr = dsir_score_expr(ratios, F.col("text"), buckets=B)
+    want = {
+        r["doc_id"]: r["s"]
+        for r in batch.select("doc_id", expr.alias("s")).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(landing)
+        .select("doc_id", expr.alias("s"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in spark.table("t_dsir_stream").collect()
+    }
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
