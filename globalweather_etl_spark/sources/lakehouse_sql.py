@@ -17,6 +17,11 @@ these tables live at filesystem roots, not in a metastore):
   RESTORE '<path>' TO VERSION AS OF <v>
   CREATE TABLE '<dest>' CLONE '<src>' [VERSION AS OF <v>]
   DESCRIBE HISTORY '<path>'
+  DESCRIBE DETAIL '<path>' [VERSION AS OF <v> | VERSION AS OF '<tag>']
+      — metadata-only detail dict (version, mode, n_files, n_rows,
+      stored_form inline/flat-sidecar/tree/delta, clustering spec,
+      tags pinning the version, committed_at); never decodes a tree
+      checkpoint's listing
   ALTER TABLE '<path>' ADD COLUMN <name> <ddl-type>
   ALTER TABLE '<path>' DROP COLUMN <name>
   ALTER TABLE '<path>' CREATE TAG <name> [VERSION AS OF <v>]
@@ -36,7 +41,8 @@ these tables live at filesystem roots, not in a metastore):
   SELECT ... FROM '<path>' [VERSION AS OF <v> | VERSION AS OF '<tag>'
       | TIMESTAMP AS OF '<ts>'] [AS alias] ...
   SELECT ... FROM CHANGES('<path>', <since>[, <to>], KEY (k1, ...))
-      — the op-tagged CDC feed (read_changes) as a table function
+      — the op-tagged CDC feed (read_changes) as a table function;
+      <since>/<to> are versions or TIMESTAMP '<ts>' (version_asof)
   SELECT ... FROM GEO_RADIUS_JOIN(<tbl> (lx, ly), <tbl> (rx, ry),
       RADIUS <n> [, CELL <n>])
       — spatial radius join (operators/geo.planar_radius_join) as a
@@ -119,6 +125,11 @@ _DELETE = re.compile(
 _HISTORY = re.compile(
     rf"^DESCRIBE HISTORY {_PATH}$", re.IGNORECASE
 )
+_DETAIL = re.compile(
+    rf"^DESCRIBE DETAIL {_PATH}"
+    r"(?: VERSION AS OF (?:(?P<v>\d+)|'(?P<vtag>[^']+)'))?$",
+    re.IGNORECASE,
+)
 _ALTER = re.compile(
     rf"^ALTER TABLE {_PATH} "
     r"(?:ADD COLUMN (?P<add>\w+) (?P<type>.+)"
@@ -153,10 +164,14 @@ _TRAVEL = re.compile(
 # CHANGES('<path>', <since>[, <to>], KEY (k1, k2)) — the op-tagged
 # CDC feed (SnapshotTable.read_changes) as a table function; KEY
 # names the diff key (this feed derives changes by keyed diff — it
-# is not a stored change log)
+# is not a stored change log). Bounds are version numbers or
+# TIMESTAMP '<ts>' (resolved via version_asof: the table state AT
+# that wall-clock instant, Snowflake's CHANGES ... AT(TIMESTAMP))
+_CHG_BOUND = r"(?:\d+|TIMESTAMP\s+'[^']+')"
 _CHANGES = re.compile(
-    r"CHANGES\(\s*'(?P<path>[^']+)'\s*,\s*(?P<lo>\d+)"
-    r"(?:\s*,\s*(?P<hi>\d+))?\s*,\s*KEY\s*\((?P<keys>[^)]+)\)\s*\)",
+    rf"CHANGES\(\s*'(?P<path>[^']+)'\s*,\s*(?P<lo>{_CHG_BOUND})"
+    rf"(?:\s*,\s*(?P<hi>{_CHG_BOUND}))?"
+    r"\s*,\s*KEY\s*\((?P<keys>[^)]+)\)\s*\)",
     re.IGNORECASE,
 )
 _ON_EQ = re.compile(r"^(?:\w+\.)?(?P<l>\w+)\s*=\s*(?:\w+\.)?(?P<r>\w+)$")
@@ -291,10 +306,21 @@ def _travel_rewrite(
                 "table root (no committed _manifests)"
             )
         t = SnapshotTable(spark, tm.group("path"))
+
+        def _bound(text_b: str | None) -> int | None:
+            if text_b is None:
+                return None
+            if text_b.isdigit():
+                return int(text_b)
+            ts = re.match(
+                r"(?is)^TIMESTAMP\s+'([^']+)'$", text_b
+            ).group(1)
+            return t.version_asof(_to_unix(ts))
+
         df = t.read_changes(
-            int(tm.group("lo")),
+            _bound(tm.group("lo")),
             [k.strip() for k in tm.group("keys").split(",")],
-            version=int(tm.group("hi")) if tm.group("hi") else None,
+            version=_bound(tm.group("hi")),
         )
         view = f"__chg_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
@@ -557,6 +583,57 @@ def lakehouse_sql(spark: SparkSession, statement: str):
             [(h.version, h.mode, h.n_files, h.n_rows) for h in hist],
             "version int, mode string, n_files int, n_rows long",
         )
+
+    m = _DETAIL.match(stmt)
+    if m:
+        # METADATA-ONLY table detail (Delta's DESCRIBE DETAIL): one
+        # raw-manifest read — n_files comes from the stored n_files
+        # (tree/flat checkpoints) or the inline listing length; the
+        # listing is never decoded for a tree, so this is O(1) at any
+        # file count
+        t = SnapshotTable(spark, m.group("path"))
+        v = t._read_version(
+            int(m.group("v"))
+            if m.group("v")
+            else (m.group("vtag") or None)
+        )
+        if v is None:
+            raise ValueError(f"no commits yet at {t.path}")
+        raw = t._raw_manifest(v)
+        if raw.get("delta"):
+            # a delta head needs its chain resolved anyway (n_files
+            # is not stored on deltas); checkpoints below stay raw
+            resolved = t._manifest(v)
+            n_files = len(resolved["files"])
+            form = "delta"
+            mcl = resolved.get("clustering")
+        else:
+            n_files = raw.get("n_files") or len(raw.get("files", ()))
+            form = (
+                "tree"
+                if raw.get("files_tree")
+                else ("flat-sidecar" if raw.get("files_ext") else "inline")
+            )
+            mcl = raw.get("clustering")
+        cl = (
+            {k: v2 for k, v2 in mcl.items() if k != "files"}
+            if mcl is not None
+            else None
+        )
+        return {
+            "version": v,
+            "mode": raw.get("mode"),
+            "n_files": int(n_files),
+            "n_rows": int(raw["n_rows"]),
+            "stored_form": form,
+            "clustering": cl,
+            "tags": {
+                name: tv
+                for name, tv in t.tags().items()
+                if tv == v
+            },
+            "committed_at": raw.get("committed_at"),
+        }
 
     m = _ALTER.match(stmt)
     if m:

@@ -820,3 +820,80 @@ def test_merge_column_level_set(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET bal = 1, bal = 2",
         )
     spark.catalog.dropTempView("set_src")
+
+
+def test_describe_detail_and_changes_timestamps(spark, tmp_path):
+    """DESCRIBE DETAIL is metadata-only (raw manifest; tree listings
+    never decode), and CHANGES() accepts TIMESTAMP bounds resolved
+    via version_asof."""
+    import time as _time
+
+    t = _seed(spark, str(tmp_path / "t"), n=40)
+    ts_after_v1 = _time.time()
+    _time.sleep(0.05)
+    t.merge_into(
+        spark.createDataFrame(
+            [(2, 1, 9.0), (999, 0, 1.0)], "k long, g long, val double"
+        ),
+        ["k"],
+    )
+    d = lakehouse_sql(spark, f"DESCRIBE DETAIL '{t.path}'")
+    assert d["version"] == 2 and d["n_rows"] == 41
+    assert d["stored_form"] in ("inline", "flat-sidecar", "tree", "delta")
+    assert d["n_files"] >= 1 and d["tags"] == {}
+    t.create_tag("pin", version=1)
+    d1 = lakehouse_sql(
+        spark, f"DESCRIBE DETAIL '{t.path}' VERSION AS OF 1"
+    )
+    assert d1["version"] == 1 and d1["n_rows"] == 40
+    assert d1["tags"] == {"pin": 1}
+    dtag = lakehouse_sql(
+        spark, f"DESCRIBE DETAIL '{t.path}' VERSION AS OF 'pin'"
+    )
+    assert dtag == d1
+
+    # TIMESTAMP bound == the version bound it resolves to
+    want = lakehouse_sql(
+        spark,
+        f"SELECT sum(__op) AS net FROM CHANGES('{t.path}', 1, 2, "
+        "KEY (k))",
+    ).collect()[0]["net"]
+    got = lakehouse_sql(
+        spark,
+        f"SELECT sum(__op) AS net FROM CHANGES('{t.path}', "
+        f"TIMESTAMP '{ts_after_v1}', 2, KEY (k))",
+    ).collect()[0]["net"]
+    assert got == want == 1
+
+    # DETAIL on a TREE table reads zero group sidecars
+    tt = SnapshotTable(
+        spark, str(tmp_path / "tree"),
+        files_ext_threshold=1, files_tree_threshold=1,
+        files_tree_group=2, checkpoint_interval=1,
+    )
+    for i in range(5):
+        tt.write(
+            spark.createDataFrame(
+                [(i, 0, float(i))], "k long, g long, val double"
+            ).coalesce(1),
+            mode="append",
+        )
+    reads = []
+    orig = tt._read_bytes
+    tt._read_bytes = lambda p: (reads.append(p.toString()) or orig(p))
+    try:
+        dt = lakehouse_sql(spark, f"DESCRIBE DETAIL '{tt.path}'")
+    finally:
+        tt._read_bytes = orig
+    assert dt["stored_form"] == "tree" and dt["n_files"] == 5
+    # the instrumented handle is not the one lakehouse_sql builds, so
+    # assert via a direct call too
+    reads2 = []
+    orig2 = tt._read_bytes
+    tt._read_bytes = lambda p: (reads2.append(p.toString()) or orig2(p))
+    try:
+        raw = tt._raw_manifest(5)
+        assert raw.get("files_tree") and raw["n_files"] == 5
+    finally:
+        tt._read_bytes = orig2
+    assert not [p for p in reads2 if "files-v" in p]
