@@ -166,7 +166,7 @@ KEY_MAP = {
     "lakehouse_txn": "sources/catalog.py multi-table atomic transactions (no SQL oracle by nature: cross-table publish semantics; atomicity/crash tests in tests/test_catalog.py) — seed txn + parallel rebuild txn + consistent pin + cross-table join read",
     "snapshot_stream_drain": "streaming/snapshot_source.py (no SQL oracle by nature: offset/replay semantics; parity tests in tests/test_snapshot_source.py) — 8 commits, catch-up drain + one tail drain",
     "geo_join": "tpch_scalar_checks geo_*/geo_knn_* graded shapes (grid-blocked radius join + radius-bounded kNN over md5-derived microdegree points; round 11)",
-    "geo_sphere_knn": "tpch_scalar_checks geo_sph_*/geo_knnc_* graded shapes (spherical radius join in km via over-approximate planar window + haversine verify; expanding-ring COMPLETE kNN; round 12 — new key, not in the r1 board)",
+    "geo_sphere_knn": "tpch_scalar_checks geo_sph_*/geo_knnc_*/geo_pip_* graded shapes (spherical radius join in km via over-approximate planar window + haversine verify; expanding-ring COMPLETE kNN; bbox-blocked point-in-polygon containment; round 12 — new key, not in the r1 board)",
 }
 
 
@@ -1012,6 +1012,40 @@ def main() -> None:
                     ga, gb, k=3, initial_radius=4_000_000,
                     left_id="a_id", left_cols=("ax", "ay"),
                     right_cols=("bx", "by"), right_id="b_id",
+                ).write.format("noop").mode("overwrite").save()
+
+                # ... and the point-in-polygon containment join
+                # (geo_pip_* graded shape: 20 md5-derived 5-gons,
+                # bbox grid blocking + integer even-odd fold)
+                from globalweather_etl_spark.operators.geo import (
+                    planar_point_in_polygon_join,
+                )
+
+                def _pgc(tag_c, tag_v, mod, i):
+                    return (
+                        _md5_long(F.concat_ws("", F.lit(tag_c), F.col("id")))
+                        % F.lit(mod)
+                        + _md5_long(
+                            F.concat_ws(
+                                "", F.lit(tag_v), F.col("id"), F.lit(":"), i
+                            )
+                        )
+                        % F.lit(60_000_001)
+                        - F.lit(30_000_000)
+                    )
+
+                pg = spark.range(20).select(
+                    F.col("id").alias("pg_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(4)),
+                        lambda i: F.struct(
+                            _pgc("pgx:", "pvx:", 180_000_000, i).alias("x"),
+                            _pgc("pgy:", "pvy:", 360_000_000, i).alias("y"),
+                        ),
+                    ).alias("vertices"),
+                )
+                planar_point_in_polygon_join(
+                    ga, pg, "a_id", "pg_id", point_cols=("ax", "ay")
                 ).write.format("noop").mode("overwrite").save()
 
             timed("geo_sphere_knn", geo_sphere_knn)

@@ -1016,6 +1016,42 @@ sph_m AS (
   FROM sph_km
   WHERE CAST(round(km, 6) AS DECIMAL(15,6))
     <= CAST(1200.0 AS DOUBLE)),
+-- round 12: point-in-polygon twin — brute-force points x edges with
+-- the division-free integer crossing predicate, parity per pair;
+-- equality with Spark's bbox-blocked codegen fold proves both the
+-- blocking and the even-odd count
+pgv AS (
+  SELECT pg, i,
+    CAST('0x' || substring(md5('pgx:' || CAST(pg AS VARCHAR)),
+      1, 15) AS BIGINT) % 180000000
+    + CAST('0x' || substring(md5('pvx:' || CAST(pg AS VARCHAR)
+      || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 60000001
+    - 30000000 AS vx,
+    CAST('0x' || substring(md5('pgy:' || CAST(pg AS VARCHAR)),
+      1, 15) AS BIGINT) % 360000000
+    + CAST('0x' || substring(md5('pvy:' || CAST(pg AS VARCHAR)
+      || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 60000001
+    - 30000000 AS vy
+  FROM (SELECT unnest(range(20)) AS pg),
+       (SELECT unnest(range(5)) AS i)),
+pge AS (
+  SELECT a.pg, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM pgv a JOIN pgv b ON a.pg = b.pg AND b.i = (a.i + 1) % 5),
+pipc AS (
+  SELECT g.a_id, e.pg
+  FROM geo_a g CROSS JOIN pge e
+  WHERE ((e.y1 > g.ay) <> (e.y2 > g.ay))
+    AND (
+      ((e.y2 > e.y1) AND
+        ((e.x1 - g.ax) * (e.y2 - e.y1)
+         + (g.ay - e.y1) * (e.x2 - e.x1)) > 0)
+      OR ((e.y2 < e.y1) AND
+        ((e.x1 - g.ax) * (e.y2 - e.y1)
+         + (g.ay - e.y1) * (e.x2 - e.x1)) < 0))),
+pipin AS (
+  SELECT a_id, pg FROM (
+    SELECT a_id, pg, count(*) AS c FROM pipc GROUP BY a_id, pg)
+  WHERE c % 2 = 1),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1781,6 +1817,11 @@ UNION ALL SELECT 'geo_sql_pairs', CAST(count(*) AS DOUBLE)
 UNION ALL SELECT 'geo_sql_dist2_digest',
   CAST(sum(dist2 % 2147483647) AS DOUBLE)
   FROM geo_m WHERE dist2 <= CAST(5000000 AS BIGINT) * 5000000
+UNION ALL SELECT 'geo_pip_pairs', CAST(count(*) AS DOUBLE) FROM pipin
+UNION ALL SELECT 'geo_pip_pair_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(pg AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM pipin
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

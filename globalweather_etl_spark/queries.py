@@ -3030,6 +3030,58 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ],
         )
     )
+    # Round 12: POINT-IN-POLYGON containment join (operators/geo.py
+    # planar_point_in_polygon_join — bbox grid blocking + exact
+    # integer even-odd ray casting in one codegen fold). 20 md5-
+    # derived 5-gons over the same microdegree plane; the oracle
+    # brute-forces points x edges and counts crossing parity with the
+    # identical division-free integer predicate, so the hash equality
+    # proves both the blocking and the fold.
+    from globalweather_etl_spark.operators.geo import (
+        planar_point_in_polygon_join,
+    )
+
+    def _pg_coord(tag_c, tag_v, mod, i):
+        return (
+            _h(F.concat_ws("", F.lit(tag_c), F.col("id"))) % F.lit(mod)
+            + _h(
+                F.concat_ws(
+                    "", F.lit(tag_v), F.col("id"), F.lit(":"), i
+                )
+            )
+            % F.lit(60_000_001)
+            - F.lit(30_000_000)
+        )
+
+    pg = spark.range(20).select(
+        F.col("id").alias("pg_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.struct(
+                _pg_coord("pgx:", "pvx:", 180_000_000, i).alias("x"),
+                _pg_coord("pgy:", "pvy:", 360_000_000, i).alias("y"),
+            ),
+        ).alias("vertices"),
+    )
+    pip = planar_point_in_polygon_join(
+        geo_a, pg, "a_id", "pg_id", point_cols=("ax", "ay")
+    )
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            pip.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    _h(F.concat_ws(":", "a_id", "pg_id")) % _dig_p
+                )
+                .cast("double")
+                .alias("pd"),
+            ),
+            [
+                ("geo_pip_pairs", "n"),
+                ("geo_pip_pair_digest", "pd"),
+            ],
+        )
+    )
 
     return (
         set_ops.unionAll(set_ops_all)

