@@ -18,6 +18,7 @@ from globalweather_etl_spark.operators.geo import (
     haversine_km,
     planar_knn_join,
     planar_knn_join_complete,
+    planar_point_in_polygon_join,
     planar_radius_join,
     sphere_radius_join_km,
 )
@@ -195,6 +196,7 @@ __all__ = [
     "holt_winters",
     "planar_knn_join",
     "planar_knn_join_complete",
+    "planar_point_in_polygon_join",
     "planar_radius_join",
     "sphere_radius_join_km",
     "series_monitor",

@@ -57,6 +57,11 @@ these tables live at filesystem roots, not in a metastore):
       (rlat, rlon), KM <r> [, MAXLAT <d>])
       — great-circle radius join in km (sphere_radius_join_km);
       MAXLAT caps |latitude| to keep the longitude window finite
+  SELECT ... FROM GEO_PIP_JOIN(<tbl> <id> (x, y), <tbl> <id>
+      (<vertices-col>) [, CELL <n>])
+      — point-in-polygon containment join
+      (planar_point_in_polygon_join); the polygon operand names its
+      array<struct<x,y>> vertex column
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -192,6 +197,18 @@ _GEO_RJ = re.compile(
     rf"{_geo_tbl('r')}\s*"
     r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
     r"RADIUS\s+(?P<radius>\d+)"
+    r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+# GEO_PIP_JOIN(points pid (x, y), polygons gid (vertices) [, CELL n])
+# — point-in-polygon containment join
+# (geo.planar_point_in_polygon_join); `vertices` names the
+# array<struct<x,y>> polygon column
+_GEO_PIP = re.compile(
+    rf"GEO_PIP_JOIN\(\s*{_geo_tbl('l')}\s+(?P<pid>\w+)\s*"
+    r"\(\s*(?P<lx>\w+)\s*,\s*(?P<ly>\w+)\s*\)\s*,\s*"
+    rf"{_geo_tbl('r')}\s+(?P<gid>\w+)\s*"
+    r"\(\s*(?P<vcol>\w+)\s*\)"
     r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
     re.IGNORECASE,
 )
@@ -411,8 +428,26 @@ def _travel_rewrite(
             )
         )
 
+    def _sub_geo_pip(tm: re.Match) -> str:
+        from globalweather_etl_spark.operators.geo import (
+            planar_point_in_polygon_join,
+        )
+
+        return _geo_view(
+            planar_point_in_polygon_join(
+                _geo_side(tm, "l"),
+                _geo_side(tm, "r"),
+                tm.group("pid"),
+                tm.group("gid"),
+                point_cols=(tm.group("lx"), tm.group("ly")),
+                polygon_col=tm.group("vcol"),
+                cell=int(tm.group("cell")) if tm.group("cell") else None,
+            )
+        )
+
     # GEO substitutions must run BEFORE the travel rewrite: _TRAVEL
     # matches any quoted path, including one inside GEO_*(...) args
+    text = _GEO_PIP.sub(_sub_geo_pip, text)
     text = _GEO_SPH.sub(_sub_geo_sph, text)
     text = _GEO_KNN.sub(_sub_geo_knn, text)
     text = _GEO_RJ.sub(_sub_geo_rj, text)

@@ -897,3 +897,61 @@ def test_describe_detail_and_changes_timestamps(spark, tmp_path):
     finally:
         tt._read_bytes = orig2
     assert not [p for p in reads2 if "files-v" in p]
+
+
+def test_geo_pip_sql_parity(spark):
+    """GEO_PIP_JOIN parity vs the DataFrame form."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    from globalweather_etl_spark.operators.geo import (
+        planar_point_in_polygon_join,
+    )
+
+    pts = spark.createDataFrame(
+        [Row(id=i, x=(i * 13) % 40, y=(i * 7) % 40) for i in range(50)]
+    )
+    schema = StructType(
+        [
+            StructField("pg_id", LongType()),
+            StructField(
+                "vertices",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("x", LongType()),
+                            StructField("y", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    polys = spark.createDataFrame(
+        [
+            (0, [(0, 0), (20, 0), (20, 20), (0, 20)]),
+            (1, [(10, 10), (35, 12), (22, 38)]),
+        ],
+        schema,
+    )
+    pts.createOrReplaceTempView("pip_l")
+    polys.createOrReplaceTempView("pip_r")
+    want = sorted(
+        (r["id"], r["pg_id"])
+        for r in planar_point_in_polygon_join(
+            pts, polys, "id", "pg_id"
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["pg_id"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT id, pg_id FROM GEO_PIP_JOIN(pip_l id (x, y), "
+            "pip_r pg_id (vertices))",
+        ).collect()
+    )
+    assert got == want and want
+    spark.catalog.dropTempView("pip_l")
+    spark.catalog.dropTempView("pip_r")
