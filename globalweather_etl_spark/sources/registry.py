@@ -55,8 +55,10 @@ _RELATION_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
 ) -> DataFrame:
-    """Read one landing-zone table. Aside from the nanos-timestamp repair
-    above, no schema munging — pushdown/pruning reach the scan untouched.
+    """Read one landing-zone table (memoized per (session, path) under an immutable-path assumption — pass refresh=True after rewriting a landing path).
+
+    Aside from the nanos-timestamp repair above, no schema munging —
+    pushdown/pruning reach the scan untouched.
 
     Resolved relations are memoized per (session, path) — the
     landing zone is immutable input data, and re-resolving parquet
