@@ -623,12 +623,37 @@ class SnapshotTable:
         slices = [files[i:i + g] for i in range(0, len(files), g)]
         sides = []
         groups = []
+        targets = []
         for i, sl in enumerate(slices):
             gname = _tree_group_name(name, i)
             gp = self._p(f"{self.path}/{_MANIFEST_DIR}/{gname}")
-            self._write_bytes(_files_to_parquet_bytes(sl), gp)
             sides.append(gp)
             groups.append((gname, len(sl)))
+            targets.append((gp, sl))
+        # group sidecars are independent files: on a local root write
+        # them through a small thread pool (pyarrow encode and file
+        # I/O both release the GIL) — at 500k files / ~250 groups the
+        # serial create-per-group otherwise dominates checkpoint
+        # publish. Non-local roots stay serial: _write_bytes there
+        # rides a py4j stream per call, and interleaving those buys
+        # little while adding connection churn. Any write error
+        # propagates (futures re-raise), and a failed publish's
+        # orphans are swept by vacuum like every crashed writer's.
+        if len(targets) > 4 and self._local_of(targets[0][0]) is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(
+                    pool.map(
+                        lambda t: self._write_bytes(
+                            _files_to_parquet_bytes(t[1]), t[0]
+                        ),
+                        targets,
+                    )
+                )
+        else:
+            for gp, sl in targets:
+                self._write_bytes(_files_to_parquet_bytes(sl), gp)
         stamps = self._group_stamps(slices)
         lp = self._p(f"{self.path}/{_MANIFEST_DIR}/{name}")
         self._write_bytes(_tree_list_bytes(groups, stamps), lp)
