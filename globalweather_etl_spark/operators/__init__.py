@@ -14,6 +14,13 @@ from globalweather_etl_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from globalweather_etl_spark.operators.dsir import (
+    dsir_grams,
+    dsir_log_ratios,
+    dsir_resample_topk,
+    dsir_score,
+    dsir_score_expr,
+)
 from globalweather_etl_spark.operators.geo import (
     haversine_km,
     planar_knn_join,
@@ -192,6 +199,11 @@ from globalweather_etl_spark.operators.quality_classifier import (
 
 __all__ = [
     "array_median",
+    "dsir_grams",
+    "dsir_log_ratios",
+    "dsir_resample_topk",
+    "dsir_score",
+    "dsir_score_expr",
     "haversine_km",
     "holt_winters",
     "planar_knn_join",

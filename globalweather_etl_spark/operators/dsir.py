@@ -50,6 +50,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_score",
     "dsir_score_expr",
+    "dsir_resample_topk",
 ]
 
 
@@ -165,4 +166,55 @@ def dsir_score_expr(
         F.lit(0.0),
         lambda acc, g: acc
         + F.element_at(arr, (_md5_long(g) % F.lit(buckets) + 1).cast("int")),
+    )
+
+
+def dsir_resample_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+    logw_col: str = "dsir_logw",
+) -> DataFrame:
+    """The faithful DSIR resample: k documents WITHOUT replacement
+    with probability proportional to exp(log-weight), via the
+    Gumbel-max trick — key_i = logw_i + Gumbel(0,1)_i, take the k
+    largest (exactly equivalent to sequential weighted sampling
+    without replacement; Vieira 2014, public). The Gumbel noise is
+    deterministic: u_i derives from the md5 of (id, seed) — the
+    package-wide reproducible-sampling recipe — so the draw is stable
+    across runs, partitionings, and retries.
+
+    Returns the selected rows plus ``gumbel_key``. Scale: one
+    TakeOrderedAndProject (per-partition top-k then merge), never a
+    global sort. Ties cannot occur in practice (keys are continuous);
+    id breaks any residual tie deterministically."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # u in (0, 1): 13 md5 hex chars -> uniform over 2^52 lattice,
+    # +0.5 offset keeps u strictly inside the open interval
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col(id_col), F.lit(f"dsir:{seed}")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 52))
+    )
+    key = F.col(logw_col) + (-F.log(-F.log(u)))
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), id_col)
+        .limit(k)
     )

@@ -182,3 +182,38 @@ def test_dsir_score_expr_streams(spark, tmp_path):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_dsir_resample_topk_gumbel(spark):
+    """Gumbel top-k: deterministic across runs, selection frequency
+    tracks exp(logw) across seeds, plan uses TakeOrdered (never a
+    global sort), and k >= n returns everything."""
+    from pyspark.sql import functions as F
+
+    from globalweather_etl_spark.operators.dsir import (
+        dsir_resample_topk,
+    )
+
+    scored = spark.createDataFrame(
+        [Row(doc_id=i, dsir_logw=(2.5 if i < 4 else -2.5))
+         for i in range(40)]
+    )
+    one = dsir_resample_topk(scored, 8, "doc_id", seed=3)
+    again = dsir_resample_topk(scored, 8, "doc_id", seed=3)
+    assert sorted(r["doc_id"] for r in one.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # heavy docs (logw=2.5, weight e^5 ~ 148x the light ones) should
+    # dominate selections across seeds
+    heavy = 0
+    for s in range(30):
+        sel = dsir_resample_topk(scored, 4, "doc_id", seed=s).collect()
+        heavy += sum(1 for r in sel if r["doc_id"] < 4)
+    assert heavy >= 0.8 * 30 * 4  # ~all four heavies nearly always
+
+    assert dsir_resample_topk(scored, 100, "doc_id").count() == 40
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_resample_topk(scored, 0, "doc_id")
