@@ -477,14 +477,19 @@ def _travel_rewrite(
 def _split_assignments(text: str) -> dict[str, str]:
     """``a = expr, b = expr`` -> {col: expr}, splitting on TOP-LEVEL
     commas only (expressions may contain commas inside parens, e.g.
-    greatest(t.a, s.b))."""
-    parts, depth, buf = [], 0, []
+    greatest(t.a, s.b), or inside single-quoted string literals,
+    e.g. concat(t.v, ',x') — quoted text never counts as structure;
+    SQL's '' escape is handled because each quote just toggles)."""
+    parts, depth, buf, in_str = [], 0, [], False
     for ch in text:
-        if ch in "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(buf))
             buf = []
         else:

@@ -269,6 +269,31 @@ def test_knn_complete_empty_right(spark):
     assert "knn_rank" in out.columns
 
 
+def test_knn_complete_explicit_cell_survives_escalation(spark):
+    """Regression (r13 ADVICE): an explicit ``cell`` used to be
+    forwarded unchanged into every escalation round, so the moment the
+    radius grew past it planar_radius_join raised 'cell must be >=
+    radius'.  The caller's cell must apply only while it still covers
+    the radius; later rounds re-derive the tightest grid."""
+    from globalweather_etl_spark.operators.geo import (
+        planar_knn_join_complete,
+    )
+
+    # loner far from the blob => escalation guaranteed past round 1
+    A = [(0, 0), (1, 1), (500_000, 500_000)]
+    B = [(2, 2), (3, 0), (0, 3)]
+    a = _pts(spark, A)
+    b = _pts(spark, B, xc="bx", yc="by").withColumnRenamed("id", "bid")
+    got = planar_knn_join_complete(
+        a, b, k=2, initial_radius=10, left_id="id",
+        left_cols=("x", "y"), right_cols=("bx", "by"),
+        cell=10, right_id="bid",  # == initial_radius: crashed pre-fix
+    ).collect()
+    assert sorted(
+        (r["id"], r["bid"], r["dist2"], r["knn_rank"]) for r in got
+    ) == _brute_knn(A, B, 2)
+
+
 # ------------------------- spherical radius join in km (round 12)
 
 
@@ -497,6 +522,196 @@ def test_pip_join_plan_no_cartesian(spark):
     b = _poly_df(spark, [[(0, 0), (4, 0), (4, 4), (0, 4)]])
     plan = (
         planar_point_in_polygon_join(a, b, "id", "pg_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------- geodesic point-in-polygon (round 13)
+
+
+def _geo_poly_df(spark, polys):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("gpg_id", LongType()),
+            StructField(
+                "vertices",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("lat", DoubleType()),
+                            StructField("lon", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (j, [(float(la), float(lo)) for la, lo in p])
+            for j, p in enumerate(polys)
+        ],
+        schema,
+    )
+
+
+def _geo_pts_df(spark, pts):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(id=i, lat=float(la), lon=float(lo))
+            for i, (la, lo) in enumerate(pts)
+        ]
+    )
+
+
+def _udeg(x):
+    # the operator's quantization: round-half-away-from-zero at 1e6
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x * 1e6)).quantize(
+            0, rounding=decimal.ROUND_HALF_UP
+        )
+    ) if x >= 0 else -_udeg(-x)
+
+
+def _py_gpip(plat, plon, poly):
+    """Python twin of the documented convention: -180 -> +180, then
+    microdegree quantization, then the planar even-odd predicate."""
+
+    def q(la, lo):
+        if lo == -180.0:
+            lo = 180.0
+        return (round(la * 1e6), round(lo * 1e6))
+
+    qp = q(plat, plon)
+    ring = [q(la, lo) for la, lo in poly]
+    return _py_pip(qp[0], qp[1], ring)
+
+
+def test_gpip_vs_brute_force(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+
+    rng = random.Random(47)
+    pts = [
+        (rng.uniform(-60, 60), rng.uniform(-179.9, 179.9))
+        for _ in range(150)
+    ]
+    polys = []
+    for _ in range(10):
+        cla, clo = rng.uniform(-50, 50), rng.uniform(-160, 160)
+        polys.append(
+            [
+                (cla + rng.uniform(-8, 8), clo + rng.uniform(-8, 8))
+                for _ in range(5)
+            ]
+        )
+    expect = sorted(
+        (i, j)
+        for i, (la, lo) in enumerate(pts)
+        for j, p in enumerate(polys)
+        if _py_gpip(la, lo, p)
+    )
+    assert expect  # non-degenerate fixture
+    got = sphere_point_in_polygon_join(
+        _geo_pts_df(spark, pts), _geo_poly_df(spark, polys),
+        "id", "gpg_id",
+    )
+    assert sorted((r["id"], r["gpg_id"]) for r in got.collect()) == expect
+    # quantized helper columns are dropped from the output
+    assert set(got.columns) == {"id", "lat", "lon", "gpg_id", "vertices"}
+
+
+def test_gpip_antimeridian_spelling(spark):
+    """A point at lon -180 and a polygon boundary at +180 are the
+    same meridian: the -180 -> +180 normalization makes the match
+    representation-independent."""
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+
+    # square hugging +180 on its east edge; interior point given in
+    # the -180 spelling must still test like its +180 twin
+    poly = [(0.0, 179.0), (0.0, 180.0), (2.0, 180.0), (2.0, 179.0)]
+    pts = [(1.0, 179.5), (1.0, -180.0), (1.0, 179.0)]
+    got = sphere_point_in_polygon_join(
+        _geo_pts_df(spark, pts), _geo_poly_df(spark, [poly]),
+        "id", "gpg_id",
+    ).collect()
+    ids = sorted(r["id"] for r in got)
+    # (1.0, -180) normalizes to +180 = the east BOUNDARY: half-open
+    # even-odd convention decides it exactly as _py_gpip does
+    expect = sorted(
+        i for i, (la, lo) in enumerate(pts) if _py_gpip(la, lo, poly)
+    )
+    assert ids == expect and 0 in ids
+
+
+def test_gpip_guards(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+    import pytest as _pytest
+
+    poly = [(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0)]
+    pts_ok = [(1.0, 1.0)]
+    # polar point past the cap raises IN-PLAN
+    with _pytest.raises(Exception, match="max_abs_lat"):
+        sphere_point_in_polygon_join(
+            _geo_pts_df(spark, [(89.0, 0.0)]),
+            _geo_poly_df(spark, [poly]),
+            "id", "gpg_id",
+        ).collect()
+    # antimeridian-crossing polygon (edge span > cap) raises IN-PLAN
+    cross = [(0.0, 179.0), (0.0, -179.0), (2.0, -179.0), (2.0, 179.0)]
+    with _pytest.raises(Exception, match="pre-split"):
+        sphere_point_in_polygon_join(
+            _geo_pts_df(spark, pts_ok), _geo_poly_df(spark, [cross]),
+            "id", "gpg_id",
+        ).collect()
+    # param guards
+    with _pytest.raises(ValueError, match="max_abs_lat"):
+        sphere_point_in_polygon_join(
+            _geo_pts_df(spark, pts_ok), _geo_poly_df(spark, [poly]),
+            "id", "gpg_id", max_abs_lat=95.0,
+        )
+    # raising the lat cap admits polar data under the documented
+    # convention
+    polar = sphere_point_in_polygon_join(
+        _geo_pts_df(spark, [(89.0, 0.0)]),
+        _geo_poly_df(spark, [[(88.0, -1.0), (88.0, 1.0), (89.5, 1.0),
+                              (89.5, -1.0)]]),
+        "id", "gpg_id", max_abs_lat=90.0,
+    ).collect()
+    assert [r["id"] for r in polar] == [0]
+
+
+def test_gpip_plan_no_cartesian(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+
+    plan = (
+        sphere_point_in_polygon_join(
+            _geo_pts_df(spark, [(1.0, 1.0)]),
+            _geo_poly_df(
+                spark, [[(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0)]]
+            ),
+            "id", "gpg_id",
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -756,6 +756,141 @@ def test_tree_restamp_updates_existing_head(spark, tmp_path):
     ) == [15]
 
 
+# ---------------- stamped DELTA adds (round 13, VERDICT r12 item 1)
+
+
+def test_delta_add_stamps_written_and_prune(spark, tmp_path):
+    """Once zone maps are live, every delta commit's adds carry
+    commit-time footer stamps in the raw manifest, and a range probe
+    through the chain prunes stamped adds instead of keeping every
+    add as an unconditional candidate (the pre-r13 decay)."""
+    t = _tree_table(spark, tmp_path, group=2, interval=1)
+    for i in range(4):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).coalesce(1)
+        t.write(df, mode="overwrite" if i == 0 else "append")
+    t.build_stats(cols=["k"], version=4, method="footer")
+    # deltas on top via a long-interval handle: disjoint k ranges
+    d = _tree_table(spark, tmp_path, group=2, interval=100)
+    for i in range(4, 10):
+        d.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            ).coalesce(1),
+            mode="append",
+        )
+    for v in range(5, 11):
+        raw = _raw(d, v)
+        assert raw.get("delta")
+        st = raw.get("add_stamps")
+        assert st and all("k" in per for per in st.values()), (v, st)
+        for per in st.values():
+            kind, mn, mx, nulls, nr = per["k"]
+            assert kind == "num" and mn is not None and mx >= mn
+            assert nulls == 0 and nr == 10
+    # stats are per-version: carry v4's sidecar to v10 incrementally
+    d.build_stats(cols=["k"], version=10, method="footer",
+                  incremental=True)
+    cold = _tree_table(spark, tmp_path, group=2, interval=100)
+    reads = []
+    orig = cold._read_bytes
+    cold._read_bytes = lambda p: (reads.append(p.toString()) or orig(p))
+    try:
+        got = cold.files_for_range("k", 15, 15, 10)
+    finally:
+        cold._read_bytes = orig
+    # one group decoded from the base tree; every stamped delta add is
+    # disjoint from [15, 15] and pruned at replay
+    assert len(got) == 1, got
+    group_reads = [p for p in reads if "-g" in os.path.basename(p)]
+    assert len(group_reads) == 1, group_reads
+    # a probe that hits a delta add keeps exactly that add
+    got2 = cold.files_for_range("k", 75, 75, 10)
+    assert len(got2) == 1, got2
+    # end-to-end reads agree
+    assert sorted(
+        r["k"] for r in cold.read_range("k", 15, 15, 10).collect()
+    ) == [15]
+    assert sorted(
+        r["k"] for r in cold.read_range("k", 75, 75, 10).collect()
+    ) == [75]
+    assert cold.read_range("k", 200, 300, 10).count() == 0
+
+
+def test_delta_add_stamps_all_null_and_absent_stats(spark, tmp_path):
+    """An all-NULL add prunes for any range (a range never matches
+    NULL); a table with NO stats writes no stamps at all — adds stay
+    conservative candidates and nothing changes shape."""
+    t = _tree_table(spark, tmp_path, group=2, interval=1)
+    for i in range(3):
+        t.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            ).coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    # no stats yet: delta adds carry no stamps
+    d = _tree_table(spark, tmp_path, group=2, interval=100)
+    d.write(_df(spark, [(99, "x")]).coalesce(1), mode="append")
+    assert _raw(d, 4).get("delta")
+    assert "add_stamps" not in _raw(d, 4)
+    t.build_stats(cols=["k"], version=4, method="footer")
+    # all-NULL k add
+    d.write(
+        spark.createDataFrame(
+            [(None, "n")], "k long, v string"
+        ).coalesce(1),
+        mode="append",
+    )
+    raw5 = _raw(d, 5)
+    assert raw5.get("delta")
+    (per,) = raw5["add_stamps"].values()
+    kind, mn, mx, nulls, nr = per["k"]
+    assert mn is None and nulls == nr == 1
+    d.build_stats(cols=["k"], version=5, method="footer",
+                  incremental=True)
+    cold = _tree_table(spark, tmp_path, group=2, interval=100)
+    got = cold.files_for_range("k", 0, 1000, 5)
+    # base files + the unstamped v4 add survive; the all-NULL add is
+    # pruned for ANY range
+    assert len(got) == 4, got
+    assert sorted(
+        r["k"] for r in cold.read_range("k", 99, 99, 5).collect()
+    ) == [99]
+
+
+def test_delta_add_stamps_dropped_on_vacuum_rewrite(spark, tmp_path):
+    """Vacuum's kept-delta-whose-parent-drops rewrite stores the
+    resolved FULL form — stamps go with the delta encoding, and reads
+    and probes stay correct through the rewrite."""
+    t = _tree_table(spark, tmp_path, group=2, interval=1)
+    for i in range(3):
+        t.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            ).coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    t.build_stats(cols=["k"], version=3, method="footer")
+    d = _tree_table(spark, tmp_path, group=2, interval=100)
+    d.write(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).coalesce(1),
+        mode="append",
+    )
+    assert _raw(d, 4).get("delta") and _raw(d, 4).get("add_stamps")
+    d.vacuum(keep_last=1, unreferenced_grace=0.0)
+    raw = _raw(d, 4)
+    assert not raw.get("delta") and "add_stamps" not in raw
+    cold = _tree_table(spark, tmp_path, group=2, interval=100)
+    assert cold.read().count() == 40
+    assert sorted(
+        r["k"] for r in cold.read_range("k", 105, 105, 4).collect()
+    ) == [105]
+
+
 @pytest.mark.parametrize("seed", [13, 41])
 def test_tree_fuzz_matches_inline_twin(spark, tmp_path, seed):
     """Format fuzz for the manifest tree: a random verb sequence

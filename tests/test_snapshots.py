@@ -1608,6 +1608,27 @@ class TestTags:
         with pytest.raises(ValueError, match="already exists"):
             table.create_tag("rc")
 
+    def test_orphaned_tag_lock_reclaimable(self, spark, table):
+        """Regression (r13 ADVICE): a writer crashing between the lock
+        create and the rename leaves tag-<name>.json.lock with no tag
+        file — create_tag then refused forever and delete_tag refused
+        too ('no tag'), so the name was permanently dead.  delete_tag
+        must treat a lock-without-tag as an orphan and drop it."""
+        import os
+
+        table.write(_df(spark, [(1, "a")]))
+        mdir = os.path.join(str(table.path), "_manifests")
+        # simulate the crash: lock exists, tag file does not
+        open(os.path.join(mdir, "tag-dead.json.lock"), "w").close()
+        with pytest.raises(ValueError, match="already exists"):
+            table.create_tag("dead")
+        table.delete_tag("dead")  # reclaims the orphan
+        assert table.create_tag("dead", version=1) == 1
+        assert table.tag_version("dead") == 1
+        # a truly absent name still errors
+        with pytest.raises(ValueError, match="no tag"):
+            table.delete_tag("never-existed")
+
     def test_vacuum_keeps_tagged_versions(self, spark, table):
         for i in range(6):
             table.write(_df(spark, [(i, "x")]), mode="append")

@@ -207,6 +207,72 @@ def run(spark, n_files: int, n_parts: int, group: int) -> dict:
     # the unstamped add is always a candidate
     assert len(cand2) == files_per_part + 1
 
+    # ---- 200 STAMPED delta commits on top (round 13, VERDICT r12
+    # item 1): adds carrying commit-time footer stamps must prune at
+    # replay, so the cold one-partition probe stays <1% decoded no
+    # matter how long the delta chain grows. Synthetic like the rest
+    # of the rehearsal: the data files don't exist, so the stamps are
+    # injected through the same _add_stamps hook the real footer path
+    # uses (shape-identical stamp records, k disjoint from the probed
+    # partition).
+    n_deltas, adds_per = 200, 3
+    syn = {}
+
+    def _syn_stamps(raw):
+        return {
+            f: {"k": syn[f]} for f in raw.get("adds", ()) if f in syn
+        }
+
+    # a LONG-interval handle: the scenario is hundreds of deltas
+    # BETWEEN checkpoints (t's interval=16 would fold the chain into
+    # fresh tree checkpoints every 16 commits)
+    tchain = SnapshotTable(
+        spark, root,
+        checkpoint_interval=10**9,
+        files_ext_threshold=1,
+        files_tree_threshold=1,
+        files_tree_group=group,
+    )
+    tchain._add_stamps = _syn_stamps
+    prev_files = list(m2["files"])
+    prev_rows = m2["n_rows"]
+    v = 2
+    for i in range(n_deltas):
+        adds = [
+            f"data/delta-{i:05d}-{j}.snappy.parquet"
+            for j in range(adds_per)
+        ]
+        for f in adds:
+            lo = 2_000_000 + i * 1000
+            syn[f] = ["num", float(lo), float(lo + 999), 0, 1000]
+        v += 1
+        prev_files = prev_files + adds
+        prev_rows += 1000 * adds_per
+        mv = {
+            "version": v, "parent": v - 1, "mode": "append",
+            "schema": _SCHEMA, "files": prev_files, "n_rows": prev_rows,
+        }
+        assert tchain._publish_manifest(mv, v, delta_hint=(adds, []))
+    # per-version stats sidecar for the probe head (same carry the
+    # incremental build does); chain adds have no rows and rely
+    # purely on their add_stamps
+    shutil.copy(
+        os.path.join(mdir, "stats-v00000001.parquet"),
+        os.path.join(mdir, f"stats-v{v:08d}.parquet"),
+    )
+    meta2["version"] = v
+    meta2["n_files"] = n_files + 1 + n_deltas * adds_per
+    with open(
+        os.path.join(mdir, f"stats-v{v:08d}.meta.json"), "w",
+        encoding="utf-8",
+    ) as f:
+        json.dump(meta2, f, sort_keys=True)
+    cold3 = SnapshotTable(spark, root)
+    cand3, wall3, n_groups3, decoded3 = probe(cold3, v)
+    # every stamped add pruned; only the v2 unstamped add survives
+    assert len(cand3) == files_per_part + 1, len(cand3)
+    assert n_groups3 == n_groups, (n_groups3, n_groups)
+
     return {
         "metric": "manifest_tree_rehearsal",
         "n_files": n_files,
@@ -221,6 +287,13 @@ def run(spark, n_files: int, n_parts: int, group: int) -> dict:
         "decoded_fraction": round(decoded / n_files, 6),
         "probe_through_delta_s": round(wall2, 4),
         "groups_decoded_delta": n_groups2,
+        "n_stamped_deltas": n_deltas,
+        "probe_through_200_deltas_s": round(wall3, 4),
+        "groups_decoded_200_deltas": n_groups3,
+        "decoded_fraction_200_deltas": round(
+            decoded3 / (n_files + 1 + n_deltas * adds_per), 6
+        ),
+        "candidates_200_deltas": len(cand3),
     }
 
 

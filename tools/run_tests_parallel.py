@@ -102,6 +102,9 @@ def main() -> int:
             f"{loads[i]:.0f}s -> /tmp/gw_suite_{i}.log"
         )
     rc = 0
+    import re as _re
+
+    ran = 0
     for i, p, log in procs:
         p.wait()
         log.close()
@@ -112,8 +115,44 @@ def main() -> int:
             ]
         status = "OK" if p.returncode == 0 else f"FAIL rc={p.returncode}"
         print(f"[bucket {i}] {status}  {'; '.join(tail[-1:])}")
+        for ln in tail[-1:]:
+            ran += sum(
+                int(n)
+                for n, _w in _re.findall(
+                    r"(\d+) (passed|failed|skipped|error"
+                    r"|xfailed|xpassed)", ln
+                )
+            )
         if p.returncode != 0:
             rc = 1
+    # coverage equality vs the canonical serial run: the buckets
+    # partition test FILES, so the union must collect exactly the IDs
+    # `pytest tests/` collects — assert it so a bucketing bug can
+    # never silently drop a file (VERDICT r12 item 5). Only when the
+    # whole suite ran (no extra pytest args like -k).
+    if not args.rest:
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "--collect-only", "-q",
+                "-p", "no:cacheprovider", os.path.join(root, "tests"),
+            ],
+            cwd=root, capture_output=True, text=True,
+        )
+        m = _re.search(
+            r"(\d+) tests collected", out.stdout
+        ) or _re.search(r"(\d+)/\d+ tests collected", out.stdout)
+        if m:
+            collected = int(m.group(1))
+            ok = ran == collected
+            print(
+                f"coverage: ran {ran} vs serial-collected {collected} "
+                f"-> {'MATCH' if ok else 'MISMATCH'}"
+            )
+            if not ok:
+                rc = rc or 3
+        else:
+            print("coverage: could not parse collect-only output")
+            rc = rc or 3
     print(f"wall: {time.time() - t0:.0f}s, exit {rc}")
     return rc
 
