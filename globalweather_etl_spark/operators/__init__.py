@@ -28,6 +28,7 @@ from globalweather_etl_spark.operators.geo import (
     planar_point_in_polygon_join,
     sphere_point_in_polygon_join,
     planar_radius_join,
+    sphere_knn_join_km,
     sphere_radius_join_km,
 )
 from globalweather_etl_spark.operators.timeseries import (
@@ -216,6 +217,7 @@ __all__ = [
     "planar_point_in_polygon_join",
     "sphere_point_in_polygon_join",
     "planar_radius_join",
+    "sphere_knn_join_km",
     "sphere_radius_join_km",
     "series_monitor",
     "series_monitor_big",

@@ -1016,6 +1016,16 @@ sph_m AS (
   FROM sph_km
   WHERE CAST(round(km, 6) AS DECIMAL(15,6))
     <= CAST(1200.0 AS DOUBLE)),
+-- round 13: spherical kNN twin — the SAME brute-force pairs ranked
+-- per left point on the DECIMAL rounding with the operator's
+-- deterministic (rlat, rlon, id) tiebreak
+sph_knn AS (
+  SELECT a_id, b_id, km_r6, knn_rank FROM (
+    SELECT m.a_id, m.b_id, m.km_r6,
+      row_number() OVER (PARTITION BY m.a_id
+        ORDER BY m.km_r6, b.blat, b.blon, m.b_id) AS knn_rank
+    FROM sph_m m JOIN sph_b b ON b.b_id = m.b_id)
+  WHERE knn_rank <= 3),
 -- round 12: point-in-polygon twin — brute-force points x edges with
 -- the division-free integer crossing predicate, parity per pair;
 -- equality with Spark's bbox-blocked codegen fold proves both the
@@ -1866,6 +1876,14 @@ UNION ALL SELECT 'geo_sph_pair_digest', CAST(sum(
   CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
     || CAST(b_id AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
   AS DOUBLE) FROM sph_m
+UNION ALL SELECT 'geo_sknn_rows', CAST(count(*) AS DOUBLE)
+  FROM sph_knn
+UNION ALL SELECT 'geo_sknn_km_digest', CAST(sum(km_r6) AS DOUBLE)
+  FROM sph_knn
+UNION ALL SELECT 'geo_sknn_rank_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR) || ':' || CAST(knn_rank AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM sph_knn
 UNION ALL SELECT 'geo_sql_pairs', CAST(count(*) AS DOUBLE)
   FROM geo_m WHERE dist2 <= CAST(5000000 AS BIGINT) * 5000000
 UNION ALL SELECT 'geo_sql_dist2_digest',
@@ -1882,6 +1900,18 @@ UNION ALL SELECT 'geo_gpip_pair_digest', CAST(sum(
   CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
     || CAST(pg AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
   AS DOUBLE) FROM gpipin
+UNION ALL SELECT 'geo_sqlg_pip_pairs', CAST(count(*) AS DOUBLE)
+  FROM gpipin
+UNION ALL SELECT 'geo_sqlg_pip_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(pg AS VARCHAR)), 1, 15) AS BIGINT) % 2147483647)
+  AS DOUBLE) FROM gpipin
+UNION ALL SELECT 'geo_sqlg_knn_rows', CAST(count(*) AS DOUBLE)
+  FROM sph_knn
+UNION ALL SELECT 'geo_sqlg_knn_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(a_id AS VARCHAR) || ':'
+    || CAST(b_id AS VARCHAR) || ':' || CAST(knn_rank AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM sph_knn
 UNION ALL SELECT 'ts_users', users FROM tsr
 UNION ALL SELECT 'ts_alarm_sum', alarms FROM tsr
 UNION ALL SELECT 'ts_ewma_sum', ewma_sum FROM tsr

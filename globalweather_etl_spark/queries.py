@@ -3002,6 +3002,39 @@ def q_tpch_scalar_checks(spark, sf_dir):
             ],
         )
     )
+    # Round 13: spherical kNN (sphere_knn_join_km — the radius join's
+    # pairs ranked per left point on the DECIMAL km rounding with a
+    # deterministic (rlat, rlon, id) tiebreak). The oracle re-ranks
+    # its own brute-force haversine pairs with the identical order,
+    # so hash equality proves the rank column end-to-end.
+    from globalweather_etl_spark.operators.geo import (
+        sphere_knn_join_km,
+    )
+
+    sknn = sphere_knn_join_km(
+        sph_a, sph_b, k=3, radius_km=1200.0, left_id="a_id",
+        right_id="b_id", left_cols=("alat", "alon"),
+        right_cols=("blat", "blon"), max_abs_lat=60.0,
+    )
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            sknn.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sphere_km_r6").cast("double").alias("kd"),
+                F.sum(
+                    _h(F.concat_ws(":", "a_id", "b_id", "knn_rank"))
+                    % _dig_p
+                )
+                .cast("double")
+                .alias("rd"),
+            ),
+            [
+                ("geo_sknn_rows", "n"),
+                ("geo_sknn_km_digest", "kd"),
+                ("geo_sknn_rank_digest", "rd"),
+            ],
+        )
+    )
     # Round 12: one geo row driven through the SQL spelling
     # (sources/lakehouse_sql.py GEO_RADIUS_JOIN table function) so the
     # SQL surface itself is under the oracle, not just parity-tested.
@@ -3146,6 +3179,51 @@ def q_tpch_scalar_checks(spark, sf_dir):
             [
                 ("geo_gpip_pairs", "n"),
                 ("geo_gpip_pair_digest", "pd"),
+            ],
+        )
+    )
+    # Round 13: the SPHERE SQL spellings graded end-to-end too (the
+    # r12 geo_sql_* move): the same gpip pairs driven through
+    # GEO_PIP_JOIN ... SPHERE and the same spherical kNN through
+    # GEO_SPHERE_JOIN ... K — the oracle reuses the gpipin/sph_knn
+    # twins, so a translation bug in the SQL layer (not just the
+    # operator) hash-mismatches.
+    sph_a.createOrReplaceTempView("__gpip_sql_p")
+    gpg.createOrReplaceTempView("__gpip_sql_g")
+    sph_b.createOrReplaceTempView("__sknn_sql_r")
+    gpip_sql = lakehouse_sql(
+        spark,
+        "SELECT count(*) AS n, sum(CAST(conv(substring(md5("
+        "concat_ws(':', a_id, gpg_id)), 1, 15), 16, 10) AS BIGINT) "
+        "% 2147483647) AS pd "
+        "FROM GEO_PIP_JOIN(__gpip_sql_p a_id (alat, alon), "
+        "__gpip_sql_g gpg_id (vertices), SPHERE MAXLAT 60)",
+    )
+    sknn_sql = lakehouse_sql(
+        spark,
+        "SELECT count(*) AS n, sum(CAST(conv(substring(md5("
+        "concat_ws(':', a_id, b_id, knn_rank)), 1, 15), 16, 10) "
+        "AS BIGINT) % 2147483647) AS rd "
+        "FROM GEO_SPHERE_JOIN(__gpip_sql_p a_id (alat, alon), "
+        "__sknn_sql_r b_id (blat, blon), KM 1200, K 3, MAXLAT 60)",
+    )
+    spark.catalog.dropTempView("__gpip_sql_p")
+    spark.catalog.dropTempView("__gpip_sql_g")
+    spark.catalog.dropTempView("__sknn_sql_r")
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            gpip_sql,
+            [
+                ("geo_sqlg_pip_pairs", "n"),
+                ("geo_sqlg_pip_digest", "pd"),
+            ],
+        )
+    ).unionAll(
+        _unpivot_metrics(
+            sknn_sql,
+            [
+                ("geo_sqlg_knn_rows", "n"),
+                ("geo_sqlg_knn_digest", "rd"),
             ],
         )
     )

@@ -54,9 +54,11 @@ these tables live at filesystem roots, not in a metastore):
       expanding-ring escalation's initial radius and every left point
       gets its true k nearest (planar_knn_join_complete)
   SELECT ... FROM GEO_SPHERE_JOIN(<tbl> <id> (lat, lon), <tbl> <id>
-      (rlat, rlon), KM <r> [, MAXLAT <d>])
+      (rlat, rlon), KM <r> [, K <k>] [, MAXLAT <d>])
       — great-circle radius join in km (sphere_radius_join_km);
-      MAXLAT caps |latitude| to keep the longitude window finite
+      with K the pairs rank per left point into a radius-bounded
+      spherical kNN (sphere_knn_join_km, knn_rank column); MAXLAT
+      caps |latitude| to keep the longitude window finite
   SELECT ... FROM GEO_PIP_JOIN(<tbl> <id> (x, y), <tbl> <id>
       (<vertices-col>) [, SPHERE [MAXLAT <d>] [MAXEDGE <d>]]
       [, CELL <n>])
@@ -231,6 +233,7 @@ _GEO_SPH = re.compile(
     rf"{_geo_tbl('r')}\s+(?P<rid>\w+)\s*"
     r"\(\s*(?P<rx>\w+)\s*,\s*(?P<ry>\w+)\s*\)\s*,\s*"
     r"KM\s+(?P<km>\d+(?:\.\d+)?)"
+    r"(?:\s*,\s*K\s+(?P<k>\d+))?"
     r"(?:\s*,\s*MAXLAT\s+(?P<maxlat>\d+(?:\.\d+)?))?\s*\)",
     re.IGNORECASE,
 )
@@ -306,10 +309,15 @@ def _travel_rewrite(
 
     def _is_table_root(path: str) -> bool:
         jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}/_manifests"
-        )
         try:
+            # constructor INSIDE the try: _TRAVEL matches any quoted
+            # string, and a non-path literal like ':' (e.g. a
+            # concat_ws separator) makes Hadoop's Path constructor
+            # itself throw URISyntaxException — that just means "not
+            # a table root", never an error
+            hp = jvm.org.apache.hadoop.fs.Path(
+                f"{path.rstrip('/')}/_manifests"
+            )
             fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(hp):
                 return False
@@ -417,23 +425,32 @@ def _travel_rewrite(
 
     def _sub_geo_sph(tm: re.Match) -> str:
         from globalweather_etl_spark.operators.geo import (
+            sphere_knn_join_km,
             sphere_radius_join_km,
         )
 
-        kwargs = {}
+        kwargs = dict(
+            left_id=tm.group("lid"),
+            right_id=tm.group("rid"),
+            left_cols=(tm.group("lx"), tm.group("ly")),
+            right_cols=(tm.group("rx"), tm.group("ry")),
+        )
         if tm.group("maxlat"):
             kwargs["max_abs_lat"] = float(tm.group("maxlat"))
-        return _geo_view(
-            sphere_radius_join_km(
-                _geo_side(tm, "l"),
-                _geo_side(tm, "r"),
-                float(tm.group("km")),
-                left_id=tm.group("lid"),
-                right_id=tm.group("rid"),
-                left_cols=(tm.group("lx"), tm.group("ly")),
-                right_cols=(tm.group("rx"), tm.group("ry")),
-                **kwargs,
+        sides = (_geo_side(tm, "l"), _geo_side(tm, "r"))
+        if tm.group("k"):
+            # K k: radius-bounded spherical kNN (rank on the DECIMAL
+            # km rounding, deterministic tiebreak)
+            return _geo_view(
+                sphere_knn_join_km(
+                    *sides,
+                    int(tm.group("k")),
+                    float(tm.group("km")),
+                    **kwargs,
+                )
             )
+        return _geo_view(
+            sphere_radius_join_km(*sides, float(tm.group("km")), **kwargs)
         )
 
     def _sub_geo_pip(tm: re.Match) -> str:

@@ -3916,6 +3916,20 @@ class SnapshotTable:
                     )
                     if not referenced_side:
                         self._fs.delete(st.getPath(), False)
+            elif name.startswith("tag-") and name.endswith(
+                ".json.lock"
+            ):
+                # orphaned tag-creation lock (writer crashed between
+                # lock create and rename): without its tag file the
+                # name is dead to create_tag — delete_tag can reclaim
+                # it on demand (r13), and vacuum sweeps the leftovers
+                # wholesale. A lock whose tag file exists is live.
+                tag_file = self._p(
+                    f"{self.path}/{_MANIFEST_DIR}/"
+                    f"{name[: -len('.lock')]}"
+                )
+                if not self._fs.exists(tag_file):
+                    self._fs.delete(st.getPath(), False)
         if dropped and hasattr(self, "_idx_cache"):
             for key in [k for k in self._idx_cache if k[0] in dropped]:
                 self._idx_cache.pop(key, None)

@@ -719,3 +719,79 @@ def test_gpip_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------- spherical kNN in km (round 13)
+
+
+def _brute_sphere_knn(A, B, k, radius_km):
+    """Python reference with the operator's exact rank order:
+    (km rounded to 1e-6 as Decimal, blat, blon, bid)."""
+    import decimal
+
+    out = []
+    for i, (la, lo) in enumerate(A):
+        cand = []
+        for j, (bla, blo) in enumerate(B):
+            km = _ref_km(la, lo, bla, blo)
+            r6 = decimal.Decimal(repr(km)).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+            if r6 <= decimal.Decimal(repr(radius_km)):
+                cand.append((r6, bla, blo, j))
+        cand.sort()
+        for rank, (r6, bla, blo, j) in enumerate(cand[:k], start=1):
+            out.append((i, j, rank))
+    return sorted(out)
+
+
+def test_sphere_knn_vs_brute_force(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_knn_join_km,
+    )
+
+    rng = random.Random(53)
+    A = [
+        (rng.uniform(-55, 55), rng.uniform(-179, 179)) for _ in range(40)
+    ]
+    B = [
+        (rng.uniform(-55, 55), rng.uniform(-179, 179)) for _ in range(60)
+    ]
+    a = spark.createDataFrame(
+        [Row(a_id=i, lat=la, lon=lo) for i, (la, lo) in enumerate(A)]
+    )
+    b = spark.createDataFrame(
+        [Row(b_id=j, rlat=la, rlon=lo) for j, (la, lo) in enumerate(B)]
+    )
+    got = sphere_knn_join_km(
+        a, b, k=3, radius_km=3000.0, left_id="a_id", right_id="b_id",
+        max_abs_lat=60.0,
+    ).collect()
+    assert sorted(
+        (r["a_id"], r["b_id"], r["knn_rank"]) for r in got
+    ) == _brute_sphere_knn(A, B, 3, 3000.0)
+    assert all(r["sphere_km_r6"] is not None for r in got)
+
+
+def test_sphere_knn_fewer_than_k_and_guards(spark):
+    from globalweather_etl_spark.operators.geo import (
+        sphere_knn_join_km,
+    )
+
+    a = spark.createDataFrame([Row(a_id=0, lat=0.0, lon=0.0)])
+    b = spark.createDataFrame(
+        [
+            Row(b_id=0, rlat=0.1, rlon=0.1),
+            Row(b_id=1, rlat=50.0, rlon=120.0),  # far outside radius
+        ]
+    )
+    got = sphere_knn_join_km(
+        a, b, k=5, radius_km=500.0, left_id="a_id", right_id="b_id"
+    ).collect()
+    # only the in-range neighbor survives; rank restarts at 1
+    assert [(r["b_id"], r["knn_rank"]) for r in got] == [(0, 1)]
+    with pytest.raises(ValueError, match="k must"):
+        sphere_knn_join_km(
+            a, b, k=0, radius_km=10.0, left_id="a_id", right_id="b_id"
+        )

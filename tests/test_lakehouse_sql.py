@@ -1021,3 +1021,61 @@ def test_geo_pip_sphere_sql_parity(spark):
     # the planar spelling still parses unchanged (no SPHERE flag)
     spark.catalog.dropTempView("gpip_l")
     spark.catalog.dropTempView("gpip_r")
+
+
+def test_geo_sphere_knn_sql_parity(spark):
+    """GEO_SPHERE_JOIN ... K k parity vs sphere_knn_join_km
+    (round 13)."""
+    from pyspark.sql import Row
+
+    from globalweather_etl_spark.operators.geo import (
+        sphere_knn_join_km,
+    )
+
+    a = spark.createDataFrame(
+        [Row(aid=i, lat=float(i), lon=float(2 * i)) for i in range(6)]
+    )
+    b = spark.createDataFrame(
+        [
+            Row(bid=j, rlat=float(j) / 2 + 0.1, rlon=float(j) + 0.2)
+            for j in range(10)
+        ]
+    )
+    a.createOrReplaceTempView("sknn_l")
+    b.createOrReplaceTempView("sknn_r")
+    want = sorted(
+        (r["aid"], r["bid"], r["knn_rank"])
+        for r in sphere_knn_join_km(
+            a, b, 2, 500.0, left_id="aid", right_id="bid",
+            max_abs_lat=70.0,
+        ).collect()
+    )
+    got = sorted(
+        (r["aid"], r["bid"], r["knn_rank"])
+        for r in lakehouse_sql(
+            spark,
+            "SELECT aid, bid, knn_rank FROM GEO_SPHERE_JOIN("
+            "sknn_l aid (lat, lon), sknn_r bid (rlat, rlon), "
+            "KM 500, K 2, MAXLAT 70)",
+        ).collect()
+    )
+    assert got == want and want
+    spark.catalog.dropTempView("sknn_l")
+    spark.catalog.dropTempView("sknn_r")
+
+
+def test_quoted_nonpath_literal_survives_travel_rewrite(spark):
+    """Regression (round 13): _TRAVEL matches ANY quoted string, and a
+    non-path literal like concat_ws's ':' separator made Hadoop's
+    Path constructor throw URISyntaxException inside _is_table_root
+    instead of being skipped as not-a-table-root."""
+    spark.range(3).selectExpr(
+        "id AS a", "id * 2 AS b"
+    ).createOrReplaceTempView("lit_t")
+    got = lakehouse_sql(
+        spark,
+        "SELECT concat_ws(':', a, b) AS s, ',' AS comma, '' AS empty "
+        "FROM lit_t ORDER BY a",
+    ).collect()
+    assert [r["s"] for r in got] == ["0:0", "1:2", "2:4"]
+    spark.catalog.dropTempView("lit_t")

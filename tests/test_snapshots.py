@@ -1628,6 +1628,15 @@ class TestTags:
         # a truly absent name still errors
         with pytest.raises(ValueError, match="no tag"):
             table.delete_tag("never-existed")
+        # vacuum sweeps orphaned tag locks wholesale; live tag locks
+        # survive
+        open(os.path.join(mdir, "tag-dead2.json.lock"), "w").close()
+        table.vacuum(keep_last=1, unreferenced_grace=0.0)
+        assert not os.path.exists(
+            os.path.join(mdir, "tag-dead2.json.lock")
+        )
+        assert os.path.exists(os.path.join(mdir, "tag-dead.json.lock"))
+        assert table.tag_version("dead") == 1
 
     def test_vacuum_keeps_tagged_versions(self, spark, table):
         for i in range(6):
