@@ -94,7 +94,10 @@ from globalweather_etl_spark.operators.paths import session_paths, top_paths
 from globalweather_etl_spark.operators.semantic_decon import (
     semantic_decontaminate,
 )
-from globalweather_etl_spark.operators.semdedup import semdedup
+from globalweather_etl_spark.operators.semdedup import (
+    semdedup,
+    semdedup_exact,
+)
 from globalweather_etl_spark.operators.skew_report import (
     key_skew_report,
     skew_summary,
@@ -247,6 +250,7 @@ __all__ = [
     "pagerank_exact",
     "semantic_decontaminate",
     "semdedup",
+    "semdedup_exact",
     "key_skew_report",
     "skew_summary",
     "cms_estimate",

@@ -39,7 +39,7 @@ from globalweather_etl_spark.operators.kmeans import (
 )
 from globalweather_etl_spark.operators.similarity import _as_double, cosine
 
-__all__ = ["semdedup"]
+__all__ = ["semdedup", "semdedup_exact"]
 
 
 def semdedup(
@@ -89,6 +89,138 @@ def semdedup(
         .filter(F.col("__i") != F.col("__j"))
         .filter(dominates)
         .filter(cosine(F.col("__vi"), F.col("__vj")) >= F.lit(float(eps)))
+        .select(F.col("__i").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, id_col, "left")
+        .withColumn("is_kept", F.col("__dup").isNull())
+        .drop("__dup")
+    )
+
+
+def semdedup_exact(
+    embeddings: DataFrame,
+    n_clusters: int,
+    eps_pct: int = 35,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far_from_centroid",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup with EVERY stage under the exact cross-engine oracle —
+    the composition that closes the iterative-float family (round 13):
+    clustering comes from ``kmeans_exact`` (integer Lloyd, the ks_*
+    graded rows), priority from its exact ``dist2``, and the epsilon
+    test is an exact RATIONAL cosine-threshold inequality, so the
+    whole keep/prune decision is bit-identical cross-engine (ksd_*
+    rows) — no double fold anywhere.
+
+    The epsilon test, on micro-unit quantized vectors q (the
+    kmeans_exact codec) with eps = eps_pct/100 > 0:
+
+      cos(i, j) >= eps
+        <=>  dot(qi, qj) >= 0  AND
+             10000 * dot^2 >= eps_pct^2 * |qi|^2 * |qj|^2
+
+    evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): dot is at
+    most dim * max|q|^2 (~14 digits at unit-scale embeddings), its
+    square ~28 digits, the right side ~32 — both far inside 38
+    digits, and a loud overflow beats a silent rounding if a caller
+    feeds wildly out-of-scale vectors.
+
+    ``keep='far_from_centroid'`` is the paper's diversity-keeping
+    policy spelled on the exact distance: j dominates i iff
+    d2_j > d2_i (farther from its centroid), ties to the lower id;
+    'min_id' is the stable archival policy. One survivor per
+    epsilon-group is guaranteed (the top-priority member is never
+    dominated).
+
+    Scale shape: identical to ``semdedup`` — one equi-join on
+    cluster_id with per-cluster-quadratic work (size k to bound
+    clusters; the paper's k ~ N/1000 rule) — plus kmeans_exact's
+    iteration cost. The float ``semdedup`` stays the throughput path
+    (Arrow argmax assignment, double cosine)."""
+    if keep not in ("far_from_centroid", "min_id"):
+        raise ValueError(
+            f"keep must be far_from_centroid/min_id, got {keep!r}"
+        )
+    if not 0 < eps_pct <= 100:
+        raise ValueError(
+            f"eps_pct must be an int in (0,100], got {eps_pct}"
+        )
+    if assigned is None:
+        from globalweather_etl_spark.operators.kmeans import (
+            kmeans_exact,
+        )
+
+        assigned, _cent = kmeans_exact(
+            embeddings, n_clusters, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    # else: caller supplies kmeans_exact's (id, cluster_id, dist2)
+    # frame to share the clustering across consumers (n_clusters /
+    # n_iter are then ignored)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0), 0).cast(
+            "long"
+        ),
+    )
+    norms = embeddings.select(
+        F.col(id_col).alias("__nid"),
+        qv.alias("__q"),
+        F.aggregate(
+            F.transform(qv, lambda a: a * a),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__n2"),
+    )
+    base = assigned.join(
+        norms, assigned[id_col] == norms["__nid"]
+    ).select(id_col, "cluster_id", "dist2", "__q", "__n2")
+    left = base.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__i"),
+        F.col("dist2").alias("__di"),
+        F.col("__q").alias("__qi"),
+        F.col("__n2").alias("__ni"),
+    )
+    right = base.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__j"),
+        F.col("dist2").alias("__dj"),
+        F.col("__q").alias("__qj"),
+        F.col("__n2").alias("__nj"),
+    )
+    if keep == "far_from_centroid":
+        dominates = (F.col("__dj") > F.col("__di")) | (
+            (F.col("__dj") == F.col("__di"))
+            & (F.col("__j") < F.col("__i"))
+        )
+    else:
+        dominates = F.col("__j") < F.col("__i")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qi"), F.col("__qj"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    sim = (F.col("__dot") >= 0) & (
+        F.lit(10_000).cast(dec) * F.col("__dot").cast(dec)
+        * F.col("__dot").cast(dec)
+        >= F.lit(int(eps_pct) ** 2).cast(dec)
+        * F.col("__ni").cast(dec)
+        * F.col("__nj").cast(dec)
+    )
+    dominated = (
+        left.join(right, "cluster_id")
+        .filter(F.col("__i") != F.col("__j"))
+        .filter(dominates)
+        .withColumn("__dot", dot)
+        .filter(sim)
         .select(F.col("__i").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -2135,6 +2135,34 @@ ks_c{i + 1} AS MATERIALIZED (
           FROM ks_q q JOIN ks_c{n_iter} c ON c.pos = q.pos
           GROUP BY q.vec_id, c.cid) d) WHERE rn = 1),"""
     )
+    ctes.append(
+        """ksd_nrm AS MATERIALIZED (
+  SELECT vec_id, sum(q * q) AS n2 FROM ks_q GROUP BY vec_id),
+ksd_pairs AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM ks_af a JOIN ks_af b
+    ON b.cid = a.cid AND b.vec_id <> a.vec_id
+  WHERE b.d2 > a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id)),
+ksd_dot AS MATERIALIZED (
+  SELECT p.i, p.j, sum(qa.q * qb.q) AS dot
+  FROM ksd_pairs p
+  JOIN ks_q qa ON qa.vec_id = p.i
+  JOIN ks_q qb ON qb.vec_id = p.j AND qb.pos = qa.pos
+  GROUP BY p.i, p.j),
+ksd_dom AS MATERIALIZED (
+  SELECT DISTINCT d.i AS vec_id
+  FROM ksd_dot d
+  JOIN ksd_nrm na ON na.vec_id = d.i
+  JOIN ksd_nrm nb ON nb.vec_id = d.j
+  WHERE d.dot >= 0
+    AND CAST(10000 AS HUGEINT) * CAST(d.dot AS HUGEINT)
+        * CAST(d.dot AS HUGEINT)
+      >= CAST(1225 AS HUGEINT) * CAST(na.n2 AS HUGEINT)
+        * CAST(nb.n2 AS HUGEINT)),
+ksd AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, (dm.vec_id IS NULL) AS is_kept
+  FROM ks_af a LEFT JOIN ksd_dom dm ON dm.vec_id = a.vec_id),"""
+    )
     rows = f"""
 UNION ALL SELECT 'ks_vecs', CAST(count(*) AS DOUBLE) FROM ks_af
 UNION ALL SELECT 'ks_inertia_digest',
@@ -2146,7 +2174,13 @@ UNION ALL SELECT 'ks_assign_digest', CAST(sum(
 UNION ALL SELECT 'ks_cent_digest', CAST(sum(
   CAST('0x' || substring(md5(CAST(cid AS VARCHAR) || ':'
     || CAST(pos AS VARCHAR) || ':' || CAST(val AS VARCHAR)),
-    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM ks_c{n_iter}"""
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM ks_c{n_iter}
+UNION ALL SELECT 'ksd_kept', CAST(count(*) FILTER (WHERE is_kept)
+  AS DOUBLE) FROM ksd
+UNION ALL SELECT 'ksd_digest', CAST(sum(
+  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':'
+    || CAST(cid AS VARCHAR) || ':' || CAST(is_kept AS VARCHAR)),
+    1, 15) AS BIGINT) % 2147483647) AS DOUBLE) FROM ksd"""
     return "\n".join(ctes), rows
 
 

@@ -3329,6 +3329,42 @@ def q_tpch_scalar_checks(spark, sf_dir):
         )
     )
     geo = geo.unionAll(ksf)
+    # Round 13: SemDeDup with EVERY stage exact (operators/semdedup.
+    # semdedup_exact — kmeans_exact clustering, exact-dist2 priority,
+    # rational cosine-threshold inequality in DECIMAL(38,0)/HUGEINT).
+    # The oracle recomputes dominance from the SAME ks_* twin chain,
+    # so the keep/prune verdicts are hash-graded end-to-end — the
+    # last member of the iterative family (PageRank, Lloyd, SemDeDup)
+    # now has a fully-oracled form.
+    from globalweather_etl_spark.operators.semdedup import (
+        semdedup_exact,
+    )
+
+    # shares the ks_a clustering (same kmeans_exact run the ks_* rows
+    # grade) instead of refitting
+    ksd = semdedup_exact(
+        emb_t, n_clusters=8, eps_pct=35, assigned=ks_a
+    )
+    geo = geo.unionAll(
+        _unpivot_metrics(
+            ksd.agg(
+                F.count_if(F.col("is_kept"))
+                .cast("double")
+                .alias("nk"),
+                F.sum(
+                    _h(
+                        F.concat_ws(
+                            ":", "vec_id", "cluster_id", "is_kept"
+                        )
+                    )
+                    % _dig_p
+                )
+                .cast("double")
+                .alias("dg"),
+            ),
+            [("ksd_kept", "nk"), ("ksd_digest", "dg")],
+        )
+    )
 
     return (
         set_ops.unionAll(set_ops_all)

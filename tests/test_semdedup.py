@@ -95,3 +95,103 @@ def test_errors(spark, blobs):
         semdedup(blobs, n_clusters=2, keep="best")
     with pytest.raises(ValueError):
         semdedup(blobs, n_clusters=2, eps=1.5)
+
+
+# ---------------- fully-exact composition (round 13)
+
+
+def test_semdedup_exact_matches_python_twin(spark):
+    """kmeans_exact clustering + exact rational cosine dominance must
+    equal a from-scratch Python implementation bit-for-bit."""
+    import random
+    from fractions import Fraction
+
+    from globalweather_etl_spark.operators.semdedup import (
+        semdedup_exact,
+    )
+    from tests.test_kmeans import _py_kmeans_exact
+
+    rng = random.Random(71)
+    base = [
+        [rng.uniform(-1, 1) for _ in range(8)] for _ in range(12)
+    ]
+    vecs = {}
+    vid = 0
+    for v in base:
+        vecs[vid] = v
+        vid += 1
+        # a few near-duplicates: tiny perturbations of the base rows
+        if rng.random() < 0.5:
+            vecs[vid] = [x * 1.001 for x in v]
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    vecs_f = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_kept"])
+        for r in semdedup_exact(
+            df, n_clusters=3, eps_pct=95, n_iter=2
+        ).collect()
+    }
+
+    # Python twin
+    assign, _ = _py_kmeans_exact(vecs_f, 3, 2)
+
+    def q(x):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return int(
+            Decimal(repr(float(x) * 1e6)).quantize(
+                0, rounding=ROUND_HALF_UP
+            )
+        )
+
+    qv = {i: [q(x) for x in v] for i, v in vecs_f.items()}
+    kept = {}
+    for i, (di, ci) in assign.items():
+        dom = False
+        for j, (dj, cj) in assign.items():
+            if j == i or cj != ci:
+                continue
+            if not (dj > di or (dj == di and j < i)):
+                continue
+            dot = sum(a * b for a, b in zip(qv[i], qv[j]))
+            ni = sum(a * a for a in qv[i])
+            nj = sum(a * a for a in qv[j])
+            if dot >= 0 and Fraction(10000 * dot * dot) >= Fraction(
+                95 * 95 * ni * nj
+            ):
+                dom = True
+                break
+        kept[i] = (ci, not dom)
+    assert got == kept
+    # the near-duplicate pairs actually exercised the prune path
+    assert any(not k for _, k in got.values())
+    assert any(k for _, k in got.values())
+
+
+def test_semdedup_exact_guards(spark):
+    from globalweather_etl_spark.operators.semdedup import (
+        semdedup_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eps_pct"):
+        semdedup_exact(df, 1, eps_pct=0)
+    with _pytest.raises(ValueError, match="keep"):
+        semdedup_exact(df, 1, keep="nope")
+    # min_id policy: the lower id always survives its epsilon-group
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup_exact(
+            df, n_clusters=1, eps_pct=90, keep="min_id"
+        ).collect()
+    }
+    assert out[0] is True and out[1] is False
