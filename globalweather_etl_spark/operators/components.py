@@ -138,9 +138,21 @@ def connected_components(
         )
     ).localCheckpoint(eager=True)
     prev = _edge_stats(e)
+    from globalweather_etl_spark.operators.ckpt import CheckpointRotator
+
+    rot = CheckpointRotator(pairs.sparkSession)
     for _ in range(max_rounds):
-        e = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=True)
-        cur = _edge_stats(e)
+        # rotate: the previous round's edge checkpoint (O(E) blocks)
+        # is freed once the new round is materialized and
+        # fingerprinted — without this the loop holds one edge-set
+        # copy per round (ckpt.py)
+        def _round(prev_e=e):
+            ne = _canonical(
+                _small_star(_large_star(prev_e))
+            ).localCheckpoint(eager=True)
+            return ne, _edge_stats(ne)
+
+        e, cur = rot.rotate(_round)
         if cur == prev:
             break
         prev = cur

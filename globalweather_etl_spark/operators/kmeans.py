@@ -236,7 +236,7 @@ def kmeans_exact(
         against the final centroids.
 
     Returns (assignments, centroids): assignments =
-    (vec_id, cluster_id, dist2) under the final centroids;
+    (<id_col>, cluster_id, dist2) under the final centroids;
     centroids = (cluster_id, centroid array<bigint>).
 
     Scale shape: per round one corpus scan x broadcast(k centroid
@@ -326,5 +326,7 @@ def kmeans_exact(
         cent = updated.unionByName(
             cent.join(updated, "cluster_id", "left_anti")
         ).localCheckpoint(eager=True)
-    final = _assign(cent).select("vec_id", "cluster_id", "dist2")
+    final = _assign(cent).select(
+        F.col("vec_id").alias(id_col), "cluster_id", "dist2"
+    )
     return final, cent.select("cluster_id", "centroid")

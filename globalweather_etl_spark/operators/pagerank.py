@@ -72,6 +72,9 @@ def pagerank(
         raise ValueError("pagerank needs at least one edge")
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    from globalweather_etl_spark.operators.ckpt import CheckpointRotator
+
+    rot = CheckpointRotator(edges.sparkSession)
     for _ in range(max_iter):
         with_deg = ranks.join(
             deg, ranks["node"] == deg["s"], "left"
@@ -92,28 +95,41 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("__m") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+
+        def _round(prev=ranks):
+            new_ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * F.col("__m")
+                        / F.lit(float(n))
+                        + F.lit(damping)
+                        * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(
-                F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("l1")
+            # the L1 delta reads the PREVIOUS ranks — computed inside
+            # the rotation so its blocks are still alive
+            delta = (
+                new_ranks.alias("a")
+                .join(prev.alias("b"), "node")
+                .agg(
+                    F.sum(
+                        F.abs(F.col("a.rank") - F.col("b.rank"))
+                    ).alias("l1")
+                )
+                .collect()[0]["l1"]
             )
-            .collect()[0]["l1"]
-        )
-        ranks = new_ranks
+            return new_ranks, delta
+
+        # rotate: superseded rank checkpoints are freed each round —
+        # without this a loop holds one O(V) cached copy per round
+        ranks, delta = rot.rotate(_round)
         if delta is not None and delta < tol:
             break
     return ranks
@@ -194,6 +210,9 @@ def pagerank_exact(
     ranks = nodes.select(
         "node", F.lit(r0).cast("long").alias("rank_units")
     )
+    from globalweather_etl_spark.operators.ckpt import CheckpointRotator
+
+    rot = CheckpointRotator(edges.sparkSession)
     for _ in range(n_iter):
         with_deg = ranks.join(
             deg, ranks["node"] == deg["s"], "left"
@@ -213,8 +232,11 @@ def pagerank_exact(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(inflow, "node", "left")
+        # rotate: free the superseded round's checkpoint (ckpt.py —
+        # the eager materialization inside consumes the previous
+        # ranks before they are released)
+        ranks = rot.rotate(
+            lambda: nodes.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",

@@ -4463,7 +4463,14 @@ def _stats_methods():
             return None
         if best is None:
             return None
-        kinds = self._read_json(self._zm_meta_path(best)).get("kinds", {})
+        try:
+            kinds = self._read_json(self._zm_meta_path(best)).get(
+                "kinds", {}
+            )
+        except Exception:
+            # stamps are an optimization: a corrupt/half-written stats
+            # meta must degrade to unstamped adds, never fail a COMMIT
+            return None
         if not kinds:
             return None
         try:

@@ -250,3 +250,19 @@ def test_kmeans_exact_empty_cluster_and_errors(spark):
         kmeans_exact(df, n_clusters=0)
     with _pytest.raises(ValueError, match="exceeds"):
         kmeans_exact(df, n_clusters=11)
+
+
+def test_kmeans_exact_custom_id_col(spark):
+    """Assignments come back under the CALLER'S id column name
+    (regression: the internal vec_id alias used to leak)."""
+    from globalweather_etl_spark.operators.kmeans import kmeans_exact
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "doc_id long, emb array<float>",
+    )
+    a, c = kmeans_exact(
+        df, n_clusters=2, n_iter=1, id_col="doc_id", vec_col="emb"
+    )
+    assert set(a.columns) == {"doc_id", "cluster_id", "dist2"}
+    assert a.count() == 6 and c.count() == 2

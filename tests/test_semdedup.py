@@ -195,3 +195,34 @@ def test_semdedup_exact_guards(spark):
         ).collect()
     }
     assert out[0] is True and out[1] is False
+
+
+def test_semdedup_exact_custom_id_col_and_shared_assignments(spark):
+    from globalweather_etl_spark.operators.kmeans import kmeans_exact
+    from globalweather_etl_spark.operators.semdedup import (
+        semdedup_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 2)]) for i in range(6)],
+        "doc_id long, emb array<float>",
+    )
+    out = semdedup_exact(
+        df, n_clusters=2, eps_pct=95, n_iter=1,
+        id_col="doc_id", vec_col="emb",
+    )
+    assert {"doc_id", "cluster_id", "dist2", "is_kept"} <= set(
+        out.columns
+    )
+    assert out.count() == 6
+    # pre-fit assignments give the identical verdicts
+    a, _ = kmeans_exact(
+        df, n_clusters=2, n_iter=1, id_col="doc_id", vec_col="emb"
+    )
+    out2 = semdedup_exact(
+        df, n_clusters=2, eps_pct=95, id_col="doc_id",
+        vec_col="emb", assigned=a,
+    )
+    assert sorted(
+        (r["doc_id"], r["is_kept"]) for r in out.collect()
+    ) == sorted((r["doc_id"], r["is_kept"]) for r in out2.collect())

@@ -34,7 +34,13 @@ def main() -> None:
     spark = get_spark(
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # first session in the process, so this takes effect: the
+            # default 1g local heap cannot hold two back-to-back
+            # 2M-edge runs' shuffle state at 32 threads
+            "spark.driver.memory": "6g",
+        },
     )
     u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 30)).cast("double")
          / F.lit(float(1 << 30)))
@@ -59,6 +65,22 @@ def main() -> None:
         .select(F.col("dst").alias("n"), "count").collect()
     )
     top_ids = [r["node"] for r in top]
+    # the exact-integer graded form on the same graph (round 13):
+    # same per-iteration shape minus the convergence collect; its
+    # top-5 must agree with the float path's at this resolution
+    from globalweather_etl_spark.operators.pagerank import (
+        pagerank_exact,
+    )
+
+    t0 = time.perf_counter()
+    xr = pagerank_exact(edges, n_iter=iters)
+    xtop = (
+        xr.orderBy(F.col("rank_units").desc(), "node")
+        .limit(5)
+        .collect()
+    )
+    xmass = xr.agg(F.sum("rank_units")).collect()[0][0]
+    xwall = round(time.perf_counter() - t0, 2)
     print(
         json.dumps(
             {
@@ -70,6 +92,10 @@ def main() -> None:
                 "top5_in_top20_indegree": sum(
                     1 for i in top_ids if i in indeg
                 ),
+                "exact_wall_s": xwall,
+                "exact_mass_units": int(xmass),
+                "exact_top5_matches_float": [r["node"] for r in xtop]
+                == top_ids,
             }
         )
     )
