@@ -167,6 +167,8 @@ KEY_MAP = {
     "snapshot_stream_drain": "streaming/snapshot_source.py (no SQL oracle by nature: offset/replay semantics; parity tests in tests/test_snapshot_source.py) — 8 commits, catch-up drain + one tail drain",
     "geo_join": "tpch_scalar_checks geo_*/geo_knn_* graded shapes (grid-blocked radius join + radius-bounded kNN over md5-derived microdegree points; round 11)",
     "geo_sphere_knn": "tpch_scalar_checks geo_sph_*/geo_knnc_*/geo_pip_* graded shapes (spherical radius join in km via over-approximate planar window + haversine verify; expanding-ring COMPLETE kNN; bbox-blocked point-in-polygon containment; round 12 — new key, not in the r1 board)",
+    "geo_geodesic": "tpch_scalar_checks geo_sknn_*/geo_gpip_* graded shapes (spherical kNN ranked on the DECIMAL km rounding; geodesic point-in-polygon via microdegree quantization + the planar fold; round 13 — new key)",
+    "exact_iterative": "tpch_scalar_checks pr_*/ks_*/ksd_* graded shapes (exact-integer PageRank on the supplier->part graph, exact Lloyd k-means on the embeddings, fully-exact SemDeDup sharing the assignments; round 13 — new key)",
 }
 
 

@@ -3250,7 +3250,10 @@ def q_tpch_scalar_checks(spark, sf_dir):
             "dst"
         ),
     )
-    pr = pagerank_exact(pr_edges, n_iter=10).persist()
+    # no .persist(): pagerank_exact's final frame IS the last round's
+    # materialized localCheckpoint — both consumers below read its
+    # cached blocks
+    pr = pagerank_exact(pr_edges, n_iter=10)
     pr_top = pr.orderBy(
         F.col("rank_units").desc(), F.col("node")
     ).limit(50)
