@@ -138,6 +138,12 @@ def semdedup_exact(
     epsilon-group is guaranteed (the top-priority member is never
     dominated).
 
+    ``assigned`` (optional): a pre-fit ``kmeans_exact`` assignment
+    frame (<id_col>, cluster_id, dist2) — pass it to share one
+    clustering across consumers (``n_clusters``/``n_iter`` are then
+    ignored); the graded query does exactly this with the ks_* rows'
+    fit.
+
     Scale shape: identical to ``semdedup`` — one equi-join on
     cluster_id with per-cluster-quadratic work (size k to bound
     clusters; the paper's k ~ N/1000 rule) — plus kmeans_exact's
