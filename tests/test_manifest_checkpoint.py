@@ -993,3 +993,57 @@ def test_tree_fuzz_matches_inline_twin(spark, tmp_path, seed):
             ).collect()
         )
         assert got == want, (seed, lo)
+
+
+def test_stamped_deltas_leave_cdc_feeds_unchanged(spark, tmp_path):
+    """add_stamps is STORAGE metadata only: with zone maps live (so
+    every delta commit carries stamps), read_since and read_changes
+    return exactly what an unstamped twin returns."""
+    import pytest as _pytest
+
+    def build(name, with_stats):
+        t = _tree_table(spark, tmp_path, name=name, group=2, interval=1)
+        for i in range(3):
+            t.write(
+                spark.range(i * 10, (i + 1) * 10).select(
+                    F.col("id").alias("k"), F.lit("x").alias("v")
+                ).coalesce(1),
+                mode="overwrite" if i == 0 else "append",
+            )
+        if with_stats:
+            t.build_stats(cols=["k"], version=3, method="footer")
+        d = _tree_table(
+            spark, tmp_path, name=name, group=2, interval=100
+        )
+        d.write(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), F.lit("y").alias("v")
+            ).coalesce(1),
+            mode="append",
+        )
+        return d
+
+    a = build("cdc_stamped", True)
+    b = build("cdc_plain", False)
+    assert _raw(a, 4).get("add_stamps")  # stamps actually engaged
+    assert "add_stamps" not in _raw(b, 4)
+    # append-only incremental read over the stamped delta window
+    since_a = sorted(
+        (r["k"], r["v"]) for r in a.read_since(3).collect()
+    )
+    since_b = sorted(
+        (r["k"], r["v"]) for r in b.read_since(3).collect()
+    )
+    assert since_a == since_b and since_a
+    # keyed-diff CDC across a delete too (v5 on both sides)
+    a.delete_where("k >= 102")
+    b.delete_where("k >= 102")
+    ch_a = sorted(
+        (r["k"], r["__op"])
+        for r in a.read_changes(3, keys=["k"]).collect()
+    )
+    ch_b = sorted(
+        (r["k"], r["__op"])
+        for r in b.read_changes(3, keys=["k"]).collect()
+    )
+    assert ch_a == ch_b and ch_a
