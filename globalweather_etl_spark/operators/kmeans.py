@@ -239,13 +239,25 @@ def kmeans_exact(
     (<id_col>, cluster_id, dist2) under the final centroids;
     centroids = (cluster_id, centroid array<bigint>).
 
-    Scale shape: per round one corpus scan x broadcast(k centroid
-    rows) for the assignment (the window ranks k candidate rows per
-    vector), one (cluster, pos) aggregate of k x dim output rows for
-    the update. Centroids are the only cross-round state (k rows,
-    localCheckpoint-ed so loop lineage stays flat). The float
-    ``fit_kmeans`` remains the user-facing default — Arrow argmax
-    assignment with no per-vector window."""
+    Scale shape (optimization round 13, guide §2.4 — the original
+    form cross-joined the broadcast centroids into n x k candidate
+    ROWS and ranked them with a per-vector window, i.e. a full
+    shuffle + sort of n x k rows per round): assignment is now a
+    NARROW expression — the k x dim centroid matrix (the same k-row
+    barrier payload every Lloyd variant collects per round) rides
+    into the plan as one array<array<bigint>> literal, per-vector
+    dist2 per centroid is a `transform` fold, and argmin-with-ties-
+    to-lower-cluster_id is `array_position(cands, array_min(cands))`
+    (first occurrence of the minimum == lowest cluster_id, exactly
+    the old ORDER BY dist2, cluster_id rank-1 row). Zero shuffles,
+    zero n x k rows. The update is unchanged: one (cluster, pos)
+    aggregate of k x dim output rows; its collect (k x dim bigints)
+    is the minimal per-iteration barrier payload — identical to what
+    ``fit_kmeans`` collects. Centroids are the only cross-round
+    state, now held driver-side (k rows by contract: k ~ N/1000 for
+    SemDeDup sizing; the float ``fit_kmeans`` is the throughput path
+    for large k). The corpus localCheckpoint is kept: n_iter + 1
+    scans read it."""
     if n_clusters < 1:
         raise ValueError("n_clusters must be >= 1")
     if n_iter < 0:
@@ -261,7 +273,7 @@ def kmeans_exact(
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), qv.alias("qv")
     ).localCheckpoint(eager=True)
-    seeds = (
+    seed_rows = (
         corpus.orderBy(
             _md5_long(F.col("vec_id").cast("string")), "vec_id"
         )
@@ -277,35 +289,48 @@ def kmeans_exact(
             .alias("cluster_id"),
             F.col("qv").alias("centroid"),
         )
+        .collect()
     )
-    cent = seeds.localCheckpoint(eager=True)
-    if cent.count() < n_clusters:
+    if len(seed_rows) < n_clusters:
         raise ValueError(
             f"n_clusters={n_clusters} exceeds the input vector count"
         )
+    # cluster ids are exactly 1..k in order, so index i of the matrix
+    # (0-based) IS cluster_id i+1 — array_position's 1-based first-min
+    # index therefore returns the cluster_id directly
+    cent_mat: list[list[int]] = [
+        [int(v) for v in r["centroid"]]
+        for r in sorted(seed_rows, key=lambda r: r["cluster_id"])
+    ]
 
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-    def _assign(cent_df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
-        return (
-            corpus.crossJoin(F.broadcast(cent_df))
-            .withColumn("dist2", dist2)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "qv", "cluster_id", "dist2")
+    def _assign(mat: list[list[int]]) -> DataFrame:
+        # one array<array<bigint>> literal (a single Literal node, not
+        # k x dim expression nodes); dist2 per centroid is a transform
+        # fold; first-occurrence-of-min == ties to the LOWER cluster_id
+        clit = F.lit(mat).cast("array<array<bigint>>")
+        cands = F.transform(
+            clit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("qv"), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return corpus.withColumn("__cands", cands).select(
+            "vec_id",
+            "qv",
+            F.array_position(
+                F.col("__cands"), F.array_min(F.col("__cands"))
+            )
+            .cast("int")
+            .alias("cluster_id"),
+            F.array_min(F.col("__cands")).alias("dist2"),
         )
 
     for _ in range(n_iter):
-        assigned = _assign(cent)
+        assigned = _assign(cent_mat)
         updated = (
             assigned.select(
                 "cluster_id", F.posexplode("qv").alias("pos", "v")
@@ -321,12 +346,20 @@ def kmeans_exact(
                     lambda s: s["val"],
                 ).alias("centroid")
             )
+            .collect()
         )
         # empty clusters keep their previous centroid
-        cent = updated.unionByName(
-            cent.join(updated, "cluster_id", "left_anti")
-        ).localCheckpoint(eager=True)
-    final = _assign(cent).select(
+        new_mat = list(cent_mat)
+        for r in updated:
+            new_mat[r["cluster_id"] - 1] = [
+                int(v) for v in r["centroid"]
+            ]
+        cent_mat = new_mat
+    final = _assign(cent_mat).select(
         F.col("vec_id").alias(id_col), "cluster_id", "dist2"
     )
-    return final, cent.select("cluster_id", "centroid")
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(i + 1, cent_mat[i]) for i in range(n_clusters)],
+        "cluster_id int, centroid array<bigint>",
+    )
+    return final, cent_df

@@ -178,10 +178,20 @@ def pagerank_exact(
     data-independent iteration count. ``damping_pct`` is an integer
     percentage so the damping factor is exactly representable.
 
-    Scale: same shape as ``pagerank`` — per iteration one edge-keyed
-    shuffle plus a broadcast 1-row dangling aggregate; state is one
-    (node, rank_units) table, O(V). Per-round localCheckpoint keeps
-    loop lineage flat. Returns (node, rank_units) with rank_units
+    Scale (optimization round 13, guide §2.4): per iteration exactly
+    ONE exchange — the contribution aggregate keyed by dst. The edge
+    table is hash-partitioned and sorted by src ONCE at setup and the
+    per-node out-degree rides IN the rank state (the original form
+    re-joined a lazily recomputed degree aggregate every round and
+    re-shuffled the edges by src every round), so the per-round
+    rank-x-edges sort-merge join and the state join back onto the
+    node table are both exchange-free: every frame arrives
+    co-partitioned (and pre-sorted, for the edge side) through
+    localCheckpoint, which preserves partitioning and ordering.
+    State is one (node, deg, rank_units) table, O(V); the dangling
+    mass is a 1-row aggregate over the cached state broadcast into
+    the update. Per-round checkpoint rotation keeps loop lineage and
+    executor storage flat. Returns (node, rank_units) with rank_units
     summing to <= M."""
     if not 0 < damping_pct < 100:
         raise ValueError(
@@ -189,42 +199,69 @@ def pagerank_exact(
         )
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    # Edges: partition AND sort by src ONCE (setup cost), so every
+    # round's contribution join needs neither an exchange nor a sort
+    # on the O(E) side — localCheckpoint preserves partitioning and
+    # ordering into the next round's plan (guide §2.4). The partition
+    # count is pinned explicitly (not AQE-coalesced) so the rank
+    # state, pinned to the same count below, stays co-partitioned
+    # with the edges in every round's sort-merge join.
+    sp = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # persist(), NOT localCheckpoint: an InMemoryRelation keeps its
+    # child's outputPartitioning/outputOrdering visible to the
+    # planner, so every round's sort-merge join streams the cached,
+    # pre-sorted edge blocks with NO exchange and NO re-sort; a local
+    # checkpoint's LogicalRDD reports UnknownPartitioning and forced
+    # a fresh exchange (or a fresh 600k-row broadcast build) of the
+    # edge side EVERY round (measured, optimization round 13). Both
+    # frames are shallow (one aggregate off the input), so checkpoint
+    # lineage truncation buys nothing here.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(sp, F.col("s"))
+        .sortWithinPartitions("s")
+        .persist()
     )
-    nodes = (
+    # Out-degree is static — compute it once and carry it IN the rank
+    # state instead of re-joining (and re-aggregating) it every round.
+    nodes_deg = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .join(
+            e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")),
+            F.col("node") == F.col("s"),
+            "left",
+        )
+        .select("node", "deg")
+        .repartition(sp, F.col("node"))
+        .sortWithinPartitions("node")
+        .persist()
     )
-    n = nodes.count()
+    n = nodes_deg.count()
     if n == 0:
         raise ValueError("pagerank needs at least one edge")
     dp = int(damping_pct)
     r0 = _PR_MASS // n
     teleport = ((100 - dp) * r0) // 100
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.select(
-        "node", F.lit(r0).cast("long").alias("rank_units")
+    ranks = nodes_deg.select(
+        "node", "deg", F.lit(r0).cast("long").alias("rank_units")
     )
     from globalweather_etl_spark.operators.ckpt import CheckpointRotator
 
     rot = CheckpointRotator(edges.sparkSession)
     for _ in range(n_iter):
-        with_deg = ranks.join(
-            deg, ranks["node"] == deg["s"], "left"
-        ).select("node", "rank_units", "deg")
-        dang = with_deg.filter(F.col("deg").isNull()).agg(
+        dang = ranks.filter(F.col("deg").isNull()).agg(
             F.coalesce(
                 F.sum("rank_units"), F.lit(0).cast("long")
             ).alias("__dang")
         )
         inflow = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, with_deg["node"] == e["s"])
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["node"] == e["s"])
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_units div deg").alias("c"),
@@ -236,10 +273,11 @@ def pagerank_exact(
         # the eager materialization inside consumes the previous
         # ranks before they are released)
         ranks = rot.rotate(
-            lambda: nodes.join(inflow, "node", "left")
+            lambda: nodes_deg.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(teleport).cast("long")
                     + F.expr(
@@ -250,4 +288,8 @@ def pagerank_exact(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    # the final ranks frame is a (truncated-lineage) checkpoint — it
+    # no longer reads the cached setup frames, so release them now
+    e.unpersist()
+    nodes_deg.unpersist()
+    return ranks.select("node", "rank_units")

@@ -41,6 +41,37 @@ from globalweather_etl_spark.operators.similarity import _as_double, cosine
 
 __all__ = ["semdedup", "semdedup_exact"]
 
+# The pair stage joins on cluster_id alone, so with k clusters at most
+# k tasks carry the per-cluster-quadratic work — on a 32-core host
+# with k=8 three quarters of the cores idle (measured, optimization
+# round 13; guide §2.5 "hot keys"). Salting the dominated (i) side
+# into _PAIR_SALT buckets and replicating the dominating (j) side
+# _PAIR_SALT ways spreads each cluster's pair block over _PAIR_SALT
+# tasks while generating EXACTLY the same (i, j) pair set: each i
+# keeps one deterministic salt, each j meets every salt once. The
+# j-side replication costs _PAIR_SALT x O(n) rows — negligible next
+# to the O(n_c^2) pair work it parallelizes.
+_PAIR_SALT = 8
+
+
+def _salted_cluster_pairs(
+    left: DataFrame, right: DataFrame, i_col: str = "__i"
+) -> DataFrame:
+    """Equi-join left x right on (cluster_id, salt) producing every
+    within-cluster ordered pair exactly once (identical to the plain
+    cluster_id join, measured ~S x faster when k < cores)."""
+    ls = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(i_col), F.lit(_PAIR_SALT)).cast("int"),
+    )
+    rs = right.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PAIR_SALT - 1))
+        ).alias("__salt"),
+    )
+    return ls.join(rs, ["cluster_id", "__salt"]).drop("__salt")
+
 
 def semdedup(
     embeddings: DataFrame,
@@ -85,7 +116,7 @@ def semdedup(
     else:
         dominates = F.col("__j") < F.col("__i")
     dominated = (
-        left.join(right, "cluster_id")
+        _salted_cluster_pairs(left, right)
         .filter(F.col("__i") != F.col("__j"))
         .filter(dominates)
         .filter(cosine(F.col("__vi"), F.col("__vj")) >= F.lit(float(eps)))
@@ -222,7 +253,7 @@ def semdedup_exact(
         * F.col("__nj").cast(dec)
     )
     dominated = (
-        left.join(right, "cluster_id")
+        _salted_cluster_pairs(left, right)
         .filter(F.col("__i") != F.col("__j"))
         .filter(dominates)
         .withColumn("__dot", dot)
