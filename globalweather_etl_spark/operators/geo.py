@@ -279,9 +279,31 @@ def planar_knn_join_complete(
         pending = pending.join(done, left_id, "left_anti").localCheckpoint(
             eager=True
         )
-        if pending.isEmpty():
+        # both counts read already-materialized checkpoints (each is
+        # one cheap job replacing the old isEmpty guard)
+        n_done = done.count()
+        n_pending = pending.count()
+        if n_pending == 0:
             break
-        radius *= growth
+        # Adaptive escalation (optimization round 13, guide §2.6
+        # straggler thinking applied to rounds): a round that
+        # satisfied under half its pending points means the radius is
+        # far below the true k-th-neighbor distance — every such
+        # round costs a full pass over the pending set for little
+        # progress (measured at the bench shape: initial_radius 50x
+        # under the typical kNN distance burned 8 rounds; with
+        # acceleration, 4). Square the step while progress is poor;
+        # drop back to plain `growth` once most points are
+        # satisfying, so a well-chosen initial radius keeps tight
+        # candidate windows. The completeness argument is unchanged
+        # for ANY radius schedule: a point's reported neighbors are
+        # ranked at the first radius where it has >= k in range,
+        # which is its true kNN, and the diagonal cap still
+        # guarantees a final all-seeing pass.
+        if n_done * 2 < n_done + n_pending:
+            radius *= growth * growth
+        else:
+            radius *= growth
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionAll(c)
@@ -423,12 +445,29 @@ def sphere_radius_join_km(
     km = haversine_km(
         F.col(llat), F.col(llon), F.col(rlat), F.col(rlon)
     )
+    # The grid pass prunes to the circumscribed circle of radius
+    # `win`; the separate per-axis windows are tighter (box area /
+    # circle area ~ 0.5 at wide lat caps), and the box test is two
+    # integer compares vs four transcendentals in the haversine —
+    # pre-filtering candidates on the box roughly halves the trig
+    # verify work for free (optimization round 13, guide §2.3
+    # "project/filter before the expensive step"). Lossless: the
+    # lat/lon windows are exactly the bounds the docstring derives;
+    # the final rounded-haversine filter is unchanged.
+    box = (
+        F.abs(F.col("__glat_u") - F.col("__hlat_u"))
+        <= F.lit(int(lat_win))
+    ) & (
+        F.abs(F.col("__glon_u") - F.col("__hlon_u"))
+        <= F.lit(int(lon_win))
+    )
     return (
         planar_radius_join(
             lhs, rhs, win,
             left_cols=("__glat_u", "__glon_u"),
             right_cols=("__hlat_u", "__hlon_u"),
         )
+        .filter(box)
         .drop("__glat_u", "__glon_u", "__hlat_u", "__hlon_u", "dist2")
         .withColumn("sphere_km", km)
         .withColumn(

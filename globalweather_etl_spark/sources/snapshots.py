@@ -2933,13 +2933,30 @@ class SnapshotTable:
                     return result
                 continue  # lost the commit race: recompute
 
-            hit_rel = sorted(
-                r["__dv_file"]
-                for r in tgt.join(src_keys, keys, "left_semi")
-                .select("__dv_file")
-                .distinct()
+            # ONE probe job finds the hit files AND their live row
+            # counts (optimization round 13, guide §1.2 "don't compute
+            # things twice": the old shape ran a semi-join probe, then
+            # a SECOND job re-reading the hit files just to count
+            # them). tgt is the DV-applied read, so the per-file
+            # counts equal what the separate hit-read counted; only
+            # hit files reach the driver (the filter runs
+            # distributed), so driver memory stays O(hit files)
+            # exactly as before.
+            hit_stats = (
+                tgt.join(
+                    src_keys.withColumn("__hit", F.lit(1)),
+                    keys,
+                    "left",
+                )
+                .groupBy("__dv_file")
+                .agg(
+                    F.count(F.lit(1)).alias("__rows"),
+                    F.max("__hit").alias("__h"),
+                )
+                .filter(F.col("__h").isNotNull())
                 .collect()
             )
+            hit_rel = sorted(r["__dv_file"] for r in hit_stats)
             kept_rel = [r for r in m["files"] if r not in set(hit_rel)]
 
             out_parts = []
@@ -2948,7 +2965,7 @@ class SnapshotTable:
                 # DV-applied read: rows already deleted in the hit
                 # files must not survive into the rewrite
                 hit_tgt = self._read_files(hit_rel, m)
-                n_hit_rows = hit_tgt.count()
+                n_hit_rows = sum(int(r["__rows"]) for r in hit_stats)
                 survivors = hit_tgt.join(src_keys, keys, "left_anti")
                 if when_matched == "update":
                     matched_src = src.join(
