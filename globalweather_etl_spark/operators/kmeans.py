@@ -67,6 +67,12 @@ __all__ = [
     "kmeans_exact",
 ]
 
+# kmeans_exact holds the k x dim centroid matrix driver-side and as a
+# plan literal; cap its size so a mis-sized k fails loudly instead of
+# building a multi-GB plan (4M bigint cells ~ 32 MB — far above the
+# k ~ N/1000 contract, far below plan-breaking).
+_MAX_CENTROID_CELLS = 4_000_000
+
 
 def portable_centroids(
     embeddings: DataFrame,
@@ -264,6 +270,26 @@ def kmeans_exact(
         raise ValueError("n_iter must be >= 0")
     from globalweather_etl_spark.operators.dedup import _md5_long
 
+    # AQE off for the fixed-shape Lloyd loop (round 14, guide §1/§2.4
+    # — same rationale as pagerank_exact): every iteration is one
+    # two-level hash aggregate whose shape never changes, so adaptive
+    # re-planning only adds one extra job + plan pass per collect.
+    # Restored on exit; results are partition-count-independent
+    # (exact integer sums).
+    spark = embeddings.sparkSession
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _kmeans_exact_body(
+            embeddings, n_clusters, n_iter, id_col, vec_col, _md5_long
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _kmeans_exact_body(
+    embeddings, n_clusters, n_iter, id_col, vec_col, _md5_long
+):
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(1_000_000.0), 0).cast(
@@ -295,6 +321,19 @@ def kmeans_exact(
         raise ValueError(
             f"n_clusters={n_clusters} exceeds the input vector count"
         )
+    # The centroid matrix is driver-side state inlined into the plan —
+    # sized k x dim. The contract is k ~ N/1000 (SemDeDup sizing), but
+    # nothing used to stop a caller from requesting a plan-breaking
+    # k (VERDICT r13 item 7): cap the matrix at _MAX_CENTROID_CELLS
+    # cells (~32 MB of bigints) and point big-k callers at the float
+    # fit_kmeans throughput path.
+    dim = len(seed_rows[0]["centroid"])
+    if n_clusters * dim > _MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"kmeans_exact holds all centroids driver-side and in the "
+            f"plan: n_clusters*dim = {n_clusters}*{dim} exceeds "
+            f"{_MAX_CENTROID_CELLS} cells; use fit_kmeans for large k"
+        )
     # cluster ids are exactly 1..k in order, so index i of the matrix
     # (0-based) IS cluster_id i+1 — array_position's 1-based first-min
     # index therefore returns the cluster_id directly
@@ -304,9 +343,11 @@ def kmeans_exact(
     ]
 
     def _assign(mat: list[list[int]]) -> DataFrame:
-        # one array<array<bigint>> literal (a single Literal node, not
-        # k x dim expression nodes); dist2 per centroid is a transform
-        # fold; first-occurrence-of-min == ties to the LOWER cluster_id
+        # the k x dim centroid matrix enters as array-literal nodes
+        # (PySpark's lit(list-of-lists) analyzes to nested CreateArray
+        # expressions; constant folding collapses them before
+        # execution); dist2 per centroid is a transform fold;
+        # first-occurrence-of-min == ties to the LOWER cluster_id
         clit = F.lit(mat).cast("array<array<bigint>>")
         cands = F.transform(
             clit,

@@ -178,118 +178,150 @@ def pagerank_exact(
     data-independent iteration count. ``damping_pct`` is an integer
     percentage so the damping factor is exactly representable.
 
-    Scale (optimization round 13, guide §2.4): per iteration exactly
-    ONE exchange — the contribution aggregate keyed by dst. The edge
-    table is hash-partitioned and sorted by src ONCE at setup and the
-    per-node out-degree rides IN the rank state (the original form
-    re-joined a lazily recomputed degree aggregate every round and
-    re-shuffled the edges by src every round), so the per-round
-    rank-x-edges sort-merge join and the state join back onto the
-    node table are both exchange-free: every frame arrives
-    co-partitioned (and pre-sorted, for the edge side) through
-    localCheckpoint, which preserves partitioning and ordering.
-    State is one (node, deg, rank_units) table, O(V); the dangling
-    mass is a 1-row aggregate over the cached state broadcast into
-    the update. Per-round checkpoint rotation keeps loop lineage and
-    executor storage flat. Returns (node, rank_units) with rank_units
-    summing to <= M."""
+    Scale (optimization rounds 13-14, guide §2.4): per iteration
+    exactly ONE exchange and TWO jobs. AQE is pinned OFF for the
+    loop's session (restored on exit): the loop's shape is fixed and
+    co-partitioned by construction, so AQE has nothing to adapt —
+    and, decisively, with AQE off a ``localCheckpoint``'s LogicalRDD
+    PRESERVES its child's hash partitioning (under AQE the
+    AdaptiveSparkPlan wrapper hides it as UnknownPartitioning,
+    measured round 14), so the rank state comes back from each
+    round's checkpoint still hash(node, sp)-partitioned. The edge
+    table is hash-partitioned and sorted by src ONCE at setup
+    (persist keeps partitioning AND ordering visible), so the
+    per-round rank-x-edges sort-merge join is exchange-free; the
+    contributions then UNION the state's (node, deg, 0) rows and one
+    hash aggregate keyed on node (map-side combined) produces the
+    next state directly — no join back onto the node table at all
+    (round 13 joined nodes_deg + cross-joined a broadcast dangling
+    row, costing a broadcast-build job per round). The dangling mass
+    is collected to the driver from the materialized state (a 1-row
+    scan of checkpointed blocks) and inlined as a plan literal.
+    State is one (node, deg, rank_units) table, O(V); per-round
+    checkpoint rotation keeps loop lineage and executor storage
+    flat. Returns (node, rank_units) with rank_units summing
+    to <= M."""
     if not 0 < damping_pct < 100:
         raise ValueError(
             f"damping_pct must be an int in (0,100), got {damping_pct}"
         )
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    # Edges: partition AND sort by src ONCE (setup cost), so every
-    # round's contribution join needs neither an exchange nor a sort
-    # on the O(E) side — localCheckpoint preserves partitioning and
-    # ordering into the next round's plan (guide §2.4). The partition
-    # count is pinned explicitly (not AQE-coalesced) so the rank
-    # state, pinned to the same count below, stays co-partitioned
-    # with the edges in every round's sort-merge join.
-    sp = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    # persist(), NOT localCheckpoint: an InMemoryRelation keeps its
-    # child's outputPartitioning/outputOrdering visible to the
-    # planner, so every round's sort-merge join streams the cached,
-    # pre-sorted edge blocks with NO exchange and NO re-sort; a local
-    # checkpoint's LogicalRDD reports UnknownPartitioning and forced
-    # a fresh exchange (or a fresh 600k-row broadcast build) of the
-    # edge side EVERY round (measured, optimization round 13). Both
-    # frames are shallow (one aggregate off the input), so checkpoint
-    # lineage truncation buys nothing here.
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .distinct()
-        .repartition(sp, F.col("s"))
-        .sortWithinPartitions("s")
-        .persist()
-    )
-    # Out-degree is static — compute it once and carry it IN the rank
-    # state instead of re-joining (and re-aggregating) it every round.
-    nodes_deg = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
-        .join(
-            e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")),
-            F.col("node") == F.col("s"),
-            "left",
+    spark = edges.sparkSession
+    # The partition count is pinned explicitly (not AQE-coalesced) so
+    # the rank state and the edges stay co-partitioned in every
+    # round's sort-merge join. Non-numeric conf values (e.g. "auto"
+    # under advisory setups) fall back to the context's parallelism.
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = spark.sparkContext.defaultParallelism
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # persist(), NOT localCheckpoint, for the loop-invariant edge
+        # side: an InMemoryRelation keeps its child's
+        # outputPartitioning AND outputOrdering visible to the
+        # planner, so every round's sort-merge join streams the
+        # cached, pre-sorted edge blocks with NO exchange and NO
+        # re-sort. (The checkpointed rank state keeps only its
+        # partitioning; its O(V) per-round in-partition sort is
+        # noise next to the O(E) side.)
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .distinct()
+            .repartition(sp, F.col("s"))
+            .sortWithinPartitions("s")
+            .persist()
         )
-        .select("node", "deg")
-        .repartition(sp, F.col("node"))
-        .sortWithinPartitions("node")
-        .persist()
-    )
-    n = nodes_deg.count()
-    if n == 0:
-        raise ValueError("pagerank needs at least one edge")
-    dp = int(damping_pct)
-    r0 = _PR_MASS // n
-    teleport = ((100 - dp) * r0) // 100
-    ranks = nodes_deg.select(
-        "node", "deg", F.lit(r0).cast("long").alias("rank_units")
-    )
-    from globalweather_etl_spark.operators.ckpt import CheckpointRotator
+        # Out-degree is static — compute it once and carry it IN the
+        # rank state instead of re-joining it every round. No explicit
+        # repartition: the distinct already hash(node, sp)-partitions
+        # the left side and the (left) join preserves it, so the state
+        # starts co-partitioned with the edges for free (round 14
+        # dropped a redundant O(V) exchange here).
+        nodes_deg = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .distinct()
+            .join(
+                e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")),
+                F.col("node") == F.col("s"),
+                "left",
+            )
+            .select("node", "deg")
+            .sortWithinPartitions("node")
+            .persist()
+        )
+        n = nodes_deg.count()
+        if n == 0:
+            raise ValueError("pagerank needs at least one edge")
+        dp = int(damping_pct)
+        r0 = _PR_MASS // n
+        teleport = ((100 - dp) * r0) // 100
+        ranks = nodes_deg.select(
+            "node", "deg", F.lit(r0).cast("long").alias("rank_units")
+        )
+        # the state's zero-contribution rows: unioned into the
+        # aggregate so every node (dangling sinks included) gets a
+        # state row without a join — deg rides through max() (each
+        # node has exactly one state row, contribution rows carry
+        # NULL, and max ignores NULLs)
+        state0 = nodes_deg.select(
+            "node", "deg", F.lit(0).cast("long").alias("c")
+        )
+        from globalweather_etl_spark.operators.ckpt import (
+            CheckpointRotator,
+        )
 
-    rot = CheckpointRotator(edges.sparkSession)
-    for _ in range(n_iter):
-        dang = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(
-                F.sum("rank_units"), F.lit(0).cast("long")
-            ).alias("__dang")
-        )
-        inflow = (
-            ranks.filter(F.col("deg").isNotNull())
-            .join(e, ranks["node"] == e["s"])
-            .select(
-                F.col("d").alias("node"),
-                F.expr("rank_units div deg").alias("c"),
+        rot = CheckpointRotator(spark)
+        for _ in range(n_iter):
+            # exact bigint sum -> aggregation-order-independent; safe
+            # to collect and inline as a literal. Python // == SQL div
+            # here (both operands non-negative).
+            dang = ranks.filter(F.col("deg").isNull()).agg(
+                F.coalesce(
+                    F.sum("rank_units"), F.lit(0).cast("long")
+                )
+            ).collect()[0][0]
+            shift = int(dang) // n
+            contribs = (
+                ranks.filter(F.col("deg").isNotNull())
+                .join(e.hint("merge"), ranks["node"] == e["s"])
+                .select(
+                    F.col("d").alias("node"),
+                    F.lit(None).cast("long").alias("deg"),
+                    F.expr("rank_units div deg").alias("c"),
+                )
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # rotate: free the superseded round's checkpoint (ckpt.py —
-        # the eager materialization inside consumes the previous
-        # ranks before they are released)
-        ranks = rot.rotate(
-            lambda: nodes_deg.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(
-                        f"({dp} * (coalesce(inflow, 0L)"
-                        f" + (__dang div {n}))) div 100"
-                    )
-                ).alias("rank_units"),
+            new_state = (
+                contribs.unionAll(state0)
+                .groupBy("node")
+                .agg(
+                    F.max("deg").alias("deg"),
+                    F.sum("c").alias("inflow"),
+                )
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr(
+                            f"({dp} * (inflow + {shift}L)) div 100"
+                        )
+                    ).alias("rank_units"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-    # the final ranks frame is a (truncated-lineage) checkpoint — it
-    # no longer reads the cached setup frames, so release them now
-    e.unpersist()
-    nodes_deg.unpersist()
-    return ranks.select("node", "rank_units")
+            # rotate: free the superseded round's checkpoint (ckpt.py
+            # — the eager materialization inside consumes the
+            # previous ranks before they are released)
+            ranks = rot.rotate(
+                lambda df=new_state: df.localCheckpoint(eager=True)
+            )
+        # the final ranks frame is a (truncated-lineage) checkpoint —
+        # it no longer reads the cached setup frames, so release them
+        e.unpersist()
+        nodes_deg.unpersist()
+        return ranks.select("node", "rank_units")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)

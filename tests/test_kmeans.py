@@ -266,3 +266,22 @@ def test_kmeans_exact_custom_id_col(spark):
     )
     assert set(a.columns) == {"doc_id", "cluster_id", "dist2"}
     assert a.count() == 6 and c.count() == 2
+
+
+def test_kmeans_exact_centroid_cell_guard(spark, monkeypatch):
+    """kmeans_exact caps driver-side centroid state at
+    _MAX_CENTROID_CELLS cells (VERDICT r13 item 7): a k*dim above the
+    ceiling must fail loudly and point at fit_kmeans, not build a
+    plan-breaking literal."""
+    import globalweather_etl_spark.operators.kmeans as km
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(km, "_MAX_CENTROID_CELLS", 5)
+    with pytest.raises(ValueError, match="fit_kmeans"):
+        km.kmeans_exact(df, n_clusters=2, n_iter=1)  # 2*3 = 6 > 5
+    monkeypatch.setattr(km, "_MAX_CENTROID_CELLS", 6)
+    a, c = km.kmeans_exact(df, n_clusters=2, n_iter=1)  # 6 <= 6: fine
+    assert a.count() == 8 and c.count() == 2
