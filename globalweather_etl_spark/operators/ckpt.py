@@ -30,11 +30,37 @@ between a rotating loop and a concurrent persisting job.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, TypeVar
 
 T = TypeVar("T")
 
-__all__ = ["CheckpointRotator"]
+__all__ = ["CheckpointRotator", "concurrent_local_checkpoint"]
+
+# RDD ids that a rotating loop must never attribute to a round or
+# unpersist: checkpoints created CONCURRENTLY with a loop (guide §2.6
+# job overlap) would otherwise land in the loop's created-id diff and
+# be freed on the next rotate — and a freed local checkpoint cannot be
+# recomputed. Pinned BEFORE the block materializes (the lazy
+# localCheckpoint registers its RDD id in persistentRDDs immediately),
+# so no rotate can ever see the block unpinned.
+_PINNED: set[int] = set()
+_PIN_LOCK = threading.Lock()
+
+
+def concurrent_local_checkpoint(df):
+    """localCheckpoint(df) that is safe to run concurrently with a
+    CheckpointRotator loop on the same session: the checkpoint's own
+    RDD id (read off the LogicalRDD the lazy checkpoint analyzes to)
+    is pinned before the blocks materialize, and rotate() skips pinned
+    ids both when attributing a round's created blocks and when
+    unpersisting. Returns the materialized checkpointed DataFrame."""
+    ck = df.localCheckpoint(eager=False)
+    rid = int(ck._jdf.queryExecution().analyzed().rdd().id())
+    with _PIN_LOCK:
+        _PINNED.add(rid)
+    ck.count()  # materialize: computes + persists the LogicalRDD blocks
+    return ck
 
 
 class CheckpointRotator:
@@ -53,10 +79,12 @@ class CheckpointRotator:
         an unpersisted one cannot be rebuilt)."""
         before = self._ids()
         out = build()
-        created = self._ids() - before
+        with _PIN_LOCK:
+            pinned = set(_PINNED)
+        created = self._ids() - before - pinned
         m = self._jsc.getPersistentRDDs()
         for k in self._prev:
-            if k in m:
+            if k in m and k not in pinned:
                 m[k].unpersist(False)
         self._prev = created
         return out

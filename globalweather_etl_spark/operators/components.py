@@ -111,6 +111,44 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return rewired.filter(F.col("u") != F.col("v")).distinct()
 
 
+def _cc_round(e: DataFrame) -> DataFrame:
+    """One alternation round, row-identical to
+    ``_canonical(_small_star(_large_star(e)))`` with two redundant
+    full-edge-list shuffles removed (round 14, guide §2.4):
+
+    - ``_large_star`` output is already distinct (u, v) rows with
+      u > v and no self-loops — exactly the ``directed`` frame
+      ``_small_star`` derives, so its filter/least-greatest/distinct
+      re-dedup (one O(E) Exchange) is the identity here;
+    - ``_small_star`` output rows are strictly (greater, lesser) and
+      distinct, so ``_canonical``'s least/greatest is a plain column
+      flip and its filter/distinct (another O(E) Exchange) is the
+      identity too — a bijective projection of distinct rows stays
+      distinct.
+
+    The standalone ``_large_star`` / ``_small_star`` / ``_canonical``
+    keep their defensive normalizations for arbitrary inputs."""
+    sym = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = mins.select("u", F.least("u", "mn").alias("m"))
+    ls = (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    ss_mins = ls.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        ls.join(ss_mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(ss_mins.select("u", F.col("m").alias("v")))
+    )
+    ss = rewired.filter(F.col("u") != F.col("v")).distinct()
+    return ss.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -131,12 +169,18 @@ def connected_components(
     converges in O(log n) rounds (SoCC 2014, Thm 1-2), so 25 covers any
     physically storable graph; hitting the rail raises rather than
     returning partial labels."""
+    # Lazy localCheckpoint + the stats collect as ITS materializing
+    # action: one job computes the round plan, persists the blocks and
+    # aggregates the fingerprint, instead of an eager-checkpoint job
+    # followed by a second stats job over the cached blocks (round 14,
+    # guide §1.2 "fewer jobs"; lineage is truncated after that first
+    # job exactly as with eager=True).
     e = _canonical(
         pairs.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev = _edge_stats(e)
     from globalweather_etl_spark.operators.ckpt import CheckpointRotator
 
@@ -147,9 +191,7 @@ def connected_components(
         # fingerprinted — without this the loop holds one edge-set
         # copy per round (ckpt.py)
         def _round(prev_e=e):
-            ne = _canonical(
-                _small_star(_large_star(prev_e))
-            ).localCheckpoint(eager=True)
+            ne = _cc_round(prev_e).localCheckpoint(eager=False)
             return ne, _edge_stats(ne)
 
         e, cur = rot.rotate(_round)

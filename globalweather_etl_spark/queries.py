@@ -4353,12 +4353,31 @@ def q_docs_decontaminate(spark, sf_dir):
     (split, n_tokens, bin_id, bin_offset). The oracle recomputes every
     stage in one recursive-CTE chain, so the end-to-end pipeline — not
     just its stages in isolation — is cross-engine hash-checked."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from globalweather_etl_spark.operators.ckpt import (
+        concurrent_local_checkpoint,
+    )
     from globalweather_etl_spark.operators.dedup import fuzzy_decontaminate
     from globalweather_etl_spark.plans.curation import curate_documents
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
-    out = decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
+
+    # The three top-level branches (exact screen `out`, fuzzy screen
+    # `fz`, curation `trace`) are independent until the final doc_id
+    # joins, and curate_documents' connected-components phase runs
+    # eager driver jobs that leave the cluster mostly idle — so the two
+    # screens compute into localCheckpoints on worker threads WHILE the
+    # main thread builds the curation trace (guide §2.6 overlapping
+    # independent jobs; round 14: 13.8 -> 11.4 s at sf0.1, output
+    # hash-identical). concurrent_local_checkpoint pins the blocks so
+    # the CC loop's CheckpointRotator cannot free them (ckpt.py).
+    def _build_out():
+        return concurrent_local_checkpoint(
+            decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
+        )
+
     # Round 4 (late): FUZZY decontamination graded alongside the exact
     # screen — a synthesized near-match benchmark (every 11th doc plus
     # an appended eval marker, ids offset by 1e6) must be caught by the
@@ -4370,23 +4389,34 @@ def q_docs_decontaminate(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(marker)).alias("text"),
     )
-    fz = fuzzy_decontaminate(
-        docs.select("doc_id", "text"), fbench, "doc_id", "text",
-        n=5, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5",
-    ).select(
-        "doc_id",
-        F.round("fuzzy_containment", 9).alias("fuzzy_containment"),
-        F.coalesce("matched_bench", F.lit(-1).cast("long"))
-        .alias("matched_bench"),
-        "is_fuzzy_contaminated",
-    )
-    trace = curate_documents(docs, benchmark=bench, hash_fn="md5").curated.select(
-        "doc_id",
-        F.col("split").alias("cur_split"),
-        F.col("n_tokens").cast("long").alias("cur_n_tokens"),
-        "bin_id",
-        "bin_offset",
-    )
+
+    def _build_fz():
+        return concurrent_local_checkpoint(
+            fuzzy_decontaminate(
+                docs.select("doc_id", "text"), fbench, "doc_id", "text",
+                n=5, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5",
+            ).select(
+                "doc_id",
+                F.round("fuzzy_containment", 9).alias("fuzzy_containment"),
+                F.coalesce("matched_bench", F.lit(-1).cast("long"))
+                .alias("matched_bench"),
+                "is_fuzzy_contaminated",
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_out = pool.submit(_build_out)
+        fut_fz = pool.submit(_build_fz)
+        trace = curate_documents(
+            docs, benchmark=bench, hash_fn="md5"
+        ).curated.select(
+            "doc_id",
+            F.col("split").alias("cur_split"),
+            F.col("n_tokens").cast("long").alias("cur_n_tokens"),
+            "bin_id",
+            "bin_offset",
+        )
+        out, fz = fut_out.result(), fut_fz.result()
     return (
         out.select(
             "doc_id", "lang", "n_contaminated_shingles", "is_contaminated"

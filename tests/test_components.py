@@ -95,3 +95,33 @@ SELECT node, min(label) FROM walk GROUP BY node
 """).fetchall()
     }
     assert got == want
+
+
+def test_fused_round_equals_composed_stars(spark):
+    # _cc_round must emit exactly _canonical(_small_star(_large_star(e)))
+    # on canonical inputs — the redundant-dedup removals are identities
+    # there (round-14 optimization; see _cc_round's docstring).
+    from globalweather_etl_spark.operators.components import (
+        _canonical,
+        _cc_round,
+        _large_star,
+        _small_star,
+    )
+
+    fixtures = [
+        # chain, hub, two-cliques bridged, random-ish blob
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(10, 11), (10, 12), (10, 13), (11, 12)],
+        [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7)],
+        [(5, 9), (2, 9), (14, 2), (6, 14), (3, 8), (8, 11), (1, 4)],
+    ]
+    for edges in fixtures:
+        e = _canonical(
+            spark.createDataFrame(edges, "u long, v long")
+        )
+        want = sorted(
+            (r["u"], r["v"])
+            for r in _canonical(_small_star(_large_star(e))).collect()
+        )
+        got = sorted((r["u"], r["v"]) for r in _cc_round(e).collect())
+        assert got == want, (edges, got, want)
