@@ -1,65 +1,57 @@
 """Rotating localCheckpoint for iterative loops — free the PREVIOUS
 round's checkpoint blocks once the new round has materialized.
 
-Every iterative operator here (PageRank, connected components, the
-exact Lloyd loop) truncates per-round lineage with
-``localCheckpoint(eager=True)``. Spark never releases those blocks on
-its own until the backing JVM objects are garbage-collected and the
-ContextCleaner gets around to them — so a loop quietly accumulates
-one O(state) cached copy PER ROUND. Harmless at toy scale, a real
-executor-memory leak at 100 TB (20 PageRank rounds = 20 live copies
-of the rank table), and reproducibly an OOM in the 2M-edge rehearsal
-when the float and exact paths run back-to-back in one 1g-driver
-local JVM.
+Every iterative operator here (PageRank, connected components)
+truncates per-round lineage with ``localCheckpoint``. Spark never
+releases those blocks on its own until the backing JVM objects are
+garbage-collected and the ContextCleaner gets around to them — so a
+loop quietly accumulates one O(state) cached copy PER ROUND. Harmless
+at toy scale, a real executor-memory leak at 100 TB (20 PageRank
+rounds = 20 live copies of the rank table), and reproducibly an OOM in
+the 2M-edge rehearsal when the float and exact paths run back-to-back
+in one 1g-driver local JVM.
 
-``CheckpointRotator.rotate(build)`` runs ``build()`` (which must
-materialize this round's checkpoints eagerly AND any value computed
-from the previous round's frames — after rotate returns, the previous
-round's blocks are gone and a local checkpoint cannot be recomputed
-from lineage), diffs the persistent-RDD id set to learn which blocks
-this round created, and unpersists the ids the PREVIOUS rotate
-recorded. Blocks created before the first rotate (seed frames the
-whole loop reads, e.g. the edge table) are never touched.
-
-Single-loop assumption: the id-set diff attributes every
-persistent-RDD id created during ``build()`` to this round — true for
-the single-threaded driver loops here, not for concurrent jobs
-persisting frames on the same session; don't share one session
-between a rotating loop and a concurrent persisting job.
+Round 14 redesign — EXACT attribution. The round-13 rotator diffed the
+global persistent-RDD id set around each ``build()``, which
+misattributes any block persisted CONCURRENTLY with a round (guide
+§2.6 job overlap: e.g. q_docs_decontaminate's screen threads persist
+shingle-index caches while curation's CC loop rotates) and then frees
+it one round later — a silent cache loss for a ``persist()``, a
+corrupted frame for a ``localCheckpoint`` (truncated lineage cannot
+recompute). Now each round's checkpoints are created THROUGH
+``rotator.checkpoint(df)``, which records exactly the checkpointed
+plan's own RDD id (read off the LogicalRDD the checkpoint analyzes
+to) — rotate() frees precisely the previous round's recorded ids and
+touches nothing else. Multiple rotating loops and arbitrary concurrent
+persists/checkpoints on one session are all safe.
 """
 
 from __future__ import annotations
 
-import threading
 from typing import Callable, TypeVar
 
 T = TypeVar("T")
 
 __all__ = ["CheckpointRotator", "concurrent_local_checkpoint"]
 
-# RDD ids that a rotating loop must never attribute to a round or
-# unpersist: checkpoints created CONCURRENTLY with a loop (guide §2.6
-# job overlap) would otherwise land in the loop's created-id diff and
-# be freed on the next rotate — and a freed local checkpoint cannot be
-# recomputed. Pinned BEFORE the block materializes (the lazy
-# localCheckpoint registers its RDD id in persistentRDDs immediately),
-# so no rotate can ever see the block unpinned.
-_PINNED: set[int] = set()
-_PIN_LOCK = threading.Lock()
+
+def _checkpoint_rdd_id(ck_df) -> int:
+    """The RDD id a (possibly lazy) Dataset.localCheckpoint persists:
+    the checkpointed frame analyzes to a LogicalRDD wrapping exactly
+    the internal RDD that was marked persistent (registered in
+    persistentRdds at the localCheckpoint call, before any block
+    materializes)."""
+    return int(ck_df._jdf.queryExecution().analyzed().rdd().id())
 
 
 def concurrent_local_checkpoint(df):
-    """localCheckpoint(df) that is safe to run concurrently with a
-    CheckpointRotator loop on the same session: the checkpoint's own
-    RDD id (read off the LogicalRDD the lazy checkpoint analyzes to)
-    is pinned before the blocks materialize, and rotate() skips pinned
-    ids both when attributing a round's created blocks and when
-    unpersisting. Returns the materialized checkpointed DataFrame."""
+    """Materialized localCheckpoint(df), safe to run from a worker
+    thread concurrently with anything else on the session (rotating
+    loops included — rotate() only ever frees ids it recorded itself).
+    Lazy checkpoint + count() keeps it ONE job: the count both
+    computes and persists the LogicalRDD's blocks."""
     ck = df.localCheckpoint(eager=False)
-    rid = int(ck._jdf.queryExecution().analyzed().rdd().id())
-    with _PIN_LOCK:
-        _PINNED.add(rid)
-    ck.count()  # materialize: computes + persists the LogicalRDD blocks
+    ck.count()
     return ck
 
 
@@ -67,26 +59,33 @@ class CheckpointRotator:
     def __init__(self, spark) -> None:
         self._jsc = spark.sparkContext._jsc
         self._prev: set[int] = set()
+        self._cur: set[int] = set()
 
-    def _ids(self) -> set[int]:
-        return {int(k) for k in self._jsc.getPersistentRDDs().keys()}
+    def checkpoint(self, df, eager: bool = True):
+        """localCheckpoint ``df`` and record its RDD id as belonging
+        to the rotation round currently being built. With
+        ``eager=False`` the caller's next action on the returned frame
+        materializes the blocks (do that INSIDE the same build —
+        after rotate returns, the previous round is gone and a local
+        checkpoint cannot be recomputed from lineage)."""
+        ck = df.localCheckpoint(eager=eager)
+        self._cur.add(_checkpoint_rdd_id(ck))
+        return ck
 
     def rotate(self, build: Callable[[], T]) -> T:
         """Run one round; free the previous round's checkpoint blocks.
 
-        ``build`` must leave nothing lazily depending on the PREVIOUS
-        round's checkpointed frames (local checkpoints drop lineage —
-        an unpersisted one cannot be rebuilt)."""
-        before = self._ids()
+        ``build`` must create this round's checkpoints via
+        ``self.checkpoint(...)`` and must leave nothing lazily
+        depending on the PREVIOUS round's checkpointed frames."""
+        self._cur = set()
         out = build()
-        with _PIN_LOCK:
-            pinned = set(_PINNED)
-        created = self._ids() - before - pinned
         m = self._jsc.getPersistentRDDs()
         for k in self._prev:
-            if k in m and k not in pinned:
+            if k in m:
                 m[k].unpersist(False)
-        self._prev = created
+        self._prev = self._cur
+        self._cur = set()
         return out
 
     def release(self) -> None:

@@ -191,7 +191,7 @@ def connected_components(
         # fingerprinted — without this the loop holds one edge-set
         # copy per round (ckpt.py)
         def _round(prev_e=e):
-            ne = _cc_round(prev_e).localCheckpoint(eager=False)
+            ne = rot.checkpoint(_cc_round(prev_e), eager=False)
             return ne, _edge_stats(ne)
 
         e, cur = rot.rotate(_round)

@@ -97,7 +97,7 @@ def pagerank(
         )
 
         def _round(prev=ranks):
-            new_ranks = (
+            new_ranks = rot.checkpoint(
                 nodes.join(contrib, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
@@ -110,8 +110,8 @@ def pagerank(
                         + F.lit(damping)
                         * F.coalesce("inflow", F.lit(0.0))
                     ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                eager=True,
             )
             # the L1 delta reads the PREVIOUS ranks — computed inside
             # the rotation so its blocks are still alive
@@ -179,7 +179,9 @@ def pagerank_exact(
     percentage so the damping factor is exactly representable.
 
     Scale (optimization rounds 13-14, guide §2.4): per iteration
-    exactly ONE exchange and TWO jobs. AQE is pinned OFF for the
+    exactly ONE exchange and ONE job (the next state's checkpoint is
+    materialized by the dangling-mass aggregate that the FOLLOWING
+    round inlines as a literal). AQE is pinned OFF for the
     loop's session (restored on exit): the loop's shape is fixed and
     co-partitioned by construction, so AQE has nothing to adapt —
     and, decisively, with AQE off a ``localCheckpoint``'s LogicalRDD
@@ -253,7 +255,15 @@ def pagerank_exact(
             .sortWithinPartitions("node")
             .persist()
         )
-        n = nodes_deg.count()
+        # One setup aggregate returns the node count AND the dangling
+        # node count (round 14: the dangling-sink mass of the INITIAL
+        # uniform state is n_dang * r0 exactly, so round 1 needs no
+        # separate dangling collect either).
+        row = nodes_deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("deg").isNull(), 1)).alias("n_dang"),
+        ).collect()[0]
+        n, n_dang = int(row["n"]), int(row["n_dang"])
         if n == 0:
             raise ValueError("pagerank needs at least one edge")
         dp = int(damping_pct)
@@ -275,15 +285,16 @@ def pagerank_exact(
         )
 
         rot = CheckpointRotator(spark)
+        # The dangling mass is an exact bigint sum ->
+        # aggregation-order-independent; safe to collect and inline as
+        # a literal. Python // == SQL div here (both non-negative).
+        # Round 14: it is collected off the NEW state in the SAME job
+        # that materializes that state's checkpoint (lazy
+        # localCheckpoint; the dangling aggregate is its materializing
+        # action, exactly the connected_components fusion) — ONE job
+        # per round instead of a checkpoint job plus a dangling scan.
+        dang = n_dang * r0
         for _ in range(n_iter):
-            # exact bigint sum -> aggregation-order-independent; safe
-            # to collect and inline as a literal. Python // == SQL div
-            # here (both operands non-negative).
-            dang = ranks.filter(F.col("deg").isNull()).agg(
-                F.coalesce(
-                    F.sum("rank_units"), F.lit(0).cast("long")
-                )
-            ).collect()[0][0]
             shift = int(dang) // n
             contribs = (
                 ranks.filter(F.col("deg").isNotNull())
@@ -312,12 +323,20 @@ def pagerank_exact(
                     ).alias("rank_units"),
                 )
             )
+
             # rotate: free the superseded round's checkpoint (ckpt.py
-            # — the eager materialization inside consumes the
+            # — the materializing aggregate inside consumes the
             # previous ranks before they are released)
-            ranks = rot.rotate(
-                lambda df=new_state: df.localCheckpoint(eager=True)
-            )
+            def _round(df=new_state):
+                ck = rot.checkpoint(df, eager=False)
+                d = ck.filter(F.col("deg").isNull()).agg(
+                    F.coalesce(
+                        F.sum("rank_units"), F.lit(0).cast("long")
+                    )
+                ).collect()[0][0]
+                return ck, int(d)
+
+            ranks, dang = rot.rotate(_round)
         # the final ranks frame is a (truncated-lineage) checkpoint —
         # it no longer reads the cached setup frames, so release them
         e.unpersist()

@@ -4371,8 +4371,9 @@ def q_docs_decontaminate(spark, sf_dir):
     # screens compute into localCheckpoints on worker threads WHILE the
     # main thread builds the curation trace (guide §2.6 overlapping
     # independent jobs; round 14: 13.8 -> 11.4 s at sf0.1, output
-    # hash-identical). concurrent_local_checkpoint pins the blocks so
-    # the CC loop's CheckpointRotator cannot free them (ckpt.py).
+    # hash-identical). Safe next to the CC loop's CheckpointRotator:
+    # the rotator only frees RDD ids it recorded itself (ckpt.py
+    # exact attribution), never concurrently created blocks.
     def _build_out():
         return concurrent_local_checkpoint(
             decontaminate(docs, bench, "doc_id", "text", n=5, hash_fn="md5")
