@@ -277,6 +277,13 @@ def kmeans_exact(
     # Restored on exit; results are partition-count-independent
     # (exact integer sums).
     spark = embeddings.sparkSession
+    # NOTE: spark.conf is SESSION-global — this save/flip/restore is
+    # only safe because no composition in this package plans OTHER
+    # queries on the session while an exact iterative operator runs
+    # (q_docs_decontaminate's thread overlap involves no AQE-flipping
+    # operator). Two overlapping flippers would race the restore; if
+    # that composition ever appears, serialize the flippers or scope
+    # the conf with a dedicated session.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -290,6 +297,18 @@ def kmeans_exact(
 def _kmeans_exact_body(
     embeddings, n_clusters, n_iter, id_col, vec_col, _md5_long
 ):
+    # Guard BEFORE the seed collect (round-14 review fix): even with
+    # dim unknown until rows arrive, dim >= 1 means n_clusters alone
+    # must fit the cell ceiling — raising here keeps a plan-breaking
+    # k (e.g. 5e6) from first pulling k x dim bigints into the driver
+    # via the collect below. The exact k*dim check still runs after
+    # the seeds reveal dim.
+    if n_clusters > _MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"kmeans_exact holds all centroids driver-side and in the "
+            f"plan: n_clusters = {n_clusters} alone exceeds "
+            f"{_MAX_CENTROID_CELLS} cells; use fit_kmeans for large k"
+        )
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(1_000_000.0), 0).cast(

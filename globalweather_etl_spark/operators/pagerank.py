@@ -218,6 +218,9 @@ def pagerank_exact(
         sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         sp = spark.sparkContext.defaultParallelism
+    # NOTE: spark.conf is SESSION-global; see the matching note in
+    # kmeans_exact — safe only while no other query planning overlaps
+    # an exact iterative operator on the same session.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

@@ -98,7 +98,11 @@ def semdedup(
     # both pair-join sides AND the final keep-join, and none of the
     # three consumers share an exchange — without materialization the
     # JVM->Python assignment stage runs three times per action
-    # (guide §4/§5; measured round 14). State-sized, O(N).
+    # (guide §4/§5; measured round 14). State-sized, O(N). Lifetime:
+    # the returned DataFrame reads these blocks, so the operator
+    # cannot unpersist them itself — they live until the session
+    # releases persistent RDDs (the bench does so between keys), the
+    # same trade every cache_index/persist in this package makes.
     assigned = assign_clusters(
         embeddings, centroids, id_col, vec_col
     ).localCheckpoint(eager=True)

@@ -29,21 +29,24 @@ def pytest_cmdline_main(config):
         "GW_SUITE_CHILD"
     ):
         return None
-    blocked = {
-        "-k", "-m", "--collect-only", "--co", "--fixtures",
-        "--markers", "--lf", "--last-failed", "--ff",
-        "--failed-first", "--pdb", "--sw", "--stepwise", "-n",
-        "--numprocesses", "--setup-only", "--setup-plan",
+    # WHITELIST, not blacklist (round-14 review fix): any option this
+    # hook does not positively understand — selection (-k/-m/--ignore/
+    # --deselect), collection, reporting (--junitxml/--cov), debugging
+    # — makes the run fall through to the normal in-process pytest, so
+    # no user option is ever silently discarded by the dispatch.
+    allowed = {
+        "-x", "--exitfirst", "-q", "--quiet", "-v", "--verbose",
     }
+    allowed_prefixes = ("--tb=", "--color=")
     inv = list(config.invocation_params.args)
+    positionals = {str(a) for a in config.args}
     for a in inv:
-        base = str(a).split("=", 1)[0]
-        if (
-            base in blocked
-            or base.startswith("--collect")
-            or base.startswith("--durations")
-        ):
-            return None
+        s = str(a)
+        if s in positionals:
+            continue
+        if s in allowed or s.startswith(allowed_prefixes):
+            continue
+        return None
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(tests_dir)
     runner = os.path.join(root, "tools", "run_tests_parallel.py")

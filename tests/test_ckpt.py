@@ -33,12 +33,17 @@ def test_rotate_frees_only_own_previous_round(spark):
     assert ids_r1 <= _persistent_ids(spark)
 
     # a bystander block created between rounds (e.g. a concurrent
-    # thread's cache) must survive every subsequent rotate
+    # thread's cache) must survive every subsequent rotate. Capture
+    # ONLY its own id (additive diff around the persist): snapshotting
+    # all live ids would race the ContextCleaner unpersisting other
+    # tests' leaked blocks in a shared session.
+    before_bystander = _persistent_ids(spark)
     bystander = base.select((F.col("v") * 2).alias("v")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bystander.count()
-    bystander_ids = _persistent_ids(spark) - ids_r1
+    bystander_ids = _persistent_ids(spark) - before_bystander
+    assert bystander_ids  # the persist registered at least its own id
 
     def round2():
         # the bystander id lands inside this build window too — the

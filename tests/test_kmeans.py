@@ -282,6 +282,12 @@ def test_kmeans_exact_centroid_cell_guard(spark, monkeypatch):
     monkeypatch.setattr(km, "_MAX_CENTROID_CELLS", 5)
     with pytest.raises(ValueError, match="fit_kmeans"):
         km.kmeans_exact(df, n_clusters=2, n_iter=1)  # 2*3 = 6 > 5
+    # round 14: k alone above the ceiling raises BEFORE the k x dim
+    # seed collect (the guard must prevent the driver pull, not
+    # post-mortem it)
+    monkeypatch.setattr(km, "_MAX_CENTROID_CELLS", 1)
+    with pytest.raises(ValueError, match="alone exceeds"):
+        km.kmeans_exact(df, n_clusters=2, n_iter=1)
     monkeypatch.setattr(km, "_MAX_CENTROID_CELLS", 6)
     a, c = km.kmeans_exact(df, n_clusters=2, n_iter=1)  # 6 <= 6: fine
     assert a.count() == 8 and c.count() == 2

@@ -133,8 +133,12 @@ def main() -> int:
     # partition test FILES, so the union must collect exactly the IDs
     # `pytest tests/` collects — assert it so a bucketing bug can
     # never silently drop a file (VERDICT r12 item 5). Only when the
-    # whole suite ran (no extra pytest args like -k).
-    if not set(args.rest) - {"-x", "--exitfirst"}:
+    # whole suite ran (no extra pytest args like -k) AND no bucket
+    # failed: under -x a failing bucket legitimately stops early, so
+    # ran < collected would print a spurious MISMATCH on every
+    # ordinary failure and train readers to ignore the real guard
+    # (round-14 review fix; rc is already nonzero in that case).
+    if rc == 0 and not set(args.rest) - {"-x", "--exitfirst"}:
         out = subprocess.run(
             [
                 sys.executable, "-m", "pytest", "--collect-only", "-q",
